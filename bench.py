@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Benchmark: run the declared corpus at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {qid: sec}, "sf": ...}.
+
+Protocol (BASELINE.md): warm JVM — one untimed warm-up pass, then the
+timed pass; each query timed end-to-end (plan + execute + fetch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def run() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from ccog_spark.queries.registry import REGISTRY
+    from ccog_spark.session import get_spark
+
+    spark = get_spark(app_name="ccog_spark_bench")
+
+    qids = sorted(REGISTRY)
+    # Warm-up: JVM JIT, parquet footer caches, Python worker pool.
+    for qid in qids:
+        REGISTRY[qid](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for qid in qids:
+        t0 = time.perf_counter()
+        REGISTRY[qid](spark, sf_dir).collect()
+        timings[qid] = round(time.perf_counter() - t0, 4)
+
+    return {
+        "metric": "corpus_wall_clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+
+if __name__ == "__main__":
+    result = run()
+    json.dump(result, sys.stdout)
+    print()

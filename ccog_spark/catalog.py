@@ -1,0 +1,72 @@
+"""Catalog: load the driver fixtures and register them as temp views.
+
+Tables (one parquet file each under an sf dir, /root/repo/TESTDATA.md):
+region nation customer supplier part orders lineitem events documents
+embeddings.
+
+Raster-domain fixtures (``pixels``, ``parts`` — FIXTURES.md §10/§11) do
+not exist on disk; they are synthesized deterministically with exact
+integer arithmetic so the DuckDB oracle can regenerate identical values
+(see ccog_spark.raster.fixtures).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/column pruning
+    into the scan automatically (check ``PushedFilters`` in explain).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as
+    epoch-nanos BIGINT (``spark.sql.legacy.parquet.nanosAsLong``); it is
+    converted here to a µs TIMESTAMP with integer division (the fixture
+    has zero sub-µs components, so this is lossless and matches what
+    DuckDB sees)."""
+    # Runtime-settable SQL confs — the caller's session may not have
+    # them (the driver builds its own SparkSession and passes it in).
+    # UTC pins year()/date_trunc() semantics to match the UTC-naive
+    # oracle; nanosAsLong lets events.ts (TIMESTAMP_NANOS) load at all.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture as a temp view (for the SQL surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,276 @@
+"""DuckDB oracle SQL for every corpus query (SURVEY.md §2.3).
+
+Dialect notes (vs the Spark implementations):
+- DuckDB SUM(INTEGER) is HUGEINT and FLOOR/LENGTH/YEAR return
+  DOUBLE/BIGINT — explicit CASTs align types with Spark.
+- ``ts`` columns are TIMESTAMP_NS in DuckDB; CAST→TIMESTAMP (µs) is
+  lossless on these fixtures and matches Spark's parquet read.
+- Array math uses list_dot_product over DOUBLE[] casts, matching the
+  engine's cast-before-multiply policy (functions.vectors).
+- ``pixels``/``parts`` fixtures are generated inline by CTEs that are
+  integer-arithmetic-identical to ccog_spark.raster.fixtures.
+"""
+
+from __future__ import annotations
+
+from ccog_spark.raster.fixtures import PARTS_SQL_CTE, PIXELS_SQL_CTE
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["q01"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLE["q02"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                              AS sum_base,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc,
+       ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
+       COUNT(*)                                                    AS cnt
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE["q03"] = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+ORACLE["q04"] = """
+SELECT r.r_name, n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey   = c.c_custkey
+JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+"""
+
+ORACLE["q05"] = """
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS spend
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+ORACLE["q06"] = """
+SELECT
+  (SELECT COUNT(*) FROM customer c WHERE EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))      AS with_orders,
+  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))      AS without_orders
+"""
+
+ORACLE["q07"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+ORACLE["q08"] = """
+SELECT COUNT(DISTINCT l_suppkey) AS suppliers,
+       COUNT(DISTINCT l_partkey) AS parts,
+       ROUND(SUM(DISTINCT l_quantity), 2) AS distinct_qty_sum
+FROM lineitem
+"""
+
+ORACLE["q09"] = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+ORACLE["q10"] = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+       LAG(l_linenumber) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_extendedprice) AS prev_line
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLE["q11"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+ORACLE["q12"] = """
+SELECT x, grp FROM (
+  SELECT c_nationkey AS x, 'both'  AS grp FROM customer
+  INTERSECT SELECT s_nationkey, 'both' FROM supplier
+  UNION ALL
+  SELECT c_nationkey, 'cust_only' FROM customer
+  EXCEPT SELECT s_nationkey, 'cust_only' FROM supplier) t
+ORDER BY grp, x
+"""
+
+ORACLE["q13"] = """
+SELECT c_custkey,
+       UPPER(c_name) AS u, LOWER(c_mktsegment) AS l,
+       SUBSTR(c_name, 1, 8) AS pre, CAST(LENGTH(c_name) AS INT) AS len,
+       REPLACE(c_name, '#', '-') AS repl,
+       c_name || '/' || c_mktsegment AS joined
+FROM customer WHERE c_name LIKE '%1%'
+ORDER BY c_custkey
+"""
+
+ORACLE["q14"] = """
+SELECT CAST(YEAR(l_shipdate) AS INT) AS y, CAST(MONTH(l_shipdate) AS INT) AS m,
+       COUNT(*) AS cnt, ROUND(SUM(l_extendedprice), 2) AS rev
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY y, m
+"""
+
+ORACLE["q15"] = """
+SELECT p_partkey,
+       ROUND(SQRT(p_retailprice), 4) AS rt,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+       CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+       ABS(p_size - 25) AS dist, MOD(p_partkey, 7) AS bucket,
+       ROUND(POWER(p_size, 2), 1) AS sq
+FROM part ORDER BY p_partkey
+"""
+
+ORACLE["q16"] = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 50000  THEN 'mid'
+            ELSE 'small' END AS bucket,
+       NULLIF(o_orderstatus, 'O') AS status_or_null
+FROM orders ORDER BY o_orderkey
+"""
+
+ORACLE["q17"] = """
+SELECT vec_id, CAST(LEN(embedding) AS INT) AS dim,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])), 4) AS sqnorm
+FROM embeddings ORDER BY vec_id
+"""
+
+ORACLE["q18"] = """
+SELECT event_id, json_extract_string(props, '$.page') AS page
+FROM events ORDER BY event_id
+"""
+
+ORACLE["q19"] = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+"""
+
+ORACLE["q20"] = """
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start
+FROM (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          + INTERVAL 30 MINUTE THEN 1
+                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                ELSE 0 END AS new_s
+    FROM events) a) b
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+ORACLE["q21"] = """
+SELECT MD5(text) AS h, COUNT(*) AS copies, MIN(doc_id) AS keeper
+FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1
+ORDER BY h
+"""
+
+ORACLE["q21b"] = """
+SELECT lang, source, COUNT(*) AS docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+ORACLE["q22"] = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+           AS cos_raw
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), ranked AS (
+  SELECT vec_id, nbr_id, ROUND(cos_raw, 4) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_raw DESC, nbr_id) AS rn
+  FROM pairs)
+SELECT vec_id, nbr_id, cos, rn FROM ranked WHERE rn <= 3
+ORDER BY vec_id, rn
+"""
+
+ORACLE["q23"] = """
+SELECT o.o_orderkey, CAST(MAX(e.ts) AS TIMESTAMP) AS last_event_ts
+FROM orders o JOIN events e
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+ORACLE["q24"] = """
+SELECT * FROM (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+         DENSE_RANK() OVER (PARTITION BY l_partkey
+                            ORDER BY l_quantity DESC) AS dr
+  FROM lineitem) t
+WHERE dr = 1
+ORDER BY l_partkey, l_orderkey, l_linenumber
+"""
+
+ORACLE["qr1"] = f"""
+WITH {PIXELS_SQL_CTE}
+SELECT band, CAST(FLOOR(y / 2.0) AS INT) AS oy, CAST(FLOOR(x / 2.0) AS INT) AS ox,
+       ROUND(AVG(value), 4) AS v
+FROM pixels WHERE valid
+GROUP BY 1, 2, 3
+ORDER BY band, oy, ox
+"""
+
+ORACLE["qr2"] = f"""
+WITH {PIXELS_SQL_CTE}
+SELECT band,
+       MAX(CASE WHEN valid THEN value END)                    AS stat_max,
+       ROUND(AVG(CASE WHEN valid THEN value END), 4)          AS stat_mean,
+       MIN(CASE WHEN valid THEN value END)                    AS stat_min,
+       ROUND(STDDEV_POP(CASE WHEN valid THEN value END), 4)   AS stat_std,
+       ROUND(100.0 * AVG(CASE WHEN valid THEN 1.0 ELSE 0.0 END), 4) AS valid_pct
+FROM pixels GROUP BY band ORDER BY band
+"""
+
+ORACLE["qr3"] = f"""
+WITH {PARTS_SQL_CTE}
+SELECT level, part_seq, nbytes,
+       CAST(CASE WHEN nbytes = 0 THEN 0
+            ELSE hdr + COALESCE(SUM(nbytes) OVER (ORDER BY level DESC, part_seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) END AS BIGINT)
+         AS "offset"
+FROM (SELECT level, part_seq, nbytes, 4096 AS hdr FROM parts) t
+ORDER BY level DESC, part_seq
+"""

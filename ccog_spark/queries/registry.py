@@ -1,0 +1,46 @@
+"""Registry: query id → (spark, sf_dir) -> DataFrame, plus oracle SQL."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ccog_spark.queries import llm, relational
+from ccog_spark.queries.oracle import ORACLE
+from ccog_spark.raster import queries as raster_queries
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, QueryFn] = {
+    "q01": relational.q01,
+    "q02": relational.q02,
+    "q03": relational.q03,
+    "q04": relational.q04,
+    "q05": relational.q05,
+    "q06": relational.q06,
+    "q07": relational.q07,
+    "q08": relational.q08,
+    "q09": relational.q09,
+    "q10": relational.q10,
+    "q11": relational.q11,
+    "q12": relational.q12,
+    "q13": relational.q13,
+    "q14": relational.q14,
+    "q15": relational.q15,
+    "q16": relational.q16,
+    "q17": llm.q17,
+    "q18": llm.q18,
+    "q19": relational.q19,
+    "q20": llm.q20,
+    "q21": llm.q21,
+    "q21b": llm.q21b,
+    "q22": llm.q22,
+    "q23": relational.q23,
+    "q24": relational.q24,
+    "qr1": raster_queries.qr1,
+    "qr2": raster_queries.qr2,
+    "qr3": raster_queries.qr3,
+}
+
+__all__ = ["REGISTRY", "ORACLE", "QueryFn"]

@@ -1,0 +1,88 @@
+"""Raster corpus queries Q-R1..Q-R3 (SURVEY.md §2.3).
+
+These are the SQL-checkable projections of the reference's raster
+operators:
+
+- Q-R1: one 2× average-decimation step (ccog/ccog.py:292-360, kernel
+  'average') as a group-by on halved coordinates.
+- Q-R2: per-band masked statistics (ccog/ccog.py:511-541).
+- Q-R3: the tile-offset prefix sum over ordered parts with sparse→0
+  (ccog/ccog.py:717-773, 753-754) as a window running sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ccog_spark.raster.fixtures import parts_df, pixels_df
+
+
+def qr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2× average decimation on valid pixels (E20 ≙ ccog 'average').
+
+    Pure hash aggregate on derived keys: decimation at 100 TB is one
+    shuffle whose output is 4× smaller than its input; no Python, no
+    halo (kernel radius 0 for 'average', ccog/ccog.py:43-53).
+    """
+    px = pixels_df(spark)
+    oy = F.floor(F.col("y") / 2.0).cast("int").alias("oy")
+    ox = F.floor(F.col("x") / 2.0).cast("int").alias("ox")
+    return (
+        px.where("valid")
+        .groupBy(F.col("band"), oy, ox)
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .orderBy("band", "oy", "ox")
+    )
+
+
+def qr2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band masked statistics (E22 ≙ ccog _calc_stats_for_profile).
+
+    Spark's partial+final hash aggregate replaces dask's tree reduction;
+    per-band output is 5 scalars regardless of raster size.
+    """
+    px = pixels_df(spark)
+    vv = F.when(F.col("valid"), F.col("value"))
+    return (
+        px.groupBy("band")
+        .agg(
+            F.max(vv).alias("stat_max"),
+            F.round(F.avg(vv), 4).alias("stat_mean"),
+            F.min(vv).alias("stat_min"),
+            F.round(F.stddev_pop(vv), 4).alias("stat_std"),
+            F.round(
+                100.0 * F.avg(F.when(F.col("valid"), 1.0).otherwise(0.0)), 4
+            ).alias("valid_pct"),
+        )
+        .orderBy("band")
+    )
+
+
+def qr3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-parts offset prefix sum (E17 ≙ ccog _ifd_offset_adjustments).
+
+    File order is (level DESC, part_seq) — smallest overview first after
+    the header, exactly the reference's layout (ccog/ccog.py:661-666).
+    Sparse parts (nbytes=0) keep offset 0 (ccog/ccog.py:753-754).
+
+    Scale note: a global ORDER BY window is a single-partition sort of
+    the *index*, not the bytes — index rows scale with tile count (a few
+    ints each), which is what makes the design safe at 100 TB
+    (SURVEY.md §4.4). The production sink uses the same prefix sum on
+    the driver (ccog_spark.sinks.mpu).
+    """
+    parts = parts_df(spark).withColumn("hdr", F.lit(4096))
+    w = (
+        W.orderBy(F.col("level").desc(), F.col("part_seq"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    running = F.coalesce(F.sum("nbytes").over(w), F.lit(0))
+    offset = (
+        F.when(F.col("nbytes") == 0, F.lit(0))
+        .otherwise(F.col("hdr") + running)
+        .cast("bigint")
+    )
+    return parts.select(
+        "level", "part_seq", "nbytes", offset.alias("offset")
+    ).orderBy(F.col("level").desc(), F.col("part_seq"))

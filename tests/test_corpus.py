@@ -1,0 +1,32 @@
+"""t1 smoke + t2-style oracle check for the declared corpus (SURVEY §2.3).
+
+Every corpus query runs at sf0.001 and must hash-match the DuckDB
+oracle — the same comparison the driver applies at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ccog_spark.harness import compare_query
+from ccog_spark.queries.registry import ORACLE, REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def test_registry_oracle_keys_align():
+    assert set(ORACLE) == set(REGISTRY)
+
+
+@pytest.mark.parametrize("qid", sorted(REGISTRY))
+def test_query_matches_oracle(spark, qid):
+    r = compare_query(spark, qid, SF_SMOKE)
+    assert r.ok, f"{qid}: {r.detail}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(e.oracle_sql()).issubset(set(e.queries()))
