@@ -1,0 +1,276 @@
+"""Deduplication operators (E34/E35 + north-star dedup suite).
+
+Scale design notes (the part that matters at 100 TB):
+
+- **Exact dedup**: hash → groupBy(hash) keep-min — one shuffle keyed by
+  content hash; duplicate clusters co-locate, everything else is
+  map-side. Equivalent to the reference's sparse-tile elision idea of
+  keying work by content identity.
+- **MinHash signatures are computed map-side** (array_min over a
+  transform of shingle hashes) — no explode, no shuffle for the
+  signature itself. Only the LSH band join shuffles, and it shuffles
+  (band_id, band_key) pairs, not documents.
+- **LSH banding**: b bands × r rows; a pair colliding in ≥1 band becomes
+  a candidate; candidates are verified with exact Jaccard. b=4, r=4
+  targets the s-curve threshold (1/b)^(1/r) ≈ 0.71.
+- **SimHash**: 30-bit signature from ±1 bit votes of token hashes; pairs
+  within Hamming ≤ hamming_max. Blocked self-join (here on (lang,
+  source); at scale on simhash prefix bands) keeps the pair space
+  bounded.
+- **Embedding near-dup**: cosine ≥ threshold within a blocking key —
+  the exact counterpart of similarity-search ANN, reusing the same
+  JVM-side vector math.
+
+All hashes are the engine-portable rolling hash (functions.hashing) so
+every operator here is hash-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ccog_spark.functions.hashing import MOD, minhash_perm, roll_hash
+
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact dedup: one row per distinct content, the row
+    with the minimum id. Adds is_keeper to every input row."""
+    w = W.partitionBy(F.md5(F.col(text_col)))
+    return df.withColumn(
+        "is_keeper", F.col(id_col) == F.min(id_col).over(w)
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle strings (map-side)."""
+    toks = F.split(text, " ")
+    n_sh = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(n_sh >= 1, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct shingle hash values (BIGINT in [0, MOD))."""
+    return F.array_distinct(
+        F.transform(shingles(text, n), lambda s: roll_hash(s))
+    )
+
+
+def minhash_signature(sh_hashes: Column, n_perms: int = N_PERMS) -> Column:
+    """MinHash signature as an array column — computed entirely
+    map-side: array_min over a universal-family permutation of the
+    shingle-hash array. No shuffle."""
+    def perm_min(i: int):
+        # single-arg lambda (a 2-arg transform lambda would receive the
+        # element index as its second argument)
+        return F.array_min(F.transform(sh_hashes, lambda h: minhash_perm(h, i)))
+
+    return F.array(*[perm_min(i) for i in range(n_perms)])
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays (via hash sets)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_min: float = 0.4,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Plan shape: map-side signatures → explode to (band, key) [rows =
+    docs × b, small] → shuffle on band key → per-bucket self-join →
+    distinct candidate pairs → exact-Jaccard verify via a join back to
+    the shingle arrays. The only quadratic work is within LSH buckets.
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col)).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh")))
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col("sig")[b * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+    left = bands.select(
+        F.col("band"), F.col("key"), F.col("doc_id").alias("doc_a")
+    )
+    right = bands.select(
+        F.col("band"), F.col("key"), F.col("doc_id").alias("doc_b")
+    )
+    cands = (
+        left.join(right, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sh_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+        .where(F.col("jac") >= jaccard_min)
+    )
+
+
+SIMHASH_BITS = 30  # rolling hash is mod ~2^30
+
+
+def simhash(text: Column) -> Column:
+    """SimHash over token hashes: per bit, sum ±1 votes; bit set when
+    the vote is positive. Map-side only."""
+    hs = F.transform(F.split(text, " "), lambda t: roll_hash(t))
+
+    def bit_vote(j: int):
+        mask = F.lit(1 << j)
+        return F.aggregate(
+            hs,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    sim = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(bit_vote(j) > 0, F.lit(1 << j)).otherwise(0)
+    return sim
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    hamming_max: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance within blocks."""
+    sigs = docs.select(
+        "doc_id", *block_cols, simhash(F.col("text")).alias("sh")
+    )
+    a = sigs.select(
+        *block_cols, F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_x")
+    )
+    b = sigs.select(
+        *block_cols, F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_y")
+    )
+    return (
+        a.join(b, list(block_cols))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_x").bitwiseXOR(F.col("sh_y"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_max)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    jaccard_min: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within (lang, source,
+    n_chars-bucket) blocks — the blocking bounds the pair space; at
+    100 TB the block key is what keeps this from being n²."""
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        shingle_hashes(F.col("text"), n).alias("sh"),
+    )
+    a = base.select(
+        "lang",
+        "source",
+        "len_bucket",
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = base.select(
+        "lang",
+        "source",
+        "len_bucket",
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    return (
+        a.join(b, ["lang", "source", "len_bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+        .where(F.col("jac") >= jaccard_min)
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, cos_min: float = 0.98
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a label block."""
+    from ccog_spark.functions.vectors import dot, norm
+
+    nv = emb.select(
+        "label", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = nv.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = nv.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= cos_min)
+    )

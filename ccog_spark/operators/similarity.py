@@ -1,0 +1,109 @@
+"""Vector similarity search (E36): exact top-k + LSH-bucketed ANN.
+
+- ``brute_force_topk``: exact cosine top-k of every query vector
+  against the corpus. Plan: broadcast the (small) query set against the
+  corpus — a map-side nested loop per corpus partition, then a
+  per-query top-k window. At 100 TB of corpus vectors this is the
+  standard "broadcast the queries, stream the corpus" shape: no corpus
+  shuffle at all, only k rows per query cross the final exchange.
+- ``lsh_topk``: random-hyperplane LSH — deterministic integer
+  hyperplanes (engine-portable, oracle-checkable), sign-bit bucket key,
+  candidates restricted to the query's bucket. The scale path: corpus
+  bucketed once (reusable across query batches), per-bucket candidate
+  sets ~corpus/2^bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ccog_spark.functions.vectors import dot, norm
+
+N_PLANES = 8
+
+
+def _hyperplane(j: int, dim: int) -> list[int]:
+    """Deterministic integer hyperplane weights in [-6, 6] — the same
+    formula is reproduced in the DuckDB oracle."""
+    return [((j * 131 + d * 17) % 13) - 6 for d in range(dim)]
+
+
+def bucket_key(emb: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    """LSH bucket id: sign bits of dot(emb, hyperplane_j)."""
+    key = F.lit(0)
+    for j in range(n_planes):
+        weights = F.array(*[F.lit(w) for w in _hyperplane(j, dim)])
+        d = F.aggregate(
+            F.zip_with(emb, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        key = key + F.when(d > 0, F.lit(1 << j)).otherwise(0)
+    return key
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k. queries: (q_id, q_emb); corpus: (vec_id,
+    embedding). Excludes self-matches on id equality. Norms are
+    precomputed per row (O(n), not O(pairs))."""
+    c = corpus.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
+    pairs = c.join(F.broadcast(q), c.vec_id != q.q_id).select(
+        "q_id",
+        "vec_id",
+        (dot(F.col("q_emb"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias(
+            "cos_raw"
+        ),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "q_id",
+            "vec_id",
+            F.round("cos_raw", 4).alias("cos"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 3
+) -> DataFrame:
+    """ANN top-k within the query's LSH bucket (scale path)."""
+    c = corpus.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        bucket_key(F.col("embedding"), dim).alias("bkt"),
+    )
+    q = queries.select(
+        "q_id",
+        "q_emb",
+        norm(F.col("q_emb")).alias("qn"),
+        bucket_key(F.col("q_emb"), dim).alias("bkt"),
+    )
+    pairs = c.join(F.broadcast(q), "bkt").where(
+        F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        (dot(F.col("q_emb"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias(
+            "cos_raw"
+        ),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "q_id",
+            "vec_id",
+            F.round("cos_raw", 4).alias("cos"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+    )

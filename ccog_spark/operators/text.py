@@ -1,0 +1,123 @@
+"""Text-analysis operators (E37 + north-star text ops).
+
+Everything is built from JVM-side array/string expressions (split,
+filter, aggregate, transform) — per-row map-side work with no shuffle
+and no Python, so cost scales linearly and partitions independently at
+100 TB. Each operator has an exact DuckDB-SQL twin (see
+queries/oracle_pipeline.py) so results are hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ccog_spark.functions.hashing import MOD, roll_hash
+
+# Tiny public-knowledge stopword lexicons for the language-ID heuristic.
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "zu", "ist"),
+    "es": ("el", "la", "de", "y", "que", "es"),
+    "fr": ("le", "la", "de", "et", "les", "est"),
+    "zh": ("de", "le", "shi", "zai", "he", "you"),
+}
+LANG_ORDER = ("en", "de", "es", "fr", "zh")  # deterministic tie preference
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "is", "in", "it", "on", "for")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space-separated fixture text)."""
+    return F.split(text, " ")
+
+
+def lexicon_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Occurrence count of lexicon words — JVM-side array filter."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: lexicon_hits(toks, LEXICONS[lang]) for lang in LANG_ORDER}
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax lexicon score with deterministic tie order (LANG_ORDER)."""
+    scores = lang_scores(toks)
+    m = F.greatest(*scores.values())
+    expr = None
+    for lang in LANG_ORDER:
+        cond = scores[lang] == m
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr
+
+
+def subword_count(toks: Column) -> Column:
+    """BPE-ish subword count: ceil(len/4) chunks per token."""
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0),
+    )
+
+
+def quality_components(text: Column, n_chars: Column) -> dict[str, Column]:
+    """Length / diversity / stopword-presence quality heuristics
+    (Gopher-style rules over the fixture's ASCII text)."""
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_cnt = lexicon_hits(toks, EN_STOPWORDS).cast("bigint")
+    distinct_ratio = n_distinct.cast("double") / n_tokens.cast("double")
+    stop_ratio = stop_cnt.cast("double") / n_tokens.cast("double")
+    len_score = F.least(n_chars.cast("double") / 400.0, F.lit(1.0))
+    quality = F.round(
+        0.4 * len_score
+        + 0.4 * distinct_ratio
+        + 0.2 * F.least(stop_ratio * 5.0, F.lit(1.0)),
+        4,
+    )
+    return {
+        "n_tokens": n_tokens,
+        "n_distinct": n_distinct,
+        "stop_cnt": stop_cnt,
+        "distinct_ratio": F.round(distinct_ratio, 4),
+        "quality": quality,
+    }
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document rolling-hash fingerprint."""
+    return roll_hash(text)
+
+
+def window_fingerprint(text: Column, width: int = 16) -> Column:
+    """Winnowing-style minimum over rolling hashes of all ``width``-char
+    windows — robust to appended/prepended content, map-side only."""
+    n_windows = F.length(text) - (width - 1)
+    return F.when(
+        n_windows >= 1,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: roll_hash(text.substr(i, F.lit(width))),
+            )
+        ),
+    ).otherwise(roll_hash(text))
+
+
+def analyze(documents: DataFrame) -> DataFrame:
+    """Full text-analysis projection over the documents table."""
+    toks = tokens(F.col("text"))
+    comps = quality_components(F.col("text"), F.col("n_chars"))
+    return documents.select(
+        "doc_id",
+        comps["n_tokens"].alias("n_tokens"),
+        comps["n_distinct"].alias("n_distinct"),
+        subword_count(toks).alias("n_subwords"),
+        lang_id(toks).alias("lang_pred"),
+        comps["distinct_ratio"].alias("distinct_ratio"),
+        comps["quality"].alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )

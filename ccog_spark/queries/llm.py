@@ -114,25 +114,29 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded/scalable ANN variant is operators.similarity.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("label").alias("label"),
+    # Norms are precomputed per row BEFORE the pair join — O(n) instead
+    # of O(pairs) sqrt/fold work; bit-identical result (same expression).
+    nv = emb.select("vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = nv.select(
+        F.col("vec_id"),
+        F.col("label"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    b = emb.select(
+    b = nv.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(
         b, (a.label == b.label_b) & (a.vec_id < b.nbr_id), "inner"
     ).select(
         "vec_id",
         "nbr_id",
-        (
-            dot(F.col("emb_a"), F.col("emb_b"))
-            / (norm(F.col("emb_a")) * norm(F.col("emb_b")))
-        ).alias("cos_raw"),
+        (dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+            "cos_raw"
+        ),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos_raw").desc(), F.col("nbr_id"))
     return (

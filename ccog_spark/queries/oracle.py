@@ -209,13 +209,15 @@ FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
 ORACLE["q22"] = """
-WITH pairs AS (
+WITH nv AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), pairs AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-         / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-            * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
-           AS cos_raw
-  FROM embeddings a JOIN embeddings b
+         list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos_raw
+  FROM nv a JOIN nv b
     ON a.label = b.label AND a.vec_id < b.vec_id
 ), ranked AS (
   SELECT vec_id, nbr_id, ROUND(cos_raw, 4) AS cos,

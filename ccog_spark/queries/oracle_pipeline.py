@@ -1,0 +1,253 @@
+"""DuckDB oracle SQL for the LLM-pipeline corpus queries.
+
+The SQL is generated programmatically so hash permutation constants,
+LSH hyperplane weights, lexicons, and bit counts stay in lockstep with
+the Spark operators (single source of truth in functions.hashing /
+operators.text / operators.similarity).
+"""
+
+from __future__ import annotations
+
+from ccog_spark.functions.hashing import MINHASH_A, MINHASH_B, MOD, roll_hash_sql_duckdb
+from ccog_spark.operators.dedup import N_BANDS, N_PERMS, ROWS_PER_BAND, SIMHASH_BITS
+from ccog_spark.operators.similarity import N_PLANES, _hyperplane
+from ccog_spark.operators.text import EN_STOPWORDS, LANG_ORDER, LEXICONS
+
+PIPELINE_ORACLE: dict[str, str] = {}
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------- text
+_LANG_SCORES = ",\n         ".join(
+    f"len(list_filter(tk, t -> t IN ({_in_list(LEXICONS[lang])}))) AS s_{lang}"
+    for lang in LANG_ORDER
+)
+_LANG_CASE = (
+    "CASE "
+    + " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in LANG_ORDER[:-1])
+    + f" ELSE '{LANG_ORDER[-1]}' END"
+)
+
+PIPELINE_ORACLE["text_analysis"] = f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, text, string_split(text, ' ') AS tk FROM documents
+), scored AS (
+  SELECT doc_id, n_chars, text, tk,
+         {_LANG_SCORES},
+         len(list_filter(tk, t -> t IN ({_in_list(EN_STOPWORDS)}))) AS stop_cnt
+  FROM toks
+), m AS (
+  SELECT *, GREATEST({', '.join('s_' + lang for lang in LANG_ORDER)}) AS m,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+  FROM scored
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(list_sum(list_transform(tk, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+       {_LANG_CASE} AS lang_pred,
+       ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS distinct_ratio,
+       ROUND(0.4 * LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+             + 0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             + 0.2 * LEAST((CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0), 4) AS quality,
+       {roll_hash_sql_duckdb('text')} AS fp
+FROM m
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------- dedup
+PIPELINE_ORACLE["dedup_exact"] = """
+SELECT doc_id, MD5(text) AS h,
+       doc_id = MIN(doc_id) OVER (PARTITION BY MD5(text)) AS is_keeper
+FROM documents
+ORDER BY doc_id
+"""
+
+# Distinct word-3-gram shingle hashes (identical to operators.dedup.shingle_hashes).
+_SHINGLES = (
+    "CASE WHEN len(tk) - 2 >= 1 THEN "
+    "list_distinct(list_transform(range(1, len(tk) - 1), "
+    "i -> array_to_string(list_slice(tk, i, i + 2), ' '))) "
+    "ELSE [array_to_string(tk, ' ')] END"
+)
+_SH_HASHES = f"list_distinct(list_transform({_SHINGLES}, s -> {roll_hash_sql_duckdb('s')}))"
+
+_SIG_COLS = ",\n         ".join(
+    f"list_min(list_transform(shh, h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MOD})) AS m{i}"
+    for i in range(N_PERMS)
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, concat_ws('-', "
+    + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ") AS key FROM sigs"
+    for b in range(N_BANDS)
+)
+
+_JACCARD = (
+    "CAST(len(list_intersect(sa.shh, sb.shh)) AS DOUBLE) / "
+    "(CAST(len(sa.shh) + len(sb.shh) AS DOUBLE) - "
+    "CAST(len(list_intersect(sa.shh, sb.shh)) AS DOUBLE))"
+)
+
+PIPELINE_ORACLE["dedup_minhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), hashes AS (
+  SELECT doc_id, {_SH_HASHES} AS shh FROM toks
+), sigs AS (
+  SELECT doc_id, shh,
+         {_SIG_COLS}
+  FROM hashes
+), bands AS (
+{_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND({_JACCARD}, 4) AS jac
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+WHERE ROUND({_JACCARD}, 4) >= 0.4
+ORDER BY doc_a, doc_b
+"""
+
+_SIMHASH_TERMS = "\n         + ".join(
+    f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+    for j in range(SIMHASH_BITS)
+)
+
+PIPELINE_ORACLE["dedup_simhash"] = f"""
+WITH hs AS (
+  SELECT doc_id, lang, source,
+         list_transform(string_split(text, ' '), t -> {roll_hash_sql_duckdb('t')}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, lang, source,
+         CAST({_SIMHASH_TERMS} AS BIGINT) AS sh
+  FROM hs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.source = b.source
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 8
+ORDER BY doc_a, doc_b
+"""
+
+PIPELINE_ORACLE["dedup_ngram"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         CAST(FLOOR(n_chars / 100.0) AS INT) AS len_bucket,
+         string_split(text, ' ') AS tk
+  FROM documents
+), hashes AS (
+  SELECT doc_id, lang, source, len_bucket, {_SH_HASHES} AS shh FROM toks
+)
+SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, ROUND({_JACCARD}, 4) AS jac
+FROM hashes sa JOIN hashes sb
+  ON sa.lang = sb.lang AND sa.source = sb.source AND sa.len_bucket = sb.len_bucket
+WHERE sa.doc_id < sb.doc_id AND ROUND({_JACCARD}, 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+PIPELINE_ORACLE["dedup_embed"] = """
+WITH nv AS (
+  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.98
+ORDER BY id_a, id_b
+"""
+
+# ---------------------------------------------------------- similarity
+PIPELINE_ORACLE["ann_exact"] = """
+WITH nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE vec_id % 100 = 0
+), pairs AS (
+  SELECT q_id, vec_id, list_dot_product(qe, e) / (qn * nrm) AS cos_raw
+  FROM q JOIN nv ON vec_id <> q_id
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM pairs)
+SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 5
+ORDER BY q_id, rn
+"""
+
+
+def _plane_sql(dim: int) -> str:
+    terms = []
+    for j in range(N_PLANES):
+        weights = ", ".join(str(w) for w in _hyperplane(j, dim))
+        terms.append(
+            f"CASE WHEN list_dot_product(e, CAST([{weights}] AS DOUBLE[])) > 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return "\n         + ".join(terms)
+
+
+PIPELINE_ORACLE["ann_lsh"] = f"""
+WITH nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), nb AS (
+  SELECT vec_id, e, nrm,
+         {_plane_sql(64)} AS bkt
+  FROM nv
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn, bkt FROM nb WHERE vec_id % 100 = 0
+), pairs AS (
+  SELECT q_id, vec_id, list_dot_product(qe, e) / (qn * nrm) AS cos_raw
+  FROM q JOIN nb USING (bkt) WHERE vec_id <> q_id
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM pairs)
+SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 3
+ORDER BY q_id, rn
+"""
+
+# ----------------------------------------------------------- multimodal
+PIPELINE_ORACLE["multimodal_meta"] = """
+SELECT doc_id,
+       CAST(n_chars AS INT) AS n_bytes,
+       CAST(n_chars % 64 + 16 AS INT) AS width,
+       CAST((n_chars * 7) % 64 + 16 AS INT) AS height,
+       3 AS channels,
+       'fake' AS format
+FROM documents
+ORDER BY doc_id
+"""
+
+# ----------------------------------------------------------- as-of ops
+PIPELINE_ORACLE["q23b"] = """
+SELECT o.o_orderkey, CAST(MIN(e.ts) AS TIMESTAMP) AS first_event_ts
+FROM orders o JOIN events e
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+PIPELINE_ORACLE["asof_union"] = """
+SELECT e.event_id, CAST(MAX(p.ts) AS TIMESTAMP) AS asof_ts
+FROM events e JOIN events p
+  ON p.user_id = e.user_id AND p.ts <= e.ts
+WHERE e.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""

@@ -1,0 +1,118 @@
+"""LLM-pipeline corpus queries: text analysis, dedup suite, similarity
+search, multimodal metadata, as-of strategies.
+
+Each is a deterministic, oracle-checkable slice of an operator in
+ccog_spark.operators. Keys/aliases match queries/oracle_pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ccog_spark.catalog import load_table
+from ccog_spark.functions.vectors import dot, norm
+from ccog_spark.operators import dedup, multimodal, similarity, text
+from ccog_spark.operators.asof import asof_join_union
+
+EMB_DIM = 64  # fixture embedding dimension (asserted in tests)
+
+
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.analyze(docs).orderBy("doc_id")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(docs)
+        .select("doc_id", F.md5("text").alias("h"), "is_keeper")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb).orderBy("id_a", "id_b")
+
+
+def _queries_subset(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.brute_force_topk(emb, _queries_subset(emb), k=5)
+        .orderBy("q_id", "rn")
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.lsh_topk(emb, _queries_subset(emb), dim=EMB_DIM, k=3)
+        .orderBy("q_id", "rn")
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(docs).orderBy("doc_id")
+
+
+def q23b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: first event at-or-after the order date (the
+    non-empty twin of q23; same join+agg strategy)."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        orders.join(
+            events,
+            (events.user_id == orders.o_custkey)
+            & (events.ts >= orders.o_orderdate),
+            "inner",
+        )
+        .groupBy("o_orderkey")
+        .agg(F.min("ts").alias("first_event_ts"))
+        .orderBy("o_orderkey")
+    )
+
+
+def asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of via the union+window strategy (no join at all):
+    for each click, the latest purchase by the same user at-or-before
+    it. The 100 TB-safe plan for skewed keys (operators.asof)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    return (
+        asof_join_union(
+            clicks,
+            purchases,
+            left_key="user_id",
+            right_key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            left_id="event_id",
+        )
+        .orderBy("event_id")
+    )

@@ -6,9 +6,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ccog_spark.queries import llm, relational
+from ccog_spark.queries import llm, pipeline, relational
 from ccog_spark.queries.oracle import ORACLE
+from ccog_spark.queries.oracle_pipeline import PIPELINE_ORACLE
 from ccog_spark.raster import queries as raster_queries
+
+ORACLE = {**ORACLE, **PIPELINE_ORACLE}
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -41,6 +44,18 @@ REGISTRY: dict[str, QueryFn] = {
     "qr1": raster_queries.qr1,
     "qr2": raster_queries.qr2,
     "qr3": raster_queries.qr3,
+    # LLM-pipeline operator corpus
+    "text_analysis": pipeline.text_analysis,
+    "dedup_exact": pipeline.dedup_exact,
+    "dedup_minhash": pipeline.dedup_minhash,
+    "dedup_simhash": pipeline.dedup_simhash,
+    "dedup_ngram": pipeline.dedup_ngram,
+    "dedup_embed": pipeline.dedup_embed,
+    "ann_exact": pipeline.ann_exact,
+    "ann_lsh": pipeline.ann_lsh,
+    "multimodal_meta": pipeline.multimodal_meta,
+    "q23b": pipeline.q23b,
+    "asof_union": pipeline.asof_union,
 }
 
 __all__ = ["REGISTRY", "ORACLE", "QueryFn"]
