@@ -276,3 +276,79 @@ SELECT level, part_seq, nbytes,
 FROM (SELECT level, part_seq, nbytes, 4096 AS hdr FROM parts) t
 ORDER BY level DESC, part_seq
 """
+
+
+def _corner_step(src: str, vexpr: str, final_value: str) -> str:
+    """One fixed-order 2×2-block aggregation step (average/rms core),
+    mirroring raster.pyramid.decimate's conditional-corner sums."""
+    return f"""
+  SELECT band, y, x,
+         CASE WHEN cnt > 0 THEN {final_value} END AS value,
+         cnt > 0 AS valid
+  FROM (
+    SELECT *, (CASE WHEN tl IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN bl IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN br IS NOT NULL THEN 1 ELSE 0 END) AS cnt
+    FROM (
+      SELECT band, CAST(FLOOR(y / 2.0) AS INT) AS y, CAST(FLOOR(x / 2.0) AS INT) AS x,
+             MAX(CASE WHEN y % 2 = 0 AND x % 2 = 0 AND valid THEN {vexpr} END) AS tl,
+             MAX(CASE WHEN y % 2 = 0 AND x % 2 = 1 AND valid THEN {vexpr} END) AS tr,
+             MAX(CASE WHEN y % 2 = 1 AND x % 2 = 0 AND valid THEN {vexpr} END) AS bl,
+             MAX(CASE WHEN y % 2 = 1 AND x % 2 = 1 AND valid THEN {vexpr} END) AS br
+      FROM {src} GROUP BY 1, 2, 3
+    )
+  )"""
+
+
+_AVG_TOTAL = (
+    "((COALESCE(tl, 0.0) + COALESCE(tr, 0.0)) + (COALESCE(bl, 0.0) + COALESCE(br, 0.0)))"
+    " / CAST(cnt AS DOUBLE)"
+)
+
+ORACLE["pyramid_avg"] = f"""
+WITH {PIXELS_SQL_CTE},
+lvl1 AS ({_corner_step('pixels', 'value', _AVG_TOTAL)}),
+lvl2 AS ({_corner_step('lvl1', 'value', _AVG_TOTAL)}),
+lvl3 AS ({_corner_step('lvl2', 'value', _AVG_TOTAL)})
+SELECT level, band, y, x, ROUND(value, 4) AS v, valid FROM (
+  SELECT 1 AS level, * FROM lvl1
+  UNION ALL SELECT 2 AS level, * FROM lvl2
+  UNION ALL SELECT 3 AS level, * FROM lvl3
+)
+ORDER BY level, band, y, x
+"""
+
+ORACLE["decim_rms"] = f"""
+WITH {PIXELS_SQL_CTE},
+lvl1 AS ({_corner_step('pixels', 'value * value', f'SQRT({_AVG_TOTAL})')})
+SELECT band, y, x, ROUND(value, 4) AS v, valid FROM lvl1
+ORDER BY band, y, x
+"""
+
+ORACLE["decim_nearest"] = f"""
+WITH {PIXELS_SQL_CTE}
+SELECT band, CAST(FLOOR(y / 2.0) AS INT) AS y, CAST(FLOOR(x / 2.0) AS INT) AS x,
+       MAX(CASE WHEN y % 2 = 0 AND x % 2 = 0 THEN value END) AS value,
+       COALESCE(MAX(CASE WHEN y % 2 = 0 AND x % 2 = 0 THEN CAST(valid AS INT) END), 0) = 1 AS valid
+FROM pixels GROUP BY 1, 2, 3
+ORDER BY band, y, x
+"""
+
+ORACLE["decim_mode"] = f"""
+WITH {PIXELS_SQL_CTE},
+counts AS (
+  SELECT band, CAST(FLOOR(y / 2.0) AS INT) AS y, CAST(FLOOR(x / 2.0) AS INT) AS x,
+         value, COUNT(*) AS cnt
+  FROM pixels WHERE valid GROUP BY 1, 2, 3, 4
+), picked AS (
+  SELECT band, y, x, value FROM counts
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY band, y, x ORDER BY cnt DESC, value ASC) = 1
+), blocks AS (
+  SELECT DISTINCT band, CAST(FLOOR(y / 2.0) AS INT) AS y, CAST(FLOOR(x / 2.0) AS INT) AS x
+  FROM pixels
+)
+SELECT b.band, b.y, b.x, p.value, p.value IS NOT NULL AS valid
+FROM blocks b LEFT JOIN picked p USING (band, y, x)
+ORDER BY band, y, x
+"""

@@ -44,6 +44,10 @@ REGISTRY: dict[str, QueryFn] = {
     "qr1": raster_queries.qr1,
     "qr2": raster_queries.qr2,
     "qr3": raster_queries.qr3,
+    "pyramid_avg": raster_queries.pyramid_avg,
+    "decim_nearest": raster_queries.decim_nearest,
+    "decim_rms": raster_queries.decim_rms,
+    "decim_mode": raster_queries.decim_mode,
     # LLM-pipeline operator corpus
     "text_analysis": pipeline.text_analysis,
     "dedup_exact": pipeline.dedup_exact,

@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ccog_spark.raster.fixtures import parts_df, pixels_df
+from ccog_spark.raster.fixtures import BLOCK, H, W, parts_df, pixels_df
+from ccog_spark.raster.pyramid import build_pyramid, decimate, overview_count
 
 
 def qr1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,3 +87,52 @@ def qr3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.select(
         "level", "part_seq", "nbytes", offset.alias("offset")
     ).orderBy(F.col("level").desc(), F.col("part_seq"))
+
+
+def pyramid_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 3-level average pyramid over the fixture raster (E20 ≙
+    ccog's level loop ccog/ccog.py:603-659 with kernel 'average').
+
+    Levels 1..3 (160×96, blocksize 32 → overview_count = 3, matching
+    ccog's GDAL-compatible depth rule). Fixed-order block sums keep the
+    cascade bit-deterministic across engines.
+    """
+    px = pixels_df(spark)
+    n = overview_count(W, H, BLOCK)
+    pyr = build_pyramid(px, n, kernel="average")
+    return (
+        pyr.where(F.col("level") >= 1)
+        .select(
+            "level",
+            "band",
+            "y",
+            "x",
+            F.round("value", 4).alias("v"),
+            "valid",
+        )
+        .orderBy("level", "band", "y", "x")
+    )
+
+
+def decim_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 2× nearest decimation step (GDAL 'nearest': top-left sample)."""
+    out = decimate(pixels_df(spark), "nearest")
+    return out.select("band", "y", "x", "value", "valid").orderBy(
+        "band", "y", "x"
+    )
+
+
+def decim_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 2× RMS decimation step over valid pixels."""
+    out = decimate(pixels_df(spark), "rms")
+    return out.select(
+        "band", "y", "x", F.round("value", 4).alias("v"), "valid"
+    ).orderBy("band", "y", "x")
+
+
+def decim_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 2× mode decimation step (deterministic smallest-value tiebreak)."""
+    out = decimate(pixels_df(spark), "mode")
+    return out.select("band", "y", "x", "value", "valid").orderBy(
+        "band", "y", "x"
+    )
