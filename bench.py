@@ -22,12 +22,12 @@ def run() -> dict:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    from ccog_spark.queries.registry import REGISTRY
+    from ccog_spark.queries.registry import NON_BENCH, REGISTRY
     from ccog_spark.session import get_spark
 
     spark = get_spark(app_name="ccog_spark_bench")
 
-    qids = sorted(REGISTRY)
+    qids = sorted(q for q in REGISTRY if q not in NON_BENCH)
     # Warm-up: JVM JIT, parquet footer caches, Python worker pool.
     for qid in qids:
         REGISTRY[qid](spark, sf_dir).collect()

@@ -32,16 +32,24 @@ def asof_join_agg(
     right_ts: str,
     left_id: str,
 ) -> DataFrame:
-    """Join+aggregate strategy: per left row, MAX(right ts ≤ left ts)."""
+    """Join+aggregate strategy: per left row, MAX(right ts ≤ left ts).
+
+    Columns are projected to disambiguated names first so the operator
+    works even when both sides derive from the same source (self-join).
+    """
+    l = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_key).alias("__lk"),
+        F.col(left_ts).alias("__lt"),
+    )
+    r = right.select(
+        F.col(right_key).alias("__rk"), F.col(right_ts).alias("__rt")
+    )
     return (
-        left.join(
-            right,
-            (F.col(right_key) == F.col(left_key))
-            & (F.col(right_ts) <= F.col(left_ts)),
-            "inner",
-        )
-        .groupBy(left_id)
-        .agg(F.max(right_ts).alias("asof_ts"))
+        l.join(r, (F.col("__rk") == F.col("__lk")) & (F.col("__rt") <= F.col("__lt")))
+        .groupBy("__lid")
+        .agg(F.max("__rt").alias("asof_ts"))
+        .select(F.col("__lid").alias(left_id), "asof_ts")
     )
 
 
@@ -112,17 +120,19 @@ def asof_join_pandas(
             out = l[[left_id]].copy()
             out["asof_ts"] = pd.NaT
         else:
-            r = r.sort_values(right_ts)
+            # right ts pre-renamed to __rt: identically-named on-columns
+            # would silently resolve to the LEFT timestamp after merge
+            r = r.sort_values("__rt")
             m = pd.merge_asof(
-                l, r, left_on=left_ts, right_on=right_ts, direction="backward"
+                l, r, left_on=left_ts, right_on="__rt", direction="backward"
             )
-            out = m[[left_id, right_ts]].rename(columns={right_ts: "asof_ts"})
+            out = m[[left_id, "__rt"]].rename(columns={"__rt": "asof_ts"})
         return out.dropna(subset=["asof_ts"])
 
     lsel = left.select(
         F.col(left_key).alias("k"), F.col(left_id), F.col(left_ts)
     )
-    rsel = right.select(F.col(right_key).alias("k"), F.col(right_ts))
+    rsel = right.select(F.col(right_key).alias("k"), F.col(right_ts).alias("__rt"))
     return (
         lsel.groupBy("k")
         .cogroup(rsel.groupBy("k"))

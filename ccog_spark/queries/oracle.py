@@ -352,3 +352,29 @@ SELECT b.band, b.y, b.x, p.value, p.value IS NOT NULL AS valid
 FROM blocks b LEFT JOIN picked p USING (band, y, x)
 ORDER BY band, y, x
 """
+
+
+# Streaming corpus: streamed results must equal their batch analogues.
+ORACLE["stream_tumbling"] = ORACLE["q19"]
+
+ORACLE["stream_session"] = """
+SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          + INTERVAL 30 MINUTE THEN 1
+                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                ELSE 0 END AS new_s
+    FROM events) a) b
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+ORACLE["stream_dedup"] = """
+SELECT COUNT(*) AS cnt, COUNT(DISTINCT event_id) AS distinct_ids FROM events
+"""

@@ -1,0 +1,60 @@
+"""Raster job corpus entries that are NOT SQL-expressible (no oracle →
+driver records the weaker rows-only check): the full COG write job.
+
+The strong correctness gate for the writer lives in tests/test_raster.py
+(structure, pixel round-trip per level, multipart byte-identity) since
+the duckdb oracle cannot parse TIFF bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ccog_spark.raster.cog import write_cog
+from ccog_spark.raster.fixtures import BANDS, BLOCK, H, W, pixels_df
+from ccog_spark.raster.tiff import read_cog
+
+
+def cog_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end COG write of the fixture raster + read-back summary.
+
+    Returns one row per IFD of the produced file (deterministic: zlib
+    at a fixed level, fixed layout), proving pyramid → tiles → encode →
+    offset plan → ordered multipart write → parseable file.
+    """
+    out = os.path.join(tempfile.gettempdir(), "ccog_corpus_cog.tif")
+    res = write_cog(
+        spark,
+        pixels_df(spark),
+        width=W,
+        height=H,
+        bands=BANDS,
+        target_path=out,
+        blocksize=BLOCK,
+        kernel="average",
+        nodata=-9999.0,
+    )
+    with open(res.path, "rb") as f:
+        data = f.read()
+    ifds = read_cog(data)
+    rows = [
+        (
+            i,
+            ifd.width,
+            ifd.height,
+            ifd.subfile_type,
+            sum(1 for c in ifd.bytecounts if c == 0),
+            sum(1 for c in ifd.bytecounts if c > 0),
+            res.n_parts,
+            len(data),
+        )
+        for i, ifd in enumerate(ifds)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ifd int, width int, height int, subfile_type int, "
+        "sparse_tiles int, data_tiles int, n_parts int, file_size int",
+    )

@@ -6,7 +6,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ccog_spark.queries import llm, pipeline, relational
+from ccog_spark.queries import llm, pipeline, raster_jobs, relational, streaming_corpus
 from ccog_spark.queries.oracle import ORACLE
 from ccog_spark.queries.oracle_pipeline import PIPELINE_ORACLE
 from ccog_spark.raster import queries as raster_queries
@@ -60,6 +60,17 @@ REGISTRY: dict[str, QueryFn] = {
     "multimodal_meta": pipeline.multimodal_meta,
     "q23b": pipeline.q23b,
     "asof_union": pipeline.asof_union,
+    # Structured Streaming corpus (real streaming jobs, batch-checked)
+    "stream_tumbling": streaming_corpus.stream_tumbling,
+    "stream_session": streaming_corpus.stream_session,
+    "stream_dedup": streaming_corpus.stream_dedup,
+    # Raster jobs without SQL oracle (rows-only check; strong gate in tests)
+    "cog_write": raster_jobs.cog_write,
 }
+
+# Queries that run real streaming/file-IO jobs — excluded from the
+# per-query wall-clock bench (their cost is checkpoint/file mechanics,
+# not query execution; correctness still gated above).
+NON_BENCH = ("stream_tumbling", "stream_session", "stream_dedup", "cog_write")
 
 __all__ = ["REGISTRY", "ORACLE", "QueryFn"]

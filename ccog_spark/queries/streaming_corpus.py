@@ -1,0 +1,46 @@
+"""Streaming corpus queries: each runs a real Structured Streaming job
+(file source → stateful transform → memory sink) synchronously and
+returns the final batch result, so the driver can hash-check streamed
+results against the batch oracle (E31-E33).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccog_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_batch,
+    session_counts,
+    stateful_dedup,
+    tumbling_counts,
+)
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed tumbling-window aggregate — must equal the batch Q19
+    (1-hour windows align to date_trunc('hour'))."""
+    events = read_events_stream(spark, sf_dir)
+    out = run_stream_to_batch(tumbling_counts(events), "complete")
+    return out.orderBy("bucket", "event_type")
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed session windows (30-min gap) — must equal the batch
+    gap-and-cumsum sessionization (Q20 semantics)."""
+    events = read_events_stream(spark, sf_dir)
+    out = run_stream_to_batch(session_counts(events, "30 minutes"), "complete")
+    return out.orderBy("user_id", "session_start")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: the stream unioned with itself (every
+    event duplicated) must dedup back to exactly the distinct events."""
+    events = read_events_stream(spark, sf_dir, with_watermark="2 hours")
+    doubled = events.union(events)
+    deduped = run_stream_to_batch(stateful_dedup(doubled), "append")
+    return deduped.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(F.col("event_id")).alias("distinct_ids"),
+    )

@@ -1,0 +1,181 @@
+"""Distributed COG writer (E3/E4/E23/E24 ≙ ccog write_ccog).
+
+The end-to-end job, re-architected for Spark from the reference's dask
+graph (ccog/ccog.py:558-666 + aws_tools.py:181-245):
+
+1. pyramid: driver level loop, one decimation aggregate per level
+   (raster.pyramid ≙ ccog's _COG_graph_builder loop).
+2. tile assembly: groupBy(tile key) → dense numpy blocks
+   (raster.tiles ≙ the chunk layout contract, ccog/ccog.py:940-946).
+3. encode: Arrow-batched mapInPandas, zlib deflate per tile; tiles with
+   zero valid pixels are elided BEFORE encoding (sparse tiles,
+   ccog/ccog.py:443) — they cost neither CPU nor bytes.
+4. index collect: only (tile key, nbytes) reaches the driver — a few
+   ints per tile, which is what keeps this safe at 100 TB
+   (ccog/ccog.py:661-663 has the same property; SURVEY §4.4).
+5. plan: raster.tiff.build_cog_plan computes the header + final offsets
+   (≙ _ifd_offset_adjustments + prep_tiff_header, ccog/ccog.py:669-799).
+6. ordered multipart write: sinks.mpu two-pass protocol (≙
+   mpu_upload_dask_partitioned); header is segment 0.
+
+Returns the CogPlan and the completed object path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ccog_spark.raster import tiff
+from ccog_spark.raster.pyramid import build_pyramid, overview_count
+from ccog_spark.raster.tiles import tiles_from_pixels
+from ccog_spark.sinks.mpu import LocalMpu, pack_parts, upload_segments
+
+ENC_SCHEMA = (
+    "level int, band int, tile_y int, tile_x int, "
+    "height int, width int, nbytes int, data binary"
+)
+
+
+def encode_tiles(tiles: DataFrame, compress_level: int = 6) -> DataFrame:
+    """Deflate-encode tile payloads (map-side, Arrow-batched); sparse
+    tiles (no valid pixels) are filtered out up front."""
+
+    def make_kernel(lvl: int):
+        def enc(it):
+            import zlib
+
+            import pandas as pd
+
+            for pdf in it:
+                data = [zlib.compress(d, lvl) for d in pdf["data"]]
+                yield pd.DataFrame(
+                    {
+                        "level": pdf["level"],
+                        "band": pdf["band"],
+                        "tile_y": pdf["tile_y"],
+                        "tile_x": pdf["tile_x"],
+                        "height": pdf["height"],
+                        "width": pdf["width"],
+                        "nbytes": [len(d) for d in data],
+                        "data": data,
+                    }
+                )
+
+        return enc
+
+    dense = tiles.where(F.col("valid_count") > 0)
+    return dense.mapInPandas(make_kernel(compress_level), ENC_SCHEMA)
+
+
+@dataclass
+class CogWriteResult:
+    path: str
+    plan: tiff.CogPlan
+    n_parts: int
+    n_tiles_written: int
+    n_tiles_sparse: int
+
+
+def write_cog(
+    spark: SparkSession,
+    pixels: DataFrame,
+    width: int,
+    height: int,
+    bands: int,
+    target_path: str,
+    blocksize: int = 512,
+    kernel: str = "average",
+    nodata: float = -9999.0,
+    n_overviews: int | None = None,
+    min_part_size: int | None = None,
+) -> CogWriteResult:
+    """Write long-form pixels (band,y,x,value,valid) as a COG.
+
+    ``min_part_size`` exists so tests can exercise multi-part uploads
+    on small files; production keeps the S3 5 MiB default.
+    """
+    if n_overviews is None:
+        n_overviews = overview_count(width, height, blocksize)
+
+    # Normalize band labels to dense 0-based plane indices (the fixture
+    # uses 1-based bands; TIFF planes are positional).
+    band_values = sorted(
+        r.band for r in pixels.select("band").distinct().collect()
+    )
+    if len(band_values) != bands:
+        raise ValueError(f"expected {bands} bands, found {band_values}")
+    band_map = F.create_map(
+        *[F.lit(x) for pair in ((b, i) for i, b in enumerate(band_values)) for x in pair]
+    )
+    pixels = pixels.withColumn("band", band_map[F.col("band")])
+
+    pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
+    tiles = tiles_from_pixels(pyr, blocksize, nodata)
+    enc = encode_tiles(tiles).persist()
+
+    index = enc.select("level", "band", "tile_y", "tile_x", "nbytes").collect()
+    tile_nbytes = {
+        (r.level, r.band, r.tile_y, r.tile_x): r.nbytes for r in index
+    }
+    plan = tiff.build_cog_plan(
+        width, height, bands, blocksize, n_overviews, tile_nbytes, nodata
+    )
+
+    # file_seq: header is 0; tiles follow in plan order.
+    seq_of = {key: i + 1 for i, key in enumerate(plan.file_order)}
+    sizes = [len(plan.header)] + [tile_nbytes[k] for k in plan.file_order]
+    kwargs = {} if min_part_size is None else {"min_part": min_part_size}
+    parts = pack_parts(sizes, **kwargs)
+
+    # seq → part_no lookup as a broadcast-joined mapping DataFrame
+    part_rows = [
+        (seq, p.part_no)
+        for p in parts
+        for seq in range(p.first_seq, p.last_seq + 1)
+    ]
+    part_map = spark.createDataFrame(
+        part_rows, T.StructType([
+            T.StructField("seq", T.LongType()),
+            T.StructField("part_no", T.IntegerType()),
+        ]),
+    )
+
+    seq_expr = F.udf(lambda l, b, ty, tx: seq_of[(l, b, ty, tx)], T.LongType())
+    tile_segments = enc.select(
+        seq_expr("level", "band", "tile_y", "tile_x").alias("seq"),
+        F.col("data"),
+    )
+    header_segment = spark.createDataFrame(
+        [(0, bytearray(plan.header))],
+        T.StructType([
+            T.StructField("seq", T.LongType()),
+            T.StructField("data", T.BinaryType()),
+        ]),
+    )
+    segments = header_segment.unionByName(tile_segments).join(
+        F.broadcast(part_map), "seq"
+    )
+
+    store = LocalMpu(target_path)
+    staging = store.create()
+    try:
+        receipts = upload_segments(segments, len(parts), staging)
+        path = store.complete(receipts)
+    except Exception:
+        store.abort()
+        raise
+    finally:
+        enc.unpersist()
+
+    total_tiles = sum(bands * lp.n_tiles for lp in plan.levels)
+    return CogWriteResult(
+        path=path,
+        plan=plan,
+        n_parts=len(parts),
+        n_tiles_written=len(plan.file_order),
+        n_tiles_sparse=total_tiles - len(plan.file_order),
+    )

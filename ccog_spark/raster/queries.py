@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ccog_spark.raster.fixtures import BLOCK, H, W, parts_df, pixels_df
+from ccog_spark.raster.fixtures import BLOCK
+from ccog_spark.raster.fixtures import H as FIX_H
+from ccog_spark.raster.fixtures import W as FIX_W
+from ccog_spark.raster.fixtures import parts_df, pixels_df
 from ccog_spark.raster.pyramid import build_pyramid, decimate, overview_count
 
 
@@ -98,7 +101,7 @@ def pyramid_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade bit-deterministic across engines.
     """
     px = pixels_df(spark)
-    n = overview_count(W, H, BLOCK)
+    n = overview_count(FIX_W, FIX_H, BLOCK)
     pyr = build_pyramid(px, n, kernel="average")
     return (
         pyr.where(F.col("level") >= 1)

@@ -1,0 +1,342 @@
+"""Pure-Python Cloud-Optimized GeoTIFF structure (no GDAL dependency).
+
+Re-implements, from the public TIFF 6.0 spec, the header technique the
+reference gets from rasterio+tifffile (ccog/ccog.py:103-211 builds a
+template then rewrites TileOffsets/TileByteCounts; :717-773 assigns
+global offsets): all IFDs live at the front of the file (the COG
+property), tile data follows ordered smallest-overview-first, exactly
+ccog's part order (ccog/ccog.py:661-666 "header, level N parts, …,
+level 0 parts").
+
+Implemented surface:
+- classic little-endian TIFF, tiled, PlanarConfiguration=2 (separate
+  band planes), SampleFormat IEEE float64, Compression=8 (zlib/deflate
+  — the COG 'DEFLATE' profile), GDAL_NODATA tag, full overview IFD
+  chain with NewSubfileType=1, sparse tiles as offset=0/bytecount=0
+  (ccog/ccog.py:443,753-754).
+- a reader for the same subset (used by the verification oracle to
+  round-trip files without GDAL).
+
+Scale note: classic TIFF caps files at 4 GiB; production output beyond
+that needs the BigTIFF variant of this layout (same design, 8-byte
+offsets). The ordered-sink machinery (sinks.mpu) is size-agnostic.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+TAG_NEW_SUBFILE_TYPE = 254
+TAG_IMAGE_WIDTH = 256
+TAG_IMAGE_LENGTH = 257
+TAG_BITS_PER_SAMPLE = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_SAMPLES_PER_PIXEL = 277
+TAG_PLANAR_CONFIG = 284
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
+TAG_SAMPLE_FORMAT = 339
+TAG_GDAL_NODATA = 42113
+
+TYPE_SHORT = 3  # uint16
+TYPE_LONG = 4  # uint32
+TYPE_ASCII = 2
+
+COMPRESSION_DEFLATE = 8
+
+
+def encode_tile(arr_bytes: bytes, level_compress: int = 6) -> bytes:
+    """Deflate-compress one tile payload (E23)."""
+    return zlib.compress(arr_bytes, level_compress)
+
+
+def decode_tile(data: bytes) -> bytes:
+    return zlib.decompress(data)
+
+
+@dataclass
+class LevelPlan:
+    level: int
+    width: int
+    height: int
+    tiles_x: int
+    tiles_y: int
+    n_tiles: int  # per band
+    # flattened per (band, tile_y, tile_x): assigned later
+    offsets: list[int] = field(default_factory=list)
+    bytecounts: list[int] = field(default_factory=list)
+
+
+@dataclass
+class CogPlan:
+    header: bytes  # everything before the data region
+    data_start: int
+    levels: list[LevelPlan]  # level 0 first
+    file_order: list[tuple[int, int, int, int]]  # (level,band,ty,tx) data order
+    total_size: int
+
+
+def tile_grid(width: int, height: int, blocksize: int) -> tuple[int, int]:
+    return (
+        (width + blocksize - 1) // blocksize,
+        (height + blocksize - 1) // blocksize,
+    )
+
+
+def tile_flat_index(lp: LevelPlan, band: int, ty: int, tx: int) -> int:
+    return band * lp.n_tiles + ty * lp.tiles_x + tx
+
+
+def build_cog_plan(
+    width: int,
+    height: int,
+    bands: int,
+    blocksize: int,
+    n_overviews: int,
+    tile_nbytes: dict[tuple[int, int, int, int], int],
+    nodata: float = -9999.0,
+) -> CogPlan:
+    """Compute the complete file layout: IFD chain bytes with final tile
+    offsets, and the ordered (level,band,ty,tx) data sequence.
+
+    Semantics of the offset assignment mirror ccog's
+    ``_ifd_offset_adjustments`` (ccog/ccog.py:717-773): iterate levels
+    in file order (largest level index = smallest overview FIRST),
+    accumulate byte counts, sparse tiles keep offset 0.
+    """
+    levels: list[LevelPlan] = []
+    w, h = width, height
+    for lvl in range(n_overviews + 1):
+        tx, ty = tile_grid(w, h, blocksize)
+        levels.append(
+            LevelPlan(lvl, w, h, tx, ty, tx * ty)
+        )
+        w, h = (w + 1) // 2, (h + 1) // 2
+
+    n_entries = 14
+    ifd_size = 2 + n_entries * 12 + 4
+    header_size = 8
+    ifd_start = header_size
+    ext_start = ifd_start + ifd_size * len(levels)
+
+    nodata_ascii = (f"{nodata:g}".encode("ascii")) + b"\x00"
+    if len(nodata_ascii) % 2:
+        nodata_ascii += b"\x00"
+
+    # External value arrays, per level: bits_per_sample (SHORTs),
+    # sample_format (SHORTs), offsets (LONGs), bytecounts (LONGs).
+    ext: dict[tuple[int, str], int] = {}
+    pos = ext_start
+    ext[("nodata", "s")] = pos
+    pos += len(nodata_ascii)
+    for lp in levels:
+        if bands > 2:
+            ext[(lp.level, "bps")] = pos
+            pos += 2 * bands
+            ext[(lp.level, "sf")] = pos
+            pos += 2 * bands
+        count = bands * lp.n_tiles
+        if count > 1:
+            ext[(lp.level, "off")] = pos
+            pos += 4 * count
+            ext[(lp.level, "cnt")] = pos
+            pos += 4 * count
+    if pos % 2:
+        pos += 1
+    data_start = pos
+
+    # File order: smallest overview first (highest level index), then
+    # within a level band-major, row-major — offsets strictly increase
+    # in file order (COG validity property).
+    file_order: list[tuple[int, int, int, int]] = []
+    cursor = data_start
+    for lp in reversed(levels):
+        lp.offsets = [0] * (bands * lp.n_tiles)
+        lp.bytecounts = [0] * (bands * lp.n_tiles)
+        for band in range(bands):
+            for ty in range(lp.tiles_y):
+                for tx in range(lp.tiles_x):
+                    nb = tile_nbytes.get((lp.level, band, ty, tx), 0)
+                    i = tile_flat_index(lp, band, ty, tx)
+                    lp.bytecounts[i] = nb
+                    if nb > 0:
+                        lp.offsets[i] = cursor
+                        cursor += nb
+                        file_order.append((lp.level, band, ty, tx))
+    total_size = cursor
+
+    # ---- serialize header + IFD chain + external arrays
+    buf = bytearray(data_start)
+    struct.pack_into("<2sHI", buf, 0, b"II", 42, ifd_start)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHI4s", tag, typ, count, struct.pack("<I", value))
+
+    def entry_shorts_inline(tag: int, values: list[int]) -> bytes:
+        raw = b"".join(struct.pack("<H", v) for v in values) + b"\x00" * 4
+        return struct.pack("<HHI", tag, TYPE_SHORT, len(values)) + raw[:4]
+
+    for i, lp in enumerate(levels):
+        entries = []
+        entries.append(entry(TAG_NEW_SUBFILE_TYPE, TYPE_LONG, 1, 0 if lp.level == 0 else 1))
+        entries.append(entry(TAG_IMAGE_WIDTH, TYPE_LONG, 1, lp.width))
+        entries.append(entry(TAG_IMAGE_LENGTH, TYPE_LONG, 1, lp.height))
+        if bands > 2:
+            entries.append(
+                entry(TAG_BITS_PER_SAMPLE, TYPE_SHORT, bands, ext[(lp.level, "bps")])
+            )
+        else:
+            entries.append(entry_shorts_inline(TAG_BITS_PER_SAMPLE, [64] * bands))
+        entries.append(entry(TAG_COMPRESSION, TYPE_SHORT, 1, COMPRESSION_DEFLATE))
+        entries.append(entry(TAG_PHOTOMETRIC, TYPE_SHORT, 1, 1))
+        entries.append(entry(TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, 1, bands))
+        entries.append(entry(TAG_PLANAR_CONFIG, TYPE_SHORT, 1, 2))
+        entries.append(entry(TAG_TILE_WIDTH, TYPE_SHORT, 1, blocksize))
+        entries.append(entry(TAG_TILE_LENGTH, TYPE_SHORT, 1, blocksize))
+        count = bands * lp.n_tiles
+        if count > 1:
+            entries.append(entry(TAG_TILE_OFFSETS, TYPE_LONG, count, ext[(lp.level, "off")]))
+            entries.append(
+                entry(TAG_TILE_BYTE_COUNTS, TYPE_LONG, count, ext[(lp.level, "cnt")])
+            )
+        else:
+            entries.append(entry(TAG_TILE_OFFSETS, TYPE_LONG, 1, lp.offsets[0]))
+            entries.append(entry(TAG_TILE_BYTE_COUNTS, TYPE_LONG, 1, lp.bytecounts[0]))
+        if bands > 2:
+            entries.append(
+                entry(TAG_SAMPLE_FORMAT, TYPE_SHORT, bands, ext[(lp.level, "sf")])
+            )
+        else:
+            entries.append(entry_shorts_inline(TAG_SAMPLE_FORMAT, [3] * bands))
+        entries.append(
+            entry(TAG_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), ext[("nodata", "s")])
+        )
+        assert len(entries) == n_entries, len(entries)
+        entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+
+        off = ifd_start + i * ifd_size
+        struct.pack_into("<H", buf, off, n_entries)
+        p = off + 2
+        for e in entries:
+            buf[p : p + 12] = e
+            p += 12
+        next_ifd = ifd_start + (i + 1) * ifd_size if i + 1 < len(levels) else 0
+        struct.pack_into("<I", buf, p, next_ifd)
+
+    buf[ext[("nodata", "s")] : ext[("nodata", "s")] + len(nodata_ascii)] = nodata_ascii
+    for lp in levels:
+        if bands > 2:
+            struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "bps")], *([64] * bands))
+            struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "sf")], *([3] * bands))
+        count = bands * lp.n_tiles
+        if count > 1:
+            struct.pack_into(f"<{count}I", buf, ext[(lp.level, "off")], *lp.offsets)
+            struct.pack_into(f"<{count}I", buf, ext[(lp.level, "cnt")], *lp.bytecounts)
+
+    return CogPlan(bytes(buf), data_start, levels, file_order, total_size)
+
+
+# ----------------------------------------------------------------- read
+@dataclass
+class IfdInfo:
+    width: int
+    height: int
+    tile_width: int
+    tile_height: int
+    bands: int
+    subfile_type: int
+    offsets: list[int]
+    bytecounts: list[int]
+    nodata: float | None
+    compression: int
+
+
+def read_cog(data: bytes) -> list[IfdInfo]:
+    """Parse the IFD chain of a (subset) COG produced by this module —
+    the GDAL-free verification oracle."""
+    magic, version, ifd_off = struct.unpack_from("<2sHI", data, 0)
+    assert magic == b"II" and version == 42, "not a little-endian classic TIFF"
+    out = []
+    while ifd_off:
+        (n,) = struct.unpack_from("<H", data, ifd_off)
+        tags: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n):
+            tag, typ, count, raw = struct.unpack_from(
+                "<HHI4s", data, ifd_off + 2 + i * 12
+            )
+            tags[tag] = (typ, count, raw)
+
+        def val(tag: int, default=None):
+            if tag not in tags:
+                return default
+            typ, count, raw = tags[tag]
+            size = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_ASCII: 1}[typ]
+            fmt = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_ASCII: "B"}[typ]
+            total = size * count
+            if total <= 4:
+                payload = raw[:total]
+            else:
+                (p,) = struct.unpack("<I", raw)
+                payload = data[p : p + total]
+            if typ == TYPE_ASCII:
+                return payload.rstrip(b"\x00").decode("ascii")
+            vals = list(struct.unpack(f"<{count}{fmt}", payload))
+            return vals if count > 1 else vals[0]
+
+        bands = val(TAG_SAMPLES_PER_PIXEL, 1)
+        offsets = val(TAG_TILE_OFFSETS)
+        counts = val(TAG_TILE_BYTE_COUNTS)
+        nod = val(TAG_GDAL_NODATA)
+        out.append(
+            IfdInfo(
+                width=val(TAG_IMAGE_WIDTH),
+                height=val(TAG_IMAGE_LENGTH),
+                tile_width=val(TAG_TILE_WIDTH),
+                tile_height=val(TAG_TILE_LENGTH),
+                bands=bands,
+                subfile_type=val(TAG_NEW_SUBFILE_TYPE, 0),
+                offsets=offsets if isinstance(offsets, list) else [offsets],
+                bytecounts=counts if isinstance(counts, list) else [counts],
+                nodata=float(nod) if nod is not None else None,
+                compression=val(TAG_COMPRESSION),
+            )
+        )
+        (ifd_off,) = struct.unpack_from(
+            "<I", data, ifd_off + 2 + n * 12
+        )
+    return out
+
+
+def read_band(data: bytes, ifd: IfdInfo, band: int):
+    """Decode one band plane to a numpy array (NaN where sparse)."""
+    import numpy as np
+
+    tx = (ifd.width + ifd.tile_width - 1) // ifd.tile_width
+    ty = (ifd.height + ifd.tile_height - 1) // ifd.tile_height
+    full = np.full(
+        (ty * ifd.tile_height, tx * ifd.tile_width),
+        ifd.nodata if ifd.nodata is not None else np.nan,
+        dtype="<f8",
+    )
+    n_tiles = tx * ty
+    for t in range(n_tiles):
+        i = band * n_tiles + t
+        off, cnt = ifd.offsets[i], ifd.bytecounts[i]
+        if cnt == 0:
+            continue
+        raw = decode_tile(data[off : off + cnt])
+        tile = np.frombuffer(raw, dtype="<f8")
+        r, c = divmod(t, tx)
+        th = min(ifd.tile_height, ifd.height - r * ifd.tile_height)
+        tw = min(ifd.tile_width, ifd.width - c * ifd.tile_width)
+        tile = tile.reshape(th, tw)
+        full[
+            r * ifd.tile_height : r * ifd.tile_height + th,
+            c * ifd.tile_width : c * ifd.tile_width + tw,
+        ] = tile
+    return full[: ifd.height, : ifd.width]

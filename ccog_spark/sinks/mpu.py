@@ -1,0 +1,233 @@
+"""Ordered multipart-upload sink (reference: ccog/aws_tools.py).
+
+The reference streams an *ordered* list of byte segments to S3 with a
+binary-tree merge that coalesces parts below S3's 5 MiB minimum
+(aws_tools.py:181-245). Spark can run a cheap first pass that collects
+exact segment sizes, so the driver packs parts optimally with a plain
+loop (SURVEY.md §4.3.1) and the upload pass is embarrassingly parallel:
+
+  pass 1: encode segments → collect (seq, nbytes) index   [tiny]
+  driver: prefix-sum + greedy part packing (≥5 MiB, ≤5 GiB, ≤10,000)
+  pass 2: tag rows with part_no → repartitionByRange(part_no) →
+          sortWithinPartitions → foreachPartition uploads its parts
+
+Part numbers are assigned BEFORE execution and the store reassembles by
+part number — the same ordering contract as the reference
+(aws_tools.py:197, SURVEY §3.3). Unlike the reference's
+``complete_mpu`` (bare except → abort swallowed as success,
+aws_tools.py:168-175), failures here abort the upload and re-raise.
+
+Stores: LocalMpu (filesystem emulation of the S3 MPU protocol — used in
+tests and local runs) and S3Mpu (boto3, gated behind import).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from dataclasses import dataclass
+
+# S3 multipart limits (aws_tools.py:20-28)
+MAX_PARTS = 10_000
+MIN_PART_SIZE = 5 * 1024 * 1024
+MAX_PART_SIZE = 5 * 1024 * 1024 * 1024
+
+
+@dataclass
+class PartAssignment:
+    part_no: int  # 1-based, S3 convention
+    first_seq: int  # first segment index (inclusive)
+    last_seq: int  # last segment index (inclusive)
+    nbytes: int
+
+
+def pack_parts(
+    segment_sizes: list[int],
+    min_part: int = MIN_PART_SIZE,
+    max_part: int = MAX_PART_SIZE,
+    max_parts: int = MAX_PARTS,
+) -> list[PartAssignment]:
+    """Greedy ordered packing of contiguous segments into parts.
+
+    Every part except the last is ≥ min_part; all parts ≤ max_part;
+    raises if the object needs more than max_parts (the reference
+    pre-splits to the cap instead, aws_tools.py:195-199 — we fail
+    loudly and let the caller raise min_part, same outcome S3 enforces).
+    """
+    parts: list[PartAssignment] = []
+    cur_first, cur_bytes = 0, 0
+    for seq, size in enumerate(segment_sizes):
+        if size > max_part:
+            raise ValueError(f"segment {seq} exceeds max part size ({size})")
+        if cur_bytes + size > max_part:
+            parts.append(
+                PartAssignment(len(parts) + 1, cur_first, seq - 1, cur_bytes)
+            )
+            cur_first, cur_bytes = seq, 0
+        cur_bytes += size
+        if cur_bytes >= min_part:
+            parts.append(PartAssignment(len(parts) + 1, cur_first, seq, cur_bytes))
+            cur_first, cur_bytes = seq + 1, 0
+    if cur_bytes > 0 or not parts:
+        parts.append(
+            PartAssignment(
+                len(parts) + 1, cur_first, len(segment_sizes) - 1, cur_bytes
+            )
+        )
+    if len(parts) > max_parts:
+        raise ValueError(
+            f"{len(parts)} parts exceed the {max_parts}-part cap; "
+            "increase min_part"
+        )
+    return parts
+
+
+class LocalMpu:
+    """Filesystem emulation of the S3 multipart-upload protocol:
+    create → upload_part(part_no, bytes) from any task → complete
+    (driver) concatenates by part number. Same commit semantics as a
+    FileOutputCommitter: parts land in a staging dir, complete is the
+    atomic publish."""
+
+    def __init__(self, target_path: str):
+        self.target = target_path
+        self.staging = target_path + ".mpu"
+
+    def create(self) -> str:
+        os.makedirs(self.staging, exist_ok=True)
+        return self.staging  # the "upload id"
+
+    # runs on executors — must be picklable via simple state
+    @staticmethod
+    def upload_part(staging: str, part_no: int, data: bytes) -> dict:
+        if not data:
+            return {}
+        path = os.path.join(staging, f"part-{part_no:05d}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return {
+            "PartNumber": part_no,
+            "ETag": hashlib.md5(data).hexdigest(),
+            "Size": len(data),
+        }
+
+    def complete(self, receipts: list[dict]) -> str:
+        try:
+            receipts = sorted(
+                (r for r in receipts if r), key=lambda r: r["PartNumber"]
+            )
+            expected = list(range(1, len(receipts) + 1))
+            got = [r["PartNumber"] for r in receipts]
+            if got != expected:
+                raise RuntimeError(f"missing/duplicate parts: {got}")
+            tmp = self.target + ".tmp"
+            with open(tmp, "wb") as out:
+                for r in receipts:
+                    p = os.path.join(self.staging, f"part-{r['PartNumber']:05d}")
+                    with open(p, "rb") as f:
+                        shutil.copyfileobj(f, out)
+            os.replace(tmp, self.target)
+            return self.target
+        except Exception:
+            self.abort()
+            raise  # unlike aws_tools.py:168-175: never swallow failure
+        finally:
+            shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class S3Mpu:
+    """boto3-backed store with the same interface (untestable in this
+    container — no S3 endpoint; kept thin and symmetrical)."""
+
+    def __init__(self, bucket: str, key: str):
+        import boto3  # gated: present in the image, endpoint is not
+
+        self.client = boto3.client("s3")
+        self.bucket, self.key = bucket, key
+        self.upload_id: str | None = None
+
+    def create(self) -> str:
+        resp = self.client.create_multipart_upload(Bucket=self.bucket, Key=self.key)
+        self.upload_id = resp["UploadId"]
+        return self.upload_id
+
+    def complete(self, receipts: list[dict]) -> str:
+        try:
+            parts = sorted(
+                ({"PartNumber": r["PartNumber"], "ETag": r["ETag"]} for r in receipts if r),
+                key=lambda r: r["PartNumber"],
+            )
+            self.client.complete_multipart_upload(
+                Bucket=self.bucket,
+                Key=self.key,
+                UploadId=self.upload_id,
+                MultipartUpload={"Parts": parts},
+            )
+            return f"s3://{self.bucket}/{self.key}"
+        except Exception:
+            self.client.abort_multipart_upload(
+                Bucket=self.bucket, Key=self.key, UploadId=self.upload_id
+            )
+            raise
+
+
+def upload_segments(segments_df, n_parts: int, staging: str) -> list[dict]:
+    """Pass 2: distributed ordered upload.
+
+    ``segments_df``: (seq BIGINT, part_no INT, data BINARY) — every
+    byte segment of the object in file order, the header included as
+    seq 0 (a 1-row DataFrame unioned in by the caller).
+
+    repartitionByRange(part_no) gives each task a contiguous run of
+    parts; rows are sorted (part_no, seq) so concatenation preserves
+    file order inside each part. The kernel is a self-contained closure
+    (executors need no ccog_spark import). Returns upload receipts.
+    """
+
+    def upload_partition(rows):
+        import hashlib as _hashlib
+        import os as _os
+
+        def put(part_no: int, chunks: list[bytes]):
+            data = b"".join(chunks)
+            if not data:
+                return None
+            path = _os.path.join(staging, f"part-{part_no:05d}")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            _os.replace(tmp, path)
+            return {
+                "PartNumber": part_no,
+                "ETag": _hashlib.md5(data).hexdigest(),
+                "Size": len(data),
+            }
+
+        receipts = []
+        cur_part, chunks = None, []
+        for row in rows:
+            if row.part_no != cur_part:
+                if cur_part is not None:
+                    r = put(cur_part, chunks)
+                    if r:
+                        receipts.append(r)
+                cur_part, chunks = row.part_no, []
+            chunks.append(bytes(row.data))
+        if cur_part is not None:
+            r = put(cur_part, chunks)
+            if r:
+                receipts.append(r)
+        return iter(receipts)
+
+    return (
+        segments_df.repartitionByRange(max(1, min(n_parts, 200)), "part_no")
+        .sortWithinPartitions("part_no", "seq")
+        .rdd.mapPartitions(upload_partition)
+        .collect()
+    )

@@ -1,0 +1,170 @@
+"""Raster core tests: tile round-trip, COG write/read-back, ordered
+multipart sink invariants (SURVEY.md §5.2 items 3-4)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ccog_spark.raster import tiff
+from ccog_spark.raster.cog import write_cog
+from ccog_spark.raster.fixtures import BANDS, BLOCK, H, W, pixels_df
+from ccog_spark.raster.pyramid import build_pyramid, decimate, overview_count
+from ccog_spark.raster.tiles import pixels_from_tiles, tiles_from_pixels
+from ccog_spark.sinks.mpu import MIN_PART_SIZE, PartAssignment, pack_parts
+
+NODATA = -9999.0
+
+
+def fixture_array(spark, level=0):
+    """Collect the fixture (or a pyramid level) into numpy (band,y,x)
+    value/valid arrays — the reference model for file comparisons."""
+    px = pixels_df(spark)
+    if level > 0:
+        for _ in range(level):
+            px = decimate(px, "average")
+    rows = px.collect()
+    h = max(r.y for r in rows) + 1
+    w = max(r.x for r in rows) + 1
+    val = np.full((BANDS, h, w), NODATA)
+    ok = np.zeros((BANDS, h, w), dtype=bool)
+    for r in rows:
+        if r.valid:
+            val[r.band - 1, r.y, r.x] = r.value
+            ok[r.band - 1, r.y, r.x] = True
+    return val, ok
+
+
+def test_tiles_roundtrip(spark):
+    px = pixels_df(spark)
+    tiles = tiles_from_pixels(px, BLOCK, NODATA)
+    back = pixels_from_tiles(tiles, BLOCK, NODATA)
+    orig = {(r.band, r.y, r.x): (r.value, r.valid) for r in px.collect()}
+    rt = {(r.band, r.y, r.x): (r.value, r.valid) for r in back.collect()}
+    assert set(orig) == set(rt)
+    for k, (v, ok) in orig.items():
+        v2, ok2 = rt[k]
+        assert ok == ok2, k
+        if ok:
+            assert v == v2, k
+
+
+def test_overview_count_matches_reference_rule():
+    # halve until max dim ≤ blocksize (ccog/ccog.py:56-100)
+    assert overview_count(160, 96, 32) == 3
+    assert overview_count(512, 512, 512) == 0
+    assert overview_count(1024, 512, 512) == 1
+    assert overview_count(2**20, 2**20, 512) == 11
+
+
+def test_pack_parts_invariants():
+    sizes = [1000] * 100
+    parts = pack_parts(sizes, min_part=2500, max_part=6000)
+    # contiguity + full coverage
+    assert parts[0].first_seq == 0
+    assert parts[-1].last_seq == 99
+    for a, b in zip(parts, parts[1:]):
+        assert b.first_seq == a.last_seq + 1
+    # every part except last within [min, max]
+    for p in parts[:-1]:
+        assert 2500 <= p.nbytes <= 6000
+    assert parts[-1].nbytes <= 6000
+    # part numbers are 1-based consecutive (S3 contract)
+    assert [p.part_no for p in parts] == list(range(1, len(parts) + 1))
+
+
+def test_pack_parts_single_small_object():
+    parts = pack_parts([100])
+    assert len(parts) == 1 and parts[0].nbytes == 100
+
+
+def test_pack_parts_part_cap():
+    with pytest.raises(ValueError):
+        pack_parts([MIN_PART_SIZE] * 5, max_parts=2)
+
+
+@pytest.fixture(scope="module")
+def written_cog(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cog") / "fixture.tif")
+    res = write_cog(
+        spark,
+        pixels_df(spark),
+        width=W,
+        height=H,
+        bands=BANDS,
+        target_path=out,
+        blocksize=BLOCK,
+        kernel="average",
+        nodata=NODATA,
+    )
+    with open(res.path, "rb") as f:
+        data = f.read()
+    return res, data
+
+
+def test_cog_structure(written_cog):
+    res, data = written_cog
+    assert len(data) == res.plan.total_size
+    ifds = tiff.read_cog(data)
+    assert len(ifds) == 4  # level 0 + 3 overviews
+    assert ifds[0].width == W and ifds[0].height == H
+    assert ifds[0].subfile_type == 0
+    assert all(i.subfile_type == 1 for i in ifds[1:])
+    assert ifds[1].width == 80 and ifds[1].height == 48
+    assert ifds[3].width == 20 and ifds[3].height == 12
+    assert all(i.compression == 8 for i in ifds)
+    assert all(i.nodata == NODATA for i in ifds)
+    # sparse tiles exist (one full block invalid per band at level 0)
+    assert res.n_tiles_sparse >= BANDS
+    # non-sparse offsets strictly increase in file order; overview data
+    # precedes level-0 data (ccog file order, ccog/ccog.py:661-666)
+    lvl0 = [o for o in ifds[0].offsets if o > 0]
+    assert lvl0 == sorted(lvl0)
+    top = [o for o in ifds[3].offsets if o > 0]
+    assert max(top) < min(lvl0)
+    for ifd in ifds:
+        nz = [o for o in ifd.offsets if o > 0]
+        assert nz == sorted(nz)
+        assert all(o >= res.plan.data_start for o in nz)
+
+
+def test_cog_pixel_roundtrip_level0(spark, written_cog):
+    _, data = written_cog
+    ifds = tiff.read_cog(data)
+    val, ok = fixture_array(spark, level=0)
+    for b in range(BANDS):
+        got = tiff.read_band(data, ifds[0], b)
+        # valid pixels identical; invalid pixels hold nodata
+        assert np.array_equal(got[ok[b]], val[b][ok[b]])
+        assert np.all(got[~ok[b]] == NODATA)
+
+
+def test_cog_pixel_roundtrip_overview(spark, written_cog):
+    _, data = written_cog
+    ifds = tiff.read_cog(data)
+    val, ok = fixture_array(spark, level=2)
+    for b in range(BANDS):
+        got = tiff.read_band(data, ifds[2], b)
+        assert got.shape == (24, 40)
+        assert np.allclose(got[ok[b]], val[b][ok[b]], rtol=0, atol=0)
+        assert np.all(got[~ok[b]] == NODATA)
+
+
+def test_cog_multipart_write(spark, tmp_path):
+    """Force multiple parts with a tiny min_part; byte-identical result."""
+    out1 = str(tmp_path / "single.tif")
+    out2 = str(tmp_path / "multi.tif")
+    px = pixels_df(spark)
+    write_cog(spark, px, W, H, BANDS, out1, blocksize=BLOCK, nodata=NODATA)
+    res2 = write_cog(
+        spark, px, W, H, BANDS, out2, blocksize=BLOCK, nodata=NODATA,
+        min_part_size=16 * 1024,
+    )
+    assert res2.n_parts > 1
+    with open(out1, "rb") as f1, open(out2, "rb") as f2:
+        assert f1.read() == f2.read()
+    assert not os.path.exists(out2 + ".mpu")  # staging cleaned up

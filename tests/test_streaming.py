@@ -1,0 +1,101 @@
+"""Streaming semantics tests (E31-E33): streamed == batch, and the
+watermark really drops late data (SURVEY.md §5.2 item 5)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ccog_spark.catalog import load_table
+from ccog_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_batch,
+    sliding_counts,
+    stateful_dedup,
+    tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_streamed_tumbling_equals_batch(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    streamed = run_stream_to_batch(tumbling_counts(stream), "complete")
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def test_streamed_sliding_counts(spark):
+    stream = read_events_stream(spark, SF_SMOKE)
+    streamed = run_stream_to_batch(sliding_counts(stream), "complete")
+    rows = streamed.collect()
+    # each event lands in exactly width/slide = 2 windows
+    total_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r.cnt for r in rows) == 2 * total_events
+
+
+def test_watermark_drops_late_data(spark):
+    """Files arriving in REVERSE time order: after the newest batch sets
+    the watermark, older batches are beyond the lateness horizon and a
+    stateful operator must drop them."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    staging = os.path.join(tempfile.gettempdir(), "ccog_events_reversed")
+    if not os.path.exists(os.path.join(staging, "_STAGED_OK")):
+        binned = ev.withColumn("f", F.ntile(4).over(W.orderBy(F.col("ts").desc())))
+        for i in range(1, 5):
+            binned.where(F.col("f") == i).drop("f").coalesce(1).write.mode(
+                "append"
+            ).parquet(staging)
+            time.sleep(0.05)
+        with open(os.path.join(staging, "_STAGED_OK"), "w") as fh:
+            fh.write("ok")
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .withWatermark("ts", "1 hour")
+    )
+    deduped = run_stream_to_batch(stateful_dedup(stream), "append")
+    survived = deduped.count()
+    total = ev.count()
+    assert survived < total, "late rows should have been dropped"
+    assert survived >= total // 4, "the first (newest) batch must survive"
+
+
+def test_asof_strategies_agree(spark):
+    from ccog_spark.operators.asof import (
+        asof_join_agg,
+        asof_join_pandas,
+        asof_join_union,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    kw = dict(
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_id="event_id",
+    )
+    a = {tuple(r) for r in asof_join_agg(clicks, purchases, **kw).collect()}
+    u = {tuple(r) for r in asof_join_union(clicks, purchases, **kw).collect()}
+    p = {tuple(r) for r in asof_join_pandas(clicks, purchases, **kw).collect()}
+    assert len(a) > 0
+    assert a == u == p
