@@ -30,12 +30,13 @@ def run() -> dict:
     qids = sorted(q for q in REGISTRY if q not in NON_BENCH)
     # Warm-up: JVM JIT, parquet footer caches, Python worker pool.
     for qid in qids:
-        REGISTRY[qid](spark, sf_dir).collect()
+        REGISTRY[qid](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for qid in qids:
         t0 = time.perf_counter()
-        REGISTRY[qid](spark, sf_dir).collect()
+        # end-to-end: plan + execute + Arrow fetch to the client
+        REGISTRY[qid](spark, sf_dir).toPandas()
         timings[qid] = round(time.perf_counter() - t0, 4)
 
     return {

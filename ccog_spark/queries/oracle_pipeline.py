@@ -65,14 +65,16 @@ FROM documents
 ORDER BY doc_id
 """
 
-# Distinct word-3-gram shingle hashes (identical to operators.dedup.shingle_hashes).
-_SHINGLES = (
-    "CASE WHEN len(tk) - 2 >= 1 THEN "
-    "list_distinct(list_transform(range(1, len(tk) - 1), "
-    "i -> array_to_string(list_slice(tk, i, i + 2), ' '))) "
-    "ELSE [array_to_string(tk, ' ')] END"
+# Distinct word-3-gram shingle hashes (identical to
+# operators.dedup.shingle_hashes: tokens hashed once, n-gram hash is
+# the arithmetic combination of the three token hashes).
+_TOKEN_HASHES = f"list_transform(tk, t -> {roll_hash_sql_duckdb('t')})"
+_SH_HASHES = (
+    f"CASE WHEN len(tk) - 2 >= 1 THEN "
+    f"list_distinct(list_transform(range(1, len(tk) - 1), "
+    f"i -> ((hs[i] * 31 + hs[i + 1]) % {MOD} * 31 + hs[i + 2]) % {MOD})) "
+    f"ELSE [{roll_hash_sql_duckdb('text')}] END"
 )
-_SH_HASHES = f"list_distinct(list_transform({_SHINGLES}, s -> {roll_hash_sql_duckdb('s')}))"
 
 _SIG_COLS = ",\n         ".join(
     f"list_min(list_transform(shh, h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MOD})) AS m{i}"
@@ -93,9 +95,11 @@ _JACCARD = (
 
 PIPELINE_ORACLE["dedup_minhash"] = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+), thashes AS (
+  SELECT doc_id, text, tk, {_TOKEN_HASHES} AS hs FROM toks
 ), hashes AS (
-  SELECT doc_id, {_SH_HASHES} AS shh FROM toks
+  SELECT doc_id, {_SH_HASHES} AS shh FROM thashes
 ), sigs AS (
   SELECT doc_id, shh,
          {_SIG_COLS}
@@ -139,12 +143,14 @@ ORDER BY doc_a, doc_b
 
 PIPELINE_ORACLE["dedup_ngram"] = f"""
 WITH toks AS (
-  SELECT doc_id, lang, source,
+  SELECT doc_id, lang, source, text,
          CAST(FLOOR(n_chars / 100.0) AS INT) AS len_bucket,
          string_split(text, ' ') AS tk
   FROM documents
+), thashes AS (
+  SELECT doc_id, lang, source, text, tk, len_bucket, {_TOKEN_HASHES} AS hs FROM toks
 ), hashes AS (
-  SELECT doc_id, lang, source, len_bucket, {_SH_HASHES} AS shh FROM toks
+  SELECT doc_id, lang, source, len_bucket, {_SH_HASHES} AS shh FROM thashes
 )
 SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, ROUND({_JACCARD}, 4) AS jac
 FROM hashes sa JOIN hashes sb
