@@ -58,3 +58,24 @@ def cog_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ifd int, width int, height int, subfile_type int, "
         "sparse_tiles int, data_tiles int, n_parts int, file_size int",
     )
+
+
+def cubic_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Halo-exchange cubic (Catmull-Rom) 2× decimation (E21 ≙ ccog's
+    interpolating resamplers, overlap table ccog/ccog.py:41-53).
+
+    Not SQL-expressible with bit-identical floats (separable two-pass
+    convolution); the strong gate is the tiling-invariance test
+    (tests/test_halo.py) — distributed tiled+halo == untiled numpy.
+    """
+    from pyspark.sql import functions as F
+
+    from ccog_spark.raster.halo import cubic_decimate
+    from ccog_spark.raster.tiles import tiles_from_pixels
+
+    px = pixels_df(spark)
+    tiles = tiles_from_pixels(px, BLOCK, -9999.0)
+    out = cubic_decimate(tiles, BLOCK, -9999.0)
+    return out.select(
+        "band", "y", "x", F.round("value", 4).alias("v"), "valid"
+    ).orderBy("band", "y", "x")

@@ -66,6 +66,7 @@ REGISTRY: dict[str, QueryFn] = {
     "stream_dedup": streaming_corpus.stream_dedup,
     # Raster jobs without SQL oracle (rows-only check; strong gate in tests)
     "cog_write": raster_jobs.cog_write,
+    "cubic_decimate": raster_jobs.cubic_decimate_q,
 }
 
 # Queries that run real streaming/file-IO jobs — excluded from the

@@ -13,7 +13,10 @@ from ccog_spark.queries.registry import ORACLE, REGISTRY
 from tests.conftest import SF_SMOKE
 
 
-NO_ORACLE = {"cog_write"}  # not SQL-expressible; strong gate in test_raster
+NO_ORACLE = {
+    "cog_write",  # TIFF bytes; strong gate in test_raster
+    "cubic_decimate",  # FP convolution; strong gate in test_halo
+}
 
 
 def test_registry_oracle_keys_align():

@@ -1,0 +1,53 @@
+"""Tiling-invariance proof for the halo-exchange cubic kernel (E21):
+the distributed tiled+halo result must exactly equal the same
+convolution applied to the whole untiled array on the driver."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ccog_spark.raster.fixtures import BANDS, BLOCK, H, W, pixels_df
+from ccog_spark.raster.halo import cubic_decimate, cubic_decimate_reference
+from ccog_spark.raster.tiles import tiles_from_pixels
+
+NODATA = -9999.0
+
+
+def test_cubic_decimate_matches_untiled_reference(spark):
+    px = pixels_df(spark)
+    tiles = tiles_from_pixels(px, BLOCK, NODATA)
+    out = cubic_decimate(tiles, BLOCK, NODATA).collect()
+
+    # driver-side untiled reference per band
+    rows = px.collect()
+    for band in range(1, BANDS + 1):
+        arr = np.full((H, W), NODATA)
+        ok = np.zeros((H, W), dtype=bool)
+        for r in rows:
+            if r.band == band:
+                if r.valid:
+                    arr[r.y, r.x] = r.value
+                    ok[r.y, r.x] = True
+        ref_val, ref_ok = cubic_decimate_reference(arr, ok, NODATA)
+
+        got = {(r.y, r.x): (r.value, r.valid) for r in out if r.band == band}
+        assert len(got) == (H // 2) * (W // 2)
+        for (y, x), (v, valid) in got.items():
+            assert valid == bool(ref_ok[y, x]), (band, y, x)
+            if valid:
+                assert v == ref_val[y, x], (band, y, x, v, ref_val[y, x])
+
+
+def test_cubic_valid_region_shrinks_at_invalid_blocks(spark):
+    """Output pixels whose 4x4 stencil touches the invalid 32x32 block
+    must be invalid — the kernel must not hallucinate across nodata."""
+    px = pixels_df(spark)
+    tiles = tiles_from_pixels(px, BLOCK, NODATA)
+    out = cubic_decimate(tiles, BLOCK, NODATA).collect()
+    # band 1's invalid block is block_id 3 → tile (0, 3): y 0..31, x 96..127
+    # decimated: y 0..15, x 48..63 — all invalid, plus a 1-px fringe
+    inner = [r for r in out if r.band == 1 and 0 <= r.y < 16 and 48 <= r.x < 64]
+    assert inner and all(not r.valid for r in inner)
+    # far from the block: mostly valid
+    far = [r for r in out if r.band == 1 and r.y > 20 and r.x < 40]
+    assert sum(r.valid for r in far) > len(far) * 0.5

@@ -1,0 +1,131 @@
+"""Sources (CSV/JSON/partitioned-parquet/raster ingest), approximate
+aggregates, and UDTF surface tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ccog_spark.catalog import load_table
+from ccog_spark.operators.approx import (
+    approx_distinct,
+    approx_quantiles,
+    approx_topk_freq,
+)
+from ccog_spark.sources.raster_ingest import ingest_numpy, ingest_windowed
+from ccog_spark.sources.tabular import (
+    read_csv,
+    read_json,
+    write_parquet_partitioned,
+)
+from tests.conftest import SF_SMOKE
+
+CUST_SCHEMA = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    cust = load_table(spark, SF_SMOKE, "customer")
+    path = str(tmp_path / "cust_csv")
+    cust.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, CUST_SCHEMA)
+    assert back.count() == cust.count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in cust.collect()}
+
+
+def test_json_roundtrip(spark, tmp_path):
+    cust = load_table(spark, SF_SMOKE, "customer")
+    path = str(tmp_path / "cust_json")
+    cust.write.json(path)
+    back = read_json(spark, path, CUST_SCHEMA)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in cust.collect()}
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_part")
+    write_parquet_partitioned(
+        orders.withColumn("status", F.col("o_orderstatus")), path, ["status"]
+    )
+    back = spark.read.parquet(path).where(F.col("status") == "O")
+    expected = orders.where(F.col("o_orderstatus") == "O").count()
+    assert back.count() == expected
+    # partition pruning: physical plan must carry a partition filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "status" in plan
+
+
+def test_ingest_numpy_roundtrip(spark):
+    rng = np.random.default_rng(42)
+    arr = rng.random((2, 40, 56))
+    mask = rng.random((40, 56)) > 0.1
+    tiles = ingest_numpy(spark, arr, mask, blocksize=16)
+    rows = tiles.collect()
+    # 2 bands × ceil(40/16)=3 × ceil(56/16)=4 tiles
+    assert len(rows) == 2 * 3 * 4
+    ragged = [r for r in rows if r.tile_y == 2 and r.tile_x == 3]
+    assert all(r.height == 8 and r.width == 8 for r in ragged)
+    got = np.frombuffer(
+        next(r for r in rows if (r.band, r.tile_y, r.tile_x) == (0, 0, 0)).data,
+        dtype="<f8",
+    ).reshape(16, 16)
+    expect = np.where(mask[:16, :16], arr[0, :16, :16], -9999.0)
+    assert np.array_equal(got, expect)
+
+
+def test_ingest_windowed_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    arr = rng.random((1, 32, 48))
+
+    def reader(band, y0, x0, h, w, _arr=arr):
+        block = _arr[band, y0 : y0 + h, x0 : x0 + w]
+        return block, np.ones_like(block, dtype=bool)
+
+    via_window = ingest_windowed(spark, 48, 32, 1, 16, reader)
+    via_numpy = ingest_numpy(spark, arr, blocksize=16)
+    a = {(r.band, r.tile_y, r.tile_x): r.data for r in via_window.collect()}
+    b = {(r.band, r.tile_y, r.tile_x): r.data for r in via_numpy.collect()}
+    assert a == b
+
+
+def test_approx_distinct_bounded_error(spark):
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    approx = approx_distinct(li, "l_partkey").collect()[0][0]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_approx_quantiles_bounded_error(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    qs = approx_quantiles(orders, "o_totalprice", [0.5, 0.9]).collect()[0][0]
+    vals = sorted(r.o_totalprice for r in orders.collect())
+    exact_p50 = vals[len(vals) // 2]
+    exact_p90 = vals[int(len(vals) * 0.9)]
+    assert abs(qs[0] - exact_p50) / exact_p50 < 0.05
+    assert abs(qs[1] - exact_p90) / exact_p90 < 0.05
+
+
+def test_approx_topk(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    top = approx_topk_freq(docs, "lang", 3).collect()
+    assert len(top) == 3
+    assert top[0]["count"] >= top[1]["count"] >= top[2]["count"]
+
+
+def test_udtf_shingles(spark):
+    from ccog_spark.functions.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, SF_SMOKE, "documents").createOrReplaceTempView("docs_v")
+    out = spark.sql(
+        "SELECT d.doc_id, s.pos, s.shingle "
+        "FROM docs_v d, LATERAL explode_shingles(text) s WHERE d.doc_id = 0"
+    ).collect()
+    first = load_table(spark, SF_SMOKE, "documents").where("doc_id = 0").collect()[0]
+    toks = first.text.split(" ")
+    assert len(out) == len(toks) - 2
+    assert out[0].shingle == " ".join(toks[0:3])
