@@ -1,0 +1,62 @@
+"""Engine facade: one object tying together catalog, SQL surface,
+corpus queries, raster jobs, and sinks.
+
+    from ccog_spark.engine import Engine
+    eng = Engine(sf_dir="/root/testdata/sf0.1")
+    eng.sql("SELECT count(*) FROM lineitem").show()
+    eng.query("q02").show()
+    eng.write_cog(pixels_df, width=..., height=..., bands=..., target="/x.tif")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ccog_spark.catalog import DEFAULT_SF_DIR, register_views
+from ccog_spark.session import get_spark
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        sf_dir: str = DEFAULT_SF_DIR,
+        register_udtfs: bool = True,
+    ):
+        self.spark = spark or get_spark()
+        self.sf_dir = sf_dir
+        self.tables = register_views(self.spark, sf_dir)
+        if register_udtfs:
+            from ccog_spark.functions.udtf_ops import register_udtfs as _reg
+
+            _reg(self.spark)
+
+    # ---- SQL surface (Catalyst end-to-end)
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.tables[name]
+
+    # ---- declared corpus
+    def query(self, qid: str) -> DataFrame:
+        from ccog_spark.queries.registry import REGISTRY
+
+        return REGISTRY[qid](self.spark, self.sf_dir)
+
+    def query_ids(self) -> list[str]:
+        from ccog_spark.queries.registry import REGISTRY
+
+        return sorted(REGISTRY)
+
+    # ---- raster jobs
+    def write_cog(self, pixels: DataFrame, **kwargs):
+        from ccog_spark.raster.cog import write_cog
+
+        return write_cog(self.spark, pixels, **kwargs)
+
+    # ---- verification
+    def check(self, qid: str, sf_dir: str | None = None):
+        from ccog_spark.harness import compare_query
+
+        return compare_query(self.spark, qid, sf_dir or self.sf_dir)

@@ -378,3 +378,28 @@ ORDER BY user_id, session_start
 ORACLE["stream_dedup"] = """
 SELECT COUNT(*) AS cnt, COUNT(DISTINCT event_id) AS distinct_ids FROM events
 """
+
+
+ORACLE["q07b"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+ORACLE["pivot_q"] = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLE["unpivot_q"] = """
+SELECT p_partkey, metric, val FROM (
+  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+) t ORDER BY p_partkey, metric
+"""

@@ -23,6 +23,9 @@ REGISTRY: dict[str, QueryFn] = {
     "q05": relational.q05,
     "q06": relational.q06,
     "q07": relational.q07,
+    "q07b": relational.q07b,
+    "pivot_q": relational.pivot_q,
+    "unpivot_q": relational.unpivot_q,
     "q08": relational.q08,
     "q09": relational.q09,
     "q10": relational.q10,

@@ -365,3 +365,51 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dr") == 1)
         .orderBy("l_partkey", "l_orderkey", "l_linenumber")
     )
+
+
+def q07b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (E13): all 4 grouping combinations in one
+    partial+final aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (E13 adjunct): order counts by priority × status. The
+    pivoted column list is pinned so the plan is a single aggregate
+    (no extra distinct-values job)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    ).orderBy("o_orderpriority")
+
+
+def unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt via stack (E13 adjunct): part metrics to long form."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.selectExpr(
+            "p_partkey",
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retail', p_retailprice) AS (metric, val)",
+        )
+        .orderBy("p_partkey", "metric")
+    )
