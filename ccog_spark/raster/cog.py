@@ -92,6 +92,7 @@ def write_cog(
     nodata: float = -9999.0,
     n_overviews: int | None = None,
     min_part_size: int | None = None,
+    fmt: str = "auto",
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
 
@@ -122,7 +123,7 @@ def write_cog(
         (r.level, r.band, r.tile_y, r.tile_x): r.nbytes for r in index
     }
     plan = tiff.build_cog_plan(
-        width, height, bands, blocksize, n_overviews, tile_nbytes, nodata
+        width, height, bands, blocksize, n_overviews, tile_nbytes, nodata, fmt=fmt
     )
 
     # file_seq: header is 0; tiles follow in plan order.

@@ -46,8 +46,17 @@ TAG_GDAL_NODATA = 42113
 TYPE_SHORT = 3  # uint16
 TYPE_LONG = 4  # uint32
 TYPE_ASCII = 2
+TYPE_LONG8 = 16  # uint64 (BigTIFF)
 
 COMPRESSION_DEFLATE = 8
+
+TYPE_SIZES = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_ASCII: 1, TYPE_LONG8: 8}
+TYPE_FMTS = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_ASCII: "B", TYPE_LONG8: "Q"}
+
+# Classic TIFF caps every offset at 4 GiB; BigTIFF (version 43, 8-byte
+# offsets, 20-byte IFD entries) is the same layout scaled up. 'auto'
+# picks BigTIFF when the data region would cross the classic limit.
+CLASSIC_LIMIT = (1 << 32) - (64 << 20)  # headroom under 4 GiB
 
 
 def encode_tile(arr_bytes: bytes, level_compress: int = 6) -> bytes:
@@ -100,9 +109,15 @@ def build_cog_plan(
     n_overviews: int,
     tile_nbytes: dict[tuple[int, int, int, int], int],
     nodata: float = -9999.0,
+    fmt: str = "auto",
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
+
+    ``fmt``: 'classic' | 'bigtiff' | 'auto' (BigTIFF when the file
+    would cross the classic 4 GiB offset limit — the 100 TB path; both
+    share the identical layout, BigTIFF just widens counts/offsets to
+    8 bytes per the public BigTIFF spec).
 
     Semantics of the offset assignment mirror ccog's
     ``_ifd_offset_adjustments`` (ccog/ccog.py:717-773): iterate levels
@@ -113,14 +128,23 @@ def build_cog_plan(
     w, h = width, height
     for lvl in range(n_overviews + 1):
         tx, ty = tile_grid(w, h, blocksize)
-        levels.append(
-            LevelPlan(lvl, w, h, tx, ty, tx * ty)
-        )
+        levels.append(LevelPlan(lvl, w, h, tx, ty, tx * ty))
         w, h = (w + 1) // 2, (h + 1) // 2
 
+    if fmt == "auto":
+        est_data = sum(tile_nbytes.values())
+        fmt = "bigtiff" if est_data > CLASSIC_LIMIT else "classic"
+    big = fmt == "bigtiff"
+
     n_entries = 14
-    ifd_size = 2 + n_entries * 12 + 4
-    header_size = 8
+    # classic: u16 count + 12B entries + u32 next; bigtiff: u64 count +
+    # 20B entries + u64 next
+    ifd_size = (8 + n_entries * 20 + 8) if big else (2 + n_entries * 12 + 4)
+    header_size = 16 if big else 8
+    inline_cap = 8 if big else 4
+    off_type = TYPE_LONG8 if big else TYPE_LONG
+    off_size = TYPE_SIZES[off_type]
+    off_fmt = TYPE_FMTS[off_type]
     ifd_start = header_size
     ext_start = ifd_start + ifd_size * len(levels)
 
@@ -129,23 +153,25 @@ def build_cog_plan(
         nodata_ascii += b"\x00"
 
     # External value arrays, per level: bits_per_sample (SHORTs),
-    # sample_format (SHORTs), offsets (LONGs), bytecounts (LONGs).
+    # sample_format (SHORTs), offsets, bytecounts.
     ext: dict[tuple[int, str], int] = {}
     pos = ext_start
-    ext[("nodata", "s")] = pos
-    pos += len(nodata_ascii)
+    nodata_inline = len(nodata_ascii) <= inline_cap
+    if not nodata_inline:
+        ext[("nodata", "s")] = pos
+        pos += len(nodata_ascii)
     for lp in levels:
-        if bands > 2:
+        if 2 * bands > inline_cap:
             ext[(lp.level, "bps")] = pos
             pos += 2 * bands
             ext[(lp.level, "sf")] = pos
             pos += 2 * bands
         count = bands * lp.n_tiles
-        if count > 1:
+        if count * off_size > inline_cap:
             ext[(lp.level, "off")] = pos
-            pos += 4 * count
+            pos += off_size * count
             ext[(lp.level, "cnt")] = pos
-            pos += 4 * count
+            pos += off_size * count
     if pos % 2:
         pos += 1
     data_start = pos
@@ -169,24 +195,40 @@ def build_cog_plan(
                         cursor += nb
                         file_order.append((lp.level, band, ty, tx))
     total_size = cursor
+    if not big and total_size > (1 << 32):
+        raise ValueError(
+            f"file size {total_size} exceeds classic TIFF; use fmt='bigtiff'"
+        )
 
     # ---- serialize header + IFD chain + external arrays
     buf = bytearray(data_start)
-    struct.pack_into("<2sHI", buf, 0, b"II", 42, ifd_start)
+    if big:
+        struct.pack_into("<2sHHHQ", buf, 0, b"II", 43, 8, 0, ifd_start)
+    else:
+        struct.pack_into("<2sHI", buf, 0, b"II", 42, ifd_start)
+
+    val_bytes = 8 if big else 4
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
-        return struct.pack("<HHI4s", tag, typ, count, struct.pack("<I", value))
+        raw = struct.pack("<Q" if big else "<I", value)
+        if big:
+            return struct.pack("<HHQ", tag, typ, count) + raw
+        return struct.pack("<HHI", tag, typ, count) + raw
 
     def entry_shorts_inline(tag: int, values: list[int]) -> bytes:
-        raw = b"".join(struct.pack("<H", v) for v in values) + b"\x00" * 4
-        return struct.pack("<HHI", tag, TYPE_SHORT, len(values)) + raw[:4]
+        raw = b"".join(struct.pack("<H", v) for v in values)
+        raw = (raw + b"\x00" * val_bytes)[:val_bytes]
+        if big:
+            return struct.pack("<HHQ", tag, TYPE_SHORT, len(values)) + raw
+        return struct.pack("<HHI", tag, TYPE_SHORT, len(values)) + raw
 
+    entry_size = 20 if big else 12
     for i, lp in enumerate(levels):
         entries = []
         entries.append(entry(TAG_NEW_SUBFILE_TYPE, TYPE_LONG, 1, 0 if lp.level == 0 else 1))
         entries.append(entry(TAG_IMAGE_WIDTH, TYPE_LONG, 1, lp.width))
         entries.append(entry(TAG_IMAGE_LENGTH, TYPE_LONG, 1, lp.height))
-        if bands > 2:
+        if 2 * bands > inline_cap:
             entries.append(
                 entry(TAG_BITS_PER_SAMPLE, TYPE_SHORT, bands, ext[(lp.level, "bps")])
             )
@@ -199,44 +241,63 @@ def build_cog_plan(
         entries.append(entry(TAG_TILE_WIDTH, TYPE_SHORT, 1, blocksize))
         entries.append(entry(TAG_TILE_LENGTH, TYPE_SHORT, 1, blocksize))
         count = bands * lp.n_tiles
-        if count > 1:
-            entries.append(entry(TAG_TILE_OFFSETS, TYPE_LONG, count, ext[(lp.level, "off")]))
+        if count * off_size > inline_cap:
+            entries.append(entry(TAG_TILE_OFFSETS, off_type, count, ext[(lp.level, "off")]))
             entries.append(
-                entry(TAG_TILE_BYTE_COUNTS, TYPE_LONG, count, ext[(lp.level, "cnt")])
+                entry(TAG_TILE_BYTE_COUNTS, off_type, count, ext[(lp.level, "cnt")])
             )
         else:
-            entries.append(entry(TAG_TILE_OFFSETS, TYPE_LONG, 1, lp.offsets[0]))
-            entries.append(entry(TAG_TILE_BYTE_COUNTS, TYPE_LONG, 1, lp.bytecounts[0]))
-        if bands > 2:
+            entries.append(entry(TAG_TILE_OFFSETS, off_type, 1, lp.offsets[0]))
+            entries.append(entry(TAG_TILE_BYTE_COUNTS, off_type, 1, lp.bytecounts[0]))
+        if 2 * bands > inline_cap:
             entries.append(
                 entry(TAG_SAMPLE_FORMAT, TYPE_SHORT, bands, ext[(lp.level, "sf")])
             )
         else:
             entries.append(entry_shorts_inline(TAG_SAMPLE_FORMAT, [3] * bands))
-        entries.append(
-            entry(TAG_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), ext[("nodata", "s")])
-        )
+        if nodata_inline:
+            raw = (nodata_ascii + b"\x00" * val_bytes)[:val_bytes]
+            if big:
+                e = struct.pack("<HHQ", TAG_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii)) + raw
+            else:
+                e = struct.pack("<HHI", TAG_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii)) + raw
+            entries.append(e)
+        else:
+            entries.append(
+                entry(TAG_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), ext[("nodata", "s")])
+            )
         assert len(entries) == n_entries, len(entries)
         entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
 
         off = ifd_start + i * ifd_size
-        struct.pack_into("<H", buf, off, n_entries)
-        p = off + 2
+        p = off
+        if big:
+            struct.pack_into("<Q", buf, p, n_entries)
+            p += 8
+        else:
+            struct.pack_into("<H", buf, p, n_entries)
+            p += 2
         for e in entries:
-            buf[p : p + 12] = e
-            p += 12
+            buf[p : p + entry_size] = e
+            p += entry_size
         next_ifd = ifd_start + (i + 1) * ifd_size if i + 1 < len(levels) else 0
-        struct.pack_into("<I", buf, p, next_ifd)
+        struct.pack_into("<Q" if big else "<I", buf, p, next_ifd)
 
-    buf[ext[("nodata", "s")] : ext[("nodata", "s")] + len(nodata_ascii)] = nodata_ascii
+    if not nodata_inline:
+        p0 = ext[("nodata", "s")]
+        buf[p0 : p0 + len(nodata_ascii)] = nodata_ascii
     for lp in levels:
-        if bands > 2:
+        if 2 * bands > inline_cap:
             struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "bps")], *([64] * bands))
             struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "sf")], *([3] * bands))
         count = bands * lp.n_tiles
-        if count > 1:
-            struct.pack_into(f"<{count}I", buf, ext[(lp.level, "off")], *lp.offsets)
-            struct.pack_into(f"<{count}I", buf, ext[(lp.level, "cnt")], *lp.bytecounts)
+        if count * off_size > inline_cap:
+            struct.pack_into(
+                f"<{count}{off_fmt}", buf, ext[(lp.level, "off")], *lp.offsets
+            )
+            struct.pack_into(
+                f"<{count}{off_fmt}", buf, ext[(lp.level, "cnt")], *lp.bytecounts
+            )
 
     return CogPlan(bytes(buf), data_start, levels, file_order, total_size)
 
@@ -258,30 +319,50 @@ class IfdInfo:
 
 def read_cog(data: bytes) -> list[IfdInfo]:
     """Parse the IFD chain of a (subset) COG produced by this module —
-    the GDAL-free verification oracle."""
-    magic, version, ifd_off = struct.unpack_from("<2sHI", data, 0)
-    assert magic == b"II" and version == 42, "not a little-endian classic TIFF"
+    the GDAL-free verification oracle. Handles classic (42) and
+    BigTIFF (43)."""
+    magic, version = struct.unpack_from("<2sH", data, 0)
+    assert magic == b"II", "not little-endian"
+    if version == 42:
+        big = False
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+    elif version == 43:
+        big = True
+        offsize, zero, ifd_off = struct.unpack_from("<HHQ", data, 4)
+        assert offsize == 8 and zero == 0, "malformed BigTIFF header"
+    else:
+        raise AssertionError(f"unknown TIFF version {version}")
+    cnt_size = 8 if big else 2
+    entry_size = 20 if big else 12
+    inline_cap = 8 if big else 4
     out = []
     while ifd_off:
-        (n,) = struct.unpack_from("<H", data, ifd_off)
+        if big:
+            (n,) = struct.unpack_from("<Q", data, ifd_off)
+        else:
+            (n,) = struct.unpack_from("<H", data, ifd_off)
         tags: dict[int, tuple[int, int, bytes]] = {}
         for i in range(n):
-            tag, typ, count, raw = struct.unpack_from(
-                "<HHI4s", data, ifd_off + 2 + i * 12
-            )
+            base = ifd_off + cnt_size + i * entry_size
+            if big:
+                tag, typ, count = struct.unpack_from("<HHQ", data, base)
+                raw = data[base + 12 : base + 20]
+            else:
+                tag, typ, count = struct.unpack_from("<HHI", data, base)
+                raw = data[base + 8 : base + 12]
             tags[tag] = (typ, count, raw)
 
         def val(tag: int, default=None):
             if tag not in tags:
                 return default
             typ, count, raw = tags[tag]
-            size = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_ASCII: 1}[typ]
-            fmt = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_ASCII: "B"}[typ]
+            size = TYPE_SIZES[typ]
+            fmt = TYPE_FMTS[typ]
             total = size * count
-            if total <= 4:
+            if total <= inline_cap:
                 payload = raw[:total]
             else:
-                (p,) = struct.unpack("<I", raw)
+                (p,) = struct.unpack("<Q" if big else "<I", raw)
                 payload = data[p : p + total]
             if typ == TYPE_ASCII:
                 return payload.rstrip(b"\x00").decode("ascii")
@@ -307,7 +388,7 @@ def read_cog(data: bytes) -> list[IfdInfo]:
             )
         )
         (ifd_off,) = struct.unpack_from(
-            "<I", data, ifd_off + 2 + n * 12
+            "<Q" if big else "<I", data, ifd_off + cnt_size + n * entry_size
         )
     return out
 

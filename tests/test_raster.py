@@ -168,3 +168,28 @@ def test_cog_multipart_write(spark, tmp_path):
     with open(out1, "rb") as f1, open(out2, "rb") as f2:
         assert f1.read() == f2.read()
     assert not os.path.exists(out2 + ".mpu")  # staging cleaned up
+
+
+def test_bigtiff_roundtrip(spark, tmp_path):
+    """BigTIFF (>4 GiB path): same layout, 8-byte offsets; pixel content
+    identical to the classic file."""
+    out_c = str(tmp_path / "classic.tif")
+    out_b = str(tmp_path / "big.tif")
+    px = pixels_df(spark)
+    write_cog(spark, px, W, H, BANDS, out_c, blocksize=BLOCK, nodata=NODATA,
+              fmt="classic")
+    write_cog(spark, px, W, H, BANDS, out_b, blocksize=BLOCK, nodata=NODATA,
+              fmt="bigtiff")
+    with open(out_c, "rb") as f:
+        dc = f.read()
+    with open(out_b, "rb") as f:
+        db = f.read()
+    assert dc[2] == 42 and db[2] == 43
+    ic, ib = tiff.read_cog(dc), tiff.read_cog(db)
+    assert len(ic) == len(ib) == 4
+    for lvl in range(4):
+        assert (ib[lvl].width, ib[lvl].height) == (ic[lvl].width, ic[lvl].height)
+        for b in range(BANDS):
+            assert np.array_equal(
+                tiff.read_band(db, ib[lvl], b), tiff.read_band(dc, ic[lvl], b)
+            )
