@@ -1,0 +1,73 @@
+"""Connected components over the near-duplicate candidate graph (the
+clustering step of E35: duplicate groups = components; keep the
+smallest doc_id per component).
+
+Algorithm: smallest-label propagation — every vertex starts with its
+own id; each iteration every vertex takes the min of its own and its
+neighbours' labels; converges in O(diameter) rounds. Implemented as a
+driver loop of join+aggregate (each round: one shuffle on vertex id),
+with convergence detected by a changed-labels count. This is the
+standard Spark shape for iterative graph algorithms without GraphX
+(public HashToMin / label-propagation literature).
+
+Scale: near-dup components are tiny (dup clusters of 2-10 docs), so
+diameter ≈ 2-3 and rounds stay few; each round's shuffle carries one
+(id, label) pair per edge endpoint. ``persist`` + ``localCheckpoint``
+truncate the lineage so plan depth stays constant across rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """edges (src, dst) → (doc_id, cluster) with cluster = min vertex id
+    reachable in the component. Vertices = edge endpoints."""
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct().persist()
+
+    labels = (
+        both.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            both.join(labels, both.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # constant-depth plan across rounds
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster"))

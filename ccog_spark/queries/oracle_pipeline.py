@@ -93,8 +93,9 @@ _JACCARD = (
     "CAST(len(list_intersect(sa.shh, sb.shh)) AS DOUBLE))"
 )
 
-PIPELINE_ORACLE["dedup_minhash"] = f"""
-WITH toks AS (
+# Shared CTE block ending in `mpairs` (verified MinHash near-dup pairs)
+# — reused by dedup_minhash and the connected-components oracle.
+_MINHASH_CTES = f"""toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
 ), thashes AS (
   SELECT doc_id, text, tk, {_TOKEN_HASHES} AS hs FROM toks
@@ -110,13 +111,51 @@ WITH toks AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
   WHERE a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, ROUND({_JACCARD}, 4) AS jac
-FROM cand
-JOIN sigs sa ON sa.doc_id = doc_a
-JOIN sigs sb ON sb.doc_id = doc_b
-WHERE ROUND({_JACCARD}, 4) >= 0.4
+), mpairs AS (
+  SELECT doc_a, doc_b, ROUND({_JACCARD}, 4) AS jac
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b
+  WHERE ROUND({_JACCARD}, 4) >= 0.4
+)"""
+
+PIPELINE_ORACLE["dedup_minhash"] = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b, jac FROM mpairs
 ORDER BY doc_a, doc_b
+"""
+
+# Connected components over the near-dup graph: min reachable id per
+# vertex via a recursive transitive-closure CTE (components are tiny,
+# the closure stays small).
+PIPELINE_ORACLE["dedup_cc"] = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM mpairs
+), verts AS (
+  SELECT DISTINCT u AS doc_id FROM edges
+), reach AS (
+  SELECT doc_id, doc_id AS label FROM verts
+  UNION
+  SELECT e.v AS doc_id, r.label FROM reach r JOIN edges e ON e.u = r.doc_id
+)
+SELECT doc_id, MIN(label) AS cluster FROM reach GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+_WINNOW = (
+    "CASE WHEN length(text) >= 16 THEN "
+    "list_min(list_transform(range(1, length(text) - 14), "
+    f"i -> {roll_hash_sql_duckdb('substr(text, i, 16)')})) "
+    f"ELSE {roll_hash_sql_duckdb('text')} END"
+)
+
+PIPELINE_ORACLE["text_winnow"] = f"""
+SELECT doc_id, {_WINNOW} AS wfp
+FROM documents
+ORDER BY doc_id
 """
 
 _SIMHASH_TERMS = "\n         + ".join(

@@ -116,3 +116,23 @@ def asof_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment (E35 clustering step): connected
+    components over the MinHash near-dup graph via iterative smallest-
+    label propagation; oracle is a recursive transitive-closure CTE."""
+    from ccog_spark.operators.cluster import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style window fingerprint (E37): min rolling hash over
+    all 16-char windows — robust to content appends/prepends."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.window_fingerprint(F.col("text"), 16).alias("wfp")
+    ).orderBy("doc_id")

@@ -53,6 +53,8 @@ REGISTRY: dict[str, QueryFn] = {
     "decim_mode": raster_queries.decim_mode,
     # LLM-pipeline operator corpus
     "text_analysis": pipeline.text_analysis,
+    "text_winnow": pipeline.text_winnow,
+    "dedup_cc": pipeline.dedup_cc,
     "dedup_exact": pipeline.dedup_exact,
     "dedup_minhash": pipeline.dedup_minhash,
     "dedup_simhash": pipeline.dedup_simhash,

@@ -193,3 +193,36 @@ def test_bigtiff_roundtrip(spark, tmp_path):
             assert np.array_equal(
                 tiff.read_band(db, ib[lvl], b), tiff.read_band(dc, ic[lvl], b)
             )
+
+
+def test_larger_raster_ingest_write_read(spark, tmp_path):
+    """Moderate-scale sanity: 1024x768x2 synthetic raster through
+    ingest -> pyramid -> multipart COG -> parse -> sampled pixel check
+    (catches grid/packing bugs that the small fixture can't)."""
+    from ccog_spark.raster.tiles import pixels_from_tiles
+    from ccog_spark.sources.raster_ingest import ingest_numpy
+
+    rng = np.random.default_rng(123)
+    arr = np.round(rng.random((2, 768, 1024)) * 100, 2)
+    mask = rng.random((768, 1024)) > 0.05
+    bs = 256
+    tiles = ingest_numpy(spark, arr, mask, blocksize=bs, nodata=NODATA)
+    px = pixels_from_tiles(tiles, bs, NODATA).drop("level").withColumn(
+        "band", F.col("band") + 1
+    )
+    out = str(tmp_path / "big_raster.tif")
+    res = write_cog(
+        spark, px, 1024, 768, 2, out, blocksize=bs, nodata=NODATA,
+        min_part_size=1024 * 1024,
+    )
+    assert res.n_parts > 1
+    with open(out, "rb") as f:
+        data = f.read()
+    ifds = tiff.read_cog(data)
+    # overview_count(1024, 768, 256) == 2 → 3 IFDs
+    assert len(ifds) == 3
+    assert (ifds[0].width, ifds[0].height) == (1024, 768)
+    for b in range(2):
+        got = tiff.read_band(data, ifds[0], b)
+        expect = np.where(mask, arr[b], NODATA)
+        assert np.array_equal(got, expect)
