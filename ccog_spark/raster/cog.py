@@ -180,3 +180,36 @@ def write_cog(
         n_tiles_written=len(plan.file_order),
         n_tiles_sparse=total_tiles - len(plan.file_order),
     )
+
+
+def collect_cog_bytes(
+    spark: SparkSession,
+    pixels: DataFrame,
+    width: int,
+    height: int,
+    bands: int,
+    blocksize: int = 512,
+    kernel: str = "average",
+    nodata: float = -9999.0,
+    n_overviews: int | None = None,
+    fmt: str = "auto",
+) -> tuple[bytes, tiff.CogPlan]:
+    """No-store path (≙ ccog collapse_bytes, ccog/ccog.py:973-978 and
+    the store=None branch :967-970): ordered collect of the encoded
+    segments + driver-side join. Small outputs only — every byte
+    converges on the driver, same caveat as the reference."""
+    import tempfile
+    import uuid
+
+    out = f"{tempfile.gettempdir()}/cogbytes_{uuid.uuid4().hex}.tif"
+    res = write_cog(
+        spark, pixels, width, height, bands, out,
+        blocksize=blocksize, kernel=kernel, nodata=nodata,
+        n_overviews=n_overviews, fmt=fmt,
+    )
+    import os
+
+    with open(res.path, "rb") as f:
+        data = f.read()
+    os.unlink(res.path)
+    return data, res.plan

@@ -30,8 +30,40 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import math
+
 CUBIC_HALO = 2  # taps reach 1 px left / 2 px right of the 2×2 block
 CUBIC_TAPS = (-0.0625, 0.5625, 0.5625, -0.0625)
+
+
+def _lanczos_taps(a: int = 3) -> tuple[tuple[int, ...], tuple[float, ...]]:
+    """Factor-2 phase-0.5 Lanczos-a taps: samples at distance |k-0.5|
+    for k in 1-a..a, normalized to sum 1 (standard windowed sinc)."""
+    offs = tuple(range(1 - a, a + 1))
+    def l(x: float) -> float:
+        if x == 0:
+            return 1.0
+        return (
+            a * math.sin(math.pi * x) * math.sin(math.pi * x / a)
+            / (math.pi * math.pi * x * x)
+        )
+    raw = [l(k - 0.5) for k in offs]
+    s = sum(raw)
+    return offs, tuple(w / s for w in raw)
+
+
+LANCZOS_OFFSETS, LANCZOS_TAPS = _lanczos_taps(3)
+
+# (offsets relative to the 2×2 block origin, taps, halo) per kernel —
+# halo intent mirrors ccog's overlap table (ccog/ccog.py:41-53):
+# bilinear needs none for exact factor-2, cubic 2, lanczos(a=3) 3,
+# gauss 1.
+INTERP_KERNELS: dict[str, tuple[tuple[int, ...], tuple[float, ...], int]] = {
+    "bilinear": ((0, 1), (0.5, 0.5), 1),
+    "cubic": ((-1, 0, 1, 2), CUBIC_TAPS, 2),
+    "lanczos": (LANCZOS_OFFSETS, LANCZOS_TAPS, 3),
+    "gauss": ((-1, 0, 1), (0.25, 0.5, 0.25), 1),
+}
 
 STRIP_SCHEMA = (
     "band int, tile_y int, tile_x int, rel_y int, rel_x int, "
@@ -98,10 +130,11 @@ def _emit_strips_kernel(bs: int, halo: int, nodata: float):
     return emit
 
 
-def _assemble_decimate_kernel(bs: int, halo: int, nodata: float, taps, out_schema_px=True):
+def _assemble_decimate_kernel(bs: int, halo: int, nodata: float, taps, offsets):
     """applyInPandas kernel: strips of one (band, tile) → padded array →
-    separable 4-tap 2× decimation of the core → long-form pixels."""
+    separable n-tap 2× decimation of the core → long-form pixels."""
     tap_arr = list(taps)
+    off_arr = list(offsets)
 
     def assemble(pdf):
         import numpy as _np
@@ -139,20 +172,18 @@ def _assemble_decimate_kernel(bs: int, halo: int, nodata: float, taps, out_schem
 
         t = _np.array(tap_arr)
         oh, ow = h // 2, w // 2
-        vals = _np.zeros((oh, ow))
-        ok = _np.ones((oh, ow), dtype=bool)
         data = _np.where(vpad, pad, 0.0)
-        # separable: rows first (source coord 2j+0.5 → taps at 2j-1..2j+2)
+        # separable: rows first (source coord 2j+0.5 → taps at 2j+off)
         row_acc = _np.zeros((oh, w + 2 * halo))
         row_ok = _np.ones((oh, w + 2 * halo), dtype=bool)
-        for k in range(4):
-            idx = 2 * _np.arange(oh) + (k - 1) + halo
+        for k, off in enumerate(off_arr):
+            idx = 2 * _np.arange(oh) + off + halo
             row_acc += t[k] * data[idx, :]
             row_ok &= vpad[idx, :]
         col_acc = _np.zeros((oh, ow))
         col_ok = _np.ones((oh, ow), dtype=bool)
-        for k in range(4):
-            idx = 2 * _np.arange(ow) + (k - 1) + halo
+        for k, off in enumerate(off_arr):
+            idx = 2 * _np.arange(ow) + off + halo
             col_acc += t[k] * row_acc[:, idx]
             col_ok &= row_ok[:, idx]
         vals = col_acc
@@ -172,48 +203,67 @@ def _assemble_decimate_kernel(bs: int, halo: int, nodata: float, taps, out_schem
     return assemble
 
 
+def interp_decimate(
+    tiles: DataFrame,
+    blocksize: int,
+    kernel: str = "cubic",
+    nodata: float = -9999.0,
+) -> DataFrame:
+    """2× interpolating decimation of a tile DataFrame via halo
+    exchange (kernel ∈ INTERP_KERNELS). Returns long-form pixels at
+    half resolution. One strip shuffle (groupBy tile key), one Python
+    kernel pass.
+    """
+    offsets, taps, halo = INTERP_KERNELS[kernel]
+    strips = tiles.mapInPandas(
+        _emit_strips_kernel(blocksize, halo, nodata), STRIP_SCHEMA
+    )
+    return strips.groupBy("band", "tile_y", "tile_x").applyInPandas(
+        _assemble_decimate_kernel(blocksize, halo, nodata, taps, offsets),
+        PIXEL_SCHEMA,
+    )
+
+
 def cubic_decimate(
     tiles: DataFrame, blocksize: int, nodata: float = -9999.0
 ) -> DataFrame:
-    """2× cubic decimation of a tile DataFrame via halo exchange.
+    return interp_decimate(tiles, blocksize, "cubic", nodata)
 
-    Returns long-form pixels at half resolution. One strip shuffle
-    (groupBy tile key), one Python kernel pass.
-    """
-    strips = tiles.mapInPandas(
-        _emit_strips_kernel(blocksize, CUBIC_HALO, nodata), STRIP_SCHEMA
-    )
-    return strips.groupBy("band", "tile_y", "tile_x").applyInPandas(
-        _assemble_decimate_kernel(blocksize, CUBIC_HALO, nodata, CUBIC_TAPS),
-        PIXEL_SCHEMA,
-    )
+
+def interp_decimate_reference(
+    arr: np.ndarray,
+    valid: np.ndarray,
+    kernel: str = "cubic",
+    nodata: float = -9999.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side untiled reference of the same convolution (the
+    tiling-invariance oracle): pad the full array with a nodata halo
+    and apply the identical separable taps."""
+    offsets, taps, halo = INTERP_KERNELS[kernel]
+    h, w = arr.shape
+    pad = np.full((h + 2 * halo, w + 2 * halo), nodata)
+    vpad = np.zeros((h + 2 * halo, w + 2 * halo), dtype=bool)
+    pad[halo : halo + h, halo : halo + w] = arr
+    vpad[halo : halo + h, halo : halo + w] = valid
+    t = np.array(taps)
+    data = np.where(vpad, pad, 0.0)
+    oh, ow = h // 2, w // 2
+    row_acc = np.zeros((oh, w + 2 * halo))
+    row_ok = np.ones((oh, w + 2 * halo), dtype=bool)
+    for k, off in enumerate(offsets):
+        idx = 2 * np.arange(oh) + off + halo
+        row_acc += t[k] * data[idx, :]
+        row_ok &= vpad[idx, :]
+    col_acc = np.zeros((oh, ow))
+    col_ok = np.ones((oh, ow), dtype=bool)
+    for k, off in enumerate(offsets):
+        idx = 2 * np.arange(ow) + off + halo
+        col_acc += t[k] * row_acc[:, idx]
+        col_ok &= row_ok[:, idx]
+    return np.where(col_ok, col_acc, nodata), col_ok
 
 
 def cubic_decimate_reference(
     arr: np.ndarray, valid: np.ndarray, nodata: float = -9999.0
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Driver-side untiled reference of the same convolution (the
-    tiling-invariance oracle): pad the full array with a nodata halo
-    and apply the identical separable taps."""
-    h, w = arr.shape
-    halo = CUBIC_HALO
-    pad = np.full((h + 2 * halo, w + 2 * halo), nodata)
-    vpad = np.zeros((h + 2 * halo, w + 2 * halo), dtype=bool)
-    pad[halo : halo + h, halo : halo + w] = arr
-    vpad[halo : halo + h, halo : halo + w] = valid
-    t = np.array(CUBIC_TAPS)
-    data = np.where(vpad, pad, 0.0)
-    oh, ow = h // 2, w // 2
-    row_acc = np.zeros((oh, w + 2 * halo))
-    row_ok = np.ones((oh, w + 2 * halo), dtype=bool)
-    for k in range(4):
-        idx = 2 * np.arange(oh) + (k - 1) + halo
-        row_acc += t[k] * data[idx, :]
-        row_ok &= vpad[idx, :]
-    col_acc = np.zeros((oh, ow))
-    col_ok = np.ones((oh, ow), dtype=bool)
-    for k in range(4):
-        idx = 2 * np.arange(ow) + (k - 1) + halo
-        col_acc += t[k] * row_acc[:, idx]
-        col_ok &= row_ok[:, idx]
-    return np.where(col_ok, col_acc, nodata), col_ok
+    return interp_decimate_reference(arr, valid, "cubic", nodata)

@@ -231,3 +231,13 @@ def upload_segments(segments_df, n_parts: int, staging: str) -> list[dict]:
         .rdd.mapPartitions(upload_partition)
         .collect()
     )
+
+
+def presigned_url(bucket: str, key: str, expires: int = 3600) -> str:
+    """Presigned GET URL for a written object (≙ aws_tools.py:46-56).
+    boto3 is present in the image; needs live credentials/endpoint."""
+    import boto3
+
+    return boto3.client("s3").generate_presigned_url(
+        "get_object", Params={"Bucket": bucket, "Key": key}, ExpiresIn=expires
+    )

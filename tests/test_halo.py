@@ -51,3 +51,41 @@ def test_cubic_valid_region_shrinks_at_invalid_blocks(spark):
     # far from the block: mostly valid
     far = [r for r in out if r.band == 1 and r.y > 20 and r.x < 40]
     assert sum(r.valid for r in far) > len(far) * 0.5
+
+
+import pytest
+
+
+@pytest.mark.parametrize("kernel", ["bilinear", "lanczos", "gauss"])
+def test_interp_kernels_tiling_invariance(spark, kernel):
+    """Every interpolating kernel: distributed tiled+halo result equals
+    the untiled driver-side convolution exactly (halo widths differ per
+    kernel — lanczos strips cross 3 px of the neighbour)."""
+    from ccog_spark.raster.halo import interp_decimate, interp_decimate_reference
+
+    px = pixels_df(spark)
+    tiles = tiles_from_pixels(px, BLOCK, NODATA)
+    out = interp_decimate(tiles, BLOCK, kernel, NODATA).collect()
+
+    rows = px.collect()
+    band = 2
+    arr = np.full((H, W), NODATA)
+    ok = np.zeros((H, W), dtype=bool)
+    for r in rows:
+        if r.band == band and r.valid:
+            arr[r.y, r.x] = r.value
+            ok[r.y, r.x] = True
+    ref_val, ref_ok = interp_decimate_reference(arr, ok, kernel, NODATA)
+    got = {(r.y, r.x): (r.value, r.valid) for r in out if r.band == band}
+    assert len(got) == (H // 2) * (W // 2)
+    for (y, x), (v, valid) in got.items():
+        assert valid == bool(ref_ok[y, x]), (kernel, y, x)
+        if valid:
+            assert v == ref_val[y, x], (kernel, y, x)
+
+
+def test_lanczos_taps_normalized():
+    from ccog_spark.raster.halo import LANCZOS_TAPS
+
+    assert abs(sum(LANCZOS_TAPS) - 1.0) < 1e-12
+    assert len(LANCZOS_TAPS) == 6

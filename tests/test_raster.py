@@ -226,3 +226,32 @@ def test_larger_raster_ingest_write_read(spark, tmp_path):
         got = tiff.read_band(data, ifds[0], b)
         expect = np.where(mask, arr[b], NODATA)
         assert np.array_equal(got, expect)
+
+
+def test_mpu_failure_propagates(tmp_path):
+    """Unlike the reference's complete_mpu (bare except -> abort result
+    returned as success, aws_tools.py:168-175), a bad part set must
+    RAISE, clean staging, and leave no target."""
+    from ccog_spark.sinks.mpu import LocalMpu
+
+    target = str(tmp_path / "obj.bin")
+    store = LocalMpu(target)
+    staging = store.create()
+    r1 = LocalMpu.upload_part(staging, 1, b"a" * 10)
+    r3 = LocalMpu.upload_part(staging, 3, b"c" * 10)  # part 2 missing
+    with pytest.raises(RuntimeError, match="missing"):
+        store.complete([r1, r3])
+    assert not os.path.exists(target)
+    assert not os.path.exists(staging)
+
+
+def test_collect_cog_bytes_matches_file(spark, tmp_path):
+    from ccog_spark.raster.cog import collect_cog_bytes
+
+    px = pixels_df(spark)
+    data, plan = collect_cog_bytes(spark, px, W, H, BANDS, blocksize=BLOCK,
+                                   nodata=NODATA)
+    out = str(tmp_path / "f.tif")
+    write_cog(spark, px, W, H, BANDS, out, blocksize=BLOCK, nodata=NODATA)
+    with open(out, "rb") as f:
+        assert f.read() == data
