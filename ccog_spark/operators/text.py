@@ -92,15 +92,18 @@ def fingerprint(text: Column) -> Column:
     return roll_hash(text)
 
 
-def window_fingerprint(text: Column, width: int = 16) -> Column:
-    """Winnowing-style minimum over rolling hashes of all ``width``-char
-    windows — robust to appended/prepended content, map-side only."""
+def window_fingerprint(text: Column, width: int = 16, stride: int = 4) -> Column:
+    """Winnowing-style minimum over rolling hashes of ``width``-char
+    windows sampled every ``stride`` positions — robust to appended/
+    prepended content, map-side only. The stride is the standard
+    winnowing density/cost dial (4× cheaper than every position at
+    stride 4; a near-dup still shares most sampled windows)."""
     n_windows = F.length(text) - (width - 1)
     return F.when(
         n_windows >= 1,
         F.array_min(
             F.transform(
-                F.sequence(F.lit(1), n_windows),
+                F.sequence(F.lit(1), n_windows, F.lit(stride)),
                 lambda i: roll_hash(text.substr(i, F.lit(width))),
             )
         ),

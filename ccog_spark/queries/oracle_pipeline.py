@@ -145,9 +145,10 @@ SELECT doc_id, MIN(label) AS cluster FROM reach GROUP BY doc_id
 ORDER BY doc_id
 """
 
+# stride-4 window sampling — must match text.window_fingerprint
 _WINNOW = (
     "CASE WHEN length(text) >= 16 THEN "
-    "list_min(list_transform(range(1, length(text) - 14), "
+    "list_min(list_transform(range(1, length(text) - 14, 4), "  # excl end = (len-15)+1
     f"i -> {roll_hash_sql_duckdb('substr(text, i, 16)')})) "
     f"ELSE {roll_hash_sql_duckdb('text')} END"
 )
