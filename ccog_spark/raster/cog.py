@@ -40,18 +40,29 @@ ENC_SCHEMA = (
 )
 
 
-def encode_tiles(tiles: DataFrame, compress_level: int = 6) -> DataFrame:
+def encode_tiles(
+    tiles: DataFrame,
+    compress_level: int = 6,
+    overview_compress_level: int | None = None,
+) -> DataFrame:
     """Deflate-encode tile payloads (map-side, Arrow-batched); sparse
-    tiles (no valid pixels) are filtered out up front."""
+    tiles (no valid pixels) are filtered out up front.
 
-    def make_kernel(lvl: int):
+    ``overview_compress_level`` lets overviews use a different setting
+    than level 0 (≙ ccog's overview_compress/quality derivation,
+    _adjust_compression ccog/ccog.py:452-478)."""
+
+    def make_kernel(lvl: int, ov_lvl: int):
         def enc(it):
             import zlib
 
             import pandas as pd
 
             for pdf in it:
-                data = [zlib.compress(d, lvl) for d in pdf["data"]]
+                data = [
+                    zlib.compress(d, lvl if level == 0 else ov_lvl)
+                    for d, level in zip(pdf["data"], pdf["level"])
+                ]
                 yield pd.DataFrame(
                     {
                         "level": pdf["level"],
@@ -68,7 +79,8 @@ def encode_tiles(tiles: DataFrame, compress_level: int = 6) -> DataFrame:
         return enc
 
     dense = tiles.where(F.col("valid_count") > 0)
-    return dense.mapInPandas(make_kernel(compress_level), ENC_SCHEMA)
+    ov = compress_level if overview_compress_level is None else overview_compress_level
+    return dense.mapInPandas(make_kernel(compress_level, ov), ENC_SCHEMA)
 
 
 @dataclass
@@ -93,11 +105,25 @@ def write_cog(
     n_overviews: int | None = None,
     min_part_size: int | None = None,
     fmt: str = "auto",
+    statistics: bool = False,
+    band_meta: dict[int, dict] | None = None,
+    overview_compress_level: int | None = None,
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
 
     ``min_part_size`` exists so tests can exercise multi-part uploads
     on small files; production keeps the S3 5 MiB default.
+
+    ``statistics`` (default False, matching the reference's code-over-
+    docstring default, ccog/ccog.py:38/SURVEY quirks) adds one small
+    per-band aggregate job and folds STATISTICS_* items into the
+    GDAL_METADATA tag (≙ _calc_stats_for_profile +
+    _add_stats_to_profile_tags, ccog/ccog.py:511-555); stats are only
+    written for bands with valid_percent > 0, like the reference.
+
+    ``band_meta``: {band_index: {"description":…, "scale":…,
+    "offset":…, "unit":…}} → per-band GDAL_METADATA items (≙
+    _add_metadata, ccog/ccog.py:213-235).
     """
     if n_overviews is None:
         n_overviews = overview_count(width, height, blocksize)
@@ -114,16 +140,64 @@ def write_cog(
     )
     pixels = pixels.withColumn("band", band_map[F.col("band")])
 
+    meta_items: list[tuple[str, int | None, str]] = []
+    if band_meta:
+        key_of = {
+            "description": "DESCRIPTION",
+            "scale": "SCALE",
+            "offset": "OFFSET",
+            "unit": "UNITTYPE",
+        }
+        for b, kv in sorted(band_meta.items()):
+            for k, v in kv.items():
+                meta_items.append((key_of.get(k, k.upper()), b, str(v)))
+    if statistics:
+        # one small job: 5 scalars per band (≙ ccog/ccog.py:511-541)
+        vv = F.when(F.col("valid"), F.col("value"))
+        stats = (
+            pixels.groupBy("band")
+            .agg(
+                F.max(vv).alias("mx"),
+                F.avg(vv).alias("mean"),
+                F.min(vv).alias("mn"),
+                F.stddev_pop(vv).alias("std"),
+                (100.0 * F.avg(F.when(F.col("valid"), 1.0).otherwise(0.0))).alias(
+                    "vp"
+                ),
+            )
+            .collect()
+        )
+        for r in sorted(stats, key=lambda r: r.band):
+            if r.vp and r.vp > 0:
+                meta_items += [
+                    ("STATISTICS_MAXIMUM", r.band, f"{r.mx:.14g}"),
+                    ("STATISTICS_MEAN", r.band, f"{r.mean:.14g}"),
+                    ("STATISTICS_MINIMUM", r.band, f"{r.mn:.14g}"),
+                    ("STATISTICS_STDDEV", r.band, f"{r.std:.14g}"),
+                    ("STATISTICS_VALID_PERCENT", r.band, f"{r.vp:.4g}"),
+                ]
+    metadata_xml = tiff.gdal_metadata_xml(meta_items) if meta_items else None
+
     pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
     tiles = tiles_from_pixels(pyr, blocksize, nodata)
-    enc = encode_tiles(tiles).persist()
+    enc = encode_tiles(
+        tiles, overview_compress_level=overview_compress_level
+    ).persist()
 
     index = enc.select("level", "band", "tile_y", "tile_x", "nbytes").collect()
     tile_nbytes = {
         (r.level, r.band, r.tile_y, r.tile_x): r.nbytes for r in index
     }
     plan = tiff.build_cog_plan(
-        width, height, bands, blocksize, n_overviews, tile_nbytes, nodata, fmt=fmt
+        width,
+        height,
+        bands,
+        blocksize,
+        n_overviews,
+        tile_nbytes,
+        nodata,
+        fmt=fmt,
+        metadata_xml=metadata_xml,
     )
 
     # file_seq: header is 0; tiles follow in plan order.

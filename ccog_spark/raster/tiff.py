@@ -41,6 +41,7 @@ TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
 TAG_SAMPLE_FORMAT = 339
+TAG_GDAL_METADATA = 42112
 TAG_GDAL_NODATA = 42113
 
 TYPE_SHORT = 3  # uint16
@@ -110,6 +111,7 @@ def build_cog_plan(
     tile_nbytes: dict[tuple[int, int, int, int], int],
     nodata: float = -9999.0,
     fmt: str = "auto",
+    metadata_xml: str | None = None,
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
@@ -136,17 +138,34 @@ def build_cog_plan(
         fmt = "bigtiff" if est_data > CLASSIC_LIMIT else "classic"
     big = fmt == "bigtiff"
 
-    n_entries = 14
+    meta_ascii = None
+    if metadata_xml is not None:
+        meta_ascii = metadata_xml.encode("ascii") + b"\x00"
+        if len(meta_ascii) % 2:
+            meta_ascii += b"\x00"
+
+    n_entries = 14  # metadata tag (IFD 0 only) handled as +1 below
     # classic: u16 count + 12B entries + u32 next; bigtiff: u64 count +
     # 20B entries + u64 next
-    ifd_size = (8 + n_entries * 20 + 8) if big else (2 + n_entries * 12 + 4)
+    def _ifd_size(n: int) -> int:
+        return (8 + n * 20 + 8) if big else (2 + n * 12 + 4)
     header_size = 16 if big else 8
     inline_cap = 8 if big else 4
     off_type = TYPE_LONG8 if big else TYPE_LONG
     off_size = TYPE_SIZES[off_type]
     off_fmt = TYPE_FMTS[off_type]
     ifd_start = header_size
-    ext_start = ifd_start + ifd_size * len(levels)
+    # IFD 0 carries the optional GDAL_METADATA tag → one extra entry
+    ifd_entry_counts = [
+        n_entries + (1 if (i == 0 and meta_ascii is not None) else 0)
+        for i in range(len(levels))
+    ]
+    ifd_offsets = []
+    _off = ifd_start
+    for n in ifd_entry_counts:
+        ifd_offsets.append(_off)
+        _off += _ifd_size(n)
+    ext_start = _off
 
     nodata_ascii = (f"{nodata:g}".encode("ascii")) + b"\x00"
     if len(nodata_ascii) % 2:
@@ -160,6 +179,9 @@ def build_cog_plan(
     if not nodata_inline:
         ext[("nodata", "s")] = pos
         pos += len(nodata_ascii)
+    if meta_ascii is not None:
+        ext[("meta", "s")] = pos
+        pos += len(meta_ascii)
     for lp in levels:
         if 2 * bands > inline_cap:
             ext[(lp.level, "bps")] = pos
@@ -255,6 +277,10 @@ def build_cog_plan(
             )
         else:
             entries.append(entry_shorts_inline(TAG_SAMPLE_FORMAT, [3] * bands))
+        if i == 0 and meta_ascii is not None:
+            entries.append(
+                entry(TAG_GDAL_METADATA, TYPE_ASCII, len(meta_ascii), ext[("meta", "s")])
+            )
         if nodata_inline:
             raw = (nodata_ascii + b"\x00" * val_bytes)[:val_bytes]
             if big:
@@ -266,26 +292,29 @@ def build_cog_plan(
             entries.append(
                 entry(TAG_GDAL_NODATA, TYPE_ASCII, len(nodata_ascii), ext[("nodata", "s")])
             )
-        assert len(entries) == n_entries, len(entries)
+        assert len(entries) == ifd_entry_counts[i], len(entries)
         entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
 
-        off = ifd_start + i * ifd_size
+        off = ifd_offsets[i]
         p = off
         if big:
-            struct.pack_into("<Q", buf, p, n_entries)
+            struct.pack_into("<Q", buf, p, ifd_entry_counts[i])
             p += 8
         else:
-            struct.pack_into("<H", buf, p, n_entries)
+            struct.pack_into("<H", buf, p, ifd_entry_counts[i])
             p += 2
         for e in entries:
             buf[p : p + entry_size] = e
             p += entry_size
-        next_ifd = ifd_start + (i + 1) * ifd_size if i + 1 < len(levels) else 0
+        next_ifd = ifd_offsets[i + 1] if i + 1 < len(levels) else 0
         struct.pack_into("<Q" if big else "<I", buf, p, next_ifd)
 
     if not nodata_inline:
         p0 = ext[("nodata", "s")]
         buf[p0 : p0 + len(nodata_ascii)] = nodata_ascii
+    if meta_ascii is not None:
+        p0 = ext[("meta", "s")]
+        buf[p0 : p0 + len(meta_ascii)] = meta_ascii
     for lp in levels:
         if 2 * bands > inline_cap:
             struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "bps")], *([64] * bands))
@@ -303,6 +332,19 @@ def build_cog_plan(
 
 
 # ----------------------------------------------------------------- read
+def gdal_metadata_xml(items: list[tuple[str, int | None, str]]) -> str:
+    """GDAL_METADATA tag payload: ``<GDALMetadata>`` XML with per-band
+    ("sample") items — the public format GDAL reads band descriptions,
+    scales/offsets/units and STATISTICS_* tags from (≙ the reference's
+    update_tags calls, ccog/ccog.py:213-235,543-555)."""
+    lines = ["<GDALMetadata>"]
+    for name, sample, value in items:
+        s = f' sample="{sample}"' if sample is not None else ""
+        lines.append(f'  <Item name="{name}"{s}>{value}</Item>')
+    lines.append("</GDALMetadata>")
+    return "\n".join(lines)
+
+
 @dataclass
 class IfdInfo:
     width: int
@@ -315,6 +357,7 @@ class IfdInfo:
     bytecounts: list[int]
     nodata: float | None
     compression: int
+    metadata: str | None = None
 
 
 def read_cog(data: bytes) -> list[IfdInfo]:
@@ -385,6 +428,7 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                 bytecounts=counts if isinstance(counts, list) else [counts],
                 nodata=float(nod) if nod is not None else None,
                 compression=val(TAG_COMPRESSION),
+                metadata=val(TAG_GDAL_METADATA),
             )
         )
         (ifd_off,) = struct.unpack_from(

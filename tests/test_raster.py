@@ -255,3 +255,48 @@ def test_collect_cog_bytes_matches_file(spark, tmp_path):
     write_cog(spark, px, W, H, BANDS, out, blocksize=BLOCK, nodata=NODATA)
     with open(out, "rb") as f:
         assert f.read() == data
+
+
+def test_cog_metadata_and_statistics(spark, tmp_path):
+    """Band metadata + statistics folded into GDAL_METADATA (R4/R13/R14);
+    stats values must equal the qr2-style aggregate."""
+    out = str(tmp_path / "meta.tif")
+    write_cog(
+        spark, pixels_df(spark), W, H, BANDS, out, blocksize=BLOCK,
+        nodata=NODATA, statistics=True,
+        band_meta={0: {"description": "red", "scale": 2.0, "unit": "K"}},
+    )
+    with open(out, "rb") as f:
+        data = f.read()
+    ifds = tiff.read_cog(data)
+    md = ifds[0].metadata
+    assert md and "<GDALMetadata>" in md
+    assert '<Item name="DESCRIPTION" sample="0">red</Item>' in md
+    assert '<Item name="UNITTYPE" sample="0">K</Item>' in md
+    assert md.count("STATISTICS_MAXIMUM") == BANDS
+    # overview IFDs carry no metadata tag
+    assert ifds[1].metadata is None
+    # cross-check one stat value against a direct aggregate
+    from ccog_spark.raster.queries import qr2
+
+    stats = {r.band: r for r in qr2(spark, "").collect()}
+    import re
+
+    m = re.search(
+        r'name="STATISTICS_MEAN" sample="0">([0-9.eE+-]+)<', md
+    )
+    assert m and abs(float(m.group(1)) - stats[1].stat_mean) < 1e-3
+
+
+def test_overview_compress_level_changes_bytes(spark, tmp_path):
+    """R9 parity: overview tiles may use different compression settings;
+    level-0 bytes stay identical, overview bytecounts change."""
+    o1, o2 = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    px = pixels_df(spark)
+    write_cog(spark, px, W, H, BANDS, o1, blocksize=BLOCK, nodata=NODATA)
+    write_cog(spark, px, W, H, BANDS, o2, blocksize=BLOCK, nodata=NODATA,
+              overview_compress_level=1)
+    i1 = tiff.read_cog(open(o1, "rb").read())
+    i2 = tiff.read_cog(open(o2, "rb").read())
+    assert i1[0].bytecounts == i2[0].bytecounts
+    assert i1[1].bytecounts != i2[1].bytecounts
