@@ -297,3 +297,31 @@ WHERE e.event_type = 'click' AND p.event_type = 'purchase'
 GROUP BY e.event_id
 ORDER BY e.event_id
 """
+
+
+_QUALITY = (
+    "ROUND(0.4 * LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0)"
+    " + 0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE))"
+    " + 0.2 * LEAST((CAST(len(list_filter(tk, t -> t IN ("
+    + _in_list(EN_STOPWORDS)
+    + "))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)) * 5.0, 1.0), 4)"
+)
+
+PIPELINE_ORACLE["pipeline_filter"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, n_chars, text, string_split(text, ' ') AS tk
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, source, text, {_QUALITY} AS quality FROM toks
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), deduped AS (
+  SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep
+  FROM kept
+)
+SELECT lang, source, COUNT(*) AS kept,
+       CAST(FLOOR((10 * SUM(CAST(ROUND(quality * 10000, 0) AS BIGINT)) + 5 * COUNT(*))
+                  / (10.0 * COUNT(*))) AS BIGINT) / 10000.0 AS avg_q
+FROM deduped WHERE keep GROUP BY lang, source
+ORDER BY lang, source
+"""

@@ -136,3 +136,39 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", text.window_fingerprint(F.col("text"), 16).alias("wfp")
     ).orderBy("doc_id")
+
+
+def pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality-score → filter → exact
+    dedup keep-first → per-(lang, source) corpus stats. One pass of
+    map-side scoring, one hash shuffle for dedup, one aggregate — the
+    canonical pre-training corpus-cleaning shape at 100 TB."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = text.quality_components(F.col("text"), F.col("n_chars"))
+    scored = docs.select(
+        "doc_id", "lang", "source", "text", comps["quality"].alias("quality")
+    )
+    kept = scored.where(F.col("quality") >= 0.5)
+    w = W.partitionBy(F.md5("text"))
+    deduped = kept.withColumn(
+        "keep", F.col("doc_id") == F.min("doc_id").over(w)
+    ).where("keep")
+    # avg entirely in integer space: float sums are partition-order
+    # dependent, and averages of 4-decimal values land EXACTLY on
+    # .xxxx5 boundaries where Spark's ROUND (shortest-decimal HALF_UP)
+    # and DuckDB's (raw-binary) disagree. Integer sum + integer half-up
+    # ((10S + 5n) div (10n)) is deterministic in both engines.
+    qint = F.round(F.col("quality") * 10000, 0).cast("bigint")
+    s = F.sum(qint)
+    n = F.count(F.lit(1))
+    avg_fp = F.floor((10 * s + 5 * n) / (10.0 * n)).cast("bigint")
+    return (
+        deduped.groupBy("lang", "source")
+        .agg(
+            n.alias("kept"),
+            (avg_fp / F.lit(10000.0)).alias("avg_q"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -55,6 +55,7 @@ REGISTRY: dict[str, QueryFn] = {
     "text_analysis": pipeline.text_analysis,
     "text_winnow": pipeline.text_winnow,
     "dedup_cc": pipeline.dedup_cc,
+    "pipeline_filter": pipeline.pipeline_filter,
     "dedup_exact": pipeline.dedup_exact,
     "dedup_minhash": pipeline.dedup_minhash,
     "dedup_simhash": pipeline.dedup_simhash,
