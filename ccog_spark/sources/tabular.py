@@ -30,3 +30,16 @@ def write_parquet_partitioned(
     partition column → partition pruning on read (Catalyst skips whole
     directories for equality/range predicates on partition columns)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df, name: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
+) -> None:
+    """Bucketed managed table (E: co-located joins): later equi-joins on
+    ``bucket_col`` between tables bucketed the same way need NO shuffle
+    — the pre-shuffle is paid once at write time, the win repeats every
+    join. The 100 TB pattern for fact⋈fact joins on a shared key."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(name)

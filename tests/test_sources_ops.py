@@ -129,3 +129,34 @@ def test_udtf_shingles(spark):
     toks = first.text.split(" ")
     assert len(out) == len(toks) - 2
     assert out[0].shingle == " ".join(toks[0:3])
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Both sides bucketed on the join key → SortMergeJoin with no
+    Exchange above either scan (the co-location contract)."""
+    from ccog_spark.sources.tabular import write_bucketed_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(li, "b_lineitem", "l_orderkey", 4)
+    write_bucketed_table(orders, "b_orders", "o_orderkey", 4)
+    # disable broadcast so the join strategy is the bucketed SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
