@@ -287,3 +287,65 @@ def collect_cog_bytes(
         data = f.read()
     os.unlink(res.path)
     return data, res.plan
+
+
+def write_ccog(
+    spark: SparkSession,
+    arr,
+    store: str,
+    mask=None,
+    blocksize: int = 512,
+    overview_resampling: str = "average",
+    nodata: float = -9999.0,
+    **kwargs,
+):
+    """Reference-shaped convenience entry point (≙ ccog write_ccog,
+    ccog/ccog.py:801-971): numpy array in (2-D promoted to 3-D, mask
+    optional with non-zero = valid, GDAL convention), COG out via the
+    distributed job. Validation mirrors the reference's client-side
+    checks: blocksize must be a multiple of 16 (ccog/ccog.py:930-933),
+    mask must match the spatial shape (:957-962), resampling must be a
+    known kernel (:905-915).
+    """
+    import numpy as np
+
+    from ccog_spark.raster.halo import INTERP_KERNELS
+    from ccog_spark.raster.pyramid import KERNELS
+    from ccog_spark.raster.tiles import pixels_from_tiles
+    from ccog_spark.sources.raster_ingest import ingest_numpy
+
+    if blocksize % 16 != 0:
+        raise ValueError(f"blocksize {blocksize} must be a multiple of 16")
+    if overview_resampling not in KERNELS:
+        if overview_resampling in INTERP_KERNELS:
+            raise ValueError(
+                f"interpolating kernel {overview_resampling!r}: use "
+                "raster.halo.interp_decimate for overviews (pyramid "
+                "write integration uses the SQL kernels)"
+            )
+        raise ValueError(f"unknown resampling {overview_resampling!r}")
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    if arr.ndim != 3:
+        raise ValueError(f"expected 2-D or 3-D array, got {arr.ndim}-D")
+    bands, height, width = arr.shape
+    if mask is not None and mask.shape != (height, width):
+        raise ValueError(
+            f"mask shape {mask.shape} != spatial shape {(height, width)}"
+        )
+
+    tiles = ingest_numpy(spark, arr, mask, blocksize=blocksize, nodata=nodata)
+    px = pixels_from_tiles(tiles, blocksize, nodata).drop("level")
+    return write_cog(
+        spark,
+        px,
+        width,
+        height,
+        bands,
+        store,
+        blocksize=blocksize,
+        kernel=overview_resampling,
+        nodata=nodata,
+        **kwargs,
+    )

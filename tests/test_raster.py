@@ -300,3 +300,27 @@ def test_overview_compress_level_changes_bytes(spark, tmp_path):
     i2 = tiff.read_cog(open(o2, "rb").read())
     assert i1[0].bytecounts == i2[0].bytecounts
     assert i1[1].bytecounts != i2[1].bytecounts
+
+
+def test_write_ccog_reference_shaped_api(spark, tmp_path):
+    """The reference-signature entry point: numpy + mask in, valid COG
+    out; validation errors mirror ccog's client-side checks."""
+    from ccog_spark.raster.cog import write_ccog
+
+    rng = np.random.default_rng(5)
+    arr = np.round(rng.random((96, 160)) * 10, 3)  # 2-D → promoted
+    mask = rng.random((96, 160)) > 0.1
+    out = str(tmp_path / "ref_api.tif")
+    res = write_ccog(spark, arr, out, mask=mask, blocksize=32)
+    data = open(out, "rb").read()
+    ifds = tiff.read_cog(data)
+    assert ifds[0].bands == 1 and ifds[0].width == 160
+    got = tiff.read_band(data, ifds[0], 0)
+    assert np.array_equal(got[mask], arr[mask])
+
+    with pytest.raises(ValueError, match="multiple of 16"):
+        write_ccog(spark, arr, out, blocksize=30)
+    with pytest.raises(ValueError, match="unknown resampling"):
+        write_ccog(spark, arr, out, blocksize=32, overview_resampling="nope")
+    with pytest.raises(ValueError, match="mask shape"):
+        write_ccog(spark, arr, out, mask=mask[:50], blocksize=32)
