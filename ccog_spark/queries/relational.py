@@ -113,17 +113,24 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join + null handling (E7, E28).
 
-    COUNT(o_orderkey) counts only matched rows (nulls excluded);
-    COALESCE(SUM,0) maps the no-orders customer to 0 spend.
+    Scale rewrite: orders are PRE-AGGREGATED by custkey before the
+    join (Catalyst does not push aggregates through joins itself), so
+    the join input is one row per customer instead of one per order —
+    at 100 TB that turns a fact-sized shuffle + join into a
+    key-cardinality one. COUNT(o_orderkey)=0 and spend=0 for customers
+    with no orders come from the COALESCE on the left join.
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("_n"), F.sum("o_totalprice").alias("_sum")
+    )
     return (
-        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(
-            F.count("o_orderkey").alias("n"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        customer.join(per_cust, per_cust.o_custkey == customer.c_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n"),
+            F.round(F.coalesce(F.col("_sum"), F.lit(0.0)), 2).alias("spend"),
         )
         .orderBy("c_custkey")
     )
