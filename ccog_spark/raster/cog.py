@@ -44,6 +44,7 @@ def encode_tiles(
     tiles: DataFrame,
     compress_level: int = 6,
     overview_compress_level: int | None = None,
+    codec: str = "deflate",
 ) -> DataFrame:
     """Deflate-encode tile payloads (map-side, Arrow-batched); sparse
     tiles (no valid pixels) are filtered out up front.
@@ -52,15 +53,21 @@ def encode_tiles(
     than level 0 (≙ ccog's overview_compress/quality derivation,
     _adjust_compression ccog/ccog.py:452-478)."""
 
-    def make_kernel(lvl: int, ov_lvl: int):
+    def make_kernel(lvl: int, ov_lvl: int, cdc: str):
         def enc(it):
+            import lzma
             import zlib
 
             import pandas as pd
 
+            def comp(d, level):
+                if cdc == "lzma":
+                    return lzma.compress(d, preset=level)
+                return zlib.compress(d, level)
+
             for pdf in it:
                 data = [
-                    zlib.compress(d, lvl if level == 0 else ov_lvl)
+                    comp(d, lvl if level == 0 else ov_lvl)
                     for d, level in zip(pdf["data"], pdf["level"])
                 ]
                 yield pd.DataFrame(
@@ -80,7 +87,7 @@ def encode_tiles(
 
     dense = tiles.where(F.col("valid_count") > 0)
     ov = compress_level if overview_compress_level is None else overview_compress_level
-    return dense.mapInPandas(make_kernel(compress_level, ov), ENC_SCHEMA)
+    return dense.mapInPandas(make_kernel(compress_level, ov, codec), ENC_SCHEMA)
 
 
 @dataclass
@@ -108,6 +115,7 @@ def write_cog(
     statistics: bool = False,
     band_meta: dict[int, dict] | None = None,
     overview_compress_level: int | None = None,
+    codec: str = "deflate",
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
 
@@ -181,7 +189,7 @@ def write_cog(
     pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
     tiles = tiles_from_pixels(pyr, blocksize, nodata)
     enc = encode_tiles(
-        tiles, overview_compress_level=overview_compress_level
+        tiles, overview_compress_level=overview_compress_level, codec=codec
     ).persist()
 
     index = enc.select("level", "band", "tile_y", "tile_x", "nbytes").collect()
@@ -198,6 +206,7 @@ def write_cog(
         nodata,
         fmt=fmt,
         metadata_xml=metadata_xml,
+        codec=codec,
     )
 
     # file_seq: header is 0; tiles follow in plan order.

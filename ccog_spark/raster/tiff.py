@@ -50,6 +50,8 @@ TYPE_ASCII = 2
 TYPE_LONG8 = 16  # uint64 (BigTIFF)
 
 COMPRESSION_DEFLATE = 8
+COMPRESSION_LZMA = 34925  # public GDAL/libtiff LZMA compression tag
+CODEC_TAGS = {"deflate": COMPRESSION_DEFLATE, "lzma": COMPRESSION_LZMA}
 
 TYPE_SIZES = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_ASCII: 1, TYPE_LONG8: 8}
 TYPE_FMTS = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_ASCII: "B", TYPE_LONG8: "Q"}
@@ -60,12 +62,22 @@ TYPE_FMTS = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_ASCII: "B", TYPE_LONG8: "Q"}
 CLASSIC_LIMIT = (1 << 32) - (64 << 20)  # headroom under 4 GiB
 
 
-def encode_tile(arr_bytes: bytes, level_compress: int = 6) -> bytes:
-    """Deflate-compress one tile payload (E23)."""
+def encode_tile(
+    arr_bytes: bytes, level_compress: int = 6, codec: str = "deflate"
+) -> bytes:
+    """Compress one tile payload (E23): deflate (zlib) or lzma."""
+    if codec == "lzma":
+        import lzma
+
+        return lzma.compress(arr_bytes, preset=level_compress)
     return zlib.compress(arr_bytes, level_compress)
 
 
-def decode_tile(data: bytes) -> bytes:
+def decode_tile(data: bytes, compression: int = COMPRESSION_DEFLATE) -> bytes:
+    if compression == COMPRESSION_LZMA:
+        import lzma
+
+        return lzma.decompress(data)
     return zlib.decompress(data)
 
 
@@ -112,6 +124,7 @@ def build_cog_plan(
     nodata: float = -9999.0,
     fmt: str = "auto",
     metadata_xml: str | None = None,
+    codec: str = "deflate",
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
@@ -256,7 +269,7 @@ def build_cog_plan(
             )
         else:
             entries.append(entry_shorts_inline(TAG_BITS_PER_SAMPLE, [64] * bands))
-        entries.append(entry(TAG_COMPRESSION, TYPE_SHORT, 1, COMPRESSION_DEFLATE))
+        entries.append(entry(TAG_COMPRESSION, TYPE_SHORT, 1, CODEC_TAGS[codec]))
         entries.append(entry(TAG_PHOTOMETRIC, TYPE_SHORT, 1, 1))
         entries.append(entry(TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, 1, bands))
         entries.append(entry(TAG_PLANAR_CONFIG, TYPE_SHORT, 1, 2))
@@ -454,7 +467,7 @@ def read_band(data: bytes, ifd: IfdInfo, band: int):
         off, cnt = ifd.offsets[i], ifd.bytecounts[i]
         if cnt == 0:
             continue
-        raw = decode_tile(data[off : off + cnt])
+        raw = decode_tile(data[off : off + cnt], ifd.compression)
         tile = np.frombuffer(raw, dtype="<f8")
         r, c = divmod(t, tx)
         th = min(ifd.tile_height, ifd.height - r * ifd.tile_height)

@@ -42,3 +42,18 @@ def test_entry_contract(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_engine_facade(spark):
+    from ccog_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=SF_SMOKE)
+    assert eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n == 6000
+    assert len(eng.query("q02").collect()) == 6
+    assert eng.check("q02").ok
+    assert "q02" in eng.query_ids()
+    # UDTF registered through the facade
+    n = eng.sql(
+        "SELECT count(*) AS n FROM documents, LATERAL explode_shingles(text)"
+    ).collect()[0].n
+    assert n > 0

@@ -324,3 +324,19 @@ def test_write_ccog_reference_shaped_api(spark, tmp_path):
         write_ccog(spark, arr, out, blocksize=32, overview_resampling="nope")
     with pytest.raises(ValueError, match="mask shape"):
         write_ccog(spark, arr, out, mask=mask[:50], blocksize=32)
+
+
+def test_lzma_codec_roundtrip(spark, tmp_path):
+    """LZMA tile codec (TIFF tag 34925): identical pixels, different
+    compression tag; reader dispatches on the tag."""
+    out = str(tmp_path / "lzma.tif")
+    px = pixels_df(spark)
+    write_cog(spark, px, W, H, BANDS, out, blocksize=BLOCK, nodata=NODATA,
+              codec="lzma")
+    data = open(out, "rb").read()
+    ifds = tiff.read_cog(data)
+    assert all(i.compression == 34925 for i in ifds)
+    val, ok = fixture_array(spark, level=0)
+    for b in range(BANDS):
+        got = tiff.read_band(data, ifds[0], b)
+        assert np.array_equal(got[ok[b]], val[b][ok[b]])
