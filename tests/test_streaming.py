@@ -99,3 +99,25 @@ def test_asof_strategies_agree(spark):
     p = {tuple(r) for r in asof_join_pandas(clicks, purchases, **kw).collect()}
     assert len(a) > 0
     assert a == u == p
+
+
+def test_foreachbatch_exactly_once_sink(spark, tmp_path):
+    """Every source row lands exactly once across epoch directories;
+    multiple micro-batches produce multiple epochs."""
+    from ccog_spark.streaming.sinks import write_stream_exactly_once
+    from ccog_spark.streaming.windows import read_events_stream
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, SF_SMOKE, with_watermark=None)
+    q = write_stream_exactly_once(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.option("basePath", out).parquet(out + "/epoch=*")
+    src = load_table(spark, SF_SMOKE, "events")
+    assert written.count() == src.count()
+    assert written.select("event_id").distinct().count() == src.count()
+    epochs = written.select("epoch").distinct().count()
+    assert epochs >= 2  # maxFilesPerTrigger=1 over 4 staged files
