@@ -403,3 +403,60 @@ SELECT p_partkey, metric, val FROM (
   SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
 ) t ORDER BY p_partkey, metric
 """
+
+
+def _conv_pass(grid_sql: str, src: str, src_row: str, src_col: str,
+               out_idx: str, val_col: str, ok_expr: str) -> str:
+    """One separable 4-tap half-phase pass as fixed-association SQL:
+    pivot the 4 taps into columns (one source cell each), then
+    ((w0·v0 + w1·v1) + w2·v2) + w3·v3 — the same left-assoc order as
+    the numpy kernel, so doubles are bit-identical."""
+    from ccog_spark.raster.halo import CUBIC_TAPS
+
+    offs = (-1, 0, 1, 2)
+    piv_v = ", ".join(
+        f"MAX(CASE WHEN s.{src_row} - 2 * g.{out_idx} = {o} THEN "
+        f"CASE WHEN {ok_expr} THEN s.{val_col} ELSE 0.0 END END) AS v{i}"
+        for i, o in enumerate(offs)
+    )
+    piv_k = ", ".join(
+        f"COALESCE(MAX(CASE WHEN s.{src_row} - 2 * g.{out_idx} = {o} "
+        f"THEN CAST({ok_expr} AS INT) END), 0) = 1 AS k{i}"
+        for i, o in enumerate(offs)
+    )
+    w = CUBIC_TAPS
+    acc = (
+        f"(({w[0]} * COALESCE(v0, 0.0) + {w[1]} * COALESCE(v1, 0.0))"
+        f" + {w[2]} * COALESCE(v2, 0.0)) + {w[3]} * COALESCE(v3, 0.0)"
+    )
+    return f"""
+  SELECT band, {out_idx}, {src_col}, {acc} AS rv,
+         (k0 AND k1) AND (k2 AND k3) AS rok
+  FROM (
+    SELECT g.band, g.{out_idx}, g.{src_col}, {piv_v}, {piv_k}
+    FROM {grid_sql} g
+    LEFT JOIN {src} s
+      ON s.band = g.band AND s.{src_col} = g.{src_col}
+     AND s.{src_row} BETWEEN 2 * g.{out_idx} - 1 AND 2 * g.{out_idx} + 2
+    GROUP BY g.band, g.{out_idx}, g.{src_col}
+  )"""
+
+
+_ROW_GRID = """(SELECT CAST(b.range + 1 AS INT) AS band, CAST(r.range AS INT) AS oj,
+        CAST(c.range AS INT) AS x
+ FROM range(3) b, range(48) r, range(160) c)"""
+_COL_GRID = """(SELECT CAST(b.range + 1 AS INT) AS band, CAST(r.range AS INT) AS oj,
+        CAST(c.range AS INT) AS ox
+ FROM range(3) b, range(48) r, range(80) c)"""
+
+ORACLE["cubic_decimate"] = f"""
+WITH {PIXELS_SQL_CTE},
+rowp AS ({_conv_pass(_ROW_GRID, 'pixels', 'y', 'x', 'oj', 'value', 's.valid')}),
+rsrc AS (SELECT band, oj, x, rv, rok FROM rowp),
+colp AS ({_conv_pass(_COL_GRID, 'rsrc', 'x', 'oj', 'ox', 'rv', 's.rok')})
+SELECT band, oj AS y, ox AS x,
+       CASE WHEN rok THEN FLOOR(rv * 10000 + 0.5) / 10000.0 END AS v,
+       rok AS valid
+FROM colp
+ORDER BY band, y, x
+"""

@@ -64,9 +64,11 @@ def cubic_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Halo-exchange cubic (Catmull-Rom) 2× decimation (E21 ≙ ccog's
     interpolating resamplers, overlap table ccog/ccog.py:41-53).
 
-    Not SQL-expressible with bit-identical floats (separable two-pass
-    convolution); the strong gate is the tiling-invariance test
-    (tests/test_halo.py) — distributed tiled+halo == untiled numpy.
+    Oracle-checked: the DuckDB side re-expresses the separable
+    convolution with conditional-pivot taps in the SAME association
+    order as the numpy kernel, so doubles match bit-for-bit; the
+    tiling-invariance test (tests/test_halo.py) additionally proves
+    distributed tiled+halo == untiled numpy.
     """
     from pyspark.sql import functions as F
 
@@ -77,5 +79,16 @@ def cubic_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = tiles_from_pixels(px, BLOCK, -9999.0)
     out = cubic_decimate(tiles, BLOCK, -9999.0)
     return out.select(
-        "band", "y", "x", F.round("value", 4).alias("v"), "valid"
+        "band",
+        "y",
+        "x",
+        # invalid outputs carry NaN in the kernel; emit NULL for the
+        # oracle comparison. FLOOR(x*1e4+0.5)/1e4 instead of ROUND:
+        # engines disagree on exact .xxxx5 boundaries (Spark rounds the
+        # shortest-decimal repr, DuckDB the raw binary), while this
+        # formula is plain double arithmetic — identical in both.
+        F.when(
+            F.col("valid"), F.floor(F.col("value") * 10000 + 0.5) / 10000.0
+        ).alias("v"),
+        "valid",
     ).orderBy("band", "y", "x")

@@ -13,10 +13,7 @@ from ccog_spark.queries.registry import ORACLE, REGISTRY
 from tests.conftest import SF_SMOKE
 
 
-NO_ORACLE = {
-    "cog_write",  # TIFF bytes; strong gate in test_raster
-    "cubic_decimate",  # FP convolution; strong gate in test_halo
-}
+NO_ORACLE = {"cog_write"}  # TIFF bytes; strong gate in test_raster
 
 
 def test_registry_oracle_keys_align():
