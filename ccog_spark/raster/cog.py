@@ -116,6 +116,7 @@ def write_cog(
     band_meta: dict[int, dict] | None = None,
     overview_compress_level: int | None = None,
     codec: str = "deflate",
+    geo: dict | None = None,
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
 
@@ -207,6 +208,7 @@ def write_cog(
         fmt=fmt,
         metadata_xml=metadata_xml,
         codec=codec,
+        geo=geo,
     )
 
     # file_seq: header is 0; tiles follow in plan order.

@@ -41,20 +41,26 @@ TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
 TAG_SAMPLE_FORMAT = 339
+TAG_MODEL_PIXEL_SCALE = 33550  # GeoTIFF spec (public)
+TAG_MODEL_TIEPOINT = 33922
+TAG_GEO_KEY_DIRECTORY = 34735
 TAG_GDAL_METADATA = 42112
 TAG_GDAL_NODATA = 42113
 
 TYPE_SHORT = 3  # uint16
 TYPE_LONG = 4  # uint32
 TYPE_ASCII = 2
+TYPE_DOUBLE = 12
 TYPE_LONG8 = 16  # uint64 (BigTIFF)
 
 COMPRESSION_DEFLATE = 8
 COMPRESSION_LZMA = 34925  # public GDAL/libtiff LZMA compression tag
 CODEC_TAGS = {"deflate": COMPRESSION_DEFLATE, "lzma": COMPRESSION_LZMA}
 
-TYPE_SIZES = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_ASCII: 1, TYPE_LONG8: 8}
-TYPE_FMTS = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_ASCII: "B", TYPE_LONG8: "Q"}
+TYPE_SIZES = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_ASCII: 1, TYPE_LONG8: 8,
+              TYPE_DOUBLE: 8}
+TYPE_FMTS = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_ASCII: "B", TYPE_LONG8: "Q",
+             TYPE_DOUBLE: "d"}
 
 # Classic TIFF caps every offset at 4 GiB; BigTIFF (version 43, 8-byte
 # offsets, 20-byte IFD entries) is the same layout scaled up. 'auto'
@@ -125,6 +131,7 @@ def build_cog_plan(
     fmt: str = "auto",
     metadata_xml: str | None = None,
     codec: str = "deflate",
+    geo: dict | None = None,
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
@@ -157,7 +164,22 @@ def build_cog_plan(
         if len(meta_ascii) % 2:
             meta_ascii += b"\x00"
 
-    n_entries = 14  # metadata tag (IFD 0 only) handled as +1 below
+    # Georeferencing (GeoTIFF spec, public): geo = {"origin": (ox, oy),
+    # "px_size": (sx, sy), "epsg": int}. Written on IFD 0 only —
+    # overviews inherit, per GDAL convention (≙ the reference carrying
+    # CRS/transform from rioxarray, ccog/ccog.py:824-825,921-927).
+    geo_keys = None
+    if geo is not None:
+        epsg = int(geo["epsg"])
+        model_type, cs_key = (2, 2048) if epsg == 4326 else (1, 3072)
+        geo_keys = [
+            1, 1, 0, 3,
+            1024, 0, 1, model_type,  # GTModelTypeGeoKey
+            1025, 0, 1, 1,           # GTRasterTypeGeoKey = PixelIsArea
+            cs_key, 0, 1, epsg,      # Geographic/ProjectedCSTypeGeoKey
+        ]
+
+    n_entries = 14  # metadata/geo tags (IFD 0 only) handled as + below
     # classic: u16 count + 12B entries + u32 next; bigtiff: u64 count +
     # 20B entries + u64 next
     def _ifd_size(n: int) -> int:
@@ -168,9 +190,12 @@ def build_cog_plan(
     off_size = TYPE_SIZES[off_type]
     off_fmt = TYPE_FMTS[off_type]
     ifd_start = header_size
-    # IFD 0 carries the optional GDAL_METADATA tag → one extra entry
+    # IFD 0 carries the optional GDAL_METADATA (+1) and geo tags (+3)
+    ifd0_extra = (1 if meta_ascii is not None else 0) + (
+        3 if geo_keys is not None else 0
+    )
     ifd_entry_counts = [
-        n_entries + (1 if (i == 0 and meta_ascii is not None) else 0)
+        n_entries + (ifd0_extra if i == 0 else 0)
         for i in range(len(levels))
     ]
     ifd_offsets = []
@@ -195,6 +220,13 @@ def build_cog_plan(
     if meta_ascii is not None:
         ext[("meta", "s")] = pos
         pos += len(meta_ascii)
+    if geo_keys is not None:
+        ext[("geo", "scale")] = pos
+        pos += 8 * 3
+        ext[("geo", "tie")] = pos
+        pos += 8 * 6
+        ext[("geo", "keys")] = pos
+        pos += 2 * len(geo_keys)
     for lp in levels:
         if 2 * bands > inline_cap:
             ext[(lp.level, "bps")] = pos
@@ -294,6 +326,18 @@ def build_cog_plan(
             entries.append(
                 entry(TAG_GDAL_METADATA, TYPE_ASCII, len(meta_ascii), ext[("meta", "s")])
             )
+        if i == 0 and geo_keys is not None:
+            entries.append(
+                entry(TAG_MODEL_PIXEL_SCALE, TYPE_DOUBLE, 3, ext[("geo", "scale")])
+            )
+            entries.append(
+                entry(TAG_MODEL_TIEPOINT, TYPE_DOUBLE, 6, ext[("geo", "tie")])
+            )
+            entries.append(
+                entry(
+                    TAG_GEO_KEY_DIRECTORY, TYPE_SHORT, len(geo_keys), ext[("geo", "keys")]
+                )
+            )
         if nodata_inline:
             raw = (nodata_ascii + b"\x00" * val_bytes)[:val_bytes]
             if big:
@@ -328,6 +372,15 @@ def build_cog_plan(
     if meta_ascii is not None:
         p0 = ext[("meta", "s")]
         buf[p0 : p0 + len(meta_ascii)] = meta_ascii
+    if geo_keys is not None:
+        sx, sy = geo["px_size"]
+        ox, oy = geo["origin"]
+        struct.pack_into("<3d", buf, ext[("geo", "scale")], sx, sy, 0.0)
+        # tiepoint: raster (0,0,0) ↦ model (ox, oy, 0)
+        struct.pack_into("<6d", buf, ext[("geo", "tie")], 0.0, 0.0, 0.0, ox, oy, 0.0)
+        struct.pack_into(
+            f"<{len(geo_keys)}H", buf, ext[("geo", "keys")], *geo_keys
+        )
     for lp in levels:
         if 2 * bands > inline_cap:
             struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "bps")], *([64] * bands))
@@ -371,6 +424,19 @@ class IfdInfo:
     nodata: float | None
     compression: int
     metadata: str | None = None
+    pixel_scale: list[float] | None = None
+    tiepoint: list[float] | None = None
+    epsg: int | None = None
+
+
+def _epsg_from_keys(keys) -> int | None:
+    """Extract the CS EPSG code from a GeoKeyDirectory SHORT array."""
+    if not keys or not isinstance(keys, list):
+        return None
+    for i in range(4, len(keys) - 3, 4):
+        if keys[i] in (2048, 3072):  # Geographic/ProjectedCSTypeGeoKey
+            return keys[i + 3]
+    return None
 
 
 def read_cog(data: bytes) -> list[IfdInfo]:
@@ -442,6 +508,9 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                 nodata=float(nod) if nod is not None else None,
                 compression=val(TAG_COMPRESSION),
                 metadata=val(TAG_GDAL_METADATA),
+                pixel_scale=val(TAG_MODEL_PIXEL_SCALE),
+                tiepoint=val(TAG_MODEL_TIEPOINT),
+                epsg=_epsg_from_keys(val(TAG_GEO_KEY_DIRECTORY)),
             )
         )
         (ifd_off,) = struct.unpack_from(

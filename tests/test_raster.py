@@ -340,3 +340,29 @@ def test_lzma_codec_roundtrip(spark, tmp_path):
     for b in range(BANDS):
         got = tiff.read_band(data, ifds[0], b)
         assert np.array_equal(got[ok[b]], val[b][ok[b]])
+
+
+def test_geotiff_georeferencing(spark, tmp_path):
+    """GeoTIFF tags (ModelPixelScale, ModelTiepoint, GeoKeyDirectory):
+    CRS + affine transform survive the write/read round-trip."""
+    out = str(tmp_path / "geo.tif")
+    geo = {"origin": (149.0, -35.0), "px_size": (0.001, 0.001), "epsg": 4326}
+    write_cog(spark, pixels_df(spark), W, H, BANDS, out, blocksize=BLOCK,
+              nodata=NODATA, geo=geo)
+    data = open(out, "rb").read()
+    ifds = tiff.read_cog(data)
+    assert ifds[0].pixel_scale == [0.001, 0.001, 0.0]
+    assert ifds[0].tiepoint == [0.0, 0.0, 0.0, 149.0, -35.0, 0.0]
+    assert ifds[0].epsg == 4326
+    assert ifds[1].epsg is None  # overviews inherit (GDAL convention)
+    # projected CRS path
+    out2 = str(tmp_path / "geo_proj.tif")
+    write_cog(spark, pixels_df(spark), W, H, BANDS, out2, blocksize=BLOCK,
+              nodata=NODATA, geo={"origin": (0, 0), "px_size": (10, 10),
+                                  "epsg": 32755})
+    i2 = tiff.read_cog(open(out2, "rb").read())
+    assert i2[0].epsg == 32755
+    # pixels unaffected by geo tags
+    val, ok = fixture_array(spark, level=0)
+    got = tiff.read_band(data, ifds[0], 0)
+    assert np.array_equal(got[ok[0]], val[0][ok[0]])
