@@ -19,44 +19,62 @@ from ccog_spark.raster.tiff import read_cog
 
 
 def cog_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end COG write of the fixture raster + read-back summary.
+    """End-to-end COG write of the fixture raster + read-back summary,
+    in BOTH a float64/deflate profile and a uint8/predictor-2 profile
+    (native dtypes + horizontal differencing, ≙ ccog profile dtype and
+    predictor forwarding, ccog/ccog.py:452-478,952-955).
 
-    Returns one row per IFD of the produced file (deterministic: zlib
-    at a fixed level, fixed layout), proving pyramid → tiles → encode →
-    offset plan → ordered multipart write → parseable file.
+    Returns one row per (profile, IFD) of the produced files
+    (deterministic: zlib at a fixed level, fixed layout), proving
+    pyramid → tiles → encode → offset plan → ordered multipart write →
+    parseable file for each dtype path.
     """
-    out = os.path.join(tempfile.gettempdir(), "ccog_corpus_cog.tif")
-    res = write_cog(
-        spark,
-        pixels_df(spark),
-        width=W,
-        height=H,
-        bands=BANDS,
-        target_path=out,
-        blocksize=BLOCK,
-        kernel="average",
-        nodata=-9999.0,
-    )
-    with open(res.path, "rb") as f:
-        data = f.read()
-    ifds = read_cog(data)
-    rows = [
+    from pyspark.sql import functions as F
+
+    px = pixels_df(spark)
+    profiles = [
+        ("f64", px, dict(nodata=-9999.0)),
+        # uint8 variant: values folded into [0, 200), nodata 255
         (
-            i,
-            ifd.width,
-            ifd.height,
-            ifd.subfile_type,
-            sum(1 for c in ifd.bytecounts if c == 0),
-            sum(1 for c in ifd.bytecounts if c > 0),
-            res.n_parts,
-            len(data),
-        )
-        for i, ifd in enumerate(ifds)
+            "u8_pred2",
+            px.select(
+                "band", "y", "x",
+                (F.floor(F.col("value")) % 200).cast("double").alias("value"),
+                "valid",
+            ),
+            dict(nodata=255.0, dtype="uint8", predictor=2),
+        ),
     ]
+    rows = []
+    for name, pixels, kw in profiles:
+        out = os.path.join(tempfile.gettempdir(), f"ccog_corpus_{name}.tif")
+        res = write_cog(
+            spark, pixels, width=W, height=H, bands=BANDS, target_path=out,
+            blocksize=BLOCK, kernel="average", **kw,
+        )
+        with open(res.path, "rb") as f:
+            data = f.read()
+        for i, ifd in enumerate(read_cog(data)):
+            rows.append(
+                (
+                    name,
+                    i,
+                    ifd.width,
+                    ifd.height,
+                    ifd.subfile_type,
+                    ifd.bits_per_sample,
+                    ifd.predictor,
+                    sum(1 for c in ifd.bytecounts if c == 0),
+                    sum(1 for c in ifd.bytecounts if c > 0),
+                    res.n_parts,
+                    len(data),
+                )
+            )
     return spark.createDataFrame(
         rows,
-        "ifd int, width int, height int, subfile_type int, "
-        "sparse_tiles int, data_tiles int, n_parts int, file_size int",
+        "profile string, ifd int, width int, height int, subfile_type int, "
+        "bits int, predictor int, sparse_tiles int, data_tiles int, "
+        "n_parts int, file_size int",
     )
 
 
@@ -76,7 +94,7 @@ def cubic_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ccog_spark.raster.tiles import tiles_from_pixels
 
     px = pixels_df(spark)
-    tiles = tiles_from_pixels(px, BLOCK, -9999.0)
+    tiles = tiles_from_pixels(px, BLOCK, -9999.0, W, H)
     out = cubic_decimate(tiles, BLOCK, -9999.0)
     return out.select(
         "band",

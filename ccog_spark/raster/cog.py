@@ -45,31 +45,68 @@ def encode_tiles(
     compress_level: int = 6,
     overview_compress_level: int | None = None,
     codec: str = "deflate",
+    blocksize: int = 512,
+    dtype: str = "float64",
+    predictor: int = 1,
+    overview_codec: str | None = None,
+    overview_predictor: int | None = None,
 ) -> DataFrame:
-    """Deflate-encode tile payloads (map-side, Arrow-batched); sparse
-    tiles (no valid pixels) are filtered out up front.
+    """Encode tile payloads (map-side, Arrow-batched); sparse tiles (no
+    valid pixels) are filtered out up front.
 
-    ``overview_compress_level`` lets overviews use a different setting
-    than level 0 (≙ ccog's overview_compress/quality derivation,
-    _adjust_compression ccog/ccog.py:452-478)."""
+    Payloads arrive as full blocksize² float64 blocks (the working
+    representation); the kernel casts to the output ``dtype``, applies
+    the TIFF predictor (2 = integer horizontal differencing, 3 =
+    float byte differencing — same math as tiff.predict_tile, inlined
+    so the closure stays self-contained), then compresses.
 
-    def make_kernel(lvl: int, ov_lvl: int, cdc: str):
+    ``overview_*`` let overviews use different settings than level 0
+    (≙ ccog's overview_compress/quality derivation, _adjust_compression
+    ccog/ccog.py:452-478)."""
+    np_dt = tiff.np_dtype_le(dtype)
+
+    def make_kernel(bs, np_dtype, lvl0, ov_lvl, cdc0, ov_cdc, pr0, ov_pr):
         def enc(it):
             import lzma
             import zlib
 
+            import numpy as np
             import pandas as pd
 
-            def comp(d, level):
-                if cdc == "lzma":
-                    return lzma.compress(d, preset=level)
-                return zlib.compress(d, level)
+            # self-contained predictor (mirrors tiff.predict_tile)
+            def predict(arr, p):
+                if p == 1:
+                    return arr.tobytes()
+                if p == 2:
+                    d = arr.copy()
+                    d[:, 1:] = d[:, 1:] - arr[:, :-1]
+                    return d.tobytes()
+                h, w = arr.shape
+                it_ = arr.dtype.itemsize
+                be = np.ascontiguousarray(
+                    arr, dtype=arr.dtype.newbyteorder(">")
+                )
+                rows = be.view(np.uint8).reshape(h, w, it_).transpose(0, 2, 1)
+                rows = np.ascontiguousarray(rows).reshape(h, it_ * w)
+                d = rows.copy()
+                d[:, 1:] = d[:, 1:] - rows[:, :-1]
+                return d.tobytes()
 
+            def comp(d, level):
+                cdc = cdc0 if level == 0 else ov_cdc
+                lv = lvl0 if level == 0 else ov_lvl
+                if cdc == "lzma":
+                    return lzma.compress(d, preset=lv)
+                return zlib.compress(d, lv)
+
+            dt = np.dtype(np_dtype)
             for pdf in it:
-                data = [
-                    comp(d, lvl if level == 0 else ov_lvl)
-                    for d, level in zip(pdf["data"], pdf["level"])
-                ]
+                data = []
+                for d, level in zip(pdf["data"], pdf["level"]):
+                    arr = np.frombuffer(d, dtype="<f8").reshape(bs, bs)
+                    native = arr.astype(dt)
+                    p = pr0 if level == 0 else ov_pr
+                    data.append(comp(predict(native, p), level))
                 yield pd.DataFrame(
                     {
                         "level": pdf["level"],
@@ -87,7 +124,15 @@ def encode_tiles(
 
     dense = tiles.where(F.col("valid_count") > 0)
     ov = compress_level if overview_compress_level is None else overview_compress_level
-    return dense.mapInPandas(make_kernel(compress_level, ov, codec), ENC_SCHEMA)
+    ov_cdc = overview_codec or codec
+    ov_pr = predictor if overview_predictor is None else overview_predictor
+    return dense.mapInPandas(
+        make_kernel(
+            blocksize, np_dt, compress_level, ov, codec, ov_cdc,
+            predictor, ov_pr,
+        ),
+        ENC_SCHEMA,
+    )
 
 
 @dataclass
@@ -117,6 +162,10 @@ def write_cog(
     overview_compress_level: int | None = None,
     codec: str = "deflate",
     geo: dict | None = None,
+    dtype: str = "float64",
+    predictor: int = 1,
+    overview_codec: str | None = None,
+    overview_predictor: int | None = None,
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
 
@@ -136,6 +185,32 @@ def write_cog(
     """
     if n_overviews is None:
         n_overviews = overview_count(width, height, blocksize)
+
+    # dtype/predictor validation (≙ ccog forwarding dtype into the
+    # profile, ccog/ccog.py:952-955; predictor rules per TIFF spec)
+    if dtype not in tiff.DTYPES:
+        raise ValueError(
+            f"unsupported dtype {dtype!r}; expected one of {sorted(tiff.DTYPES)}"
+        )
+    import numpy as _np
+
+    _dt = _np.dtype(tiff.np_dtype_le(dtype))
+    if _dt.kind in "ui":
+        if nodata != int(nodata) or not (
+            _np.iinfo(_dt).min <= int(nodata) <= _np.iinfo(_dt).max
+        ):
+            raise ValueError(
+                f"nodata {nodata} not representable in dtype {dtype}"
+            )
+    for p in (predictor, overview_predictor):
+        if p is None or p == 1:
+            continue
+        if p == 2 and _dt.kind not in "ui":
+            raise ValueError("predictor=2 requires an integer dtype")
+        if p == 3 and _dt.kind != "f":
+            raise ValueError("predictor=3 requires a float dtype")
+        if p not in (2, 3):
+            raise ValueError(f"unknown predictor {p}")
 
     # Normalize band labels to dense 0-based plane indices (the fixture
     # uses 1-based bands; TIFF planes are positional).
@@ -188,9 +263,16 @@ def write_cog(
     metadata_xml = tiff.gdal_metadata_xml(meta_items) if meta_items else None
 
     pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
-    tiles = tiles_from_pixels(pyr, blocksize, nodata)
+    tiles = tiles_from_pixels(pyr, blocksize, nodata, width, height)
     enc = encode_tiles(
-        tiles, overview_compress_level=overview_compress_level, codec=codec
+        tiles,
+        overview_compress_level=overview_compress_level,
+        codec=codec,
+        blocksize=blocksize,
+        dtype=dtype,
+        predictor=predictor,
+        overview_codec=overview_codec,
+        overview_predictor=overview_predictor,
     ).persist()
 
     index = enc.select("level", "band", "tile_y", "tile_x", "nbytes").collect()
@@ -209,42 +291,54 @@ def write_cog(
         metadata_xml=metadata_xml,
         codec=codec,
         geo=geo,
+        dtype=dtype,
+        predictor=predictor,
+        overview_codec=overview_codec,
+        overview_predictor=overview_predictor,
     )
 
-    # file_seq: header is 0; tiles follow in plan order.
-    seq_of = {key: i + 1 for i, key in enumerate(plan.file_order)}
+    # file_seq: header is 0; tiles follow in plan order. The tile-key →
+    # (seq, part_no) mapping is a DataFrame broadcast-joined on the tile
+    # key — a few ints per WRITTEN tile, no Python UDF and no driver
+    # dict pickled into tasks (the old O(#tiles) closure was the one
+    # scale-killer in this path).
+    import bisect
+
     sizes = [len(plan.header)] + [tile_nbytes[k] for k in plan.file_order]
     kwargs = {} if min_part_size is None else {"min_part": min_part_size}
     parts = pack_parts(sizes, **kwargs)
+    part_firsts = [p.first_seq for p in parts]
 
-    # seq → part_no lookup as a broadcast-joined mapping DataFrame
-    part_rows = [
-        (seq, p.part_no)
-        for p in parts
-        for seq in range(p.first_seq, p.last_seq + 1)
-    ]
-    part_map = spark.createDataFrame(
-        part_rows, T.StructType([
-            T.StructField("seq", T.LongType()),
-            T.StructField("part_no", T.IntegerType()),
-        ]),
-    )
+    def part_of(seq: int) -> int:
+        return parts[bisect.bisect_right(part_firsts, seq) - 1].part_no
 
-    seq_expr = F.udf(lambda l, b, ty, tx: seq_of[(l, b, ty, tx)], T.LongType())
-    tile_segments = enc.select(
-        seq_expr("level", "band", "tile_y", "tile_x").alias("seq"),
-        F.col("data"),
+    seq_schema = T.StructType([
+        T.StructField("level", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("part_no", T.IntegerType()),
+    ])
+    seq_map = spark.createDataFrame(
+        [
+            (k[0], k[1], k[2], k[3], i + 1, part_of(i + 1))
+            for i, k in enumerate(plan.file_order)
+        ],
+        seq_schema,
     )
+    tile_segments = enc.join(
+        F.broadcast(seq_map), ["level", "band", "tile_y", "tile_x"]
+    ).select("seq", "data", "part_no")
     header_segment = spark.createDataFrame(
-        [(0, bytearray(plan.header))],
+        [(0, bytearray(plan.header), part_of(0))],
         T.StructType([
             T.StructField("seq", T.LongType()),
             T.StructField("data", T.BinaryType()),
+            T.StructField("part_no", T.IntegerType()),
         ]),
     )
-    segments = header_segment.unionByName(tile_segments).join(
-        F.broadcast(part_map), "seq"
-    )
+    segments = header_segment.unionByName(tile_segments)
 
     store = LocalMpu(target_path)
     staging = store.create()
@@ -345,6 +439,12 @@ def write_ccog(
         raise ValueError(
             f"mask shape {mask.shape} != spatial shape {(height, width)}"
         )
+    # dtype forwarded from the array like the reference's profile
+    # (ccog/ccog.py:952-955); explicit dtype= wins.
+    kwargs.setdefault(
+        "dtype",
+        arr.dtype.name if arr.dtype.name in tiff.DTYPES else "float64",
+    )
 
     tiles = ingest_numpy(spark, arr, mask, blocksize=blocksize, nodata=nodata)
     px = pixels_from_tiles(tiles, blocksize, nodata).drop("level")

@@ -88,7 +88,11 @@ def _emit_strips_kernel(bs: int, halo: int, nodata: float):
                 "src_h", "src_w", "data", "mask",
             )}
             for r in pdf.itertuples(index=False):
-                arr = _np.frombuffer(r.data, dtype="<f8").reshape(r.height, r.width)
+                # payloads are full bs×bs padded blocks; the image clip
+                # is the (height, width) corner (raster.tiles contract)
+                arr = _np.frombuffer(r.data, dtype="<f8").reshape(bs, bs)[
+                    : r.height, : r.width
+                ]
                 valid = arr != nodata
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):

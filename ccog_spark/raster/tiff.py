@@ -10,10 +10,14 @@ level 0 parts").
 
 Implemented surface:
 - classic little-endian TIFF, tiled, PlanarConfiguration=2 (separate
-  band planes), SampleFormat IEEE float64, Compression=8 (zlib/deflate
-  — the COG 'DEFLATE' profile), GDAL_NODATA tag, full overview IFD
-  chain with NewSubfileType=1, sparse tiles as offset=0/bytecount=0
-  (ccog/ccog.py:443,753-754).
+  band planes), native pixel dtypes (uint8…float64 via the DTYPES
+  table), Compression=8 deflate / 34925 lzma with per-overview
+  overrides, Predictor 2 (integer horizontal differencing) and 3
+  (floating-point byte differencing, TIFF Technical Note 3),
+  GDAL_NODATA tag, full overview IFD chain with NewSubfileType=1,
+  sparse tiles as offset=0/bytecount=0 (ccog/ccog.py:443,753-754).
+  Edge tiles are nodata-padded to the full blocksize (TIFF tile
+  contract; GDAL writes the same).
 - a reader for the same subset (used by the verification oracle to
   round-trip files without GDAL).
 
@@ -40,6 +44,7 @@ TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
+TAG_PREDICTOR = 317
 TAG_SAMPLE_FORMAT = 339
 TAG_MODEL_PIXEL_SCALE = 33550  # GeoTIFF spec (public)
 TAG_MODEL_TIEPOINT = 33922
@@ -66,6 +71,78 @@ TYPE_FMTS = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_ASCII: "B", TYPE_LONG8: "Q",
 # offsets, 20-byte IFD entries) is the same layout scaled up. 'auto'
 # picks BigTIFF when the data region would cross the classic limit.
 CLASSIC_LIMIT = (1 << 32) - (64 << 20)  # headroom under 4 GiB
+
+# Pixel dtypes (≙ the reference forwarding any numpy dtype into the
+# rasterio profile, ccog/ccog.py:952-955): name → (BitsPerSample,
+# SampleFormat, little-endian numpy char). SampleFormat per TIFF 6.0:
+# 1 = unsigned int, 2 = signed int, 3 = IEEE float.
+DTYPES: dict[str, tuple[int, int, str]] = {
+    "uint8": (8, 1, "u1"),
+    "uint16": (16, 1, "u2"),
+    "uint32": (32, 1, "u4"),
+    "int8": (8, 2, "i1"),
+    "int16": (16, 2, "i2"),
+    "int32": (32, 2, "i4"),
+    "float32": (32, 3, "f4"),
+    "float64": (64, 3, "f8"),
+}
+
+# (bits, sample_format) → numpy little-endian dtype char, for the reader
+NP_OF_TIFF = {(b, s): c for (b, s, c) in DTYPES.values()}
+
+
+def np_dtype_le(dtype: str) -> str:
+    """Little-endian numpy dtype string for a DTYPES name."""
+    return "<" + DTYPES[dtype][2]
+
+
+def predict_tile(arr, predictor: int):
+    """Apply TIFF predictor to a 2-D native-dtype tile before
+    compression. 2 = horizontal differencing on integer samples
+    (TIFF 6.0 §14); 3 = floating-point horizontal byte differencing
+    (big-endian byte-plane split then byte diff — TIFF Technical Note
+    3, the public LERC-era fp predictor every libtiff implements).
+    Returns the bytes to compress."""
+    import numpy as np
+
+    if predictor == 1:
+        return arr.tobytes()
+    if predictor == 2:
+        d = arr.copy()
+        d[:, 1:] = d[:, 1:] - arr[:, :-1]  # modular wrap for ints
+        return d.tobytes()
+    if predictor == 3:
+        h, w = arr.shape
+        it = arr.dtype.itemsize
+        be = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder(">"))
+        rows = be.view(np.uint8).reshape(h, w, it).transpose(0, 2, 1)
+        rows = np.ascontiguousarray(rows).reshape(h, it * w)
+        d = rows.copy()
+        d[:, 1:] = d[:, 1:] - rows[:, :-1]
+        return d.tobytes()
+    raise ValueError(f"unknown predictor {predictor}")
+
+
+def unpredict_tile(raw: bytes, predictor: int, h: int, w: int, np_dtype: str):
+    """Inverse of predict_tile: decompressed bytes → 2-D native array."""
+    import numpy as np
+
+    dt = np.dtype(np_dtype)
+    if predictor == 1:
+        return np.frombuffer(raw, dtype=dt).reshape(h, w)
+    if predictor == 2:
+        d = np.frombuffer(raw, dtype=dt).reshape(h, w)
+        return np.cumsum(d, axis=1, dtype=dt)
+    if predictor == 3:
+        it = dt.itemsize
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, it * w)
+        acc = np.cumsum(rows, axis=1, dtype=np.uint8)
+        planes = acc.reshape(h, it, w).transpose(0, 2, 1)
+        be = np.ascontiguousarray(planes).reshape(h, w * it)
+        return (
+            be.view(dt.newbyteorder(">")).reshape(h, w).astype(dt)
+        )
+    raise ValueError(f"unknown predictor {predictor}")
 
 
 def encode_tile(
@@ -132,6 +209,10 @@ def build_cog_plan(
     metadata_xml: str | None = None,
     codec: str = "deflate",
     geo: dict | None = None,
+    dtype: str = "float64",
+    predictor: int = 1,
+    overview_codec: str | None = None,
+    overview_predictor: int | None = None,
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
@@ -145,7 +226,21 @@ def build_cog_plan(
     ``_ifd_offset_adjustments`` (ccog/ccog.py:717-773): iterate levels
     in file order (largest level index = smallest overview FIRST),
     accumulate byte counts, sparse tiles keep offset 0.
+
+    ``overview_codec``/``overview_predictor`` let overview IFDs carry
+    different compression settings than IFD 0 (≙ ccog's per-overview
+    profile adjustment, _adjust_compression ccog/ccog.py:452-478).
     """
+    bits, sfmt, _ = DTYPES[dtype]
+
+    def codec_of(lvl: int) -> str:
+        return codec if lvl == 0 else (overview_codec or codec)
+
+    def pred_of(lvl: int) -> int:
+        if lvl == 0 or overview_predictor is None:
+            return predictor
+        return overview_predictor
+
     levels: list[LevelPlan] = []
     w, h = width, height
     for lvl in range(n_overviews + 1):
@@ -179,7 +274,7 @@ def build_cog_plan(
             cs_key, 0, 1, epsg,      # Geographic/ProjectedCSTypeGeoKey
         ]
 
-    n_entries = 14  # metadata/geo tags (IFD 0 only) handled as + below
+    n_entries = 14  # metadata/geo/predictor tags handled as + below
     # classic: u16 count + 12B entries + u32 next; bigtiff: u64 count +
     # 20B entries + u64 next
     def _ifd_size(n: int) -> int:
@@ -195,8 +290,10 @@ def build_cog_plan(
         3 if geo_keys is not None else 0
     )
     ifd_entry_counts = [
-        n_entries + (ifd0_extra if i == 0 else 0)
-        for i in range(len(levels))
+        n_entries
+        + (ifd0_extra if i == 0 else 0)
+        + (1 if pred_of(lp.level) != 1 else 0)
+        for i, lp in enumerate(levels)
     ]
     ifd_offsets = []
     _off = ifd_start
@@ -300,11 +397,17 @@ def build_cog_plan(
                 entry(TAG_BITS_PER_SAMPLE, TYPE_SHORT, bands, ext[(lp.level, "bps")])
             )
         else:
-            entries.append(entry_shorts_inline(TAG_BITS_PER_SAMPLE, [64] * bands))
-        entries.append(entry(TAG_COMPRESSION, TYPE_SHORT, 1, CODEC_TAGS[codec]))
+            entries.append(entry_shorts_inline(TAG_BITS_PER_SAMPLE, [bits] * bands))
+        entries.append(
+            entry(TAG_COMPRESSION, TYPE_SHORT, 1, CODEC_TAGS[codec_of(lp.level)])
+        )
         entries.append(entry(TAG_PHOTOMETRIC, TYPE_SHORT, 1, 1))
         entries.append(entry(TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, 1, bands))
         entries.append(entry(TAG_PLANAR_CONFIG, TYPE_SHORT, 1, 2))
+        if pred_of(lp.level) != 1:
+            entries.append(
+                entry(TAG_PREDICTOR, TYPE_SHORT, 1, pred_of(lp.level))
+            )
         entries.append(entry(TAG_TILE_WIDTH, TYPE_SHORT, 1, blocksize))
         entries.append(entry(TAG_TILE_LENGTH, TYPE_SHORT, 1, blocksize))
         count = bands * lp.n_tiles
@@ -321,7 +424,7 @@ def build_cog_plan(
                 entry(TAG_SAMPLE_FORMAT, TYPE_SHORT, bands, ext[(lp.level, "sf")])
             )
         else:
-            entries.append(entry_shorts_inline(TAG_SAMPLE_FORMAT, [3] * bands))
+            entries.append(entry_shorts_inline(TAG_SAMPLE_FORMAT, [sfmt] * bands))
         if i == 0 and meta_ascii is not None:
             entries.append(
                 entry(TAG_GDAL_METADATA, TYPE_ASCII, len(meta_ascii), ext[("meta", "s")])
@@ -383,8 +486,8 @@ def build_cog_plan(
         )
     for lp in levels:
         if 2 * bands > inline_cap:
-            struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "bps")], *([64] * bands))
-            struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "sf")], *([3] * bands))
+            struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "bps")], *([bits] * bands))
+            struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "sf")], *([sfmt] * bands))
         count = bands * lp.n_tiles
         if count * off_size > inline_cap:
             struct.pack_into(
@@ -427,6 +530,14 @@ class IfdInfo:
     pixel_scale: list[float] | None = None
     tiepoint: list[float] | None = None
     epsg: int | None = None
+    bits_per_sample: int = 64
+    sample_format: int = 3
+    predictor: int = 1
+
+    @property
+    def np_dtype(self) -> str:
+        """Little-endian numpy dtype of this IFD's samples."""
+        return "<" + NP_OF_TIFF[(self.bits_per_sample, self.sample_format)]
 
 
 def _epsg_from_keys(keys) -> int | None:
@@ -495,6 +606,8 @@ def read_cog(data: bytes) -> list[IfdInfo]:
         offsets = val(TAG_TILE_OFFSETS)
         counts = val(TAG_TILE_BYTE_COUNTS)
         nod = val(TAG_GDAL_NODATA)
+        bps = val(TAG_BITS_PER_SAMPLE, 64)
+        sf = val(TAG_SAMPLE_FORMAT, 3)
         out.append(
             IfdInfo(
                 width=val(TAG_IMAGE_WIDTH),
@@ -511,6 +624,9 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                 pixel_scale=val(TAG_MODEL_PIXEL_SCALE),
                 tiepoint=val(TAG_MODEL_TIEPOINT),
                 epsg=_epsg_from_keys(val(TAG_GEO_KEY_DIRECTORY)),
+                bits_per_sample=bps[0] if isinstance(bps, list) else bps,
+                sample_format=sf[0] if isinstance(sf, list) else sf,
+                predictor=val(TAG_PREDICTOR, 1),
             )
         )
         (ifd_off,) = struct.unpack_from(
@@ -520,16 +636,23 @@ def read_cog(data: bytes) -> list[IfdInfo]:
 
 
 def read_band(data: bytes, ifd: IfdInfo, band: int):
-    """Decode one band plane to a numpy array (NaN where sparse)."""
+    """Decode one band plane to a native-dtype numpy array.
+
+    Spec-compliant tile handling: every payload decompresses to the
+    FULL tile_width×tile_height block (edge tiles are nodata-padded by
+    the writer, as GDAL does); the image clip is cropped afterwards.
+    Sparse tiles (bytecount 0) read back as nodata.
+    """
     import numpy as np
 
+    dt = np.dtype(ifd.np_dtype)
     tx = (ifd.width + ifd.tile_width - 1) // ifd.tile_width
     ty = (ifd.height + ifd.tile_height - 1) // ifd.tile_height
-    full = np.full(
-        (ty * ifd.tile_height, tx * ifd.tile_width),
-        ifd.nodata if ifd.nodata is not None else np.nan,
-        dtype="<f8",
-    )
+    if ifd.nodata is not None:
+        fill = dt.type(ifd.nodata)
+    else:
+        fill = dt.type(np.nan) if dt.kind == "f" else dt.type(0)
+    full = np.full((ty * ifd.tile_height, tx * ifd.tile_width), fill, dtype=dt)
     n_tiles = tx * ty
     for t in range(n_tiles):
         i = band * n_tiles + t
@@ -537,13 +660,12 @@ def read_band(data: bytes, ifd: IfdInfo, band: int):
         if cnt == 0:
             continue
         raw = decode_tile(data[off : off + cnt], ifd.compression)
-        tile = np.frombuffer(raw, dtype="<f8")
+        tile = unpredict_tile(
+            raw, ifd.predictor, ifd.tile_height, ifd.tile_width, ifd.np_dtype
+        )
         r, c = divmod(t, tx)
-        th = min(ifd.tile_height, ifd.height - r * ifd.tile_height)
-        tw = min(ifd.tile_width, ifd.width - c * ifd.tile_width)
-        tile = tile.reshape(th, tw)
         full[
-            r * ifd.tile_height : r * ifd.tile_height + th,
-            c * ifd.tile_width : c * ifd.tile_width + tw,
+            r * ifd.tile_height : (r + 1) * ifd.tile_height,
+            c * ifd.tile_width : (c + 1) * ifd.tile_width,
         ] = tile
     return full[: ifd.height, : ifd.width]

@@ -6,14 +6,20 @@ tile (ccog/ccog.py:930-933). Here a tile is one DataFrame row:
     (level INT, band INT, tile_y INT, tile_x INT,
      height INT, width INT, data BINARY, valid_count INT)
 
-``data`` is the raw little-endian float64 row-major block with invalid
-pixels holding ``nodata`` — the dense-array form the encode kernel
-(zlib) and any GDAL-style kernel consume. Conversion runs in
-Arrow-batched ``applyInPandas``/``mapInPandas``; tile payloads never
-leave their partition except through the one groupBy(tile key) shuffle
-that co-locates a tile's pixels (at 100 TB: pixels arrive already
-tile-clustered from ingest, so AQE turns this into a cheap local
-aggregation).
+``data`` is ALWAYS the full blocksize×blocksize little-endian float64
+row-major block with invalid pixels holding ``nodata`` — including edge
+tiles, which are padded with nodata beyond the image clip (TIFF 6.0
+requires every tile payload to decompress to the full tile size; GDAL
+pads the same way). ``height``/``width`` carry the image-clip dims of
+the tile, derived from the LEVEL GEOMETRY (image dims + blocksize), not
+from the observed pixel indices — sparse input missing a tile's
+trailing rows/columns must not shrink the tile.
+
+Conversion runs in Arrow-batched ``applyInPandas``/``mapInPandas``;
+tile payloads never leave their partition except through the one
+groupBy(tile key) shuffle that co-locates a tile's pixels (at 100 TB:
+pixels arrive already tile-clustered from ingest, so AQE turns this
+into a cheap local aggregation).
 
 All UDF kernels are self-contained closures (no module references) so
 executors need no importable ccog_spark package.
@@ -32,13 +38,41 @@ TILE_SCHEMA = (
 PIXEL_SCHEMA = "level int, band int, y int, x int, value double, valid boolean"
 
 
+def level_dims(width: int, height: int, level: int) -> tuple[int, int]:
+    """Image dims at pyramid level L: repeated ceil-halving, which for
+    powers of two equals ceil(dim / 2^L) (GDAL overview rule)."""
+    s = 1 << level
+    return (-(-width // s), -(-height // s))
+
+
+def clip_dims(
+    width: int, height: int, blocksize: int, level: int, ty: int, tx: int
+) -> tuple[int, int]:
+    """Geometry-derived (h, w) of the image clip inside tile (ty, tx)."""
+    lw, lh = level_dims(width, height, level)
+    return (
+        max(0, min(blocksize, lh - ty * blocksize)),
+        max(0, min(blocksize, lw - tx * blocksize)),
+    )
+
+
 def tiles_from_pixels(
-    pixels: DataFrame, blocksize: int, nodata: float = -9999.0
+    pixels: DataFrame,
+    blocksize: int,
+    nodata: float = -9999.0,
+    width: int | None = None,
+    height: int | None = None,
 ) -> DataFrame:
     """Long-form pixels (level,band,y,x,value,valid) → tile rows.
 
     One shuffle on the tile key; each group materializes its dense
-    block in numpy and emits a single binary row.
+    full-blocksize block in numpy and emits a single binary row.
+
+    ``width``/``height`` are the LEVEL-0 image dims; per-tile clip dims
+    follow from them (min(blocksize, level_dim - tile*blocksize)). When
+    omitted (legacy/tests over dense fixtures), the clip is inferred
+    from the max observed index — only safe when every tile's trailing
+    row/column is present in the input.
     """
     if "level" not in pixels.columns:
         pixels = pixels.withColumn("level", F.lit(0))
@@ -53,7 +87,7 @@ def tiles_from_pixels(
         "valid",
     )
 
-    def make_kernel(bs: int, nd: float):
+    def make_kernel(bs: int, nd: float, im_w, im_h):
         def to_tile(pdf):
             import numpy as np
             import pandas as pd
@@ -62,9 +96,15 @@ def tiles_from_pixels(
             band = int(pdf["band"].iloc[0])
             ty = int(pdf["tile_y"].iloc[0])
             tx = int(pdf["tile_x"].iloc[0])
-            h = int(pdf["iy"].max()) + 1
-            w = int(pdf["ix"].max()) + 1
-            arr = np.full((h, w), nd, dtype="<f8")
+            if im_w is not None:
+                s = 1 << level
+                lw, lh = -(-im_w // s), -(-im_h // s)
+                h = max(0, min(bs, lh - ty * bs))
+                w = max(0, min(bs, lw - tx * bs))
+            else:
+                h = int(pdf["iy"].max()) + 1
+                w = int(pdf["ix"].max()) + 1
+            arr = np.full((bs, bs), nd, dtype="<f8")
             valid = pdf["valid"].to_numpy()
             vals = pdf["value"].to_numpy(dtype="f8", na_value=nd)
             iy = pdf["iy"].to_numpy()
@@ -86,7 +126,7 @@ def tiles_from_pixels(
         return to_tile
 
     return keyed.groupBy("level", "band", "tile_y", "tile_x").applyInPandas(
-        make_kernel(blocksize, nodata), TILE_SCHEMA
+        make_kernel(blocksize, nodata, width, height), TILE_SCHEMA
     )
 
 
@@ -94,7 +134,8 @@ def pixels_from_tiles(
     tiles: DataFrame, blocksize: int, nodata: float = -9999.0
 ) -> DataFrame:
     """Inverse transform: tile rows → long-form pixels (map-side only,
-    no shuffle — each tile expands within its partition)."""
+    no shuffle — each tile expands within its partition). Only the
+    (height, width) image clip of each padded block is emitted."""
 
     def make_kernel(bs: int, nd: float):
         def to_pixels(it):
@@ -104,9 +145,9 @@ def pixels_from_tiles(
             for pdf in it:
                 outs = []
                 for r in pdf.itertuples(index=False):
-                    arr = np.frombuffer(r.data, dtype="<f8").reshape(
-                        r.height, r.width
-                    )
+                    arr = np.frombuffer(r.data, dtype="<f8").reshape(bs, bs)[
+                        : r.height, : r.width
+                    ]
                     yy, xx = np.meshgrid(
                         np.arange(r.height), np.arange(r.width), indexing="ij"
                     )

@@ -59,9 +59,11 @@ def ingest_numpy(
             slice(iy * blocksize, iy * blocksize + h),
             slice(ix * blocksize, ix * blocksize + w),
         )
-        block = arr[b][sl].astype("<f8")
         m = mask[sl] != 0
-        block = np.where(m, block, nodata)
+        # full blocksize payload: edge tiles padded with nodata (the
+        # TIFF tile contract; ccog_spark.raster.tiles docstring)
+        block = np.full((blocksize, blocksize), nodata, dtype="<f8")
+        block[:h, :w] = np.where(m, arr[b][sl].astype("<f8"), nodata)
         rows.append(
             (lvl, b, iy, ix, h, w, block.tobytes(), int(m.sum()))
         )
@@ -97,14 +99,17 @@ def ingest_windowed(
                 )}
                 for r in pdf.itertuples(index=False):
                     block, m = rd(r.band, r.tile_y * bs, r.tile_x * bs, r.height, r.width)
-                    block = _np.where(m, block.astype("<f8"), nd)
+                    full = _np.full((bs, bs), nd, dtype="<f8")
+                    full[: r.height, : r.width] = _np.where(
+                        m, block.astype("<f8"), nd
+                    )
                     out["level"].append(r.level)
                     out["band"].append(r.band)
                     out["tile_y"].append(r.tile_y)
                     out["tile_x"].append(r.tile_x)
                     out["height"].append(r.height)
                     out["width"].append(r.width)
-                    out["data"].append(block.tobytes())
+                    out["data"].append(full.tobytes())
                     out["valid_count"].append(int(m.sum()))
                 yield _pd.DataFrame(out)
 
