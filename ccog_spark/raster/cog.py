@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from ccog_spark.raster import tiff
 from ccog_spark.raster.pyramid import build_pyramid, overview_count
 from ccog_spark.raster.tiles import tiles_from_pixels
-from ccog_spark.sinks.mpu import LocalMpu, pack_parts, upload_segments
+from ccog_spark.sinks.mpu import pack_parts, resolve_store, upload_segments
 
 ENC_SCHEMA = (
     "level int, band int, tile_y int, tile_x int, "
@@ -340,10 +340,10 @@ def write_cog(
     )
     segments = header_segment.unionByName(tile_segments)
 
-    store = LocalMpu(target_path)
-    staging = store.create()
+    store = resolve_store(target_path)
+    store.create()
     try:
-        receipts = upload_segments(segments, len(parts), staging)
+        receipts = upload_segments(segments, len(parts), store.part_putter())
         path = store.complete(receipts)
     except Exception:
         store.abort()

@@ -50,10 +50,17 @@ def pack_parts(
 ) -> list[PartAssignment]:
     """Greedy ordered packing of contiguous segments into parts.
 
-    Every part except the last is ≥ min_part; all parts ≤ max_part;
-    raises if the object needs more than max_parts (the reference
-    pre-splits to the cap instead, aws_tools.py:195-199 — we fail
-    loudly and let the caller raise min_part, same outcome S3 enforces).
+    Every part except the last is ≥ min_part (S3 rejects undersized
+    non-final parts with EntityTooSmall at complete time); all parts ≤
+    max_part; raises if the object needs more than max_parts (the
+    reference pre-splits to the cap instead, aws_tools.py:195-199 — we
+    fail loudly and let the caller raise min_part, same outcome S3
+    enforces).
+
+    A greedy close forced by max_part overflow can strand a part below
+    min_part; a repair pass merges any undersized non-final part with a
+    neighbour when the merge stays ≤ max_part, and raises otherwise
+    (parts are contiguous whole segments — segments are never split).
     """
     parts: list[PartAssignment] = []
     cur_first, cur_bytes = 0, 0
@@ -75,6 +82,35 @@ def pack_parts(
                 len(parts) + 1, cur_first, len(segment_sizes) - 1, cur_bytes
             )
         )
+
+    # repair: every non-final part must reach min_part
+    i = 0
+    while i < len(parts) - 1:
+        p = parts[i]
+        if p.nbytes >= min_part:
+            i += 1
+            continue
+        nxt = parts[i + 1]
+        prv = parts[i - 1] if i > 0 else None
+        if p.nbytes + nxt.nbytes <= max_part:
+            parts[i] = PartAssignment(
+                0, p.first_seq, nxt.last_seq, p.nbytes + nxt.nbytes
+            )
+            del parts[i + 1]
+        elif prv is not None and prv.nbytes + p.nbytes <= max_part:
+            parts[i - 1] = PartAssignment(
+                0, prv.first_seq, p.last_seq, prv.nbytes + p.nbytes
+            )
+            del parts[i]
+        else:
+            raise ValueError(
+                f"cannot meet min_part={min_part} for part {i + 1} without "
+                f"exceeding max_part={max_part}; adjust part-size limits"
+            )
+    parts = [
+        PartAssignment(n + 1, p.first_seq, p.last_seq, p.nbytes)
+        for n, p in enumerate(parts)
+    ]
     if len(parts) > max_parts:
         raise ValueError(
             f"{len(parts)} parts exceed the {max_parts}-part cap; "
@@ -97,6 +133,30 @@ class LocalMpu:
     def create(self) -> str:
         os.makedirs(self.staging, exist_ok=True)
         return self.staging  # the "upload id"
+
+    def part_putter(self):
+        """Picklable (part_no, bytes) -> receipt callable for executors
+        (the store-agnostic hook upload_segments dispatches through)."""
+        staging = self.staging
+
+        def put(part_no: int, data: bytes) -> dict | None:
+            import hashlib as _hashlib
+            import os as _os
+
+            if not data:
+                return None
+            path = _os.path.join(staging, f"part-{part_no:05d}")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            _os.replace(tmp, path)
+            return {
+                "PartNumber": part_no,
+                "ETag": _hashlib.md5(data).hexdigest(),
+                "Size": len(data),
+            }
+
+        return put
 
     # runs on executors — must be picklable via simple state
     @staticmethod
@@ -157,6 +217,32 @@ class S3Mpu:
         self.upload_id = resp["UploadId"]
         return self.upload_id
 
+    def part_putter(self):
+        """Executor-side part upload (≙ aws_tools.py upload_part): the
+        boto3 client is created lazily INSIDE the closure (clients are
+        not picklable); only bucket/key/upload_id ship with the task."""
+        bucket, key, upload_id = self.bucket, self.key, self.upload_id
+
+        def put(part_no: int, data: bytes) -> dict | None:
+            if not data:
+                return None
+            import boto3 as _boto3
+
+            resp = _boto3.client("s3").upload_part(
+                Bucket=bucket,
+                Key=key,
+                UploadId=upload_id,
+                PartNumber=part_no,
+                Body=data,
+            )
+            return {
+                "PartNumber": part_no,
+                "ETag": resp["ETag"],
+                "Size": len(data),
+            }
+
+        return put
+
     def complete(self, receipts: list[dict]) -> str:
         try:
             parts = sorted(
@@ -177,50 +263,49 @@ class S3Mpu:
             raise
 
 
-def upload_segments(segments_df, n_parts: int, staging: str) -> list[dict]:
+def resolve_store(path: str):
+    """Path-string → store resolution (≙ aws_tools.py:31-43's
+    fsspec/storage_options dispatch, reduced to the two stores this
+    container can express): ``s3://bucket/key`` → S3Mpu, anything else
+    → LocalMpu on the filesystem."""
+    if path.startswith("s3://"):
+        rest = path[5:]
+        bucket, _, key = rest.partition("/")
+        if not bucket or not key:
+            raise ValueError(f"malformed s3 path {path!r}")
+        return S3Mpu(bucket, key)
+    return LocalMpu(path)
+
+
+def upload_segments(segments_df, n_parts: int, put) -> list[dict]:
     """Pass 2: distributed ordered upload.
 
     ``segments_df``: (seq BIGINT, part_no INT, data BINARY) — every
     byte segment of the object in file order, the header included as
     seq 0 (a 1-row DataFrame unioned in by the caller).
 
+    ``put``: a picklable (part_no, bytes) -> receipt callable from the
+    store's ``part_putter()`` — LocalMpu writes staging files, S3Mpu
+    calls upload_part; the pass itself is store-agnostic.
+
     repartitionByRange(part_no) gives each task a contiguous run of
     parts; rows are sorted (part_no, seq) so concatenation preserves
-    file order inside each part. The kernel is a self-contained closure
-    (executors need no ccog_spark import). Returns upload receipts.
+    file order inside each part. Returns upload receipts.
     """
 
     def upload_partition(rows):
-        import hashlib as _hashlib
-        import os as _os
-
-        def put(part_no: int, chunks: list[bytes]):
-            data = b"".join(chunks)
-            if not data:
-                return None
-            path = _os.path.join(staging, f"part-{part_no:05d}")
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            _os.replace(tmp, path)
-            return {
-                "PartNumber": part_no,
-                "ETag": _hashlib.md5(data).hexdigest(),
-                "Size": len(data),
-            }
-
         receipts = []
         cur_part, chunks = None, []
         for row in rows:
             if row.part_no != cur_part:
                 if cur_part is not None:
-                    r = put(cur_part, chunks)
+                    r = put(cur_part, b"".join(chunks))
                     if r:
                         receipts.append(r)
                 cur_part, chunks = row.part_no, []
             chunks.append(bytes(row.data))
         if cur_part is not None:
-            r = put(cur_part, chunks)
+            r = put(cur_part, b"".join(chunks))
             if r:
                 receipts.append(r)
         return iter(receipts)

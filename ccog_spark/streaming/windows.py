@@ -38,8 +38,6 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     baseline behavior. Also normalizes TIMESTAMP_NANOS to µs."""
     import time as _time
 
-    from pyspark.sql import Window as W
-
     from ccog_spark.catalog import load_table
 
     tag = hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:10]
@@ -47,8 +45,27 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     marker = os.path.join(staging, "_STAGED_OK")
     if not os.path.exists(marker):
         ev = load_table(spark, sf_dir, "events")
+        # time-range bins via plain arithmetic on the epoch — a global
+        # ntile window would single-partition the whole fixture (the
+        # WindowExec warning); equal time slices parallelize and give
+        # the same arrival-order ≈ event-time-order property.
+        lo, hi = ev.agg(
+            F.min(F.col("ts").cast("double")), F.max(F.col("ts").cast("double"))
+        ).first()
+        span = max(hi - lo, 1e-9)
         binned = ev.withColumn(
-            "f", F.ntile(n_files).over(W.orderBy("ts"))
+            "f",
+            F.least(
+                F.lit(n_files),
+                (
+                    F.floor(
+                        (F.col("ts").cast("double") - F.lit(lo))
+                        / F.lit(span)
+                        * n_files
+                    )
+                    + 1
+                ).cast("int"),
+            ),
         )
         for i in range(1, n_files + 1):
             binned.where(F.col("f") == i).drop("f").coalesce(1).write.mode(
@@ -110,9 +127,13 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def stateful_dedup(events: DataFrame, within: str = "2 hours") -> DataFrame:
-    """Stateful streaming dedup on event_id (E33):
-    dropDuplicatesWithinWatermark bounds state by the watermark."""
+def stateful_dedup(events: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on event_id (E33).
+
+    State lifetime is governed ENTIRELY by the upstream watermark
+    (``withWatermark`` on the input stream) — that horizon IS the dedup
+    window; dropDuplicatesWithinWatermark takes no duration of its own,
+    so callers must set the watermark to the intended horizon."""
     return events.dropDuplicatesWithinWatermark(["event_id"])
 
 

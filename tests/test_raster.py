@@ -87,6 +87,34 @@ def test_pack_parts_part_cap():
         pack_parts([MIN_PART_SIZE] * 5, max_parts=2)
 
 
+def test_pack_parts_overflow_never_strands_small_part():
+    """A max_part-forced close used to emit a non-final part below
+    min_part (S3 EntityTooSmall); the repair pass must merge it away."""
+    # 1000 accumulates, then 5000 would overflow max_part=5500 → the
+    # greedy close strands a 1000-byte part; repair merges backward.
+    parts = pack_parts([3000, 1000, 5000, 3000], min_part=2500, max_part=5500)
+    for p in parts[:-1]:
+        assert p.nbytes >= 2500, parts
+    assert parts[0].first_seq == 0 and parts[-1].last_seq == 3
+    for a, b in zip(parts, parts[1:]):
+        assert b.first_seq == a.last_seq + 1
+    assert [p.part_no for p in parts] == list(range(1, len(parts) + 1))
+    # impossible case: tiny lead segment, two max-size neighbours
+    with pytest.raises(ValueError, match="cannot meet min_part"):
+        pack_parts([100, 5500, 5500], min_part=2500, max_part=5500)
+
+
+def test_resolve_store_paths(tmp_path):
+    from ccog_spark.sinks.mpu import LocalMpu, S3Mpu, resolve_store
+
+    assert isinstance(resolve_store(str(tmp_path / "x.tif")), LocalMpu)
+    s3 = resolve_store("s3://bucket/some/key.tif")
+    assert isinstance(s3, S3Mpu)
+    assert s3.bucket == "bucket" and s3.key == "some/key.tif"
+    with pytest.raises(ValueError, match="malformed"):
+        resolve_store("s3://bucketonly")
+
+
 @pytest.fixture(scope="module")
 def written_cog(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("cog") / "fixture.tif")
