@@ -406,13 +406,16 @@ SELECT p_partkey, metric, val FROM (
 
 
 def _conv_pass(grid_sql: str, src: str, src_row: str, src_col: str,
-               out_idx: str, val_col: str, ok_expr: str) -> str:
+               out_idx: str, val_col: str, ok_expr: str,
+               taps=None) -> str:
     """One separable 4-tap half-phase pass as fixed-association SQL:
     pivot the 4 taps into columns (one source cell each), then
     ((w0·v0 + w1·v1) + w2·v2) + w3·v3 — the same left-assoc order as
     the numpy kernel, so doubles are bit-identical."""
     from ccog_spark.raster.halo import CUBIC_TAPS
 
+    if taps is None:
+        taps = CUBIC_TAPS
     offs = (-1, 0, 1, 2)
     piv_v = ", ".join(
         f"MAX(CASE WHEN s.{src_row} - 2 * g.{out_idx} = {o} THEN "
@@ -424,7 +427,7 @@ def _conv_pass(grid_sql: str, src: str, src_row: str, src_col: str,
         f"THEN CAST({ok_expr} AS INT) END), 0) = 1 AS k{i}"
         for i, o in enumerate(offs)
     )
-    w = CUBIC_TAPS
+    w = taps
     acc = (
         f"(({w[0]} * COALESCE(v0, 0.0) + {w[1]} * COALESCE(v1, 0.0))"
         f" + {w[2]} * COALESCE(v2, 0.0)) + {w[3]} * COALESCE(v3, 0.0)"
@@ -454,6 +457,24 @@ WITH {PIXELS_SQL_CTE},
 rowp AS ({_conv_pass(_ROW_GRID, 'pixels', 'y', 'x', 'oj', 'value', 's.valid')}),
 rsrc AS (SELECT band, oj, x, rv, rok FROM rowp),
 colp AS ({_conv_pass(_COL_GRID, 'rsrc', 'x', 'oj', 'ox', 'rv', 's.rok')})
+SELECT band, oj AS y, ox AS x,
+       CASE WHEN rok THEN FLOOR(rv * 10000 + 0.5) / 10000.0 END AS v,
+       rok AS valid
+FROM colp
+ORDER BY band, y, x
+"""
+
+# Same separable machinery, cubic-B-spline taps (GDAL 'cubicspline';
+# ccog kernel table ccog/ccog.py:41-53). Taps embed as exact doubles.
+from ccog_spark.raster.halo import CUBICSPLINE_TAPS as _BSPL  # noqa: E402
+
+ORACLE["cubicspline_decimate"] = f"""
+WITH {PIXELS_SQL_CTE},
+rowp AS ({_conv_pass(_ROW_GRID, 'pixels', 'y', 'x', 'oj', 'value', 's.valid',
+                     _BSPL)}),
+rsrc AS (SELECT band, oj, x, rv, rok FROM rowp),
+colp AS ({_conv_pass(_COL_GRID, 'rsrc', 'x', 'oj', 'ox', 'rv', 's.rok',
+                     _BSPL)})
 SELECT band, oj AS y, ox AS x,
        CASE WHEN rok THEN FLOOR(rv * 10000 + 0.5) / 10000.0 END AS v,
        rok AS valid

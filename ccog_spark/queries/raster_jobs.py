@@ -78,8 +78,8 @@ def cog_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cubic_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Halo-exchange cubic (Catmull-Rom) 2× decimation (E21 ≙ ccog's
+def _interp_decimate_q(spark: SparkSession, kernel: str) -> DataFrame:
+    """Halo-exchange interpolating 2× decimation (E21 ≙ ccog's
     interpolating resamplers, overlap table ccog/ccog.py:41-53).
 
     Oracle-checked: the DuckDB side re-expresses the separable
@@ -90,12 +90,12 @@ def cubic_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ccog_spark.raster.halo import cubic_decimate
+    from ccog_spark.raster.halo import interp_decimate
     from ccog_spark.raster.tiles import tiles_from_pixels
 
     px = pixels_df(spark)
     tiles = tiles_from_pixels(px, BLOCK, -9999.0, W, H)
-    out = cubic_decimate(tiles, BLOCK, -9999.0)
+    out = interp_decimate(tiles, BLOCK, kernel, -9999.0)
     return out.select(
         "band",
         "y",
@@ -110,3 +110,15 @@ def cubic_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
         "valid",
     ).orderBy("band", "y", "x")
+
+
+def cubic_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubic (Catmull-Rom) halo-exchange decimation — see
+    _interp_decimate_q."""
+    return _interp_decimate_q(spark, "cubic")
+
+
+def cubicspline_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cubic-B-spline (GDAL 'cubicspline') halo-exchange decimation —
+    see _interp_decimate_q; taps in raster.halo.CUBICSPLINE_TAPS."""
+    return _interp_decimate_q(spark, "cubicspline")

@@ -58,9 +58,16 @@ LANCZOS_OFFSETS, LANCZOS_TAPS = _lanczos_taps(3)
 # halo intent mirrors ccog's overlap table (ccog/ccog.py:41-53):
 # bilinear needs none for exact factor-2, cubic 2, lanczos(a=3) 3,
 # gauss 1.
+# cubic B-spline (GDAL 'cubicspline', the smoothing spline in ccog's
+# kernel table ccog/ccog.py:41-53): basis B(x) = |x|³/2 − x² + 2/3 for
+# |x|≤1, (2−|x|)³/6 for 1≤|x|≤2; sampled at half-phase distances
+# {1.5, 0.5, 0.5, 1.5} → (1/48, 23/48, 23/48, 1/48), sum exactly 1.
+CUBICSPLINE_TAPS = (1 / 48, 23 / 48, 23 / 48, 1 / 48)
+
 INTERP_KERNELS: dict[str, tuple[tuple[int, ...], tuple[float, ...], int]] = {
     "bilinear": ((0, 1), (0.5, 0.5), 1),
     "cubic": ((-1, 0, 1, 2), CUBIC_TAPS, 2),
+    "cubicspline": ((-1, 0, 1, 2), CUBICSPLINE_TAPS, 2),
     "lanczos": (LANCZOS_OFFSETS, LANCZOS_TAPS, 3),
     "gauss": ((-1, 0, 1), (0.25, 0.5, 0.25), 1),
 }

@@ -56,7 +56,7 @@ def test_cubic_valid_region_shrinks_at_invalid_blocks(spark):
 import pytest
 
 
-@pytest.mark.parametrize("kernel", ["bilinear", "lanczos", "gauss"])
+@pytest.mark.parametrize("kernel", ["bilinear", "cubicspline", "lanczos", "gauss"])
 def test_interp_kernels_tiling_invariance(spark, kernel):
     """Every interpolating kernel: distributed tiled+halo result equals
     the untiled driver-side convolution exactly (halo widths differ per
@@ -89,3 +89,12 @@ def test_lanczos_taps_normalized():
 
     assert abs(sum(LANCZOS_TAPS) - 1.0) < 1e-12
     assert len(LANCZOS_TAPS) == 6
+
+
+def test_cubicspline_taps_exact():
+    """B-spline basis at half-phase distances: B(0.5)=23/48, B(1.5)=1/48,
+    summing to exactly 1 (no normalization residue)."""
+    from ccog_spark.raster.halo import CUBICSPLINE_TAPS
+
+    assert CUBICSPLINE_TAPS == (1 / 48, 23 / 48, 23 / 48, 1 / 48)
+    assert sum(CUBICSPLINE_TAPS) == 1.0
