@@ -13,13 +13,21 @@ Scale design notes (the part that matters at 100 TB):
 - **LSH banding**: b bands × r rows; a pair colliding in ≥1 band becomes
   a candidate; candidates are verified with exact Jaccard. b=4, r=4
   targets the s-curve threshold (1/b)^(1/r) ≈ 0.71.
-- **SimHash**: 30-bit signature from ±1 bit votes of token hashes; pairs
-  within Hamming ≤ hamming_max. Blocked self-join (here on (lang,
-  source); at scale on simhash prefix bands) keeps the pair space
-  bounded.
-- **Embedding near-dup**: cosine ≥ threshold within a blocking key —
-  the exact counterpart of similarity-search ANN, reusing the same
-  JVM-side vector math.
+- **SimHash**: 60-bit signature from ±1 bit votes of two token-hash
+  families; pairs within Hamming ≤ hamming_max CORPUS-WIDE. Candidate
+  generation is signature segment-banding: the 60 bits split into
+  (hamming_max + 1) segments, and by pigeonhole any pair within the
+  Hamming budget agrees exactly on ≥1 segment — so the banded
+  self-join has FULL recall and the final result is identical to the
+  all-pairs join, while the pair space is bounded by bucket sizes
+  (~n²/2^15 per band on a natural corpus) instead of n² per
+  low-cardinality block.
+- **Embedding near-dup**: cosine ≥ threshold for pairs sharing ≥1
+  hyperplane-LSH band (n_tables tables × bits sign-bits each, the
+  deterministic planes from operators.similarity). The band join is
+  the blocking key — candidates ~n²·tables/2^bits — and the semantics
+  ("share a band AND cos ≥ t") are deterministic and oracle-checkable
+  because the hyperplanes are fixed integer formulas.
 
 All hashes are the engine-portable rolling hash (functions.hashing) so
 every operator here is hash-checkable against DuckDB.
@@ -185,7 +193,15 @@ def minhash_lsh_pairs(
     )
 
 
-SIMHASH_BITS = 30  # rolling hash is mod ~2^30
+SIMHASH_BITS = 30  # rolling hash is mod ~2^30; bits per hash family
+# Second hash family (universal perm of the token hash) supplies bits
+# 30..59 so the banded signature has 4 × 15-bit segments.
+SIMHASH_A2 = 1_000_003
+SIMHASH_B2 = 12_345
+SIMHASH_TOTAL_BITS = 2 * SIMHASH_BITS
+HAMMING_MAX = 3
+SIMHASH_N_BANDS = 4  # must be >= HAMMING_MAX + 1 for pigeonhole recall
+SIMHASH_BAND_BITS = SIMHASH_TOTAL_BITS // SIMHASH_N_BANDS
 
 
 def simhash(text: Column) -> Column:
@@ -217,18 +233,25 @@ def simhash(text: Column) -> Column:
 def with_simhash(
     df: DataFrame, text_col: str = "text", out: str = "sh"
 ) -> DataFrame:
-    """DataFrame-level simhash: the token-hash array is MATERIALIZED as
-    a column first (same Catalyst no-CSE rule as with_shingle_hashes),
-    then 30 scalar integer folds — one per bit — count ones. No array
-    or struct allocation per token; ~2× faster than the vote-vector
-    fold at sf0.1."""
+    """DataFrame-level 60-bit simhash: the token-hash array (and its
+    second-family permutation) are MATERIALIZED as columns first (same
+    Catalyst no-CSE rule as with_shingle_hashes), then 60 scalar
+    integer folds — one per bit — count ones. No array or struct
+    allocation per token; ~2× faster than the vote-vector fold at
+    sf0.1. Bits 0..29 come from the rolling token hash, bits 30..59
+    from its (a·h + b) mod p permutation — same vote rule, so the two
+    halves are independent simhashes of the same token stream."""
     df = df.withColumn(
         "_hs", F.transform(F.split(F.col(text_col), " "), lambda t: roll_hash(t))
+    ).withColumn(
+        "_hs2",
+        F.transform(
+            F.col("_hs"), lambda h: (h * SIMHASH_A2 + SIMHASH_B2) % MOD
+        ),
     )
-    hs = F.col("_hs")
-    n = F.size(hs).cast("bigint")
+    n = F.size(F.col("_hs")).cast("bigint")
 
-    def ones(j: int) -> Column:
+    def ones(hs: Column, j: int) -> Column:
         mask = F.lit(1 << j)
         return F.aggregate(
             hs,
@@ -239,27 +262,63 @@ def with_simhash(
     sim = F.lit(0).cast("bigint")
     for j in range(SIMHASH_BITS):
         # vote > 0  ⟺  2·ones > n (same rule as the array-fold version)
-        sim = sim + F.when(ones(j) * 2 > n, F.lit(1 << j)).otherwise(0)
-    return df.withColumn(out, sim).drop("_hs")
+        sim = sim + F.when(ones(F.col("_hs"), j) * 2 > n, F.lit(1 << j)).otherwise(0)
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(
+            ones(F.col("_hs2"), j) * 2 > n, F.lit(1 << (SIMHASH_BITS + j))
+        ).otherwise(0)
+    return df.withColumn(out, sim).drop("_hs", "_hs2")
+
+
+def simhash_band_keys(sh: Column) -> Column:
+    """Array of (hamming_max + 1) segment values of the 60-bit
+    signature — the LSH band keys. Pure bit arithmetic, map-side."""
+    seg_mask = (1 << SIMHASH_BAND_BITS) - 1
+    return F.array(
+        *[
+            F.shiftright(sh, b * SIMHASH_BAND_BITS).bitwiseAND(F.lit(seg_mask))
+            for b in range(SIMHASH_N_BANDS)
+        ]
+    )
 
 
 def simhash_pairs(
     docs: DataFrame,
-    block_cols: tuple[str, ...] = ("lang", "source"),
-    hamming_max: int = 8,
+    hamming_max: int = HAMMING_MAX,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance within blocks."""
-    sigs = with_simhash(
-        docs.select("doc_id", *block_cols, "text")
-    ).select("doc_id", *block_cols, "sh")
-    a = sigs.select(
-        *block_cols, F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_x")
+    """Near-dup pairs by 60-bit SimHash Hamming distance ≤ hamming_max,
+    corpus-wide (no attribute blocking).
+
+    Candidate generation is segment banding: the signature splits into
+    SIMHASH_N_BANDS equal segments; by pigeonhole a pair with ≤
+    (SIMHASH_N_BANDS − 1) differing bits agrees exactly on at least one
+    segment, so joining on (band, segment value) has FULL recall for
+    hamming_max ≤ SIMHASH_N_BANDS − 1 and the result is identical to
+    the all-pairs join (which is what the oracle computes). The join
+    shuffles (band, key) rows — 4 per doc — and quadratic work is
+    bounded per bucket (~n/2^15 of the corpus each on natural text),
+    unlike blocking on low-cardinality attributes like (lang, source)
+    where one block can be most of a 100 TB corpus.
+    """
+    if hamming_max > SIMHASH_N_BANDS - 1:
+        raise ValueError(
+            f"hamming_max={hamming_max} needs >= {hamming_max + 1} bands "
+            f"for full recall; have {SIMHASH_N_BANDS}"
+        )
+    sigs = with_simhash(docs.select("doc_id", "text")).select("doc_id", "sh")
+    bands = sigs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(simhash_band_keys(F.col("sh"))).alias("band", "key"),
     )
-    b = sigs.select(
-        *block_cols, F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_y")
+    a = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_x")
+    )
+    b = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_y")
     )
     return (
-        a.join(b, list(block_cols))
+        a.join(b, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -267,6 +326,7 @@ def simhash_pairs(
             F.bit_count(F.col("sh_x").bitwiseXOR(F.col("sh_y"))).alias("hamming"),
         )
         .where(F.col("hamming") <= hamming_max)
+        .distinct()  # a pair may collide in several bands
     )
 
 
