@@ -31,6 +31,13 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Tables whose downstream work is CPU-bound per row (simhash folds,
+# shingle hashing, per-bit LSH votes) rather than scan/shuffle-bound.
+# For these, scan parallelism is the whole ballgame; relational fact
+# tables (lineitem/orders/events) aggregate cheaply per row and lose
+# more to an extra exchange than they gain.
+CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -57,6 +64,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in CPU_HEAVY_TABLES:
+        # Scan-parallelism floor: the local fixtures are single-row-group
+        # parquet files, which Spark cannot split below row-group
+        # granularity — the CPU-heavy map stages over documents/
+        # embeddings (simhash folds, shingle hashing, hyperplane votes)
+        # would run as ONE task on local[32]. Repartition only when the
+        # file is too small to split into >= defaultParallelism scan
+        # partitions; at real scale the table spans many files/row
+        # groups, the condition is false, and no shuffle is added.
+        target = spark.sparkContext.defaultParallelism
+        max_split = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        )
+        if os.path.getsize(table_path(sf_dir, name)) < target * max_split:
+            df = df.repartition(target)
     return df
 
 

@@ -205,74 +205,117 @@ SIMHASH_BAND_BITS = SIMHASH_TOTAL_BITS // SIMHASH_N_BANDS
 
 
 def simhash(text: Column) -> Column:
-    """SimHash over token hashes: per bit, sum ±1 votes; bit set when
-    the vote is positive. Map-side only.
+    """60-bit two-family SimHash of a text column — same output as
+    ``with_simhash`` (bits 0..29 vote on the rolling token hash, bits
+    30..59 on its (a·h + b) mod p permutation; a bit is set when the
+    ±1 vote sum is positive). Map-side only.
 
     Single-pass: one fold over the token-hash array carries the whole
-    30-element vote vector (zip_with against a bitmask array), instead
-    of 30 folds that each re-derive the hashes — 30× less work per row
-    (took dedup_simhash from 28 s to ~1 s at sf0.1)."""
+    60-element vote vector; both families vote inside the same lambda
+    (family 2 is an affine function of the family-1 hash, so the
+    permuted array is never materialized). Column-level convenience —
+    ``with_simhash`` is the faster DataFrame-level path."""
     hs = F.transform(F.split(text, " "), lambda t: roll_hash(t))
     pows = F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
-    zeros = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS)
-    votes = F.aggregate(
-        hs,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            pows,
-            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
-        ),
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_TOTAL_BITS)
+
+    def vote(acc: Column, h: Column) -> Column:
+        h2 = (h * SIMHASH_A2 + SIMHASH_B2) % MOD
+        return F.concat(
+            F.zip_with(
+                F.slice(acc, 1, SIMHASH_BITS),
+                pows,
+                lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+            ),
+            F.zip_with(
+                F.slice(acc, SIMHASH_BITS + 1, SIMHASH_BITS),
+                pows,
+                lambda a, p: a + F.when(h2.bitwiseAND(p) != 0, 1).otherwise(-1),
+            ),
+        )
+
+    votes = F.aggregate(hs, zeros, vote)
+    masks = F.array(
+        *[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_TOTAL_BITS)]
     )
     bits = F.zip_with(
-        votes, pows, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))
+        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))
     )
     return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+PACK_BITS = 21  # packed-counter width: safe for docs up to 2^21 tokens
+PACK_PER_FOLD = 3  # counters per 63-bit bigint accumulator
 
 
 def with_simhash(
     df: DataFrame, text_col: str = "text", out: str = "sh"
 ) -> DataFrame:
-    """DataFrame-level 60-bit simhash: the token-hash array (and its
-    second-family permutation) are MATERIALIZED as columns first (same
-    Catalyst no-CSE rule as with_shingle_hashes), then 60 scalar
-    integer folds — one per bit — count ones. No array or struct
-    allocation per token; ~2× faster than the vote-vector fold at
-    sf0.1. Bits 0..29 come from the rolling token hash, bits 30..59
-    from its (a·h + b) mod p permutation — same vote rule, so the two
-    halves are independent simhashes of the same token stream."""
+    """DataFrame-level 60-bit simhash. Bits 0..29 come from the rolling
+    token hash, bits 30..59 from its (a·h + b) mod p permutation —
+    same vote rule (bit set ⟺ 2·ones > n), so the two halves are
+    independent simhashes of the same token stream.
+
+    Fold shape: the token-hash array is MATERIALIZED once (same
+    Catalyst no-CSE rule as with_shingle_hashes), then 20 scalar
+    integer folds — not 60 — count ones: each fold packs
+    PACK_PER_FOLD 21-bit counters into one bigint accumulator
+    (3 bit-tests per element per pass), and family 2's hash is derived
+    inline per element, so the permuted array is never materialized.
+    The packed fold results are themselves materialized as an array
+    column (`_pk`) before the 60 cheap shift-and-compare extractions —
+    Catalyst re-evaluates non-CSE'd lambda expressions per reference,
+    so extracting from an un-materialized fold would re-run it 3×."""
     df = df.withColumn(
         "_hs", F.transform(F.split(F.col(text_col), " "), lambda t: roll_hash(t))
-    ).withColumn(
-        "_hs2",
-        F.transform(
-            F.col("_hs"), lambda h: (h * SIMHASH_A2 + SIMHASH_B2) % MOD
-        ),
-    )
-    n = F.size(F.col("_hs")).cast("bigint")
+    ).withColumn("_n", F.size(F.col("_hs")).cast("bigint"))
 
-    def ones(hs: Column, j: int) -> Column:
-        mask = F.lit(1 << j)
-        return F.aggregate(
-            hs,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(0),
-        )
+    def packed_ones(bits: list[int], family2: bool) -> Column:
+        def step(acc: Column, h: Column) -> Column:
+            hv = ((h * SIMHASH_A2 + SIMHASH_B2) % MOD) if family2 else h
+            add = None
+            for slot, j in enumerate(bits):
+                inc = F.when(
+                    hv.bitwiseAND(F.lit(1 << j)) != 0,
+                    F.lit(1 << (slot * PACK_BITS)).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+                add = inc if add is None else add + inc
+            return acc + add
 
+        return F.aggregate(F.col("_hs"), F.lit(0).cast("bigint"), step)
+
+    groups = [
+        list(range(i, min(i + PACK_PER_FOLD, SIMHASH_BITS)))
+        for i in range(0, SIMHASH_BITS, PACK_PER_FOLD)
+    ]
+    packs = [packed_ones(g, False) for g in groups] + [
+        packed_ones(g, True) for g in groups
+    ]
+    df = df.withColumn("_pk", F.array(*packs))
+
+    cnt_mask = F.lit((1 << PACK_BITS) - 1)
+    n = F.col("_n")
     sim = F.lit(0).cast("bigint")
-    for j in range(SIMHASH_BITS):
-        # vote > 0  ⟺  2·ones > n (same rule as the array-fold version)
-        sim = sim + F.when(ones(F.col("_hs"), j) * 2 > n, F.lit(1 << j)).otherwise(0)
-    for j in range(SIMHASH_BITS):
-        sim = sim + F.when(
-            ones(F.col("_hs2"), j) * 2 > n, F.lit(1 << (SIMHASH_BITS + j))
-        ).otherwise(0)
-    return df.withColumn(out, sim).drop("_hs", "_hs2")
+    for fam in range(2):
+        for gi, g in enumerate(groups):
+            pk = F.element_at(F.col("_pk"), fam * len(groups) + gi + 1)
+            for slot, j in enumerate(g):
+                ones = F.shiftright(pk, slot * PACK_BITS).bitwiseAND(cnt_mask)
+                sim = sim + F.when(
+                    ones * 2 > n, F.lit(1 << (fam * SIMHASH_BITS + j))
+                ).otherwise(0)
+    return df.withColumn(out, sim).drop("_hs", "_n", "_pk")
 
 
 def simhash_band_keys(sh: Column) -> Column:
-    """Array of (hamming_max + 1) segment values of the 60-bit
-    signature — the LSH band keys. Pure bit arithmetic, map-side."""
+    """Array of SIMHASH_N_BANDS segment values of the 60-bit signature
+    — the LSH band keys. Pure bit arithmetic, map-side.
+
+    Bucket-size caveat: because MOD (1e9+7) < 2^30, bit 29 of each
+    family is set with p ≈ 0.46 rather than 0.5, so the two segments
+    containing those top bits have slightly fewer than 2^15 effective
+    keys. Fine for banding (buckets stay ~n/2^14.9), noted for
+    honesty of the ~2^15-keys-per-band sizing claim."""
     seg_mask = (1 << SIMHASH_BAND_BITS) - 1
     return F.array(
         *[

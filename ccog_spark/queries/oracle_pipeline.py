@@ -9,7 +9,15 @@ operators.text / operators.similarity).
 from __future__ import annotations
 
 from ccog_spark.functions.hashing import MINHASH_A, MINHASH_B, MOD, roll_hash_sql_duckdb
-from ccog_spark.operators.dedup import N_BANDS, N_PERMS, ROWS_PER_BAND, SIMHASH_BITS
+from ccog_spark.operators.dedup import (
+    HAMMING_MAX,
+    N_BANDS,
+    N_PERMS,
+    ROWS_PER_BAND,
+    SIMHASH_A2,
+    SIMHASH_B2,
+    SIMHASH_BITS,
+)
 from ccog_spark.operators.similarity import N_PLANES, _hyperplane
 from ccog_spark.operators.text import EN_STOPWORDS, LANG_ORDER, LEXICONS
 
@@ -159,25 +167,40 @@ FROM documents
 ORDER BY doc_id
 """
 
+# 60-bit two-family signature, identical to dedup.with_simhash: bits
+# 0..29 vote on the rolling token hash, bits 30..59 on its
+# (a·h + b) mod p permutation; bit set when the ±1 vote sum is
+# positive (⟺ 2·ones > n). The oracle joins ALL-PAIRS corpus-wide —
+# the Spark side's segment banding is recall-lossless by pigeonhole
+# for hamming ≤ SIMHASH_N_BANDS − 1, so the two answers are identical.
 _SIMHASH_TERMS = "\n         + ".join(
     f"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_TERMS2 = "\n         + ".join(
+    f"CASE WHEN list_sum(list_transform(hs2, h -> CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << (SIMHASH_BITS + j)} ELSE 0 END"
     for j in range(SIMHASH_BITS)
 )
 
 PIPELINE_ORACLE["dedup_simhash"] = f"""
 WITH hs AS (
-  SELECT doc_id, lang, source,
+  SELECT doc_id,
          list_transform(string_split(text, ' '), t -> {roll_hash_sql_duckdb('t')}) AS hs
   FROM documents
-), sigs AS (
-  SELECT doc_id, lang, source,
-         CAST({_SIMHASH_TERMS} AS BIGINT) AS sh
+), hs2t AS (
+  SELECT doc_id, hs,
+         list_transform(hs, h -> (h * {SIMHASH_A2} + {SIMHASH_B2}) % {MOD}) AS hs2
   FROM hs
+), sigs AS (
+  SELECT doc_id,
+         CAST({_SIMHASH_TERMS}
+         + {_SIMHASH_TERMS2} AS BIGINT) AS sh
+  FROM hs2t
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-FROM sigs a JOIN sigs b ON a.lang = b.lang AND a.source = b.source
-WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 8
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
 

@@ -160,3 +160,18 @@ def test_bucketed_join_avoids_shuffle(spark):
         )
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_simhash_column_matches_dataframe_api(spark):
+    """The column-level simhash() and with_simhash() must produce the
+    identical 60-bit two-family signature (they are documented as the
+    same construction)."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    a = dedup.with_simhash(docs.select("doc_id", "text")).select("doc_id", "sh")
+    b = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh"))
+    diff = a.join(b, "doc_id").where(a.sh != b.sh).count()
+    assert diff == 0
