@@ -127,8 +127,10 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_min: float = 0.4,
+    n: int = 3,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+    """MinHash+LSH near-duplicate pairs, verified with exact Jaccard
+    over word ``n``-gram shingles.
 
     Plan shape: map-side signatures → explode to (band, key) [rows =
     docs × b, small] → shuffle on band key → per-bucket self-join →
@@ -138,7 +140,9 @@ def minhash_lsh_pairs(
     # persisted: referenced three times below (bands + both Jaccard sides)
     sigs = (
         with_shingle_hashes(
-            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)), text_col
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            text_col,
+            n=n,
         )
         .select("doc_id", "sh")
         .withColumn("sig", minhash_signature(F.col("sh")))
@@ -376,72 +380,72 @@ def simhash_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame,
     jaccard_min: float = 0.5,
-    n: int = 3,
+    n: int = 2,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs within (lang, source,
-    n_chars-bucket) blocks — the blocking bounds the pair space; at
-    100 TB the block key is what keeps this from being n²."""
-    base = with_shingle_hashes(
-        docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
-            "text",
-        ),
-        "text",
-        n=n,
-    ).select("doc_id", "lang", "source", "len_bucket", "sh")
-    a = base.select(
-        "lang",
-        "source",
-        "len_bucket",
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    b = base.select(
-        "lang",
-        "source",
-        "len_bucket",
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-    )
-    return (
-        a.join(b, ["lang", "source", "len_bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
-        )
-        .where(F.col("jac") >= jaccard_min)
-    )
+    """Exact word-``n``-gram Jaccard near-dup pairs, CORPUS-WIDE.
+
+    Candidate generation is the MinHash LSH band join over the same
+    shingle set (not low-cardinality attribute blocks, where one
+    ("en","web") block is most of a real corpus and the self-join goes
+    n²); exact Jaccard is the verify step. Bigram shingles by default
+    — a looser, higher-recall notion of textual overlap than
+    minhash_lsh_pairs' trigrams — with a correspondingly higher
+    verification threshold."""
+    return minhash_lsh_pairs(docs, jaccard_min=jaccard_min, n=n)
 
 
 def embedding_dup_pairs(
-    emb: DataFrame, cos_min: float = 0.98
+    emb: DataFrame, dim: int, cos_min: float = 0.98
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within a label block."""
-    from ccog_spark.functions.vectors import dot, norm
+    """Embedding-cosine near-dup pairs, blocked by hyperplane-LSH bands.
 
-    nv = emb.select(
-        "label", "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    Candidate generation: each vector gets similarity.band_keys —
+    N_TABLES independent tables of BAND_BITS sign-bits; a pair sharing
+    ≥ 1 table's full key is a candidate, verified with exact cosine.
+    The band join shuffles (table, key) rows — N_TABLES per vector —
+    and quadratic work is bounded per bucket (~n/2^bits of the corpus
+    each), unlike blocking on a low-cardinality attribute where one
+    block can be most of a 100 TB corpus. Semantics ("share a band AND
+    cos ≥ t") are deterministic and oracle-checkable because the
+    hyperplanes are fixed integer formulas.
+
+    ``emb``: (vec_id, embedding) — embedding any numeric array; cast to
+    double before every arithmetic step so DuckDB sees identical IEEE
+    operations.
+    """
+    from ccog_spark.functions.vectors import dot, norm
+    from ccog_spark.operators.similarity import band_keys
+
+    # persisted: referenced three times (bands + both verify sides)
+    nv = (
+        emb.select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+        )
+        .withColumn("nrm", norm(F.col("e")))
+        .withColumn("bks", band_keys(F.col("e"), dim))
+        .persist()
     )
-    a = nv.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("nrm").alias("n_a"),
+    bands = nv.select(
+        "vec_id", F.posexplode(F.col("bks")).alias("tbl", "bk")
     )
-    b = nv.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("nrm").alias("n_b"),
+    a = bands.select("tbl", "bk", F.col("vec_id").alias("id_a"))
+    b = bands.select("tbl", "bk", F.col("vec_id").alias("id_b"))
+    cands = (
+        a.join(b, ["tbl", "bk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = nv.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    vb = nv.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
     )
     return (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -22,6 +22,14 @@ from ccog_spark.functions.vectors import dot, norm
 
 N_PLANES = 8
 
+# Multi-table banding (embedding near-dup blocking): N_TABLES
+# independent tables of BAND_BITS sign-bits each; table t uses
+# hyperplanes j = t*BAND_BITS .. t*BAND_BITS + BAND_BITS - 1. A pair
+# sharing >= 1 table's full key becomes a candidate — the standard
+# OR-of-ANDs LSH amplification.
+N_TABLES = 4
+BAND_BITS = 8
+
 
 def _hyperplane(j: int, dim: int) -> list[int]:
     """Deterministic integer hyperplane weights in [-6, 6] — the same
@@ -41,6 +49,32 @@ def bucket_key(emb: Column, dim: int, n_planes: int = N_PLANES) -> Column:
         )
         key = key + F.when(d > 0, F.lit(1 << j)).otherwise(0)
     return key
+
+
+def band_keys(
+    emb: Column, dim: int, n_tables: int = N_TABLES, bits: int = BAND_BITS
+) -> Column:
+    """Array of per-table hyperplane-LSH band keys (map-side, all-JVM).
+
+    Each key is ``bits`` sign-bits of deterministic hyperplane dot
+    products, so the whole construction is reproducible in the DuckDB
+    oracle. Blocking on (table, key) bounds candidate generation to
+    ~n²·tables/2^bits per key-space instead of n² per attribute block."""
+    keys = []
+    for t in range(n_tables):
+        key = F.lit(0)
+        for b in range(bits):
+            weights = F.array(
+                *[F.lit(w) for w in _hyperplane(t * bits + b, dim)]
+            )
+            d = F.aggregate(
+                F.zip_with(emb, weights, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            key = key + F.when(d > 0, F.lit(1 << b)).otherwise(0)
+        keys.append(key)
+    return F.array(*keys)
 
 
 def brute_force_topk(

@@ -18,7 +18,12 @@ from ccog_spark.operators.dedup import (
     SIMHASH_B2,
     SIMHASH_BITS,
 )
-from ccog_spark.operators.similarity import N_PLANES, _hyperplane
+from ccog_spark.operators.similarity import (
+    BAND_BITS,
+    N_PLANES,
+    N_TABLES,
+    _hyperplane,
+)
 from ccog_spark.operators.text import EN_STOPWORDS, LANG_ORDER, LEXICONS
 
 PIPELINE_ORACLE: dict[str, str] = {}
@@ -73,16 +78,25 @@ FROM documents
 ORDER BY doc_id
 """
 
-# Distinct word-3-gram shingle hashes (identical to
-# operators.dedup.shingle_hashes: tokens hashed once, n-gram hash is
-# the arithmetic combination of the three token hashes).
+# Distinct word-n-gram shingle hashes (identical to
+# operators.dedup.with_shingle_hashes: tokens hashed once, an n-gram's
+# hash is the arithmetic combination of its n token hashes).
 _TOKEN_HASHES = f"list_transform(tk, t -> {roll_hash_sql_duckdb('t')})"
-_SH_HASHES = (
-    f"CASE WHEN len(tk) - 2 >= 1 THEN "
-    f"list_distinct(list_transform(range(1, len(tk) - 1), "
-    f"i -> ((hs[i] * 31 + hs[i + 1]) % {MOD} * 31 + hs[i + 2]) % {MOD})) "
-    f"ELSE [{roll_hash_sql_duckdb('text')}] END"
-)
+
+
+def _sh_hashes_sql(n: int) -> str:
+    comb = "hs[i]"
+    for k in range(1, n):
+        comb = f"(({comb}) * 31 + hs[i + {k}]) % {MOD}"
+    return (
+        f"CASE WHEN len(tk) - {n - 1} >= 1 THEN "
+        f"list_distinct(list_transform(range(1, len(tk) - {n - 2}), "
+        f"i -> {comb})) "
+        f"ELSE [{roll_hash_sql_duckdb('text')}] END"
+    )
+
+
+_SH_HASHES = _sh_hashes_sql(3)
 
 _SIG_COLS = ",\n         ".join(
     f"list_min(list_transform(shh, h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MOD})) AS m{i}"
@@ -102,13 +116,15 @@ _JACCARD = (
 )
 
 # Shared CTE block ending in `mpairs` (verified MinHash near-dup pairs)
-# — reused by dedup_minhash and the connected-components oracle.
-_MINHASH_CTES = f"""toks AS (
+# — reused by dedup_minhash, dedup_ngram (bigram shingles, higher
+# threshold), and the connected-components oracle.
+def _minhash_ctes(n: int, jaccard_min: float) -> str:
+    return f"""toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
 ), thashes AS (
   SELECT doc_id, text, tk, {_TOKEN_HASHES} AS hs FROM toks
 ), hashes AS (
-  SELECT doc_id, {_SH_HASHES} AS shh FROM thashes
+  SELECT doc_id, {_sh_hashes_sql(n)} AS shh FROM thashes
 ), sigs AS (
   SELECT doc_id, shh,
          {_SIG_COLS}
@@ -124,8 +140,11 @@ _MINHASH_CTES = f"""toks AS (
   FROM cand
   JOIN sigs sa ON sa.doc_id = doc_a
   JOIN sigs sb ON sb.doc_id = doc_b
-  WHERE ROUND({_JACCARD}, 4) >= 0.4
+  WHERE ROUND({_JACCARD}, 4) >= {jaccard_min}
 )"""
+
+
+_MINHASH_CTES = _minhash_ctes(3, 0.4)
 
 PIPELINE_ORACLE["dedup_minhash"] = f"""
 WITH {_MINHASH_CTES}
@@ -204,35 +223,59 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
 
+# Bigram-shingle variant of the MinHash pipeline: corpus-wide LSH-band
+# candidates + exact-Jaccard >= 0.5 verify (mirrors
+# dedup.ngram_jaccard_pairs — no attribute blocking).
 PIPELINE_ORACLE["dedup_ngram"] = f"""
-WITH toks AS (
-  SELECT doc_id, lang, source, text,
-         CAST(FLOOR(n_chars / 100.0) AS INT) AS len_bucket,
-         string_split(text, ' ') AS tk
-  FROM documents
-), thashes AS (
-  SELECT doc_id, lang, source, text, tk, len_bucket, {_TOKEN_HASHES} AS hs FROM toks
-), hashes AS (
-  SELECT doc_id, lang, source, len_bucket, {_SH_HASHES} AS shh FROM thashes
-)
-SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, ROUND({_JACCARD}, 4) AS jac
-FROM hashes sa JOIN hashes sb
-  ON sa.lang = sb.lang AND sa.source = sb.source AND sa.len_bucket = sb.len_bucket
-WHERE sa.doc_id < sb.doc_id AND ROUND({_JACCARD}, 4) >= 0.5
+WITH {_minhash_ctes(2, 0.5)}
+SELECT doc_a, doc_b, jac FROM mpairs
 ORDER BY doc_a, doc_b
 """
 
-PIPELINE_ORACLE["dedup_embed"] = """
-WITH nv AS (
-  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
+# Mirrors pipeline._augmented_embeddings + dedup.embedding_dup_pairs:
+# plant a +0.01-perturbed copy of every 10th vector, block candidates
+# on (table, band-key) from N_TABLES × BAND_BITS deterministic
+# hyperplane sign-bits, verify with exact cosine ≥ 0.98.
+def _band_sql(t: int, dim: int) -> str:
+    terms = []
+    for b in range(BAND_BITS):
+        weights = ", ".join(str(w) for w in _hyperplane(t * BAND_BITS + b, dim))
+        terms.append(
+            f"CASE WHEN list_dot_product(e, CAST([{weights}] AS DOUBLE[])) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    return "\n         + ".join(terms)
+
+
+_EMB_BAND_UNION = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {t} AS tbl, bk{t} AS bk FROM nv" for t in range(N_TABLES)
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
-FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.98
+
+PIPELINE_ORACLE["dedup_embed"] = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), aug AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, list_concat([e[1] + 0.01], e[2:]) AS e
+  FROM base WHERE vec_id % 10 = 0
+), nv AS (
+  SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm,
+         {",".join(f"{_band_sql(t, 64)} AS bk{t}" for t in range(N_TABLES))}
+  FROM aug
+), bands AS (
+{_EMB_BAND_UNION}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.tbl = b.tbl AND a.bk = b.bk
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 4) AS cos
+FROM cand
+JOIN nv na ON na.vec_id = id_a
+JOIN nv nb ON nb.vec_id = id_b
+WHERE ROUND(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 4) >= 0.98
 ORDER BY id_a, id_b
 """
 

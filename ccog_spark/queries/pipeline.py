@@ -47,9 +47,37 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+PLANT_OFFSET = 10_000_000  # planted-copy id namespace
+
+
+def _augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """Corpus + deterministic planted near-duplicates: every 10th
+    vector is copied (id + PLANT_OFFSET) with +0.01 on its first
+    component — cosine vs the original ≈ 1. The fixture embeddings are
+    random (max pairwise cos ≈ 0.6), so without planting a 0.98
+    near-dup threshold finds nothing and the driver row is vacuous.
+    All arithmetic is double-precision and mirrored in the oracle."""
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    planted = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(F.col("embedding"), 1) + F.lit(0.01)),
+            F.slice(F.col("embedding"), 2, EMB_DIM - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
 def dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_dup_pairs(emb).orderBy("id_a", "id_b")
+    return dedup.embedding_dup_pairs(
+        _augmented_embeddings(emb), dim=EMB_DIM
+    ).orderBy("id_a", "id_b")
 
 
 def _queries_subset(emb: DataFrame) -> DataFrame:
