@@ -306,6 +306,20 @@ _AVG_TOTAL = (
     " / CAST(cnt AS DOUBLE)"
 )
 
+# COG writer round-trip: base level = the valid pixels themselves;
+# overview 1 = one fixed-order corner-sum average decimation (same
+# construction pyramid_avg is checked against).
+ORACLE["cog_roundtrip"] = f"""
+WITH {PIXELS_SQL_CTE},
+lvl1 AS ({_corner_step('pixels', 'value', _AVG_TOTAL)})
+SELECT * FROM (
+  SELECT 0 AS level, band, y, x, ROUND(value, 4) AS v FROM pixels WHERE valid
+  UNION ALL
+  SELECT 1 AS level, band, y, x, ROUND(value, 4) AS v FROM lvl1 WHERE valid
+)
+ORDER BY level, band, y, x
+"""
+
 ORACLE["pyramid_avg"] = f"""
 WITH {PIXELS_SQL_CTE},
 lvl1 AS ({_corner_step('pixels', 'value', _AVG_TOTAL)}),

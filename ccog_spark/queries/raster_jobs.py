@@ -122,3 +122,53 @@ def cubicspline_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cubic-B-spline (GDAL 'cubicspline') halo-exchange decimation —
     see _interp_decimate_q; taps in raster.halo.CUBICSPLINE_TAPS."""
     return _interp_decimate_q(spark, "cubicspline")
+
+
+def cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable end-to-end proof of the COG writer (closes the
+    one `no_oracle` gap): write the fixture raster (float64 / deflate /
+    'average' overviews), parse the produced file with the in-repo TIFF
+    reader (tiff.read_cog/read_band — the reference reads back via
+    GDAL, ccog has no reader of its own), and emit every VALID pixel of
+    the base image and the first overview. The DuckDB oracle recomputes
+    both directly from the pixels CTE (base: identity; overview: the
+    fixed-order corner-sum decimation) — a wrong byte anywhere in
+    pyramid → tiles → encode → offset plan → ordered multipart
+    assembly surfaces as a value-hash mismatch, not just a parse error.
+
+    The read-back is driver-side numpy (~57k values) — verification
+    convenience with the same barrier the reference has for its header
+    task; the write path under test stays fully distributed.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ccog_spark.raster.tiff import read_band
+
+    nodata = -9999.0
+    px = pixels_df(spark)
+    out = os.path.join(tempfile.gettempdir(), "ccog_corpus_roundtrip.tif")
+    res = write_cog(
+        spark, px, width=W, height=H, bands=BANDS, target_path=out,
+        blocksize=BLOCK, kernel="average", nodata=nodata,
+    )
+    with open(res.path, "rb") as f:
+        data = f.read()
+    ifds = read_cog(data)
+    rows = []
+    for level in (0, 1):
+        ifd = ifds[level]
+        for b in range(BANDS):
+            arr = read_band(data, ifd, b)
+            ys, xs = np.nonzero(arr != nodata)
+            vals = arr[ys, xs]
+            rows.extend(
+                (level, b + 1, int(y), int(x), float(v))
+                for y, x, v in zip(ys.tolist(), xs.tolist(), vals.tolist())
+            )
+    df = spark.createDataFrame(
+        rows, "level int, band int, y int, x int, v double"
+    )
+    return df.select(
+        "level", "band", "y", "x", F.round("v", 4).alias("v")
+    ).orderBy("level", "band", "y", "x")

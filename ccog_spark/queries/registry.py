@@ -56,7 +56,9 @@ REGISTRY: dict[str, QueryFn] = {
     "decim_mode": raster_queries.decim_mode,
     "cubic_decimate": raster_jobs.cubic_decimate_q,
     "cubicspline_decimate": raster_jobs.cubicspline_decimate_q,
-    "cog_write": raster_jobs.cog_write,
+    # hash-checkable writer proof (write → parse → pixel values);
+    # cog_write (structure summary, rows-only) moved to the tail
+    "cog_roundtrip": raster_jobs.cog_roundtrip,
     # LLM-pipeline operator corpus
     "text_analysis": pipeline.text_analysis,
     "text_winnow": pipeline.text_winnow,
@@ -82,11 +84,20 @@ REGISTRY: dict[str, QueryFn] = {
     "q24": relational.q24,  # E15 ≙ q09, E18 ≙ q11
     "q21": llm.q21,  # E34 exact dedup ≙ dedup_exact, pipeline_filter
     "q23": relational.q23,  # E9/E10 as-of ≙ q23b, asof_union
+    # rows-only structure summary; the writer's hash gate is
+    # cog_roundtrip (above the fold) + byte tests in test_raster.py
+    "cog_write": raster_jobs.cog_write,
 }
 
 # Queries that run real streaming/file-IO jobs — excluded from the
 # per-query wall-clock bench (their cost is checkpoint/file mechanics,
 # not query execution; correctness still gated above).
-NON_BENCH = ("stream_tumbling", "stream_session", "stream_dedup", "cog_write")
+NON_BENCH = (
+    "stream_tumbling",
+    "stream_session",
+    "stream_dedup",
+    "cog_write",
+    "cog_roundtrip",
+)
 
 __all__ = ["REGISTRY", "ORACLE", "QueryFn"]
