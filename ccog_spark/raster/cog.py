@@ -401,18 +401,44 @@ def write_ccog(
     mask=None,
     blocksize: int = 512,
     overview_resampling: str = "average",
-    nodata: float = -9999.0,
+    nodata: float | None = None,
     **kwargs,
 ):
     """Reference-shaped convenience entry point (≙ ccog write_ccog,
-    ccog/ccog.py:801-971): numpy array in (2-D promoted to 3-D, mask
-    optional with non-zero = valid, GDAL convention), COG out via the
-    distributed job. Validation mirrors the reference's client-side
-    checks: blocksize must be a multiple of 16 (ccog/ccog.py:930-933),
-    mask must match the spatial shape (:957-962), resampling must be a
-    known kernel (:905-915).
+    ccog/ccog.py:801-971): numpy array OR xarray-like DataArray in
+    (2-D promoted to 3-D, mask optional with non-zero = valid, GDAL
+    convention), COG out via the distributed job. Validation mirrors
+    the reference's client-side checks: blocksize must be a multiple of
+    16 (ccog/ccog.py:930-933), mask must match the spatial shape
+    (:957-962), resampling must be a known kernel (:905-915).
+
+    xarray-like inputs get nodata / transform / CRS inferred (rioxarray
+    accessor when installed, else CF attrs + x/y center coordinates —
+    sources.raster_ingest.infer_geo_metadata) with the reference's
+    precedence rule: explicitly passed ``nodata=`` / ``geo=`` /
+    ``dtype=`` always win over inferred values (the reference layers
+    user creation options over the rio-accessor profile,
+    ccog/ccog.py:921-929). ``nodata=None`` with nothing inferable
+    falls back to -9999.0.
     """
     import numpy as np
+
+    from ccog_spark.sources.raster_ingest import (
+        infer_geo_metadata,
+        is_xarray_like,
+    )
+
+    if is_xarray_like(arr):
+        inferred = infer_geo_metadata(arr)
+        if nodata is None and "nodata" in inferred:
+            nodata = inferred["nodata"]
+        if "geo" in inferred:
+            kwargs.setdefault("geo", inferred["geo"])
+        arr = np.asarray(arr.values)
+    if mask is not None and is_xarray_like(mask):
+        mask = np.asarray(mask.values)
+    if nodata is None:
+        nodata = -9999.0
 
     from ccog_spark.raster.halo import INTERP_KERNELS
     from ccog_spark.raster.pyramid import KERNELS

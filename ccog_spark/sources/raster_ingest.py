@@ -116,3 +116,91 @@ def ingest_windowed(
         return read_tiles
 
     return keys_df.mapInPandas(make_kernel(reader, blocksize, nodata), TILE_SCHEMA)
+
+
+# --------------------------------------------------------------- xarray
+def is_xarray_like(arr) -> bool:
+    """True for xarray.DataArray and duck-typed equivalents (has
+    .values/.dims/.attrs and is not a plain ndarray). Checked
+    structurally so the path works whether or not xarray is installed
+    in the runtime (it is not in this container)."""
+    return (
+        not isinstance(arr, np.ndarray)
+        and hasattr(arr, "values")
+        and hasattr(arr, "dims")
+        and hasattr(arr, "attrs")
+    )
+
+
+def infer_geo_metadata(arr) -> dict:
+    """nodata / transform / CRS inference from an xarray-like
+    DataArray, mirroring the reference's rioxarray-accessor reads with
+    user-override precedence handled by the caller (the reference fills
+    profile['transform'/'crs'/'nodata'] from arr.rio and then layers
+    user creation options on top, ccog/ccog.py:921-927).
+
+    Sources, in preference order:
+
+    - a rioxarray accessor (``arr.rio``) when that library is present;
+    - CF/GDAL-convention attrs: ``_FillValue`` / ``nodata``;
+      ``epsg`` / ``crs`` (int or "EPSG:nnnn" string);
+    - 1-D cell-center coordinates named x/y — the same derivation
+      rioxarray uses: pixel size from coordinate spacing, origin =
+      first center minus half a pixel.
+
+    Returns a dict with any of ``nodata`` (float) and ``geo``
+    ({"origin", "px_size", "epsg"} — emitted only when complete, since
+    GeoTIFF keys need all three); absent keys mean "nothing inferable".
+    """
+    out: dict = {}
+    rio = getattr(arr, "rio", None)
+    attrs = getattr(arr, "attrs", None) or {}
+
+    nodata = None
+    if rio is not None:
+        try:
+            nodata = rio.nodata
+        except Exception:
+            nodata = None
+    if nodata is None:
+        nodata = attrs.get("_FillValue", attrs.get("nodata"))
+    if nodata is not None:
+        out["nodata"] = float(nodata)
+
+    origin = px_size = None
+    if rio is not None:
+        try:
+            t = rio.transform()
+            origin, px_size = (t.c, t.f), (t.a, t.e)
+        except Exception:
+            pass
+    if origin is None:
+        coords = getattr(arr, "coords", None) or {}
+        try:
+            xs = np.asarray(coords["x"], dtype="float64")
+            ys = np.asarray(coords["y"], dtype="float64")
+            if xs.ndim == ys.ndim == 1 and len(xs) > 1 and len(ys) > 1:
+                sx = float(xs[1] - xs[0])
+                sy = float(ys[1] - ys[0])
+                origin = (float(xs[0]) - sx / 2.0, float(ys[0]) - sy / 2.0)
+                px_size = (sx, sy)
+        except (KeyError, TypeError, ValueError):
+            pass
+
+    epsg = None
+    if rio is not None:
+        try:
+            crs = rio.crs
+            epsg = crs.to_epsg() if crs is not None else None
+        except Exception:
+            pass
+    if epsg is None:
+        v = attrs.get("epsg", attrs.get("crs"))
+        if isinstance(v, str) and v.upper().startswith("EPSG:"):
+            epsg = int(v.split(":", 1)[1])
+        elif isinstance(v, (int, np.integer)):
+            epsg = int(v)
+
+    if origin is not None and px_size is not None and epsg is not None:
+        out["geo"] = {"origin": origin, "px_size": px_size, "epsg": epsg}
+    return out

@@ -394,3 +394,57 @@ def test_geotiff_georeferencing(spark, tmp_path):
     val, ok = fixture_array(spark, level=0)
     got = tiff.read_band(data, ifds[0], 0)
     assert np.array_equal(got[ok[0]], val[0][ok[0]])
+
+
+class _FakeDataArray:
+    """Duck-typed xarray.DataArray stand-in (xarray is not installed in
+    the container): .values/.dims/.attrs/.coords, CF-convention attrs,
+    1-D cell-center coordinates."""
+
+    def __init__(self, values, attrs=None, coords=None):
+        self.values = values
+        self.attrs = attrs or {}
+        self.coords = coords or {}
+        self.dims = ("band", "y", "x")[-values.ndim:]
+
+
+def test_write_ccog_xarray_metadata_inference(spark, tmp_path):
+    """xarray-like ingestion infers nodata from _FillValue, EPSG from a
+    crs attr, and the transform from x/y center coordinates (origin =
+    first center minus half a pixel) — reference precedence semantics
+    (ccog/ccog.py:921-927)."""
+    from ccog_spark.raster.cog import write_ccog
+
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.random((64, 64)) * 10, 3)
+    xs = 100.0 + 0.5 * np.arange(64) + 0.25   # px 0.5, origin x 100.0
+    ys = 500.0 - 1.0 * np.arange(64) - 0.5    # px -1.0, origin y 500.0
+    fake = _FakeDataArray(
+        vals,
+        attrs={"_FillValue": -5.0, "crs": "EPSG:32633"},
+        coords={"x": xs, "y": ys},
+    )
+    out = str(tmp_path / "xr.tif")
+    write_ccog(spark, fake, out, blocksize=32)
+    ifd0 = tiff.read_cog(open(out, "rb").read())[0]
+    assert ifd0.nodata == -5.0
+    assert ifd0.epsg == 32633
+    assert ifd0.pixel_scale[:2] == [0.5, -1.0]
+    assert ifd0.tiepoint[3:5] == [100.0, 500.0]
+
+    # user-supplied values take precedence over inferred ones
+    out2 = str(tmp_path / "xr_override.tif")
+    write_ccog(
+        spark, fake, out2, blocksize=32, nodata=-7.0,
+        geo={"origin": (0.0, 1.0), "px_size": (2.0, -2.0), "epsg": 4326},
+    )
+    ifd0 = tiff.read_cog(open(out2, "rb").read())[0]
+    assert ifd0.nodata == -7.0
+    assert ifd0.epsg == 4326
+    assert ifd0.pixel_scale[:2] == [2.0, -2.0]
+
+    # nothing inferable + no user value -> -9999.0 fallback (numpy path)
+    out3 = str(tmp_path / "xr_plain.tif")
+    write_ccog(spark, _FakeDataArray(vals), out3, blocksize=32)
+    ifd0 = tiff.read_cog(open(out3, "rb").read())[0]
+    assert ifd0.nodata == -9999.0 and ifd0.epsg is None
