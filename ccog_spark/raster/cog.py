@@ -92,12 +92,16 @@ def encode_tiles(
                 d[:, 1:] = d[:, 1:] - rows[:, :-1]
                 return d.tobytes()
 
+            from ccog_spark.raster import codecs
+
             def comp(d, level):
                 cdc = cdc0 if level == 0 else ov_cdc
                 lv = lvl0 if level == 0 else ov_lvl
                 if cdc == "lzma":
                     return lzma.compress(d, preset=lv)
-                return zlib.compress(d, lv)
+                if cdc == "deflate":
+                    return zlib.compress(d, lv)
+                return codecs.compress(d, cdc, lv)
 
             dt = np.dtype(np_dtype)
             for pdf in it:

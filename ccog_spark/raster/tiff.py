@@ -58,9 +58,11 @@ TYPE_ASCII = 2
 TYPE_DOUBLE = 12
 TYPE_LONG8 = 16  # uint64 (BigTIFF)
 
-COMPRESSION_DEFLATE = 8
-COMPRESSION_LZMA = 34925  # public GDAL/libtiff LZMA compression tag
-CODEC_TAGS = {"deflate": COMPRESSION_DEFLATE, "lzma": COMPRESSION_LZMA}
+from ccog_spark.raster.codecs import (  # noqa: E402 (tag constants)
+    CODEC_TAGS,
+    COMPRESSION_DEFLATE,
+    COMPRESSION_LZMA,
+)
 
 TYPE_SIZES = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_ASCII: 1, TYPE_LONG8: 8,
               TYPE_DOUBLE: 8}
@@ -148,20 +150,17 @@ def unpredict_tile(raw: bytes, predictor: int, h: int, w: int, np_dtype: str):
 def encode_tile(
     arr_bytes: bytes, level_compress: int = 6, codec: str = "deflate"
 ) -> bytes:
-    """Compress one tile payload (E23): deflate (zlib) or lzma."""
-    if codec == "lzma":
-        import lzma
+    """Compress one tile payload (E23): deflate/lzw/lzma/zstd — see
+    raster.codecs."""
+    from ccog_spark.raster import codecs
 
-        return lzma.compress(arr_bytes, preset=level_compress)
-    return zlib.compress(arr_bytes, level_compress)
+    return codecs.compress(arr_bytes, codec, level_compress)
 
 
 def decode_tile(data: bytes, compression: int = COMPRESSION_DEFLATE) -> bytes:
-    if compression == COMPRESSION_LZMA:
-        import lzma
+    from ccog_spark.raster import codecs
 
-        return lzma.decompress(data)
-    return zlib.decompress(data)
+    return codecs.decompress(data, compression)
 
 
 @dataclass

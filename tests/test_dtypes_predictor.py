@@ -216,3 +216,90 @@ def test_bigtiff_offsets_past_4gib():
     with pytest.raises(ValueError, match="exceeds classic TIFF"):
         tiff.build_cog_plan(w, h, 1, bs, 0, nb, nodata=0.0, fmt="classic",
                             dtype="uint8")
+
+
+# ---------------------------------------------------------------- codecs
+def test_lzw_roundtrip_exhaustive():
+    """Pure-Python TIFF LZW: inverse property across the regimes that
+    exercise every code path — width bumps at 511/1023/2047 (early
+    change), table clear at 4094, KwKwK self-referencing codes, empty
+    and single-byte inputs."""
+    from ccog_spark.raster.codecs import lzw_decode, lzw_encode
+
+    rng = np.random.default_rng(7)
+    cases = [
+        b"",
+        b"A",
+        b"AAAA",
+        b"ABABABABABAB",  # KwKwK pattern
+        bytes(range(256)) * 3,
+        rng.integers(0, 256, 20000, dtype=np.uint8).tobytes(),  # clears
+        rng.integers(0, 4, 60000, dtype=np.uint8).tobytes(),  # long runs
+        np.arange(8192, dtype="<f8").tobytes(),
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_lzw_cog_roundtrip(spark, tmp_path):
+    """COG written with codec='lzw' (+ per-overview codec switch back to
+    deflate) reads back pixel-identical; compression tags dispatch."""
+    from ccog_spark.raster.codecs import COMPRESSION_DEFLATE, COMPRESSION_LZW
+
+    px = pixels_df(spark)
+    out = str(tmp_path / "lzw_cog.tif")
+    write_cog(
+        spark, px, W, H, BANDS, out, blocksize=BLOCK, nodata=NODATA,
+        codec="lzw", overview_codec="deflate",
+    )
+    data = open(out, "rb").read()
+    ifds = tiff.read_cog(data)
+    assert ifds[0].compression == COMPRESSION_LZW
+    assert ifds[1].compression == COMPRESSION_DEFLATE
+    rows = pixels_df(spark).collect()
+    want = np.full((BANDS, H, W), NODATA)
+    for r in rows:
+        if r.valid:
+            want[r.band - 1, r.y, r.x] = r.value
+    got = np.stack([tiff.read_band(data, ifds[0], b) for b in range(BANDS)])
+    assert np.array_equal(got, want)
+
+
+def test_lzw_with_predictor2_uint8(spark, tmp_path):
+    """LZW + horizontal differencing on a native uint8 raster — the
+    classic GDAL profile pairing."""
+    from ccog_spark.raster.codecs import COMPRESSION_LZW
+    from pyspark.sql import functions as F
+
+    px = pixels_df(spark).select(
+        "band", "y", "x",
+        (F.floor(F.col("value")) % 200).cast("double").alias("value"),
+        "valid",
+    )
+    out = str(tmp_path / "lzw_u8.tif")
+    write_cog(
+        spark, px, W, H, BANDS, out, blocksize=BLOCK, nodata=255.0,
+        codec="lzw", dtype="uint8", predictor=2,
+    )
+    data = open(out, "rb").read()
+    ifds = tiff.read_cog(data)
+    assert ifds[0].compression == COMPRESSION_LZW
+    assert ifds[0].predictor == 2 and ifds[0].bits_per_sample == 8
+    got = tiff.read_band(data, ifds[0], 0)
+    assert got.dtype == np.uint8
+
+
+def test_zstd_codec_gated(tmp_path):
+    """zstd is wired through tag 50000 but the module is optional; a
+    clear ImportError (not a crash) when absent, full round-trip when
+    present."""
+    from ccog_spark.raster import codecs
+
+    try:
+        import zstandard  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="zstandard"):
+            codecs.compress(b"xyz" * 100, "zstd")
+        return
+    enc = codecs.compress(b"xyz" * 100, "zstd")
+    assert codecs.decompress(enc, codecs.COMPRESSION_ZSTD) == b"xyz" * 100
