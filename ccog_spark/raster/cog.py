@@ -54,11 +54,12 @@ def encode_tiles(
     """Encode tile payloads (map-side, Arrow-batched); sparse tiles (no
     valid pixels) are filtered out up front.
 
-    Payloads arrive as full blocksize² float64 blocks (the working
-    representation); the kernel casts to the output ``dtype``, applies
-    the TIFF predictor (2 = integer horizontal differencing, 3 =
-    float byte differencing — same math as tiff.predict_tile, inlined
-    so the closure stays self-contained), then compresses.
+    Payloads arrive as full blocksize² blocks ALREADY in the output
+    ``dtype`` (tiles_from_pixels assembles them natively, so a uint8
+    raster ships 1-byte samples through the shuffle); the kernel
+    applies the TIFF predictor (2 = integer horizontal differencing,
+    3 = float byte differencing — same math as tiff.predict_tile,
+    inlined so the closure stays self-contained), then compresses.
 
     ``overview_*`` let overviews use different settings than level 0
     (≙ ccog's overview_compress/quality derivation, _adjust_compression
@@ -107,8 +108,9 @@ def encode_tiles(
             for pdf in it:
                 data = []
                 for d, level in zip(pdf["data"], pdf["level"]):
-                    arr = np.frombuffer(d, dtype="<f8").reshape(bs, bs)
-                    native = arr.astype(dt)
+                    # payload already native dtype (tiles_from_pixels
+                    # assembles blocks in the output sample type)
+                    native = np.frombuffer(d, dtype=dt).reshape(bs, bs)
                     p = pr0 if level == 0 else ov_pr
                     data.append(comp(predict(native, p), level))
                 yield pd.DataFrame(
@@ -267,7 +269,7 @@ def write_cog(
     metadata_xml = tiff.gdal_metadata_xml(meta_items) if meta_items else None
 
     pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
-    tiles = tiles_from_pixels(pyr, blocksize, nodata, width, height)
+    tiles = tiles_from_pixels(pyr, blocksize, nodata, width, height, dtype=dtype)
     enc = encode_tiles(
         tiles,
         overview_compress_level=overview_compress_level,

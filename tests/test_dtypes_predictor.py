@@ -303,3 +303,15 @@ def test_zstd_codec_gated(tmp_path):
         return
     enc = codecs.compress(b"xyz" * 100, "zstd")
     assert codecs.decompress(enc, codecs.COMPRESSION_ZSTD) == b"xyz" * 100
+
+
+def test_native_dtype_tile_payloads(spark):
+    """uint8 tiles carry 1-byte samples through the shuffle (8x less
+    in-flight than the old float64 working blocks); float64 unchanged."""
+    from ccog_spark.raster.tiles import tiles_from_pixels
+
+    px = pixels_df(spark)
+    t8 = tiles_from_pixels(px, BLOCK, 255.0, W, H, dtype="uint8").first()
+    t64 = tiles_from_pixels(px, BLOCK, NODATA, W, H).first()
+    assert len(t8.data) == BLOCK * BLOCK
+    assert len(t64.data) == BLOCK * BLOCK * 8
