@@ -172,8 +172,13 @@ def write_cog(
     predictor: int = 1,
     overview_codec: str | None = None,
     overview_predictor: int | None = None,
+    storage_options: dict | None = None,
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
+
+    ``storage_options``: fsspec/s3fs-style credential/endpoint overrides
+    for ``s3://`` targets (sinks.mpu.resolve_store); ignored for local
+    paths.
 
     ``min_part_size`` exists so tests can exercise multi-part uploads
     on small files; production keeps the S3 5 MiB default.
@@ -346,7 +351,7 @@ def write_cog(
     )
     segments = header_segment.unionByName(tile_segments)
 
-    store = resolve_store(target_path)
+    store = resolve_store(target_path, storage_options)
     store.create()
     try:
         receipts = upload_segments(segments, len(parts), store.part_putter())

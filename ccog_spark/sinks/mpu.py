@@ -201,14 +201,40 @@ class LocalMpu:
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
-class S3Mpu:
-    """boto3-backed store with the same interface (untestable in this
-    container — no S3 endpoint; kept thin and symmetrical)."""
+def _boto3_kwargs(storage_options: dict | None) -> dict:
+    """fsspec/s3fs-style storage_options → boto3 client kwargs
+    (≙ aws_tools.py:31-43, where storage_options feed
+    fsspec.get_mapper): ``key``/``secret``/``token`` map to the AWS
+    credential trio, ``client_kwargs`` (endpoint_url, region_name, …)
+    pass through, ``anon`` maps to unsigned requests."""
+    so = storage_options or {}
+    kw: dict = dict(so.get("client_kwargs", {}))
+    if "key" in so:
+        kw["aws_access_key_id"] = so["key"]
+    if "secret" in so:
+        kw["aws_secret_access_key"] = so["secret"]
+    if "token" in so:
+        kw["aws_session_token"] = so["token"]
+    if "endpoint_url" in so:  # allow the flat spelling too
+        kw["endpoint_url"] = so["endpoint_url"]
+    if so.get("anon"):
+        from botocore import UNSIGNED
+        from botocore.config import Config
 
-    def __init__(self, bucket: str, key: str):
+        kw["config"] = Config(signature_version=UNSIGNED)
+    return kw
+
+
+class S3Mpu:
+    """boto3-backed store with the same interface (endpoint-level
+    behavior untestable in this container — no S3 service; client
+    construction with storage_options IS tested)."""
+
+    def __init__(self, bucket: str, key: str, storage_options: dict | None = None):
         import boto3  # gated: present in the image, endpoint is not
 
-        self.client = boto3.client("s3")
+        self.storage_options = storage_options
+        self.client = boto3.client("s3", **_boto3_kwargs(storage_options))
         self.bucket, self.key = bucket, key
         self.upload_id: str | None = None
 
@@ -222,13 +248,16 @@ class S3Mpu:
         boto3 client is created lazily INSIDE the closure (clients are
         not picklable); only bucket/key/upload_id ship with the task."""
         bucket, key, upload_id = self.bucket, self.key, self.upload_id
+        storage_options = self.storage_options
 
         def put(part_no: int, data: bytes) -> dict | None:
             if not data:
                 return None
             import boto3 as _boto3
 
-            resp = _boto3.client("s3").upload_part(
+            resp = _boto3.client(
+                "s3", **_boto3_kwargs(storage_options)
+            ).upload_part(
                 Bucket=bucket,
                 Key=key,
                 UploadId=upload_id,
@@ -263,17 +292,23 @@ class S3Mpu:
             raise
 
 
-def resolve_store(path: str):
+def resolve_store(path: str, storage_options: dict | None = None):
     """Path-string → store resolution (≙ aws_tools.py:31-43's
     fsspec/storage_options dispatch, reduced to the two stores this
     container can express): ``s3://bucket/key`` → S3Mpu, anything else
-    → LocalMpu on the filesystem."""
+    → LocalMpu on the filesystem.
+
+    ``storage_options`` follows the fsspec/s3fs convention
+    (key/secret/token, anon, client_kwargs={endpoint_url, region_name})
+    so an S3-compatible endpoint (minio/moto) can be targeted without
+    code changes; ignored for local paths like the reference ignores it
+    for non-string stores."""
     if path.startswith("s3://"):
         rest = path[5:]
         bucket, _, key = rest.partition("/")
         if not bucket or not key:
             raise ValueError(f"malformed s3 path {path!r}")
-        return S3Mpu(bucket, key)
+        return S3Mpu(bucket, key, storage_options)
     return LocalMpu(path)
 
 

@@ -115,6 +115,30 @@ def test_resolve_store_paths(tmp_path):
         resolve_store("s3://bucketonly")
 
 
+def test_resolve_store_storage_options(tmp_path):
+    """fsspec/s3fs-style storage_options reach the boto3 client:
+    endpoint/credentials/region configured without code changes (the
+    minio/moto path); local paths ignore them like the reference
+    ignores storage_options for mapping stores."""
+    from ccog_spark.sinks.mpu import LocalMpu, _boto3_kwargs, resolve_store
+
+    so = {
+        "key": "AK",
+        "secret": "SK",
+        "client_kwargs": {
+            "endpoint_url": "http://localhost:9000",
+            "region_name": "us-west-2",
+        },
+    }
+    s3 = resolve_store("s3://b/k.tif", so)
+    assert s3.client.meta.endpoint_url == "http://localhost:9000"
+    assert s3.client.meta.region_name == "us-west-2"
+    assert s3.storage_options == so
+    kw = _boto3_kwargs({"endpoint_url": "http://m:9", "anon": True})
+    assert kw["endpoint_url"] == "http://m:9" and "config" in kw
+    assert isinstance(resolve_store(str(tmp_path / "y.tif"), so), LocalMpu)
+
+
 @pytest.fixture(scope="module")
 def written_cog(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("cog") / "fixture.tif")
