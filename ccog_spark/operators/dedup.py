@@ -380,18 +380,68 @@ def simhash_pairs(
 def ngram_jaccard_pairs(
     docs: DataFrame,
     jaccard_min: float = 0.5,
-    n: int = 2,
+    n: int = 3,
 ) -> DataFrame:
-    """Exact word-``n``-gram Jaccard near-dup pairs, CORPUS-WIDE.
+    """ALL word-``n``-gram Jaccard >= ``jaccard_min`` pairs,
+    CORPUS-WIDE and EXACT — candidate generation is prefix filtering
+    (AllPairs/PPJoin, Bayardo et al. WWW'07), which is lossless:
 
-    Candidate generation is the MinHash LSH band join over the same
-    shingle set (not low-cardinality attribute blocks, where one
-    ("en","web") block is most of a real corpus and the self-join goes
-    n²); exact Jaccard is the verify step. Bigram shingles by default
-    — a looser, higher-recall notion of textual overlap than
-    minhash_lsh_pairs' trigrams — with a correspondingly higher
-    verification threshold."""
-    return minhash_lsh_pairs(docs, jaccard_min=jaccard_min, n=n)
+    Order every doc's distinct shingle hashes by ascending corpus
+    frequency (rarest first, hash tie-break) and index only the first
+    ``|sh| - ceil(t*|sh|) + 1``. Any pair with Jaccard >= t must share
+    an indexed shingle: if A and B overlap in o elements and none is in
+    A's prefix, all o lie in A's last ceil(t|A|)-1 positions, so
+    o < t*|A| — but jac >= t forces o >= t(|A|+|B|)/(1+t) >= t|A|.
+    Hence the banded join has FULL recall and the DuckDB oracle can
+    stay a plain all-pairs join.
+
+    Scale shape: one explode+count for global shingle frequencies, one
+    window to slice prefixes, one equi-join on (rare) prefix hashes,
+    exact-Jaccard verify. Quadratic work only inside single-shingle
+    buckets whose size is capped by the rarest-first ordering — no
+    low-cardinality attribute blocks, no n² corpus join.
+    """
+    base = with_shingle_hashes(
+        docs.select("doc_id", "text"), "text", n=n
+    ).select("doc_id", "sh").persist()
+
+    ex = base.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("h"))
+    freq = ex.groupBy("h").agg(F.count("*").alias("freq"))
+    # per-doc prefix via array_sort of (freq, h) structs — a per-group
+    # O(|sh| log |sh|) map-side sort after the doc_id shuffle, instead
+    # of a global window sort over every exploded row
+    plen = (F.col("sz") - F.ceil(F.lit(jaccard_min) * F.col("sz")) + 1).cast("int")
+    prefix = (
+        ex.join(freq, "h")
+        .groupBy("doc_id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("freq", "h"))).alias("fh"))
+        .select(
+            "doc_id",
+            F.explode(F.slice(F.col("fh"), 1, plen)).alias("fh"),
+        )
+        .select("doc_id", F.col("fh.h").alias("h"))
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+        .where(F.col("jac") >= jaccard_min)
+    )
 
 
 def embedding_dup_pairs(
@@ -414,16 +464,18 @@ def embedding_dup_pairs(
     operations.
     """
     from ccog_spark.functions.vectors import dot, norm
-    from ccog_spark.operators.similarity import band_keys
+    from ccog_spark.operators.similarity import band_keys_arrow
 
-    # persisted: referenced three times (bands + both verify sides)
+    # persisted: referenced three times (bands + both verify sides).
+    # Band keys via the Arrow-vectorized kernel (bit-identical to the
+    # expression version; see similarity.band_keys_arrow).
     nv = (
         emb.select(
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
         )
         .withColumn("nrm", norm(F.col("e")))
-        .withColumn("bks", band_keys(F.col("e"), dim))
+        .withColumn("bks", band_keys_arrow(dim)(F.col("e")))
         .persist()
     )
     bands = nv.select(

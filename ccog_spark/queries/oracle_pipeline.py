@@ -116,8 +116,7 @@ _JACCARD = (
 )
 
 # Shared CTE block ending in `mpairs` (verified MinHash near-dup pairs)
-# — reused by dedup_minhash, dedup_ngram (bigram shingles, higher
-# threshold), and the connected-components oracle.
+# — reused by dedup_minhash and the connected-components oracle.
 def _minhash_ctes(n: int, jaccard_min: float) -> str:
     return f"""toks AS (
   SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
@@ -223,12 +222,21 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {HAMMING_MAX}
 ORDER BY doc_a, doc_b
 """
 
-# Bigram-shingle variant of the MinHash pipeline: corpus-wide LSH-band
-# candidates + exact-Jaccard >= 0.5 verify (mirrors
-# dedup.ngram_jaccard_pairs — no attribute blocking).
+# ngram_jaccard_pairs uses lossless prefix filtering for candidates,
+# so the oracle is the PLAIN corpus-wide all-pairs join — the two
+# answer sets are provably identical (Bayardo et al. prefix-filter
+# theorem; see the operator docstring).
 PIPELINE_ORACLE["dedup_ngram"] = f"""
-WITH {_minhash_ctes(2, 0.5)}
-SELECT doc_a, doc_b, jac FROM mpairs
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+), thashes AS (
+  SELECT doc_id, text, tk, {_TOKEN_HASHES} AS hs FROM toks
+), hashes AS (
+  SELECT doc_id, {_sh_hashes_sql(3)} AS shh FROM thashes
+)
+SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, ROUND({_JACCARD}, 4) AS jac
+FROM hashes sa JOIN hashes sb ON sa.doc_id < sb.doc_id
+WHERE ROUND({_JACCARD}, 4) >= 0.5
 ORDER BY doc_a, doc_b
 """
 
