@@ -43,6 +43,8 @@ def run() -> dict:
         "metric": "corpus_wall_clock",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "n_queries": len(timings),  # corpus grows across rounds;
+        # compare totals per-query, not raw
         "queries": timings,
         "sf": sf,
     }

@@ -421,16 +421,20 @@ SELECT p_partkey, metric, val FROM (
 
 def _conv_pass(grid_sql: str, src: str, src_row: str, src_col: str,
                out_idx: str, val_col: str, ok_expr: str,
-               taps=None) -> str:
-    """One separable 4-tap half-phase pass as fixed-association SQL:
-    pivot the 4 taps into columns (one source cell each), then
-    ((w0·v0 + w1·v1) + w2·v2) + w3·v3 — the same left-assoc order as
-    the numpy kernel, so doubles are bit-identical."""
+               taps=None, offs=None) -> str:
+    """One separable k-tap half-phase pass as fixed-association SQL:
+    pivot the taps into columns (one source cell each), then
+    (…((w0·v0 + w1·v1) + w2·v2)…) — the same left-assoc order as the
+    numpy kernel, so doubles are bit-identical. Works for any of the
+    INTERP_KERNELS tap tables (bilinear 2-tap … lanczos 6-tap);
+    out-of-range taps contribute 0.0 and falsify rok, matching the
+    kernel's nodata-halo padding at image edges."""
     from ccog_spark.raster.halo import CUBIC_TAPS
 
     if taps is None:
         taps = CUBIC_TAPS
-    offs = (-1, 0, 1, 2)
+    if offs is None:
+        offs = (-1, 0, 1, 2)
     piv_v = ", ".join(
         f"MAX(CASE WHEN s.{src_row} - 2 * g.{out_idx} = {o} THEN "
         f"CASE WHEN {ok_expr} THEN s.{val_col} ELSE 0.0 END END) AS v{i}"
@@ -442,19 +446,19 @@ def _conv_pass(grid_sql: str, src: str, src_row: str, src_col: str,
         for i, o in enumerate(offs)
     )
     w = taps
-    acc = (
-        f"(({w[0]} * COALESCE(v0, 0.0) + {w[1]} * COALESCE(v1, 0.0))"
-        f" + {w[2]} * COALESCE(v2, 0.0)) + {w[3]} * COALESCE(v3, 0.0)"
-    )
+    acc = f"{w[0]!r} * COALESCE(v0, 0.0)"
+    for i in range(1, len(w)):
+        acc = f"({acc} + {w[i]!r} * COALESCE(v{i}, 0.0))"
+    rok = " AND ".join(f"k{i}" for i in range(len(w)))
     return f"""
   SELECT band, {out_idx}, {src_col}, {acc} AS rv,
-         (k0 AND k1) AND (k2 AND k3) AS rok
+         {rok} AS rok
   FROM (
     SELECT g.band, g.{out_idx}, g.{src_col}, {piv_v}, {piv_k}
     FROM {grid_sql} g
     LEFT JOIN {src} s
       ON s.band = g.band AND s.{src_col} = g.{src_col}
-     AND s.{src_row} BETWEEN 2 * g.{out_idx} - 1 AND 2 * g.{out_idx} + 2
+     AND s.{src_row} BETWEEN 2 * g.{out_idx} + {min(offs)} AND 2 * g.{out_idx} + {max(offs)}
     GROUP BY g.band, g.{out_idx}, g.{src_col}
   )"""
 
@@ -489,6 +493,28 @@ rowp AS ({_conv_pass(_ROW_GRID, 'pixels', 'y', 'x', 'oj', 'value', 's.valid',
 rsrc AS (SELECT band, oj, x, rv, rok FROM rowp),
 colp AS ({_conv_pass(_COL_GRID, 'rsrc', 'x', 'oj', 'ox', 'rv', 's.rok',
                      _BSPL)})
+SELECT band, oj AS y, ox AS x,
+       CASE WHEN rok THEN FLOOR(rv * 10000 + 0.5) / 10000.0 END AS v,
+       rok AS valid
+FROM colp
+ORDER BY band, y, x
+"""
+
+# Remaining interpolating kernels, same separable machinery with each
+# kernel's own tap table/offsets (INTERP_KERNELS): bilinear 2-tap,
+# gauss 3-tap, lanczos(a=3) 6-tap — every E21 kernel is now
+# oracle-checked, not just tiling-invariance-tested.
+from ccog_spark.raster.halo import INTERP_KERNELS as _IK  # noqa: E402
+
+for _kname in ("bilinear", "gauss", "lanczos"):
+    _offs, _taps, _ = _IK[_kname]
+    ORACLE[f"{_kname}_decimate"] = f"""
+WITH {PIXELS_SQL_CTE},
+rowp AS ({_conv_pass(_ROW_GRID, 'pixels', 'y', 'x', 'oj', 'value', 's.valid',
+                     _taps, _offs)}),
+rsrc AS (SELECT band, oj, x, rv, rok FROM rowp),
+colp AS ({_conv_pass(_COL_GRID, 'rsrc', 'x', 'oj', 'ox', 'rv', 's.rok',
+                     _taps, _offs)})
 SELECT band, oj AS y, ox AS x,
        CASE WHEN rok THEN FLOOR(rv * 10000 + 0.5) / 10000.0 END AS v,
        rok AS valid

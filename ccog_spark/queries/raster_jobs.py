@@ -172,3 +172,19 @@ def cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "level", "band", "y", "x", F.round("v", 4).alias("v")
     ).orderBy("level", "band", "y", "x")
+
+
+def bilinear_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear (2-tap) halo-exchange decimation — see _interp_decimate_q."""
+    return _interp_decimate_q(spark, "bilinear")
+
+
+def gauss_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian (3-tap) halo-exchange decimation — see _interp_decimate_q."""
+    return _interp_decimate_q(spark, "gauss")
+
+
+def lanczos_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lanczos a=3 (6-tap) halo-exchange decimation — see
+    _interp_decimate_q."""
+    return _interp_decimate_q(spark, "lanczos")

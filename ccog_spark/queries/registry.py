@@ -87,6 +87,13 @@ REGISTRY: dict[str, QueryFn] = {
     # rows-only structure summary; the writer's hash gate is
     # cog_roundtrip (above the fold) + byte tests in test_raster.py
     "cog_write": raster_jobs.cog_write,
+    # E21 kernels beyond cubic/cubicspline: oracle-checked via the
+    # generalized separable-tap SQL; driver-fold position is tail
+    # (pytest gates them at sf0.001; operator family already has two
+    # green driver rows)
+    "bilinear_decimate": raster_jobs.bilinear_decimate_q,
+    "gauss_decimate": raster_jobs.gauss_decimate_q,
+    "lanczos_decimate": raster_jobs.lanczos_decimate_q,
 }
 
 # Queries that run real streaming/file-IO jobs — excluded from the
