@@ -75,6 +75,13 @@ def compare_query(
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
 
+    if qid not in ORACLE:
+        # mirror the driver's no_oracle path: a rows-only check — the
+        # query ran and produced a stable frame, nothing to hash against
+        return CompareResult(
+            qid, True, len(s_rows), -1, s_cols, [], "no_oracle (rows-only)"
+        )
+
     con = duckdb_conn(sf_dir)
     res = con.execute(ORACLE[qid])
     d_cols = [d[0] for d in res.description]

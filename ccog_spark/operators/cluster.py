@@ -49,24 +49,24 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # one materialization per round: the checkpointed frame carries
+        # BOTH the old and new label, so the convergence count is a
+        # cheap scan of checkpointed partitions instead of a second
+        # join job
+        stepped = (
             labels.join(nbr_min, labels.doc_id == nbr_min.u, "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()  # constant-depth plan across rounds
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = stepped.where(F.col("label") != F.col("old_label")).count()
         labels.unpersist()
-        labels = new_labels.persist()
+        labels = stepped.select("doc_id", "label").persist()
         if changed == 0:
             break
     both.unpersist()
