@@ -406,6 +406,18 @@ def ngram_jaccard_pairs(
     exact-Jaccard verify. Quadratic work only inside single-shingle
     buckets whose size is capped by the rarest-first ordering — no
     low-cardinality attribute blocks, no n² corpus join.
+
+    Candidate pruning (PPJoin, also lossless): because every doc's
+    shingles are sorted by the SAME global (freq, h) order, the first
+    prefix match between two docs is also their first common element —
+    if a common element sat earlier in A (pos i' < i), consistency of
+    the order puts it earlier in B too (j' < j ≤ prefix_len(B)), so it
+    would itself be a prefix match. Hence every common element lies at
+    or after the first match in both lists, giving the exact bound
+    o <= min(|A| - posA, |B| - posB) (0-based pos). Pairs whose bound
+    cannot reach alpha = ceil(t·(|A|+|B|)/(1+t)) — equivalently
+    jac >= t — are dropped before the verify join, as are pairs
+    failing the length filter t·|A| <= |B| <= |A|/t.
     """
     base = with_shingle_hashes(
         docs.select("doc_id", "text"), "text", n=n
@@ -423,14 +435,29 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("freq", "h"))).alias("fh"))
         .select(
             "doc_id",
-            F.explode(F.slice(F.col("fh"), 1, plen)).alias("fh"),
+            "sz",
+            F.posexplode(F.slice(F.col("fh"), 1, plen)).alias("pos", "fh"),
         )
-        .select("doc_id", F.col("fh.h").alias("h"))
+        .select("doc_id", "sz", "pos", F.col("fh.h").alias("h"))
     )
+    t = F.lit(float(jaccard_min))
+    alpha = F.ceil(t * (F.col("a.sz") + F.col("b.sz")) / (t + 1))
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "h")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: t·|A| <= |B| and t·|B| <= |A|
+            & (t * F.col("a.sz") <= F.col("b.sz"))
+            & (t * F.col("b.sz") <= F.col("a.sz"))
+            # positional filter: max possible overlap >= alpha
+            & (
+                F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                >= alpha
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
