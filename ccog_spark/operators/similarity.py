@@ -142,6 +142,91 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    cent_stride: int = 25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize the corpus into cells, probe
+    only the query's ``nprobe`` nearest cells (the third scale path next
+    to exact/LSH — the classic inverted-file index, e.g. Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011, §IV).
+
+    Centroids here are the deterministic ``vec_id % cent_stride == 1``
+    subsample, so the whole construction is reproducible in the DuckDB
+    oracle; on a real corpus the centroid frame would instead come from
+    a k-means fit (Spark ML) — everything downstream is unchanged.
+
+    Scale shape: the centroid set (~corpus/stride, or a few k from
+    k-means) is BROADCAST; assignment is a map-side argmax expressed as
+    a partial-aggregable ``max(struct(cos, -cent_id))`` — no window
+    over the n×c pair stream, so the only corpus shuffle is the
+    vec_id-keyed agg+join. Probing touches nprobe/cells of the corpus
+    per query instead of all of it.
+    """
+    c = corpus.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cents = F.broadcast(
+        c.where(F.col("vec_id") % cent_stride == 1).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    # assignment: argmax cosine, smallest cent_id on ties — the
+    # lexicographic max of (cos, -cent_id) is map-side combinable
+    cell = (
+        c.crossJoin(cents)
+        .select(
+            "vec_id",
+            F.struct(
+                (dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))).alias("cos"),
+                (-F.col("cent_id")).alias("neg_id"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("sc"))
+        .select("vec_id", (-F.col("sc.neg_id")).alias("cell"))
+    )
+    assigned = c.join(cell, "vec_id")
+    q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
+    pw = W.partitionBy("q_id").orderBy(
+        F.col("p_cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        q.crossJoin(cents)
+        .select(
+            "q_id",
+            "q_emb",
+            "qn",
+            "cent_id",
+            (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("qn") * F.col("c_nrm"))).alias("p_cos"),
+        )
+        .select("q_id", "q_emb", "qn", F.col("cent_id").alias("cell"), F.row_number().over(pw).alias("prn"))
+        .where(F.col("prn") <= nprobe)
+    )
+    pairs = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        (dot(F.col("q_emb"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "q_id",
+            "vec_id",
+            F.round("cos_raw", 4).alias("cos"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, dim: int, k: int = 3
 ) -> DataFrame:

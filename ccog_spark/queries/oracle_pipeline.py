@@ -342,6 +342,44 @@ SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 3
 ORDER BY q_id, rn
 """
 
+PIPELINE_ORACLE["ann_ivf"] = """
+WITH nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM nv WHERE vec_id % 25 = 1
+), asn AS (
+  SELECT vec_id, e, nrm, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(e, ce) / (nrm * cn) DESC, cent_id
+         ) AS arn
+  FROM nv CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, e, nrm, cent_id AS cell FROM asn WHERE arn = 1
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE vec_id % 100 = 0
+), probe AS (
+  SELECT q_id, qe, qn, cent_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY list_dot_product(qe, ce) / (qn * cn) DESC, cent_id
+         ) AS prn
+  FROM q CROSS JOIN cent
+), pairs AS (
+  SELECT q_id, vec_id, list_dot_product(qe, e) / (qn * nrm) AS cos_raw
+  FROM (SELECT * FROM probe WHERE prn <= 2) p JOIN cells USING (cell)
+  WHERE vec_id <> q_id
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM pairs)
+SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 3
+ORDER BY q_id, rn
+"""
+
 # ----------------------------------------------------------- multimodal
 PIPELINE_ORACLE["multimodal_meta"] = """
 SELECT doc_id,

@@ -94,6 +94,9 @@ REGISTRY: dict[str, QueryFn] = {
     "bilinear_decimate": raster_jobs.bilinear_decimate_q,
     "gauss_decimate": raster_jobs.gauss_decimate_q,
     "lanczos_decimate": raster_jobs.lanczos_decimate_q,
+    # E36's third scale path (exact/LSH above the fold are the green
+    # driver rows for this component); oracle-checked, pytest-gated
+    "ann_ivf": pipeline.ann_ivf,
 }
 
 # Queries that run real streaming/file-IO jobs — excluded from the
