@@ -1,0 +1,70 @@
+"""Property tests for the dedup candidate-generation claims.
+
+The ngram dedup's PPJoin pruning (prefix + positional + length
+filters, operators/dedup.py::ngram_jaccard_pairs) is claimed LOSSLESS:
+the filtered banded join must return exactly the pairs a brute-force
+all-pairs Jaccard join returns, for any corpus and threshold. These
+tests check that equivalence on seeded random corpora with planted
+near-duplicates — the adversarial shape for prefix filtering, since
+mutated copies share most (but not all) of their rare shingles.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccog_spark.operators.dedup import (
+    jaccard,
+    ngram_jaccard_pairs,
+    with_shingle_hashes,
+)
+
+VOCAB = [f"w{i}" for i in range(40)]
+
+
+def _corpus(seed: int, n_docs: int = 60) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n_docs // 2):
+        words = rng.choices(VOCAB, k=rng.randint(8, 30))
+        docs.append(" ".join(words))
+        # planted near-duplicate: mutate a few positions of the original
+        mutated = list(words)
+        for _ in range(rng.randint(0, 3)):
+            mutated[rng.randrange(len(mutated))] = rng.choice(VOCAB)
+        docs.append(" ".join(mutated))
+    return list(enumerate(docs))
+
+
+def _brute_force(spark, rows, jaccard_min: float):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = with_shingle_hashes(df, "text").select("doc_id", "sh")
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+        .where(F.col("jac") >= jaccard_min)
+    )
+    return {(r.doc_a, r.doc_b, r.jac) for r in pairs.collect()}
+
+
+@pytest.mark.parametrize("seed,jaccard_min", [(0, 0.5), (1, 0.5), (2, 0.7), (3, 0.3)])
+def test_ppjoin_pruning_is_lossless(spark, seed, jaccard_min):
+    rows = _corpus(seed)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b, r.jac)
+        for r in ngram_jaccard_pairs(df, jaccard_min=jaccard_min).collect()
+    }
+    want = _brute_force(spark, rows, jaccard_min)
+    assert got == want
+    assert want, "fixture must plant at least one real near-dup pair"
