@@ -1,0 +1,106 @@
+"""Training-data shard assembly: scalable global prefix sums, token-
+budget shard packing, and deterministic hash sampling.
+
+A training pipeline's last mile is deterministic corpus partitioning:
+"pack these documents, in a canonical order, into shards of ~N tokens
+each" and "take a reproducible p% sample". Both are order/prefix
+problems, and the naive Spark spelling — ``SUM(x) OVER (ORDER BY k)``
+with no PARTITION BY — moves the whole corpus to ONE partition
+(WindowExec warns about exactly this). At 100 TB that is not a
+slowdown, it is an OOM.
+
+``prefix_sum`` is the scale-safe spelling: a deterministic range
+bucketing on the order key, a per-bucket window prefix sum (runs with
+full parallelism), a tiny per-bucket-totals aggregate (one row per
+bucket) turned into cumulative offsets, and a broadcast join back.
+The result is identical to the single-partition window — the oracle
+runs the naive SQL — but no stage ever sees more than one bucket of
+rows in one task.
+
+Reference scale intent: ccog orders its multipart upload by a global
+part index computed the same two-level way (per-level part counts →
+cumulative level offsets, /root/reference/ccog/ccog.py:661-666); this
+module generalizes that trick to arbitrary keyed corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "cum",
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Exact global running total of ``value_col`` in ``order_col``
+    order, without a single-partition window.
+
+    ``order_col`` must be unique per row (the corpus key). Bucketing is
+    ``floor(order_col / bucket_width)`` — any deterministic
+    order-respecting bucketing yields the same result; width only
+    shapes parallelism. Size it so one bucket's rows fit one task
+    comfortably (~10-100 MB), same knob as shuffle-partition sizing.
+    """
+    bkt = (F.col(order_col) / bucket_width).cast("long")
+    b = df.withColumn("_bkt", bkt)
+    # full-parallelism in-bucket prefix sum
+    in_bucket = F.sum(value_col).over(
+        W.partitionBy("_bkt").orderBy(order_col)
+    )
+    # one row per bucket; the offsets window is over bucket COUNT rows
+    # (corpus/bucket_width — driver-small, like a file-footer pass)
+    offsets = (
+        b.groupBy("_bkt")
+        .agg(F.sum(value_col).alias("_tot"))
+        .select(
+            "_bkt",
+            (F.sum("_tot").over(W.orderBy("_bkt")) - F.col("_tot")).alias(
+                "_off"
+            ),
+        )
+    )
+    return (
+        b.withColumn("_in", in_bucket)
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn(out, (F.col("_in") + F.col("_off")))
+        .drop("_bkt", "_in", "_off")
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    token_col: str,
+    order_col: str = "doc_id",
+    budget: int = 4096,
+    out: str = "shard_id",
+) -> DataFrame:
+    """Assign every document to a training shard of ~``budget`` tokens.
+
+    A document starts the next shard when the running total BEFORE it
+    crosses a budget boundary: shard = floor((cum - tokens) / budget).
+    Deterministic given (order_col, token_col); shards are contiguous
+    in corpus order, so a shard reader scans one key range.
+    """
+    cum = prefix_sum(docs, order_col, token_col, out="_cum")
+    return cum.withColumn(
+        out,
+        F.floor((F.col("_cum") - F.col(token_col)) / F.lit(budget)).cast(
+            "int"
+        ),
+    ).drop("_cum")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, percent: int, salt: int = 0
+) -> DataFrame:
+    """Deterministic ~``percent``% sample: keep rows whose multiplicative
+    key hash lands under the cutoff. Engine-portable (plain modular
+    arithmetic, no xxhash), so resampling with the same salt always
+    returns the same rows — the property eval-set splits need. Map-side
+    only; composes with pushdown (the predicate reaches the scan)."""
+    h = (F.col(key_col).cast("bigint") * 2654435761 + salt) % 1000000007
+    return df.where(h % 100 < percent)

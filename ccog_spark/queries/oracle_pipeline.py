@@ -342,6 +342,28 @@ SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 3
 ORDER BY q_id, rn
 """
 
+PIPELINE_ORACLE["pipeline_shards"] = """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM toks)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((c - n_tokens) / 4096.0) AS INT) AS shard_id
+FROM cum
+ORDER BY doc_id
+"""
+
+PIPELINE_ORACLE["pipeline_sample"] = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ((doc_id * 2654435761 + 7) % 1000000007) % 100 < 10
+ORDER BY doc_id
+"""
+
 PIPELINE_ORACLE["ann_ivf"] = """
 WITH nv AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ccog_spark.catalog import load_table
 from ccog_spark.functions.vectors import dot, norm
-from ccog_spark.operators import dedup, multimodal, similarity, text
+from ccog_spark.operators import dedup, multimodal, sharding, similarity, text
 from ccog_spark.operators.asof import asof_join_union
 
 EMB_DIM = 64  # fixture embedding dimension (asserted in tests)
@@ -172,6 +172,31 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", text.window_fingerprint(F.col("text"), 16).alias("wfp")
     ).orderBy("doc_id")
+
+
+def pipeline_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via the scalable (bucketed two-level)
+    global prefix sum — no single-partition WindowExec; the oracle runs
+    the naive SUM() OVER (ORDER BY) spelling."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        sharding.pack_shards(docs, "n_tokens", budget=4096)
+        .select("doc_id", "n_tokens", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
+def pipeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample of the corpus (reproducible
+    eval-split shape; the sampling predicate is map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sharding.hash_sample(docs, "doc_id", percent=10, salt=7)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
 
 
 def pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

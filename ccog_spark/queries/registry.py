@@ -97,6 +97,10 @@ REGISTRY: dict[str, QueryFn] = {
     # E36's third scale path (exact/LSH above the fold are the green
     # driver rows for this component); oracle-checked, pytest-gated
     "ann_ivf": pipeline.ann_ivf,
+    # shard assembly: bucketed two-level global prefix sum + hash
+    # sampling (training-data last mile); oracle-checked, pytest-gated
+    "pipeline_shards": pipeline.pipeline_shards,
+    "pipeline_sample": pipeline.pipeline_sample,
 }
 
 # Queries that run real streaming/file-IO jobs — excluded from the

@@ -1,0 +1,66 @@
+"""Unit tests for operators/sharding.py: the bucketed two-level prefix
+sum must agree exactly with the naive single-partition window for any
+bucket width, and shard packing / hash sampling must be deterministic.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ccog_spark.operators.sharding import hash_sample, pack_shards, prefix_sum
+
+
+def _frame(spark, seed: int, n: int = 500):
+    rng = random.Random(seed)
+    # non-contiguous keys: bucketing must not assume dense ids
+    keys = rng.sample(range(0, 10 * n), n)
+    return spark.createDataFrame(
+        [(k, rng.randint(0, 300)) for k in keys], ["k", "v"]
+    )
+
+
+@pytest.mark.parametrize("seed,width", [(0, 1000), (1, 7), (2, 10 ** 9)])
+def test_prefix_sum_matches_naive_window(spark, seed, width):
+    df = _frame(spark, seed)
+    got = {
+        (r.k, r.cum)
+        for r in prefix_sum(df, "k", "v", bucket_width=width).collect()
+    }
+    want = {
+        (r.k, r.cum)
+        for r in df.select(
+            "k", F.sum("v").over(W.orderBy("k")).alias("cum")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_shards_contiguous_and_budgeted(spark):
+    df = _frame(spark, 3)
+    rows = (
+        pack_shards(df, "v", order_col="k", budget=1000)
+        .orderBy("k")
+        .collect()
+    )
+    # shard ids are non-decreasing in corpus order and start at 0
+    ids = [r.shard_id for r in rows]
+    assert ids[0] == 0 and all(a <= b for a, b in zip(ids, ids[1:]))
+    # every shard's pre-doc running total stays under (shard+1)*budget
+    cum = 0
+    for r in rows:
+        assert r.shard_id == cum // 1000
+        cum += r.v
+
+
+def test_hash_sample_deterministic_and_disjoint(spark):
+    df = _frame(spark, 4)
+    a = {r.k for r in hash_sample(df, "k", 10, salt=7).collect()}
+    b = {r.k for r in hash_sample(df, "k", 10, salt=7).collect()}
+    assert a == b and 0 < len(a) < df.count()
+    # raising the rate only adds rows (nested samples)
+    c = {r.k for r in hash_sample(df, "k", 30, salt=7).collect()}
+    assert a <= c
