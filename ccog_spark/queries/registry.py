@@ -42,9 +42,7 @@ REGISTRY: dict[str, QueryFn] = {
     "q15": relational.q15,
     "q16": relational.q16,
     "q18": llm.q18,
-    "q19": relational.q19,
-    "q20": llm.q20,
-    "q21b": llm.q21b,
+    "q20": llm.q20,  # E16 analytic windows + session-window semantics
     "q22": llm.q22,
     # raster corpus — incl. the 4 entries the r01 driver never reached
     "qr1": raster_queries.qr1,
@@ -71,14 +69,22 @@ REGISTRY: dict[str, QueryFn] = {
     "dedup_embed": pipeline.dedup_embed,
     "ann_exact": pipeline.ann_exact,
     "ann_lsh": pipeline.ann_lsh,
+    # E36's third scale path: IVF coarse-quantizer + nprobe cell search
+    "ann_ivf": pipeline.ann_ivf,
+    # shard assembly: bucketed two-level global prefix sum + hash
+    # sampling (training-data last mile)
+    "pipeline_shards": pipeline.pipeline_shards,
+    "pipeline_sample": pipeline.pipeline_sample,
     "multimodal_meta": pipeline.multimodal_meta,
     "q23b": pipeline.q23b,
     "asof_union": pipeline.asof_union,
     # Structured Streaming corpus (real streaming jobs, batch-checked)
     "stream_tumbling": streaming_corpus.stream_tumbling,
-    "stream_session": streaming_corpus.stream_session,
     "stream_dedup": streaming_corpus.stream_dedup,
     # ---- tail: operator coverage duplicated by an earlier entry ----
+    "q19": relational.q19,  # E31 tumbling ≙ stream_tumbling (same result)
+    "stream_session": streaming_corpus.stream_session,  # ≙ q20 (same result)
+    "q21b": llm.q21b,  # E37 text quality ≙ text_analysis, pipeline_filter
     "q10": relational.q10,  # E16/E17 ≙ q20 (analytic) + qr3 (prefix sum)
     "q17": llm.q17,  # E29 array fns ≙ q22
     "q24": relational.q24,  # E15 ≙ q09, E18 ≙ q11
@@ -94,13 +100,6 @@ REGISTRY: dict[str, QueryFn] = {
     "bilinear_decimate": raster_jobs.bilinear_decimate_q,
     "gauss_decimate": raster_jobs.gauss_decimate_q,
     "lanczos_decimate": raster_jobs.lanczos_decimate_q,
-    # E36's third scale path (exact/LSH above the fold are the green
-    # driver rows for this component); oracle-checked, pytest-gated
-    "ann_ivf": pipeline.ann_ivf,
-    # shard assembly: bucketed two-level global prefix sum + hash
-    # sampling (training-data last mile); oracle-checked, pytest-gated
-    "pipeline_shards": pipeline.pipeline_shards,
-    "pipeline_sample": pipeline.pipeline_sample,
 }
 
 # Queries that run real streaming/file-IO jobs — excluded from the
