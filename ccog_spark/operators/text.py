@@ -124,3 +124,77 @@ def analyze(documents: DataFrame) -> DataFrame:
         comps["quality"].alias("quality"),
         fingerprint(F.col("text")).alias("fp"),
     )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021 use analogous
+# duplicate-n-gram / top-n-gram fraction rules; exact cutoffs here are
+# tuned to the fixture so the flag splits the corpus non-trivially).
+REP_DUP_2GRAM_MAX = 0.05
+REP_TOP_2GRAM_MAX = 0.18
+
+
+def repetition_metrics(documents: DataFrame) -> DataFrame:
+    """Intra-document repetition metrics (Gopher/C4-style quality
+    rules): duplicate-token fraction, duplicate-2-gram fraction, and
+    the token coverage of the single most frequent 2-gram, plus a
+    combined `rep_flagged` removal flag.
+
+    Scale shape: token hashes and 2-gram hashes are built map-side
+    (JVM array expressions, no Python); the only shuffle is the
+    per-(doc, gram) count → per-doc aggregate, both keyed by doc_id so
+    a 100 TB corpus partitions by document with no global state. The
+    modal-2-gram count deliberately goes through explode + two-level
+    groupBy instead of a per-row O(distinct × grams) array fold —
+    at ~1k-token web documents the fold would be ~1M comparisons per
+    row, while the aggregate path is linear and whole-stage codegen.
+    """
+    d = (
+        documents.select("doc_id", "text")
+        .withColumn(
+            "_hs", F.transform(F.split(F.col("text"), " "), lambda t: roll_hash(t))
+        )
+        .withColumn("n_tokens", F.size("_hs"))
+        .withColumn("n_distinct", F.size(F.array_distinct("_hs")))
+    )
+    hs = F.col("_hs")
+    # 2-gram hashes as a MULTISET (no distinct — counts matter here);
+    # guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] ramp,
+    # so single-token docs get an explicit empty gram list.
+    grams = F.when(
+        F.col("n_tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - 1),
+            lambda i: (F.element_at(hs, i) * 31 + F.element_at(hs, i + 1)) % MOD,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = d.select(
+        "doc_id", "n_tokens", "n_distinct", F.explode_outer(grams).alias("h")
+    )
+    cnt = ex.groupBy("doc_id", "n_tokens", "n_distinct", "h").agg(
+        F.count("h").alias("c")
+    )
+    agg = cnt.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        F.sum("c").alias("n2"),
+        F.count(F.col("h")).alias("d2"),
+        F.max("c").alias("maxc"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    dup_tok = F.round(F.lit(1.0) - F.col("n_distinct") / n_tok, 4)
+    dup_2g = F.when(
+        F.col("n2") > 0,
+        F.round(F.lit(1.0) - F.col("d2") / F.col("n2").cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+    top_2g = F.when(
+        F.col("n2") > 0, F.round(F.lit(2.0) * F.col("maxc") / n_tok, 4)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        dup_tok.alias("dup_tok_frac"),
+        dup_2g.alias("dup_2gram_frac"),
+        top_2g.alias("top_2gram_frac"),
+        (
+            (dup_2g > F.lit(REP_DUP_2GRAM_MAX))
+            | (top_2g > F.lit(REP_TOP_2GRAM_MAX))
+        ).alias("rep_flagged"),
+    )

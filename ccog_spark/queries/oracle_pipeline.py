@@ -24,7 +24,13 @@ from ccog_spark.operators.similarity import (
     N_TABLES,
     _hyperplane,
 )
-from ccog_spark.operators.text import EN_STOPWORDS, LANG_ORDER, LEXICONS
+from ccog_spark.operators.text import (
+    EN_STOPWORDS,
+    LANG_ORDER,
+    LEXICONS,
+    REP_DUP_2GRAM_MAX,
+    REP_TOP_2GRAM_MAX,
+)
 
 PIPELINE_ORACLE: dict[str, str] = {}
 
@@ -354,6 +360,71 @@ WITH toks AS (
 SELECT doc_id, n_tokens,
        CAST(FLOOR((c - n_tokens) / 4096.0) AS INT) AS shard_id
 FROM cum
+ORDER BY doc_id
+"""
+
+# Benchmark decontamination — mirrors operators.decontam: the corpus/
+# benchmark split is doc_id % 97, shingles are the same distinct word
+# 3-gram hashes as the dedup suite, a doc's n_shared counts distinct
+# shared grams (shh is distinct per doc, so COUNT(*) suffices).
+PIPELINE_ORACLE["pipeline_decontam"] = f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+), thashes AS (
+  SELECT doc_id, text, tk, {_TOKEN_HASHES} AS hs FROM toks
+), hashes AS (
+  SELECT doc_id, {_sh_hashes_sql(3)} AS shh FROM thashes
+), bench AS (
+  SELECT DISTINCT unnest(shh) AS h FROM hashes WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, unnest(shh) AS h FROM hashes WHERE doc_id % 97 <> 0
+), hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_shared
+  FROM corpus c JOIN bench b USING (h) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(n_shared, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM hashes WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+# Intra-document repetition metrics — mirrors text.repetition_metrics:
+# multiset 2-gram hashes (NO list_distinct), modal count via unnest +
+# two-level group-by; docs with < 2 tokens keep a row via the left
+# join (Spark side uses explode_outer).
+PIPELINE_ORACLE["text_repetition"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), th AS (
+  SELECT doc_id, {_TOKEN_HASHES} AS hs FROM toks
+), base AS (
+  SELECT doc_id, len(hs) AS n_tokens, len(list_distinct(hs)) AS n_distinct,
+         list_transform(range(1, len(hs)), i -> (hs[i] * 31 + hs[i + 1]) % {MOD}) AS g2
+  FROM th
+), ex AS (
+  SELECT doc_id, unnest(g2) AS h FROM base
+), cnt AS (
+  SELECT doc_id, h, COUNT(*) AS c FROM ex GROUP BY doc_id, h
+), agg AS (
+  SELECT doc_id, SUM(c) AS n2, COUNT(*) AS d2, MAX(c) AS maxc
+  FROM cnt GROUP BY doc_id
+), m AS (
+  SELECT b.doc_id, b.n_tokens, b.n_distinct,
+         ROUND(1.0 - CAST(b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 4) AS dup_tok_frac,
+         CASE WHEN COALESCE(a.n2, 0) > 0
+              THEN ROUND(1.0 - CAST(a.d2 AS DOUBLE) / CAST(a.n2 AS DOUBLE), 4)
+              ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN COALESCE(a.n2, 0) > 0
+              THEN ROUND(2.0 * a.maxc / CAST(b.n_tokens AS DOUBLE), 4)
+              ELSE 0.0 END AS top_2gram_frac
+  FROM base b LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       dup_tok_frac, dup_2gram_frac, top_2gram_frac,
+       (dup_2gram_frac > {REP_DUP_2GRAM_MAX} OR top_2gram_frac > {REP_TOP_2GRAM_MAX}) AS rep_flagged
+FROM m
 ORDER BY doc_id
 """
 

@@ -233,3 +233,26 @@ def pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+BENCH_MOD = 97  # deterministic benchmark carve: doc_id % 97 == 0
+
+
+def pipeline_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 3-gram
+    with the (deterministically carved) benchmark slice are flagged.
+    Broadcast semi-join of the benchmark n-gram set — no corpus
+    shuffle (operators.decontam)."""
+    from ccog_spark.operators.decontam import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    return contamination_flags(corpus, bench, n=3).orderBy("doc_id")
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style intra-document repetition metrics + removal
+    flag (operators.text.repetition_metrics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_metrics(docs).orderBy("doc_id")

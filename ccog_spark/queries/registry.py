@@ -50,8 +50,6 @@ REGISTRY: dict[str, QueryFn] = {
     "qr3": raster_queries.qr3,
     "pyramid_avg": raster_queries.pyramid_avg,
     "decim_nearest": raster_queries.decim_nearest,
-    "decim_rms": raster_queries.decim_rms,
-    "decim_mode": raster_queries.decim_mode,
     "cubic_decimate": raster_jobs.cubic_decimate_q,
     "cubicspline_decimate": raster_jobs.cubicspline_decimate_q,
     # hash-checkable writer proof (write → parse → pixel values);
@@ -60,6 +58,10 @@ REGISTRY: dict[str, QueryFn] = {
     # LLM-pipeline operator corpus
     "text_analysis": pipeline.text_analysis,
     "text_winnow": pipeline.text_winnow,
+    # intra-doc repetition metrics (Gopher/C4-style removal rules)
+    "text_repetition": pipeline.text_repetition,
+    # benchmark n-gram decontamination (broadcast semi-join)
+    "pipeline_decontam": pipeline.pipeline_decontam,
     "dedup_cc": pipeline.dedup_cc,
     "pipeline_filter": pipeline.pipeline_filter,
     "dedup_exact": pipeline.dedup_exact,
@@ -83,6 +85,8 @@ REGISTRY: dict[str, QueryFn] = {
     "stream_dedup": streaming_corpus.stream_dedup,
     # ---- tail: operator coverage duplicated by an earlier entry ----
     "q19": relational.q19,  # E31 tumbling ≙ stream_tumbling (same result)
+    "decim_rms": raster_queries.decim_rms,  # E20 ≙ qr1/decim_nearest/pyramid_avg
+    "decim_mode": raster_queries.decim_mode,  # E20 ≙ same family
     "stream_session": streaming_corpus.stream_session,  # ≙ q20 (same result)
     "q21b": llm.q21b,  # E37 text quality ≙ text_analysis, pipeline_filter
     "q10": relational.q10,  # E16/E17 ≙ q20 (analytic) + qr3 (prefix sum)

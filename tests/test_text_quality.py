@@ -1,0 +1,83 @@
+"""Unit tests for decontamination and repetition-metric operators
+(hand-built frames with known answers; the registry harness covers the
+fixture corpus against the DuckDB oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccog_spark.operators.decontam import contamination_flags
+from ccog_spark.operators.text import repetition_metrics
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_contamination_flags_exact(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),  # shares 3-grams with bench
+            (2, "one two three four five"),  # no overlap
+            (3, "beta gamma delta epsilon"),  # shares one 3-gram
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    out = {
+        r["doc_id"]: (r["n_shared"], r["contaminated"])
+        for r in contamination_flags(corpus, bench, n=3).collect()
+    }
+    # doc 1: "alpha beta gamma" + "beta gamma delta" both in bench
+    assert out[1] == (2, True)
+    # doc 2 keeps a row with zero hits (left join, not inner)
+    assert out[2] == (0, False)
+    # doc 3: "beta gamma delta" + "gamma delta epsilon"
+    assert out[3] == (2, True)
+
+
+def test_contamination_short_doc_fallback(spark):
+    # < n tokens → whole-text fallback hash (same rule as the dedup
+    # shingles); identical short text in bench ⇒ contaminated
+    corpus = _docs(spark, [(1, "hi there"), (2, "bye now")])
+    bench = _docs(spark, [(9, "hi there")])
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_flags(corpus, bench, n=3).collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+def test_repetition_metrics_exact(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a a a a"),  # 4 tokens, 1 distinct; 3 identical 2-grams
+            (2, "w x y z"),  # all distinct
+            (3, "solo"),  # single token: no 2-grams, guarded path
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_metrics(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    assert r1["dup_tok_frac"] == 0.75  # 1 - 1/4
+    assert r1["dup_2gram_frac"] == round(1 - 1 / 3, 4)
+    assert r1["top_2gram_frac"] == 1.5  # 2*3/4 (overlapping grams)
+    assert r1["rep_flagged"] is True
+    r2 = out[2]
+    assert r2["dup_tok_frac"] == 0.0
+    assert r2["dup_2gram_frac"] == 0.0
+    assert r2["top_2gram_frac"] == 0.5  # 2*1/4
+    assert r2["rep_flagged"] is True  # modal 2-gram covers > 18% of 4 tokens
+    r3 = out[3]  # row survives with zeroed 2-gram metrics
+    assert r3["n_tokens"] == 1
+    assert (r3["dup_2gram_frac"], r3["top_2gram_frac"]) == (0.0, 0.0)
+    assert r3["rep_flagged"] is False
+
+
+def test_repetition_long_doc_not_flagged(spark):
+    text = " ".join(f"tok{i}" for i in range(50))
+    out = repetition_metrics(_docs(spark, [(1, text)])).collect()[0]
+    assert out["dup_2gram_frac"] == 0.0
+    assert out["top_2gram_frac"] == round(2 / 50, 4)
+    assert out["rep_flagged"] is False
