@@ -393,6 +393,17 @@ ORACLE["stream_dedup"] = """
 SELECT COUNT(*) AS cnt, COUNT(DISTINCT event_id) AS distinct_ids FROM events
 """
 
+# Stream-stream interval join: batch spelling of the watermarked
+# two-stream join (same-user purchase within 30 min after a click).
+ORACLE["stream_join"] = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY click_id, purchase_id
+"""
+
 
 ORACLE["q07b"] = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty

@@ -84,6 +84,10 @@ REGISTRY: dict[str, QueryFn] = {
     "stream_tumbling": streaming_corpus.stream_tumbling,
     "stream_dedup": streaming_corpus.stream_dedup,
     # ---- tail: operator coverage duplicated by an earlier entry ----
+    # stream-stream interval join (watermarked, append mode): distinct
+    # capability but fold slot 51 — oracle-checked in the local harness
+    # and gated by pytest at sf0.001
+    "stream_join": streaming_corpus.stream_join,
     "q19": relational.q19,  # E31 tumbling ≙ stream_tumbling (same result)
     "decim_rms": raster_queries.decim_rms,  # E20 ≙ qr1/decim_nearest/pyramid_avg
     "decim_mode": raster_queries.decim_mode,  # E20 ≙ same family
@@ -113,6 +117,7 @@ NON_BENCH = (
     "stream_tumbling",
     "stream_session",
     "stream_dedup",
+    "stream_join",
     "cog_write",
     "cog_roundtrip",
 )

@@ -44,3 +44,19 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.count_distinct(F.col("event_id")).alias("distinct_ids"),
     )
+
+
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (clicks x purchases, same user,
+    purchase within 30 min) — a REAL watermarked two-stream join in
+    append mode; must equal the batch interval-join SQL."""
+    from ccog_spark.streaming.windows import interval_join
+
+    clicks = read_events_stream(spark, sf_dir, with_watermark="2 hours").where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, sf_dir, with_watermark="2 hours").where(
+        F.col("event_type") == "purchase"
+    )
+    out = run_stream_to_batch(interval_join(clicks, purchases), "append")
+    return out.orderBy("click_id", "purchase_id")

@@ -127,6 +127,39 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def interval_join(
+    clicks: DataFrame, purchases: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: (click, purchase) pairs for the
+    same user with the purchase inside [click.ts, click.ts + gap].
+
+    Both inputs must carry event-time watermarks — with the time-range
+    predicate they bound the join state: a buffered click can be
+    evicted once the purchase-side watermark passes click.ts + gap, so
+    state is O(events per watermark horizon), not O(stream length).
+    This is the canonical Structured Streaming join shape (equality
+    key + two-sided time constraint) — on a 1000-executor cluster the
+    join is hash-partitioned on user_id and each task keeps only its
+    keys' in-horizon state.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {gap}")),
+    ).select("click_id", "purchase_id")
+
+
 def stateful_dedup(events: DataFrame) -> DataFrame:
     """Stateful streaming dedup on event_id (E33).
 
