@@ -439,6 +439,11 @@ def ngram_jaccard_pairs(
             F.posexplode(F.slice(F.col("fh"), 1, plen)).alias("pos", "fh"),
         )
         .select("doc_id", "sz", "pos", F.col("fh.h").alias("h"))
+        # persisted: the candidate self-join references this twice, and
+        # the chain above it (freq join + per-doc sort) is the expensive
+        # part of the operator — without the persist both join sides
+        # recompute it (exchange reuse is not guaranteed under AQE)
+        .persist()
     )
     t = F.lit(float(jaccard_min))
     alpha = F.ceil(t * (F.col("a.sz") + F.col("b.sz")) / (t + 1))
