@@ -76,18 +76,19 @@ REGISTRY: dict[str, QueryFn] = {
     # shard assembly: bucketed two-level global prefix sum + hash
     # sampling (training-data last mile)
     "pipeline_shards": pipeline.pipeline_shards,
-    "pipeline_sample": pipeline.pipeline_sample,
     "multimodal_meta": pipeline.multimodal_meta,
     "q23b": pipeline.q23b,
     "asof_union": pipeline.asof_union,
     # Structured Streaming corpus (real streaming jobs, batch-checked)
     "stream_tumbling": streaming_corpus.stream_tumbling,
     "stream_dedup": streaming_corpus.stream_dedup,
-    # ---- tail: operator coverage duplicated by an earlier entry ----
     # stream-stream interval join (watermarked, append mode): distinct
-    # capability but fold slot 51 — oracle-checked in the local harness
-    # and gated by pytest at sf0.001
+    # capability, kept above the 50-row driver fold
     "stream_join": streaming_corpus.stream_join,
+    # ---- tail: operator coverage duplicated by an earlier entry ----
+    # hash sampling ≙ pipeline suite (pipeline_shards carries the
+    # shard-assembly driver row); oracle-checked locally + pytest
+    "pipeline_sample": pipeline.pipeline_sample,
     "q19": relational.q19,  # E31 tumbling ≙ stream_tumbling (same result)
     "decim_rms": raster_queries.decim_rms,  # E20 ≙ qr1/decim_nearest/pyramid_avg
     "decim_mode": raster_queries.decim_mode,  # E20 ≙ same family
