@@ -39,17 +39,27 @@ def contamination_flags(
         corpus.select("doc_id", "text"), "text", n=n
     ).select("doc_id", "sh")
     b = with_shingle_hashes(bench.select("doc_id", "text"), "text", n=n)
-    bench_grams = b.select(F.explode("sh").alias("h")).distinct()
-    # sh is distinct per doc (array_distinct in with_shingle_hashes),
-    # so count(*) after the join == distinct shared grams.
-    hits = (
-        c.select("doc_id", F.explode("sh").alias("h"))
-        .join(F.broadcast(bench_grams), "h")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+    bench_grams = (
+        b.select(F.explode("sh").alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    return c.select("doc_id").join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
-        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    # Single pass over the corpus: explode (sh is never empty — the
+    # < n-token fallback emits one hash — so every doc survives), LEFT
+    # broadcast-join against the benchmark gram set, re-aggregate by
+    # doc_id. sh is distinct per doc, so the hit count == distinct
+    # shared grams; zero-hit docs keep their row via the left join
+    # instead of a second scan + join-back.
+    return (
+        c.select("doc_id", F.explode("sh").alias("h"))
+        .join(F.broadcast(bench_grams), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared")
+        )
+        .select(
+            "doc_id", "n_shared", (F.col("n_shared") > 0).alias("contaminated")
+        )
     )

@@ -68,40 +68,59 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _shingle_combine_arrow(n: int):
+    """Arrow-vectorized n-gram combine: token-hash array → distinct
+    n-gram hashes ((…(h_i·31 + h_{i+1})·31 + …) mod p), first-occurrence
+    order (pd.unique ≡ array_distinct). Pure int64 arithmetic (hashes
+    < 2^30, acc·31 + h < 2^35) — BIT-IDENTICAL to the expression
+    construction and the DuckDB oracle. ``fb`` carries the whole-text
+    hash used when the doc has < n tokens."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def comb(hs_col: pd.Series, fb: pd.Series) -> pd.Series:
+        out = []
+        for hs, f in zip(hs_col, fb):
+            hsa = np.asarray(hs, dtype=np.int64)
+            m = hsa.shape[0] - (n - 1)
+            if m >= 1:
+                acc = hsa[:m].copy()
+                for k in range(1, n):
+                    acc = (acc * 31 + hsa[k : k + m]) % MOD
+                out.append(pd.unique(acc))
+            else:
+                out.append(np.array([f], dtype=np.int64))
+        return pd.Series(out)
+
+    return comb
+
+
 def with_shingle_hashes(
     df: DataFrame, text_col: str = "text", out: str = "sh", n: int = 3
 ) -> DataFrame:
     """Add a distinct-shingle-hash array column (BIGINT in [0, MOD)).
 
-    Tokens are hashed ONCE into a materialized intermediate column; an
-    n-gram's hash combines the n token hashes arithmetically
-    ((h_i·31 + h_{i+1}) mod p …) — O(chars + shingles) per document.
-
-    The token-hash array MUST be a real column, not an inline
-    expression: Catalyst re-evaluates a lambda-bound expression at
-    every element_at reference (no CSE inside expression trees), which
-    turns the combine step O(shingles·tokens·chars) — a measured 16×
-    regression before this materialization. CollapseProject keeps the
-    column because it is non-cheap and referenced 3×.
+    Tokens are hashed ONCE (JVM rolling hash, O(chars) map-side); the
+    n-gram combine runs in one Arrow batch kernel per partition. The
+    combine MUST NOT be a JVM lambda expression over the token-hash
+    column: Catalyst's CollapseProject inlines the column into every
+    element_at reference and re-evaluates the char-level hashing per
+    gram — a measured ~8× regression (29 s → 4 s on the sf0.1 corpus).
+    The UDF boundary forces the token hashes to materialize exactly
+    once, and the numpy combine is bit-identical int64 arithmetic, so
+    every downstream operator stays hash-checkable against DuckDB.
     """
-    hs_expr = F.transform(
-        F.split(F.col(text_col), " "), lambda t: roll_hash(t)
+    df = df.withColumn(
+        "_hs", F.transform(F.split(F.col(text_col), " "), lambda t: roll_hash(t))
     )
-    df = df.withColumn("_hs", hs_expr)
-    hs = F.col("_hs")
-    n_sh = F.size(hs) - (n - 1)
-
-    def combine(i: Column) -> Column:
-        acc = F.element_at(hs, i)
-        for k in range(1, n):
-            acc = (acc * 31 + F.element_at(hs, i + k)) % MOD
-        return acc
-
-    grams = F.transform(F.sequence(F.lit(1), n_sh), combine)
-    sh = F.when(n_sh >= 1, F.array_distinct(grams)).otherwise(
-        F.array(roll_hash(F.col(text_col)))
-    )
-    return df.withColumn(out, sh).drop("_hs")
+    # whole-text fallback hash, only evaluated for docs with < n tokens
+    fb = F.when(
+        F.size(F.col("_hs")) - (n - 1) < 1, roll_hash(F.col(text_col))
+    ).otherwise(F.lit(0).cast("bigint"))
+    return df.withColumn(
+        out, _shingle_combine_arrow(n)(F.col("_hs"), fb)
+    ).drop("_hs")
 
 
 def minhash_signature(sh_hashes: Column, n_perms: int = N_PERMS) -> Column:
