@@ -47,11 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/column pruning
     into the scan automatically (check ``PushedFilters`` in explain).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as
-    epoch-nanos BIGINT (``spark.sql.legacy.parquet.nanosAsLong``); it is
-    converted here to a µs TIMESTAMP with integer division (the fixture
-    has zero sub-µs components, so this is lossless and matches what
-    DuckDB sees)."""
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some data
+    drops (Spark reads it as epoch-nanos BIGINT under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS)
+    without a UTC flag in others (Spark 4 infers TIMESTAMP_NTZ). Both
+    are normalized here to a plain session-UTC TIMESTAMP so every
+    downstream consumer — window(), epoch casts, the streaming staging
+    writer — sees one type. The session timezone is pinned to UTC, so
+    the NTZ→LTZ cast is a pure wall-clock reinterpretation and matches
+    the UTC-naive DuckDB oracle exactly."""
     # Runtime-settable SQL confs — the caller's session may not have
     # them (the driver builds its own SparkSession and passes it in).
     # UTC pins year()/date_trunc() semantics to match the UTC-naive
@@ -60,10 +64,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if name in CPU_HEAVY_TABLES:
         # Scan-parallelism floor: the local fixtures are single-row-group
         # parquet files, which Spark cannot split below row-group

@@ -40,7 +40,10 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
 
     from ccog_spark.catalog import load_table
 
-    tag = hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:10]
+    # v2: bumped when the ts normalization changed (NTZ-era staged dirs
+    # in /tmp must not be reused — readStream's declared LTZ schema
+    # would silently misread them).
+    tag = hashlib.md5(f"{sf_dir}:{n_files}:v2".encode()).hexdigest()[:10]
     staging = os.path.join(tempfile.gettempdir(), f"ccog_events_{tag}")
     marker = os.path.join(staging, "_STAGED_OK")
     if not os.path.exists(marker):
@@ -49,9 +52,11 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
         # ntile window would single-partition the whole fixture (the
         # WindowExec warning); equal time slices parallelize and give
         # the same arrival-order ≈ event-time-order property.
-        lo, hi = ev.agg(
-            F.min(F.col("ts").cast("double")), F.max(F.col("ts").cast("double"))
-        ).first()
+        # Double-cast via TIMESTAMP: catalog.load_table already
+        # normalizes ts, but a direct NTZ→double cast is illegal in
+        # Spark 4 so stay dtype-robust here regardless of the source.
+        epoch = F.col("ts").cast("timestamp").cast("double")
+        lo, hi = ev.agg(F.min(epoch), F.max(epoch)).first()
         span = max(hi - lo, 1e-9)
         binned = ev.withColumn(
             "f",
@@ -59,7 +64,7 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
                 F.lit(n_files),
                 (
                     F.floor(
-                        (F.col("ts").cast("double") - F.lit(lo))
+                        (F.col("ts").cast("timestamp").cast("double") - F.lit(lo))
                         / F.lit(span)
                         * n_files
                     )
