@@ -402,6 +402,53 @@ def simhash_pairs(
     )
 
 
+def _ppjoin_prefix_arrow(t: float, rep_bc):
+    """Arrow kernel: per-doc PPJoin prefix (rarest-first) in ONE
+    map-side pass. ``rep_bc`` broadcasts the (sorted-key, freq) arrays
+    of REPEATED shingles only (corpus freq >= 2); any shingle absent
+    from it has freq 1 exactly, so the (freq, h) sort order is the
+    same EXACT global order the join-based build produces — no
+    approximation. Prefix length is |sh| - ceil(t*|sh|) + 1 (same
+    double→ceil arithmetic as the declarative spelling)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def prefix(col: pd.Series) -> pd.Series:
+        keys, freqs = rep_bc.value
+        nk = keys.shape[0]
+        out = []
+        for hs in col:
+            hsa = np.asarray(hs, dtype=np.int64)
+            sz = hsa.shape[0]
+            plen = sz - math.ceil(t * sz) + 1
+            f = np.ones(sz, dtype=np.int64)
+            if nk:
+                idx = np.searchsorted(keys, hsa)
+                hit = idx < nk
+                hit[hit] = keys[idx[hit]] == hsa[hit]
+                f[hit] = freqs[idx[hit]]
+            order = np.lexsort((hsa, f))
+            out.append(hsa[order[:plen]])
+        return pd.Series(out)
+
+    return prefix
+
+
+# Broadcasting the repeated-shingle frequency table is the fast path;
+# above this row count the operator falls back to the shuffle-based
+# prefix build (a 100 TB corpus can have billions of repeated shingles
+# — that frame must stay distributed).
+_PPJOIN_BCAST_MAX = 4_000_000
+
+# Broadcast the (doc_id, shingle-array) verify frame only below this
+# doc count (~50 MB at the observed ~52 hashes/doc); larger corpora
+# verify through ordinary shuffle joins.
+_VERIFY_BCAST_MAX_DOCS = 100_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     jaccard_min: float = 0.5,
@@ -420,11 +467,13 @@ def ngram_jaccard_pairs(
     Hence the banded join has FULL recall and the DuckDB oracle can
     stay a plain all-pairs join.
 
-    Scale shape: one explode+count for global shingle frequencies, one
-    window to slice prefixes, one equi-join on (rare) prefix hashes,
-    exact-Jaccard verify. Quadratic work only inside single-shingle
-    buckets whose size is capped by the rarest-first ordering — no
-    low-cardinality attribute blocks, no n² corpus join.
+    Scale shape: one explode+count for global shingle frequencies, a
+    map-side Arrow prefix build (repeated-shingle freqs broadcast; the
+    freq-join + per-doc regroup spelling is kept as the distributed
+    fallback past the broadcast gate), one equi-join on (rare) prefix
+    hashes, exact-Jaccard verify. Quadratic work only inside
+    single-shingle buckets whose size is capped by the rarest-first
+    ordering — no low-cardinality attribute blocks, no n² corpus join.
 
     Candidate pruning (PPJoin, also lossless): because every doc's
     shingles are sorted by the SAME global (freq, h) order, the first
@@ -438,42 +487,87 @@ def ngram_jaccard_pairs(
     jac >= t — are dropped before the verify join, as are pairs
     failing the length filter t·|A| <= |B| <= |A|/t.
     """
+    import numpy as np
+
     base = with_shingle_hashes(
         docs.select("doc_id", "text"), "text", n=n
     ).select("doc_id", "sh").persist()
 
     ex = base.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("freq"))
-    # per-doc prefix via array_sort of (freq, h) structs — a per-group
-    # O(|sh| log |sh|) map-side sort after the doc_id shuffle, instead
-    # of a global window sort over every exploded row
-    plen = (F.col("sz") - F.ceil(F.lit(jaccard_min) * F.col("sz")) + 1).cast("int")
-    prefix = (
-        ex.join(freq, "h")
-        .groupBy("doc_id", "sz")
-        .agg(F.array_sort(F.collect_list(F.struct("freq", "h"))).alias("fh"))
-        .select(
-            "doc_id",
-            "sz",
-            F.posexplode(F.slice(F.col("fh"), 1, plen)).alias("pos", "fh"),
+    # Prefix build, fast path: shingles with freq 1 need no lookup at
+    # all — only the REPEATED minority must be known to order by
+    # (freq, h). Pull that minority to the driver (size-gated) and cut
+    # the whole prefix build to one Arrow kernel over the persisted
+    # base: no freq join, no per-doc regroup shuffle, no collect_list.
+    # limit(MAX+1) keeps the probe collect bounded: if it comes back
+    # full the set is too big to broadcast and the operator takes the
+    # distributed build below instead.
+    rep = freq.where(F.col("freq") >= 2).limit(_PPJOIN_BCAST_MAX + 1).toPandas()
+    if len(rep) <= _PPJOIN_BCAST_MAX:
+        keys = rep["h"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        rep_bc = docs.sparkSession.sparkContext.broadcast(
+            (keys[order], rep["freq"].to_numpy(dtype=np.int64)[order])
         )
-        .select("doc_id", "sz", "pos", F.col("fh.h").alias("h"))
-        # persisted: the candidate self-join references this twice, and
-        # the chain above it (freq join + per-doc sort) is the expensive
-        # part of the operator — without the persist both join sides
-        # recompute it (exchange reuse is not guaranteed under AQE)
-        .persist()
-    )
+        prefix = base.select(
+            "doc_id",
+            F.size("sh").alias("sz"),
+            F.posexplode(
+                _ppjoin_prefix_arrow(float(jaccard_min), rep_bc)(F.col("sh"))
+            ).alias("pos", "h"),
+        ).persist()  # the candidate self-join references this twice
+    else:
+        # Distributed fallback (100 TB path): per-doc prefix via
+        # array_sort of (freq, h) structs — a per-group O(|sh| log |sh|)
+        # map-side sort after the doc_id shuffle, instead of a global
+        # window sort over every exploded row.
+        plen = (
+            F.col("sz") - F.ceil(F.lit(jaccard_min) * F.col("sz")) + 1
+        ).cast("int")
+        prefix = (
+            ex.join(freq, "h")
+            .groupBy("doc_id", "sz")
+            .agg(F.array_sort(F.collect_list(F.struct("freq", "h"))).alias("fh"))
+            .select(
+                "doc_id",
+                "sz",
+                F.posexplode(F.slice(F.col("fh"), 1, plen)).alias("pos", "fh"),
+            )
+            .select("doc_id", "sz", "pos", F.col("fh.h").alias("h"))
+            # persisted: the candidate self-join references this twice,
+            # and the chain above it (freq join + per-doc sort) is the
+            # expensive part — without the persist both join sides
+            # recompute it (exchange reuse is not guaranteed under AQE)
+            .persist()
+        )
     t = F.lit(float(jaccard_min))
     alpha = F.ceil(t * (F.col("a.sz") + F.col("b.sz")) / (t + 1))
+    # Asymmetric index prefix (PPJoin, Xiao et al. WWW'08): orient each
+    # pair so b is the SHORTER doc (|b| <= |a|, id tie-break). Then
+    # alpha >= ceil(2t/(1+t)·|b|), so b only needs its first
+    # |b| - ceil(2t/(1+t)·|b|) + 1 positions indexed — ~1/3 of |b| at
+    # t=0.5 vs ~1/2 for the probe prefix. The fraction is nudged down
+    # by 1e-12 so double rounding can only LENGTHEN the index prefix
+    # (extra candidates are harmless; a shortened prefix would lose
+    # recall).
+    idx_frac = F.lit(2 * jaccard_min / (1 + jaccard_min) - 1e-12)
+    b_index_len = F.col("b.sz") - F.ceil(idx_frac * F.col("b.sz")) + 1
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "h")
         .where(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: t·|A| <= |B| and t·|B| <= |A|
+            (
+                (F.col("a.sz") > F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
+            & (F.col("b.pos") < b_index_len)
+            # length filter (t·|A| <= |B|; the mirror bound is implied
+            # by |B| <= |A|)
             & (t * F.col("a.sz") <= F.col("b.sz"))
-            & (t * F.col("b.sz") <= F.col("a.sz"))
             # positional filter: max possible overlap >= alpha
             & (
                 F.least(
@@ -482,22 +576,33 @@ def ngram_jaccard_pairs(
                 >= alpha
             )
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        .select(F.col("a.doc_id").alias("id_x"), F.col("b.doc_id").alias("id_y"))
     )
-    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Verify WITHOUT a pre-distinct: multi-prefix-match duplicates are
+    # only a few % of candidates, so deduping the (tiny) post-verify
+    # result costs far less than an extra full-width shuffle here. The
+    # shingle-array joins are broadcast under a size gate — map-side
+    # verify at test scale; past the gate they become ordinary shuffle
+    # joins (a 100 TB corpus cannot broadcast its shingle arrays).
+    sh_x = base.select(F.col("doc_id").alias("id_x"), F.col("sh").alias("sh_x"))
+    sh_y = base.select(F.col("doc_id").alias("id_y"), F.col("sh").alias("sh_y"))
+    if base.count() <= _VERIFY_BCAST_MAX_DOCS:  # base is persisted: cheap
+        sh_x, sh_y = F.broadcast(sh_x), F.broadcast(sh_y)
     return (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        cands.join(sh_x, "id_x")
+        .join(sh_y, "id_y")
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+            "id_x",
+            "id_y",
+            F.round(jaccard(F.col("sh_x"), F.col("sh_y")), 4).alias("jac"),
         )
         .where(F.col("jac") >= jaccard_min)
+        .select(
+            F.least("id_x", "id_y").alias("doc_a"),
+            F.greatest("id_x", "id_y").alias("doc_b"),
+            "jac",
+        )
+        .distinct()
     )
 
 

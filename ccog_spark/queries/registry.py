@@ -15,6 +15,37 @@ ORACLE = {**ORACLE, **PIPELINE_ORACLE}
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+# Operators persist frames they reference more than once (dedup
+# prefix/signature frames, similarity norm frames, …) but return lazy
+# results, so they cannot unpersist at their own exit. Left unbounded,
+# those caches accumulate across a 60-query session and evict each
+# other (a measured +0.3 s drift on every documents-fixture query).
+# Clearing on EVERY query is worse: identical re-invocations DO hit
+# the cache of an earlier call (Python UDF plan equality is by
+# serialized function bytes), and losing that warm reuse costs ~2× on
+# the UDF-heavy queries. So: let caches accumulate up to a budget,
+# clear only past it — reuse is kept, pressure is bounded.
+_CACHE_BUDGET_BYTES = 2 << 30
+
+
+def _scoped(fn: QueryFn) -> QueryFn:
+    """Bound cross-query cache accumulation (see _CACHE_BUDGET_BYTES)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            cached = sum(i.memSize() + i.diskSize() for i in infos)
+        except Exception:  # storage introspection is best-effort
+            cached = 0
+        if cached > _CACHE_BUDGET_BYTES:
+            spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
 # ORDER MATTERS: the round-1 driver recorded CORRECTNESS rows for
 # exactly the FIRST 50 registry entries (in dict order) — entries 51+
 # got no row. The first 50 therefore cover every DISTINCT operator;
@@ -110,6 +141,8 @@ REGISTRY: dict[str, QueryFn] = {
     "gauss_decimate": raster_jobs.gauss_decimate_q,
     "lanczos_decimate": raster_jobs.lanczos_decimate_q,
 }
+
+REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
 
 # Queries that run real streaming/file-IO jobs — excluded from the
 # per-query wall-clock bench (their cost is checkpoint/file mechanics,
