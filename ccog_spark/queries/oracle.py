@@ -371,6 +371,17 @@ ORDER BY band, y, x
 # Streaming corpus: streamed results must equal their batch analogues.
 ORACLE["stream_tumbling"] = ORACLE["q19"]
 
+# Sliding windows (1 h wide, 30 min slide): every event belongs to
+# exactly 2 epoch-aligned windows — the 30-min bucket containing it
+# and the one starting 30 min earlier — so the batch twin expands each
+# event to both window starts and counts.
+ORACLE["stream_sliding"] = """
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE AS w_start,
+       COUNT(*) AS cnt
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+GROUP BY 1 ORDER BY 1
+"""
+
 ORACLE["stream_session"] = """
 SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n_events
 FROM (

@@ -109,14 +109,20 @@ REGISTRY: dict[str, QueryFn] = {
     "pipeline_shards": pipeline.pipeline_shards,
     "multimodal_meta": pipeline.multimodal_meta,
     "q23b": pipeline.q23b,
-    "asof_union": pipeline.asof_union,
     # Structured Streaming corpus (real streaming jobs, batch-checked)
     "stream_tumbling": streaming_corpus.stream_tumbling,
     "stream_dedup": streaming_corpus.stream_dedup,
     # stream-stream interval join (watermarked, append mode): distinct
     # capability, kept above the 50-row driver fold
     "stream_join": streaming_corpus.stream_join,
+    # overlapping-window shape — the one E31 window form the other
+    # stream rows don't cover; above the fold in asof_union's old slot
+    "stream_sliding": streaming_corpus.stream_sliding,
     # ---- tail: operator coverage duplicated by an earlier entry ----
+    # E10 as-of: q23b (above fold) carries the driver row; the three
+    # as-of strategies are asserted pairwise-identical in pytest, so
+    # the union-strategy row adds hash evidence, not coverage
+    "asof_union": pipeline.asof_union,
     # hash sampling ≙ pipeline suite (pipeline_shards carries the
     # shard-assembly driver row); oracle-checked locally + pytest
     "pipeline_sample": pipeline.pipeline_sample,
@@ -150,6 +156,7 @@ REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
 NON_BENCH = (
     "stream_tumbling",
     "stream_session",
+    "stream_sliding",
     "stream_dedup",
     "stream_join",
     "cog_write",

@@ -13,6 +13,7 @@ from ccog_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_batch,
     session_counts,
+    sliding_counts,
     stateful_dedup,
     tumbling_counts,
 )
@@ -24,6 +25,15 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir)
     out = run_stream_to_batch(tumbling_counts(events), "complete")
     return out.orderBy("bucket", "event_type")
+
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed sliding-window counts (1-hour windows every 30 min) —
+    each event lands in exactly width/slide = 2 epoch-aligned windows,
+    so the batch twin is a 2-way window-start expansion per event."""
+    events = read_events_stream(spark, sf_dir)
+    out = run_stream_to_batch(sliding_counts(events), "complete")
+    return out.orderBy("w_start")
 
 
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
