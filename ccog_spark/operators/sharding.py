@@ -12,10 +12,10 @@ slowdown, it is an OOM.
 ``prefix_sum`` is the scale-safe spelling: a deterministic range
 bucketing on the order key, a per-bucket window prefix sum (runs with
 full parallelism), a tiny per-bucket-totals aggregate (one row per
-bucket) turned into cumulative offsets, and a broadcast join back.
-The result is identical to the single-partition window — the oracle
-runs the naive SQL — but no stage ever sees more than one bucket of
-rows in one task.
+bucket) cumulated on the driver, and a broadcast join back. The
+result is identical to the single-partition window — the oracle runs
+the naive SQL — but no stage ever sees more than one bucket of rows
+in one task, and no single-partition WindowExec appears anywhere.
 
 Reference scale intent: ccog orders its multipart upload by a global
 part index computed the same two-level way (per-level part counts →
@@ -51,17 +51,21 @@ def prefix_sum(
     in_bucket = F.sum(value_col).over(
         W.partitionBy("_bkt").orderBy(order_col)
     )
-    # one row per bucket; the offsets window is over bucket COUNT rows
-    # (corpus/bucket_width — driver-small, like a file-footer pass)
-    offsets = (
-        b.groupBy("_bkt")
-        .agg(F.sum(value_col).alias("_tot"))
-        .select(
-            "_bkt",
-            (F.sum("_tot").over(W.orderBy("_bkt")) - F.col("_tot")).alias(
-                "_off"
-            ),
-        )
+    # Bucket totals are driver-small BY CONSTRUCTION (corpus /
+    # bucket_width rows — size the width so this is file-footer scale,
+    # the same index-sized collect the COG planner does). Cumulating
+    # them on the driver gives the identical offsets without the
+    # one-partition WindowExec stage the window spelling would add.
+    totals = sorted(
+        b.groupBy("_bkt").agg(F.sum(value_col).alias("_tot")).collect(),
+        key=lambda r: r["_bkt"],
+    )
+    rows, off = [], 0
+    for r in totals:
+        rows.append((r["_bkt"], off))
+        off += r["_tot"]
+    offsets = df.sparkSession.createDataFrame(
+        rows, "_bkt long, _off long"
     )
     return (
         b.withColumn("_in", in_bucket)

