@@ -2,62 +2,113 @@
 
 Images/audio/video ride through the engine as ``binary`` columns plus a
 metadata struct; decode / feature-extract / resize run as Arrow-batched
-``mapInPandas`` stages. The container has no image/audio codecs, so the
-decode kernel is a clearly-marked deterministic stub — but the
-Spark-side plumbing (schema, Arrow binary batches, partition-preserving
-mapInPandas, metadata derivation) is real and tested, which is the part
-that matters for the 100 TB design: payload bytes never leave their
-partition, only metadata aggregates shuffle.
+``mapInPandas`` stages. The container has no compressed-image codecs
+(no PIL/ffmpeg), so the fixture payloads are REAL uncompressed raster
+formats whose containers are pure struct math — binary PPM (P6) and
+24-bit BMP — and the decode kernel genuinely parses them (magic-byte
+dispatch, ASCII header scan for PPM, little-endian struct unpack for
+BMP). The 100 TB design point is unchanged: payload bytes never leave
+their partition, only decoded metadata shuffles.
+
+Reference parity: the reference treats tile payloads as opaque bytes
+with typed side-metadata the same way (ccog/ccog.py:448 parts_info);
+this module generalizes that to media columns.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
     "doc_id bigint, n_bytes int, width int, height int, channels int, "
     "format string"
 )
 
+# Deterministic fixture geometry: 2-digit dimensions (16..63) so the
+# PPM header is a fixed 13 bytes — the oracle derives expected sizes
+# from the same formulas.
+_DIM_MOD, _DIM_MIN = 48, 16
+
+
+def make_encode_kernel():
+    """mapInPandas kernel producing REAL image payloads: binary PPM
+    (P6) for even doc_ids, 24-bit uncompressed BMP for odd ones.
+    Dimensions derive from doc_id; pixel bytes tile the document text
+    (content is irrelevant to the metadata contract, but the container
+    structure is byte-exact). Self-contained closure: Spark pickles it
+    by value, so executors need no ccog_spark import."""
+
+    def encode_batch(it):
+        import struct
+
+        import pandas as pd
+
+        def ppm(w: int, h: int, src: bytes) -> bytes:
+            need = w * h * 3
+            body = (src * (need // max(len(src), 1) + 1))[:need]
+            return b"P6\n%d %d\n255\n" % (w, h) + body
+
+        def bmp(w: int, h: int, src: bytes) -> bytes:
+            stride = (w * 3 + 3) // 4 * 4
+            need = stride * h
+            body = (src * (need // max(len(src), 1) + 1))[:need]
+            file_hdr = struct.pack("<2sIHHI", b"BM", 54 + need, 0, 0, 54)
+            info_hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, need, 2835, 2835, 0, 0
+            )
+            return file_hdr + info_hdr + body
+
+        for pdf in it:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(doc_id) % _DIM_MOD + _DIM_MIN
+                h = (int(doc_id) * 7) % _DIM_MOD + _DIM_MIN
+                src = text.encode("utf-8") or b"\x00"
+                payloads.append(
+                    ppm(w, h, src) if doc_id % 2 == 0 else bmp(w, h, src)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return encode_batch
+
 
 def attach_payload(docs: DataFrame) -> DataFrame:
-    """Materialize an opaque binary payload column (here: the UTF-8
-    bytes of the text; in production: image/audio bytes read from a
-    blob store) plus a typed metadata struct."""
-    return docs.select(
-        "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.struct(
-            F.lit("image/fake").alias("content_type"),
-            F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
-        ).alias("meta"),
+    """Materialize an opaque binary image payload per document (in
+    production these bytes come from a blob store; here a deterministic
+    PPM/BMP fixture generator runs in the same Arrow stage)."""
+    return docs.select("doc_id", "text").mapInPandas(
+        make_encode_kernel(), "doc_id bigint, payload binary"
     )
 
 
 def make_decode_kernel():
-    """Build the mapInPandas decode kernel as a SELF-CONTAINED closure.
+    """Build the mapInPandas DECODE kernel as a self-contained closure.
 
-    Spark pickles UDFs defined in an importable module *by reference*;
-    executors that can't import ccog_spark (driver launched from an
-    arbitrary cwd, package not pip-installed) would fail with
-    ModuleNotFoundError. A nested function with only local imports and
-    no module globals is pickled by value and runs anywhere.
+    This is a real decoder for the two codec-free container formats:
+    magic-byte dispatch, then PPM ASCII header scan ('P6', whitespace,
+    width, height, maxval) or BMP BITMAPINFOHEADER struct unpack
+    (width i32@18, height i32@22, bpp u16@28, all little-endian).
+    Unknown magic raises — no silent fallback.
     """
 
     def decode_batch(it):
-        import pandas as pd  # local import: executors need no ccog_spark
+        import struct
 
-        def fake_decode(payload: bytes):
-            # STUB — deterministic fake decoder. A real deployment
-            # decodes with PIL/ffmpeg here; the container has no codecs,
-            # so dimensions derive from the payload length (keeps the
-            # operator oracle-checkable end-to-end).
-            n = len(payload)
-            return (n % 64 + 16, (n * 7) % 64 + 16, 3, "fake")
+        import pandas as pd
+
+        def decode(payload: bytes):
+            if payload[:2] == b"P6":
+                toks = payload[2:32].split(None, 3)
+                return int(toks[0]), int(toks[1]), 3, "ppm"
+            if payload[:2] == b"BM":
+                (w,) = struct.unpack_from("<i", payload, 18)
+                (h,) = struct.unpack_from("<i", payload, 22)
+                (bpp,) = struct.unpack_from("<H", payload, 28)
+                return w, abs(h), bpp // 8, "bmp"
+            raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
         for pdf in it:
-            meta = [fake_decode(p) for p in pdf["payload"]]
+            meta = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -474,14 +474,24 @@ ORDER BY q_id, rn
 """
 
 # ----------------------------------------------------------- multimodal
+# The engine really encodes PPM/BMP containers and really parses them
+# back; the oracle derives the expected metadata from the same
+# deterministic geometry (dims 16..63 → 2 digits → fixed 13-byte PPM
+# header; BMP = 54-byte headers + 4-byte-aligned rows). A decoder
+# mis-parse breaks this hash.
 PIPELINE_ORACLE["multimodal_meta"] = """
 SELECT doc_id,
-       CAST(n_chars AS INT) AS n_bytes,
-       CAST(n_chars % 64 + 16 AS INT) AS width,
-       CAST((n_chars * 7) % 64 + 16 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 13 + w * h * 3
+                 ELSE 54 + (CAST(FLOOR((w * 3 + 3) / 4.0) AS BIGINT) * 4) * h
+            END AS INT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
        3 AS channels,
-       'fake' AS format
-FROM documents
+       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format
+FROM (
+  SELECT doc_id, doc_id % 48 + 16 AS w, (doc_id * 7) % 48 + 16 AS h
+  FROM documents
+)
 ORDER BY doc_id
 """
 
