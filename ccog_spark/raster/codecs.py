@@ -4,8 +4,10 @@ ccog/ccog.py:24-39 and _adjust_compression :452-478).
 Implemented: deflate (zlib), LZW (pure Python, TIFF 6.0 §13 including
 the historical "early change" code-width quirk), LZMA (public
 GDAL/libtiff tag), zstd (GDAL tag 50000, gated on the optional
-``zstandard`` module). jpeg/webp need image codec libraries that are
-not in this container and raise a clear error.
+``zstandard`` module). jpeg/webp are registered PORT POINTS: the
+registry slot, TIFF tag, and the shared-JPEGTables invariant plumbing
+all exist, but their encoders raise until a real image codec is
+registered (none ships in this container).
 
 Scale note: LZW here is a pure-Python kernel — spec-correct and
 GDAL-readable, but ~MB/s per core. It exists for reference-profile
@@ -15,9 +17,13 @@ parity; at 100 TB use deflate or zstd (C-speed, release-level knob).
 from __future__ import annotations
 
 import zlib
+from collections.abc import Callable
+from dataclasses import dataclass
 
 COMPRESSION_LZW = 5
+COMPRESSION_JPEG = 7  # public TIFF 6.0 new-style JPEG tag
 COMPRESSION_DEFLATE = 8
+COMPRESSION_WEBP = 50001  # public GDAL/libtiff WebP tag
 COMPRESSION_LZMA = 34925  # public GDAL/libtiff LZMA tag
 COMPRESSION_ZSTD = 50000  # public GDAL/libtiff ZSTD tag
 
@@ -26,7 +32,129 @@ CODEC_TAGS = {
     "lzw": COMPRESSION_LZW,
     "lzma": COMPRESSION_LZMA,
     "zstd": COMPRESSION_ZSTD,
+    "jpeg": COMPRESSION_JPEG,
+    "webp": COMPRESSION_WEBP,
 }
+
+
+@dataclass(frozen=True)
+class CodecSpec:
+    """A pluggable tile codec.
+
+    ``make_tables`` is the port point for codecs that carry GLOBAL
+    side tables shared by every tile — JPEG's quantization/Huffman
+    tables (TIFF tag 347 JPEGTables). It must be a pure function of
+    the codec parameters (level), because tiles are encoded
+    independently across partitions and the finished COG stores ONE
+    copy: the writer asserts every part derived byte-identical tables
+    (the reference's _test_jpegtables invariant,
+    /root/reference/ccog/ccog.py:261-289) before emitting the tag.
+
+    Registration is per-process: a deployment adding e.g. a real JPEG
+    codec must call ``register_codec`` at import time from a module
+    shipped to the executors (local registration on the driver alone
+    does not reach executor processes on a real cluster).
+    """
+
+    name: str
+    tag: int
+    encode: Callable[[bytes, int], bytes]  # (payload, level) -> bytes
+    decode: Callable[[bytes], bytes]
+    make_tables: Callable[[int], bytes] | None = None  # (level) -> tables
+
+
+def _unavailable(name: str, needs: str):
+    def enc(data: bytes, level: int) -> bytes:
+        raise ValueError(
+            f"codec {name!r} needs {needs} not present in this container; "
+            f"register a real implementation via register_codec({name!r}, …)"
+        )
+
+    def dec(data: bytes) -> bytes:
+        raise ValueError(f"reading {name!r} tiles needs {needs}")
+
+    return enc, dec
+
+
+def _zstd_encode(data: bytes, level: int) -> bytes:
+    try:
+        import zstandard
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "codec 'zstd' needs the optional 'zstandard' module "
+            "(not installed in this container); use 'deflate' or 'lzw'"
+        ) from e
+    return zstandard.ZstdCompressor(level=level).compress(data)
+
+
+def _zstd_decode(data: bytes) -> bytes:
+    try:
+        import zstandard
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError("reading zstd tiles needs 'zstandard'") from e
+    return zstandard.ZstdDecompressor().decompress(data)
+
+
+def _lzma_encode(data: bytes, level: int) -> bytes:
+    import lzma
+
+    return lzma.compress(data, preset=level)
+
+
+def _lzma_decode(data: bytes) -> bytes:
+    import lzma
+
+    return lzma.decompress(data)
+
+
+_JPEG_ENC, _JPEG_DEC = _unavailable("jpeg", "a JPEG library (libjpeg/PIL)")
+_WEBP_ENC, _WEBP_DEC = _unavailable("webp", "a WebP library")
+
+REGISTRY: dict[str, CodecSpec] = {
+    "deflate": CodecSpec(
+        "deflate",
+        COMPRESSION_DEFLATE,
+        lambda d, lv: zlib.compress(d, lv),
+        zlib.decompress,
+    ),
+    "lzw": CodecSpec(
+        "lzw",
+        COMPRESSION_LZW,
+        lambda d, lv: lzw_encode(d),
+        lambda d: lzw_decode(d),
+    ),
+    "lzma": CodecSpec("lzma", COMPRESSION_LZMA, _lzma_encode, _lzma_decode),
+    "zstd": CodecSpec("zstd", COMPRESSION_ZSTD, _zstd_encode, _zstd_decode),
+    # Port points: real encoders slot in via register_codec; until then
+    # they fail loudly. JPEG additionally needs make_tables so the
+    # shared-JPEGTables invariant can be enforced.
+    "jpeg": CodecSpec("jpeg", COMPRESSION_JPEG, _JPEG_ENC, _JPEG_DEC),
+    "webp": CodecSpec("webp", COMPRESSION_WEBP, _WEBP_ENC, _WEBP_DEC),
+}
+
+
+def register_codec(spec: CodecSpec) -> None:
+    """Install (or replace) a codec in this process. See CodecSpec for
+    the cluster-wide registration contract."""
+    REGISTRY[spec.name] = spec
+    CODEC_TAGS[spec.name] = spec.tag
+
+
+def shared_tables(codec: str, level: int) -> bytes | None:
+    """The codec's global side tables for these parameters, or None
+    for tableless codecs (everything but JPEG-family)."""
+    spec = REGISTRY.get(codec)
+    if spec is None or spec.make_tables is None:
+        return None
+    return spec.make_tables(level)
+
+
+def check_shared_tables(expected: bytes, got: bytes) -> None:
+    """Per-part invariant: independently-encoded parts must derive
+    byte-identical shared tables (≙ the reference's _test_jpegtables,
+    ccog/ccog.py:261-289 — same error text)."""
+    if expected != got:
+        raise ValueError("different JPEGTables")
 
 _CLEAR, _EOI = 256, 257
 
@@ -123,48 +251,18 @@ def lzw_decode(data: bytes) -> bytes:
 
 
 def compress(data: bytes, codec: str = "deflate", level: int = 6) -> bytes:
-    """Encode one tile payload. ``level`` applies to deflate/lzma/zstd;
-    LZW has no level knob."""
-    if codec == "deflate":
-        return zlib.compress(data, level)
-    if codec == "lzw":
-        return lzw_encode(data)
-    if codec == "lzma":
-        import lzma
-
-        return lzma.compress(data, preset=level)
-    if codec == "zstd":
-        try:
-            import zstandard
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise ImportError(
-                "codec 'zstd' needs the optional 'zstandard' module "
-                "(not installed in this container); use 'deflate' or "
-                "'lzw'"
-            ) from e
-        return zstandard.ZstdCompressor(level=level).compress(data)
-    if codec in ("jpeg", "webp"):
-        raise ValueError(
-            f"codec {codec!r} needs image codec libraries not present "
-            "in this container"
-        )
-    raise ValueError(f"unknown codec {codec!r}")
+    """Encode one tile payload through the registry. ``level`` applies
+    to deflate/lzma/zstd; LZW has no level knob."""
+    spec = REGISTRY.get(codec)
+    if spec is None:
+        raise ValueError(f"unknown codec {codec!r}")
+    return spec.encode(data, level)
 
 
 def decompress(data: bytes, compression: int = COMPRESSION_DEFLATE) -> bytes:
-    """Decode one tile payload by TIFF compression tag."""
-    if compression == COMPRESSION_DEFLATE:
-        return zlib.decompress(data)
-    if compression == COMPRESSION_LZW:
-        return lzw_decode(data)
-    if compression == COMPRESSION_LZMA:
-        import lzma
-
-        return lzma.decompress(data)
-    if compression == COMPRESSION_ZSTD:
-        try:
-            import zstandard
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise ImportError("reading zstd tiles needs 'zstandard'") from e
-        return zstandard.ZstdDecompressor().decompress(data)
+    """Decode one tile payload by TIFF compression tag (registry
+    lookup, so registered codecs decode too)."""
+    for spec in REGISTRY.values():
+        if spec.tag == compression:
+            return spec.decode(data)
     raise ValueError(f"unsupported TIFF compression tag {compression}")

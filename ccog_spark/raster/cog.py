@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ccog_spark.raster import codecs as codecs_mod
 from ccog_spark.raster import tiff
 from ccog_spark.raster.pyramid import build_pyramid, overview_count
 from ccog_spark.raster.tiles import tiles_from_pixels
@@ -66,7 +67,10 @@ def encode_tiles(
     ccog/ccog.py:452-478)."""
     np_dt = tiff.np_dtype_le(dtype)
 
-    def make_kernel(bs, np_dtype, lvl0, ov_lvl, cdc0, ov_cdc, pr0, ov_pr):
+    def make_kernel(
+        bs, np_dtype, lvl0, ov_lvl, cdc0, ov_cdc, pr0, ov_pr,
+        exp_tables, tables_fn, enc0, enc_ov,
+    ):
         def enc(it):
             import lzma
             import zlib
@@ -95,6 +99,15 @@ def encode_tiles(
 
             from ccog_spark.raster import codecs
 
+            # Per-part shared-tables invariant (≙ ccog _test_jpegtables,
+            # ccog/ccog.py:261-289): THIS part re-derives the codec's
+            # global side tables IN THE WORKER (tables_fn ships by
+            # value in the closure — worker processes don't see
+            # driver-side codec registration) and they must byte-match
+            # the plan's. Runs once per partition, before any tile.
+            if tables_fn is not None:
+                codecs.check_shared_tables(exp_tables, tables_fn(lvl0))
+
             def comp(d, level):
                 cdc = cdc0 if level == 0 else ov_cdc
                 lv = lvl0 if level == 0 else ov_lvl
@@ -102,6 +115,13 @@ def encode_tiles(
                     return lzma.compress(d, preset=lv)
                 if cdc == "deflate":
                     return zlib.compress(d, lv)
+                # registered codecs ship their encode fn by value in
+                # this closure (worker processes don't see driver-side
+                # registration); unregistered names fall through to the
+                # worker's built-in registry
+                enc = enc0 if level == 0 else enc_ov
+                if enc is not None:
+                    return enc(d, lv)
                 return codecs.compress(d, cdc, lv)
 
             dt = np.dtype(np_dtype)
@@ -132,10 +152,16 @@ def encode_tiles(
     ov = compress_level if overview_compress_level is None else overview_compress_level
     ov_cdc = overview_codec or codec
     ov_pr = predictor if overview_predictor is None else overview_predictor
+    exp_tables = codecs_mod.shared_tables(codec, compress_level)
+    spec = codecs_mod.REGISTRY.get(codec)
+    spec_ov = codecs_mod.REGISTRY.get(ov_cdc)
+    tables_fn = spec.make_tables if spec is not None else None
     return dense.mapInPandas(
         make_kernel(
             blocksize, np_dt, compress_level, ov, codec, ov_cdc,
-            predictor, ov_pr,
+            predictor, ov_pr, exp_tables, tables_fn,
+            spec.encode if spec is not None else None,
+            spec_ov.encode if spec_ov is not None else None,
         ),
         ENC_SCHEMA,
     )
@@ -165,6 +191,7 @@ def write_cog(
     fmt: str = "auto",
     statistics: bool = False,
     band_meta: dict[int, dict] | None = None,
+    compress_level: int = 6,
     overview_compress_level: int | None = None,
     codec: str = "deflate",
     geo: dict | None = None,
@@ -277,6 +304,7 @@ def write_cog(
     tiles = tiles_from_pixels(pyr, blocksize, nodata, width, height, dtype=dtype)
     enc = encode_tiles(
         tiles,
+        compress_level=compress_level,
         overview_compress_level=overview_compress_level,
         codec=codec,
         blocksize=blocksize,
@@ -306,6 +334,9 @@ def write_cog(
         predictor=predictor,
         overview_codec=overview_codec,
         overview_predictor=overview_predictor,
+        # JPEG-family port point: one global JPEGTables copy, already
+        # per-part-asserted identical inside encode_tiles
+        shared_tables=codecs_mod.shared_tables(codec, compress_level),
     )
 
     # file_seq: header is 0; tiles follow in plan order. The tile-key →

@@ -46,6 +46,7 @@ TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
 TAG_PREDICTOR = 317
 TAG_SAMPLE_FORMAT = 339
+TAG_JPEG_TABLES = 347  # shared JPEG quantization/Huffman tables
 TAG_MODEL_PIXEL_SCALE = 33550  # GeoTIFF spec (public)
 TAG_MODEL_TIEPOINT = 33922
 TAG_GEO_KEY_DIRECTORY = 34735
@@ -55,6 +56,7 @@ TAG_GDAL_NODATA = 42113
 TYPE_SHORT = 3  # uint16
 TYPE_LONG = 4  # uint32
 TYPE_ASCII = 2
+TYPE_UNDEFINED = 7  # raw bytes (JPEGTables payload)
 TYPE_DOUBLE = 12
 TYPE_LONG8 = 16  # uint64 (BigTIFF)
 
@@ -65,9 +67,9 @@ from ccog_spark.raster.codecs import (  # noqa: E402 (tag constants)
 )
 
 TYPE_SIZES = {TYPE_SHORT: 2, TYPE_LONG: 4, TYPE_ASCII: 1, TYPE_LONG8: 8,
-              TYPE_DOUBLE: 8}
+              TYPE_DOUBLE: 8, TYPE_UNDEFINED: 1}
 TYPE_FMTS = {TYPE_SHORT: "H", TYPE_LONG: "I", TYPE_ASCII: "B", TYPE_LONG8: "Q",
-             TYPE_DOUBLE: "d"}
+             TYPE_DOUBLE: "d", TYPE_UNDEFINED: "B"}
 
 # Classic TIFF caps every offset at 4 GiB; BigTIFF (version 43, 8-byte
 # offsets, 20-byte IFD entries) is the same layout scaled up. 'auto'
@@ -212,6 +214,7 @@ def build_cog_plan(
     predictor: int = 1,
     overview_codec: str | None = None,
     overview_predictor: int | None = None,
+    shared_tables: bytes | None = None,
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
@@ -229,6 +232,11 @@ def build_cog_plan(
     ``overview_codec``/``overview_predictor`` let overview IFDs carry
     different compression settings than IFD 0 (≙ ccog's per-overview
     profile adjustment, _adjust_compression ccog/ccog.py:452-478).
+
+    ``shared_tables``: global codec side tables (JPEGTables, tag 347)
+    — one external copy, referenced from every IFD, written only after
+    the writer has asserted each part derived identical bytes
+    (codecs.check_shared_tables ≙ ccog _test_jpegtables).
     """
     bits, sfmt, _ = DTYPES[dtype]
 
@@ -292,6 +300,7 @@ def build_cog_plan(
         n_entries
         + (ifd0_extra if i == 0 else 0)
         + (1 if pred_of(lp.level) != 1 else 0)
+        + (1 if shared_tables is not None else 0)
         for i, lp in enumerate(levels)
     ]
     ifd_offsets = []
@@ -316,6 +325,9 @@ def build_cog_plan(
     if meta_ascii is not None:
         ext[("meta", "s")] = pos
         pos += len(meta_ascii)
+    if shared_tables is not None:
+        ext[("jpegtables", "s")] = pos
+        pos += len(shared_tables) + (len(shared_tables) % 2)
     if geo_keys is not None:
         ext[("geo", "scale")] = pos
         pos += 8 * 3
@@ -428,6 +440,15 @@ def build_cog_plan(
             entries.append(
                 entry(TAG_GDAL_METADATA, TYPE_ASCII, len(meta_ascii), ext[("meta", "s")])
             )
+        if shared_tables is not None:
+            entries.append(
+                entry(
+                    TAG_JPEG_TABLES,
+                    TYPE_UNDEFINED,
+                    len(shared_tables),
+                    ext[("jpegtables", "s")],
+                )
+            )
         if i == 0 and geo_keys is not None:
             entries.append(
                 entry(TAG_MODEL_PIXEL_SCALE, TYPE_DOUBLE, 3, ext[("geo", "scale")])
@@ -474,6 +495,9 @@ def build_cog_plan(
     if meta_ascii is not None:
         p0 = ext[("meta", "s")]
         buf[p0 : p0 + len(meta_ascii)] = meta_ascii
+    if shared_tables is not None:
+        p0 = ext[("jpegtables", "s")]
+        buf[p0 : p0 + len(shared_tables)] = shared_tables
     if geo_keys is not None:
         sx, sy = geo["px_size"]
         ox, oy = geo["origin"]
@@ -532,6 +556,7 @@ class IfdInfo:
     bits_per_sample: int = 64
     sample_format: int = 3
     predictor: int = 1
+    jpeg_tables: bytes | None = None
 
     @property
     def np_dtype(self) -> str:
@@ -598,6 +623,8 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                 payload = data[p : p + total]
             if typ == TYPE_ASCII:
                 return payload.rstrip(b"\x00").decode("ascii")
+            if typ == TYPE_UNDEFINED:
+                return bytes(payload)
             vals = list(struct.unpack(f"<{count}{fmt}", payload))
             return vals if count > 1 else vals[0]
 
@@ -626,6 +653,7 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                 bits_per_sample=bps[0] if isinstance(bps, list) else bps,
                 sample_format=sf[0] if isinstance(sf, list) else sf,
                 predictor=val(TAG_PREDICTOR, 1),
+                jpeg_tables=val(TAG_JPEG_TABLES),
             )
         )
         (ifd_off,) = struct.unpack_from(

@@ -1,0 +1,119 @@
+"""Codec registry + the shared-JPEGTables invariant scaffold.
+
+The container has no JPEG library, so the end-to-end path is exercised
+by registering a synthetic tables-carrying codec in the 'jpeg' slot —
+exactly the move a real deployment makes — and writing/parsing a COG
+with it. The invariant (every independently-encoded part derives
+byte-identical global tables, ≙ ccog _test_jpegtables,
+/root/reference/ccog/ccog.py:261-289) is tested both ways.
+"""
+
+import zlib
+
+import pytest
+
+from ccog_spark.raster import codecs
+from ccog_spark.raster.codecs import (
+    COMPRESSION_JPEG,
+    CodecSpec,
+    check_shared_tables,
+    register_codec,
+    shared_tables,
+)
+
+FAKE_TABLES = b"\xff\xd8\xff\xdb" + bytes(range(64))  # DQT-ish blob
+
+
+@pytest.fixture
+def fake_jpeg_codec():
+    """Install a deterministic stand-in codec in the jpeg slot; restore
+    the port-point spec afterwards."""
+    saved = codecs.REGISTRY["jpeg"]
+    register_codec(
+        CodecSpec(
+            "jpeg",
+            COMPRESSION_JPEG,
+            encode=lambda d, lv: zlib.compress(d, 6),
+            decode=zlib.decompress,
+            make_tables=lambda lv: FAKE_TABLES + bytes([lv]),
+        )
+    )
+    yield
+    register_codec(saved)
+
+
+def test_unregistered_jpeg_raises():
+    with pytest.raises(ValueError, match="jpeg.*needs"):
+        codecs.compress(b"xx", "jpeg")
+
+
+def test_shared_tables_none_for_tableless():
+    assert shared_tables("deflate", 6) is None
+    assert shared_tables("lzw", 6) is None
+
+
+def test_check_shared_tables_mismatch():
+    with pytest.raises(ValueError, match="different JPEGTables"):
+        check_shared_tables(b"aa", b"ab")
+
+
+def test_cog_with_tables_codec_roundtrip(spark, tmp_path, fake_jpeg_codec):
+    from ccog_spark.raster.cog import write_cog
+    from ccog_spark.raster.fixtures import BANDS, BLOCK, H, W, pixels_df
+
+    NODATA = -9999.0
+    from ccog_spark.raster.tiff import read_band, read_cog
+
+    out = str(tmp_path / "tables.tif")
+    res = write_cog(
+        spark, pixels_df(spark), width=W, height=H, bands=BANDS,
+        target_path=out, blocksize=BLOCK, nodata=NODATA, codec="jpeg",
+        compress_level=6,
+    )
+    with open(res.path, "rb") as f:
+        data = f.read()
+    ifds = read_cog(data)
+    # every IFD references the one global JPEGTables copy
+    assert all(i.jpeg_tables == FAKE_TABLES + bytes([6]) for i in ifds)
+    assert all(i.compression == COMPRESSION_JPEG for i in ifds)
+    # tiles decode through the registry (registered decode fn)
+    arr = read_band(data, ifds[0], band=0)
+    assert arr.shape == (H, W)
+
+
+def test_per_part_tables_mismatch_fails(spark, tmp_path):
+    """A codec whose tables depend on call order violates the
+    invariant: the executor-side derivation differs from the plan's
+    and the write must abort with the reference's error."""
+    saved = codecs.REGISTRY["jpeg"]
+    calls = []
+
+    def unstable_tables(lv):
+        calls.append(lv)
+        return FAKE_TABLES + bytes([len(calls) % 7])
+
+    register_codec(
+        CodecSpec(
+            "jpeg",
+            COMPRESSION_JPEG,
+            encode=lambda d, lv: zlib.compress(d, 6),
+            decode=zlib.decompress,
+            make_tables=unstable_tables,
+        )
+    )
+    try:
+        from ccog_spark.raster.cog import write_cog
+        from ccog_spark.raster.fixtures import (
+            BANDS, BLOCK, H, W, pixels_df,
+        )
+
+        NODATA = -9999.0
+
+        with pytest.raises(Exception, match="different JPEGTables"):
+            write_cog(
+                spark, pixels_df(spark), width=W, height=H, bands=BANDS,
+                target_path=str(tmp_path / "bad.tif"), blocksize=BLOCK,
+                nodata=NODATA, codec="jpeg",
+            )
+    finally:
+        register_codec(saved)
