@@ -142,22 +142,62 @@ def brute_force_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Production coarse quantizer for IVF: a Spark ML KMeans fit over
+    the embedding column. Returns (cent_id, c_emb, c_nrm) — the exact
+    frame shape ``ivf_topk`` broadcasts, so the deterministic
+    oracle-checkable subsample and the fitted quantizer are drop-in
+    interchangeable.
+
+    Scale shape: KMeans training is the standard Spark ML distributed
+    Lloyd's iteration (broadcast centers, map-side assignment, one
+    reduce per iteration); the result is n_cells rows on the driver —
+    tiny by construction."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ccog_spark.functions.vectors import norm
+
+    train = corpus.select(
+        array_to_vector(
+            F.col("embedding").cast("array<double>")
+        ).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return (
+        corpus.sparkSession.createDataFrame(
+            rows, "cent_id int, c_emb array<double>"
+        )
+        .select("cent_id", "c_emb", norm(F.col("c_emb")).alias("c_nrm"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
     cent_stride: int = 25,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize the corpus into cells, probe
     only the query's ``nprobe`` nearest cells (the third scale path next
     to exact/LSH — the classic inverted-file index, e.g. Jégou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011, §IV).
 
-    Centroids here are the deterministic ``vec_id % cent_stride == 1``
-    subsample, so the whole construction is reproducible in the DuckDB
-    oracle; on a real corpus the centroid frame would instead come from
-    a k-means fit (Spark ML) — everything downstream is unchanged.
+    Default centroids are the deterministic ``vec_id % cent_stride ==
+    1`` subsample, so the whole construction is reproducible in the
+    DuckDB oracle; pass ``centroids`` (e.g. from ``kmeans_centroids``,
+    the Spark ML fit) for the production quantizer — everything
+    downstream is unchanged.
 
     Scale shape: the centroid set (~corpus/stride, or a few k from
     k-means) is BROADCAST; assignment is a map-side argmax expressed as
@@ -169,13 +209,13 @@ def ivf_topk(
     c = corpus.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    cents = F.broadcast(
-        c.where(F.col("vec_id") % cent_stride == 1).select(
+    if centroids is None:
+        centroids = c.where(F.col("vec_id") % cent_stride == 1).select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("c_emb"),
             F.col("nrm").alias("c_nrm"),
         )
-    )
+    cents = F.broadcast(centroids)
     # assignment: argmax cosine, smallest cent_id on ties — the
     # lexicographic max of (cos, -cent_id) is map-side combinable
     cell = (

@@ -1,0 +1,67 @@
+"""IVF with a real Spark ML KMeans quantizer: recall@k on planted
+clusters vs the exact brute-force answer."""
+
+import numpy as np
+import pytest
+
+from ccog_spark.operators import similarity
+
+N_CLUSTERS = 4
+PER_CLUSTER = 60
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Well-separated gaussian blobs: cluster c centered at 10*e_c with
+    sigma 0.5 — KMeans must recover them, and each query's true
+    neighbors live in its own blob."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for c in range(N_CLUSTERS):
+        center = np.zeros(DIM)
+        center[c] = 10.0
+        pts = center + rng.normal(0, 0.5, size=(PER_CLUSTER, DIM))
+        for i, p in enumerate(pts):
+            rows.append((c * PER_CLUSTER + i, [float(x) for x in p]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _queries(emb):
+    from pyspark.sql import functions as F
+
+    return emb.where(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def test_kmeans_centroid_frame_shape(planted):
+    cents = similarity.kmeans_centroids(planted, n_cells=N_CLUSTERS, seed=7)
+    rows = cents.collect()
+    assert len(rows) == N_CLUSTERS
+    assert set(cents.columns) == {"cent_id", "c_emb", "c_nrm"}
+    # each fitted center sits near one planted center (10 on one axis)
+    for r in rows:
+        assert abs(max(r.c_emb) - 10.0) < 1.0
+
+
+def test_ivf_kmeans_recall_at_k(planted):
+    k = 5
+    cents = similarity.kmeans_centroids(planted, n_cells=N_CLUSTERS, seed=7)
+    exact = similarity.brute_force_topk(planted, _queries(planted), k=k)
+    approx = similarity.ivf_topk(
+        planted, _queries(planted), k=k, nprobe=1, centroids=cents
+    )
+    truth = {(r.q_id, r.vec_id) for r in exact.collect()}
+    got = {(r.q_id, r.vec_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    # blobs are far apart: nprobe=1 over a correct fit must recover
+    # essentially all true neighbors
+    assert recall >= 0.95, f"recall@{k} = {recall}"
+
+
+def test_ivf_kmeans_same_shape_as_subsample_variant(planted):
+    cents = similarity.kmeans_centroids(planted, n_cells=N_CLUSTERS, seed=7)
+    a = similarity.ivf_topk(planted, _queries(planted), k=3, centroids=cents)
+    b = similarity.ivf_topk(planted, _queries(planted), k=3)
+    assert a.columns == b.columns
