@@ -1,0 +1,163 @@
+"""Exercise the real boto3 S3Mpu branch against an in-process S3
+multipart stand-in (plain http.server speaking the public S3 REST
+multipart protocol: initiate / upload-part / complete / abort)."""
+
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+
+class _S3State:
+    def __init__(self):
+        self.uploads = {}  # upload_id -> {part_no: bytes}
+        self.objects = {}  # (bucket, key) -> bytes
+        self.aborted = []
+        self.fail_complete = False
+
+
+def _make_handler(state: _S3State):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _path_parts(self):
+            u = urlparse(self.path)
+            bucket, _, key = u.path.lstrip("/").partition("/")
+            # keep_blank_values: S3's initiate request is '?uploads'
+            # with no value, which parse_qs drops by default
+            return bucket, key, parse_qs(u.query, keep_blank_values=True)
+
+        def _xml(self, code: int, body: str):
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/xml")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_POST(self):
+            bucket, key, q = self._path_parts()
+            if "uploads" in q:
+                uid = f"up{len(state.uploads)}"
+                state.uploads[uid] = {}
+                self._xml(
+                    200,
+                    "<InitiateMultipartUploadResult>"
+                    f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                    f"<UploadId>{uid}</UploadId>"
+                    "</InitiateMultipartUploadResult>",
+                )
+                return
+            if "uploadId" in q:
+                uid = q["uploadId"][0]
+                if state.fail_complete:
+                    self._xml(500, "<Error><Code>InternalError</Code></Error>")
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode()
+                order = [int(x) for x in re.findall(r"<PartNumber>(\d+)<", body)]
+                state.objects[(bucket, key)] = b"".join(
+                    state.uploads[uid][p] for p in sorted(order)
+                )
+                self._xml(
+                    200,
+                    "<CompleteMultipartUploadResult>"
+                    f"<Location>http://x/{bucket}/{key}</Location>"
+                    f"<Bucket>{bucket}</Bucket><Key>{key}</Key>"
+                    '<ETag>"done"</ETag>'
+                    "</CompleteMultipartUploadResult>",
+                )
+                return
+            self._xml(400, "<Error/>")
+
+        def do_PUT(self):
+            bucket, key, q = self._path_parts()
+            uid = q["uploadId"][0]
+            part_no = int(q["partNumber"][0])
+            n = int(self.headers.get("Content-Length", 0))
+            state.uploads[uid][part_no] = self.rfile.read(n)
+            self.send_response(200)
+            self.send_header("ETag", f'"etag-{part_no}"')
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_DELETE(self):
+            _, _, q = self._path_parts()
+            state.aborted.append(q["uploadId"][0])
+            self.send_response(204)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    return Handler
+
+
+@pytest.fixture
+def s3_stub():
+    state = _S3State()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(state))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield state, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _storage_options(endpoint: str) -> dict:
+    from botocore.config import Config
+
+    return {
+        "key": "test",
+        "secret": "test",
+        "client_kwargs": {
+            "endpoint_url": endpoint,
+            "region_name": "us-east-1",
+            "config": Config(
+                s3={"addressing_style": "path"},
+                request_checksum_calculation="when_required",
+            ),
+        },
+    }
+
+
+def test_s3mpu_cog_write_matches_local(spark, tmp_path, s3_stub):
+    """The full boto3 multipart path (create → distributed upload_part
+    → complete) produces byte-identical output to the LocalMpu path."""
+    from ccog_spark.raster.cog import write_cog
+    from ccog_spark.raster.fixtures import BANDS, BLOCK, H, W, pixels_df
+
+    state, endpoint = s3_stub
+    kwargs = dict(
+        width=W, height=H, bands=BANDS, blocksize=BLOCK, nodata=-9999.0,
+        min_part_size=4096,  # force several parts
+    )
+    local = str(tmp_path / "local.tif")
+    write_cog(spark, pixels_df(spark), target_path=local, **kwargs)
+    res = write_cog(
+        spark, pixels_df(spark), target_path="s3://testbkt/out.tif",
+        storage_options=_storage_options(endpoint), **kwargs,
+    )
+    assert res.path == "s3://testbkt/out.tif"
+    assert res.n_parts > 1
+    with open(local, "rb") as f:
+        assert state.objects[("testbkt", "out.tif")] == f.read()
+
+
+def test_s3mpu_complete_failure_aborts_and_raises(s3_stub):
+    """Deliberate divergence from the reference (which swallows,
+    aws_tools.py:168-175): complete failure aborts the MPU AND
+    re-raises."""
+    from ccog_spark.sinks.mpu import resolve_store
+
+    state, endpoint = s3_stub
+    store = resolve_store(
+        "s3://testbkt/bad.tif", _storage_options(endpoint)
+    )
+    store.create()
+    put = store.part_putter()
+    receipts = [put(1, b"x" * 10)]
+    state.fail_complete = True
+    with pytest.raises(Exception):
+        store.complete(receipts)
+    assert state.aborted, "abort_multipart_upload was not called"
