@@ -144,6 +144,21 @@ def test_s3mpu_cog_write_matches_local(spark, tmp_path, s3_stub):
         assert state.objects[("testbkt", "out.tif")] == f.read()
 
 
+def test_presigned_url_generation(s3_stub, monkeypatch):
+    """URL signing is pure client-side math — generate against the
+    stub endpoint and check shape (no request is made)."""
+    from ccog_spark.sinks import mpu
+
+    _, endpoint = s3_stub
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "test")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "test")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    monkeypatch.setenv("AWS_ENDPOINT_URL_S3", endpoint)
+    url = mpu.presigned_url("bkt", "some/key.tif", expires=60)
+    assert "bkt" in url and "some/key.tif" in url
+    assert "Signature" in url or "X-Amz-Signature" in url
+
+
 def test_s3mpu_complete_failure_aborts_and_raises(s3_stub):
     """Deliberate divergence from the reference (which swallows,
     aws_tools.py:168-175): complete failure aborts the MPU AND
