@@ -104,9 +104,13 @@ def band_keys_arrow(dim: int, n_tables: int = N_TABLES, bits: int = BAND_BITS):
     @pandas_udf("array<int>")
     def keys(col: pd.Series) -> pd.Series:
         vecs = np.stack([np.asarray(e, dtype="f8") for e in col])  # (n, dim)
-        # (n, T, B, dim) products, exact; strict L-to-R accumulation
-        prods = vecs[:, None, None, :] * planes[None, :, :, :]
-        dots = prods.cumsum(axis=-1)[..., -1]  # (n, T, B)
+        # Strict left-to-right accumulation over dim — element-wise
+        # IDENTICAL to cumsum(axis=-1)[..., -1] over the (n,T,B,dim)
+        # product tensor, but peak memory is (n,T,B) instead of
+        # (n,T,B,dim): ~dim× smaller Arrow-batch footprint.
+        dots = np.zeros((vecs.shape[0],) + planes.shape[:2])  # (n, T, B)
+        for d in range(vecs.shape[1]):
+            dots += vecs[:, None, None, d] * planes[None, :, :, d]
         k = ((dots > 0) * pows).sum(axis=-1).astype("i4")  # (n, T)
         return pd.Series(list(k))
 

@@ -97,16 +97,18 @@ def encode_tiles(
                 d[:, 1:] = d[:, 1:] - rows[:, :-1]
                 return d.tobytes()
 
-            from ccog_spark.raster import codecs
+            # SELF-CONTAINED closure: no ccog_spark import may run here
+            # — workers only see the package when the driver's cwd
+            # happens to make it importable. Codec encode/tables fns
+            # arrive pickled BY VALUE (encode_tiles registers the
+            # codecs module with cloudpickle's by-value pickling).
 
             # Per-part shared-tables invariant (≙ ccog _test_jpegtables,
             # ccog/ccog.py:261-289): THIS part re-derives the codec's
-            # global side tables IN THE WORKER (tables_fn ships by
-            # value in the closure — worker processes don't see
-            # driver-side codec registration) and they must byte-match
-            # the plan's. Runs once per partition, before any tile.
-            if tables_fn is not None:
-                codecs.check_shared_tables(exp_tables, tables_fn(lvl0))
+            # global side tables and they must byte-match the plan's.
+            # Runs once per partition, before any tile.
+            if tables_fn is not None and tables_fn(lvl0) != exp_tables:
+                raise ValueError("different JPEGTables")
 
             def comp(d, level):
                 cdc = cdc0 if level == 0 else ov_cdc
@@ -115,14 +117,7 @@ def encode_tiles(
                     return lzma.compress(d, preset=lv)
                 if cdc == "deflate":
                     return zlib.compress(d, lv)
-                # registered codecs ship their encode fn by value in
-                # this closure (worker processes don't see driver-side
-                # registration); unregistered names fall through to the
-                # worker's built-in registry
-                enc = enc0 if level == 0 else enc_ov
-                if enc is not None:
-                    return enc(d, lv)
-                return codecs.compress(d, cdc, lv)
+                return (enc0 if level == 0 else enc_ov)(d, lv)
 
             dt = np.dtype(np_dtype)
             for pdf in it:
@@ -155,13 +150,22 @@ def encode_tiles(
     exp_tables = codecs_mod.shared_tables(codec, compress_level)
     spec = codecs_mod.REGISTRY.get(codec)
     spec_ov = codecs_mod.REGISTRY.get(ov_cdc)
-    tables_fn = spec.make_tables if spec is not None else None
+    if spec is None or spec_ov is None:
+        raise ValueError(f"unknown codec {codec if spec is None else ov_cdc!r}")
+    # Ship the codec module's functions BY VALUE: workers must not need
+    # a ccog_spark import (the driver may run from any cwd), and
+    # runtime-registered codecs don't exist in worker processes at all.
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        register_pickle_by_value(codecs_mod)
+    except ImportError:  # pragma: no cover - older pyspark
+        pass
     return dense.mapInPandas(
         make_kernel(
             blocksize, np_dt, compress_level, ov, codec, ov_cdc,
-            predictor, ov_pr, exp_tables, tables_fn,
-            spec.encode if spec is not None else None,
-            spec_ov.encode if spec_ov is not None else None,
+            predictor, ov_pr, exp_tables, spec.make_tables,
+            spec.encode, spec_ov.encode,
         ),
         ENC_SCHEMA,
     )
