@@ -657,6 +657,11 @@ def embedding_dup_pairs(
     vb = nv.select(
         F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
     )
+    # Verify joins broadcast under a size gate (same policy as the
+    # ngram verify): a few-MB vector frame beats two shuffles; past the
+    # gate these become ordinary shuffle joins.
+    if nv.count() <= _VERIFY_BCAST_MAX_DOCS:  # nv is persisted: cheap
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
