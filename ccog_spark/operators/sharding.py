@@ -98,6 +98,40 @@ def pack_shards(
     ).drop("_cum")
 
 
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str,
+    order_col: str = "doc_id",
+    seq_len: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents concatenated in
+    ``order_col`` order are cut into fixed ``seq_len``-token training
+    sequences; each doc is annotated with the first and last sequence
+    index it occupies (``seq_first``/``seq_last`` — equal unless the
+    doc straddles a boundary). This is the pretraining batch-assembly
+    step, distinct from ``pack_shards`` (whole-doc shard files): here
+    documents SPLIT across sequence boundaries.
+
+    Built on the bucketed ``prefix_sum`` — no single-partition window,
+    deterministic given (order_col, token_col). A sequence reader
+    fetches one contiguous ``order_col`` range per sequence id.
+    """
+    cum = prefix_sum(docs, order_col, token_col, out="_cum")
+    return (
+        cum.withColumn(
+            "seq_first",
+            F.floor(
+                (F.col("_cum") - F.col(token_col)) / F.lit(seq_len)
+            ).cast("long"),
+        )
+        .withColumn(
+            "seq_last",
+            F.floor((F.col("_cum") - 1) / F.lit(seq_len)).cast("long"),
+        )
+        .drop("_cum")
+    )
+
+
 def hash_sample(
     df: DataFrame, key_col: str, percent: int, salt: int = 0
 ) -> DataFrame:

@@ -198,3 +198,25 @@ def repetition_metrics(documents: DataFrame) -> DataFrame:
             | (top_2g > F.lit(REP_TOP_2GRAM_MAX))
         ).alias("rep_flagged"),
     )
+
+
+def redact_terms(
+    df: DataFrame,
+    pattern: str,
+    repl: str = "<ENT>",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pattern redaction (the PII-scrub stage of a training pipeline,
+    here over term patterns since the fixture text carries no real
+    PII): replace every regex match with ``repl`` and count the
+    replacements. Pure JVM expressions (regexp_replace/regexp_count)
+    — map-side, pushdown-friendly, no Python. Patterns must stay in
+    the Java∩RE2 common dialect (word boundaries, alternation, classes)
+    so the DuckDB oracle computes identical matches."""
+    return df.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit(pattern)).alias("n_redacted"),
+        F.substring(
+            F.regexp_replace(F.col(text_col), pattern, repl), 1, 80
+        ).alias("sample"),
+    )

@@ -363,6 +363,39 @@ FROM cum
 ORDER BY doc_id
 """
 
+# Sequence packing: docs concatenated in doc_id order, cut into
+# 512-token training sequences; seq_first/seq_last are the sequence
+# ids the doc spans. Naive window spelling; the engine runs the
+# bucketed prefix sum.
+PIPELINE_ORACLE["pipeline_sequences"] = """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM toks)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT) AS seq_first,
+       CAST(FLOOR((c - 1) / 512.0) AS BIGINT) AS seq_last
+FROM cum
+ORDER BY doc_id
+"""
+
+# Pattern redaction: Java-regex and RE2 agree on this dialect subset
+# (word boundary + alternation); count + replaced-sample must match
+# byte-for-byte.
+PIPELINE_ORACLE["pipeline_redact"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(customer|supplier|order)\b'))
+            AS INT) AS n_redacted,
+       substr(regexp_replace(text, '\b(customer|supplier|order)\b', '<ENT>',
+                             'g'), 1, 80) AS sample
+FROM documents
+ORDER BY doc_id
+"""
+
 # Benchmark decontamination — mirrors operators.decontam: the corpus/
 # benchmark split is doc_id % 97, shingles are the same distinct word
 # 3-gram hashes as the dedup suite, a doc's n_shared counts distinct

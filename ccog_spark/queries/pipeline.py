@@ -188,6 +188,32 @@ def pipeline_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (pretraining batch assembly):
+    each doc annotated with the fixed-length training sequences it
+    spans. Same bucketed prefix-sum machinery as pipeline_shards; docs
+    SPLIT across sequence boundaries here."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        sharding.pack_sequences(docs, "n_tokens", seq_len=512)
+        .select("doc_id", "n_tokens", "seq_first", "seq_last")
+        .orderBy("doc_id")
+    )
+
+
+def pipeline_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction (PII-scrub stage shape) over entity-term
+    patterns: replacement count + redacted sample, all JVM-side."""
+    from ccog_spark.operators.text import redact_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_terms(
+        docs, r"\b(customer|supplier|order)\b"
+    ).orderBy("doc_id")
+
+
 def pipeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% hash sample of the corpus (reproducible
     eval-split shape; the sampling predicate is map-side)."""

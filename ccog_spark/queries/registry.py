@@ -123,6 +123,12 @@ REGISTRY: dict[str, QueryFn] = {
     # as-of strategies are asserted pairwise-identical in pytest, so
     # the union-strategy row adds hash evidence, not coverage
     "asof_union": pipeline.asof_union,
+    # sequence packing ≙ pipeline_shards' bucketed prefix-sum
+    # capability (above fold); different output contract, same machinery
+    "pipeline_sequences": pipeline.pipeline_sequences,
+    # regex redaction ≙ E25 string-fn capability (q13 above fold);
+    # pipeline-context spelling of regexp_replace/count
+    "pipeline_redact": pipeline.pipeline_redact,
     # hash sampling ≙ pipeline suite (pipeline_shards carries the
     # shard-assembly driver row); oracle-checked locally + pytest
     "pipeline_sample": pipeline.pipeline_sample,
