@@ -396,6 +396,17 @@ FROM documents
 ORDER BY doc_id
 """
 
+# Pure range join (no equi key): the engine's bin rewrite must equal
+# the naive theta join (DuckDB executes it as an IEJoin).
+PIPELINE_ORACLE["range_events"] = """
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+FROM events a JOIN events b
+  ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 SECOND
+ AND a.event_id < b.event_id
+ORDER BY a_id, b_id
+"""
+
 # Benchmark decontamination — mirrors operators.decontam: the corpus/
 # benchmark split is doc_id % 97, shingles are the same distinct word
 # 3-gram hashes as the dedup suite, a doc's n_shared counts distinct

@@ -214,6 +214,23 @@ def pipeline_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range self-join (NO equi key): event pairs within 10 s.
+    The bin rewrite keeps the plan a shuffled equi-join on the time
+    bin — never a BroadcastNestedLoopJoin (asserted in pytest)."""
+    from ccog_spark.operators.rangejoin import time_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(F.col("event_id").alias("a_id"), F.col("ts").alias("a_ts"))
+    b = ev.select(F.col("event_id").alias("b_id"), F.col("ts").alias("b_ts"))
+    return (
+        time_range_join(a, b, "a_ts", "b_ts", gap_seconds=10)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "dt_us")
+        .orderBy("a_id", "b_id")
+    )
+
+
 def pipeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% hash sample of the corpus (reproducible
     eval-split shape; the sampling predicate is map-side)."""

@@ -129,6 +129,10 @@ REGISTRY: dict[str, QueryFn] = {
     # regex redaction ≙ E25 string-fn capability (q13 above fold);
     # pipeline-context spelling of regexp_replace/count
     "pipeline_redact": pipeline.pipeline_redact,
+    # E9 range-join family ≙ q23b (equi+range, above fold); this row
+    # evidences the NO-equi-key strategy (bin rewrite, never a
+    # BroadcastNestedLoopJoin — asserted in pytest)
+    "range_events": pipeline.range_events,
     # hash sampling ≙ pipeline suite (pipeline_shards carries the
     # shard-assembly driver row); oracle-checked locally + pytest
     "pipeline_sample": pipeline.pipeline_sample,
