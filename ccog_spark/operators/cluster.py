@@ -43,30 +43,41 @@ def connected_components(
         .persist()
     )
 
-    for _ in range(max_iter):
+    prev_cached = [labels]
+    for it in range(max_iter):
         nbr_min = (
             both.join(labels, both.v == labels.doc_id)
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # one materialization per round: the checkpointed frame carries
+        # one materialization per round: the materialized frame carries
         # BOTH the old and new label, so the convergence count is a
-        # cheap scan of checkpointed partitions instead of a second
-        # join job
-        stepped = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.u, "left")
-            .select(
-                "doc_id",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()  # constant-depth plan across rounds
+        # cheap scan of cached partitions instead of a second join job
+        stepped = labels.join(
+            nbr_min, labels.doc_id == nbr_min.u, "left"
+        ).select(
+            "doc_id",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
+        # Lineage truncation only matters once plan depth accumulates:
+        # near-dup graphs converge in 2-3 rounds, where persist alone
+        # is cheaper (localCheckpoint runs an extra eager job per
+        # round); long-diameter graphs still get a cut every 3rd round.
+        if it % 3 == 2:
+            stepped = stepped.localCheckpoint()
+        else:
+            stepped = stepped.persist()
         changed = stepped.where(F.col("label") != F.col("old_label")).count()
-        labels.unpersist()
-        labels = stepped.select("doc_id", "label").persist()
+        # the count above materialized `stepped`; the previous round's
+        # caches are now dead weight (consumers of the select below hit
+        # stepped's cache/checkpoint, not its lineage)
+        for f in prev_cached:
+            f.unpersist()
+        prev_cached = [stepped] if it % 3 != 2 else []
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     both.unpersist()
