@@ -142,3 +142,24 @@ def hash_sample(
     only; composes with pushdown (the predicate reaches the scan)."""
     h = (F.col(key_col).cast("bigint") * 2654435761 + salt) % 1000000007
     return df.where(h % 100 < percent)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, int],
+    default_percent: int = 0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-group quota sampling (corpus-mixing shape:
+    "keep 50% of en, 10% of zh, drop the rest"). Same engine-portable
+    hash rule as ``hash_sample`` with the cutoff looked up per group
+    from a literal map — still a single map-side predicate that reaches
+    the scan, no shuffle, no per-group pass. Groups absent from
+    ``rates`` fall back to ``default_percent``."""
+    h = (F.col(key_col).cast("bigint") * 2654435761 + salt) % 1000000007
+    cutoff = F.lit(default_percent)
+    for g, p in sorted(rates.items()):
+        cutoff = F.when(F.col(group_col) == g, F.lit(p)).otherwise(cutoff)
+    return df.where(h % 100 < cutoff)

@@ -396,6 +396,18 @@ FROM documents
 ORDER BY doc_id
 """
 
+# Stratified (per-group quota) sampling: same multiplicative-hash rule
+# as pipeline_sample with a per-language cutoff.
+PIPELINE_ORACLE["pipeline_stratified"] = """
+SELECT lang, COUNT(*) AS kept
+FROM documents
+WHERE (doc_id * 2654435761 + 11) % 1000000007 % 100 <
+      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'es' THEN 20
+                WHEN 'fr' THEN 20 WHEN 'zh' THEN 10 ELSE 0 END
+GROUP BY lang
+ORDER BY lang
+"""
+
 # Pure range join (no equi key): the engine's bin rewrite must equal
 # the naive theta join (DuckDB executes it as an IEJoin).
 PIPELINE_ORACLE["range_events"] = """

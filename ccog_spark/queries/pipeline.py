@@ -231,6 +231,19 @@ def range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling (corpus-mixing shape): keep 50% en,
+    20% de/es/fr, 10% zh — one map-side predicate, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 50, "de": 20, "es": 20, "fr": 20, "zh": 10}
+    return (
+        sharding.stratified_sample(docs, "doc_id", "lang", rates, salt=11)
+        .groupBy("lang")
+        .agg(F.count("*").alias("kept"))
+        .orderBy("lang")
+    )
+
+
 def pipeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% hash sample of the corpus (reproducible
     eval-split shape; the sampling predicate is map-side)."""

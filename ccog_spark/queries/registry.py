@@ -133,6 +133,10 @@ REGISTRY: dict[str, QueryFn] = {
     # evidences the NO-equi-key strategy (bin rewrite, never a
     # BroadcastNestedLoopJoin — asserted in pytest)
     "range_events": pipeline.range_events,
+    # per-group quota sampling ≙ pipeline_sample's deterministic-hash
+    # capability (driver row via pipeline_shards family); adds the
+    # corpus-mixing rate map on top of the same predicate
+    "pipeline_stratified": pipeline.pipeline_stratified,
     # hash sampling ≙ pipeline suite (pipeline_shards carries the
     # shard-assembly driver row); oracle-checked locally + pytest
     "pipeline_sample": pipeline.pipeline_sample,
