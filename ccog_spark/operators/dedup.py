@@ -438,10 +438,17 @@ def _ppjoin_prefix_arrow(t: float, rep_bc):
 
 
 # Broadcasting the repeated-shingle frequency table is the fast path;
-# above this row count the operator falls back to the shuffle-based
+# above this BYTE budget the operator falls back to the shuffle-based
 # prefix build (a 100 TB corpus can have billions of repeated shingles
-# — that frame must stay distributed).
-_PPJOIN_BCAST_MAX = 4_000_000
+# — that frame must stay distributed). Each (h, freq) row costs 16 B
+# as two int64 numpy arrays, which is what's actually broadcast.
+_PPJOIN_BCAST_MAX_BYTES = 64 << 20
+_PPJOIN_ROW_BYTES = 16
+_PPJOIN_BCAST_MAX = _PPJOIN_BCAST_MAX_BYTES // _PPJOIN_ROW_BYTES
+
+# Test/observability hook: which prefix build the last call took
+# ("broadcast" | "distributed").
+_LAST_PREFIX_PATH: str | None = None
 
 # Broadcast the (doc_id, shingle-array) verify frame only below this
 # doc count (~50 MB at the observed ~52 hashes/doc); larger corpora
@@ -504,7 +511,16 @@ def ngram_jaccard_pairs(
     # full the set is too big to broadcast and the operator takes the
     # distributed build below instead.
     rep = freq.where(F.col("freq") >= 2).limit(_PPJOIN_BCAST_MAX + 1).toPandas()
+    global _LAST_PREFIX_PATH
     if len(rep) <= _PPJOIN_BCAST_MAX:
+        _LAST_PREFIX_PATH = "broadcast"
+        import logging
+
+        logging.getLogger(__name__).info(
+            "ppjoin prefix build: broadcast fast path "
+            "(%d repeated shingles, ~%d bytes <= %d budget)",
+            len(rep), len(rep) * _PPJOIN_ROW_BYTES, _PPJOIN_BCAST_MAX_BYTES,
+        )
         keys = rep["h"].to_numpy(dtype=np.int64)
         order = np.argsort(keys, kind="stable")
         rep_bc = docs.sparkSession.sparkContext.broadcast(
@@ -518,6 +534,14 @@ def ngram_jaccard_pairs(
             ).alias("pos", "h"),
         ).persist()  # the candidate self-join references this twice
     else:
+        _LAST_PREFIX_PATH = "distributed"
+        import logging
+
+        logging.getLogger(__name__).info(
+            "ppjoin prefix build: distributed fallback "
+            "(> %d repeated shingles, %d-byte broadcast budget exceeded)",
+            _PPJOIN_BCAST_MAX, _PPJOIN_BCAST_MAX_BYTES,
+        )
         # Distributed fallback (100 TB path): per-doc prefix via
         # array_sort of (freq, h) structs — a per-group O(|sh| log |sh|)
         # map-side sort after the doc_id shuffle, instead of a global

@@ -39,6 +39,12 @@ def time_range_join(
     equals one of the left row's two candidate bins.
     """
     gap_us = int(gap_seconds * 1_000_000)
+    if gap_us <= 0:
+        # gap 0 (or < 1 µs, truncated) would make every bin expression
+        # x/0 → NULL and the join would silently return an empty frame
+        raise ValueError(
+            f"gap_seconds={gap_seconds!r} must be at least 1e-6 (1 µs)"
+        )
     l_us = F.unix_micros(F.col(ts_left))
     r_us = F.unix_micros(F.col(ts_right))
     l_bin = F.floor(l_us / gap_us).cast("long")

@@ -29,6 +29,14 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+# Bucket-totals rows collected on the driver per prefix_sum level;
+# past this the function adds a second tree level instead (recursing on
+# the totals frame), so driver memory is bounded no matter how badly
+# bucket_width is sized for the corpus (at width 1000 a 10¹²-row corpus
+# yields 10⁹ bucket rows — those must NOT converge on the driver).
+_MAX_DRIVER_BUCKETS = 1_000_000
+
+
 def prefix_sum(
     df: DataFrame,
     order_col: str,
@@ -39,37 +47,67 @@ def prefix_sum(
     """Exact global running total of ``value_col`` in ``order_col``
     order, without a single-partition window.
 
-    ``order_col`` must be unique per row (the corpus key). Bucketing is
-    ``floor(order_col / bucket_width)`` — any deterministic
-    order-respecting bucketing yields the same result; width only
-    shapes parallelism. Size it so one bucket's rows fit one task
-    comfortably (~10-100 MB), same knob as shuffle-partition sizing.
+    ``order_col`` must be unique AND non-null per row (the corpus key;
+    a null key has no position in the total order, so it raises).
+    Bucketing is ``floor(order_col / bucket_width)`` — any
+    deterministic order-respecting bucketing yields the same result;
+    width only shapes parallelism. Size it so one bucket's rows fit one
+    task comfortably (~10-100 MB), same knob as shuffle-partition
+    sizing. Width rule: aim for corpus_rows / bucket_width ≲ 10⁶; a
+    badly-undersized width still returns exact results — the
+    bucket-totals cumulation recurses into a second (third, …) tree
+    level once it would exceed ``_MAX_DRIVER_BUCKETS`` driver rows.
     """
     bkt = (F.col(order_col) / bucket_width).cast("long")
     b = df.withColumn("_bkt", bkt)
-    # full-parallelism in-bucket prefix sum
-    in_bucket = F.sum(value_col).over(
+    # full-parallelism in-bucket prefix sum; null VALUES contribute 0
+    # (matching the naive window everywhere except rows preceding the
+    # first non-null value globally, where the naive spelling yields
+    # NULL — a running OFFSET of "nothing yet" is 0, not unknown)
+    in_bucket = F.sum(F.coalesce(F.col(value_col), F.lit(0))).over(
         W.partitionBy("_bkt").orderBy(order_col)
     )
-    # Bucket totals are driver-small BY CONSTRUCTION (corpus /
-    # bucket_width rows — size the width so this is file-footer scale,
-    # the same index-sized collect the COG planner does). Cumulating
-    # them on the driver gives the identical offsets without the
-    # one-partition WindowExec stage the window spelling would add.
-    totals = sorted(
-        b.groupBy("_bkt").agg(F.sum(value_col).alias("_tot")).collect(),
-        key=lambda r: r["_bkt"],
+    # Bucket totals: one row per bucket. Small counts cumulate on the
+    # driver (index-sized collect, same class as the COG tile index);
+    # large counts recurse — the totals frame is itself a corpus keyed
+    # by _bkt, so the same bucketed spelling computes ITS prefix sum.
+    totals_df = b.groupBy("_bkt").agg(
+        F.coalesce(F.sum(value_col), F.lit(0)).alias("_tot")
     )
-    rows, off = [], 0
-    for r in totals:
-        rows.append((r["_bkt"], off))
-        off += r["_tot"]
-    offsets = df.sparkSession.createDataFrame(
-        rows, "_bkt long, _off long"
-    )
+    n_buckets = totals_df.persist().count()
+    if n_buckets > _MAX_DRIVER_BUCKETS:
+        # rename so the recursive call's own _bkt doesn't shadow ours
+        inner = totals_df.withColumnRenamed(
+            "_bkt", "_pk"
+        ).withColumnRenamed("_tot", "_pv")
+        cumt = prefix_sum(
+            inner, "_pk", "_pv", out="_cumt",
+            bucket_width=max(bucket_width, 1000),
+        )
+        offsets = cumt.select(
+            F.col("_pk").alias("_bkt"),
+            (F.col("_cumt") - F.col("_pv")).alias("_off"),
+        )
+    else:
+        totals = totals_df.collect()
+        totals_df.unpersist()
+        if any(r["_bkt"] is None for r in totals):
+            raise ValueError(
+                f"prefix_sum: {order_col!r} contains nulls — the order "
+                "key must be non-null (a null row has no position in "
+                "the global order)"
+            )
+        rows, off = [], 0
+        for r in sorted(totals, key=lambda r: r["_bkt"]):
+            rows.append((r["_bkt"], off))
+            off += r["_tot"]
+        offsets = df.sparkSession.createDataFrame(
+            rows, "_bkt long, _off long"
+        )
+        offsets = F.broadcast(offsets)
     return (
         b.withColumn("_in", in_bucket)
-        .join(F.broadcast(offsets), "_bkt")
+        .join(offsets, "_bkt")
         .withColumn(out, (F.col("_in") + F.col("_off")))
         .drop("_bkt", "_in", "_off")
     )

@@ -33,6 +33,15 @@ def _scoped(fn: QueryFn) -> QueryFn:
     """Bound cross-query cache accumulation (see _CACHE_BUDGET_BYTES)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # PySpark exposes NO public API for cached-storage SIZE:
+        # spark.catalog lists cached tables (not RDD-level persists,
+        # which is what the operators use) and has no byte accounting;
+        # the REST status endpoint isn't reachable without config.
+        # SparkContext.getRDDStorageInfo is a stable public SCALA API —
+        # only the _jsc bridge to it is private — so this reaches it
+        # via py4j and degrades to "assume under budget" on any drift
+        # (worst case: the budget check no-ops and caches accumulate,
+        # never a wrong result).
         try:
             infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
             cached = sum(i.memSize() + i.diskSize() for i in infos)

@@ -69,7 +69,7 @@ def encode_tiles(
 
     def make_kernel(
         bs, np_dtype, lvl0, ov_lvl, cdc0, ov_cdc, pr0, ov_pr,
-        exp_tables, tables_fn, enc0, enc_ov,
+        exp_tables, tables_fn, exp_tables_ov, tables_fn_ov, enc0, enc_ov,
     ):
         def enc(it):
             import lzma
@@ -106,8 +106,16 @@ def encode_tiles(
             # Per-part shared-tables invariant (≙ ccog _test_jpegtables,
             # ccog/ccog.py:261-289): THIS part re-derives the codec's
             # global side tables and they must byte-match the plan's.
+            # Checked for BOTH the level-0 codec and the overview codec
+            # (either may carry tables independently — e.g. deflate
+            # level 0 with jpeg overviews, or differing quality levels).
             # Runs once per partition, before any tile.
             if tables_fn is not None and tables_fn(lvl0) != exp_tables:
+                raise ValueError("different JPEGTables")
+            if (
+                tables_fn_ov is not None
+                and tables_fn_ov(ov_lvl) != exp_tables_ov
+            ):
                 raise ValueError("different JPEGTables")
 
             def comp(d, level):
@@ -148,6 +156,7 @@ def encode_tiles(
     ov_cdc = overview_codec or codec
     ov_pr = predictor if overview_predictor is None else overview_predictor
     exp_tables = codecs_mod.shared_tables(codec, compress_level)
+    exp_tables_ov = codecs_mod.shared_tables(ov_cdc, ov)
     spec = codecs_mod.REGISTRY.get(codec)
     spec_ov = codecs_mod.REGISTRY.get(ov_cdc)
     if spec is None or spec_ov is None:
@@ -165,6 +174,7 @@ def encode_tiles(
         make_kernel(
             blocksize, np_dt, compress_level, ov, codec, ov_cdc,
             predictor, ov_pr, exp_tables, spec.make_tables,
+            exp_tables_ov, spec_ov.make_tables,
             spec.encode, spec_ov.encode,
         ),
         ENC_SCHEMA,
@@ -338,9 +348,16 @@ def write_cog(
         predictor=predictor,
         overview_codec=overview_codec,
         overview_predictor=overview_predictor,
-        # JPEG-family port point: one global JPEGTables copy, already
-        # per-part-asserted identical inside encode_tiles
+        # JPEG-family port point: global JPEGTables copies (level-0 and
+        # overview codecs each carry their own when they differ),
+        # already per-part-asserted identical inside encode_tiles
         shared_tables=codecs_mod.shared_tables(codec, compress_level),
+        overview_shared_tables=codecs_mod.shared_tables(
+            overview_codec or codec,
+            compress_level
+            if overview_compress_level is None
+            else overview_compress_level,
+        ),
     )
 
     # file_seq: header is 0; tiles follow in plan order. The tile-key →

@@ -81,10 +81,16 @@ def qr3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = parts_df(spark).withColumn("hdr", F.lit(4096))
     # single numeric file-order key: levels descend (small overview
-    # first, max fixture level 3), part_seq ascends within a level;
-    # stride 64 > the fixture's max part_seq (40)
+    # first), part_seq ascends within a level. The stride must exceed
+    # the real max part_seq or levels silently interleave — derive it
+    # from the data (index-sized aggregate, two scalars) instead of
+    # hard-coding the fixture's 40.
+    mx = parts.agg(
+        F.max("level").alias("ml"), F.max("part_seq").alias("ms")
+    ).collect()[0]
+    stride = mx["ms"] + 1
     p = parts.withColumn(
-        "_ord", (F.lit(3) - F.col("level")) * 64 + F.col("part_seq")
+        "_ord", (F.lit(mx["ml"]) - F.col("level")) * stride + F.col("part_seq")
     )
     cum = prefix_sum(p, "_ord", "nbytes", out="_cum", bucket_width=16)
     offset = (

@@ -215,6 +215,7 @@ def build_cog_plan(
     overview_codec: str | None = None,
     overview_predictor: int | None = None,
     shared_tables: bytes | None = None,
+    overview_shared_tables: bytes | None = None,
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
@@ -234,9 +235,13 @@ def build_cog_plan(
     profile adjustment, _adjust_compression ccog/ccog.py:452-478).
 
     ``shared_tables``: global codec side tables (JPEGTables, tag 347)
-    — one external copy, referenced from every IFD, written only after
-    the writer has asserted each part derived identical bytes
-    (codecs.check_shared_tables ≙ ccog _test_jpegtables).
+    for IFD 0, written only after the writer has asserted each part
+    derived identical bytes (codecs.check_shared_tables ≙ ccog
+    _test_jpegtables). ``overview_shared_tables``: same, for the
+    overview IFDs — when the overview codec carries tables that differ
+    from level 0's (different codec or quality level) a SECOND external
+    copy is stored and overview IFDs reference it; byte-identical
+    tables share one copy.
     """
     bits, sfmt, _ = DTYPES[dtype]
 
@@ -296,11 +301,14 @@ def build_cog_plan(
     ifd0_extra = (1 if meta_ascii is not None else 0) + (
         3 if geo_keys is not None else 0
     )
+    def tables_of(lvl: int) -> bytes | None:
+        return shared_tables if lvl == 0 else overview_shared_tables
+
     ifd_entry_counts = [
         n_entries
         + (ifd0_extra if i == 0 else 0)
         + (1 if pred_of(lp.level) != 1 else 0)
-        + (1 if shared_tables is not None else 0)
+        + (1 if tables_of(lp.level) is not None else 0)
         for i, lp in enumerate(levels)
     ]
     ifd_offsets = []
@@ -328,6 +336,14 @@ def build_cog_plan(
     if shared_tables is not None:
         ext[("jpegtables", "s")] = pos
         pos += len(shared_tables) + (len(shared_tables) % 2)
+    if overview_shared_tables is not None:
+        if overview_shared_tables == shared_tables:
+            ext[("jpegtables_ov", "s")] = ext[("jpegtables", "s")]
+        else:
+            ext[("jpegtables_ov", "s")] = pos
+            pos += len(overview_shared_tables) + (
+                len(overview_shared_tables) % 2
+            )
     if geo_keys is not None:
         ext[("geo", "scale")] = pos
         pos += 8 * 3
@@ -440,13 +456,18 @@ def build_cog_plan(
             entries.append(
                 entry(TAG_GDAL_METADATA, TYPE_ASCII, len(meta_ascii), ext[("meta", "s")])
             )
-        if shared_tables is not None:
+        tb = tables_of(lp.level)
+        if tb is not None:
             entries.append(
                 entry(
                     TAG_JPEG_TABLES,
                     TYPE_UNDEFINED,
-                    len(shared_tables),
-                    ext[("jpegtables", "s")],
+                    len(tb),
+                    ext[
+                        ("jpegtables", "s")
+                        if lp.level == 0
+                        else ("jpegtables_ov", "s")
+                    ],
                 )
             )
         if i == 0 and geo_keys is not None:
@@ -498,6 +519,12 @@ def build_cog_plan(
     if shared_tables is not None:
         p0 = ext[("jpegtables", "s")]
         buf[p0 : p0 + len(shared_tables)] = shared_tables
+    if (
+        overview_shared_tables is not None
+        and overview_shared_tables != shared_tables
+    ):
+        p0 = ext[("jpegtables_ov", "s")]
+        buf[p0 : p0 + len(overview_shared_tables)] = overview_shared_tables
     if geo_keys is not None:
         sx, sy = geo["px_size"]
         ox, oy = geo["origin"]

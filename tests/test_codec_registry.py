@@ -117,3 +117,49 @@ def test_per_part_tables_mismatch_fails(spark, tmp_path):
             )
     finally:
         register_codec(saved)
+
+
+def test_overview_codec_carries_its_own_tables(spark, tmp_path, fake_jpeg_codec):
+    """deflate level 0 + tables-carrying overview codec: the overview
+    IFDs must reference REAL tables (and IFD 0 none) — previously the
+    tables were derived from the level-0 codec only, leaving overview
+    tiles undecodable (ADVICE r5)."""
+    from ccog_spark.raster.cog import write_cog
+    from ccog_spark.raster.fixtures import BANDS, BLOCK, H, W, pixels_df
+    from ccog_spark.raster.tiff import COMPRESSION_DEFLATE, read_cog
+
+    out = str(tmp_path / "ovtables.tif")
+    res = write_cog(
+        spark, pixels_df(spark), width=W, height=H, bands=BANDS,
+        target_path=out, blocksize=BLOCK, nodata=-9999.0,
+        codec="deflate", overview_codec="jpeg",
+        compress_level=6, overview_compress_level=3,
+    )
+    with open(res.path, "rb") as f:
+        ifds = read_cog(f.read())
+    assert ifds[0].compression == COMPRESSION_DEFLATE
+    assert ifds[0].jpeg_tables is None
+    for i in ifds[1:]:
+        assert i.compression == COMPRESSION_JPEG
+        # tables derived at the OVERVIEW level (3), not level 0's 6
+        assert i.jpeg_tables == FAKE_TABLES + bytes([3])
+
+
+def test_differing_level_tables_stored_separately(spark, tmp_path, fake_jpeg_codec):
+    """jpeg at two quality levels: IFD 0 and overview IFDs reference
+    two distinct external JPEGTables copies."""
+    from ccog_spark.raster.cog import write_cog
+    from ccog_spark.raster.fixtures import BANDS, BLOCK, H, W, pixels_df
+    from ccog_spark.raster.tiff import read_cog
+
+    out = str(tmp_path / "twotables.tif")
+    res = write_cog(
+        spark, pixels_df(spark), width=W, height=H, bands=BANDS,
+        target_path=out, blocksize=BLOCK, nodata=-9999.0,
+        codec="jpeg", compress_level=6, overview_compress_level=2,
+    )
+    with open(res.path, "rb") as f:
+        ifds = read_cog(f.read())
+    assert ifds[0].jpeg_tables == FAKE_TABLES + bytes([6])
+    for i in ifds[1:]:
+        assert i.jpeg_tables == FAKE_TABLES + bytes([2])

@@ -68,3 +68,24 @@ def test_ppjoin_pruning_is_lossless(spark, seed, jaccard_min):
     want = _brute_force(spark, rows, jaccard_min)
     assert got == want
     assert want, "fixture must plant at least one real near-dup pair"
+
+def test_ppjoin_bytes_gate_forces_both_paths(spark, monkeypatch):
+    """The broadcast probe is gated on estimated BYTES (rows × 16 B);
+    forcing the gate to 0 must take the distributed build and return
+    identical pairs to the broadcast fast path."""
+    from ccog_spark.operators import dedup as dd
+
+    rows = _corpus(9)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fast = {
+        (r.doc_a, r.doc_b, r.jac)
+        for r in ngram_jaccard_pairs(df, jaccard_min=0.5).collect()
+    }
+    assert dd._LAST_PREFIX_PATH == "broadcast"
+    monkeypatch.setattr(dd, "_PPJOIN_BCAST_MAX", 0)
+    slow = {
+        (r.doc_a, r.doc_b, r.jac)
+        for r in ngram_jaccard_pairs(df, jaccard_min=0.5).collect()
+    }
+    assert dd._LAST_PREFIX_PATH == "distributed"
+    assert fast == slow and fast

@@ -72,3 +72,13 @@ def test_range_join_plan_has_no_nested_loop(spark):
         naive.explain("formatted")
     out2 = buf2.getvalue()
     assert "NestedLoop" in out2 or "CartesianProduct" in out2
+
+
+def test_range_join_zero_gap_raises(spark):
+    import pytest
+
+    left = _frame(spark, [0.0], "a")
+    right = _frame(spark, [0.0], "b")
+    for bad in (0, 1e-9, -5):
+        with pytest.raises(ValueError, match="gap_seconds"):
+            time_range_join(left, right, "a_ts", "b_ts", bad)

@@ -64,3 +64,53 @@ def test_hash_sample_deterministic_and_disjoint(spark):
     # raising the rate only adds rows (nested samples)
     c = {r.k for r in hash_sample(df, "k", 30, salt=7).collect()}
     assert a <= c
+
+
+def test_prefix_sum_null_order_key_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "k long, v long"
+    )
+    with pytest.raises(ValueError, match="contains nulls"):
+        prefix_sum(df, "k", "v").collect()
+
+
+def test_prefix_sum_null_values_match_naive(spark):
+    # null VALUES are legal (window sum skips them); only the order
+    # key must be non-null
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 5)],
+        "k long, v long",
+    )
+    got = {
+        (r.k, r.cum)
+        for r in prefix_sum(df, "k", "v", bucket_width=2).collect()
+    }
+    want = {
+        (r.k, r.cum)
+        for r in df.select(
+            "k", F.sum("v").over(W.orderBy("k")).alias("cum")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_second_tree_level(spark, monkeypatch):
+    """A pathologically small bucket width must NOT collect one row per
+    bucket on the driver: past _MAX_DRIVER_BUCKETS the cumulation
+    recurses into another bucketed prefix sum, and the result is still
+    exact."""
+    from ccog_spark.operators import sharding
+
+    monkeypatch.setattr(sharding, "_MAX_DRIVER_BUCKETS", 10)
+    df = _frame(spark, 11, n=300)
+    got = {
+        (r.k, r.cum)
+        for r in prefix_sum(df, "k", "v", bucket_width=3).collect()
+    }
+    want = {
+        (r.k, r.cum)
+        for r in df.select(
+            "k", F.sum("v").over(W.orderBy("k")).alias("cum")
+        ).collect()
+    }
+    assert got == want
