@@ -4,10 +4,12 @@ ccog/ccog.py:24-39 and _adjust_compression :452-478).
 Implemented: deflate (zlib), LZW (pure Python, TIFF 6.0 §13 including
 the historical "early change" code-width quirk), LZMA (public
 GDAL/libtiff tag), zstd (GDAL tag 50000, gated on the optional
-``zstandard`` module). jpeg/webp are registered PORT POINTS: the
-registry slot, TIFF tag, and the shared-JPEGTables invariant plumbing
-all exist, but their encoders raise until a real image codec is
-registered (none ships in this container).
+``zstandard`` module), and baseline JPEG (pure numpy, raster/
+jpegcodec.py — abbreviated tile streams whose global tables live in
+the TIFF JPEGTables tag, exercising the shared-tables invariant with
+a real tables-carrying codec). webp remains a registered PORT POINT:
+the registry slot and TIFF tag exist, but the encoder raises until a
+real implementation is registered (none ships in this container).
 
 Scale note: LZW here is a pure-Python kernel — spec-correct and
 GDAL-readable, but ~MB/s per core. It exists for reference-profile
@@ -61,6 +63,11 @@ class CodecSpec:
     encode: Callable[[bytes, int], bytes]  # (payload, level) -> bytes
     decode: Callable[[bytes], bytes]
     make_tables: Callable[[int], bytes] | None = None  # (level) -> tables
+    # writer-enforced constraints: permissible sample dtypes (None =
+    # any) and whether TIFF predictors compose with this codec (a lossy
+    # pixel-domain codec must see raw samples, not differences)
+    sample_dtypes: tuple[str, ...] | None = None
+    predictor_ok: bool = True
 
 
 def _unavailable(name: str, needs: str):
@@ -107,8 +114,25 @@ def _lzma_decode(data: bytes) -> bytes:
     return lzma.decompress(data)
 
 
-_JPEG_ENC, _JPEG_DEC = _unavailable("jpeg", "a JPEG library (libjpeg/PIL)")
 _WEBP_ENC, _WEBP_DEC = _unavailable("webp", "a WebP library")
+
+
+def _jpeg_encode(data: bytes, level: int) -> bytes:
+    from ccog_spark.raster import jpegcodec
+
+    return jpegcodec.encode(data, level)
+
+
+def _jpeg_decode(data: bytes) -> bytes:
+    from ccog_spark.raster import jpegcodec
+
+    return jpegcodec.decode(data)
+
+
+def _jpeg_tables(level: int) -> bytes:
+    from ccog_spark.raster import jpegcodec
+
+    return jpegcodec.make_tables(level)
 
 REGISTRY: dict[str, CodecSpec] = {
     "deflate": CodecSpec(
@@ -125,10 +149,15 @@ REGISTRY: dict[str, CodecSpec] = {
     ),
     "lzma": CodecSpec("lzma", COMPRESSION_LZMA, _lzma_encode, _lzma_decode),
     "zstd": CodecSpec("zstd", COMPRESSION_ZSTD, _zstd_encode, _zstd_decode),
-    # Port points: real encoders slot in via register_codec; until then
-    # they fail loudly. JPEG additionally needs make_tables so the
-    # shared-JPEGTables invariant can be enforced.
-    "jpeg": CodecSpec("jpeg", COMPRESSION_JPEG, _JPEG_ENC, _JPEG_DEC),
+    # Real pure-numpy baseline JPEG (raster/jpegcodec.py): abbreviated
+    # tile streams + make_tables for the shared JPEGTables tag — the
+    # registry's one live global-tables codec. webp remains a PORT
+    # POINT (no WebP implementation in this container).
+    "jpeg": CodecSpec(
+        "jpeg", COMPRESSION_JPEG, _jpeg_encode, _jpeg_decode,
+        make_tables=_jpeg_tables,
+        sample_dtypes=("uint8",), predictor_ok=False,
+    ),
     "webp": CodecSpec("webp", COMPRESSION_WEBP, _WEBP_ENC, _WEBP_DEC),
 }
 
@@ -259,10 +288,18 @@ def compress(data: bytes, codec: str = "deflate", level: int = 6) -> bytes:
     return spec.encode(data, level)
 
 
-def decompress(data: bytes, compression: int = COMPRESSION_DEFLATE) -> bytes:
+def decompress(
+    data: bytes,
+    compression: int = COMPRESSION_DEFLATE,
+    tables: bytes | None = None,
+) -> bytes:
     """Decode one tile payload by TIFF compression tag (registry
-    lookup, so registered codecs decode too)."""
+    lookup, so registered codecs decode too). ``tables``: the IFD's
+    JPEGTables payload for abbreviated-stream codecs — prepended so
+    the codec sees one self-contained stream."""
     for spec in REGISTRY.values():
         if spec.tag == compression:
+            if tables is not None and spec.make_tables is not None:
+                return spec.decode(tables + data)
             return spec.decode(data)
     raise ValueError(f"unsupported TIFF compression tag {compression}")

@@ -167,7 +167,12 @@ def encode_tiles(
     try:
         from pyspark.cloudpickle import register_pickle_by_value
 
+        from ccog_spark.raster import jpegcodec as jpegcodec_mod
+
         register_pickle_by_value(codecs_mod)
+        # the jpeg spec's functions live in their own module; ship it
+        # by value too so workers never need a ccog_spark import
+        register_pickle_by_value(jpegcodec_mod)
     except ImportError:  # pragma: no cover - older pyspark
         pass
     return dense.mapInPandas(
@@ -263,6 +268,23 @@ def write_cog(
             raise ValueError("predictor=3 requires a float dtype")
         if p not in (2, 3):
             raise ValueError(f"unknown predictor {p}")
+    # codec-declared constraints (e.g. baseline JPEG operates on 8-bit
+    # samples in the pixel domain: a non-uint8 dtype or a differencing
+    # predictor would make the lossy codec reconstruct garbage — the
+    # same constraint GDAL enforces for JPEG-in-TIFF)
+    for c, p in ((codec, predictor), (overview_codec or codec,
+                 predictor if overview_predictor is None
+                 else overview_predictor)):
+        spec_c = codecs_mod.REGISTRY.get(c)
+        if spec_c is None:
+            raise ValueError(f"unknown codec {c!r}")
+        if spec_c.sample_dtypes is not None and dtype not in spec_c.sample_dtypes:
+            raise ValueError(
+                f"codec {c!r} requires dtype in {spec_c.sample_dtypes}, "
+                f"got {dtype!r}"
+            )
+        if not spec_c.predictor_ok and p not in (None, 1):
+            raise ValueError(f"codec {c!r} does not compose with predictors")
 
     # Normalize band labels to dense 0-based plane indices (the fixture
     # uses 1-based bands; TIFF planes are positional).

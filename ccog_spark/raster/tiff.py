@@ -159,10 +159,14 @@ def encode_tile(
     return codecs.compress(arr_bytes, codec, level_compress)
 
 
-def decode_tile(data: bytes, compression: int = COMPRESSION_DEFLATE) -> bytes:
+def decode_tile(
+    data: bytes,
+    compression: int = COMPRESSION_DEFLATE,
+    tables: bytes | None = None,
+) -> bytes:
     from ccog_spark.raster import codecs
 
-    return codecs.decompress(data, compression)
+    return codecs.decompress(data, compression, tables=tables)
 
 
 @dataclass
@@ -713,7 +717,9 @@ def read_band(data: bytes, ifd: IfdInfo, band: int):
         off, cnt = ifd.offsets[i], ifd.bytecounts[i]
         if cnt == 0:
             continue
-        raw = decode_tile(data[off : off + cnt], ifd.compression)
+        raw = decode_tile(
+            data[off : off + cnt], ifd.compression, tables=ifd.jpeg_tables
+        )
         tile = unpredict_tile(
             raw, ifd.predictor, ifd.tile_height, ifd.tile_width, ifd.np_dtype
         )

@@ -24,17 +24,25 @@ from ccog_spark.raster.codecs import (
 FAKE_TABLES = b"\xff\xd8\xff\xdb" + bytes(range(64))  # DQT-ish blob
 
 
+def _fake_decode(d: bytes) -> bytes:
+    # the reader prepends the IFD's JPEGTables for tables-carrying
+    # codecs (abbreviated-stream contract); strip it back off
+    if d.startswith(FAKE_TABLES):
+        d = d[len(FAKE_TABLES) + 1 :]
+    return zlib.decompress(d)
+
+
 @pytest.fixture
 def fake_jpeg_codec():
     """Install a deterministic stand-in codec in the jpeg slot; restore
-    the port-point spec afterwards."""
+    the real pure-numpy spec afterwards."""
     saved = codecs.REGISTRY["jpeg"]
     register_codec(
         CodecSpec(
             "jpeg",
             COMPRESSION_JPEG,
             encode=lambda d, lv: zlib.compress(d, 6),
-            decode=zlib.decompress,
+            decode=_fake_decode,
             make_tables=lambda lv: FAKE_TABLES + bytes([lv]),
         )
     )
@@ -42,9 +50,25 @@ def fake_jpeg_codec():
     register_codec(saved)
 
 
-def test_unregistered_jpeg_raises():
-    with pytest.raises(ValueError, match="jpeg.*needs"):
-        codecs.compress(b"xx", "jpeg")
+def test_unregistered_webp_raises():
+    with pytest.raises(ValueError, match="webp.*needs"):
+        codecs.compress(b"xx", "webp")
+
+
+def test_jpeg_slot_is_live():
+    """The jpeg slot now holds the real pure-numpy codec (round 6):
+    compress/decompress work through the registry with shared tables."""
+    import numpy as np
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    enc = codecs.compress(img.tobytes(), "jpeg", 90)
+    tables = shared_tables("jpeg", 90)
+    assert tables is not None and tables.startswith(b"\xff\xd8")
+    dec = np.frombuffer(
+        codecs.decompress(enc, COMPRESSION_JPEG, tables=tables), np.uint8
+    )
+    assert dec.shape == (256,)
+    assert np.abs(dec.astype(int) - img.reshape(-1).astype(int)).max() <= 12
 
 
 def test_shared_tables_none_for_tableless():

@@ -1,0 +1,159 @@
+"""Pure-numpy baseline JPEG codec (raster/jpegcodec.py) — unit
+round-trips plus the end-to-end JPEG-compressed COG write that makes
+R6/E23 fully real: abbreviated tile streams, ONE shared JPEGTables
+copy per codec config (reference parity:
+/root/reference/ccog/ccog.py:24-39 profile options, :261-289 tables
+invariant)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ccog_spark.raster import jpegcodec as J
+
+
+def _gradient(side: int = 32) -> np.ndarray:
+    y, x = np.mgrid[0:side, 0:side]
+    return ((np.sin(x / 5.0) * 60 + y * 2 + 100) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality,max_err", [(95, 8), (75, 16), (50, 20), (10, 48)])
+def test_roundtrip_tolerance(quality, max_err):
+    img = _gradient()
+    enc = J.encode(img.tobytes(), quality)
+    dec = np.frombuffer(
+        J.decode(J.make_tables(quality) + enc), np.uint8
+    ).reshape(img.shape)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= max_err
+
+
+def test_constant_midgray_is_exact():
+    img = np.full((16, 16), 128, np.uint8)
+    enc = J.encode(img.tobytes(), 50)
+    assert J.decode(J.make_tables(50) + enc) == img.tobytes()
+
+
+def test_higher_quality_costs_more_bytes():
+    img = _gradient()
+    sizes = [len(J.encode(img.tobytes(), q)) for q in (10, 50, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_abbreviated_decode_without_tables_raises():
+    enc = J.encode(_gradient().tobytes(), 75)
+    with pytest.raises(ValueError, match="JPEGTables"):
+        J.decode(enc)
+
+
+def test_make_tables_pure_and_level_dependent():
+    assert J.make_tables(60) == J.make_tables(60)
+    assert J.make_tables(60) != J.make_tables(61)
+    t = J.make_tables(75)
+    # SOI + DQT + two DHTs + EOI
+    assert t.startswith(b"\xff\xd8") and t.endswith(b"\xff\xd9")
+    assert t.count(b"\xff\xdb") == 1 and t.count(b"\xff\xc4") == 2
+
+
+def test_quant_table_ijg_endpoints():
+    assert np.array_equal(J.quant_table(50), J.BASE_QUANT)
+    assert J.quant_table(100).max() == 1  # near-lossless
+    assert J.quant_table(1).min() >= J.BASE_QUANT.min()
+
+
+def test_non_square_payload_rejected():
+    with pytest.raises(ValueError, match="square"):
+        J.encode(bytes(100), 75)
+
+
+@given(st.integers(0, 2 ** 32 - 1))
+@settings(deadline=None, max_examples=40)
+def test_fuzz_q100_bounded_error(seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    dec = np.frombuffer(
+        J.decode(J.make_tables(100) + J.encode(img.tobytes(), 100)),
+        np.uint8,
+    ).reshape(16, 16)
+    # q100 quantizes DCT coefficients to unit steps: reconstruction of
+    # ARBITRARY noise stays within a small bound
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+# ------------------------------------------------------------- e2e COG
+
+
+def _smooth_raster(bands: int = 2, h: int = 96, w: int = 160) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    planes = [
+        ((np.sin(x / 9.0 + b) * 50 + np.cos(y / 7.0) * 40 + 128) % 256).astype(
+            np.uint8
+        )
+        for b in range(bands)
+    ]
+    return np.stack(planes)
+
+
+def test_jpeg_cog_end_to_end(spark, tmp_path):
+    from ccog_spark.raster import tiff
+    from ccog_spark.raster.cog import write_ccog
+    from ccog_spark.raster.codecs import COMPRESSION_JPEG
+
+    arr = _smooth_raster()
+    out = str(tmp_path / "jpeg.tif")
+    res = write_ccog(
+        spark, arr, out, blocksize=32, nodata=0.0, codec="jpeg",
+        compress_level=85, min_part_size=2 << 10,
+    )
+    assert res.n_parts > 1  # the tables invariant ran across parts
+    data = open(out, "rb").read()
+    ifds = tiff.read_cog(data)
+    expected_tables = J.make_tables(85)
+    for ifd in ifds:
+        assert ifd.compression == COMPRESSION_JPEG
+        assert ifd.jpeg_tables == expected_tables
+    # ONE external copy: every IFD references the same offset region
+    assert data.count(expected_tables) == 1
+    for b in range(arr.shape[0]):
+        got = tiff.read_band(data, ifds[0], b)
+        err = np.abs(got.astype(int) - arr[b].astype(int))
+        assert err.max() <= 16 and err.mean() < 4
+
+
+def test_jpeg_two_quality_levels_two_tables(spark, tmp_path):
+    from ccog_spark.raster import tiff
+    from ccog_spark.raster.cog import write_ccog
+
+    arr = _smooth_raster(bands=1)
+    out = str(tmp_path / "jpeg2.tif")
+    write_ccog(
+        spark, arr, out, blocksize=32, nodata=0.0, codec="jpeg",
+        compress_level=90, overview_compress_level=60,
+    )
+    data = open(out, "rb").read()
+    ifds = tiff.read_cog(data)
+    assert ifds[0].jpeg_tables == J.make_tables(90)
+    for ifd in ifds[1:]:
+        assert ifd.jpeg_tables == J.make_tables(60)
+    # overviews decode with THEIR tables (the r5 ADVICE failure mode)
+    ov = tiff.read_band(data, ifds[1], 0)
+    assert ov.shape == (48, 80)
+
+
+def test_jpeg_requires_uint8_and_no_predictor(spark, tmp_path):
+    from ccog_spark.raster.cog import write_ccog
+
+    arr = _smooth_raster(bands=1).astype(np.float64)
+    with pytest.raises(ValueError, match="uint8"):
+        write_ccog(
+            spark, arr, str(tmp_path / "bad.tif"), blocksize=32,
+            nodata=0.0, codec="jpeg", dtype="float64",
+        )
+    arr8 = _smooth_raster(bands=1)
+    with pytest.raises(ValueError, match="predictor"):
+        write_ccog(
+            spark, arr8, str(tmp_path / "bad2.tif"), blocksize=32,
+            nodata=0.0, codec="jpeg", predictor=2,
+        )
