@@ -186,6 +186,64 @@ def encode_tiles(
     )
 
 
+MASK_ENC_SCHEMA = (
+    "level int, tile_y int, tile_x int, nbytes int, data binary, "
+    "valid_count int"
+)
+
+
+def encode_mask_tiles(
+    pyr: DataFrame, blocksize: int, mask_band: int = 0
+) -> DataFrame:
+    """Dataset-mask tiles from the pyramid's per-pixel validity
+    (band ``mask_band`` — the dataset mask is ONE plane shared by all
+    bands, matching the reference's 2-D mask argument,
+    ccog/ccog.py:957-962; mask tile bytes ≙ :415-427).
+
+    One applyInPandas per (level, tile) group: row-pack the boolean
+    block to 1-bit TIFF layout (blocksize is a multiple of 16, so rows
+    are byte-aligned) and deflate. All-zero tiles are emitted with
+    valid_count 0 so the caller can elide them as sparse."""
+
+    keyed = pyr.where(F.col("band") == mask_band).select(
+        "level",
+        F.floor(F.col("y") / blocksize).cast("int").alias("tile_y"),
+        F.floor(F.col("x") / blocksize).cast("int").alias("tile_x"),
+        (F.col("y") % blocksize).cast("int").alias("iy"),
+        (F.col("x") % blocksize).cast("int").alias("ix"),
+        "valid",
+    )
+
+    def make_kernel(bs: int):
+        def to_mask_tile(pdf):
+            import zlib
+
+            import numpy as np
+            import pandas as pd
+
+            arr = np.zeros((bs, bs), dtype=bool)
+            valid = pdf["valid"].to_numpy(dtype=bool)
+            arr[pdf["iy"].to_numpy()[valid], pdf["ix"].to_numpy()[valid]] = True
+            packed = np.packbits(arr, axis=1).tobytes()
+            data = zlib.compress(packed, 6)
+            return pd.DataFrame(
+                {
+                    "level": [int(pdf["level"].iloc[0])],
+                    "tile_y": [int(pdf["tile_y"].iloc[0])],
+                    "tile_x": [int(pdf["tile_x"].iloc[0])],
+                    "nbytes": [len(data)],
+                    "data": [data],
+                    "valid_count": [int(arr.sum())],
+                }
+            )
+
+        return to_mask_tile
+
+    return keyed.groupBy("level", "tile_y", "tile_x").applyInPandas(
+        make_kernel(blocksize), MASK_ENC_SCHEMA
+    )
+
+
 @dataclass
 class CogWriteResult:
     path: str
@@ -219,8 +277,16 @@ def write_cog(
     overview_codec: str | None = None,
     overview_predictor: int | None = None,
     storage_options: dict | None = None,
+    internal_mask: bool = False,
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
+
+    ``internal_mask``: also write per-level internal MASK pages
+    (NewSubfileType bit 2, 1-bit tiles, interleaved data/mask IFDs —
+    reference parity ccog/ccog.py:680-713). The dataset mask is the
+    validity plane of the FIRST band; consumers that rely on an
+    explicit mask rather than nodata semantics read it via
+    tiff.read_mask.
 
     ``storage_options``: fsspec/s3fs-style credential/endpoint overrides
     for ``s3://`` targets (sinks.mpu.resolve_store); ignored for local
@@ -350,6 +416,19 @@ def write_cog(
         overview_predictor=overview_predictor,
     ).persist()
 
+    mask_enc = None
+    mask_tile_nbytes = None
+    if internal_mask:
+        mask_enc = encode_mask_tiles(pyr, blocksize).where(
+            F.col("valid_count") > 0
+        ).persist()
+        mask_tile_nbytes = {
+            (r.level, r.tile_y, r.tile_x): r.nbytes
+            for r in mask_enc.select(
+                "level", "tile_y", "tile_x", "nbytes"
+            ).collect()
+        }
+
     index = enc.select("level", "band", "tile_y", "tile_x", "nbytes").collect()
     tile_nbytes = {
         (r.level, r.band, r.tile_y, r.tile_x): r.nbytes for r in index
@@ -380,6 +459,7 @@ def write_cog(
             if overview_compress_level is None
             else overview_compress_level,
         ),
+        mask_tile_nbytes=mask_tile_nbytes,
     )
 
     # file_seq: header is 0; tiles follow in plan order. The tile-key →
@@ -389,7 +469,15 @@ def write_cog(
     # scale-killer in this path).
     import bisect
 
-    sizes = [len(plan.header)] + [tile_nbytes[k] for k in plan.file_order]
+    all_nbytes = dict(tile_nbytes)
+    if mask_tile_nbytes:
+        all_nbytes.update(
+            {
+                (lvl, -1, ty, tx): nb
+                for (lvl, ty, tx), nb in mask_tile_nbytes.items()
+            }
+        )
+    sizes = [len(plan.header)] + [all_nbytes[k] for k in plan.file_order]
     kwargs = {} if min_part_size is None else {"min_part": min_part_size}
     parts = pack_parts(sizes, **kwargs)
     part_firsts = [p.first_seq for p in parts]
@@ -412,7 +500,18 @@ def write_cog(
         ],
         seq_schema,
     )
-    tile_segments = enc.join(
+    enc_seg = enc.select("level", "band", "tile_y", "tile_x", "data")
+    if mask_enc is not None:
+        enc_seg = enc_seg.unionByName(
+            mask_enc.select(
+                "level",
+                F.lit(-1).alias("band"),
+                "tile_y",
+                "tile_x",
+                "data",
+            )
+        )
+    tile_segments = enc_seg.join(
         F.broadcast(seq_map), ["level", "band", "tile_y", "tile_x"]
     ).select("seq", "data", "part_no")
     header_segment = spark.createDataFrame(
@@ -435,14 +534,17 @@ def write_cog(
         raise
     finally:
         enc.unpersist()
+        if mask_enc is not None:
+            mask_enc.unpersist()
 
     total_tiles = sum(bands * lp.n_tiles for lp in plan.levels)
+    n_data_written = sum(1 for k in plan.file_order if k[1] != -1)
     return CogWriteResult(
         path=path,
         plan=plan,
         n_parts=len(parts),
-        n_tiles_written=len(plan.file_order),
-        n_tiles_sparse=total_tiles - len(plan.file_order),
+        n_tiles_written=n_data_written,
+        n_tiles_sparse=total_tiles - n_data_written,
     )
 
 

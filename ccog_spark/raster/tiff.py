@@ -189,6 +189,8 @@ class CogPlan:
     levels: list[LevelPlan]  # level 0 first
     file_order: list[tuple[int, int, int, int]]  # (level,band,ty,tx) data order
     total_size: int
+    # internal mask pages (band = -1 in file_order); empty when no mask
+    mask_levels: list[LevelPlan] = field(default_factory=list)
 
 
 def tile_grid(width: int, height: int, blocksize: int) -> tuple[int, int]:
@@ -220,6 +222,7 @@ def build_cog_plan(
     overview_predictor: int | None = None,
     shared_tables: bytes | None = None,
     overview_shared_tables: bytes | None = None,
+    mask_tile_nbytes: dict[tuple[int, int, int], int] | None = None,
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
@@ -246,6 +249,16 @@ def build_cog_plan(
     from level 0's (different codec or quality level) a SECOND external
     copy is stored and overview IFDs reference it; byte-identical
     tables share one copy.
+
+    ``mask_tile_nbytes``: (level, ty, tx) → encoded 1-bit mask tile
+    size. When given, INTERNAL MASK pages are interleaved per level
+    (data L0, mask L0, data L1, mask L1, … — the reference's page
+    layout, ccog/ccog.py:680-713): NewSubfileType bit 2 (4 at level 0,
+    5 on overviews), PhotometricInterpretation 4 (transparency mask),
+    BitsPerSample 1, SamplesPerPixel 1, deflate-compressed row-packed
+    bits. Mask tiles follow each level's data tiles in the file-order
+    cursor (band = -1 in ``file_order``); all-zero mask tiles are
+    sparse (offset 0), mirroring data sparse elision.
     """
     bits, sfmt, _ = DTYPES[dtype]
 
@@ -263,6 +276,22 @@ def build_cog_plan(
         tx, ty = tile_grid(w, h, blocksize)
         levels.append(LevelPlan(lvl, w, h, tx, ty, tx * ty))
         w, h = (w + 1) // 2, (h + 1) // 2
+
+    mask_levels: list[LevelPlan] = []
+    if mask_tile_nbytes is not None:
+        mask_levels = [
+            LevelPlan(
+                lp.level, lp.width, lp.height, lp.tiles_x, lp.tiles_y,
+                lp.n_tiles,
+            )
+            for lp in levels
+        ]
+    # IFD chain pages, interleaved per level when a mask is present
+    pages: list[tuple[str, LevelPlan]] = []
+    for i, lp in enumerate(levels):
+        pages.append(("data", lp))
+        if mask_levels:
+            pages.append(("mask", mask_levels[i]))
 
     if fmt == "auto":
         est_data = sum(tile_nbytes.values())
@@ -308,12 +337,21 @@ def build_cog_plan(
     def tables_of(lvl: int) -> bytes | None:
         return shared_tables if lvl == 0 else overview_shared_tables
 
+    MASK_ENTRIES = 12  # fixed mask-page tag set (no SampleFormat/nodata)
+
+    def page_entry_count(kind: str, lp: LevelPlan, first: bool) -> int:
+        if kind == "mask":
+            return MASK_ENTRIES
+        return (
+            n_entries
+            + (ifd0_extra if first else 0)
+            + (1 if pred_of(lp.level) != 1 else 0)
+            + (1 if tables_of(lp.level) is not None else 0)
+        )
+
     ifd_entry_counts = [
-        n_entries
-        + (ifd0_extra if i == 0 else 0)
-        + (1 if pred_of(lp.level) != 1 else 0)
-        + (1 if tables_of(lp.level) is not None else 0)
-        for i, lp in enumerate(levels)
+        page_entry_count(kind, lp, i == 0)
+        for i, (kind, lp) in enumerate(pages)
     ]
     ifd_offsets = []
     _off = ifd_start
@@ -367,6 +405,13 @@ def build_cog_plan(
             pos += off_size * count
             ext[(lp.level, "cnt")] = pos
             pos += off_size * count
+    for mlp in mask_levels:
+        count = mlp.n_tiles
+        if count * off_size > inline_cap:
+            ext[(("m", mlp.level), "off")] = pos
+            pos += off_size * count
+            ext[(("m", mlp.level), "cnt")] = pos
+            pos += off_size * count
     if pos % 2:
         pos += 1
     data_start = pos
@@ -376,7 +421,8 @@ def build_cog_plan(
     # in file order (COG validity property).
     file_order: list[tuple[int, int, int, int]] = []
     cursor = data_start
-    for lp in reversed(levels):
+    for i_lvl in range(len(levels) - 1, -1, -1):
+        lp = levels[i_lvl]
         lp.offsets = [0] * (bands * lp.n_tiles)
         lp.bytecounts = [0] * (bands * lp.n_tiles)
         for band in range(bands):
@@ -389,6 +435,20 @@ def build_cog_plan(
                         lp.offsets[i] = cursor
                         cursor += nb
                         file_order.append((lp.level, band, ty, tx))
+        if mask_levels:
+            # each level's mask tiles follow its data tiles; band = -1
+            mlp = mask_levels[i_lvl]
+            mlp.offsets = [0] * mlp.n_tiles
+            mlp.bytecounts = [0] * mlp.n_tiles
+            for ty in range(mlp.tiles_y):
+                for tx in range(mlp.tiles_x):
+                    nb = mask_tile_nbytes.get((mlp.level, ty, tx), 0)
+                    i = ty * mlp.tiles_x + tx
+                    mlp.bytecounts[i] = nb
+                    if nb > 0:
+                        mlp.offsets[i] = cursor
+                        cursor += nb
+                        file_order.append((mlp.level, -1, ty, tx))
     total_size = cursor
     if not big and total_size > (1 << 32):
         raise ValueError(
@@ -418,7 +478,50 @@ def build_cog_plan(
         return struct.pack("<HHI", tag, TYPE_SHORT, len(values)) + raw
 
     entry_size = 20 if big else 12
-    for i, lp in enumerate(levels):
+    for i, (kind, lp) in enumerate(pages):
+        if kind == "mask":
+            count = lp.n_tiles
+            if count * off_size > inline_cap:
+                e_off = entry(
+                    TAG_TILE_OFFSETS, off_type, count, ext[(("m", lp.level), "off")]
+                )
+                e_cnt = entry(
+                    TAG_TILE_BYTE_COUNTS, off_type, count, ext[(("m", lp.level), "cnt")]
+                )
+            else:
+                e_off = entry(TAG_TILE_OFFSETS, off_type, 1, lp.offsets[0])
+                e_cnt = entry(TAG_TILE_BYTE_COUNTS, off_type, 1, lp.bytecounts[0])
+            entries = [
+                # bit 0 reduced-resolution (overviews) + bit 2 mask
+                entry(TAG_NEW_SUBFILE_TYPE, TYPE_LONG, 1, 4 if lp.level == 0 else 5),
+                entry(TAG_IMAGE_WIDTH, TYPE_LONG, 1, lp.width),
+                entry(TAG_IMAGE_LENGTH, TYPE_LONG, 1, lp.height),
+                entry_shorts_inline(TAG_BITS_PER_SAMPLE, [1]),
+                entry(TAG_COMPRESSION, TYPE_SHORT, 1, COMPRESSION_DEFLATE),
+                entry(TAG_PHOTOMETRIC, TYPE_SHORT, 1, 4),  # transparency mask
+                entry(TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, 1, 1),
+                entry(TAG_PLANAR_CONFIG, TYPE_SHORT, 1, 1),
+                entry(TAG_TILE_WIDTH, TYPE_SHORT, 1, blocksize),
+                entry(TAG_TILE_LENGTH, TYPE_SHORT, 1, blocksize),
+                e_off,
+                e_cnt,
+            ]
+            assert len(entries) == ifd_entry_counts[i], len(entries)
+            entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+            off = ifd_offsets[i]
+            p = off
+            if big:
+                struct.pack_into("<Q", buf, p, ifd_entry_counts[i])
+                p += 8
+            else:
+                struct.pack_into("<H", buf, p, ifd_entry_counts[i])
+                p += 2
+            for e in entries:
+                buf[p : p + entry_size] = e
+                p += entry_size
+            next_ifd = ifd_offsets[i + 1] if i + 1 < len(pages) else 0
+            struct.pack_into("<Q" if big else "<I", buf, p, next_ifd)
+            continue
         entries = []
         entries.append(entry(TAG_NEW_SUBFILE_TYPE, TYPE_LONG, 1, 0 if lp.level == 0 else 1))
         entries.append(entry(TAG_IMAGE_WIDTH, TYPE_LONG, 1, lp.width))
@@ -511,7 +614,7 @@ def build_cog_plan(
         for e in entries:
             buf[p : p + entry_size] = e
             p += entry_size
-        next_ifd = ifd_offsets[i + 1] if i + 1 < len(levels) else 0
+        next_ifd = ifd_offsets[i + 1] if i + 1 < len(pages) else 0
         struct.pack_into("<Q" if big else "<I", buf, p, next_ifd)
 
     if not nodata_inline:
@@ -550,8 +653,20 @@ def build_cog_plan(
             struct.pack_into(
                 f"<{count}{off_fmt}", buf, ext[(lp.level, "cnt")], *lp.bytecounts
             )
+    for mlp in mask_levels:
+        count = mlp.n_tiles
+        if count * off_size > inline_cap:
+            struct.pack_into(
+                f"<{count}{off_fmt}", buf, ext[(("m", mlp.level), "off")], *mlp.offsets
+            )
+            struct.pack_into(
+                f"<{count}{off_fmt}", buf, ext[(("m", mlp.level), "cnt")], *mlp.bytecounts
+            )
 
-    return CogPlan(bytes(buf), data_start, levels, file_order, total_size)
+    return CogPlan(
+        bytes(buf), data_start, levels, file_order, total_size,
+        mask_levels=mask_levels,
+    )
 
 
 # ----------------------------------------------------------------- read
@@ -728,4 +843,36 @@ def read_band(data: bytes, ifd: IfdInfo, band: int):
             r * ifd.tile_height : (r + 1) * ifd.tile_height,
             c * ifd.tile_width : (c + 1) * ifd.tile_width,
         ] = tile
+    return full[: ifd.height, : ifd.width]
+
+
+def is_mask_ifd(ifd: IfdInfo) -> bool:
+    """NewSubfileType bit 2 = transparency mask (TIFF 6.0)."""
+    return bool(ifd.subfile_type & 4)
+
+
+def read_mask(data: bytes, ifd: IfdInfo):
+    """Decode an internal MASK page (1-bit, row-packed, deflated) to a
+    boolean array. Sparse tiles (bytecount 0) read back all-False —
+    the writer elides all-zero mask tiles like sparse data tiles."""
+    import numpy as np
+
+    assert is_mask_ifd(ifd) and ifd.bits_per_sample == 1
+    tx = (ifd.width + ifd.tile_width - 1) // ifd.tile_width
+    ty = (ifd.height + ifd.tile_height - 1) // ifd.tile_height
+    full = np.zeros((ty * ifd.tile_height, tx * ifd.tile_width), dtype=bool)
+    for t in range(tx * ty):
+        off, cnt = ifd.offsets[t], ifd.bytecounts[t]
+        if cnt == 0:
+            continue
+        raw = decode_tile(data[off : off + cnt], ifd.compression)
+        bits = np.unpackbits(
+            np.frombuffer(raw, dtype=np.uint8).reshape(ifd.tile_height, -1),
+            axis=1,
+        )[:, : ifd.tile_width]
+        r, c = divmod(t, tx)
+        full[
+            r * ifd.tile_height : (r + 1) * ifd.tile_height,
+            c * ifd.tile_width : (c + 1) * ifd.tile_width,
+        ] = bits.astype(bool)
     return full[: ifd.height, : ifd.width]

