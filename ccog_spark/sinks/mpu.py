@@ -286,10 +286,18 @@ class S3Mpu:
             )
             return f"s3://{self.bucket}/{self.key}"
         except Exception:
+            self.abort()
+            raise
+
+    def abort(self) -> None:
+        """Abort the in-flight MPU (called by the writer when any part
+        upload fails — without this, failed writes leave orphan parts
+        accruing storage forever; found by the round-6 lifecycle
+        test)."""
+        if self.upload_id is not None:
             self.client.abort_multipart_upload(
                 Bucket=self.bucket, Key=self.key, UploadId=self.upload_id
             )
-            raise
 
 
 def resolve_store(path: str, storage_options: dict | None = None):

@@ -16,6 +16,8 @@ class _S3State:
         self.objects = {}  # (bucket, key) -> bytes
         self.aborted = []
         self.fail_complete = False
+        self.fail_parts_from = None  # fail PUT of part_no >= this
+        self.completed_parts = {}  # upload_id -> [(part_no, etag), ...]
 
 
 def _make_handler(state: _S3State):
@@ -59,6 +61,16 @@ def _make_handler(state: _S3State):
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n).decode()
                 order = [int(x) for x in re.findall(r"<PartNumber>(\d+)<", body)]
+                etags = re.findall(r"<ETag>\"?([^<\"]+)\"?</ETag>", body)
+                # real S3 rejects a complete whose ETags don't match the
+                # uploaded parts — verify the round-trip
+                for p, e in zip(order, etags):
+                    if p not in state.uploads[uid] or e != f"etag-{p}":
+                        self._xml(
+                            400, "<Error><Code>InvalidPart</Code></Error>"
+                        )
+                        return
+                state.completed_parts[uid] = list(zip(order, etags))
                 state.objects[(bucket, key)] = b"".join(
                     state.uploads[uid][p] for p in sorted(order)
                 )
@@ -78,7 +90,14 @@ def _make_handler(state: _S3State):
             uid = q["uploadId"][0]
             part_no = int(q["partNumber"][0])
             n = int(self.headers.get("Content-Length", 0))
-            state.uploads[uid][part_no] = self.rfile.read(n)
+            body = self.rfile.read(n)
+            if (
+                state.fail_parts_from is not None
+                and part_no >= state.fail_parts_from
+            ):
+                self._xml(500, "<Error><Code>InternalError</Code></Error>")
+                return
+            state.uploads[uid][part_no] = body
             self.send_response(200)
             self.send_header("ETag", f'"etag-{part_no}"')
             self.send_header("Content-Length", "0")
@@ -176,3 +195,57 @@ def test_s3mpu_complete_failure_aborts_and_raises(s3_stub):
     with pytest.raises(Exception):
         store.complete(receipts)
     assert state.aborted, "abort_multipart_upload was not called"
+
+
+def test_s3mpu_out_of_order_parts_etag_roundtrip(s3_stub):
+    """Full lifecycle with parts uploaded in SHUFFLED order: complete
+    must submit (PartNumber, ETag) pairs the service can verify — the
+    stub rejects any ETag that doesn't match its upload-time value —
+    and the assembled object is in part-number order regardless of
+    upload order."""
+    import random
+
+    from ccog_spark.sinks.mpu import resolve_store
+
+    state, endpoint = s3_stub
+    store = resolve_store(
+        "s3://testbkt/shuffled.tif", _storage_options(endpoint)
+    )
+    uid = store.create()
+    put = store.part_putter()
+    payloads = {i: bytes([i]) * (10 + i) for i in range(1, 6)}
+    order = list(payloads)
+    random.Random(3).shuffle(order)
+    receipts = [put(i, payloads[i]) for i in order]
+    path = store.complete(receipts)
+    assert path == "s3://testbkt/shuffled.tif"
+    # object assembled in part order, not upload order
+    assert state.objects[("testbkt", "shuffled.tif")] == b"".join(
+        payloads[i] for i in sorted(payloads)
+    )
+    # the complete request carried the verified etags, ascending
+    assert state.completed_parts[uid] == [
+        (i, f"etag-{i}") for i in sorted(payloads)
+    ]
+    assert not state.aborted
+
+
+def test_s3mpu_part_failure_aborts_whole_write(spark, s3_stub):
+    """A part upload failing mid-write must propagate out of write_cog
+    AND abort the multipart upload (no half-written object, no orphan
+    parts billing forever — the failure mode S3 docs warn about)."""
+    from ccog_spark.raster.cog import write_cog
+    from ccog_spark.raster.fixtures import BANDS, BLOCK, H, W, pixels_df
+
+    state, endpoint = s3_stub
+    state.fail_parts_from = 2  # first part succeeds, rest fail
+    with pytest.raises(Exception):
+        write_cog(
+            spark, pixels_df(spark),
+            width=W, height=H, bands=BANDS, blocksize=BLOCK,
+            nodata=-9999.0, min_part_size=4096,
+            target_path="s3://testbkt/fail.tif",
+            storage_options=_storage_options(endpoint),
+        )
+    assert state.aborted, "abort_multipart_upload was not called"
+    assert ("testbkt", "fail.tif") not in state.objects
