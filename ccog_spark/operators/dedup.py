@@ -631,7 +631,11 @@ def ngram_jaccard_pairs(
 
 
 def embedding_dup_pairs(
-    emb: DataFrame, dim: int, cos_min: float = 0.98
+    emb: DataFrame,
+    dim: int,
+    cos_min: float = 0.98,
+    n_tables: int | None = None,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by hyperplane-LSH bands.
 
@@ -648,10 +652,19 @@ def embedding_dup_pairs(
     ``emb``: (vec_id, embedding) — embedding any numeric array; cast to
     double before every arithmetic step so DuckDB sees identical IEEE
     operations.
+
+    ``n_tables``/``band_bits`` override similarity.N_TABLES/BAND_BITS
+    (recall/verify-cost knob: more bits → smaller buckets → fewer
+    verify pairs but lower per-table recall; more tables recover
+    recall at ~linear band-join cost. scripts/embed_knee.py measures
+    the trade; the driver oracle mirrors the defaults).
     """
     from ccog_spark.functions.vectors import dot, norm
+    from ccog_spark.operators import similarity
     from ccog_spark.operators.similarity import band_keys_arrow
 
+    nt = similarity.N_TABLES if n_tables is None else n_tables
+    bb = similarity.BAND_BITS if band_bits is None else band_bits
     # persisted: referenced three times (bands + both verify sides).
     # Band keys via the Arrow-vectorized kernel (bit-identical to the
     # expression version; see similarity.band_keys_arrow).
@@ -661,7 +674,7 @@ def embedding_dup_pairs(
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
         )
         .withColumn("nrm", norm(F.col("e")))
-        .withColumn("bks", band_keys_arrow(dim)(F.col("e")))
+        .withColumn("bks", band_keys_arrow(dim, nt, bb)(F.col("e")))
         .persist()
     )
     bands = nv.select(

@@ -74,10 +74,13 @@ def prefix_sum(
     totals_df = b.groupBy("_bkt").agg(
         F.coalesce(F.sum(value_col), F.lit(0)).alias("_tot")
     )
-    n_buckets = totals_df.persist().count()
-    if n_buckets > _MAX_DRIVER_BUCKETS:
+    # limit(MAX+1) probe (same trick as the PPJoin broadcast gate): one
+    # job decides the path AND, in the common small case, already IS
+    # the full collect — no separate count job, no persist.
+    totals = totals_df.limit(_MAX_DRIVER_BUCKETS + 1).collect()
+    if len(totals) > _MAX_DRIVER_BUCKETS:
         # rename so the recursive call's own _bkt doesn't shadow ours
-        inner = totals_df.withColumnRenamed(
+        inner = totals_df.persist().withColumnRenamed(
             "_bkt", "_pk"
         ).withColumnRenamed("_tot", "_pv")
         cumt = prefix_sum(
@@ -89,8 +92,6 @@ def prefix_sum(
             (F.col("_cumt") - F.col("_pv")).alias("_off"),
         )
     else:
-        totals = totals_df.collect()
-        totals_df.unpersist()
         if any(r["_bkt"] is None for r in totals):
             raise ValueError(
                 f"prefix_sum: {order_col!r} contains nulls — the order "

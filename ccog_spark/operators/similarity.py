@@ -28,8 +28,16 @@ N_PLANES = 8
 # hyperplanes j = t*BAND_BITS .. t*BAND_BITS + BAND_BITS - 1. A pair
 # sharing >= 1 table's full key becomes a candidate — the standard
 # OR-of-ANDs LSH amplification.
-N_TABLES = 4
-BAND_BITS = 8
+#
+# Defaults tuned by scripts/embed_knee.py (SCALING.md): at sf1 the old
+# 4×8 produced 10.0M candidate pairs (12.6 s) from overfull 256-bucket
+# tables; 8×10 cuts pairs to 6.4M and time to 2.65 s at equal recall
+# (1998/1999 planted dups) and is faster at sf0.1 too. More bits →
+# smaller buckets (pair count ~n²/2^bits per table); more tables
+# recover recall at linear cost. The DuckDB oracle builds its SQL from
+# these same constants, so both engines move together.
+N_TABLES = 8
+BAND_BITS = 10
 
 
 def _hyperplane(j: int, dim: int) -> list[int]:
