@@ -116,23 +116,12 @@ def _lzma_decode(data: bytes) -> bytes:
 
 _WEBP_ENC, _WEBP_DEC = _unavailable("webp", "a WebP library")
 
-
-def _jpeg_encode(data: bytes, level: int) -> bytes:
-    from ccog_spark.raster import jpegcodec
-
-    return jpegcodec.encode(data, level)
-
-
-def _jpeg_decode(data: bytes) -> bytes:
-    from ccog_spark.raster import jpegcodec
-
-    return jpegcodec.decode(data)
-
-
-def _jpeg_tables(level: int) -> bytes:
-    from ccog_spark.raster import jpegcodec
-
-    return jpegcodec.make_tables(level)
+# Bound DIRECTLY to the jpegcodec module functions (not lazy wrappers
+# with an import inside the body): a runtime `import ccog_spark…` in a
+# worker-side closure would defeat the by-value shipping contract —
+# encode_tiles registers BOTH this module and jpegcodec with
+# cloudpickle's by-value pickling, so these references serialize whole.
+from ccog_spark.raster import jpegcodec as _jpegcodec  # noqa: E402
 
 REGISTRY: dict[str, CodecSpec] = {
     "deflate": CodecSpec(
@@ -154,8 +143,8 @@ REGISTRY: dict[str, CodecSpec] = {
     # registry's one live global-tables codec. webp remains a PORT
     # POINT (no WebP implementation in this container).
     "jpeg": CodecSpec(
-        "jpeg", COMPRESSION_JPEG, _jpeg_encode, _jpeg_decode,
-        make_tables=_jpeg_tables,
+        "jpeg", COMPRESSION_JPEG, _jpegcodec.encode, _jpegcodec.decode,
+        make_tables=_jpegcodec.make_tables,
         sample_dtypes=("uint8",), predictor_ok=False,
     ),
     "webp": CodecSpec("webp", COMPRESSION_WEBP, _WEBP_ENC, _WEBP_DEC),

@@ -157,3 +157,43 @@ def test_jpeg_requires_uint8_and_no_predictor(spark, tmp_path):
             spark, arr8, str(tmp_path / "bad2.tif"), blocksize=32,
             nodata=0.0, codec="jpeg", predictor=2,
         )
+
+
+def test_jpeg_cog_from_foreign_cwd(tmp_path):
+    """Worker self-containment: a driver running from /tmp (repo not on
+    the executors' PYTHONPATH) must still write a JPEG COG — the codec
+    fns ship by value; any runtime ccog_spark import inside the encode
+    closure would ModuleNotFoundError on the workers."""
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "drv.py"
+    script.write_text(
+        'import sys\n'
+        'sys.path.insert(0, "/root/repo")\n'
+        'import numpy as np\n'
+        'from pyspark.sql import SparkSession\n'
+        'spark = (SparkSession.builder.master("local[2]")\n'
+        '         .config("spark.ui.enabled", "false").getOrCreate())\n'
+        'from ccog_spark.raster.cog import write_ccog\n'
+        'from ccog_spark.raster import jpegcodec, tiff\n'
+        'y, x = np.mgrid[0:32, 0:64]\n'
+        'arr = ((x + y) % 200).astype("uint8")[None]\n'
+        'out = sys.argv[1]\n'
+        'write_ccog(spark, arr, out, blocksize=16, nodata=0.0,\n'
+        '           codec="jpeg", compress_level=80)\n'
+        'data = open(out, "rb").read()\n'
+        'ifds = tiff.read_cog(data)\n'
+        'assert ifds[0].jpeg_tables == jpegcodec.make_tables(80)\n'
+        'got = tiff.read_band(data, ifds[0], 0)\n'
+        'err = abs(got.astype(int) - arr[0].astype(int)).max()\n'
+        'assert err <= 16, err\n'
+        'print("FOREIGN_CWD_OK")\n'
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [sys.executable, str(script), str(tmp_path / "f.tif")],
+        cwd="/tmp", env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert "FOREIGN_CWD_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]

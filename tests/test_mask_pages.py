@@ -129,3 +129,45 @@ def test_no_mask_write_unchanged(spark, tmp_path):
     write_ccog(spark, arr, out, mask=mask, blocksize=BLOCK, nodata=0.0)
     ifds = read_cog(open(out, "rb").read())
     assert all(not is_mask_ifd(i) for i in ifds)
+
+
+def test_bigtiff_mask_plan_parses_back():
+    """Plan-level BigTIFF + mask: 8-byte offset arithmetic must hold
+    with interleaved mask pages (no giant file written)."""
+    from ccog_spark.raster.tiff import build_cog_plan, read_cog
+
+    bs = 16
+    nb = {}
+    for lvl, dim in ((0, 4), (1, 2)):
+        for b in range(2):
+            for ty in range(dim):
+                for tx in range(dim):
+                    nb[(lvl, b, ty, tx)] = 100 + lvl * 10 + ty + tx
+    mask_nb = {
+        (lvl, ty, tx): 20 + ty
+        for lvl, dim in ((0, 4), (1, 2))
+        for ty in range(dim)
+        for tx in range(dim)
+    }
+    plan = build_cog_plan(
+        width=64, height=64, bands=2, blocksize=bs, n_overviews=1,
+        tile_nbytes=nb, nodata=0.0, fmt="bigtiff",
+        mask_tile_nbytes=mask_nb,
+    )
+    ifds = read_cog(plan.header + b"\x00" * (plan.total_size - len(plan.header)))
+    assert len(ifds) == 4  # data L0, mask L0, data L1, mask L1
+    assert [i.subfile_type for i in ifds] == [0, 4, 1, 5]
+    # offsets monotone across the whole interleaved file order
+    offs = []
+    for key in plan.file_order:
+        lvl, band, ty, tx = key
+        if band == -1:
+            mlp = plan.mask_levels[lvl]
+            offs.append(mlp.offsets[ty * mlp.tiles_x + tx])
+        else:
+            lp = plan.levels[lvl]
+            offs.append(lp.offsets[band * lp.n_tiles + ty * lp.tiles_x + tx])
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+    assert plan.total_size == offs[-1] + (
+        mask_nb[(0, 3, 3)]
+    )  # last tile is L0's last mask tile
