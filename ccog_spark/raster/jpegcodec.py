@@ -255,6 +255,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -304,7 +306,16 @@ def decode(data: bytes) -> bytes:
     """Decode a baseline grayscale JPEG stream to raw uint8 bytes.
     Accepts standalone streams OR ``tables_stream + tile_stream``
     concatenations (abbreviated TIFF form: the caller prepends the
-    JPEGTables tag payload; interior EOI/SOI markers are skipped)."""
+    JPEGTables tag payload; interior EOI/SOI markers are skipped).
+    Corrupt or truncated input raises ValueError — never hangs or
+    crashes with a raw IndexError (fuzz-tested)."""
+    try:
+        return _decode(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {e!r}") from e
+
+
+def _decode(data: bytes) -> bytes:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = None

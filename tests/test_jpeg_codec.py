@@ -197,3 +197,26 @@ def test_jpeg_cog_from_foreign_cwd(tmp_path):
         cwd="/tmp", env=env, capture_output=True, text=True, timeout=600,
     )
     assert "FOREIGN_CWD_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+@given(st.integers(0, 2 ** 32 - 1), st.data())
+@settings(deadline=None, max_examples=80)
+def test_fuzz_corrupt_streams_never_hang_or_crash(seed, data):
+    """Truncations and byte flips must raise ValueError (or decode to
+    SOME bytes) — never raw IndexError/KeyError/struct.error."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    stream = J.make_tables(75) + J.encode(img.tobytes(), 75)
+    mode = data.draw(st.sampled_from(["truncate", "flip", "both"]))
+    buf = bytearray(stream)
+    if mode in ("truncate", "both"):
+        buf = buf[: data.draw(st.integers(0, len(buf) - 1))]
+    if mode in ("flip", "both") and buf:
+        for _ in range(data.draw(st.integers(1, 4))):
+            i = data.draw(st.integers(0, len(buf) - 1))
+            buf[i] ^= data.draw(st.integers(1, 255))
+    try:
+        out = J.decode(bytes(buf))
+        assert isinstance(out, bytes)
+    except ValueError:
+        pass
