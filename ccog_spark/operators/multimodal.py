@@ -137,3 +137,232 @@ def decode_metadata(docs: DataFrame) -> DataFrame:
         yield from dec(enc(it))
 
     return docs.select("doc_id", "text").mapInPandas(fused, DECODE_SCHEMA)
+
+
+# ---------------------------------------------------- pixel operations
+# Full pixel decode + feature-extract / resize / frame-sample: the
+# remaining multimodal verbs a training pipeline needs. All kernels are
+# self-contained closures (by-value pickling, no worker imports) and
+# payload bytes stay inside their partition — only small feature rows
+# or resized payloads cross stage boundaries.
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, width int, height int, mean double, std double, "
+    "mean_r double, mean_g double, mean_b double, hist array<bigint>"
+)
+
+RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int"
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, payload binary"
+
+
+def make_features_kernel(bins: int = 8):
+    """mapInPandas kernel: payload → per-channel means, luminance
+    std, and a ``bins``-bin luminance histogram (the standard cheap
+    image-quality signals for corpus filtering)."""
+
+    def features_batch(it):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def pixels(payload: bytes):
+            # PPM P6: ASCII header tokens (w, h, maxval), raw RGB body
+            if payload[:2] == b"P6":
+                toks = payload[2:32].split(None, 3)
+                w, h = int(toks[0]), int(toks[1])
+                # body starts after the single whitespace ending maxval
+                hdr = payload.index(b"255\n") + 4
+                body = np.frombuffer(
+                    payload, np.uint8, count=w * h * 3, offset=hdr
+                )
+                return body.reshape(h, w, 3)
+            if payload[:2] == b"BM":  # 24-bit BMP: bottom-up BGR rows
+                (off,) = struct.unpack_from("<I", payload, 10)
+                (w,) = struct.unpack_from("<i", payload, 18)
+                (h,) = struct.unpack_from("<i", payload, 22)
+                stride = (w * 3 + 3) // 4 * 4
+                rows = np.frombuffer(
+                    payload, np.uint8, count=stride * abs(h), offset=off
+                ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+                if h > 0:
+                    rows = rows[::-1]
+                return rows[:, :, ::-1]  # BGR -> RGB
+            raise ValueError(f"unknown image magic: {payload[:2]!r}")
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "width": [], "height": [], "mean": [],
+                "std": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                "hist": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = pixels(payload).astype(np.float64)
+                lum = px.mean(axis=2)
+                hist = np.bincount(
+                    (lum * bins / 256.0).astype(np.int64).clip(0, bins - 1).ravel(),
+                    minlength=bins,
+                )
+                out["doc_id"].append(doc_id)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["mean"].append(float(lum.mean()))
+                out["std"].append(float(lum.std()))
+                out["mean_r"].append(float(px[:, :, 0].mean()))
+                out["mean_g"].append(float(px[:, :, 1].mean()))
+                out["mean_b"].append(float(px[:, :, 2].mean()))
+                out["hist"].append(hist.tolist())
+            yield pd.DataFrame(out)
+
+    return features_batch
+
+
+def image_features(docs_with_payload: DataFrame, bins: int = 8) -> DataFrame:
+    """(doc_id, payload) → quality-signal features, one Arrow stage."""
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        make_features_kernel(bins), FEATURES_SCHEMA
+    )
+
+
+def make_resize_kernel(out_w: int, out_h: int):
+    """Nearest-neighbour resize; output is always re-encoded as PPM
+    (canonical normalized form for downstream training)."""
+
+    def resize_batch(it):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def pixels(payload: bytes):
+            if payload[:2] == b"P6":
+                toks = payload[2:32].split(None, 3)
+                w, h = int(toks[0]), int(toks[1])
+                hdr = payload.index(b"255\n") + 4
+                return np.frombuffer(
+                    payload, np.uint8, count=w * h * 3, offset=hdr
+                ).reshape(h, w, 3)
+            if payload[:2] == b"BM":
+                (off,) = struct.unpack_from("<I", payload, 10)
+                (w,) = struct.unpack_from("<i", payload, 18)
+                (h,) = struct.unpack_from("<i", payload, 22)
+                stride = (w * 3 + 3) // 4 * 4
+                rows = np.frombuffer(
+                    payload, np.uint8, count=stride * abs(h), offset=off
+                ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+                if h > 0:
+                    rows = rows[::-1]
+                return rows[:, :, ::-1]
+            raise ValueError(f"unknown image magic: {payload[:2]!r}")
+
+        for pdf in it:
+            outs = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = pixels(payload)
+                h, w = px.shape[:2]
+                iy = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                ix = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                rs = np.ascontiguousarray(px[iy][:, ix])
+                body = b"P6\n%d %d\n255\n" % (out_w, out_h) + rs.tobytes()
+                outs.append((doc_id, body))
+            yield pd.DataFrame(
+                {
+                    "doc_id": [o[0] for o in outs],
+                    "payload": [o[1] for o in outs],
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return resize_batch
+
+
+def resize_images(
+    docs_with_payload: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        make_resize_kernel(out_w, out_h), RESIZE_SCHEMA
+    )
+
+
+def make_video_kernel(frame_side: int = 16):
+    """Fixture VIDEO container (deterministic fake, per the design
+    brief: plumbing real, codec stubbed): magic ``FSTK`` + u32 frame
+    count, then length-prefixed PPM frames; frame pixels derive from
+    (doc_id, frame_idx) so sampling is byte-verifiable."""
+
+    def video_batch(it):
+        import struct
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = int(doc_id) % 5 + 2
+                frames = []
+                for f in range(n):
+                    need = frame_side * frame_side * 3
+                    body = bytes(
+                        (int(doc_id) * 31 + f * 7 + i) % 256
+                        for i in range(need)
+                    )
+                    ppm = (
+                        b"P6\n%d %d\n255\n" % (frame_side, frame_side)
+                        + body
+                    )
+                    frames.append(struct.pack("<I", len(ppm)) + ppm)
+                payloads.append(
+                    b"FSTK" + struct.pack("<I", n) + b"".join(frames)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return video_batch
+
+
+def attach_video(docs: DataFrame, frame_side: int = 16) -> DataFrame:
+    return docs.select("doc_id").mapInPandas(
+        make_video_kernel(frame_side), "doc_id bigint, payload binary"
+    )
+
+
+def make_frame_sample_kernel(every: int):
+    """mapInPandas kernel exploding every ``every``-th frame of an
+    FSTK container into its own row — the video analogue of document
+    chunking; payload bytes stay partition-local, rows fan OUT."""
+
+    def sample_batch(it):
+        import struct
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:4] != b"FSTK":
+                    raise ValueError("not an FSTK video container")
+                (n,) = struct.unpack_from("<I", payload, 4)
+                pos = 8
+                for f in range(n):
+                    (ln,) = struct.unpack_from("<I", payload, pos)
+                    pos += 4
+                    if f % every == 0:
+                        ids.append(doc_id)
+                        idxs.append(f)
+                        frames.append(payload[pos : pos + ln])
+                    pos += ln
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "payload": frames}
+            )
+
+    return sample_batch
+
+
+def sample_frames(videos: DataFrame, every: int = 2) -> DataFrame:
+    """(doc_id, payload FSTK) → one row per sampled frame."""
+    return videos.select("doc_id", "payload").mapInPandas(
+        make_frame_sample_kernel(every), FRAME_SCHEMA
+    )

@@ -62,3 +62,127 @@ def test_encode_decode_roundtrip_formats():
     assert list(dec["width"]) == [2 % 48 + 16, 3 % 48 + 16]
     assert list(dec["height"]) == [14 % 48 + 16, 21 % 48 + 16]
     assert list(dec["n_bytes"]) == [len(p) for p in enc["payload"]]
+
+
+# ----------------------- round 6: feature-extract / resize / frame-sample
+
+
+def _payloads_df(spark, n=6):
+    from ccog_spark.operators.multimodal import attach_payload
+
+    docs = spark.createDataFrame(
+        [(i, f"text for document {i} " * (i + 1)) for i in range(n)],
+        ["doc_id", "text"],
+    )
+    return attach_payload(docs)
+
+
+def test_image_features_match_numpy(spark):
+    """Spark feature rows must equal a direct numpy computation on the
+    same decoded pixels (PPM and BMP paths both exercised)."""
+    import numpy as np
+
+    from ccog_spark.operators.multimodal import image_features
+
+    pay = _payloads_df(spark).persist()
+    rows = {r.doc_id: r for r in image_features(pay).collect()}
+    raw = {r.doc_id: bytes(r.payload) for r in pay.collect()}
+    pay.unpersist()
+    assert len(rows) == 6
+    for doc_id, payload in raw.items():
+        if payload[:2] == b"P6":
+            toks = payload[2:32].split(None, 3)
+            w, h = int(toks[0]), int(toks[1])
+            hdr = payload.index(b"255\n") + 4
+            px = np.frombuffer(payload, np.uint8, w * h * 3, hdr).reshape(
+                h, w, 3
+            )
+        else:
+            import struct as st
+
+            (off,) = st.unpack_from("<I", payload, 10)
+            (w,) = st.unpack_from("<i", payload, 18)
+            (h,) = st.unpack_from("<i", payload, 22)
+            stride = (w * 3 + 3) // 4 * 4
+            px = (
+                np.frombuffer(payload, np.uint8, stride * h, off)
+                .reshape(h, stride)[:, : w * 3]
+                .reshape(h, w, 3)[::-1][:, :, ::-1]
+            )
+        r = rows[doc_id]
+        fpx = px.astype(np.float64)
+        lum = fpx.mean(axis=2)
+        assert (r.width, r.height) == (px.shape[1], px.shape[0])
+        assert abs(r.mean - lum.mean()) < 1e-9
+        assert abs(r.std - lum.std()) < 1e-9
+        assert abs(r.mean_r - fpx[:, :, 0].mean()) < 1e-9
+        hist = np.bincount(
+            (lum * 8 / 256.0).astype(np.int64).clip(0, 7).ravel(),
+            minlength=8,
+        )
+        assert list(r.hist) == hist.tolist()
+        assert sum(r.hist) == px.shape[0] * px.shape[1]
+
+
+def test_resize_nearest_neighbour_exact(spark):
+    import numpy as np
+
+    from ccog_spark.operators.multimodal import image_features, resize_images
+
+    pay = _payloads_df(spark).persist()
+    out = resize_images(pay, 24, 12)
+    rows = {r.doc_id: bytes(r.payload) for r in out.collect()}
+    raw = {r.doc_id: bytes(r.payload) for r in pay.collect()}
+    pay.unpersist()
+    for doc_id, rp in rows.items():
+        assert rp[:2] == b"P6"
+        toks = rp[2:32].split(None, 3)
+        assert (int(toks[0]), int(toks[1])) == (24, 12)
+        # nearest-neighbour: corner pixel (0,0) survives any resize
+        src = raw[doc_id]
+        if src[:2] == b"P6":
+            hdr = src.index(b"255\n") + 4
+            first_src = src[hdr : hdr + 3]
+            rhdr = rp.index(b"255\n") + 4
+            assert rp[rhdr : rhdr + 3] == first_src
+    # features compose downstream of resize (pipeline shape)
+    feats = image_features(resize_images(pay, 24, 12)).collect()
+    assert all((r.width, r.height) == (24, 12) for r in feats)
+
+
+def test_frame_sampling_every_k(spark):
+    import struct as st
+
+    from ccog_spark.operators.multimodal import attach_video, sample_frames
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], ["doc_id"]
+    )
+    vids = attach_video(docs).persist()
+    counts = {
+        r.doc_id: st.unpack_from("<I", bytes(r.payload), 4)[0]
+        for r in vids.collect()
+    }
+    sampled = sample_frames(vids, every=2).collect()
+    vids.unpersist()
+    got = {}
+    for r in sampled:
+        got.setdefault(r.doc_id, []).append(r.frame_idx)
+        # each sampled frame is a standalone PPM with the fixture bytes
+        p = bytes(r.payload)
+        assert p[:2] == b"P6"
+        hdr = p.index(b"255\n") + 4
+        expect0 = (r.doc_id * 31 + r.frame_idx * 7) % 256
+        assert p[hdr] == expect0
+    for doc_id, n in counts.items():
+        assert sorted(got[doc_id]) == list(range(0, n, 2))
+
+
+def test_frame_sample_rejects_non_video(spark):
+    import pytest as pt
+
+    from ccog_spark.operators.multimodal import sample_frames
+
+    bad = _payloads_df(spark)  # PPM/BMP, not FSTK
+    with pt.raises(Exception, match="FSTK"):
+        sample_frames(bad).collect()
