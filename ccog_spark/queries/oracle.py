@@ -320,6 +320,14 @@ SELECT * FROM (
 ORDER BY level, band, y, x
 """
 
+# Distributed reader round-trip: the float64/deflate write is lossless,
+# so the read-back equals the fixture pixels exactly (identity oracle).
+ORACLE["cog_read"] = f"""
+WITH {PIXELS_SQL_CTE}
+SELECT band, y, x, ROUND(value, 4) AS v FROM pixels WHERE valid
+ORDER BY band, y, x
+"""
+
 ORACLE["pyramid_avg"] = f"""
 WITH {PIXELS_SQL_CTE},
 lvl1 AS ({_corner_step('pixels', 'value', _AVG_TOTAL)}),

@@ -188,3 +188,36 @@ def lanczos_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lanczos a=3 (6-tap) halo-exchange decimation — see
     _interp_decimate_q."""
     return _interp_decimate_q(spark, "lanczos")
+
+
+def cog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED read-back proof (round 6; complements cog_roundtrip,
+    whose read is driver-side numpy): write the fixture COG, reopen it
+    through sources.cog_reader — header parsed on the driver, tile byte
+    ranges seek+read+decoded on EXECUTORS — and emit every valid
+    level-0 pixel. The oracle is the fixture pixels CTE itself
+    (identity values), so any fault in the index build, range reads,
+    codec dispatch, predictor inversion, or edge-tile clipping shows as
+    a value-hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.sources.cog_reader import read_cog_pixels
+
+    nodata = -9999.0
+    px = pixels_df(spark)
+    out = os.path.join(tempfile.gettempdir(), "ccog_corpus_read.tif")
+    write_cog(
+        spark, px, width=W, height=H, bands=BANDS, target_path=out,
+        blocksize=BLOCK, kernel="average", nodata=nodata,
+    )
+    df = read_cog_pixels(spark, out)
+    return (
+        df.where("valid")
+        .select(
+            (F.col("band") + 1).alias("band"),  # fixture bands are 1-based
+            "y",
+            "x",
+            F.round(F.col("value"), 4).alias("v"),
+        )
+        .orderBy("band", "y", "x")
+    )

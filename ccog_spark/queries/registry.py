@@ -169,6 +169,11 @@ REGISTRY: dict[str, QueryFn] = {
     "bilinear_decimate": raster_jobs.bilinear_decimate_q,
     "gauss_decimate": raster_jobs.gauss_decimate_q,
     "lanczos_decimate": raster_jobs.lanczos_decimate_q,
+    # round 6: DISTRIBUTED COG read-back (sources/cog_reader) — the
+    # write side's hash gate is cog_roundtrip (above the fold); this
+    # row hash-proves the executor-side range-read/decode path against
+    # the identity oracle (fixture pixels)
+    "cog_read": raster_jobs.cog_read,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
@@ -184,6 +189,7 @@ NON_BENCH = (
     "stream_join",
     "cog_write",
     "cog_roundtrip",
+    "cog_read",
 )
 
 __all__ = ["REGISTRY", "ORACLE", "QueryFn"]
