@@ -156,40 +156,68 @@ RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int"
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, payload binary"
 
 
+def decode_pixels(payload: bytes):
+    """Full pixel decode for the two container formats → (h, w, 3)
+    uint8 RGB. ONE implementation shared by the feature and resize
+    kernels (each registers this module for by-value pickling, so the
+    closure still ships whole to import-less workers).
+
+    PPM: the header is parsed token-by-token — scanning for a fixed
+    byte pattern like ``255\\n`` would false-match a height that ends
+    in 255 and silently shift the pixel window."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        pos, vals = 2, []
+        while len(vals) < 3:  # width, height, maxval
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # exactly ONE whitespace byte after maxval, then body
+        w, h, _maxval = vals
+        return np.frombuffer(
+            payload, np.uint8, count=w * h * 3, offset=pos
+        ).reshape(h, w, 3)
+    if payload[:2] == b"BM":  # 24-bit BMP: bottom-up BGR rows
+        (off,) = struct.unpack_from("<I", payload, 10)
+        (w,) = struct.unpack_from("<i", payload, 18)
+        (h,) = struct.unpack_from("<i", payload, 22)
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            payload, np.uint8, count=stride * abs(h), offset=off
+        ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:
+            rows = rows[::-1]
+        return rows[:, :, ::-1]  # BGR -> RGB
+    raise ValueError(f"unknown image magic: {payload[:2]!r}")
+
+
+def _register_self_by_value() -> None:
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        from ccog_spark.operators import multimodal as _self
+
+        register_pickle_by_value(_self)
+    except ImportError:  # pragma: no cover - older pyspark
+        pass
+
+
 def make_features_kernel(bins: int = 8):
     """mapInPandas kernel: payload → per-channel means, luminance
     std, and a ``bins``-bin luminance histogram (the standard cheap
     image-quality signals for corpus filtering)."""
+    _register_self_by_value()
+    pixels = decode_pixels
 
     def features_batch(it):
-        import struct
-
         import numpy as np
         import pandas as pd
-
-        def pixels(payload: bytes):
-            # PPM P6: ASCII header tokens (w, h, maxval), raw RGB body
-            if payload[:2] == b"P6":
-                toks = payload[2:32].split(None, 3)
-                w, h = int(toks[0]), int(toks[1])
-                # body starts after the single whitespace ending maxval
-                hdr = payload.index(b"255\n") + 4
-                body = np.frombuffer(
-                    payload, np.uint8, count=w * h * 3, offset=hdr
-                )
-                return body.reshape(h, w, 3)
-            if payload[:2] == b"BM":  # 24-bit BMP: bottom-up BGR rows
-                (off,) = struct.unpack_from("<I", payload, 10)
-                (w,) = struct.unpack_from("<i", payload, 18)
-                (h,) = struct.unpack_from("<i", payload, 22)
-                stride = (w * 3 + 3) // 4 * 4
-                rows = np.frombuffer(
-                    payload, np.uint8, count=stride * abs(h), offset=off
-                ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
-                if h > 0:
-                    rows = rows[::-1]
-                return rows[:, :, ::-1]  # BGR -> RGB
-            raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
         for pdf in it:
             out = {
@@ -228,33 +256,12 @@ def image_features(docs_with_payload: DataFrame, bins: int = 8) -> DataFrame:
 def make_resize_kernel(out_w: int, out_h: int):
     """Nearest-neighbour resize; output is always re-encoded as PPM
     (canonical normalized form for downstream training)."""
+    _register_self_by_value()
+    pixels = decode_pixels
 
     def resize_batch(it):
-        import struct
-
         import numpy as np
         import pandas as pd
-
-        def pixels(payload: bytes):
-            if payload[:2] == b"P6":
-                toks = payload[2:32].split(None, 3)
-                w, h = int(toks[0]), int(toks[1])
-                hdr = payload.index(b"255\n") + 4
-                return np.frombuffer(
-                    payload, np.uint8, count=w * h * 3, offset=hdr
-                ).reshape(h, w, 3)
-            if payload[:2] == b"BM":
-                (off,) = struct.unpack_from("<I", payload, 10)
-                (w,) = struct.unpack_from("<i", payload, 18)
-                (h,) = struct.unpack_from("<i", payload, 22)
-                stride = (w * 3 + 3) // 4 * 4
-                rows = np.frombuffer(
-                    payload, np.uint8, count=stride * abs(h), offset=off
-                ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
-                if h > 0:
-                    rows = rows[::-1]
-                return rows[:, :, ::-1]
-            raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
         for pdf in it:
             outs = []

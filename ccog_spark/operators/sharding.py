@@ -79,8 +79,13 @@ def prefix_sum(
     # the full collect — no separate count job, no persist.
     totals = totals_df.limit(_MAX_DRIVER_BUCKETS + 1).collect()
     if len(totals) > _MAX_DRIVER_BUCKETS:
-        # rename so the recursive call's own _bkt doesn't shadow ours
-        inner = totals_df.persist().withColumnRenamed(
+        # rename so the recursive call's own _bkt doesn't shadow ours.
+        # The persist only serves the recursion's internal eager jobs
+        # (its probe collects) — unpersist right after, accepting ONE
+        # re-aggregation when the caller finally executes, instead of
+        # leaking a >1M-row cache for the session's lifetime
+        totals_df.persist()
+        inner = totals_df.withColumnRenamed(
             "_bkt", "_pk"
         ).withColumnRenamed("_tot", "_pv")
         cumt = prefix_sum(
@@ -91,6 +96,7 @@ def prefix_sum(
             F.col("_pk").alias("_bkt"),
             (F.col("_cumt") - F.col("_pv")).alias("_off"),
         )
+        totals_df.unpersist()
     else:
         if any(r["_bkt"] is None for r in totals):
             raise ValueError(

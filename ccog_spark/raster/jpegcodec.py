@@ -311,7 +311,7 @@ def decode(data: bytes) -> bytes:
     crashes with a raw IndexError (fuzz-tested)."""
     try:
         return _decode(data)
-    except (IndexError, KeyError, struct.error) as e:
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
         raise ValueError(f"corrupt JPEG stream: {e!r}") from e
 
 
@@ -381,9 +381,12 @@ def _decode(data: bytes) -> bytes:
             nb = (height // 8) * (width // 8)
             zz = np.zeros((nb, 64), dtype=np.int64)
             pred = 0
+            done = 0
             try:
                 for bi in range(nb):
                     s = _read_huffman(reader, huff[(0, dc_id)])
+                    if s > 15:  # baseline DC categories are 0..11
+                        raise ValueError(f"bad DC category {s}")
                     diff = _extend(reader.bits(s), s) if s else 0
                     pred += diff
                     zz[bi, 0] = pred
@@ -403,8 +406,14 @@ def _decode(data: bytes) -> bytes:
                             raise ValueError("AC index out of range")
                         zz[bi, k] = _extend(reader.bits(s), s)
                         k += 1
+                    done = bi + 1
             except _ScanEnd:
-                pass
+                # a marker inside the entropy data before every block
+                # decoded = truncated scan; returning the partial image
+                # would be silent corruption (round-6 review)
+                raise ValueError(
+                    f"truncated JPEG scan: {done} of {nb} blocks decoded"
+                )
             q = qt[qt_id]
             blocks = np.zeros((nb, 64), dtype=np.int64)
             blocks[:, ZIGZAG] = zz

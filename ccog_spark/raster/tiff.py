@@ -295,6 +295,8 @@ def build_cog_plan(
 
     if fmt == "auto":
         est_data = sum(tile_nbytes.values())
+        if mask_tile_nbytes is not None:
+            est_data += sum(mask_tile_nbytes.values())
         fmt = "bigtiff" if est_data > CLASSIC_LIMIT else "classic"
     big = fmt == "bigtiff"
 

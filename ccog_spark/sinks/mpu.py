@@ -293,11 +293,15 @@ class S3Mpu:
         """Abort the in-flight MPU (called by the writer when any part
         upload fails — without this, failed writes leave orphan parts
         accruing storage forever; found by the round-6 lifecycle
-        test)."""
+        test). IDEMPOTENT: upload_id is cleared after a successful
+        abort so the writer's own except-path abort after a
+        complete-failure abort is a no-op instead of a NoSuchUpload
+        ClientError that would mask the original exception."""
         if self.upload_id is not None:
             self.client.abort_multipart_upload(
                 Bucket=self.bucket, Key=self.key, UploadId=self.upload_id
             )
+            self.upload_id = None
 
 
 def resolve_store(path: str, storage_options: dict | None = None):

@@ -35,9 +35,10 @@ INDEX_SCHEMA = (
 
 
 def read_header(path: str, probe: int = 1 << 20) -> list[tiff.IfdInfo]:
-    """Parse the IFD chain reading only the file's head (doubling the
+    """Parse the IFD chain reading only the file's head (growing the
     probe window on truncation — never the data region)."""
     import os
+    import struct
 
     size = os.path.getsize(path)
     while True:
@@ -45,7 +46,10 @@ def read_header(path: str, probe: int = 1 << 20) -> list[tiff.IfdInfo]:
             head = f.read(min(probe, size))
         try:
             return tiff.read_cog(head)
-        except (IndexError, ValueError, AssertionError):
+        except (IndexError, ValueError, AssertionError, struct.error):
+            # struct.error is what a truncated IFD/external array
+            # actually raises from unpack_from — it must grow the
+            # probe, not crash (round-6 review)
             if probe >= size:
                 raise
             probe *= 4
@@ -193,10 +197,17 @@ def read_cog_mask(
         if ifd.bytecounts[t] != 0
     ]
     idx_df = spark.createDataFrame(index, INDEX_SCHEMA)
+    # codecs' REGISTRY references jpegcodec functions, so BOTH modules
+    # must ship by value or the pickled registry drags in a by-ref
+    # ccog_spark import (round-6 review) — even though masks are
+    # always deflate
     try:
         from pyspark.cloudpickle import register_pickle_by_value
 
+        from ccog_spark.raster import jpegcodec as jpegcodec_mod
+
         register_pickle_by_value(codecs_mod)
+        register_pickle_by_value(jpegcodec_mod)
     except ImportError:  # pragma: no cover
         pass
     decompress = codecs_mod.decompress

@@ -220,3 +220,16 @@ def test_fuzz_corrupt_streams_never_hang_or_crash(seed, data):
         assert isinstance(out, bytes)
     except ValueError:
         pass
+
+
+def test_truncated_scan_raises_not_partial():
+    """Regression (round-6 review): entropy data cut short but
+    terminated by a marker must raise, not return a half-gray image."""
+    img = _gradient()
+    enc = J.encode(img.tobytes(), 75)
+    sos = enc.index(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(enc[sos + 2 : sos + 4], "big")
+    cut = scan_start + (len(enc) - 2 - scan_start) // 2
+    truncated = J.make_tables(75) + enc[:cut] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="truncated JPEG scan"):
+        J.decode(truncated)

@@ -186,3 +186,18 @@ def test_frame_sample_rejects_non_video(spark):
     bad = _payloads_df(spark)  # PPM/BMP, not FSTK
     with pt.raises(Exception, match="FSTK"):
         sample_frames(bad).collect()
+
+
+def test_decode_pixels_height_255_no_false_match():
+    """Regression (round-6 review): a height whose ASCII ends in 255
+    must not be mistaken for the maxval token when locating the body."""
+    import numpy as np
+
+    from ccog_spark.operators.multimodal import decode_pixels
+
+    w, h = 4, 255
+    body = np.arange(w * h * 3, dtype=np.uint32).astype(np.uint8)
+    payload = b"P6\n%d %d\n255\n" % (w, h) + body.tobytes()
+    px = decode_pixels(payload)
+    assert px.shape == (h, w, 3)
+    assert px.ravel()[0] == body[0] and px.ravel()[-1] == body[-1]

@@ -249,3 +249,22 @@ def test_s3mpu_part_failure_aborts_whole_write(spark, s3_stub):
         )
     assert state.aborted, "abort_multipart_upload was not called"
     assert ("testbkt", "fail.tif") not in state.objects
+
+
+def test_s3mpu_abort_is_idempotent(s3_stub):
+    """Regression (round-6 review): complete-failure abort followed by
+    the writer's own except-path abort must not raise NoSuchUpload
+    (which would mask the original error)."""
+    from ccog_spark.sinks.mpu import resolve_store
+
+    state, endpoint = s3_stub
+    store = resolve_store("s3://testbkt/dbl.tif", _storage_options(endpoint))
+    store.create()
+    put = store.part_putter()
+    receipts = [put(1, b"y" * 8)]
+    state.fail_complete = True
+    with pytest.raises(Exception):
+        store.complete(receipts)
+    assert len(state.aborted) == 1
+    store.abort()  # second abort: no-op, no request, no error
+    assert len(state.aborted) == 1
