@@ -596,3 +596,72 @@ SELECT lang, source, COUNT(*) AS kept,
 FROM deduped WHERE keep GROUP BY lang, source
 ORDER BY lang, source
 """
+
+# ------------------------------------------------ multimodal pixel ops
+# The fixture payload is formula-generated (PPM body = text bytes tiled
+# to w*h*3), so the oracle recomputes every pixel byte in SQL:
+# hex(encode(text)) + substr gives byte i as an integer. Means use the
+# integer half-up spelling (see pipeline_filter) because byte-sum /
+# 2^k-pixel-count means land exactly on .xxxx5 boundaries.
+
+_MM_DOCS = """
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L,
+         doc_id % 48 + 16 AS w, (doc_id * 7) % 48 + 16 AS h
+  FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def _half_up4(sum_expr: str, cnt_expr: str) -> str:
+    return (
+        f"CAST(FLOOR((20000 * {sum_expr} + {cnt_expr}) / (2.0 * {cnt_expr}))"
+        f" AS BIGINT) / 10000.0"
+    )
+
+
+PIPELINE_ORACLE["multimodal_features"] = f"""
+WITH d AS ({_MM_DOCS}), b AS (
+  SELECT doc_id, w, h, i // 3 AS px, i % 3 AS ch,
+         ('0x' || substr(hx, CAST(2 * (i % L) AS INT) + 1, 2))::INT AS v
+  FROM d, UNNEST(range(0, w * h * 3)) AS t(i)
+), pxl AS (
+  SELECT doc_id, w, h, px, AVG(v) AS lum, SUM(v) AS s,
+         MAX(CASE WHEN ch = 0 THEN v END) AS r,
+         MAX(CASE WHEN ch = 1 THEN v END) AS g,
+         MAX(CASE WHEN ch = 2 THEN v END) AS bl
+  FROM b GROUP BY doc_id, w, h, px
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       {_half_up4('SUM(s)', '(w * h * 3)')} AS mean,
+       ROUND(STDDEV_POP(lum), 4) AS std,
+       {_half_up4('SUM(r)', '(w * h)')} AS mean_r,
+       {_half_up4('SUM(g)', '(w * h)')} AS mean_g,
+       {_half_up4('SUM(bl)', '(w * h)')} AS mean_b,
+       CAST(SUM(CASE WHEN s <= 95 THEN 1 ELSE 0 END) AS BIGINT) AS hist0
+FROM pxl GROUP BY doc_id, w, h ORDER BY doc_id
+"""
+
+PIPELINE_ORACLE["multimodal_frames"] = """
+SELECT doc_id, CAST(f AS INT) AS frame_idx, 781 AS n_bytes,
+       CAST((doc_id * 31 + f * 7) % 256 AS INT) AS head_byte,
+       CAST((doc_id * 31 + f * 7 + 767) % 256 AS INT) AS tail_byte
+FROM documents, UNNEST(range(0, doc_id % 5 + 2)) AS t(f)
+WHERE f % 2 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+PIPELINE_ORACLE["multimodal_resize"] = f"""
+WITH d AS ({_MM_DOCS}), b AS (
+  SELECT doc_id, oy * 32 + ox AS px,
+         ('0x' || substr(hx, CAST(2 * (((oy * h // 24) * w * 3
+              + (ox * w // 32) * 3 + c) % L) AS INT) + 1, 2))::INT AS v
+  FROM d, UNNEST(range(0, 24)) t1(oy), UNNEST(range(0, 32)) t2(ox),
+       UNNEST(range(0, 3)) t3(c)
+), pxl AS (
+  SELECT doc_id, px, AVG(v) AS lum, SUM(v) AS s FROM b GROUP BY doc_id, px
+)
+SELECT doc_id, 32 AS width, 24 AS height,
+       {_half_up4('SUM(s)', '2304')} AS mean,
+       ROUND(STDDEV_POP(lum), 4) AS std
+FROM pxl GROUP BY doc_id ORDER BY doc_id
+"""

@@ -312,3 +312,82 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag (operators.text.repetition_metrics)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_metrics(docs).orderBy("doc_id")
+
+
+# ------------------------------------------------ multimodal pixel ops
+
+
+def _fixed4(col: str, cnt) -> F.Column:
+    """Half-up 4-decimal rounding of an (integer byte-sum / cnt) mean,
+    computed in integer space. Float ROUND is engine-ambiguous exactly
+    ON a .xxxx5 boundary, and byte-sum means DO land there (many
+    fixture pixel counts are powers of two, e.g. 16x16). The operator's
+    float mean times cnt recovers the integer sum exactly (sums are
+    ~3e6 << 2^53); (1e4*s + cnt/2)/cnt then floors to the half-up
+    value identically in Spark and DuckDB."""
+    s = F.round(F.col(col) * cnt, 0).cast("bigint")
+    return (F.floor((F.lit(20000) * s + cnt) / (cnt * 2)) / F.lit(10000.0)).alias(col)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pixel decode + quality-signal features on the PPM branch
+    (even doc_ids). The oracle recomputes EVERY pixel byte in SQL from
+    the fixture's text-tiling formula (hex(encode(text)) byte
+    extraction), so the hash row proves the whole decode->feature path,
+    not just container headers (multimodal_meta covers those for both
+    formats, incl. the BMP branch whose pixel path is byte-checked in
+    tests/test_multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    feats = multimodal.image_features(multimodal.attach_payload(docs))
+    wh = (F.col("width") * F.col("height")).cast("bigint")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        _fixed4("mean", wh * 3),
+        F.round("std", 4).alias("std"),
+        _fixed4("mean_r", wh),
+        _fixed4("mean_g", wh),
+        _fixed4("mean_b", wh),
+        # scalar probe of the luminance histogram: bin 0 holds pixels
+        # with r+g+b <= 95 (trunc((S/3)*8/256) = 0 iff S <= 95)
+        F.element_at("hist", 1).alias("hist0"),
+    ).orderBy("doc_id")
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSTK video-container walk + every-2nd-frame sampling
+    (operators.multimodal.sample_frames). Head/tail body-byte probes
+    are computed JVM-side from the sampled binary frames; the oracle
+    re-derives them from the fixture's (doc_id, frame, i) byte formula,
+    so the row proves the length-prefixed container arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.attach_video(docs), every=2)
+    byte_at = lambda pos: F.conv(  # noqa: E731 - local probe helper
+        F.hex(F.expr(f"substring(payload, {pos}, 1)")), 16, 10
+    ).cast("int")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("payload").alias("n_bytes"),
+        byte_at(14).alias("head_byte"),   # body[0]  (13-byte PPM header)
+        byte_at(781).alias("tail_byte"),  # body[767] (16*16*3 - 1)
+    ).orderBy("doc_id", "frame_idx")
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour resize to 32x24 chained into the feature
+    kernel (decode -> resize -> re-encode -> decode -> features): the
+    oracle replays the index arithmetic (oy*h//24, ox*w//32) per output
+    byte in SQL. PPM branch (even doc_ids), like multimodal_features."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    resized = multimodal.resize_images(multimodal.attach_payload(docs), 32, 24)
+    feats = multimodal.image_features(resized.select("doc_id", "payload"))
+    n = F.lit(32 * 24 * 3).cast("bigint")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        _fixed4("mean", n),
+        F.round("std", 4).alias("std"),
+    ).orderBy("doc_id")

@@ -174,6 +174,14 @@ REGISTRY: dict[str, QueryFn] = {
     # row hash-proves the executor-side range-read/decode path against
     # the identity oracle (fixture pixels)
     "cog_read": raster_jobs.cog_read,
+    # round 6: multimodal PIXEL verbs (family driver row is
+    # multimodal_meta, above the fold, which covers both container
+    # formats' header walk; these rows hash-prove the full pixel
+    # decode → feature / resize / frame-sample paths — the oracle
+    # recomputes every pixel byte in SQL from the fixture formula)
+    "multimodal_features": pipeline.multimodal_features,
+    "multimodal_frames": pipeline.multimodal_frames,
+    "multimodal_resize": pipeline.multimodal_resize,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
