@@ -373,3 +373,123 @@ def sample_frames(videos: DataFrame, every: int = 2) -> DataFrame:
     return videos.select("doc_id", "payload").mapInPandas(
         make_frame_sample_kernel(every), FRAME_SCHEMA
     )
+
+
+# -------------------------------------------------------------- audio
+# WAV (RIFF/PCM16) is the audio analogue of PPM/BMP: a pure-struct
+# public container needing no codec library. The fixture synthesizes
+# deterministic mono PCM16 from doc_id so every feature is
+# SQL-replayable; the parser walks RIFF chunks for real (fmt/data
+# discovery by chunk id + size, not fixed offsets).
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_bytes int, sample_rate int, n_samples int, "
+    "duration_ms int, peak int, rms double, zero_crossings int"
+)
+
+
+def make_audio_kernel():
+    """mapInPandas kernel producing WAV payloads: mono PCM16,
+    n = 2048 + doc_id % 1024 samples, rate = 8000 * (doc_id % 3 + 1),
+    sample[i] = ((doc_id * 13 + i * i) % 65536) - 32768."""
+
+    def audio_batch(it):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2048 + d % 1024
+                rate = 8000 * (d % 3 + 1)
+                i = np.arange(n, dtype=np.int64)
+                s = ((d * 13 + i * i) % 65536 - 32768).astype("<i2")
+                data = s.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return audio_batch
+
+
+def attach_audio(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id").mapInPandas(
+        make_audio_kernel(), "doc_id bigint, payload binary"
+    )
+
+
+def make_audio_features_kernel():
+    """WAV payload → signal features. The RIFF walk is a REAL chunk
+    scan (id + little-endian size, word-aligned skip) so containers
+    with extra chunks (LIST/INFO) parse too; PCM16 mono is asserted.
+    Features: duration, peak amplitude, RMS energy, zero-crossing
+    count — the standard cheap audio-quality signals for corpus
+    filtering (clipping / silence / noise heuristics)."""
+
+    def features_batch(it):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def parse(payload: bytes):
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE container")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (ln,) = struct.unpack_from("<I", payload, pos + 4)
+                body = payload[pos + 8 : pos + 8 + ln]
+                if cid == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            audio_format, channels, rate, _br, _ba, bits = fmt
+            if (audio_format, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+            return rate, np.frombuffer(data, "<i2").astype(np.float64)
+
+        for pdf in it:
+            out = {
+                "doc_id": [], "n_bytes": [], "sample_rate": [],
+                "n_samples": [], "duration_ms": [], "peak": [],
+                "rms": [], "zero_crossings": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = parse(payload)
+                n = len(s)
+                nonneg = s >= 0
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(payload))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(int(np.abs(s).max()) if n else 0)
+                out["rms"].append(float(np.sqrt(np.mean(s * s))) if n else 0.0)
+                out["zero_crossings"].append(
+                    int((nonneg[1:] != nonneg[:-1]).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return features_batch
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """(doc_id, payload WAV) → signal features, one Arrow stage."""
+    return audio.select("doc_id", "payload").mapInPandas(
+        make_audio_features_kernel(), AUDIO_FEATURES_SCHEMA
+    )

@@ -665,3 +665,28 @@ SELECT doc_id, 32 AS width, 24 AS height,
        ROUND(STDDEV_POP(lum), 4) AS std
 FROM pxl GROUP BY doc_id ORDER BY doc_id
 """
+
+PIPELINE_ORACLE["multimodal_audio"] = """
+WITH d AS (
+  SELECT doc_id, 2048 + doc_id % 1024 AS n, 8000 * (doc_id % 3 + 1) AS rate
+  FROM documents
+), s AS (
+  SELECT doc_id, n, rate, i, (doc_id * 13 + i * i) % 65536 - 32768 AS v
+  FROM d, UNNEST(range(0, n)) AS t(i)
+), x AS (
+  SELECT doc_id, n, rate, v,
+         CASE WHEN (v >= 0) <> LAG(v >= 0)
+                   OVER (PARTITION BY doc_id ORDER BY i)
+              THEN 1 ELSE 0 END AS zc
+  FROM s
+)
+SELECT doc_id,
+       CAST(44 + 2 * n AS INT) AS n_bytes,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       CAST(n * 1000 // rate AS INT) AS duration_ms,
+       CAST(MAX(ABS(v)) AS INT) AS peak,
+       ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 4) AS rms,
+       CAST(SUM(zc) AS INT) AS zero_crossings
+FROM x GROUP BY doc_id, n, rate ORDER BY doc_id
+"""

@@ -391,3 +391,22 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fixed4("mean", n),
         F.round("std", 4).alias("std"),
     ).orderBy("doc_id")
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/PCM16 audio features (operators.multimodal.audio_features):
+    real RIFF chunk walk + signal stats. The fixture PCM is formula-
+    generated, so the oracle replays every sample in SQL (window LAG
+    for zero crossings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.audio_features(multimodal.attach_audio(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak",
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    ).orderBy("doc_id")

@@ -182,6 +182,9 @@ REGISTRY: dict[str, QueryFn] = {
     "multimodal_features": pipeline.multimodal_features,
     "multimodal_frames": pipeline.multimodal_frames,
     "multimodal_resize": pipeline.multimodal_resize,
+    # round 6: audio modality (WAV/PCM16, real RIFF chunk walk) —
+    # duration/peak/RMS/zero-crossing signals, sample-exact oracle
+    "multimodal_audio": pipeline.multimodal_audio,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

@@ -201,3 +201,83 @@ def test_decode_pixels_height_255_no_false_match():
     px = decode_pixels(payload)
     assert px.shape == (h, w, 3)
     assert px.ravel()[0] == body[0] and px.ravel()[-1] == body[-1]
+
+
+# --------------------------------------------------------------- audio
+def test_audio_wav_container_bytes(spark):
+    """WAV fixture payloads are structurally valid RIFF/PCM16 and the
+    feature kernel's numbers match a direct numpy recomputation."""
+    import struct
+
+    import numpy as np
+
+    from ccog_spark.catalog import load_table
+    from ccog_spark.operators.multimodal import attach_audio, audio_features
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(8)
+    wav = attach_audio(docs)
+    rows = {r.doc_id: r for r in audio_features(wav).collect()}
+    for r in wav.collect():
+        p = bytes(r.payload)
+        assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+        (riff_len,) = struct.unpack_from("<I", p, 4)
+        assert riff_len == len(p) - 8
+        d = int(r.doc_id)
+        n = 2048 + d % 1024
+        i = np.arange(n, dtype=np.int64)
+        s = ((d * 13 + i * i) % 65536 - 32768).astype(np.float64)
+        f = rows[r.doc_id]
+        assert f.n_bytes == 44 + 2 * n and f.n_samples == n
+        assert f.sample_rate == 8000 * (d % 3 + 1)
+        assert f.peak == int(np.abs(s).max())
+        assert abs(f.rms - float(np.sqrt(np.mean(s * s)))) < 1e-9
+        nonneg = s >= 0
+        assert f.zero_crossings == int((nonneg[1:] != nonneg[:-1]).sum())
+
+
+def test_audio_riff_walk_skips_foreign_chunks():
+    """The parser must walk chunk-by-chunk (incl. odd-length word
+    alignment), not assume data at offset 44."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from ccog_spark.operators.multimodal import make_audio_features_kernel
+
+    s = np.array([100, -200, 300, -400, 500], dtype="<i2")
+    data = s.tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd, padded
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + len(junk) + 8 + len(data))
+        + b"WAVE"
+        + junk
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    out = pd.concat(
+        make_audio_features_kernel()(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+        )
+    )
+    r = out.iloc[0]
+    assert r.n_samples == 5 and r.peak == 500 and r.zero_crossings == 4
+
+
+def test_audio_rejects_non_wav():
+    import pandas as pd
+    import pytest as pt
+
+    from ccog_spark.operators.multimodal import make_audio_features_kernel
+
+    with pt.raises(ValueError, match="RIFF"):
+        list(
+            make_audio_features_kernel()(
+                iter([pd.DataFrame({"doc_id": [1], "payload": [b"nope"]})])
+            )
+        )
