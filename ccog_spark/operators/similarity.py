@@ -319,3 +319,145 @@ def lsh_topk(
         )
         .where(F.col("rn") <= k)
     )
+
+
+# ------------------------------------------------ product quantization
+
+# PQ codebook: deterministic corpus subsample (vec_id % PQ_CB_MOD ==
+# PQ_CB_RES, first PQ_CB_K by vec_id) so the whole construction —
+# codebook, per-block encodes, ADC lookups — replays exactly in the
+# DuckDB oracle. Production would train per-block k-means codebooks
+# (kmeans_centroids is the quantizer hook); everything downstream is
+# codebook-agnostic.
+PQ_M_BLOCKS = 8
+PQ_CB_MOD = 31
+PQ_CB_RES = 5
+PQ_CB_K = 16
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    m_blocks: int = PQ_M_BLOCKS,
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    vector into ``m_blocks`` subvectors, encode every corpus vector as
+    the per-block argmin-L2 codebook index, then rank candidates by
+    asymmetric distance (ADC) — the sum of per-block query-to-codeword
+    distances looked up from a tiny per-query table.
+
+    THE memory lever for 100 TB ANN: the scan state per corpus vector
+    is m_blocks small ints (8 bytes here) instead of dim floats (256+
+    bytes) — a 32× compression — and the scan stays map-side: the
+    codebook and per-query LUTs are broadcast, corpus rows meet them
+    in place, and only k rows per query cross the final exchange.
+    Encodes are map-side-combinable ``min(struct(d2, j))`` aggregates
+    (ties → smallest codeword id, mirrored in the oracle).
+    """
+    dsub = dim // m_blocks
+    blocks = range(m_blocks)
+
+    def slc(col: Column, m: int) -> Column:
+        return F.slice(col, m * dsub + 1, dsub)
+
+    # codebook: driver-collected (index-sized, like IVF centroids)
+    cb_rows = (
+        corpus.where(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RES)
+        .orderBy("vec_id")
+        .limit(PQ_CB_K)
+        .select("embedding")
+        .collect()
+    )
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(
+        [(j, [float(x) for x in r.embedding]) for j, r in enumerate(cb_rows)],
+        "j int, ce array<double>",
+    )
+    # materialize slices/self-dots as columns BEFORE multi-reference
+    # (Catalyst does no CSE inside expression trees)
+    cbp = cb.select(
+        "j",
+        *[slc(F.col("ce"), m).alias(f"c{m}") for m in blocks],
+        *[dot(slc(F.col("ce"), m), slc(F.col("ce"), m)).alias(f"cc{m}") for m in blocks],
+    )
+    cp = corpus.select(
+        "vec_id",
+        *[slc(F.col("embedding"), m).alias(f"x{m}") for m in blocks],
+        *[
+            dot(slc(F.col("embedding"), m), slc(F.col("embedding"), m)).alias(f"xx{m}")
+            for m in blocks
+        ],
+    )
+    # encode: per block, min(struct(d2, j)) — partial-aggregable, the
+    # only corpus shuffle is the (vec_id, 8 tiny structs) agg
+    enc_pairs = cp.crossJoin(F.broadcast(cbp)).select(
+        "vec_id",
+        *[
+            F.struct(
+                (
+                    F.col(f"xx{m}")
+                    - 2 * dot(F.col(f"x{m}"), F.col(f"c{m}"))
+                    + F.col(f"cc{m}")
+                ).alias("d"),
+                F.col("j").alias("j"),
+            ).alias(f"s{m}")
+            for m in blocks
+        ],
+    )
+    codes = enc_pairs.groupBy("vec_id").agg(
+        *[F.min(f"s{m}").alias(f"a{m}") for m in blocks]
+    ).select("vec_id", *[F.col(f"a{m}.j").alias(f"code{m}") for m in blocks])
+
+    qp = queries.select(
+        F.col("q_id"),
+        *[slc(F.col("q_emb"), m).alias(f"q{m}") for m in blocks],
+        *[
+            dot(slc(F.col("q_emb"), m), slc(F.col("q_emb"), m)).alias(f"qq{m}")
+            for m in blocks
+        ],
+    )
+    lut_pairs = qp.crossJoin(F.broadcast(cbp)).select(
+        "q_id",
+        "j",
+        *[
+            (
+                F.col(f"qq{m}")
+                - 2 * dot(F.col(f"q{m}"), F.col(f"c{m}"))
+                + F.col(f"cc{m}")
+            ).alias(f"l{m}")
+            for m in blocks
+        ],
+    )
+    # per-query LUT arrays ordered by codeword id (collect_list of
+    # (j, l) structs, array_sort → lexicographic by j, extract l)
+    lut = lut_pairs.groupBy("q_id").agg(
+        *[
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", f"l{m}"))),
+                lambda x: x[f"l{m}"],
+            ).alias(f"lut{m}")
+            for m in blocks
+        ]
+    )
+    adc_col = None
+    for m in blocks:
+        term = F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
+        adc_col = term if adc_col is None else adc_col + term
+    pairs = (
+        codes.crossJoin(F.broadcast(lut))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc_col.alias("adc_raw"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("adc_raw").asc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "q_id",
+            "vec_id",
+            F.round("adc_raw", 4).alias("adc"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+    )

@@ -690,3 +690,78 @@ SELECT doc_id,
        CAST(SUM(zc) AS INT) AS zero_crossings
 FROM x GROUP BY doc_id, n, rate ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ product quantization
+# Built at import from the PQ constants so codebook subsample, block
+# geometry, encode tie-break (min struct: d then j) and the ADC sum
+# order stay in lockstep with operators.similarity.pq_topk.
+
+
+def _pq_sql(dim: int = 64) -> str:
+    from ccog_spark.operators.similarity import (
+        PQ_CB_K,
+        PQ_CB_MOD,
+        PQ_CB_RES,
+        PQ_M_BLOCKS,
+    )
+
+    dsub = dim // PQ_M_BLOCKS
+
+    def block(col: str, m: int) -> str:
+        return f"{col}[{m * dsub + 1}:{m * dsub + dsub}]"
+
+    def d2(x: str, c: str, m: int) -> str:
+        bx, bc = block(x, m), block(c, m)
+        return (
+            f"list_dot_product({bx}, {bx}) - 2 * list_dot_product({bx}, {bc})"
+            f" + list_dot_product({bc}, {bc})"
+        )
+
+    blocks = range(PQ_M_BLOCKS)
+    enc_aggs = ",\n         ".join(
+        "MIN({'d': " + d2("e", "ce", m) + ", 'j': j}) AS a" + str(m)
+        for m in blocks
+    )
+    lut_cols = ",\n         ".join(d2("qe", "ce", m) + f" AS l{m}" for m in blocks)
+    lut_arrs = ",\n         ".join(f"list(l{m} ORDER BY j) AS lut{m}" for m in blocks)
+    adc = " + ".join(
+        f"l.lut{m}[struct_extract(e.a{m}, 'j') + 1]" for m in blocks
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cbr AS (
+  SELECT vec_id, e FROM v WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES}
+  ORDER BY vec_id LIMIT {PQ_CB_K}
+), cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, e AS ce
+  FROM cbr
+), enc AS (
+  SELECT vec_id,
+         {enc_aggs}
+  FROM v CROSS JOIN cb GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 100 = 0
+), lutp AS (
+  SELECT q_id, j,
+         {lut_cols}
+  FROM q CROSS JOIN cb
+), lut AS (
+  SELECT q_id,
+         {lut_arrs}
+  FROM lutp GROUP BY q_id
+), pairs AS (
+  SELECT l.q_id, e.vec_id,
+         {adc} AS adc_raw
+  FROM enc e CROSS JOIN lut l WHERE e.vec_id <> l.q_id
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(adc_raw, 4) AS adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_raw, vec_id) AS rn
+  FROM pairs)
+SELECT q_id, vec_id, adc, rn FROM ranked WHERE rn <= 3
+ORDER BY q_id, rn
+"""
+
+
+PIPELINE_ORACLE["ann_pq"] = _pq_sql()

@@ -410,3 +410,15 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 4).alias("rms"),
         "zero_crossings",
     ).orderBy("doc_id")
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators.similarity.pq_topk): 8-byte
+    codes + broadcast ADC lookup tables — the memory-compression scale
+    path next to exact/LSH/IVF. Deterministic subsample codebook, so
+    the oracle replays encode + ADC exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.pq_topk(emb, _queries_subset(emb), dim=EMB_DIM, k=3)
+        .orderBy("q_id", "rn")
+    )

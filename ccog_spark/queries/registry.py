@@ -185,6 +185,10 @@ REGISTRY: dict[str, QueryFn] = {
     # round 6: audio modality (WAV/PCM16, real RIFF chunk walk) —
     # duration/peak/RMS/zero-crossing signals, sample-exact oracle
     "multimodal_audio": pipeline.multimodal_audio,
+    # round 6: product-quantization ANN (E36's memory-compression
+    # scale path next to exact/LSH/IVF — 8-byte codes + broadcast ADC
+    # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf above fold
+    "ann_pq": pipeline.ann_pq,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

@@ -65,3 +65,36 @@ def test_ivf_kmeans_same_shape_as_subsample_variant(planted):
     a = similarity.ivf_topk(planted, _queries(planted), k=3, centroids=cents)
     b = similarity.ivf_topk(planted, _queries(planted), k=3)
     assert a.columns == b.columns
+
+
+# ------------------------------------------------ product quantization
+def test_pq_blob_recall(planted):
+    """PQ ADC ranking must keep neighbors inside the query's own blob:
+    blobs are separated by ~10 on one axis while intra-blob distances
+    are ~0.5-sigma, far larger than PQ quantization error."""
+    res = similarity.pq_topk(planted, _queries(planted), dim=DIM, k=5)
+    for r in res.collect():
+        assert r.q_id // PER_CLUSTER == r.vec_id // PER_CLUSTER, (
+            f"query {r.q_id} matched cross-blob vector {r.vec_id}"
+        )
+
+
+def test_pq_planted_duplicate_is_top1(planted):
+    """An exact copy of a query vector has identical PQ codes, hence
+    the minimal possible ADC — it must rank first."""
+    from pyspark.sql import functions as F
+
+    spark = planted.sparkSession
+    q_src = planted.where(F.col("vec_id") == 0).collect()[0]
+    dup = spark.createDataFrame(
+        [(99999, q_src.embedding)], "vec_id long, embedding array<double>"
+    )
+    corpus = planted.unionByName(dup)
+    queries = spark.createDataFrame(
+        [(0, q_src.embedding)], "q_id long, q_emb array<double>"
+    )
+    top = similarity.pq_topk(corpus, queries, dim=DIM, k=3).collect()
+    # the duplicate's ADC equals the query's own quantization residual,
+    # <= any other corpus vector's ADC — it must hold rank 1
+    assert top[0].vec_id == 99999
+    assert all(top[0].adc <= r.adc for r in top[1:])
