@@ -354,26 +354,39 @@ def pq_topk(
     bytes) — a 32× compression — and the scan stays map-side: the
     codebook and per-query LUTs are broadcast, corpus rows meet them
     in place, and only k rows per query cross the final exchange.
-    Encodes are map-side-combinable ``min(struct(d2, j))`` aggregates
-    (ties → smallest codeword id, mirrored in the oracle).
+    Encode is a pure MAP stage: an Arrow kernel with the (tiny)
+    codebook in its closure computes all per-block argmins vectorized
+    — no corpus shuffle anywhere before the final per-query top-k.
+    Ties → smallest codeword id (np.argmin first-occurrence, mirrored
+    by the oracle's min(struct(d2, j))).
+
+    Float-parity note: the kernel evaluates d2 with numpy matmul while
+    the DuckDB oracle uses sequential list_dot_product — values agree
+    to ~1e-15 relative, so the argmin can only diverge on near-exact
+    d2 ties between DIFFERENT codewords, which random embeddings do
+    not produce (exact duplicates quantize identically in both). The
+    sf0.001/sf0.01 hash gates check this empirically every run.
     """
     dsub = dim // m_blocks
     blocks = range(m_blocks)
+    import numpy as np
 
     def slc(col: Column, m: int) -> Column:
         return F.slice(col, m * dsub + 1, dsub)
 
-    # codebook: driver-collected (index-sized, like IVF centroids)
+    # codebook: driver-collected (index-sized, like IVF centroids);
+    # sort+cap on the driver — the subsample is tiny, so a distributed
+    # TakeOrdered job would cost more than it saves
     cb_rows = (
         corpus.where(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RES)
-        .orderBy("vec_id")
-        .limit(PQ_CB_K)
-        .select("embedding")
+        .select("vec_id", "embedding")
         .collect()
     )
+    cb_rows = sorted(cb_rows, key=lambda r: r.vec_id)[:PQ_CB_K]
     spark = corpus.sparkSession
+    cbmat = np.array([[float(x) for x in r.embedding] for r in cb_rows], "f8")
     cb = spark.createDataFrame(
-        [(j, [float(x) for x in r.embedding]) for j, r in enumerate(cb_rows)],
+        [(j, list(map(float, row))) for j, row in enumerate(cbmat)],
         "j int, ce array<double>",
     )
     # materialize slices/self-dots as columns BEFORE multi-reference
@@ -383,33 +396,28 @@ def pq_topk(
         *[slc(F.col("ce"), m).alias(f"c{m}") for m in blocks],
         *[dot(slc(F.col("ce"), m), slc(F.col("ce"), m)).alias(f"cc{m}") for m in blocks],
     )
-    cp = corpus.select(
-        "vec_id",
-        *[slc(F.col("embedding"), m).alias(f"x{m}") for m in blocks],
-        *[
-            dot(slc(F.col("embedding"), m), slc(F.col("embedding"), m)).alias(f"xx{m}")
-            for m in blocks
-        ],
-    )
-    # encode: per block, min(struct(d2, j)) — partial-aggregable, the
-    # only corpus shuffle is the (vec_id, 8 tiny structs) agg
-    enc_pairs = cp.crossJoin(F.broadcast(cbp)).select(
-        "vec_id",
-        *[
-            F.struct(
-                (
-                    F.col(f"xx{m}")
-                    - 2 * dot(F.col(f"x{m}"), F.col(f"c{m}"))
-                    + F.col(f"cc{m}")
-                ).alias("d"),
-                F.col("j").alias("j"),
-            ).alias(f"s{m}")
-            for m in blocks
-        ],
-    )
-    codes = enc_pairs.groupBy("vec_id").agg(
-        *[F.min(f"s{m}").alias(f"a{m}") for m in blocks]
-    ).select("vec_id", *[F.col(f"a{m}.j").alias(f"code{m}") for m in blocks])
+
+    from pyspark.sql.functions import pandas_udf
+
+    n_blocks, d_sub = m_blocks, dsub
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="f8") for e in col])  # (n, dim)
+        n = x.shape[0]
+        out = np.empty((n, n_blocks), dtype="i4")
+        for m in range(n_blocks):
+            xm = x[:, m * d_sub : (m + 1) * d_sub]  # (n, dsub)
+            cm = cbmat[:, m * d_sub : (m + 1) * d_sub]  # (K, dsub)
+            d2 = (
+                (xm * xm).sum(1)[:, None]
+                - 2.0 * (xm @ cm.T)
+                + (cm * cm).sum(1)[None, :]
+            )  # (n, K)
+            out[:, m] = d2.argmin(1)  # first occurrence = smallest j
+        return pd.Series(list(out))
+
+    codes = corpus.select("vec_id", encode(F.col("embedding")).alias("codes"))
 
     qp = queries.select(
         F.col("q_id"),
@@ -442,14 +450,39 @@ def pq_topk(
             for m in blocks
         ]
     )
-    adc_col = None
-    for m in blocks:
-        term = F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
-        adc_col = term if adc_col is None else adc_col + term
+    # ADC scan: collect the LUTs (index-sized: n_queries × M × K
+    # doubles — the broadcast-queries contract) and look codes up in
+    # an Arrow kernel over SKINNY (q_id, codes) pair rows. Joining the
+    # LUT arrays directly would copy M×K doubles into every pair row
+    # (corpus × queries × 128 doubles of churn); the kernel carries
+    # them once per worker. The LUT values are the JVM-computed ones
+    # (collected, not recomputed), and the kernel accumulates blocks
+    # left-to-right exactly like the oracle's chained `+`, so ADC
+    # stays bit-identical to the SQL spelling.
+    lut_rows = lut.collect()
+    qidx = {int(r.q_id): i for i, r in enumerate(lut_rows)}
+    lutmat = np.array(
+        [[r[f"lut{m}"] for m in blocks] for r in lut_rows], "f8"
+    )  # (nq, M, K)
+
+    @pandas_udf("double")
+    def adc_kernel(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        qi = qid.map(qidx).to_numpy()
+        cm = np.stack([np.asarray(c, dtype="i4") for c in codes])  # (n, M)
+        acc = lutmat[qi, 0, cm[:, 0]]
+        for m in range(1, n_blocks):
+            acc = acc + lutmat[qi, m, cm[:, m]]
+        return pd.Series(acc)
+
+    qdf = spark.createDataFrame([(int(q),) for q in qidx], "q_id bigint")
     pairs = (
-        codes.crossJoin(F.broadcast(lut))
+        codes.crossJoin(F.broadcast(qdf))
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", adc_col.alias("adc_raw"))
+        .select(
+            "q_id",
+            "vec_id",
+            adc_kernel(F.col("q_id"), F.col("codes")).alias("adc_raw"),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.col("adc_raw").asc(), F.col("vec_id"))
     return (
