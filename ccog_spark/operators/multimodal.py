@@ -302,7 +302,11 @@ def make_video_kernel(frame_side: int = 16):
     def video_batch(it):
         import struct
 
+        import numpy as np
         import pandas as pd
+
+        need = frame_side * frame_side * 3
+        ramp = np.arange(need, dtype=np.int64)
 
         for pdf in it:
             payloads = []
@@ -310,10 +314,10 @@ def make_video_kernel(frame_side: int = 16):
                 n = int(doc_id) % 5 + 2
                 frames = []
                 for f in range(n):
-                    need = frame_side * frame_side * 3
-                    body = bytes(
-                        (int(doc_id) * 31 + f * 7 + i) % 256
-                        for i in range(need)
+                    body = (
+                        ((int(doc_id) * 31 + f * 7 + ramp) % 256)
+                        .astype(np.uint8)
+                        .tobytes()
                     )
                     ppm = (
                         b"P6\n%d %d\n255\n" % (frame_side, frame_side)
