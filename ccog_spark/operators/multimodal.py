@@ -170,13 +170,16 @@ def decode_pixels(payload: bytes):
     import numpy as np
 
     if payload[:2] == b"P6":
+        end = len(payload)
         pos, vals = 2, []
         while len(vals) < 3:  # width, height, maxval
-            while payload[pos : pos + 1].isspace():
+            while pos < end and payload[pos : pos + 1].isspace():
                 pos += 1
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < end and not payload[pos : pos + 1].isspace():
                 pos += 1
+            if start == pos:  # ran off the end mid-header
+                raise ValueError("truncated PPM header")
             vals.append(int(payload[start:pos]))
         pos += 1  # exactly ONE whitespace byte after maxval, then body
         w, h, _maxval = vals
@@ -344,6 +347,8 @@ def make_frame_sample_kernel(every: int):
     """mapInPandas kernel exploding every ``every``-th frame of an
     FSTK container into its own row — the video analogue of document
     chunking; payload bytes stay partition-local, rows fan OUT."""
+    if every < 1:  # 0 → ZeroDivisionError in the executor; <0 → all frames
+        raise ValueError(f"every must be >= 1, got {every}")
 
     def sample_batch(it):
         import struct

@@ -374,15 +374,18 @@ def pq_topk(
     def slc(col: Column, m: int) -> Column:
         return F.slice(col, m * dsub + 1, dsub)
 
-    # codebook: driver-collected (index-sized, like IVF centroids);
-    # sort+cap on the driver — the subsample is tiny, so a distributed
-    # TakeOrdered job would cost more than it saves
+    # codebook: driver-collected. The sort+limit stays DISTRIBUTED
+    # (TakeOrderedAndProject) so the collect is bounded at PQ_CB_K
+    # rows — collecting the raw %-subsample would scale linearly with
+    # the corpus (~1/31 of 1e9 rows at the design point; round-6
+    # review finding)
     cb_rows = (
         corpus.where(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RES)
-        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(PQ_CB_K)
+        .select("embedding")
         .collect()
     )
-    cb_rows = sorted(cb_rows, key=lambda r: r.vec_id)[:PQ_CB_K]
     spark = corpus.sparkSession
     cbmat = np.array([[float(x) for x in r.embedding] for r in cb_rows], "f8")
     cb = spark.createDataFrame(

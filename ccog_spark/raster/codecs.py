@@ -292,3 +292,76 @@ def decompress(
                 return spec.decode(tables + data)
             return spec.decode(data)
     raise ValueError(f"unsupported TIFF compression tag {compression}")
+
+
+# ------------------------------------------------------ TIFF predictors
+# The predictor pair lives HERE (not in raster.tiff) because this
+# module is the one shipped by value to executors — keeping one
+# implementation for the writer kernel, the distributed reader, and
+# the driver-side tiff parser (which delegates) prevents the two
+# decode paths from silently diverging (round-6 review finding).
+
+
+def predict_tile(arr, predictor: int) -> bytes:
+    """Apply TIFF predictor to a 2-D native-dtype tile before
+    compression. 2 = horizontal differencing on integer samples
+    (TIFF 6.0 §14); 3 = floating-point horizontal byte differencing
+    (big-endian byte-plane split then byte diff — TIFF Technical Note
+    3, the public fp predictor every libtiff implements)."""
+    import numpy as np
+
+    if predictor == 1:
+        return arr.tobytes()
+    if predictor == 2:
+        d = arr.copy()
+        d[:, 1:] = d[:, 1:] - arr[:, :-1]  # modular wrap for ints
+        return d.tobytes()
+    if predictor == 3:
+        h, w = arr.shape
+        it = arr.dtype.itemsize
+        be = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder(">"))
+        rows = be.view(np.uint8).reshape(h, w, it).transpose(0, 2, 1)
+        rows = np.ascontiguousarray(rows).reshape(h, it * w)
+        d = rows.copy()
+        d[:, 1:] = d[:, 1:] - rows[:, :-1]
+        return d.tobytes()
+    raise ValueError(f"unknown predictor {predictor}")
+
+
+def unpredict_tile(raw: bytes, predictor: int, h: int, w: int, np_dtype: str):
+    """Inverse of predict_tile: decompressed bytes → 2-D native array."""
+    import numpy as np
+
+    dt = np.dtype(np_dtype)
+    if predictor == 1:
+        return np.frombuffer(raw, dtype=dt).reshape(h, w)
+    if predictor == 2:
+        d = np.frombuffer(raw, dtype=dt).reshape(h, w)
+        return np.cumsum(d, axis=1, dtype=dt)
+    if predictor == 3:
+        it = dt.itemsize
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, it * w)
+        acc = np.cumsum(rows, axis=1, dtype=np.uint8)
+        planes = acc.reshape(h, it, w).transpose(0, 2, 1)
+        be = np.ascontiguousarray(planes).reshape(h, w * it)
+        return be.view(dt.newbyteorder(">")).reshape(h, w).astype(dt)
+    raise ValueError(f"unknown predictor {predictor}")
+
+
+def register_worker_modules() -> None:
+    """Ship this module AND raster.jpegcodec (whose functions the
+    REGISTRY references) to executors BY VALUE, so worker processes
+    never need an importable ccog_spark package. ONE place for the
+    shipping contract — every kernel builder (encode_tiles,
+    read_cog_pixels, read_cog_mask) calls this instead of repeating
+    the registration block (round-6 review finding)."""
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        from ccog_spark.raster import codecs as _codecs
+        from ccog_spark.raster import jpegcodec as _jpegcodec
+
+        register_pickle_by_value(_codecs)
+        register_pickle_by_value(_jpegcodec)
+    except ImportError:  # pragma: no cover - older pyspark
+        pass

@@ -71,31 +71,17 @@ def encode_tiles(
         bs, np_dtype, lvl0, ov_lvl, cdc0, ov_cdc, pr0, ov_pr,
         exp_tables, tables_fn, exp_tables_ov, tables_fn_ov, enc0, enc_ov,
     ):
+        # ONE predictor implementation (codecs.predict_tile), pickled
+        # by value like the codec fns — no worker import, no inline
+        # mirror to drift (round-6 review)
+        predict = codecs_mod.predict_tile
+
         def enc(it):
             import lzma
             import zlib
 
             import numpy as np
             import pandas as pd
-
-            # self-contained predictor (mirrors tiff.predict_tile)
-            def predict(arr, p):
-                if p == 1:
-                    return arr.tobytes()
-                if p == 2:
-                    d = arr.copy()
-                    d[:, 1:] = d[:, 1:] - arr[:, :-1]
-                    return d.tobytes()
-                h, w = arr.shape
-                it_ = arr.dtype.itemsize
-                be = np.ascontiguousarray(
-                    arr, dtype=arr.dtype.newbyteorder(">")
-                )
-                rows = be.view(np.uint8).reshape(h, w, it_).transpose(0, 2, 1)
-                rows = np.ascontiguousarray(rows).reshape(h, it_ * w)
-                d = rows.copy()
-                d[:, 1:] = d[:, 1:] - rows[:, :-1]
-                return d.tobytes()
 
             # SELF-CONTAINED closure: no ccog_spark import may run here
             # — workers only see the package when the driver's cwd
@@ -164,17 +150,7 @@ def encode_tiles(
     # Ship the codec module's functions BY VALUE: workers must not need
     # a ccog_spark import (the driver may run from any cwd), and
     # runtime-registered codecs don't exist in worker processes at all.
-    try:
-        from pyspark.cloudpickle import register_pickle_by_value
-
-        from ccog_spark.raster import jpegcodec as jpegcodec_mod
-
-        register_pickle_by_value(codecs_mod)
-        # the jpeg spec's functions live in their own module; ship it
-        # by value too so workers never need a ccog_spark import
-        register_pickle_by_value(jpegcodec_mod)
-    except ImportError:  # pragma: no cover - older pyspark
-        pass
+    codecs_mod.register_worker_modules()
     return dense.mapInPandas(
         make_kernel(
             blocksize, np_dt, compress_level, ov, codec, ov_cdc,

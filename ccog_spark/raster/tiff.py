@@ -102,51 +102,19 @@ def np_dtype_le(dtype: str) -> str:
 
 def predict_tile(arr, predictor: int):
     """Apply TIFF predictor to a 2-D native-dtype tile before
-    compression. 2 = horizontal differencing on integer samples
-    (TIFF 6.0 §14); 3 = floating-point horizontal byte differencing
-    (big-endian byte-plane split then byte diff — TIFF Technical Note
-    3, the public LERC-era fp predictor every libtiff implements).
-    Returns the bytes to compress."""
-    import numpy as np
+    compression. One implementation, in raster.codecs (the module
+    shipped by value to executors) — this alias keeps the historical
+    tiff-level API."""
+    from ccog_spark.raster.codecs import predict_tile as _impl
 
-    if predictor == 1:
-        return arr.tobytes()
-    if predictor == 2:
-        d = arr.copy()
-        d[:, 1:] = d[:, 1:] - arr[:, :-1]  # modular wrap for ints
-        return d.tobytes()
-    if predictor == 3:
-        h, w = arr.shape
-        it = arr.dtype.itemsize
-        be = np.ascontiguousarray(arr, dtype=arr.dtype.newbyteorder(">"))
-        rows = be.view(np.uint8).reshape(h, w, it).transpose(0, 2, 1)
-        rows = np.ascontiguousarray(rows).reshape(h, it * w)
-        d = rows.copy()
-        d[:, 1:] = d[:, 1:] - rows[:, :-1]
-        return d.tobytes()
-    raise ValueError(f"unknown predictor {predictor}")
+    return _impl(arr, predictor)
 
 
 def unpredict_tile(raw: bytes, predictor: int, h: int, w: int, np_dtype: str):
-    """Inverse of predict_tile: decompressed bytes → 2-D native array."""
-    import numpy as np
+    """Inverse of predict_tile (implementation in raster.codecs)."""
+    from ccog_spark.raster.codecs import unpredict_tile as _impl
 
-    dt = np.dtype(np_dtype)
-    if predictor == 1:
-        return np.frombuffer(raw, dtype=dt).reshape(h, w)
-    if predictor == 2:
-        d = np.frombuffer(raw, dtype=dt).reshape(h, w)
-        return np.cumsum(d, axis=1, dtype=dt)
-    if predictor == 3:
-        it = dt.itemsize
-        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, it * w)
-        acc = np.cumsum(rows, axis=1, dtype=np.uint8)
-        planes = acc.reshape(h, it, w).transpose(0, 2, 1)
-        be = np.ascontiguousarray(planes).reshape(h, w * it)
-        return (
-            be.view(dt.newbyteorder(">")).reshape(h, w).astype(dt)
-        )
-    raise ValueError(f"unknown predictor {predictor}")
+    return _impl(raw, predictor, h, w, np_dtype)
 
 
 def encode_tile(

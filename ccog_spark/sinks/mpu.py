@@ -284,6 +284,11 @@ class S3Mpu:
                 UploadId=self.upload_id,
                 MultipartUpload={"Parts": parts},
             )
+            # completed uploads can't be aborted: clear the id so a
+            # caller's cleanup-path abort() is a no-op instead of a
+            # NoSuchUpload ClientError (round-6 review — same
+            # idempotency complete's failure path already has)
+            self.upload_id = None
             return f"s3://{self.bucket}/{self.key}"
         except Exception:
             self.abort()

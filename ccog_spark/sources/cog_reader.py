@@ -92,16 +92,9 @@ def read_cog_pixels(
 
     # ship the codec registry by value so the decode closure needs no
     # ccog_spark import on executors (same contract as encode_tiles)
-    try:
-        from pyspark.cloudpickle import register_pickle_by_value
-
-        from ccog_spark.raster import jpegcodec as jpegcodec_mod
-
-        register_pickle_by_value(codecs_mod)
-        register_pickle_by_value(jpegcodec_mod)
-    except ImportError:  # pragma: no cover - older pyspark
-        pass
+    codecs_mod.register_worker_modules()
     decompress = codecs_mod.decompress
+    unpredict = codecs_mod.unpredict_tile
 
     th, tw = ifd.tile_height, ifd.tile_width
     np_dtype = ifd.np_dtype
@@ -115,7 +108,6 @@ def read_cog_pixels(
         import numpy as np
         import pandas as pd
 
-        dt = np.dtype(np_dtype)
         with open(path, "rb") as f:
             for pdf in it:
                 outs = []
@@ -124,29 +116,10 @@ def read_cog_pixels(
                     raw = decompress(
                         f.read(r.nbytes), compression, tables=jpeg_tables
                     )
-                    # inverse predictor (self-contained mirror of
-                    # tiff.unpredict_tile)
-                    if predictor == 2:
-                        arr = np.cumsum(
-                            np.frombuffer(raw, dt).reshape(th, tw),
-                            axis=1, dtype=dt,
-                        )
-                    elif predictor == 3:
-                        it_ = dt.itemsize
-                        rows = np.frombuffer(raw, np.uint8).reshape(
-                            th, it_ * tw
-                        )
-                        acc = np.cumsum(rows, axis=1, dtype=np.uint8)
-                        planes = acc.reshape(th, it_, tw).transpose(0, 2, 1)
-                        arr = (
-                            np.ascontiguousarray(planes)
-                            .reshape(th, tw * it_)
-                            .view(dt.newbyteorder(">"))
-                            .reshape(th, tw)
-                            .astype(dt)
-                        )
-                    else:
-                        arr = np.frombuffer(raw, dt).reshape(th, tw)
+                    # inverse predictor: the SAME codecs.unpredict_tile
+                    # the writer/parser use, shipped by value — one
+                    # implementation, no drift (round-6 review)
+                    arr = unpredict(raw, predictor, th, tw, np_dtype)
                     # clip edge tiles to the image extent
                     h = min(th, im_h - r.tile_y * th)
                     w = min(tw, im_w - r.tile_x * tw)
@@ -197,19 +170,10 @@ def read_cog_mask(
         if ifd.bytecounts[t] != 0
     ]
     idx_df = spark.createDataFrame(index, INDEX_SCHEMA)
-    # codecs' REGISTRY references jpegcodec functions, so BOTH modules
-    # must ship by value or the pickled registry drags in a by-ref
-    # ccog_spark import (round-6 review) — even though masks are
-    # always deflate
-    try:
-        from pyspark.cloudpickle import register_pickle_by_value
-
-        from ccog_spark.raster import jpegcodec as jpegcodec_mod
-
-        register_pickle_by_value(codecs_mod)
-        register_pickle_by_value(jpegcodec_mod)
-    except ImportError:  # pragma: no cover
-        pass
+    # codecs' REGISTRY references jpegcodec functions, so both modules
+    # ship by value (one helper — round-6 review) even though masks
+    # are always deflate
+    codecs_mod.register_worker_modules()
     decompress = codecs_mod.decompress
     th, tw = ifd.tile_height, ifd.tile_width
     compression = ifd.compression

@@ -17,6 +17,11 @@ QUERIES = [
     "dedup_simhash",
     "dedup_minhash",
     "pipeline_decontam",
+    # round 6 additions: PQ ANN (map-side encode + broadcast LUT scan)
+    # and the heaviest multimodal kernels — all expected ~linear
+    "ann_pq",
+    "multimodal_features",
+    "multimodal_audio",
 ]
 
 

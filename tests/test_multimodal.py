@@ -281,3 +281,25 @@ def test_audio_rejects_non_wav():
                 iter([pd.DataFrame({"doc_id": [1], "payload": [b"nope"]})])
             )
         )
+
+
+def test_decode_pixels_truncated_header_raises():
+    """Regression (round-6 review): a header cut before maxval used to
+    spin the token scan forever; it must raise instead."""
+    import pytest as pt
+
+    from ccog_spark.operators.multimodal import decode_pixels
+
+    for bad in (b"P6\n16 16", b"P6\n16", b"P6\n", b"P6"):
+        with pt.raises(ValueError, match="truncated PPM header"):
+            decode_pixels(bad)
+
+
+def test_frame_sample_rejects_bad_every():
+    import pytest as pt
+
+    from ccog_spark.operators.multimodal import make_frame_sample_kernel
+
+    for every in (0, -1):
+        with pt.raises(ValueError, match="every"):
+            make_frame_sample_kernel(every)

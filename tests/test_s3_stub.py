@@ -268,3 +268,21 @@ def test_s3mpu_abort_is_idempotent(s3_stub):
     assert len(state.aborted) == 1
     store.abort()  # second abort: no-op, no request, no error
     assert len(state.aborted) == 1
+
+
+def test_s3mpu_abort_after_complete_is_noop(s3_stub):
+    """Regression (round-6 review): a cleanup-path abort() after a
+    successful complete must be a no-op, not a NoSuchUpload error
+    against the already-completed upload."""
+    from ccog_spark.sinks.mpu import S3Mpu
+
+    state, endpoint = s3_stub
+    m = S3Mpu("testbkt", "done.tif", storage_options=_storage_options(endpoint))
+    m.create()
+    put = m.part_putter()
+    r = put(1, b"x" * 16)
+    path = m.complete([r])
+    assert path == "s3://testbkt/done.tif"
+    assert m.upload_id is None
+    m.abort()  # must not raise
+    assert state.objects[("testbkt", "done.tif")] == b"x" * 16
