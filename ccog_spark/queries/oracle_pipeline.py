@@ -765,3 +765,11 @@ ORDER BY q_id, rn
 
 
 PIPELINE_ORACLE["ann_pq"] = _pq_sql()
+
+# custom stateful streaming (applyInPandasWithState running totals):
+# the final per-user state must equal the plain batch aggregate
+PIPELINE_ORACLE["stream_stateful"] = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""

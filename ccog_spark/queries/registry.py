@@ -189,6 +189,11 @@ REGISTRY: dict[str, QueryFn] = {
     # scale path next to exact/LSH/IVF — 8-byte codes + broadcast ADC
     # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf above fold
     "ann_pq": pipeline.ann_pq,
+    # round 6: custom stateful streaming agg (applyInPandasWithState
+    # running totals — the E33 verb beyond dedup; family driver row
+    # stream_dedup above fold); final state hash-matches the batch
+    # GROUP BY oracle
+    "stream_stateful": streaming_corpus.stream_stateful,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
@@ -202,6 +207,7 @@ NON_BENCH = (
     "stream_sliding",
     "stream_dedup",
     "stream_join",
+    "stream_stateful",
     "cog_write",
     "cog_roundtrip",
     "cog_read",

@@ -70,3 +70,29 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_batch(interval_join(clicks, purchases), "append")
     return out.orderBy("click_id", "purchase_id")
+
+
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals carried across micro-batches in explicit state,
+    update output mode. The memory sink accumulates one row per
+    (user, micro-batch-that-saw-the-user); totals are monotone in
+    n_events, so the final state per user is its max-n_events row —
+    which must equal the plain batch GROUP BY."""
+    from pyspark.sql import Window as W
+
+    from ccog_spark.streaming.stateful import running_user_totals
+
+    events = read_events_stream(spark, sf_dir)
+    out = run_stream_to_batch(running_user_totals(events), "update")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
