@@ -254,8 +254,17 @@ def write_cog(
     overview_predictor: int | None = None,
     storage_options: dict | None = None,
     internal_mask: bool = False,
+    ghost: bool = False,
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
+
+    ``ghost``: write GDAL's COG ghost optimisation — the structural-
+    metadata area after the header plus a 4-byte size leader and
+    last-4-bytes-repeated trailer around every stored tile, letting
+    sequential readers stream tiles without fetching TileByteCounts
+    (reference parity: ghost retention decision ccog/ccog.py:948-950,
+    leader/trailer re-add :430-441; tiff.zero_ghost_header mirrors
+    the delete path :238-258).
 
     ``internal_mask``: also write per-level internal MASK pages
     (NewSubfileType bit 2, 1-bit tiles, interleaved data/mask IFDs —
@@ -436,6 +445,7 @@ def write_cog(
             else overview_compress_level,
         ),
         mask_tile_nbytes=mask_tile_nbytes,
+        ghost=ghost,
     )
 
     # file_seq: header is 0; tiles follow in plan order. The tile-key →
@@ -453,7 +463,10 @@ def write_cog(
                 for (lvl, ty, tx), nb in mask_tile_nbytes.items()
             }
         )
-    sizes = [len(plan.header)] + [all_nbytes[k] for k in plan.file_order]
+    ghost_pad = 8 if ghost else 0  # 4B size leader + 4B trailer per tile
+    sizes = [len(plan.header)] + [
+        all_nbytes[k] + ghost_pad for k in plan.file_order
+    ]
     kwargs = {} if min_part_size is None else {"min_part": min_part_size}
     parts = pack_parts(sizes, **kwargs)
     part_firsts = [p.first_seq for p in parts]
@@ -487,6 +500,20 @@ def write_cog(
                 "data",
             )
         )
+    if ghost:
+        # wrap each stored tile with the GDAL ghost leader/trailer
+        # (≙ the reference re-adding them per part, ccog/ccog.py:430-441)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("binary")
+        def _ghost_wrap(data):  # self-contained Arrow kernel
+            import struct
+
+            return data.map(
+                lambda b: struct.pack("<I", len(b)) + bytes(b) + bytes(b[-4:])
+            )
+
+        enc_seg = enc_seg.withColumn("data", _ghost_wrap(F.col("data")))
     tile_segments = enc_seg.join(
         F.broadcast(seq_map), ["level", "band", "tile_y", "tile_x"]
     ).select("seq", "data", "part_no")
@@ -535,6 +562,7 @@ def collect_cog_bytes(
     nodata: float = -9999.0,
     n_overviews: int | None = None,
     fmt: str = "auto",
+    ghost: bool = False,
 ) -> tuple[bytes, tiff.CogPlan]:
     """No-store path (≙ ccog collapse_bytes, ccog/ccog.py:973-978 and
     the store=None branch :967-970): ordered collect of the encoded
@@ -547,7 +575,7 @@ def collect_cog_bytes(
     res = write_cog(
         spark, pixels, width, height, bands, out,
         blocksize=blocksize, kernel=kernel, nodata=nodata,
-        n_overviews=n_overviews, fmt=fmt,
+        n_overviews=n_overviews, fmt=fmt, ghost=ghost,
     )
     import os
 

@@ -159,6 +159,85 @@ class CogPlan:
     total_size: int
     # internal mask pages (band = -1 in file_order); empty when no mask
     mask_levels: list[LevelPlan] = field(default_factory=list)
+    # GDAL ghost optimisation: structural-metadata area + per-tile
+    # size leader / repeated trailer (offsets point at the data)
+    ghost: bool = False
+
+
+# ---------------------------------------------- GDAL ghost metadata
+# The COG "ghost area" (public: GDAL COG driver spec) is an ASCII
+# structural-metadata block between the TIFF header and IFD 0, plus a
+# 4-byte size leader before and a last-4-bytes-repeated trailer after
+# every tile payload — letting sequential readers stream tiles without
+# fetching TileByteCounts. Reference behaviors mirrored: the retention
+# decision (ccog/ccog.py:948-950), leader/trailer re-add per part
+# (:430-441), and ghost-header delete (_delete_COG_ghost_header,
+# :238-258 — zeroing at offset 16, i.e. the BigTIFF header size).
+
+GHOST_MAGIC = b"GDAL_STRUCTURAL_METADATA_SIZE="
+GHOST_ITEMS = (
+    b"LAYOUT=IFDS_BEFORE_DATA\n"
+    b"BLOCK_ORDER=ROW_MAJOR\n"
+    b"BLOCK_LEADER=SIZE_AS_UINT4\n"
+    b"BLOCK_TRAILER=LAST_4_BYTES_REPEATED\n"
+    b"KNOWN_INCOMPATIBLE_EDITION=NO \n"  # trailing space: YES fits in place
+)
+
+
+def ghost_block() -> bytes:
+    """The full ghost area: 43-byte size line + metadata items (the
+    canonical GDAL layout is exactly 000140 item bytes)."""
+    return GHOST_MAGIC + b"%06d bytes\n" % len(GHOST_ITEMS) + GHOST_ITEMS
+
+
+def _ghost_span(data: bytes) -> tuple[int, int] | None:
+    """(start, length) of the ghost area, probing both header sizes."""
+    for hdr in (8, 16):
+        if data[hdr : hdr + len(GHOST_MAGIC)] == GHOST_MAGIC:
+            line_end = data.index(b"\n", hdr) + 1
+            size = int(data[hdr + len(GHOST_MAGIC) : line_end - 7])
+            return hdr, (line_end - hdr) + size
+    return None
+
+
+def read_ghost_metadata(data: bytes) -> dict[str, str] | None:
+    """Parse the ghost items into a dict (None when no ghost area)."""
+    span = _ghost_span(data)
+    if span is None:
+        return None
+    start, length = span
+    body = data[start : start + length].split(b"\n", 1)[1]
+    out = {}
+    for line in body.decode("ascii").splitlines():
+        if "=" in line:
+            k, v = line.split("=", 1)
+            out[k] = v.strip()
+    return out
+
+
+def zero_ghost_header(buf: bytearray) -> bool:
+    """Blank the ghost area in place (≙ _delete_COG_ghost_header,
+    ccog/ccog.py:238-258: when ghost optimisation is off the block is
+    zeroed rather than the layout recomputed). Returns True if a ghost
+    area was found."""
+    span = _ghost_span(bytes(buf[:200]))
+    if span is None:
+        return False
+    start, length = span
+    buf[start : start + length] = b"\x00" * length
+    return True
+
+
+def mark_incompatible_edition(buf: bytearray) -> bool:
+    """Flip KNOWN_INCOMPATIBLE_EDITION=NO → YES in place — what GDAL
+    does when a file carrying the ghost optimisation is edited by a
+    non-ghost-aware writer, so readers stop trusting leaders/trailers."""
+    probe = bytes(buf[:300])
+    i = probe.find(b"KNOWN_INCOMPATIBLE_EDITION=NO ")
+    if i < 0:
+        return False
+    buf[i : i + 30] = b"KNOWN_INCOMPATIBLE_EDITION=YES"
+    return True
 
 
 def tile_grid(width: int, height: int, blocksize: int) -> tuple[int, int]:
@@ -191,6 +270,7 @@ def build_cog_plan(
     shared_tables: bytes | None = None,
     overview_shared_tables: bytes | None = None,
     mask_tile_nbytes: dict[tuple[int, int, int], int] | None = None,
+    ghost: bool = False,
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
@@ -295,11 +375,16 @@ def build_cog_plan(
     def _ifd_size(n: int) -> int:
         return (8 + n * 20 + 8) if big else (2 + n * 12 + 4)
     header_size = 16 if big else 8
+    # GDAL ghost area sits between the header and IFD 0; every stored
+    # tile then carries a 4B size leader + 4B repeated trailer (the
+    # offsets below point at the DATA, leaders live at offset-4)
+    ghost_bytes = ghost_block() if ghost else b""
+    ghost_pad = len(ghost_bytes) % 2
     inline_cap = 8 if big else 4
     off_type = TYPE_LONG8 if big else TYPE_LONG
     off_size = TYPE_SIZES[off_type]
     off_fmt = TYPE_FMTS[off_type]
-    ifd_start = header_size
+    ifd_start = header_size + len(ghost_bytes) + ghost_pad
     # IFD 0 carries the optional GDAL_METADATA (+1) and geo tags (+3)
     ifd0_extra = (1 if meta_ascii is not None else 0) + (
         3 if geo_keys is not None else 0
@@ -402,8 +487,8 @@ def build_cog_plan(
                     i = tile_flat_index(lp, band, ty, tx)
                     lp.bytecounts[i] = nb
                     if nb > 0:
-                        lp.offsets[i] = cursor
-                        cursor += nb
+                        lp.offsets[i] = cursor + (4 if ghost else 0)
+                        cursor += nb + (8 if ghost else 0)
                         file_order.append((lp.level, band, ty, tx))
         if mask_levels:
             # each level's mask tiles follow its data tiles; band = -1
@@ -416,8 +501,8 @@ def build_cog_plan(
                     i = ty * mlp.tiles_x + tx
                     mlp.bytecounts[i] = nb
                     if nb > 0:
-                        mlp.offsets[i] = cursor
-                        cursor += nb
+                        mlp.offsets[i] = cursor + (4 if ghost else 0)
+                        cursor += nb + (8 if ghost else 0)
                         file_order.append((mlp.level, -1, ty, tx))
     total_size = cursor
     if not big and total_size > (1 << 32):
@@ -431,6 +516,8 @@ def build_cog_plan(
         struct.pack_into("<2sHHHQ", buf, 0, b"II", 43, 8, 0, ifd_start)
     else:
         struct.pack_into("<2sHI", buf, 0, b"II", 42, ifd_start)
+    if ghost_bytes:
+        buf[header_size : header_size + len(ghost_bytes)] = ghost_bytes
 
     val_bytes = 8 if big else 4
 
@@ -635,7 +722,7 @@ def build_cog_plan(
 
     return CogPlan(
         bytes(buf), data_start, levels, file_order, total_size,
-        mask_levels=mask_levels,
+        mask_levels=mask_levels, ghost=ghost,
     )
 
 
