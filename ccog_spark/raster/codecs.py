@@ -7,9 +7,10 @@ GDAL/libtiff tag), zstd (GDAL tag 50000, gated on the optional
 ``zstandard`` module), and baseline JPEG (pure numpy, raster/
 jpegcodec.py — abbreviated tile streams whose global tables live in
 the TIFF JPEGTables tag, exercising the shared-tables invariant with
-a real tables-carrying codec). webp remains a registered PORT POINT:
-the registry slot and TIFF tag exist, but the encoder raises until a
-real implementation is registered (none ships in this container).
+a real tables-carrying codec), and WebP-lossless / VP8L (pure
+Python, raster/webpcodec.py, RFC 9649 — gray tile plane under
+SUBTRACT_GREEN with canonical prefix codes; the former port point is
+live).
 
 Scale note: LZW here is a pure-Python kernel — spec-correct and
 GDAL-readable, but ~MB/s per core. It exists for reference-profile
@@ -114,14 +115,13 @@ def _lzma_decode(data: bytes) -> bytes:
     return lzma.decompress(data)
 
 
-_WEBP_ENC, _WEBP_DEC = _unavailable("webp", "a WebP library")
-
 # Bound DIRECTLY to the jpegcodec module functions (not lazy wrappers
 # with an import inside the body): a runtime `import ccog_spark…` in a
 # worker-side closure would defeat the by-value shipping contract —
 # encode_tiles registers BOTH this module and jpegcodec with
 # cloudpickle's by-value pickling, so these references serialize whole.
 from ccog_spark.raster import jpegcodec as _jpegcodec  # noqa: E402
+from ccog_spark.raster import webpcodec as _webpcodec  # noqa: E402
 
 REGISTRY: dict[str, CodecSpec] = {
     "deflate": CodecSpec(
@@ -140,14 +140,19 @@ REGISTRY: dict[str, CodecSpec] = {
     "zstd": CodecSpec("zstd", COMPRESSION_ZSTD, _zstd_encode, _zstd_decode),
     # Real pure-numpy baseline JPEG (raster/jpegcodec.py): abbreviated
     # tile streams + make_tables for the shared JPEGTables tag — the
-    # registry's one live global-tables codec. webp remains a PORT
-    # POINT (no WebP implementation in this container).
+    # registry's one live global-tables codec.
     "jpeg": CodecSpec(
         "jpeg", COMPRESSION_JPEG, _jpegcodec.encode, _jpegcodec.decode,
         make_tables=_jpegcodec.make_tables,
         sample_dtypes=("uint8",), predictor_ok=False,
     ),
-    "webp": CodecSpec("webp", COMPRESSION_WEBP, _WEBP_ENC, _WEBP_DEC),
+    # Real pure-Python WebP-lossless / VP8L (raster/webpcodec.py,
+    # RFC 9649): gray tile plane under SUBTRACT_GREEN, canonical
+    # prefix codes — the former port point is live
+    "webp": CodecSpec(
+        "webp", COMPRESSION_WEBP, _webpcodec.encode, _webpcodec.decode,
+        sample_dtypes=("uint8",), predictor_ok=False,
+    ),
 }
 
 
@@ -349,19 +354,21 @@ def unpredict_tile(raw: bytes, predictor: int, h: int, w: int, np_dtype: str):
 
 
 def register_worker_modules() -> None:
-    """Ship this module AND raster.jpegcodec (whose functions the
-    REGISTRY references) to executors BY VALUE, so worker processes
-    never need an importable ccog_spark package. ONE place for the
-    shipping contract — every kernel builder (encode_tiles,
-    read_cog_pixels, read_cog_mask) calls this instead of repeating
-    the registration block (round-6 review finding)."""
+    """Ship this module AND raster.jpegcodec/webpcodec (whose
+    functions the REGISTRY references) to executors BY VALUE, so
+    worker processes never need an importable ccog_spark package. ONE
+    place for the shipping contract — every kernel builder
+    (encode_tiles, read_cog_pixels, read_cog_mask) calls this instead
+    of repeating the registration block (round-6 review finding)."""
     try:
         from pyspark.cloudpickle import register_pickle_by_value
 
         from ccog_spark.raster import codecs as _codecs
-        from ccog_spark.raster import jpegcodec as _jpegcodec
+        from ccog_spark.raster import jpegcodec as _jc
+        from ccog_spark.raster import webpcodec as _wc
 
         register_pickle_by_value(_codecs)
-        register_pickle_by_value(_jpegcodec)
+        register_pickle_by_value(_jc)
+        register_pickle_by_value(_wc)
     except ImportError:  # pragma: no cover - older pyspark
         pass

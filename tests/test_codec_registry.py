@@ -50,8 +50,17 @@ def fake_jpeg_codec():
     register_codec(saved)
 
 
-def test_unregistered_webp_raises():
-    with pytest.raises(ValueError, match="webp.*needs"):
+def test_webp_slot_is_live():
+    """The webp slot now holds the real pure-Python VP8L codec
+    (round 6): registry round-trip works; non-square input raises
+    the codec's own validation error (not 'unavailable')."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.uint8).reshape(16, 16).tobytes()
+    assert codecs.decompress(
+        codecs.compress(a, "webp"), codecs.COMPRESSION_WEBP
+    ) == a
+    with pytest.raises(ValueError, match="square"):
         codecs.compress(b"xx", "webp")
 
 
