@@ -71,19 +71,6 @@ class CodecSpec:
     predictor_ok: bool = True
 
 
-def _unavailable(name: str, needs: str):
-    def enc(data: bytes, level: int) -> bytes:
-        raise ValueError(
-            f"codec {name!r} needs {needs} not present in this container; "
-            f"register a real implementation via register_codec({name!r}, …)"
-        )
-
-    def dec(data: bytes) -> bytes:
-        raise ValueError(f"reading {name!r} tiles needs {needs}")
-
-    return enc, dec
-
-
 def _zstd_encode(data: bytes, level: int) -> bytes:
     try:
         import zstandard
