@@ -148,9 +148,13 @@ def cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodata = -9999.0
     px = pixels_df(spark)
     out = os.path.join(tempfile.gettempdir(), "ccog_corpus_roundtrip.tif")
+    # ghost=True: the driver hash row also exercises the GDAL ghost
+    # framing (structural-metadata area + per-tile leaders/trailers,
+    # round 6) — transparent to pixel values, so the oracle is
+    # unchanged; byte-level framing proofs live in tests/test_ghost.py
     res = write_cog(
         spark, px, width=W, height=H, bands=BANDS, target_path=out,
-        blocksize=BLOCK, kernel="average", nodata=nodata,
+        blocksize=BLOCK, kernel="average", nodata=nodata, ghost=True,
     )
     with open(res.path, "rb") as f:
         data = f.read()
