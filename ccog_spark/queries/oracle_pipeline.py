@@ -767,9 +767,13 @@ ORDER BY q_id, rn
 PIPELINE_ORACLE["ann_pq"] = _pq_sql()
 
 # custom stateful streaming (applyInPandasWithState running totals):
-# the final per-user state must equal the plain batch aggregate
+# the final per-user state must equal the plain batch aggregate.
+# Values are quantized to integer cents with floor(v*100 + 0.5) —
+# bit-identical IEEE ops on both sides — so the sum is order-exact
+# (see queries/streaming_corpus.stream_stateful).
 PIPELINE_ORACLE["stream_stateful"] = """
 SELECT user_id, COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0
+         AS total_value
 FROM events GROUP BY user_id ORDER BY user_id
 """

@@ -78,12 +78,22 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     update output mode. The memory sink accumulates one row per
     (user, micro-batch-that-saw-the-user); totals are monotone in
     n_events, so the final state per user is its max-n_events row —
-    which must equal the plain batch GROUP BY."""
+    which must equal the plain batch GROUP BY.
+
+    Values are pre-quantized to integer cents (floor(v*100 + 0.5) —
+    the SAME IEEE ops in both engines) BEFORE the stateful sum: the
+    per-micro-batch accumulation order differs from the oracle's
+    batch sum order, and float addition is non-associative, so a raw
+    double sum could land on opposite sides of a ROUND boundary
+    (round-6 review). Integer-valued doubles « 2^53 sum exactly in
+    any order."""
     from pyspark.sql import Window as W
 
     from ccog_spark.streaming.stateful import running_user_totals
 
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+    )
     out = run_stream_to_batch(running_user_totals(events), "update")
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -92,7 +102,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round("total_value", 2).alias("total_value"),
+            (F.col("total_value") / F.lit(100.0)).alias("total_value"),
         )
         .orderBy("user_id")
     )

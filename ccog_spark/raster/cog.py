@@ -463,7 +463,7 @@ def write_cog(
                 for (lvl, ty, tx), nb in mask_tile_nbytes.items()
             }
         )
-    ghost_pad = 8 if ghost else 0  # 4B size leader + 4B trailer per tile
+    ghost_pad = tiff.GHOST_TILE_PAD if ghost else 0
     sizes = [len(plan.header)] + [
         all_nbytes[k] + ghost_pad for k in plan.file_order
     ]
@@ -505,13 +505,25 @@ def write_cog(
         # (≙ the reference re-adding them per part, ccog/ccog.py:430-441)
         from pyspark.sql.functions import pandas_udf
 
+        trailer_n = tiff.GHOST_TRAILER
+
         @pandas_udf("binary")
         def _ghost_wrap(data):  # self-contained Arrow kernel
             import struct
 
-            return data.map(
-                lambda b: struct.pack("<I", len(b)) + bytes(b) + bytes(b[-4:])
-            )
+            def wrap(b):
+                # the plan reserved a FIXED leader+trailer per tile; a
+                # sub-trailer-size payload would write short and shift
+                # every later offset silently (round-6 review) — no
+                # registered codec emits one, so fail loudly if found
+                if len(b) < trailer_n:
+                    raise ValueError(
+                        f"tile payload {len(b)}B shorter than the "
+                        f"{trailer_n}B ghost trailer"
+                    )
+                return struct.pack("<I", len(b)) + bytes(b) + bytes(b[-trailer_n:])
+
+            return data.map(wrap)
 
         enc_seg = enc_seg.withColumn("data", _ghost_wrap(F.col("data")))
     tile_segments = enc_seg.join(

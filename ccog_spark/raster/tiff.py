@@ -174,6 +174,14 @@ class CogPlan:
 # (:430-441), and ghost-header delete (_delete_COG_ghost_header,
 # :238-258 — zeroing at offset 16, i.e. the BigTIFF header size).
 
+# per-tile framing when the ghost optimisation is on: uint32 size
+# leader + last-GHOST_TRAILER-bytes-repeated trailer. ONE definition —
+# the plan arithmetic below and cog.py's wrapper/part-sizing all
+# reference these (round-6 review: three hard-coded copies drifted).
+GHOST_LEADER = 4
+GHOST_TRAILER = 4
+GHOST_TILE_PAD = GHOST_LEADER + GHOST_TRAILER
+
 GHOST_MAGIC = b"GDAL_STRUCTURAL_METADATA_SIZE="
 GHOST_ITEMS = (
     b"LAYOUT=IFDS_BEFORE_DATA\n"
@@ -487,8 +495,8 @@ def build_cog_plan(
                     i = tile_flat_index(lp, band, ty, tx)
                     lp.bytecounts[i] = nb
                     if nb > 0:
-                        lp.offsets[i] = cursor + (4 if ghost else 0)
-                        cursor += nb + (8 if ghost else 0)
+                        lp.offsets[i] = cursor + (GHOST_LEADER if ghost else 0)
+                        cursor += nb + (GHOST_TILE_PAD if ghost else 0)
                         file_order.append((lp.level, band, ty, tx))
         if mask_levels:
             # each level's mask tiles follow its data tiles; band = -1
@@ -501,8 +509,8 @@ def build_cog_plan(
                     i = ty * mlp.tiles_x + tx
                     mlp.bytecounts[i] = nb
                     if nb > 0:
-                        mlp.offsets[i] = cursor + (4 if ghost else 0)
-                        cursor += nb + (8 if ghost else 0)
+                        mlp.offsets[i] = cursor + (GHOST_LEADER if ghost else 0)
+                        cursor += nb + (GHOST_TILE_PAD if ghost else 0)
                         file_order.append((mlp.level, -1, ty, tx))
     total_size = cursor
     if not big and total_size > (1 << 32):

@@ -36,25 +36,38 @@ DIST_ALPHABET = 40
 
 
 class _BitWriter:
+    """LSB-first bit writer; completed bytes flush into a bytearray so
+    total cost stays O(n) (a single growing big-int accumulator would
+    copy the whole stream on every write — quadratic; round-6 review)."""
+
     def __init__(self) -> None:
-        self.acc = 0
+        self.out = bytearray()
+        self.acc = 0  # < 8 pending bits only
         self.n = 0
 
     def write(self, value: int, nbits: int) -> None:
         self.acc |= (value & ((1 << nbits) - 1)) << self.n
         self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
 
     def bytes(self) -> bytes:
-        nbytes = (self.n + 7) // 8
-        return self.acc.to_bytes(nbytes, "little")
+        if self.n:
+            return bytes(self.out) + bytes([self.acc & 0xFF])
+        return bytes(self.out)
 
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
+        self.nbits = len(data) * 8
 
     def read(self, nbits: int) -> int:
+        if self.pos + nbits > self.nbits:
+            raise ValueError("truncated VP8L stream")
         v = 0
         for i in range(nbits):
             byte = self.data[(self.pos + i) >> 3]
@@ -320,6 +333,8 @@ def decode(data: bytes) -> bytes:
         raise ValueError("not a WebP container")
     if data[12:16] != b"VP8L":
         raise ValueError("only VP8L (lossless) streams supported")
+    if len(data) < 20:
+        raise ValueError("truncated VP8L stream")
     (size,) = struct.unpack_from("<I", data, 16)
     br = _BitReader(data[20 : 20 + size])
     if br.read(8) != 0x2F:
