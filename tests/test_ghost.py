@@ -132,3 +132,30 @@ def test_ghost_composes_with_internal_mask(spark, tmp_path):
     assert checked > 0
     m = tiff.read_mask(data, masks[0])
     assert m.shape == (H, W)
+
+
+def test_ghost_parser_never_crashes_on_fuzz():
+    """Fuzz the ghost parsers with arbitrary/truncated prefixes:
+    zero_ghost_header must never raise; read_ghost_metadata may reject
+    a malformed size line with ValueError/IndexError but must never
+    hang or crash the interpreter on any input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    gb = tiff.ghost_block()
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=64), st.integers(0, len(gb)))
+    def prop(prefix, cut):
+        for data in (
+            prefix,
+            prefix[:8] + gb[:cut],
+            b"II*\x00" + prefix,
+        ):
+            try:
+                tiff.read_ghost_metadata(data)
+            except (ValueError, IndexError):
+                pass  # malformed size line may legitimately fail to parse
+            tiff.zero_ghost_header(bytearray(data))
+
+    prop()
