@@ -199,11 +199,18 @@ def ghost_block() -> bytes:
 
 
 def _ghost_span(data: bytes) -> tuple[int, int] | None:
-    """(start, length) of the ghost area, probing both header sizes."""
+    """(start, length) of the ghost area, probing both header sizes.
+    Returns None for absent OR malformed areas (a corrupt size line
+    must not crash cleanup utilities like zero_ghost_header)."""
     for hdr in (8, 16):
         if data[hdr : hdr + len(GHOST_MAGIC)] == GHOST_MAGIC:
-            line_end = data.index(b"\n", hdr) + 1
-            size = int(data[hdr + len(GHOST_MAGIC) : line_end - 7])
+            try:
+                line_end = data.index(b"\n", hdr) + 1
+                size = int(data[hdr + len(GHOST_MAGIC) : line_end - 7])
+            except ValueError:
+                return None
+            if size < 0:
+                return None
             return hdr, (line_end - hdr) + size
     return None
 
@@ -214,9 +221,11 @@ def read_ghost_metadata(data: bytes) -> dict[str, str] | None:
     if span is None:
         return None
     start, length = span
-    body = data[start : start + length].split(b"\n", 1)[1]
+    parts = data[start : start + length].split(b"\n", 1)
+    if len(parts) < 2:
+        return None
     out = {}
-    for line in body.decode("ascii").splitlines():
+    for line in parts[1].decode("ascii", "replace").splitlines():
         if "=" in line:
             k, v = line.split("=", 1)
             out[k] = v.strip()

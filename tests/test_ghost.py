@@ -136,9 +136,8 @@ def test_ghost_composes_with_internal_mask(spark, tmp_path):
 
 def test_ghost_parser_never_crashes_on_fuzz():
     """Fuzz the ghost parsers with arbitrary/truncated prefixes:
-    zero_ghost_header must never raise; read_ghost_metadata may reject
-    a malformed size line with ValueError/IndexError but must never
-    hang or crash the interpreter on any input."""
+    absent or malformed areas yield None/False — never an exception
+    (a corrupt size line must not crash cleanup utilities)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -152,10 +151,7 @@ def test_ghost_parser_never_crashes_on_fuzz():
             prefix[:8] + gb[:cut],
             b"II*\x00" + prefix,
         ):
-            try:
-                tiff.read_ghost_metadata(data)
-            except (ValueError, IndexError):
-                pass  # malformed size line may legitimately fail to parse
+            tiff.read_ghost_metadata(data)
             tiff.zero_ghost_header(bytearray(data))
 
     prop()
