@@ -367,6 +367,38 @@ def pq_topk(
     not produce (exact duplicates quantize identically in both). The
     sf0.001/sf0.01 hash gates check this empirically every run.
     """
+    codes, adc_kernel, qdf = _pq_machinery(corpus, queries, dim, m_blocks)
+    pairs = (
+        codes.crossJoin(F.broadcast(qdf))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            adc_kernel(F.col("q_id"), F.col("codes")).alias("adc_raw"),
+        )
+    )
+    return _rank_adc(pairs, k)
+
+
+def _rank_adc(pairs: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("q_id").orderBy(F.col("adc_raw").asc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "q_id",
+            "vec_id",
+            F.round("adc_raw", 4).alias("adc"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+    )
+
+
+def _pq_machinery(
+    corpus: DataFrame, queries: DataFrame, dim: int, m_blocks: int
+):
+    """Shared PQ plumbing for pq_topk / ivfpq_topk: the encoded-codes
+    frame (map-side Arrow kernel, codebook in closure), the ADC lookup
+    kernel over (q_id, codes) rows, and the bare q_id frame."""
     dsub = dim // m_blocks
     blocks = range(m_blocks)
     import numpy as np
@@ -478,22 +510,86 @@ def pq_topk(
         return pd.Series(acc)
 
     qdf = spark.createDataFrame([(int(q),) for q in qidx], "q_id bigint")
-    pairs = (
-        codes.crossJoin(F.broadcast(qdf))
-        .where(F.col("vec_id") != F.col("q_id"))
+    return codes, adc_kernel, qdf
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    cent_stride: int = 25,
+    nprobe: int = 2,
+    m_blocks: int = PQ_M_BLOCKS,
+) -> DataFrame:
+    """IVF + PQ composed — the production 100 TB ANN configuration
+    (Jégou et al. §IV joined with §III): the coarse quantizer prunes
+    the scan to ``nprobe`` cells per query, and within those cells
+    candidates are ranked by PQ asymmetric distance over 8-byte codes.
+    Both halves reuse the deterministic constructions of ivf_topk and
+    pq_topk, so the whole composition replays in the DuckDB oracle.
+
+    Scale shape: cell assignment and PQ encode are both map-side
+    (broadcast centroids / closure codebook); the candidate stream is
+    |cells probed| / |cells| of the corpus instead of all of it, each
+    candidate contributing only (vec_id, cell, 8 codes); k rows per
+    query cross the final exchange."""
+    c = corpus.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    centroids = c.where(F.col("vec_id") % cent_stride == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cents = F.broadcast(centroids)
+    # map-side argmax assignment (same spelling as ivf_topk: the
+    # lexicographic max of (cos, -cent_id) is partial-aggregable)
+    cell = (
+        c.crossJoin(cents)
+        .select(
+            "vec_id",
+            F.struct(
+                (
+                    dot(F.col("embedding"), F.col("c_emb"))
+                    / (F.col("nrm") * F.col("c_nrm"))
+                ).alias("cos"),
+                (-F.col("cent_id")).alias("neg_id"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("sc"))
+        .select("vec_id", (-F.col("sc.neg_id")).alias("cell"))
+    )
+    q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
+    pw = W.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(cents)
         .select(
             "q_id",
-            "vec_id",
-            adc_kernel(F.col("q_id"), F.col("codes")).alias("adc_raw"),
+            "cent_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("qn") * F.col("c_nrm"))
+            ).alias("p_cos"),
         )
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("adc_raw").asc(), F.col("vec_id"))
-    return (
-        pairs.select(
+        .select(
             "q_id",
-            "vec_id",
-            F.round("adc_raw", 4).alias("adc"),
-            F.row_number().over(w).alias("rn"),
+            F.col("cent_id").alias("cell"),
+            F.row_number().over(pw).alias("prn"),
         )
-        .where(F.col("rn") <= k)
+        .where(F.col("prn") <= nprobe)
+        .select("q_id", "cell")
     )
+    codes, adc_kernel, _qdf = _pq_machinery(corpus, queries, dim, m_blocks)
+    cand = (
+        codes.join(cell, "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+    )
+    pairs = cand.select(
+        "q_id",
+        "vec_id",
+        adc_kernel(F.col("q_id"), F.col("codes")).alias("adc_raw"),
+    )
+    return _rank_adc(pairs, k)

@@ -777,3 +777,102 @@ SELECT user_id, COUNT(*) AS n_events,
          AS total_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def _ivfpq_sql(dim: int = 64, cent_stride: int = 25, nprobe: int = 2) -> str:
+    """IVF + PQ composed: the ann_ivf cell/probe CTEs joined with the
+    ann_pq codebook/encode/LUT CTEs, candidates restricted to probed
+    cells and ranked by ADC — built at import from the same constants
+    as operators.similarity.ivfpq_topk."""
+    from ccog_spark.operators.similarity import (
+        PQ_CB_K,
+        PQ_CB_MOD,
+        PQ_CB_RES,
+        PQ_M_BLOCKS,
+    )
+
+    dsub = dim // PQ_M_BLOCKS
+
+    def block(col: str, m: int) -> str:
+        return f"{col}[{m * dsub + 1}:{m * dsub + dsub}]"
+
+    def d2(x: str, c: str, m: int) -> str:
+        bx, bc = block(x, m), block(c, m)
+        return (
+            f"list_dot_product({bx}, {bx}) - 2 * list_dot_product({bx}, {bc})"
+            f" + list_dot_product({bc}, {bc})"
+        )
+
+    blocks = range(PQ_M_BLOCKS)
+    enc_aggs = ",\n         ".join(
+        "MIN({'d': " + d2("e", "ce", m) + ", 'j': j}) AS a" + str(m)
+        for m in blocks
+    )
+    lut_cols = ",\n         ".join(d2("qe", "ce", m) + f" AS l{m}" for m in blocks)
+    lut_arrs = ",\n         ".join(f"list(l{m} ORDER BY j) AS lut{m}" for m in blocks)
+    adc = " + ".join(
+        f"l.lut{m}[struct_extract(e.a{m}, 'j') + 1]" for m in blocks
+    )
+    return f"""
+WITH nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM nv
+  WHERE vec_id % {cent_stride} = 1
+), asn AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(e, cv) / (nrm * cn) DESC, cent_id
+         ) AS arn
+  FROM nv CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, cent_id AS cell FROM asn WHERE arn = 1
+), cbr AS (
+  SELECT vec_id, e FROM nv WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES}
+  ORDER BY vec_id LIMIT {PQ_CB_K}
+), cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, e AS ce
+  FROM cbr
+), enc AS (
+  SELECT vec_id,
+         {enc_aggs}
+  FROM (SELECT vec_id, e FROM nv) v CROSS JOIN cb GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE vec_id % 100 = 0
+), probe AS (
+  SELECT q_id, cent_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY list_dot_product(qe, cv) / (qn * cn) DESC, cent_id
+         ) AS prn
+  FROM q CROSS JOIN cent
+), lutp AS (
+  SELECT q_id, j,
+         {lut_cols}
+  FROM q CROSS JOIN cb
+), lut AS (
+  SELECT q_id,
+         {lut_arrs}
+  FROM lutp GROUP BY q_id
+), pairs AS (
+  SELECT l.q_id, e.vec_id,
+         {adc} AS adc_raw
+  FROM (SELECT * FROM probe WHERE prn <= {nprobe}) p
+  JOIN cells USING (cell)
+  JOIN enc e ON e.vec_id = cells.vec_id
+  JOIN lut l ON l.q_id = p.q_id
+  WHERE e.vec_id <> l.q_id
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(adc_raw, 4) AS adc,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_raw, vec_id) AS rn
+  FROM pairs)
+SELECT q_id, vec_id, adc, rn FROM ranked WHERE rn <= 3
+ORDER BY q_id, rn
+"""
+
+
+PIPELINE_ORACLE["ann_ivfpq"] = _ivfpq_sql()

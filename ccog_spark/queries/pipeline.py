@@ -422,3 +422,15 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.pq_topk(emb, _queries_subset(emb), dim=EMB_DIM, k=3)
         .orderBy("q_id", "rn")
     )
+
+
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed (operators.similarity.ivfpq_topk): coarse
+    cells prune the scan, PQ codes rank the survivors — the production
+    100 TB ANN shape. Deterministic centroids AND codebook, so the
+    full composition replays in the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.ivfpq_topk(emb, _queries_subset(emb), dim=EMB_DIM, k=3)
+        .orderBy("q_id", "rn")
+    )

@@ -189,6 +189,10 @@ REGISTRY: dict[str, QueryFn] = {
     # scale path next to exact/LSH/IVF — 8-byte codes + broadcast ADC
     # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf above fold
     "ann_pq": pipeline.ann_pq,
+    # round 6: IVF+PQ composed ANN — cell pruning + compressed-code
+    # ranking, the production configuration; both halves' driver rows
+    # (ann_ivf, ann_pq family evidence) are above/earlier in the list
+    "ann_ivfpq": pipeline.ann_ivfpq,
     # round 6: custom stateful streaming agg (applyInPandasWithState
     # running totals — the E33 verb beyond dedup; family driver row
     # stream_dedup above fold); final state hash-matches the batch

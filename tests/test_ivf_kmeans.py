@@ -98,3 +98,29 @@ def test_pq_planted_duplicate_is_top1(planted):
     # <= any other corpus vector's ADC — it must hold rank 1
     assert top[0].vec_id == 99999
     assert all(top[0].adc <= r.adc for r in top[1:])
+
+
+def test_ivfpq_blob_recall(planted):
+    """IVF pruning + PQ ranking composed must still keep neighbors
+    inside the query's own blob (cells align with blobs; ADC error is
+    tiny vs the inter-blob separation)."""
+    res = similarity.ivfpq_topk(
+        planted, _queries(planted), dim=DIM, k=5, cent_stride=25
+    )
+    rows = res.collect()
+    assert rows  # pruning must not empty the candidate set
+    for r in rows:
+        assert r.q_id // PER_CLUSTER == r.vec_id // PER_CLUSTER
+
+
+def test_ivfpq_subset_of_pq_per_query(planted):
+    """Within the probed cells, IVFPQ's ADC values must equal full
+    PQ's for the same (q_id, vec_id) pairs — pruning changes the
+    candidate set, never the metric."""
+    q = _queries(planted)
+    full = {
+        (r.q_id, r.vec_id): r.adc
+        for r in similarity.pq_topk(planted, q, dim=DIM, k=1000).collect()
+    }
+    for r in similarity.ivfpq_topk(planted, q, dim=DIM, k=5).collect():
+        assert full[(r.q_id, r.vec_id)] == r.adc
