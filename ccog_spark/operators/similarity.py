@@ -474,31 +474,26 @@ def _pq_machinery(
             for m in blocks
         ],
     )
-    # per-query LUT arrays ordered by codeword id (collect_list of
-    # (j, l) structs, array_sort → lexicographic by j, extract l)
-    lut = lut_pairs.groupBy("q_id").agg(
-        *[
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", f"l{m}"))),
-                lambda x: x[f"l{m}"],
-            ).alias(f"lut{m}")
-            for m in blocks
-        ]
-    )
-    # ADC scan: collect the LUTs (index-sized: n_queries × M × K
-    # doubles — the broadcast-queries contract) and look codes up in
-    # an Arrow kernel over SKINNY (q_id, codes) pair rows. Joining the
-    # LUT arrays directly would copy M×K doubles into every pair row
-    # (corpus × queries × 128 doubles of churn); the kernel carries
-    # them once per worker. The LUT values are the JVM-computed ones
-    # (collected, not recomputed), and the kernel accumulates blocks
-    # left-to-right exactly like the oracle's chained `+`, so ADC
-    # stays bit-identical to the SQL spelling.
-    lut_rows = lut.collect()
-    qidx = {int(r.q_id): i for i, r in enumerate(lut_rows)}
-    lutmat = np.array(
-        [[r[f"lut{m}"] for m in blocks] for r in lut_rows], "f8"
-    )  # (nq, M, K)
+    # ADC scan: collect the flat (q_id, j, l0..l7) LUT rows
+    # (index-sized: n_queries × K rows — the broadcast-queries
+    # contract) and assemble the (nq, M, K) matrix on the driver; the
+    # kernel then looks codes up over SKINNY (q_id, codes) pair rows.
+    # Joining LUT arrays into the pair stream instead would copy M×K
+    # doubles into every pair row (corpus × queries × 128 doubles of
+    # churn). The LUT values are the JVM-computed ones (collected, not
+    # recomputed — oracle float parity), and the kernel accumulates
+    # blocks left-to-right exactly like the oracle's chained `+`, so
+    # ADC stays bit-identical to the SQL spelling.
+    lut_rows = lut_pairs.collect()
+    qidx: dict[int, int] = {}
+    for r in lut_rows:
+        qidx.setdefault(int(r.q_id), len(qidx))
+    K = 1 + max(r.j for r in lut_rows)
+    lutmat = np.zeros((len(qidx), m_blocks, K), "f8")
+    for r in lut_rows:
+        qi = qidx[int(r.q_id)]
+        for m in blocks:
+            lutmat[qi, m, r.j] = r[f"l{m}"]
 
     @pandas_udf("double")
     def adc_kernel(qid: pd.Series, codes: pd.Series) -> pd.Series:
