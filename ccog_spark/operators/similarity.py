@@ -529,6 +529,9 @@ def ivfpq_topk(
     |cells probed| / |cells| of the corpus instead of all of it, each
     candidate contributing only (vec_id, cell, 8 codes); k rows per
     query cross the final exchange."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     c = corpus.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
@@ -537,25 +540,32 @@ def ivfpq_topk(
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    cents = F.broadcast(centroids)
-    # map-side argmax assignment (same spelling as ivf_topk: the
-    # lexicographic max of (cos, -cent_id) is partial-aggregable)
-    cell = (
-        c.crossJoin(cents)
-        .select(
-            "vec_id",
-            F.struct(
-                (
-                    dot(F.col("embedding"), F.col("c_emb"))
-                    / (F.col("nrm") * F.col("c_nrm"))
-                ).alias("cos"),
-                (-F.col("cent_id")).alias("neg_id"),
-            ).alias("sc"),
+    # Assignment as a map-side Arrow kernel: the centroid matrix rides
+    # in the closure (the same data the JVM spelling broadcasts — a
+    # production deployment caps |centroids| via kmeans_centroids).
+    # argmax over numpy cosines; centroid ids sorted ascending so the
+    # first-occurrence argmax matches the oracle's smallest-cent_id
+    # tie-break; near-tie float divergence vs list_dot_product is the
+    # same measure-zero exposure the PQ encode kernel documents, and
+    # the 3-SF hash gates check it empirically. ann_ivf keeps the pure
+    # JVM spelling, so both forms stay cross-evidenced.
+    cent_rows = sorted(centroids.collect(), key=lambda r: r.cent_id)
+    cent_ids = np.array([r.cent_id for r in cent_rows], "i8")
+    cmat = np.array([[float(x) for x in r.c_emb] for r in cent_rows], "f8")
+    cnrm = np.array([r.c_nrm for r in cent_rows], "f8")
+
+    @pandas_udf("long")
+    def assign(col: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="f8") for e in col])
+        cos = (x @ cmat.T) / (
+            np.sqrt((x * x).sum(1))[:, None] * cnrm[None, :]
         )
-        .groupBy("vec_id")
-        .agg(F.max("sc").alias("sc"))
-        .select("vec_id", (-F.col("sc.neg_id")).alias("cell"))
+        return pd.Series(cent_ids[cos.argmax(1)])
+
+    cell = corpus.select(
+        "vec_id", assign(F.col("embedding")).alias("cell")
     )
+    cents = F.broadcast(centroids)
     q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
     pw = W.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cent_id"))
     probes = (
