@@ -20,6 +20,7 @@ QUERIES = [
     # round 6 additions: PQ ANN (map-side encode + broadcast LUT scan)
     # and the heaviest multimodal kernels — all expected ~linear
     "ann_pq",
+    "ann_ivfpq",
     "multimodal_features",
     "multimodal_audio",
 ]
