@@ -363,8 +363,12 @@ def make_frame_sample_kernel(every: int):
                 (n,) = struct.unpack_from("<I", payload, 4)
                 pos = 8
                 for f in range(n):
+                    if pos + 4 > len(payload):
+                        raise ValueError("truncated FSTK container")
                     (ln,) = struct.unpack_from("<I", payload, pos)
                     pos += 4
+                    if pos + ln > len(payload):
+                        raise ValueError("truncated FSTK frame")
                     if f % every == 0:
                         ids.append(doc_id)
                         idxs.append(f)
@@ -459,6 +463,8 @@ def make_audio_features_kernel():
             while pos + 8 <= len(payload):
                 cid = payload[pos : pos + 4]
                 (ln,) = struct.unpack_from("<I", payload, pos + 4)
+                if pos + 8 + ln > len(payload):
+                    raise ValueError("truncated RIFF chunk")
                 body = payload[pos + 8 : pos + 8 + ln]
                 if cid == b"fmt ":
                     fmt = struct.unpack_from("<HHIIHH", body, 0)

@@ -303,3 +303,41 @@ def test_frame_sample_rejects_bad_every():
     for every in (0, -1):
         with pt.raises(ValueError, match="every"):
             make_frame_sample_kernel(every)
+
+
+def test_container_walks_fail_loudly_on_truncation():
+    """Truncated WAV/FSTK payloads raise instead of silently parsing
+    fewer samples/frames (declared chunk/frame lengths are validated
+    against the available bytes)."""
+    import pandas as pd
+    import pytest as pt
+
+    from ccog_spark.operators.multimodal import (
+        make_audio_features_kernel,
+        make_audio_kernel,
+        make_frame_sample_kernel,
+        make_video_kernel,
+    )
+
+    wav = bytes(
+        list(make_audio_kernel()(iter([pd.DataFrame({"doc_id": [3]})])))[0][
+            "payload"
+        ][0]
+    )
+    vid = bytes(
+        list(make_video_kernel()(iter([pd.DataFrame({"doc_id": [3]})])))[0][
+            "payload"
+        ][0]
+    )
+    for payload, kernel, msg in (
+        (wav, make_audio_features_kernel(), "truncated|missing"),
+        (vid, make_frame_sample_kernel(2), "truncated|FSTK"),
+    ):
+        for cut in (20, len(payload) // 2, len(payload) - 3):
+            bad = payload[:cut]
+            with pt.raises(ValueError, match=msg):
+                list(
+                    kernel(
+                        iter([pd.DataFrame({"doc_id": [3], "payload": [bad]})])
+                    )
+                )
