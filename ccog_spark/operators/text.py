@@ -220,3 +220,40 @@ def redact_terms(
             F.regexp_replace(F.col(text_col), pattern, repl), 1, 80
         ).alias("sample"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk: int = 64, stride: int = 48
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the pretraining/
+    RAG document splitter. Chunk k covers tokens [1 + k*stride,
+    1 + k*stride + chunk - 1] (1-based, tail chunks shorter); every
+    token is covered because stride <= chunk.
+
+    Plan: pure JVM built-ins — split → sequence of starts → posexplode
+    → slice/concat_ws — a map-side row fan-out with NO shuffle and no
+    Python. Output carries md5(chunk_text) instead of the text so
+    downstream exact-dedup of chunks (dedup.exact_dedup) composes
+    without reshuffling payload strings."""
+    if not 1 <= stride <= chunk:
+        raise ValueError(f"need 1 <= stride <= chunk, got {stride}/{chunk}")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+    return (
+        documents.select(
+            "doc_id",
+            toks.alias("tk"),
+            F.size(toks).alias("n"),
+            F.posexplode(starts).alias("chunk_idx", "s"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.least(F.lit(chunk), F.col("n") - F.col("s") + 1)
+            .cast("int")
+            .alias("n_tok"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("tk"), F.col("s"), chunk))
+            ).alias("h"),
+        )
+    )

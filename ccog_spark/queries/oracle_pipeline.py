@@ -876,3 +876,20 @@ ORDER BY q_id, rn
 
 
 PIPELINE_ORACLE["ann_ivfpq"] = _ivfpq_sql()
+
+# token-window chunking: 64-token chunks every 48 tokens (1-based
+# inclusive list slice; tail chunks shorter; md5 of the re-joined
+# string matches Spark's concat_ws of the same slice)
+PIPELINE_ORACLE["pipeline_chunks"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // 48 AS INT) AS chunk_idx,
+       CAST(LEAST(64, n - s + 1) AS INT) AS n_tok,
+       MD5(array_to_string(tk[CAST(s AS INT) : CAST(LEAST(s + 63, n) AS INT)], ' ')) AS h
+FROM d, UNNEST(range(1, n + 1, 48)) AS t(s)
+ORDER BY doc_id, chunk_idx
+"""

@@ -434,3 +434,14 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.ivfpq_topk(emb, _queries_subset(emb), dim=EMB_DIM, k=3)
         .orderBy("q_id", "rn")
     )
+
+
+def pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (operators.text.chunk_documents,
+    64-token chunks / 48-token stride): map-side fan-out, no shuffle,
+    no Python. Oracle replays the slice arithmetic with list slicing
+    and hashes the same joined string."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk=64, stride=48).orderBy(
+        "doc_id", "chunk_idx"
+    )

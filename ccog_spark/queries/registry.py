@@ -193,6 +193,10 @@ REGISTRY: dict[str, QueryFn] = {
     # ranking, the production configuration; both halves' driver rows
     # (ann_ivf, ann_pq family evidence) are above/earlier in the list
     "ann_ivfpq": pipeline.ann_ivfpq,
+    # round 6: token-window chunking (pretraining/RAG splitter) —
+    # E37 family (text_analysis carries the driver row); pure JVM
+    # fan-out, md5-hash oracle
+    "pipeline_chunks": pipeline.pipeline_chunks,
     # round 6: custom stateful streaming agg (applyInPandasWithState
     # running totals — the E33 verb beyond dedup; family driver row
     # stream_dedup above fold); final state hash-matches the batch

@@ -81,3 +81,28 @@ def test_repetition_long_doc_not_flagged(spark):
     assert out["dup_2gram_frac"] == 0.0
     assert out["top_2gram_frac"] == round(2 / 50, 4)
     assert out["rep_flagged"] is False
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token lands in at least one chunk; consecutive chunks of
+    a long doc overlap by chunk - stride tokens; guards reject bad
+    strides."""
+    import pytest as pt
+
+    from ccog_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_documents(docs, chunk=64, stride=48).collect()
+    }
+    # doc 1: starts at 1, 49, 97, 145 -> 4 chunks; tail has 6 tokens
+    assert {k[1] for k in rows if k[0] == 1} == {0, 1, 2, 3}
+    assert rows[(1, 0)].n_tok == 64 and rows[(1, 3)].n_tok == 6
+    # covered token count: starts cover 1..150 because stride<=chunk
+    assert rows[(2, 0)].n_tok == 1
+    with pt.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk=8, stride=9)
