@@ -893,3 +893,81 @@ SELECT doc_id,
 FROM d, UNNEST(range(1, n + 1, 48)) AS t(s)
 ORDER BY doc_id, chunk_idx
 """
+
+
+def _urls_sql() -> str:
+    """DuckDB twin of queries.pipeline.pipeline_urls: synthesizes the
+    same messy URLs, replays every canonicalization rule of
+    operators.web (fragment/scheme/host/port/tracking/sort/trailing-
+    slash), then keep-first + host/domain. Constants imported from the
+    operator module — single source of truth."""
+    from ccog_spark.operators.web import MULTI_SUFFIXES, TRACKING_KEYS
+
+    tk = ", ".join(f"'{k}'" for k in TRACKING_KEYS)
+    sfx = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    'HTTPS://' || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+    source ||
+    CASE WHEN LENGTH(source) % 2 = 1 THEN '.Example.co.uk' ELSE '.Example.COM' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+    '/Docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+    CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&ref=rss&a=1'
+         WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS u
+  FROM documents
+), s0 AS (
+  SELECT doc_id,
+         CASE WHEN contains(split_part(trim(u), '#', 1), '://')
+              THEN split_part(trim(u), '#', 1)
+              ELSE 'http://' || split_part(trim(u), '#', 1) END AS u
+  FROM raw
+), s1 AS (
+  SELECT doc_id, lower(split_part(u, '://', 1)) AS scheme,
+         split_part(u, '://', 2) AS rest
+  FROM s0
+), s2 AS (
+  SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
+         substr(rest, LENGTH(split_part(split_part(rest, '/', 1), '?', 1)) + 1) AS pq
+  FROM s1
+), s3 AS (
+  SELECT *, split_part(pq, '?', 1) AS path0,
+         CASE WHEN contains(pq, '?') THEN split_part(pq, '?', 2) ELSE '' END AS q0,
+         regexp_replace(lower(hostport), '^www\\.', '') AS h0
+  FROM s2
+), s4 AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(h0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(h0, ':443$', '')
+              ELSE h0 END AS host,
+         CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path0, '/+$', '') END AS path,
+         COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+           p -> p <> '' AND NOT starts_with(p, 'utm_')
+                AND split_part(p, '=', 1) NOT IN ({tk}))), '&'), '') AS qs
+  FROM s3
+), c AS (
+  SELECT doc_id,
+         scheme || '://' || host || path ||
+         CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url
+  FROM s4
+), g AS (
+  SELECT url, MIN(doc_id) AS keeper, COUNT(*) AS n_raw
+  FROM c GROUP BY url
+), h AS (
+  SELECT *, split_part(split_part(split_part(url, '://', 2), '/', 1), '?', 1) AS host,
+         string_split(split_part(split_part(split_part(url, '://', 2), '/', 1), '?', 1), '.') AS ll
+  FROM g
+)
+SELECT url, keeper, n_raw, host,
+       CASE WHEN len(ll) <= 2 THEN host
+            WHEN array_to_string(ll[GREATEST(len(ll) - 1, 1):len(ll)], '.') IN ({sfx})
+            THEN array_to_string(ll[GREATEST(len(ll) - 2, 1):len(ll)], '.')
+            ELSE array_to_string(ll[GREATEST(len(ll) - 1, 1):len(ll)], '.') END AS domain
+FROM h
+ORDER BY url
+"""
+
+
+PIPELINE_ORACLE["pipeline_urls"] = _urls_sql()

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ccog_spark.catalog import load_table
 from ccog_spark.functions.vectors import dot, norm
-from ccog_spark.operators import dedup, multimodal, sharding, similarity, text
+from ccog_spark.operators import dedup, multimodal, sharding, similarity, text, web
 from ccog_spark.operators.asof import asof_join_union
 
 EMB_DIM = 64  # fixture embedding dimension (asserted in tests)
@@ -444,4 +444,55 @@ def pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.chunk_documents(docs, chunk=64, stride=48).orderBy(
         "doc_id", "chunk_idx"
+    )
+
+
+def _synth_url() -> F.Column:
+    """Deterministic messy URL per document row (doc_id, source):
+    mixed-case scheme/host, www. on every 4th, explicit :443 on every
+    7th, tracking params + unsorted keys on every 3rd≡0, the same
+    params clean on 3rd≡1, a fragment on every 5th, and a ccTLD
+    second-level suffix when len(source) is odd. Designed so distinct
+    raw spellings collapse under canonicalization (≡0 and ≡1 rows
+    with equal (source, doc_id%50) become ONE canonical URL)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(F.length("source") % 2 == 1, F.lit(".Example.co.uk")).otherwise(
+            F.lit(".Example.COM")
+        ),
+        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (d % 50).cast("string"),
+        F.when(d % 3 == 0, F.lit("/?utm_source=feed&b=2&ref=rss&a=1"))
+        .when(d % 3 == 1, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+def pipeline_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators.web): canonicalize deterministic
+    messy URLs, keep-first per canonical form, annotate host +
+    registered domain. Pure JVM expressions end-to-end; the one
+    shuffle is the groupBy on the canonical key. Oracle replays every
+    rule with DuckDB string/list functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = web.url_dedup(
+        docs.select("doc_id", _synth_url().alias("raw_url")),
+        "raw_url",
+        "doc_id",
+    )
+    host = web.url_host(F.col("url"))
+    return (
+        deduped.select(
+            "url",
+            "keeper",
+            "n_raw",
+            host.alias("host"),
+            web.registered_domain(host).alias("domain"),
+        )
+        .orderBy("url")
     )

@@ -202,6 +202,11 @@ REGISTRY: dict[str, QueryFn] = {
     # stream_dedup above fold); final state hash-matches the batch
     # GROUP BY oracle
     "stream_stateful": streaming_corpus.stream_stateful,
+    # round 6: URL canonicalization + URL-level keep-first dedup +
+    # registered-domain extraction (operators/web.py) — beyond-
+    # inventory web-pipeline stage; E25 string-fn family carries the
+    # driver row (q13). Pure JVM expressions, full-rule DuckDB oracle.
+    "pipeline_urls": pipeline.pipeline_urls,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

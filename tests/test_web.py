@@ -1,0 +1,97 @@
+"""operators/web.py: URL canonicalization rules, host/domain
+extraction, keep-first URL dedup. Edge cases a corpus row can't
+reach (scheme-less URLs, wrong-scheme ports, idempotence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccog_spark.operators import web
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    return [
+        r.c
+        for r in df.select(
+            web.canonicalize_url(F.col("u")).alias("c")
+        ).collect()
+    ]
+
+
+def test_canonicalize_rules(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+            "http://example.com:80/",
+            "http://example.com:8080/x",   # non-default port kept
+            "https://example.com:80/x",    # :80 is NOT https default
+            "example.com/path",            # scheme-less → http
+            "https://example.com/a?gclid=1&fbclid=2&ref=r&z=9",
+            "https://example.com",         # empty path → /
+            "https://example.com/a//",     # multi trailing slash
+        ],
+    )
+    assert got == [
+        "https://example.com/a/b?a=1&b=2",
+        "http://example.com/",
+        "http://example.com:8080/x",
+        "https://example.com:80/x",
+        "http://example.com/path",
+        "https://example.com/a?z=9",
+        "https://example.com/",
+        "https://example.com/a",
+    ]
+
+
+def test_canonicalize_idempotent(spark):
+    raw = [
+        "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+        "example.com/path?ref=x",
+        "http://sub.www-like.co.uk/p/?q=1",
+    ]
+    once = _canon(spark, raw)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_url_host_and_registered_domain(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://WWW.News.BBC.co.uk/story",),
+            ("http://a.b.example.com:80/x",),
+            ("https://example.com/",),
+            ("https://localhost/x",),
+        ],
+        ["u"],
+    )
+    rows = df.select(
+        web.url_host(F.col("u")).alias("h"),
+        web.registered_domain(web.url_host(F.col("u"))).alias("d"),
+    ).collect()
+    assert [(r.h, r.d) for r in rows] == [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+    ]
+
+
+def test_url_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a?b=2&a=1"),
+            (2, "HTTPS://WWW.example.com/a/?a=1&b=2&utm_x=9"),
+            (3, "https://example.com/other"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = {
+        r.url: (r.keeper, r.n_raw)
+        for r in web.url_dedup(df, "url", "doc_id").collect()
+    }
+    assert out == {
+        "https://example.com/a?a=1&b=2": (1, 2),
+        "https://example.com/other": (3, 1),
+    }
