@@ -175,3 +175,40 @@ def test_simhash_column_matches_dataframe_api(spark):
     b = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh"))
     diff = a.join(b, "doc_id").where(a.sh != b.sh).count()
     assert diff == 0
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from ccog_spark.catalog import load_table
+    from ccog_spark.sources.tabular import read_orc, write_orc
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
+    # filter must reach the ORC scan (PushedFilters in the plan)
+    plan = (
+        back.filter("n_regionkey = 2")
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,2)]" in plan
+
+
+def test_orc_partitioned_prunes(spark, tmp_path):
+    from ccog_spark.catalog import load_table
+    from ccog_spark.sources.tabular import read_orc, write_orc
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "nation")
+    path = str(tmp_path / "nation_orc_part")
+    write_orc(src, path, partition_cols=["n_regionkey"])
+    back = read_orc(spark, path).filter("n_regionkey = 1")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert back.count() == src.filter("n_regionkey = 1").count()
