@@ -106,3 +106,64 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert rows[(2, 0)].n_tok == 1
     with pt.raises(ValueError, match="stride"):
         chunk_documents(docs, chunk=8, stride=9)
+
+
+def test_bloom_decontam_superset_of_exact(spark):
+    """Bloom flags ⊇ exact flags (no false negatives), and at the
+    fixture scale with fpp=1e-3 the two agree exactly."""
+    from ccog_spark.catalog import load_table
+    from ccog_spark.operators.decontam import (
+        contamination_flags,
+        contamination_flags_bloom,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    bench = docs.filter("doc_id % 5 = 0").limit(40)
+
+    exact = {
+        r.doc_id: r.n_shared
+        for r in contamination_flags(corpus, bench, n=3).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_shared
+        for r in contamination_flags_bloom(corpus, bench, n=3).collect()
+    }
+    assert set(bloom) == set(exact)
+    # no false negatives: every exact hit is a bloom hit, count-wise ≥
+    for did, n_exact in exact.items():
+        assert bloom[did] >= n_exact, did
+    # fixture-scale: fpp=1e-3 over ~10⁴ probes → expect near-zero FPs;
+    # assert the flag sets agree (a loose-but-meaningful bound)
+    fp_docs = sum(
+        1 for d, nb in bloom.items() if nb > 0 and exact[d] == 0
+    )
+    assert fp_docs <= len(bloom) * 0.01
+
+
+def test_bloom_fp_rate_bounded(spark):
+    """Measured FP rate on grams guaranteed absent from the filter is
+    within ~3× of the configured fpp (binomial slack)."""
+    import numpy as np
+
+    from ccog_spark.operators.decontam import _mix64, bench_bloom_filter
+
+    bench = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta{i} echo foxtrot") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    bits, m, k, n_grams = bench_bloom_filter(bench, n=3, fpp=1e-3)
+    assert n_grams > 0
+    rng = np.random.RandomState(7)
+    probes = rng.randint(1 << 40, (1 << 62), size=200_000).astype(np.int64)
+    h1 = probes.astype(np.uint64) % np.uint64(m)
+    h2 = _mix64(probes.view(np.uint64)) % np.uint64(m - 1) + np.uint64(1)
+    hit = np.ones(probes.size, dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        hit &= (
+            bits[(pos >> np.uint64(3)).astype(np.int64)]
+            >> (pos & np.uint64(7)).astype(np.uint8)
+        ) & 1 == 1
+    assert hit.mean() < 3e-3
