@@ -123,9 +123,9 @@ _JACCARD = (
 
 # Shared CTE block ending in `mpairs` (verified MinHash near-dup pairs)
 # — reused by dedup_minhash and the connected-components oracle.
-def _minhash_ctes(n: int, jaccard_min: float) -> str:
+def _minhash_ctes(n: int, jaccard_min: float, base: str = "documents") -> str:
     return f"""toks AS (
-  SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+  SELECT doc_id, text, string_split(text, ' ') AS tk FROM {base}
 ), thashes AS (
   SELECT doc_id, text, tk, {_TOKEN_HASHES} AS hs FROM toks
 ), hashes AS (
@@ -971,3 +971,63 @@ ORDER BY url
 
 
 PIPELINE_ORACLE["pipeline_urls"] = _urls_sql()
+
+
+def _e2e_sql() -> str:
+    """DuckDB twin of queries.pipeline.pipeline_e2e — the four-stage
+    hygiene pipeline composed from the SAME verified building blocks:
+    _QUALITY (pipeline_filter), md5 keep-first (dedup_exact),
+    _minhash_ctes + recursive CC (dedup_minhash / dedup_cc, re-based
+    onto the filtered corpus via the base arg), and the decontam join
+    (pipeline_decontam) reusing the pipe-side shingle hashes."""
+    return f"""
+WITH RECURSIVE qtoks AS (
+  SELECT doc_id, lang, source, n_chars, text, string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id % 97 <> 0
+), qscored AS (
+  SELECT doc_id, lang, source, text, {_QUALITY} AS quality FROM qtoks
+), qkept AS (
+  SELECT * FROM qscored WHERE quality >= 0.5
+), pipe AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep
+    FROM qkept
+  ) WHERE keep
+), {_minhash_ctes(3, 0.4, base="pipe")},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mpairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM mpairs
+), reach AS (
+  SELECT u AS doc_id, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS doc_id, r.label FROM reach r JOIN edges e ON e.u = r.doc_id
+), clusters AS (
+  SELECT doc_id, MIN(label) AS cluster FROM reach GROUP BY doc_id
+), surv AS (
+  SELECT p.* FROM pipe p LEFT JOIN clusters c USING (doc_id)
+  WHERE c.doc_id IS NULL OR c.cluster = p.doc_id
+), btoks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tk
+  FROM documents WHERE doc_id % 97 = 0
+), bthashes AS (
+  SELECT doc_id, text, tk, {_TOKEN_HASHES} AS hs FROM btoks
+), bgrams AS (
+  SELECT DISTINCT unnest({_SH_HASHES}) AS h FROM bthashes
+), contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM (SELECT h2.doc_id, unnest(h2.shh) AS h
+        FROM hashes h2 JOIN surv USING (doc_id)) s
+  JOIN bgrams b USING (h)
+), clean AS (
+  SELECT s.doc_id, s.lang, s.source, len(t.tk) AS nt
+  FROM surv s JOIN toks t USING (doc_id)
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT lang, source, COUNT(*) AS kept, CAST(SUM(nt) AS BIGINT) AS tokens
+FROM clean GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+PIPELINE_ORACLE["pipeline_e2e"] = _e2e_sql()

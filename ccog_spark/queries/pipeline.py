@@ -496,3 +496,54 @@ def pipeline_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url")
     )
+
+
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed hygiene pipeline — the full pre-training
+    cleaning pass in ONE lazy plan: quality filter → exact dedup
+    (keep-first) → MinHash-LSH near-dup removal (connected components,
+    keep cluster representative) → benchmark decontamination → final
+    per-(lang, source) corpus stats.
+
+    Every stage is the same operator the standalone corpus rows check
+    individually; this row proves they COMPOSE — the output hash
+    covers the interaction of all four stages. Scale shape: the only
+    shuffles are the dedup hash, the LSH band keys, the CC label
+    iterations (diameter-bounded on near-dup clusters), and the final
+    aggregate; corpus text never joins against itself un-blocked.
+
+    Bench set = every 97th raw doc (held out of the pipeline input);
+    flagged docs are dropped, mirroring production decontamination."""
+    from ccog_spark.operators.cluster import connected_components
+    from ccog_spark.operators.decontam import contamination_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+
+    comps = text.quality_components(F.col("text"), F.col("n_chars"))
+    kept = corpus.select(
+        "doc_id", "lang", "source", "text", comps["quality"].alias("quality")
+    ).where(F.col("quality") >= 0.5)
+    kept = dedup.exact_dedup(kept).where("is_keeper").drop("is_keeper")
+
+    pairs = dedup.minhash_lsh_pairs(kept)
+    cc = connected_components(pairs)
+    non_reps = cc.where(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    surv = kept.join(non_reps, "doc_id", "left_anti")
+
+    flags = contamination_flags(surv.select("doc_id", "text"), bench)
+    clean = surv.join(
+        flags.where(~F.col("contaminated")).select("doc_id"), "doc_id", "semi"
+    )
+
+    nt = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return (
+        clean.select("lang", "source", nt.alias("nt"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("nt").alias("tokens"),
+        )
+        .orderBy("lang", "source")
+    )

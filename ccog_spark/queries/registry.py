@@ -207,6 +207,14 @@ REGISTRY: dict[str, QueryFn] = {
     # inventory web-pipeline stage; E25 string-fn family carries the
     # driver row (q13). Pure JVM expressions, full-rule DuckDB oracle.
     "pipeline_urls": pipeline.pipeline_urls,
+    # round 6: flagship COMPOSED hygiene pipeline — quality filter →
+    # exact dedup → MinHash-CC near-dup removal → decontamination →
+    # corpus stats, one lazy plan. Stage operators each carry their
+    # own above-fold driver row (pipeline_filter, dedup_exact,
+    # dedup_minhash/dedup_cc, pipeline_decontam); this row hash-checks
+    # their COMPOSITION against a single DuckDB query built from the
+    # same verified SQL blocks.
+    "pipeline_e2e": pipeline.pipeline_e2e,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
