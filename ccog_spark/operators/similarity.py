@@ -367,7 +367,8 @@ def pq_topk(
     not produce (exact duplicates quantize identically in both). The
     sf0.001/sf0.01 hash gates check this empirically every run.
     """
-    codes, adc_kernel, qdf = _pq_machinery(corpus, queries, dim, m_blocks)
+    encode, adc_kernel, qdf = _pq_machinery(corpus, queries, dim, m_blocks)
+    codes = corpus.select("vec_id", encode(F.col("embedding")).alias("codes"))
     pairs = (
         codes.crossJoin(F.broadcast(qdf))
         .where(F.col("vec_id") != F.col("q_id"))
@@ -396,9 +397,11 @@ def _rank_adc(pairs: DataFrame, k: int) -> DataFrame:
 def _pq_machinery(
     corpus: DataFrame, queries: DataFrame, dim: int, m_blocks: int
 ):
-    """Shared PQ plumbing for pq_topk / ivfpq_topk: the encoded-codes
-    frame (map-side Arrow kernel, codebook in closure), the ADC lookup
-    kernel over (q_id, codes) rows, and the bare q_id frame."""
+    """Shared PQ plumbing for pq_topk / ivfpq_topk: the encode kernel
+    (map-side Arrow, codebook in closure — callers place it in their
+    own projection so it can fuse with sibling kernels in one
+    ArrowEvalPython pass), the ADC lookup kernel over (q_id, codes)
+    rows, and the bare q_id frame."""
     dsub = dim // m_blocks
     blocks = range(m_blocks)
     import numpy as np
@@ -452,8 +455,6 @@ def _pq_machinery(
             out[:, m] = d2.argmin(1)  # first occurrence = smallest j
         return pd.Series(list(out))
 
-    codes = corpus.select("vec_id", encode(F.col("embedding")).alias("codes"))
-
     qp = queries.select(
         F.col("q_id"),
         *[slc(F.col("q_emb"), m).alias(f"q{m}") for m in blocks],
@@ -505,7 +506,7 @@ def _pq_machinery(
         return pd.Series(acc)
 
     qdf = spark.createDataFrame([(int(q),) for q in qidx], "q_id bigint")
-    return codes, adc_kernel, qdf
+    return encode, adc_kernel, qdf
 
 
 def ivfpq_topk(
@@ -562,9 +563,6 @@ def ivfpq_topk(
         )
         return pd.Series(cent_ids[cos.argmax(1)])
 
-    cell = corpus.select(
-        "vec_id", assign(F.col("embedding")).alias("cell")
-    )
     cents = F.broadcast(centroids)
     q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
     pw = W.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cent_id"))
@@ -586,10 +584,19 @@ def ivfpq_topk(
         .where(F.col("prn") <= nprobe)
         .select("q_id", "cell")
     )
-    codes, adc_kernel, _qdf = _pq_machinery(corpus, queries, dim, m_blocks)
+    encode, adc_kernel, _qdf = _pq_machinery(corpus, queries, dim, m_blocks)
+    # FUSED map stage: cell assignment AND PQ encode evaluate in the
+    # SAME ArrowEvalPython pass over each corpus batch — one scan, one
+    # Python crossing, and no vec_id shuffle join between two derived
+    # frames (the previous spelling scanned the corpus twice and
+    # exchanged both sides to co-locate codes with cells).
+    enc = corpus.select(
+        "vec_id",
+        assign(F.col("embedding")).alias("cell"),
+        encode(F.col("embedding")).alias("codes"),
+    )
     cand = (
-        codes.join(cell, "vec_id")
-        .join(F.broadcast(probes), "cell")
+        enc.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("q_id"))
     )
     pairs = cand.select(
