@@ -70,10 +70,10 @@ def canonicalize_url(url: Column) -> Column:
         pq.contains("?"), F.substring_index(pq, "?", -1)
     ).otherwise(F.lit(""))
 
-    host = F.regexp_replace(F.lower(hostport), r"^www\.", "")
+    host = F.regexp_replace(F.lower(hostport), r"^(www\.)+", "")
     host = (
-        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        F.when(scheme == "http", F.regexp_replace(host, "(:80)+$", ""))
+        .when(scheme == "https", F.regexp_replace(host, "(:443)+$", ""))
         .otherwise(host)
     )
 
@@ -104,10 +104,10 @@ def url_host(url: Column) -> Column:
     scheme = F.lower(F.substring_index(u, "://", 1))
     rest = F.substring_index(u, "://", -1)
     hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
-    host = F.regexp_replace(F.lower(hostport), r"^www\.", "")
+    host = F.regexp_replace(F.lower(hostport), r"^(www\.)+", "")
     return (
-        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        F.when(scheme == "http", F.regexp_replace(host, "(:80)+$", ""))
+        .when(scheme == "https", F.regexp_replace(host, "(:443)+$", ""))
         .otherwise(host)
     )
 

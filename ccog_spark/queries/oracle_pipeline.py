@@ -934,12 +934,12 @@ WITH raw AS (
 ), s3 AS (
   SELECT *, split_part(pq, '?', 1) AS path0,
          CASE WHEN contains(pq, '?') THEN split_part(pq, '?', 2) ELSE '' END AS q0,
-         regexp_replace(lower(hostport), '^www\\.', '') AS h0
+         regexp_replace(lower(hostport), '^(www\\.)+', '') AS h0
   FROM s2
 ), s4 AS (
   SELECT doc_id, scheme,
-         CASE WHEN scheme = 'http' THEN regexp_replace(h0, ':80$', '')
-              WHEN scheme = 'https' THEN regexp_replace(h0, ':443$', '')
+         CASE WHEN scheme = 'http' THEN regexp_replace(h0, '(:80)+$', '')
+              WHEN scheme = 'https' THEN regexp_replace(h0, '(:443)+$', '')
               ELSE h0 END AS host,
          CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
               ELSE regexp_replace(path0, '/+$', '') END AS path,

@@ -525,7 +525,11 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = corpus.select(
         "doc_id", "lang", "source", "text", comps["quality"].alias("quality")
     ).where(F.col("quality") >= 0.5)
-    kept = dedup.exact_dedup(kept).where("is_keeper").drop("is_keeper")
+    # kept feeds three consumers (pair generation, the survivor join,
+    # and the decontam probe input) — persist once instead of
+    # recomputing quality scoring + the dedup window per consumer
+    # (registry._scoped bounds cross-query cache accumulation)
+    kept = dedup.exact_dedup(kept).where("is_keeper").drop("is_keeper").persist()
 
     pairs = dedup.minhash_lsh_pairs(kept)
     cc = connected_components(pairs)

@@ -23,6 +23,11 @@ QUERIES = [
     "ann_ivfpq",
     "multimodal_features",
     "multimodal_audio",
+    # round-6 session 2: URL dedup (pure JVM expressions — expect
+    # scan-bound linear) and the composed 4-stage hygiene pipeline
+    # (bounded by its minhash-CC stage)
+    "pipeline_urls",
+    "pipeline_e2e",
 ]
 
 

@@ -95,3 +95,24 @@ def test_url_dedup_keep_first(spark):
         "https://example.com/a?a=1&b=2": (1, 2),
         "https://example.com/other": (3, 1),
     }
+
+
+def test_canonicalize_fuzz_idempotent(spark):
+    """Property: canonicalization is idempotent and total (no nulls,
+    no exceptions) over adversarial URL-ish strings."""
+    import random
+
+    rng = random.Random(42)
+    frags = [
+        "http://", "https://", "HTTPS://", "", "www.", "WWW.", "ex.com",
+        "a.b.co.uk", ":80", ":443", ":8080", "/", "//", "/p/q", "?",
+        "a=1", "&", "utm_x=2", "ref=r", "#f", "#", "=", "x", "%20",
+    ]
+    urls = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
+        for _ in range(300)
+    ]
+    urls = [u for u in urls if u.strip()]
+    once = _canon(spark, urls)
+    assert all(c is not None for c in once)
+    assert _canon(spark, once) == once
