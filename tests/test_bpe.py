@@ -1,0 +1,72 @@
+"""operators/bpe.py: distributed-count BPE training determinism,
+encode/decode round-trip, and map-side tokenization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ccog_spark.operators import bpe
+
+
+def _docs(spark):
+    from ccog_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_train_deterministic(spark):
+    docs = _docs(spark).limit(200)
+    m1 = bpe.train_bpe(docs, n_merges=50)
+    m2 = bpe.train_bpe(docs, n_merges=50)
+    assert m1 == m2
+    assert len(m1) == 50
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b in m1)
+
+
+def test_roundtrip_exact(spark):
+    docs = _docs(spark).limit(300)
+    # sentinel must be absent from the corpus for decode to be exact
+    assert (
+        docs.where(F.col("text").contains(bpe.EOW)).count() == 0
+    )
+    merges = bpe.train_bpe(docs, n_merges=120)
+    out = bpe.tokenize(docs, merges).select("doc_id", "text", "bpe").collect()
+    assert len(out) == 300
+    for r in out:
+        norm = " ".join(w for w in r.text.split(" ") if w)
+        assert bpe.bpe_decode(r.bpe) == norm, r.doc_id
+
+
+def test_merges_compress(spark):
+    """More merges → fewer units per doc (monotone compression), and
+    every unit decomposes back to corpus characters."""
+    docs = _docs(spark).limit(200)
+    m_small = bpe.train_bpe(docs, n_merges=10)
+    m_big = bpe.train_bpe(docs, n_merges=150)
+    n_small = (
+        bpe.tokenize(docs, m_small)
+        .select(F.sum(F.size("bpe")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    n_big = (
+        bpe.tokenize(docs, m_big)
+        .select(F.sum(F.size("bpe")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert n_big < n_small
+
+
+def test_encode_word_matches_merge_order():
+    """Hand-checked micro-case: merges apply by rank, not greedily by
+    length."""
+    ranks = {("a", "b"): 0, ("ab", "c" + bpe.EOW): 1, ("b", "c" + bpe.EOW): 2}
+    assert bpe._encode_word("abc", ranks) == ["abc" + bpe.EOW]
+    # 'bc' pair exists but rank 2 > rank 0: 'ab' merges first
+    assert bpe._encode_word("abcx", {("a", "b"): 0, ("b", "c"): 1}) == [
+        "ab",
+        "c",
+        "x" + bpe.EOW,
+    ]
