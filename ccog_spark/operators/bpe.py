@@ -76,39 +76,85 @@ def train_bpe(
     # word → symbol tuple (chars + end-of-word sentinel on the last)
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
+        if EOW in r.word:
+            raise ValueError(
+                f"corpus word contains the end-of-word sentinel {EOW!r}; "
+                "clean the corpus or change EOW before training"
+            )
         syms = tuple(r.word[:-1]) + (r.word[-1] + EOW,)
         vocab[syms] = vocab.get(syms, 0) + int(r.cnt)
 
+    # Incremental trainer (what HuggingFace tokenizers / SentencePiece
+    # do): pair counts + a pair→words inverted index are maintained
+    # across merges, so each merge touches ONLY the words containing
+    # the merged pair — not the whole vocabulary — and best-pair
+    # selection is a lazy max-heap pop (stale entries re-pushed), not
+    # an O(|pairs|) scan. Selection order is identical to the naive
+    # recount-everything spelling: exact counts, ties broken on
+    # lexicographic pair order (the heap key (-cnt, pair) IS that
+    # ordering), which tests pin against a naive reference.
+    import heapq
+
+    words: list[list] = []  # [mutable syms list, cnt]
+    pairs: dict[tuple[str, str], int] = {}
+    p2w: dict[tuple[str, str], set[int]] = {}
+    for syms, cnt in vocab.items():
+        wi = len(words)
+        words.append([list(syms), cnt])
+        for p in zip(syms, syms[1:]):
+            pairs[p] = pairs.get(p, 0) + cnt
+            p2w.setdefault(p, set()).add(wi)
+
+    heap = [(-c, p) for p, c in pairs.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for syms, cnt in vocab.items():
-            for a, b in zip(syms, syms[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    while len(merges) < n_merges and heap:
+        nc, best = heapq.heappop(heap)
+        cur = pairs.get(best, 0)
+        if cur <= 0:
+            continue
+        if -nc != cur:  # stale entry — re-push with the live count
+            heapq.heappush(heap, (-cur, best))
+            continue
         merges.append(best)
         merged = best[0] + best[1]
-        nv: dict[tuple[str, ...], int] = {}
-        for syms, cnt in vocab.items():
-            out = []
-            i = 0
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and syms[i] == best[0]
-                    and syms[i + 1] == best[1]
-                ):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
-            nv[key] = nv.get(key, 0) + cnt
-        vocab = nv
+        touched: set[tuple[str, str]] = set()
+        for wi in list(p2w.get(best, ())):
+            syms, cnt = words[wi]
+            for p in zip(syms, syms[1:]):
+                pairs[p] -= cnt
+                touched.add(p)
+                s = p2w.get(p)
+                if s is not None:
+                    s.discard(wi)
+            new = _merge_word(syms, best, merged)
+            words[wi][0] = new
+            for p in zip(new, new[1:]):
+                pairs[p] = pairs.get(p, 0) + cnt
+                touched.add(p)
+                p2w.setdefault(p, set()).add(wi)
+        for p in touched:
+            c = pairs.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
+
+
+def _merge_word(
+    syms: list[str], best: tuple[str, str], merged: str
+) -> list[str]:
+    """One left-to-right merge pass (the canonical greedy rewrite:
+    'aaa' with ('a','a') → ['aa', 'a'])."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -143,8 +189,15 @@ def bpe_encode_kernel(merges: list[tuple[str, str]]):
         cache: dict[str, list[str]] = {}
         out = []
         for t in texts:
+            t = t or ""
+            if EOW in t:
+                raise ValueError(
+                    f"text contains the end-of-word sentinel {EOW!r}; "
+                    "decode would be ambiguous — clean the corpus or "
+                    "change EOW"
+                )
             toks: list[str] = []
-            for w in (t or "").split(" "):
+            for w in t.split(" "):
                 if not w:
                     continue
                 enc = cache.get(w)

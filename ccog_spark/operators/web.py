@@ -53,29 +53,45 @@ def _with_scheme(u: Column) -> Column:
     return F.when(u.contains("://"), u).otherwise(F.concat(F.lit("http://"), u))
 
 
-def canonicalize_url(url: Column) -> Column:
-    """Canonical form of an absolute http(s) URL (rules above).
+def _scheme_host_rest(url: Column) -> tuple[Column, Column, Column]:
+    """Shared parse: (scheme, canonical host, rest-after-authority).
 
-    Pure Column expression — composes into any select/filter and
-    stays inside whole-stage codegen.
-    """
+    Splits at the FIRST '://' — a '://' later in the string (redirect
+    URLs like /r?url=https://other.com are ubiquitous in crawls)
+    belongs to the path/query, not the authority. Single source of
+    truth for canonicalize_url and url_host so the two can never
+    desynchronize."""
     u = _with_scheme(F.substring_index(F.trim(url), "#", 1))
     scheme = F.lower(F.substring_index(u, "://", 1))
-    rest = F.substring_index(u, "://", -1)
+    # everything after the FIRST '://' (scheme is the text before it,
+    # so the remainder starts at len(scheme) + 4, 1-indexed)
+    rest = u.substr(F.length(scheme) + F.lit(4), F.lit(1 << 30))
     hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
-    # path+query = rest minus the hostport prefix
-    pq = rest.substr(F.length(hostport) + F.lit(1), F.lit(1 << 30))
-    path_raw = F.substring_index(pq, "?", 1)
-    query_raw = F.when(
-        pq.contains("?"), F.substring_index(pq, "?", -1)
-    ).otherwise(F.lit(""))
-
     host = F.regexp_replace(F.lower(hostport), r"^(www\.)+", "")
     host = (
         F.when(scheme == "http", F.regexp_replace(host, "(:80)+$", ""))
         .when(scheme == "https", F.regexp_replace(host, "(:443)+$", ""))
         .otherwise(host)
     )
+    # path+query = rest minus the hostport prefix
+    pq = rest.substr(F.length(hostport) + F.lit(1), F.lit(1 << 30))
+    return scheme, host, pq
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL (rules above).
+
+    Pure Column expression — composes into any select/filter and
+    stays inside whole-stage codegen.
+    """
+    scheme, host, pq = _scheme_host_rest(url)
+    path_raw = F.substring_index(pq, "?", 1)
+    # query = everything after the FIRST '?' (a later '?' is part of a
+    # query value, not a new query string)
+    query_raw = F.when(
+        pq.contains("?"),
+        pq.substr(F.length(path_raw) + F.lit(2), F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
 
     path = F.regexp_replace(path_raw, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -100,16 +116,8 @@ def canonicalize_url(url: Column) -> Column:
 def url_host(url: Column) -> Column:
     """Canonical host of a URL (lowercased, ``www.``/default-port
     stripped). Idempotent on already-canonical URLs."""
-    u = _with_scheme(F.substring_index(F.trim(url), "#", 1))
-    scheme = F.lower(F.substring_index(u, "://", 1))
-    rest = F.substring_index(u, "://", -1)
-    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
-    host = F.regexp_replace(F.lower(hostport), r"^(www\.)+", "")
-    return (
-        F.when(scheme == "http", F.regexp_replace(host, "(:80)+$", ""))
-        .when(scheme == "https", F.regexp_replace(host, "(:443)+$", ""))
-        .otherwise(host)
-    )
+    _scheme, host, _pq = _scheme_host_rest(url)
+    return host
 
 
 def registered_domain(host: Column) -> Column:

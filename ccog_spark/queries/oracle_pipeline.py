@@ -925,7 +925,7 @@ WITH raw AS (
   FROM raw
 ), s1 AS (
   SELECT doc_id, lower(split_part(u, '://', 1)) AS scheme,
-         split_part(u, '://', 2) AS rest
+         substr(u, LENGTH(split_part(u, '://', 1)) + 4) AS rest
   FROM s0
 ), s2 AS (
   SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport,
@@ -933,7 +933,8 @@ WITH raw AS (
   FROM s1
 ), s3 AS (
   SELECT *, split_part(pq, '?', 1) AS path0,
-         CASE WHEN contains(pq, '?') THEN split_part(pq, '?', 2) ELSE '' END AS q0,
+         CASE WHEN contains(pq, '?')
+              THEN substr(pq, LENGTH(split_part(pq, '?', 1)) + 2) ELSE '' END AS q0,
          regexp_replace(lower(hostport), '^(www\\.)+', '') AS h0
   FROM s2
 ), s4 AS (

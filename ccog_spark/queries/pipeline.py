@@ -485,6 +485,10 @@ def pipeline_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_url",
         "doc_id",
     )
+    # host appears twice (column + registered_domain input); Catalyst
+    # does not CSE inside expression trees, but this projection runs
+    # AFTER the group-by — rows here are unique canonical URLs, not
+    # corpus rows, so the duplicated parse is index-sized work
     host = web.url_host(F.col("url"))
     return (
         deduped.select(

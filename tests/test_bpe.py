@@ -70,3 +70,56 @@ def test_encode_word_matches_merge_order():
         "c",
         "x" + bpe.EOW,
     ]
+
+
+def _naive_train(word_cnt: dict[str, int], n_merges: int):
+    """Reference recount-everything trainer (textbook spelling) — the
+    incremental heap trainer must select the identical merge list."""
+    vocab = {}
+    for w, c in word_cnt.items():
+        syms = tuple(w[:-1]) + (w[-1] + bpe.EOW,)
+        vocab[syms] = vocab.get(syms, 0) + c
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, cnt in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nv = {}
+        for syms, cnt in vocab.items():
+            key = tuple(bpe._merge_word(list(syms), best, merged))
+            nv[key] = nv.get(key, 0) + cnt
+        vocab = nv
+    return merges
+
+
+def test_incremental_matches_naive(spark):
+    docs = _docs(spark).limit(150)
+    wc = {
+        r.word: int(r.cnt)
+        for r in bpe.word_counts(docs).collect()
+    }
+    assert _naive_train(wc, 80) == bpe.train_bpe(docs, n_merges=80)
+
+
+def test_sentinel_rejected(spark):
+    bad = spark.createDataFrame(
+        [(1, f"oops{bpe.EOW}token here")], ["doc_id", "text"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sentinel"):
+        bpe.train_bpe(bad, n_merges=5)
+    import py4j.protocol
+    from pyspark.errors import PythonException
+
+    good_merges = [("h", "e")]
+    with _pytest.raises(
+        (PythonException, py4j.protocol.Py4JJavaError)
+    ):
+        bpe.tokenize(bad, good_merges).collect()

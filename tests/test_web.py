@@ -31,6 +31,10 @@ def test_canonicalize_rules(spark):
             "https://example.com/a?gclid=1&fbclid=2&ref=r&z=9",
             "https://example.com",         # empty path → /
             "https://example.com/a//",     # multi trailing slash
+            # embedded absolute URL: authority = FIRST '://' segment
+            "https://ex.com/redirect?url=https://other.com/x",
+            # second '?' belongs to the query VALUE, not a new query
+            "https://ex.com/p?a=1?b=2",
         ],
     )
     assert got == [
@@ -42,6 +46,8 @@ def test_canonicalize_rules(spark):
         "https://example.com/a?z=9",
         "https://example.com/",
         "https://example.com/a",
+        "https://ex.com/redirect?url=https://other.com/x",
+        "https://ex.com/p?a=1?b=2",
     ]
 
 
