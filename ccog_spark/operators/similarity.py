@@ -554,6 +554,23 @@ def ivfpq_topk(
     cent_ids = np.array([r.cent_id for r in cent_rows], "i8")
     cmat = np.array([[float(x) for x in r.c_emb] for r in cent_rows], "f8")
     cnrm = np.array([r.c_nrm for r in cent_rows], "f8")
+    # Rebuild the centroid frame from the collected rows (bit-identical
+    # values — float32 round-trips exactly through the f8 matrix)
+    # instead of reusing the filtered-corpus frame. Two wins: the
+    # probes branch stops rescanning the corpus for centroid selection,
+    # and — the important one — the `vec_id % stride == 1` constraint
+    # no longer rides on the frame, so InferFiltersFromConstraints
+    # cannot propagate `(cell % stride) = 1` through the probe join
+    # onto the corpus side, which materialized as a SECOND full-corpus
+    # ArrowEvalPython assign pass just to evaluate an inferred filter
+    # the join already implies (observed in the sf0.1 plan).
+    centroids = corpus.sparkSession.createDataFrame(
+        [
+            (int(i), [float(x) for x in row], float(n))
+            for i, row, n in zip(cent_ids, cmat, cnrm)
+        ],
+        "cent_id long, c_emb array<float>, c_nrm double",
+    )
 
     @pandas_udf("long")
     def assign(col: pd.Series) -> pd.Series:
@@ -590,9 +607,15 @@ def ivfpq_topk(
     # Python crossing, and no vec_id shuffle join between two derived
     # frames (the previous spelling scanned the corpus twice and
     # exchanged both sides to co-locate codes with cells).
+    # coalesce makes the join key statically non-nullable: without it
+    # the inner probe join pushes an isnotnull(cell) predicate BELOW
+    # this projection, and because cell is a UDF output that pushed
+    # filter materializes as its own full-corpus ArrowEvalPython pass
+    # (assign evaluated twice — observed in the sf0.1 plan). assign
+    # never returns null, so the sentinel branch is dead.
     enc = corpus.select(
         "vec_id",
-        assign(F.col("embedding")).alias("cell"),
+        F.coalesce(assign(F.col("embedding")), F.lit(-1)).alias("cell"),
         encode(F.col("embedding")).alias("codes"),
     )
     cand = (
