@@ -288,17 +288,25 @@ def lsh_topk(
     band_keys_arrow uses hyperplanes 0..N_PLANES-1 — the same planes as
     bucket_key, bit-identically; see band_keys_arrow)."""
     bkt_udf = band_keys_arrow(dim, n_tables=1, bits=N_PLANES)
+    # coalesce: the bucket join key must be statically non-nullable or
+    # the inner join pushes isnotnull(bkt) below the projection, and a
+    # UDF-output filter materializes as a SECOND full-corpus Arrow
+    # pass (same planner trap as ivfpq_topk's cell key)
     c = corpus.select(
         "vec_id",
         "embedding",
         norm(F.col("embedding")).alias("nrm"),
-        F.element_at(bkt_udf(F.col("embedding")), 1).alias("bkt"),
+        F.coalesce(
+            F.element_at(bkt_udf(F.col("embedding")), 1), F.lit(-1)
+        ).alias("bkt"),
     )
     q = queries.select(
         "q_id",
         "q_emb",
         norm(F.col("q_emb")).alias("qn"),
-        F.element_at(bkt_udf(F.col("q_emb")), 1).alias("bkt"),
+        F.coalesce(
+            F.element_at(bkt_udf(F.col("q_emb")), 1), F.lit(-1)
+        ).alias("bkt"),
     )
     pairs = c.join(F.broadcast(q), "bkt").where(
         F.col("vec_id") != F.col("q_id")
