@@ -236,3 +236,74 @@ def tokenize(
     except ImportError:  # pragma: no cover - older pyspark
         pass
     return docs.withColumn(out, bpe_encode_kernel(merges)(F.col(text_col)))
+
+
+def vocabulary(merges: list[tuple[str, str]]) -> list[str]:
+    """Deterministic id→unit vocabulary implied by a merge list:
+    single characters + sentinel-terminated characters are discovered
+    from the merges' own symbols, then merged symbols in rank order.
+    Sorted base alphabet first so ids are stable for a given merge
+    list (the artifact a tokenizer ships is (merges, vocab))."""
+    base: set[str] = set()
+    for a, b in merges:
+        for sym in (a, b):
+            # a merge operand is either a base symbol or an earlier
+            # merge result; earlier results are handled below
+            base.add(sym)
+    produced = {a + b for a, b in merges}
+    alphabet = sorted(base - produced)
+    return alphabet + [a + b for a, b in merges]
+
+
+def tokenize_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out: str = "ids",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Add an array<int> token-id column — the artifact a pretraining
+    pipeline actually materializes. Ids index ``vocabulary(merges)``;
+    units outside the vocabulary (characters never seen during
+    training) map to ``unk_id``. Same single-map-stage shape as
+    ``tokenize``: the id table rides in the closure."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        from ccog_spark.operators import bpe as _self
+
+        register_pickle_by_value(_self)
+    except ImportError:  # pragma: no cover - older pyspark
+        pass
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    ids = {u: i for i, u in enumerate(vocabulary(merges))}
+
+    @pandas_udf("array<int>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[int]] = {}
+        out_rows = []
+        for t in texts:
+            t = t or ""
+            if EOW in t:
+                raise ValueError(
+                    f"text contains the end-of-word sentinel {EOW!r}"
+                )
+            row: list[int] = []
+            for w in t.split(" "):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = [
+                        ids.get(u, unk_id) for u in _encode_word(w, ranks)
+                    ]
+                    cache[w] = got
+                row.extend(got)
+            out_rows.append(row)
+        return pd.Series(out_rows)
+
+    return docs.withColumn(out, enc(F.col(text_col)))

@@ -208,3 +208,31 @@ def stratified_sample(
     for g, p in sorted(rates.items()):
         cutoff = F.when(F.col(group_col) == g, F.lit(p)).otherwise(cutoff)
     return df.where(h % 100 < cutoff)
+
+
+def quota_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key_col`` value, chosen
+    deterministically by ascending ``order_col`` — the anti-spam
+    quota pass of web-pipeline sampling (RefinedWeb/C4-style: a
+    handful of hosts contribute millions of near-identical pages;
+    capping per registered domain bounds any one site's share of the
+    corpus).
+
+    Plan: one shuffle on the key + a rank-limited window
+    (WindowGroupLimit pushes the cap below the sort at the partial
+    level, so no group ever materializes more than ``cap`` rows per
+    partition before the exchange). Skewed keys are exactly the
+    motivating case: the heaviest domain is the one being truncated,
+    and the partial limit truncates it map-side BEFORE the shuffle.
+    """
+    w = W.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

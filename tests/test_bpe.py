@@ -123,3 +123,32 @@ def test_sentinel_rejected(spark):
         (PythonException, py4j.protocol.Py4JJavaError)
     ):
         bpe.tokenize(bad, good_merges).collect()
+
+
+def test_tokenize_ids_roundtrip(spark):
+    docs = _docs(spark).limit(150)
+    merges = bpe.train_bpe(docs, n_merges=100)
+    vocab = bpe.vocabulary(merges)
+    assert len(set(vocab)) == len(vocab)  # ids unambiguous
+    joined = (
+        bpe.tokenize(docs, merges)
+        .select("doc_id", "bpe")
+        .join(
+            bpe.tokenize_ids(docs, merges).select("doc_id", "ids"), "doc_id"
+        )
+        .collect()
+    )
+    for r in joined:
+        assert len(r.bpe) == len(r.ids), r.doc_id
+        # every unit the encoder emits on its own training corpus is
+        # in-vocabulary, and ids decode back to the same units
+        assert all(i >= 0 for i in r.ids), r.doc_id
+        assert [vocab[i] for i in r.ids] == r.bpe, r.doc_id
+
+
+def test_tokenize_ids_unk(spark):
+    merges = [("a", "b")]
+    df = spark.createDataFrame([(1, "ab zz")], ["doc_id", "text"])
+    row = bpe.tokenize_ids(df, merges).collect()[0]
+    # 'zz' chars were never seen in any merge → unk
+    assert -1 in row.ids

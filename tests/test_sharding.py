@@ -114,3 +114,27 @@ def test_prefix_sum_second_tree_level(spark, monkeypatch):
         ).collect()
     }
     assert got == want
+
+
+def test_quota_per_key(spark):
+    from ccog_spark.operators.sharding import quota_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"dom{i % 3}") for i in range(30)], ["doc_id", "domain"]
+    )
+    out = quota_per_key(df, "domain", cap=4).collect()
+    assert len(out) == 12
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    # deterministic keep-first by doc_id within each domain
+    assert sorted(by_dom["dom0"]) == [0, 3, 6, 9]
+    assert sorted(by_dom["dom1"]) == [1, 4, 7, 10]
+    # plan uses the rank-limited window (partial WindowGroupLimit)
+    plan = (
+        quota_per_key(df, "domain", cap=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
