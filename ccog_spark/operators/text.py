@@ -257,3 +257,46 @@ def chunk_documents(
             ).alias("h"),
         )
     )
+
+
+def hashed_tfidf(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick sparse TF-IDF featurization: (doc, bucket, tf,
+    weight) rows — the LONG form of a ``n_buckets``-dim document
+    vector, which is the representation that scales (a dense
+    fixed-width array column carries n_buckets cells per doc; the
+    sparse form carries only occupied buckets and feeds either a
+    dense assembler or a similarity join directly).
+
+    Plan: explode tokens (map-side), hash to buckets with the
+    engine-portable rolling hash, one groupBy (doc, bucket) for TF,
+    one bucket-level aggregate for DF (n_buckets rows — broadcast
+    back). The IDF here is the RATIONAL variant (N+1)/(df+1) rather
+    than ln((N+1)/(df+1))+1: identical ordering information, but pure
+    rational double arithmetic replays bit-identically in any engine
+    (ln's last-ulp differs across libm implementations, which would
+    poison a hash-gated oracle); production consumers can post-map ln
+    over the returned ratio. Weight quantization uses the half-up
+    integer spelling (floor(x*1e4 + 0.5)) — the repo-wide rule for
+    cross-engine float rounding.
+    """
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).where(F.col("t") != "")
+    tf = (
+        toks.withColumn("bucket", roll_hash(F.col("t")) % n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_b = tf.groupBy("bucket").agg(F.count("*").alias("df"))
+    raw = F.col("tf") * ((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    w = F.floor(raw * 10000 + F.lit(0.5)).cast("bigint") / F.lit(10000.0)
+    return (
+        tf.join(F.broadcast(df_b), "bucket")
+        .select(id_col, "bucket", "tf", w.alias("w"))
+    )

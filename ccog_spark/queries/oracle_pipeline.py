@@ -1032,3 +1032,24 @@ ORDER BY lang, source
 
 
 PIPELINE_ORACLE["pipeline_e2e"] = _e2e_sql()
+
+
+PIPELINE_ORACLE["pipeline_tfidf"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), tb AS (
+  SELECT doc_id, {roll_hash_sql_duckdb('t')} % 64 AS bucket
+  FROM toks WHERE t <> ''
+), tf AS (
+  SELECT doc_id, bucket, COUNT(*) AS tf FROM tb GROUP BY doc_id, bucket
+), dfb AS (
+  SELECT bucket, COUNT(*) AS df FROM tf GROUP BY bucket
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+)
+SELECT tf.doc_id, tf.bucket, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(FLOOR(tf.tf * ((n.n + 1.0) / (dfb.df + 1.0)) * 10000 + 0.5)
+            AS BIGINT) / 10000.0 AS w
+FROM tf JOIN dfb USING (bucket) CROSS JOIN n
+ORDER BY doc_id, bucket
+"""

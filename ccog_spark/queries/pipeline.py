@@ -555,3 +555,14 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse TF-IDF (operators.text.hashed_tfidf):
+    long-form (doc, bucket, tf, weight) document vectors. Two
+    shuffles total (TF group, bucket-DF group), DF broadcast back.
+    The oracle replays token hashing, bucketing, and the rational-IDF
+    weight exactly (see the operator docstring for why rational, not
+    ln)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hashed_tfidf(docs).orderBy("doc_id", "bucket")

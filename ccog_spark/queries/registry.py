@@ -215,6 +215,11 @@ REGISTRY: dict[str, QueryFn] = {
     # their COMPOSITION against a single DuckDB query built from the
     # same verified SQL blocks.
     "pipeline_e2e": pipeline.pipeline_e2e,
+    # round 6: hashing-trick sparse TF-IDF featurization (text →
+    # long-form document vectors; operators/text.py::hashed_tfidf) —
+    # E37-family text featurization (text_analysis carries the driver
+    # row); rational-IDF for bit-exact cross-engine replay.
+    "pipeline_tfidf": pipeline.pipeline_tfidf,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
