@@ -105,6 +105,12 @@ def make_decode_kernel():
                 (h,) = struct.unpack_from("<i", payload, 22)
                 (bpp,) = struct.unpack_from("<H", payload, 28)
                 return w, abs(h), bpp // 8, "bmp"
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                # IHDR body sits at a fixed offset after the signature
+                (w,) = struct.unpack_from(">I", payload, 16)
+                (h,) = struct.unpack_from(">I", payload, 20)
+                ct = payload[25]
+                return w, h, {0: 1, 2: 3, 6: 4}[ct], "png"
             raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
         for pdf in it:
@@ -197,6 +203,8 @@ def decode_pixels(payload: bytes):
         if h > 0:
             rows = rows[::-1]
         return rows[:, :, ::-1]  # BGR -> RGB
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
 
@@ -508,3 +516,169 @@ def audio_features(audio: DataFrame) -> DataFrame:
     return audio.select("doc_id", "payload").mapInPandas(
         make_audio_features_kernel(), AUDIO_FEATURES_SCHEMA
     )
+
+
+# --------------------------------------------------------- PNG support
+# Real PNG (ISO/IEC 15948): zlib-compressed IDAT, per-scanline filters.
+# 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), non-interlaced
+# — the overwhelming majority of crawled PNGs. Not used by the
+# oracle-replayed corpus fixtures (zlib output is not SQL-replayable);
+# decode_pixels dispatches on the PNG signature so pipelines holding
+# real PNG payloads flow through the same feature/resize kernels.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(
+    arr, color_type: int = 2, filters: list[int] | None = None
+) -> bytes:
+    """Minimal PNG encoder (fixture/test source): ``arr`` is
+    (h, w) for gray or (h, w, C) uint8; ``filters`` optionally fixes
+    the per-row filter type (0..4) — tests use this to exercise every
+    unfilter path. Default: filter 0 everywhere."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    assert ch == _PNG_CHANNELS[color_type], (ch, color_type)
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.uint8)
+    for y in range(h):
+        row = a[y].reshape(-1)
+        f = filters[y % len(filters)] if filters else 0
+        raw.append(f)
+        if f == 0:
+            out = row
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            out = (row.astype(np.int16) - left).astype(np.uint8)
+        elif f == 2:  # Up
+            out = (row.astype(np.int16) - prev).astype(np.uint8)
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            avg = (left.astype(np.int16) + prev.astype(np.int16)) // 2
+            out = (row.astype(np.int16) - avg).astype(np.uint8)
+        else:  # 4 Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            out = (
+                row.astype(np.int16) - _paeth(left, prev, ul).astype(np.int16)
+            ).astype(np.uint8)
+        raw += out.tobytes()
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        import zlib as z
+
+        crc = z.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a, b, c):
+    """Paeth predictor, vectorized (PNG spec §9.4: nearest of
+    left/up/up-left to the linear gradient a + b - c)."""
+    import numpy as np
+
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes):
+    """Real PNG decode → (h, w, 3) uint8 RGB: chunk walk with length
+    validation, zlib inflate of concatenated IDAT, per-scanline
+    unfiltering (all five filter types). Gray expands to RGB; alpha is
+    dropped (payload pipelines carry RGB through features/resize)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, end = 8, len(payload)
+    w = h = color_type = None
+    idat = bytearray()
+    while pos + 8 <= end:
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + ln > end:
+            raise ValueError(f"truncated chunk {tag!r}")
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in _PNG_CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color_type={color_type}"
+                )
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = rows[y, 0]
+        line = rows[y, 1:].astype(np.int16)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f in (1, 3, 4):  # sequential left-dependent filters
+            rec = np.zeros(stride, np.int16)
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                up = int(prev[i])
+                if f == 1:
+                    rec[i] = line[i] + (left & 0xFF)
+                elif f == 3:
+                    rec[i] = line[i] + (((left & 0xFF) + up) >> 1)
+                else:
+                    ul = int(prev[i - ch]) if i >= ch else 0
+                    la = left & 0xFF
+                    p = la + up - ul
+                    pa, pb, pc = abs(p - la), abs(p - up), abs(p - ul)
+                    pred = la if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    rec[i] = line[i] + pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = (rec & 0xFF).astype(np.uint8)
+        prev = out[y]
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 4:
+        return px[:, :, :3].copy()
+    return px
