@@ -111,6 +111,24 @@ def make_decode_kernel():
                 (h,) = struct.unpack_from(">I", payload, 20)
                 ct = payload[25]
                 return w, h, {0: 1, 2: 3, 6: 4}[ct], "png"
+            if payload[:2] == b"\xff\xd8":  # JPEG: scan for SOF0
+                pos = 2
+                while pos + 4 <= len(payload):
+                    if payload[pos] != 0xFF:
+                        pos += 1
+                        continue
+                    m = payload[pos + 1]
+                    if m == 0xC0:
+                        (hh,) = struct.unpack_from(">H", payload, pos + 5)
+                        (ww,) = struct.unpack_from(">H", payload, pos + 7)
+                        nc = payload[pos + 9]
+                        return ww, hh, nc, "jpeg"
+                    if m in (0xD8, 0xD9, 0x01) or 0xD0 <= m <= 0xD7:
+                        pos += 2
+                        continue
+                    (ln,) = struct.unpack_from(">H", payload, pos + 2)
+                    pos += 2 + ln
+                raise ValueError("JPEG stream without SOF0")
             raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
         for pdf in it:
@@ -205,6 +223,8 @@ def decode_pixels(payload: bytes):
         return rows[:, :, ::-1]  # BGR -> RGB
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        return decode_jpeg_gray(payload)
     raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
 
@@ -213,8 +233,13 @@ def _register_self_by_value() -> None:
         from pyspark.cloudpickle import register_pickle_by_value
 
         from ccog_spark.operators import multimodal as _self
+        from ccog_spark.raster import jpegcodec as _jc
 
         register_pickle_by_value(_self)
+        # decode_jpeg_gray references the raster JPEG codec — ship it
+        # too so import-less workers resolve it (same registry as
+        # codecs.register_worker_modules)
+        register_pickle_by_value(_jc)
     except ImportError:  # pragma: no cover - older pyspark
         pass
 
@@ -526,6 +551,8 @@ def audio_features(audio: DataFrame) -> DataFrame:
 # decode_pixels dispatches on the PNG signature so pipelines holding
 # real PNG payloads flow through the same feature/resize kernels.
 
+from ccog_spark.raster.jpegcodec import decode as _jpeg_decode
+
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
 
@@ -682,3 +709,42 @@ def decode_png(payload: bytes):
     if ch == 4:
         return px[:, :, :3].copy()
     return px
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Baseline grayscale JPEG → (h, w, 3) uint8 (gray replicated to
+    RGB), reusing the pure-numpy raster codec (raster/jpegcodec.py —
+    the COG tile codec decodes standalone streams too). Multi-
+    component (color YCbCr) JPEGs raise with a clear message rather
+    than mis-decoding."""
+    import struct
+
+    import numpy as np
+
+    # dimensions + component count from SOF0
+    pos, n = 2, len(payload)
+    w = h = nc = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        m = payload[pos + 1]
+        if m == 0xC0:
+            (h,) = struct.unpack_from(">H", payload, pos + 5)
+            (w,) = struct.unpack_from(">H", payload, pos + 7)
+            nc = payload[pos + 9]
+            break
+        if m in (0xD8, 0xD9, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        pos += 2 + ln
+    if w is None:
+        raise ValueError("JPEG stream without SOF0")
+    if nc != 1:
+        raise ValueError(
+            f"only baseline GRAYSCALE JPEG is supported ({nc} components)"
+        )
+    raw = _jpeg_decode(payload)
+    px = np.frombuffer(raw, np.uint8, count=w * h).reshape(h, w)
+    return np.repeat(px[:, :, None], 3, axis=2)

@@ -399,3 +399,41 @@ def test_png_rejects_malformed():
     bad[29:33] = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
     with _pytest.raises(ValueError, match="match"):
         decode_png(bytes(bad))
+
+
+# ------------------------------------------------------------ JPEG
+def test_jpeg_gray_through_pixel_kernels(spark):
+    import numpy as np
+
+    from ccog_spark.operators import multimodal as mm
+    from ccog_spark.raster import jpegcodec
+
+    rng = np.random.RandomState(11)
+    # smooth gradient tile: quantization error stays small
+    side = 16
+    base = np.linspace(40, 200, side * side).reshape(side, side)
+    tile = (base + rng.randint(0, 5, (side, side))).astype(np.uint8)
+    payload = jpegcodec.make_tables(90) + jpegcodec.encode(
+        tile.tobytes(), 90
+    )
+    px = mm.decode_pixels(payload)
+    assert px.shape == (side, side, 3)
+    assert abs(px[:, :, 0].astype(float).mean() - tile.mean()) < 3.0
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    feats = mm.image_features(df).collect()[0]
+    assert feats.width == side and feats.height == side
+
+
+def test_jpeg_color_rejected():
+    import pytest as _pytest
+
+    from ccog_spark.operators.multimodal import decode_jpeg_gray
+
+    # hand-built SOF0 with 3 components
+    sof = b"\xff\xd8" + b"\xff\xc0" + (11).to_bytes(2, "big") + bytes(
+        [8]
+    ) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes([3])
+    with _pytest.raises(ValueError, match="GRAYSCALE"):
+        decode_jpeg_gray(sof)
