@@ -174,19 +174,21 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
-def bpe_encode_kernel(merges: list[tuple[str, str]]):
-    """Arrow-batched tokenizer: text column → array<string> of BPE
-    subword units. The merge-rank dict rides in the closure (≤ vocab
-    size — broadcast-sized by construction); encoding is pure
-    map-side Python over Arrow batches with a per-batch word cache
-    (Zipf: a batch's distinct words ≪ its token count)."""
+def _word_encoder_kernel(merges: list[tuple[str, str]], post, ret_type: str):
+    """Shared Arrow tokenizer kernel: text column → per-word
+    ``post(_encode_word(...))`` outputs, flattened per doc. The merge
+    ranks (and whatever ``post`` captures) ride in the closure —
+    broadcast-sized by construction — with a per-batch word cache
+    (Zipf: a batch's distinct words ≪ its token count). ONE encode
+    loop shared by the unit and id tokenizers so sentinel handling,
+    caching, and splitting can never diverge."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
 
-    @pandas_udf("array<string>")
+    @pandas_udf(ret_type)
     def encode(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
+        cache: dict[str, list] = {}
         out = []
         for t in texts:
             t = t or ""
@@ -196,25 +198,42 @@ def bpe_encode_kernel(merges: list[tuple[str, str]]):
                     "decode would be ambiguous — clean the corpus or "
                     "change EOW"
                 )
-            toks: list[str] = []
+            row: list = []
             for w in t.split(" "):
                 if not w:
                     continue
-                enc = cache.get(w)
-                if enc is None:
-                    enc = _encode_word(w, ranks)
-                    cache[w] = enc
-                toks.extend(enc)
-            out.append(toks)
+                got = cache.get(w)
+                if got is None:
+                    got = post(_encode_word(w, ranks))
+                    cache[w] = got
+                row.extend(got)
+            out.append(row)
         return pd.Series(out)
 
     return encode
+
+
+def bpe_encode_kernel(merges: list[tuple[str, str]]):
+    """text column → array<string> of BPE subword units (see
+    _word_encoder_kernel)."""
+    return _word_encoder_kernel(merges, lambda units: units, "array<string>")
 
 
 def bpe_decode(units: list[str]) -> str:
     """Inverse of encoding: concatenate units, split words on the
     end-of-word sentinel."""
     return "".join(units).replace(EOW, " ").rstrip(" ")
+
+
+def _register_self() -> None:
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        from ccog_spark.operators import bpe as _self
+
+        register_pickle_by_value(_self)
+    except ImportError:  # pragma: no cover - older pyspark
+        pass
 
 
 def tokenize(
@@ -224,86 +243,69 @@ def tokenize(
     out: str = "bpe",
 ) -> DataFrame:
     """Add an ``out`` array<string> column of BPE units (map-side; see
-    bpe_encode_kernel)."""
-    # kernel helpers (_encode_word) live in this module — ship by
-    # value for foreign-cwd drivers (house pattern)
-    try:
-        from pyspark.cloudpickle import register_pickle_by_value
-
-        from ccog_spark.operators import bpe as _self
-
-        register_pickle_by_value(_self)
-    except ImportError:  # pragma: no cover - older pyspark
-        pass
+    _word_encoder_kernel)."""
+    _register_self()
     return docs.withColumn(out, bpe_encode_kernel(merges)(F.col(text_col)))
 
 
-def vocabulary(merges: list[tuple[str, str]]) -> list[str]:
-    """Deterministic id→unit vocabulary implied by a merge list:
-    single characters + sentinel-terminated characters are discovered
-    from the merges' own symbols, then merged symbols in rank order.
-    Sorted base alphabet first so ids are stable for a given merge
-    list (the artifact a tokenizer ships is (merges, vocab))."""
+def corpus_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """Distinct non-space characters of the corpus (distributed
+    distinct; result is alphabet-sized — tiny). This is the base-
+    symbol set ``vocabulary`` needs for COMPLETE id coverage: the
+    merge list alone underdetermines the alphabet (a character that
+    never participates in a merge would otherwise be silently absent
+    and its ids lossy)."""
+    rows = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), "")).alias("c")
+        )
+        .where((F.col("c") != "") & (F.col("c") != " "))
+        .distinct()
+        .collect()
+    )
+    return sorted(r.c for r in rows)
+
+
+def vocabulary(
+    merges: list[tuple[str, str]], alphabet: list[str] | tuple = ()
+) -> list[str]:
+    """Deterministic id→unit vocabulary for (merges, alphabet): base
+    symbols (every alphabet character plus its word-final EOW form,
+    and any merge operand) sorted first, then merged symbols in rank
+    order. Ship (merges, alphabet) together — pass
+    ``corpus_alphabet(docs)`` to guarantee every unit the encoder can
+    emit on that corpus has an id."""
     base: set[str] = set()
+    for c in alphabet:
+        if c and c != " " and EOW not in c:
+            base.add(c)
+            base.add(c + EOW)
     for a, b in merges:
-        for sym in (a, b):
-            # a merge operand is either a base symbol or an earlier
-            # merge result; earlier results are handled below
-            base.add(sym)
+        base.add(a)
+        base.add(b)
     produced = {a + b for a, b in merges}
-    alphabet = sorted(base - produced)
-    return alphabet + [a + b for a, b in merges]
+    alpha = sorted(base - produced)
+    return alpha + [a + b for a, b in merges]
 
 
 def tokenize_ids(
     docs: DataFrame,
     merges: list[tuple[str, str]],
+    alphabet: list[str] | tuple = (),
     text_col: str = "text",
     out: str = "ids",
     unk_id: int = -1,
 ) -> DataFrame:
     """Add an array<int> token-id column — the artifact a pretraining
-    pipeline actually materializes. Ids index ``vocabulary(merges)``;
-    units outside the vocabulary (characters never seen during
-    training) map to ``unk_id``. Same single-map-stage shape as
-    ``tokenize``: the id table rides in the closure."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    try:
-        from pyspark.cloudpickle import register_pickle_by_value
-
-        from ccog_spark.operators import bpe as _self
-
-        register_pickle_by_value(_self)
-    except ImportError:  # pragma: no cover - older pyspark
-        pass
-
-    ranks = {pair: i for i, pair in enumerate(merges)}
-    ids = {u: i for i, u in enumerate(vocabulary(merges))}
-
-    @pandas_udf("array<int>")
-    def enc(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[int]] = {}
-        out_rows = []
-        for t in texts:
-            t = t or ""
-            if EOW in t:
-                raise ValueError(
-                    f"text contains the end-of-word sentinel {EOW!r}"
-                )
-            row: list[int] = []
-            for w in t.split(" "):
-                if not w:
-                    continue
-                got = cache.get(w)
-                if got is None:
-                    got = [
-                        ids.get(u, unk_id) for u in _encode_word(w, ranks)
-                    ]
-                    cache[w] = got
-                row.extend(got)
-            out_rows.append(row)
-        return pd.Series(out_rows)
-
-    return docs.withColumn(out, enc(F.col(text_col)))
+    pipeline actually materializes. Ids index
+    ``vocabulary(merges, alphabet)``; units outside it map to
+    ``unk_id``. Same single-map-stage shape as ``tokenize`` (shared
+    encode loop; only the final unit→id mapping differs)."""
+    _register_self()
+    ids = {u: i for i, u in enumerate(vocabulary(merges, alphabet))}
+    kernel = _word_encoder_kernel(
+        merges,
+        lambda units: [ids.get(u, unk_id) for u in units],
+        "array<int>",
+    )
+    return docs.withColumn(out, kernel(F.col(text_col)))

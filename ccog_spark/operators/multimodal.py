@@ -107,28 +107,21 @@ def make_decode_kernel():
                 return w, abs(h), bpp // 8, "bmp"
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
                 # IHDR body sits at a fixed offset after the signature
+                if len(payload) < 29:
+                    raise ValueError("truncated PNG (no full IHDR)")
                 (w,) = struct.unpack_from(">I", payload, 16)
                 (h,) = struct.unpack_from(">I", payload, 20)
                 ct = payload[25]
-                return w, h, {0: 1, 2: 3, 6: 4}[ct], "png"
-            if payload[:2] == b"\xff\xd8":  # JPEG: scan for SOF0
-                pos = 2
-                while pos + 4 <= len(payload):
-                    if payload[pos] != 0xFF:
-                        pos += 1
-                        continue
-                    m = payload[pos + 1]
-                    if m == 0xC0:
-                        (hh,) = struct.unpack_from(">H", payload, pos + 5)
-                        (ww,) = struct.unpack_from(">H", payload, pos + 7)
-                        nc = payload[pos + 9]
-                        return ww, hh, nc, "jpeg"
-                    if m in (0xD8, 0xD9, 0x01) or 0xD0 <= m <= 0xD7:
-                        pos += 2
-                        continue
-                    (ln,) = struct.unpack_from(">H", payload, pos + 2)
-                    pos += 2 + ln
-                raise ValueError("JPEG stream without SOF0")
+                ch = {0: 1, 2: 3, 6: 4}.get(ct)
+                if ch is None:
+                    raise ValueError(
+                        f"unsupported PNG color type {ct} "
+                        "(gray/RGB/RGBA only; no palette)"
+                    )
+                return w, h, ch, "png"
+            if payload[:2] == b"\xff\xd8":
+                ww, hh, nc = _jpeg_sof(payload)
+                return ww, hh, nc, "jpeg"
             raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
         for pdf in it:
@@ -155,6 +148,9 @@ def decode_metadata(docs: DataFrame) -> DataFrame:
     boundary twice. In production the payload column arrives from a
     blob store and ``make_decode_kernel`` is the only crossing — the
     per-partition locality property is identical either way."""
+    # the decode closure references module-level _jpeg_sof — ship the
+    # module by value for import-less workers
+    _register_self_by_value()
     enc, dec = make_encode_kernel(), make_decode_kernel()
 
     def fused(it):
@@ -652,6 +648,8 @@ def decode_png(payload: bytes):
             raise ValueError(f"truncated chunk {tag!r}")
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"bad IHDR length {ln}")
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -669,7 +667,10 @@ def decode_png(payload: bytes):
     if w is None:
         raise ValueError("missing IHDR")
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt IDAT → same contract as the rest
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
@@ -678,30 +679,42 @@ def decode_png(payload: bytes):
     prev = np.zeros(stride, np.uint8)
     for y in range(h):
         f = rows[y, 0]
-        line = rows[y, 1:].astype(np.int16)
+        line = rows[y, 1:]
         if f == 0:
-            rec = line
-        elif f == 2:  # Up
-            rec = line + prev
-        elif f in (1, 3, 4):  # sequential left-dependent filters
-            rec = np.zeros(stride, np.int16)
-            for i in range(stride):
-                left = rec[i - ch] if i >= ch else 0
-                up = int(prev[i])
-                if f == 1:
-                    rec[i] = line[i] + (left & 0xFF)
-                elif f == 3:
-                    rec[i] = line[i] + (((left & 0xFF) + up) >> 1)
-                else:
-                    ul = int(prev[i - ch]) if i >= ch else 0
-                    la = left & 0xFF
-                    p = la + up - ul
-                    pa, pb, pc = abs(p - la), abs(p - up), abs(p - ul)
-                    pred = la if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                    rec[i] = line[i] + pred
+            rec = line.copy()
+        elif f == 2:  # Up — fully vectorized
+            rec = line + prev  # uint8 wraparound == mod-256 add
+        elif f == 1:  # Sub: recon[x] = cumulative sum per channel lane
+            d = line.reshape(w, ch).astype(np.int64)
+            rec = (d.cumsum(axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif f == 3:  # Average: sequential in x, vectorized over ch
+            d = line.reshape(w, ch).astype(np.int16)
+            up = prev.reshape(w, ch).astype(np.int16)
+            rc = np.zeros((w, ch), np.int16)
+            left = np.zeros(ch, np.int16)
+            for x in range(w):
+                rc[x] = (d[x] + ((left + up[x]) >> 1)) & 0xFF
+                left = rc[x]
+            rec = rc.astype(np.uint8).reshape(-1)
+        elif f == 4:  # Paeth: sequential in x, vectorized over ch
+            d = line.reshape(w, ch).astype(np.int16)
+            up = prev.reshape(w, ch).astype(np.int16)
+            rc = np.zeros((w, ch), np.int16)
+            left = np.zeros(ch, np.int16)
+            ul = np.zeros(ch, np.int16)
+            for x in range(w):
+                pred = _paeth(
+                    left.astype(np.uint8),
+                    up[x].astype(np.uint8),
+                    ul.astype(np.uint8),
+                ).astype(np.int16)
+                rc[x] = (d[x] + pred) & 0xFF
+                left = rc[x]
+                ul = up[x]
+            rec = rc.astype(np.uint8).reshape(-1)
         else:
             raise ValueError(f"unknown PNG filter {f}")
-        out[y] = (rec & 0xFF).astype(np.uint8)
+        out[y] = rec
         prev = out[y]
     px = out.reshape(h, w, ch)
     if ch == 1:
@@ -711,39 +724,51 @@ def decode_png(payload: bytes):
     return px
 
 
-def decode_jpeg_gray(payload: bytes):
-    """Baseline grayscale JPEG → (h, w, 3) uint8 (gray replicated to
-    RGB), reusing the pure-numpy raster codec (raster/jpegcodec.py —
-    the COG tile codec decodes standalone streams too). Multi-
-    component (color YCbCr) JPEGs raise with a clear message rather
-    than mis-decoding."""
+def _jpeg_sof(payload: bytes):
+    """SOF0 scan shared by the metadata kernel and decode_jpeg_gray:
+    → (width, height, n_components). Walks markers (skipping interior
+    SOI/EOI of abbreviated tables streams); truncated or SOF0-less
+    streams raise ValueError — fail loudly, never struct.error."""
     import struct
 
-    import numpy as np
-
-    # dimensions + component count from SOF0
     pos, n = 2, len(payload)
-    w = h = nc = None
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             pos += 1
             continue
         m = payload[pos + 1]
         if m == 0xC0:
+            if pos + 10 > n:
+                raise ValueError("truncated JPEG SOF0 segment")
             (h,) = struct.unpack_from(">H", payload, pos + 5)
             (w,) = struct.unpack_from(">H", payload, pos + 7)
-            nc = payload[pos + 9]
-            break
+            return w, h, payload[pos + 9]
         if m in (0xD8, 0xD9, 0x01) or 0xD0 <= m <= 0xD7:
             pos += 2
             continue
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         pos += 2 + ln
-    if w is None:
-        raise ValueError("JPEG stream without SOF0")
+    raise ValueError("JPEG stream without SOF0")
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Baseline grayscale JPEG → (h, w, 3) uint8 (gray replicated to
+    RGB), reusing the pure-numpy raster codec (raster/jpegcodec.py —
+    the COG tile codec decodes standalone streams too). Honest
+    limits, each with a clear error instead of a mis-decode: multi-
+    component (color YCbCr) streams, and dimensions that are not
+    multiples of 8 (the tile codec has no partial-MCU crop)."""
+    import numpy as np
+
+    w, h, nc = _jpeg_sof(payload)
     if nc != 1:
         raise ValueError(
             f"only baseline GRAYSCALE JPEG is supported ({nc} components)"
+        )
+    if w % 8 or h % 8:
+        raise ValueError(
+            f"only MCU-aligned (multiple-of-8) grayscale JPEG dimensions "
+            f"are supported, got {w}x{h}"
         )
     raw = _jpeg_decode(payload)
     px = np.frombuffer(raw, np.uint8, count=w * h).reshape(h, w)

@@ -230,9 +230,14 @@ def quota_per_key(
     motivating case: the heaviest domain is the one being truncated,
     and the partial limit truncates it map-side BEFORE the shuffle.
     """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
     w = W.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    rk = "_rk"
+    while rk in df.columns:  # never clobber a caller's column
+        rk += "_"
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= cap)
-        .drop("_rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= cap)
+        .drop(rk)
     )

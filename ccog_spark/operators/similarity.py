@@ -619,8 +619,11 @@ def ivfpq_topk(
     # the inner probe join pushes an isnotnull(cell) predicate BELOW
     # this projection, and because cell is a UDF output that pushed
     # filter materializes as its own full-corpus ArrowEvalPython pass
-    # (assign evaluated twice — observed in the sf0.1 plan). assign
-    # never returns null, so the sentinel branch is dead.
+    # (assign evaluated twice — observed in the sf0.1 plan). The
+    # sentinel branch is genuinely dead, not merely assumed: a null
+    # or malformed embedding makes np.stack raise inside the kernel
+    # (fail-loudly, pytest-pinned), so no row can reach the join with
+    # cell = -1 and probes never emit -1 (cent ids are corpus ids).
     enc = corpus.select(
         "vec_id",
         F.coalesce(assign(F.col("embedding")), F.lit(-1)).alias("cell"),

@@ -284,7 +284,10 @@ def hashed_tfidf(
     integer spelling (floor(x*1e4 + 0.5)) — the repo-wide rule for
     cross-engine float rounding.
     """
-    n_docs = docs.count()
+    # corpus size stays IN the plan (1-row aggregate, broadcast) —
+    # an eager docs.count() here would run a full extra scan at
+    # DataFrame-construction time and break laziness
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
     ).where(F.col("t") != "")
@@ -294,9 +297,10 @@ def hashed_tfidf(
         .agg(F.count("*").alias("tf"))
     )
     df_b = tf.groupBy("bucket").agg(F.count("*").alias("df"))
-    raw = F.col("tf") * ((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    raw = F.col("tf") * ((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
     w = F.floor(raw * 10000 + F.lit(0.5)).cast("bigint") / F.lit(10000.0)
     return (
         tf.join(F.broadcast(df_b), "bucket")
+        .crossJoin(F.broadcast(n_docs))
         .select(id_col, "bucket", "tf", w.alias("w"))
     )

@@ -128,13 +128,15 @@ def test_sentinel_rejected(spark):
 def test_tokenize_ids_roundtrip(spark):
     docs = _docs(spark).limit(150)
     merges = bpe.train_bpe(docs, n_merges=100)
-    vocab = bpe.vocabulary(merges)
+    alphabet = bpe.corpus_alphabet(docs)
+    vocab = bpe.vocabulary(merges, alphabet)
     assert len(set(vocab)) == len(vocab)  # ids unambiguous
     joined = (
         bpe.tokenize(docs, merges)
         .select("doc_id", "bpe")
         .join(
-            bpe.tokenize_ids(docs, merges).select("doc_id", "ids"), "doc_id"
+            bpe.tokenize_ids(docs, merges, alphabet).select("doc_id", "ids"),
+            "doc_id",
         )
         .collect()
     )
@@ -149,6 +151,11 @@ def test_tokenize_ids_roundtrip(spark):
 def test_tokenize_ids_unk(spark):
     merges = [("a", "b")]
     df = spark.createDataFrame([(1, "ab zz")], ["doc_id", "text"])
-    row = bpe.tokenize_ids(df, merges).collect()[0]
-    # 'zz' chars were never seen in any merge → unk
+    # alphabet from a DIFFERENT corpus (no 'z') → 'z' units are unk
+    row = bpe.tokenize_ids(df, merges, alphabet=["a", "b"]).collect()[0]
     assert -1 in row.ids
+    # alphabet from THIS corpus → full coverage, no unk
+    row2 = bpe.tokenize_ids(
+        df, merges, alphabet=bpe.corpus_alphabet(df)
+    ).collect()[0]
+    assert all(i >= 0 for i in row2.ids)

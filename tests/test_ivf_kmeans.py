@@ -124,3 +124,24 @@ def test_ivfpq_subset_of_pq_per_query(planted):
     }
     for r in similarity.ivfpq_topk(planted, q, dim=DIM, k=5).collect():
         assert full[(r.q_id, r.vec_id)] == r.adc
+
+
+def test_null_embedding_fails_loudly(spark):
+    """The coalesce(-1) join-key spelling in lsh/ivfpq relies on the
+    Arrow kernels RAISING on null embeddings (so the sentinel branch
+    is dead, and no null row can silently match another null row).
+    Pin that: a null embedding must crash the kernel, not flow."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from ccog_spark.operators.similarity import lsh_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, None)], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.5] * 8)], "q_id long, q_emb array<float>"
+    )
+    with _pytest.raises((PythonException, Py4JJavaError)):
+        lsh_topk(corpus, queries, dim=8, k=1).collect()
