@@ -1,0 +1,96 @@
+"""operators/layout.py: Z-order clustering — Morton math, and the
+data-skipping property measured on real parquet footer stats."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from ccog_spark.operators import layout
+
+
+def test_interleave_bits_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], ["x", "y"]
+    )
+    out = df.select(
+        "x", "y", layout.interleave_bits([F.col("x"), F.col("y")], 3).alias("z")
+    ).collect()
+    got = {(r.x, r.y): r.z for r in out}
+    # bit b of dim d → position b*2+d: x contributes even bits, y odd
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    # x=3 (0b11) → bits 0,2 ; y=5 (0b101) → bits 1,5 → z = 0b100111
+    assert got[(3, 5)] == 0b100111
+
+
+def _avg_widths(path: str, cols: list[str]) -> dict[str, float]:
+    """Average per-row-group (max-min)/global_range per column."""
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
+    spans: dict[str, list[float]] = {c: [] for c in cols}
+    groups = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            stats = {}
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    stats[name] = (
+                        float(col.statistics.min), float(col.statistics.max)
+                    )
+            groups.append(stats)
+    for stats in groups:
+        for c, (mn, mx) in stats.items():
+            lo[c] = min(lo.get(c, mn), mn)
+            hi[c] = max(hi.get(c, mx), mx)
+    for stats in groups:
+        for c, (mn, mx) in stats.items():
+            rng = hi[c] - lo[c] or 1.0
+            spans[c].append((mx - mn) / rng)
+    return {c: sum(v) / len(v) for c, v in spans.items()}
+
+
+def test_zorder_narrows_both_dimensions(spark, tmp_path):
+    from ccog_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    layout.write_zordered(ev, zpath, ["user_id", "value"], bits=6, n_files=16)
+    # baseline: classic single-column sort layout
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    zw = _avg_widths(zpath, ["user_id", "value"])
+    sw = _avg_widths(spath, ["user_id", "value"])
+    # single-sort: user_id razor-thin, the OTHER dimension spans most
+    # of its range (measured ~0.70 here; <1.0 only because ~62-row
+    # files under-sample the distribution)
+    assert sw["user_id"] < 0.2
+    assert sw["value"] > 0.55
+    # z-order: BOTH dimensions materially narrowed (measured ~0.44 /
+    # ~0.22) — the skipping property is that the WORST dimension
+    # beats the single-sort layout's worst dimension
+    assert zw["user_id"] < 0.6
+    assert zw["value"] < 0.6
+    assert max(zw.values()) < max(sw.values())
+    # and nothing was lost in the rewrite
+    assert (
+        spark.read.parquet(zpath).count()
+        == ev.count()
+        == spark.read.parquet(spath).count()
+    )
