@@ -28,6 +28,7 @@ QUERIES = [
     # (bounded by its minhash-CC stage)
     "pipeline_urls",
     "pipeline_e2e",
+    "pipeline_tfidf",
 ]
 
 
