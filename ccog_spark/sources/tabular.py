@@ -69,3 +69,55 @@ def write_orc(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.orc(path)
+
+
+def upsert_partitioned_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> None:
+    """MERGE-style upsert into a hive-partitioned parquet dataset
+    without a table format: rows in ``updates`` replace existing rows
+    with the same key, new keys are inserted, and ONLY the partitions
+    present in ``updates`` are rewritten — untouched partition
+    directories keep their exact files (asserted byte-for-byte in the
+    test). This is the CDC-apply shape at 100 TB: daily changes touch
+    a handful of date partitions; the rewrite cost is proportional to
+    the CHANGED partitions, never the table.
+
+    Mechanics: dynamic partition-overwrite mode scopes the overwrite
+    to partitions the job emits; the merged frame is eagerly
+    localCheckpoint-ed first, because its lineage READS the same
+    files the commit deletes (lazy evaluation + self-overwrite is the
+    classic corruption trap). Not transactional across partitions —
+    a mid-commit failure can leave some partitions new and some old
+    (that is the table-format gap this deliberately does not claim to
+    close); each partition directory swap itself is atomic-per-file.
+    """
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        parts = [
+            r[0]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = spark.read.parquet(path).where(
+            F.col(partition_col).isin(parts)
+        )
+        keep = existing.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = keep.unionByName(
+            updates.select(*existing.columns)
+        ).localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

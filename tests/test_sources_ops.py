@@ -212,3 +212,67 @@ def test_orc_partitioned_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert back.count() == src.filter("n_regionkey = 1").count()
+
+
+def test_upsert_partitioned_parquet(spark, tmp_path):
+    import glob
+    import os
+
+    from ccog_spark.sources.tabular import (
+        upsert_partitioned_parquet,
+        write_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 4) for i in range(40)], ["id", "val", "p"]
+    )
+    write_parquet_partitioned(base, path, ["p"])
+
+    def files(p):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/p={p}/*.parquet")
+        }
+
+    untouched_before = {p: files(p) for p in (1, 2, 3)}
+
+    # update two existing keys in partition 0, insert one new key
+    updates = spark.createDataFrame(
+        [(0, "NEW0", 0), (4, "NEW4", 0), (99, "NEW99", 0)],
+        ["id", "val", "p"],
+    )
+    upsert_partitioned_parquet(spark, path, updates, ["id"], "p")
+
+    got = {
+        (r.id): (r.val, r.p) for r in spark.read.parquet(path).collect()
+    }
+    assert len(got) == 41  # 40 original + 1 inserted
+    assert got[0] == ("NEW0", 0)
+    assert got[4] == ("NEW4", 0)
+    assert got[99] == ("NEW99", 0)
+    assert got[8] == ("v8", 0)   # untouched key in the SAME partition
+    assert got[1] == ("v1", 1)   # untouched partition intact
+    # untouched partitions: exact same files, byte-identical mtimes
+    for p in (1, 2, 3):
+        assert files(p) == untouched_before[p], p
+
+
+def test_upsert_key_only_updates_and_multi_partition(spark, tmp_path):
+    from ccog_spark.sources.tabular import (
+        upsert_partitioned_parquet,
+        write_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "tbl2")
+    base = spark.createDataFrame(
+        [(i, i * 10, i % 3) for i in range(12)], ["id", "x", "p"]
+    )
+    write_parquet_partitioned(base, path, ["p"])
+    updates = spark.createDataFrame(
+        [(0, -1, 0), (1, -2, 1)], ["id", "x", "p"]
+    )
+    upsert_partitioned_parquet(spark, path, updates, ["id"], "p")
+    got = {r.id: r.x for r in spark.read.parquet(path).collect()}
+    assert got[0] == -1 and got[1] == -2
+    assert got[2] == 20 and len(got) == 12
