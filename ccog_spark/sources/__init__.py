@@ -1,1 +1,2 @@
-"""Sources: schema-explicit scans (parquet/CSV/JSON) and raster ingest."""
+"""Sources: schema-explicit scans (parquet/CSV/JSON/ORC), partitioned
+writes + MERGE-style upsert, and raster ingest."""
