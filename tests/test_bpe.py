@@ -159,3 +159,40 @@ def test_tokenize_ids_unk(spark):
         df, merges, alphabet=bpe.corpus_alphabet(df)
     ).collect()[0]
     assert all(i >= 0 for i in row2.ids)
+
+
+def test_encode_word_roundtrip_hypothesis():
+    """Invariant: for ANY merge table, _encode_word's units concatenate
+    back to word+EOW — merging only ever concatenates adjacent symbols
+    of the same word, so decode is rank-table-independent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(
+        alphabet=st.characters(blacklist_characters="<> /"),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(words, st.integers(0, 2**32 - 1))
+    def check(w, seed):
+        import random
+
+        rng = random.Random(seed)
+        # random merge table built from substrings of the word itself
+        # (the only merges that can ever fire)
+        syms = list(w[:-1]) + [w[-1] + bpe.EOW]
+        ranks = {}
+        for _ in range(rng.randint(0, 8)):
+            if len(syms) < 2:
+                break
+            i = rng.randrange(len(syms) - 1)
+            pair = (syms[i], syms[i + 1])
+            if pair not in ranks:
+                ranks[pair] = len(ranks)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        units = bpe._encode_word(w, ranks)
+        assert "".join(units) == w + bpe.EOW
+
+    check()
