@@ -304,3 +304,35 @@ def hashed_tfidf(
         .crossJoin(F.broadcast(n_docs))
         .select(id_col, "bucket", "tf", w.alias("w"))
     )
+
+
+def tfidf_dense(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "vec",
+) -> DataFrame:
+    """Dense fixed-width TF-IDF document vectors: the long-form
+    ``hashed_tfidf`` rows pivoted into an array<double> column via a
+    bucket→weight map + sequence fill — all JVM expressions. This is
+    the bridge from text to the E36 vector operators (brute-force /
+    LSH / IVF / PQ ANN run unchanged over these vectors): semantic-ish
+    retrieval with no external embedding model.
+
+    One extra shuffle vs the long form (the per-doc groupBy); the
+    dense array costs n_buckets cells per doc — keep n_buckets modest
+    or stay long-form for very high dimensional spaces."""
+    long = hashed_tfidf(docs, n_buckets, text_col, id_col)
+    m = F.map_from_arrays(
+        F.collect_list("bucket"), F.collect_list("w")
+    )
+    fill = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: F.coalesce(F.element_at(F.col("_m"), b.cast("bigint")), F.lit(0.0)),
+    )
+    return (
+        long.groupBy(id_col)
+        .agg(m.alias("_m"))
+        .select(id_col, fill.alias(out))
+    )

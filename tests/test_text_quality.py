@@ -167,3 +167,40 @@ def test_bloom_fp_rate_bounded(spark):
             >> (pos & np.uint64(7)).astype(np.uint8)
         ) & 1 == 1
     assert hit.mean() < 3e-3
+
+
+def test_tfidf_dense_feeds_ann(spark):
+    """Composition: text → dense TF-IDF vectors → exact cosine ANN.
+    A doc's nearest neighbour under TF-IDF cosine must be its planted
+    near-duplicate (same text + one extra token)."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.operators.similarity import brute_force_topk
+    from ccog_spark.operators.text import tfidf_dense
+
+    base = [
+        "alpha bravo charlie delta echo foxtrot golf hotel",
+        "india juliet kilo lima mike november oscar papa",
+        "quebec romeo sierra tango uniform victor whiskey xray",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, t + " extra"))  # planted near-dup
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    dense = tfidf_dense(docs, n_buckets=32)
+    corpus = dense.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("vec").cast("array<float>").alias("embedding"),
+    )
+    queries = dense.select(
+        F.col("doc_id").alias("q_id"),
+        F.col("vec").cast("array<float>").alias("q_emb"),
+    )
+    top1 = {
+        r.q_id: r.vec_id
+        for r in brute_force_topk(corpus, queries, k=1).collect()
+    }
+    for i in range(len(base)):
+        assert top1[2 * i] == 2 * i + 1
+        assert top1[2 * i + 1] == 2 * i
