@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = os.environ.get("SF1_DIR", "/tmp/ccog_sf1")
-R = 10
+R = int(os.environ.get("SF_REPLICAS", "10"))
 
 
 def main():
