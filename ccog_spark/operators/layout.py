@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 def _searchsorted(col: Column, cuts: list[float]) -> Column:
     """Balanced when-tree computing |{c in cuts : col >= c}| — the
     cell index in [0, len(cuts)]. Depth = ceil(log2(len(cuts)+1))
-    comparisons per row, all inside codegen."""
+    comparisons per row, all inside codegen.
+
+    NULLs: every comparison is NULL → all branches fall through to
+    cell 0, i.e. null rows cluster with the minimum values (and
+    approxQuantile ignores nulls when placing cuts). Filter nulls
+    first if they must not pollute the low cells' min/max stats."""
 
     def rec(lo: int, hi: int) -> Column:
         if lo == hi:
@@ -49,12 +54,20 @@ def interleave_bits(cells: list[Column], bits: int) -> Column:
     bit b of dimension d lands at position b*ndim + d. Pure bigint
     bit arithmetic — stays in codegen."""
     nd = len(cells)
+    if nd * bits > 63:
+        raise ValueError(
+            f"{nd} dims x {bits} bits = {nd * bits} interleaved bits "
+            "exceeds the 63 usable bits of a signed bigint (Java "
+            "shiftleft wraps mod 64 — the code would silently corrupt)"
+        )
     z = F.lit(0).cast("bigint")
     for d, c in enumerate(cells):
         cc = c.cast("bigint")
         for b in range(bits):
-            z = z + F.shiftleft(
-                F.shiftright(cc, b).bitwiseAND(F.lit(1)), b * nd + d
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cc, b).bitwiseAND(F.lit(1)), b * nd + d
+                )
             )
     return z
 
@@ -74,10 +87,12 @@ def zorder_value(
     stay ordered."""
     n_cells = 1 << bits
     probs = [i / n_cells for i in range(1, n_cells)]
-    cells = []
-    for c in cols:
-        cuts = df.approxQuantile(c, probs, relative_error)
-        cells.append(_searchsorted(F.col(c).cast("double"), cuts))
+    # list overload: ALL columns' sketches in ONE pass over the data
+    all_cuts = df.approxQuantile(cols, probs, relative_error)
+    cells = [
+        _searchsorted(F.col(c).cast("double"), cuts)
+        for c, cuts in zip(cols, all_cuts)
+    ]
     return df.withColumn(out, interleave_bits(cells, bits))
 
 
@@ -93,11 +108,14 @@ def write_zordered(
     sort within partitions so row groups hold contiguous curve runs,
     drop the helper column. Readers filtering on ANY of ``cols`` then
     skip most row groups on min/max stats."""
-    zdf = zorder_value(df, cols, bits)
+    zcol = "_z"
+    while zcol in df.columns:  # never clobber a caller's column
+        zcol += "_"
+    zdf = zorder_value(df, cols, bits, out=zcol)
     (
-        zdf.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        zdf.repartitionByRange(n_files, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -331,8 +331,13 @@ def tfidf_dense(
         F.sequence(F.lit(0), F.lit(n_buckets - 1)),
         lambda b: F.coalesce(F.element_at(F.col("_m"), b.cast("bigint")), F.lit(0.0)),
     )
+    # left join from the full doc-id set: a token-less document (empty
+    # text) has no long-form rows but must still get a ZERO vector —
+    # silently dropping it would break row alignment with the corpus
+    agg = long.groupBy(id_col).agg(m.alias("_m"))
     return (
-        long.groupBy(id_col)
-        .agg(m.alias("_m"))
+        docs.select(id_col)
+        .distinct()
+        .join(agg, id_col, "left")
         .select(id_col, fill.alias(out))
     )

@@ -77,6 +77,7 @@ def upsert_partitioned_parquet(
     updates: DataFrame,
     key_cols: list[str],
     partition_col: str,
+    check_moved_keys: bool = False,
 ) -> None:
     """MERGE-style upsert into a hive-partitioned parquet dataset
     without a table format: rows in ``updates`` replace existing rows
@@ -87,8 +88,20 @@ def upsert_partitioned_parquet(
     a handful of date partitions; the rewrite cost is proportional to
     the CHANGED partitions, never the table.
 
-    Mechanics: dynamic partition-overwrite mode scopes the overwrite
-    to partitions the job emits; the merged frame is eagerly
+    PRECONDITION — partition-stable keys: a key's partition value must
+    not change between the stored row and its update (the usual CDC
+    contract, where the partition derives from the key or an immutable
+    attribute). If an update moves a key to a DIFFERENT partition, the
+    old row in the unchanged partition is not visited and would
+    survive as a stale duplicate. ``check_moved_keys=True`` pays one
+    extra key-scan over the NON-updated partitions and raises if any
+    update key exists there; leave it off when the pipeline guarantees
+    stability.
+
+    Mechanics: per-write dynamic partition-overwrite (scoped via the
+    writer option — never the session conf, which would race with
+    concurrent writers on the same session) rewrites exactly the
+    partitions the job emits; the merged frame is eagerly
     localCheckpoint-ed first, because its lineage READS the same
     files the commit deletes (lazy evaluation + self-overwrite is the
     classic corruption trap). Not transactional across partitions —
@@ -98,26 +111,33 @@ def upsert_partitioned_parquet(
     """
     from pyspark.sql import functions as F
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        parts = [
-            r[0]
-            for r in updates.select(partition_col).distinct().collect()
-        ]
-        existing = spark.read.parquet(path).where(
-            F.col(partition_col).isin(parts)
+    parts = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    full = spark.read.parquet(path)
+    if check_moved_keys:
+        moved = (
+            full.where(~F.col(partition_col).isin(parts))
+            .join(updates.select(*key_cols).distinct(), key_cols, "semi")
+            .limit(1)
+            .count()
         )
-        keep = existing.join(
-            updates.select(*key_cols).distinct(), key_cols, "left_anti"
-        )
-        merged = keep.unionByName(
-            updates.select(*existing.columns)
-        ).localCheckpoint(eager=True)
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if moved:
+            raise ValueError(
+                "update keys exist in partitions the updates do not "
+                "touch — a cross-partition key move would leave stale "
+                "duplicates (see docstring precondition)"
+            )
+    existing = full.where(F.col(partition_col).isin(parts))
+    keep = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = keep.unionByName(
+        updates.select(*existing.columns)
+    ).localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

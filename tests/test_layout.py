@@ -94,3 +94,25 @@ def test_zorder_narrows_both_dimensions(spark, tmp_path):
         == ev.count()
         == spark.read.parquet(spath).count()
     )
+
+
+def test_interleave_bits_width_guard(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="63"):
+        layout.interleave_bits([F.lit(1)] * 8, 8)
+    # 7 dims x 9 bits = 63: allowed
+    layout.interleave_bits([F.lit(1)] * 7, 9)
+
+
+def test_write_zordered_preserves_user_z_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i), f"k{i}") for i in range(20)], ["a", "b", "_z"]
+    )
+    path = str(tmp_path / "zz")
+    layout.write_zordered(df, path, ["a", "b"], bits=3, n_files=2)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {"a", "b", "_z"}
+    assert sorted(r._z for r in back.collect()) == sorted(
+        f"k{i}" for i in range(20)
+    )

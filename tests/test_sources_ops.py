@@ -276,3 +276,31 @@ def test_upsert_key_only_updates_and_multi_partition(spark, tmp_path):
     got = {r.id: r.x for r in spark.read.parquet(path).collect()}
     assert got[0] == -1 and got[1] == -2
     assert got[2] == 20 and len(got) == 12
+
+
+def test_upsert_moved_key_detection(spark, tmp_path):
+    import pytest as _pytest
+
+    from ccog_spark.sources.tabular import (
+        upsert_partitioned_parquet,
+        write_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "tbl3")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], ["id", "val", "p"]
+    )
+    write_parquet_partitioned(base, path, ["p"])
+    # update moves id=1 from p=0 to p=2
+    moved = spark.createDataFrame([(1, "a2", 2)], ["id", "val", "p"])
+    with _pytest.raises(ValueError, match="stale"):
+        upsert_partitioned_parquet(
+            spark, path, moved, ["id"], "p", check_moved_keys=True
+        )
+    # partition-stable update passes the check
+    stable = spark.createDataFrame([(1, "a2", 0)], ["id", "val", "p"])
+    upsert_partitioned_parquet(
+        spark, path, stable, ["id"], "p", check_moved_keys=True
+    )
+    got = {r.id: r.val for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a2", 2: "b"}

@@ -204,3 +204,16 @@ def test_tfidf_dense_feeds_ann(spark):
     for i in range(len(base)):
         assert top1[2 * i] == 2 * i + 1
         assert top1[2 * i + 1] == 2 * i
+
+
+def test_tfidf_dense_zero_vector_for_empty_doc(spark):
+    from ccog_spark.operators.text import tfidf_dense
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, ""), (3, "  ")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.vec for r in tfidf_dense(docs, n_buckets=8).collect()}
+    assert set(out) == {1, 2, 3}  # nothing dropped
+    assert all(v == 0.0 for v in out[2])
+    assert all(v == 0.0 for v in out[3])
+    assert any(v > 0.0 for v in out[1])
