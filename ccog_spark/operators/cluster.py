@@ -36,10 +36,17 @@ def connected_components(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct().persist()
 
+    # init folds the FIRST propagation round: label₀ = min(self, all
+    # 1-hop neighbours) comes straight off a groupBy over `both` — no
+    # join needed — so pair/star components (the common near-dup case)
+    # confirm convergence after ONE loop round instead of two
     labels = (
-        both.select(F.col("u").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        both.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.col("_mn")).alias("label"),
+        )
         .persist()
     )
 
