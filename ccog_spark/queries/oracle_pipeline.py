@@ -1053,3 +1053,25 @@ SELECT tf.doc_id, tf.bucket, CAST(tf.tf AS BIGINT) AS tf,
 FROM tf JOIN dfb USING (bucket) CROSS JOIN n
 ORDER BY doc_id, bucket
 """
+
+
+PIPELINE_ORACLE["pipeline_chunk_dedup"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         CAST((s - 1) // 64 AS INT) AS chunk_idx,
+         MD5(array_to_string(tk[CAST(s AS INT) : CAST(LEAST(s + 63, n) AS INT)], ' ')) AS h
+  FROM d, UNNEST(range(1, n + 1, 64)) AS t(s)
+), ranked AS (
+  SELECT doc_id, chunk_idx, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+FROM ranked GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -566,3 +566,25 @@ def pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.hashed_tfidf(docs).orderBy("doc_id", "bucket")
+
+
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-style) dedup — the Dolma/RefinedWeb
+    sub-document pass: split documents into NON-overlapping 64-token
+    chunks (stride = chunk), keep-first each distinct chunk content
+    ACROSS the whole corpus, and report per-document kept/duplicate
+    chunk counts. Composition of chunk_documents (map-side fan-out)
+    with one shuffle on the chunk content hash; the oracle replays the
+    slice arithmetic + the same deterministic keep-first rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = text.chunk_documents(docs, chunk=64, stride=64)
+    w = W.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    ranked = ch.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_rn") > 1).cast("bigint")).alias("n_dup_chunks"),
+        )
+        .orderBy("doc_id")
+    )

@@ -220,6 +220,10 @@ REGISTRY: dict[str, QueryFn] = {
     # E37-family text featurization (text_analysis carries the driver
     # row); rational-IDF for bit-exact cross-engine replay.
     "pipeline_tfidf": pipeline.pipeline_tfidf,
+    # round 6: chunk-level (paragraph-style) dedup — sub-document
+    # keep-first across the corpus; E34/chunking composition (driver
+    # rows dedup_exact + text_analysis family above the fold).
+    "pipeline_chunk_dedup": pipeline.pipeline_chunk_dedup,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
