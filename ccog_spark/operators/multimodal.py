@@ -122,6 +122,12 @@ def make_decode_kernel():
             if payload[:2] == b"\xff\xd8":
                 ww, hh, nc = _jpeg_sof(payload)
                 return ww, hh, nc, "jpeg"
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                if len(payload) < 13:
+                    raise ValueError("truncated GIF header")
+                (ww,) = struct.unpack_from("<H", payload, 6)
+                (hh,) = struct.unpack_from("<H", payload, 8)
+                return ww, hh, 3, "gif"
             raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
         for pdf in it:
@@ -221,6 +227,8 @@ def decode_pixels(payload: bytes):
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
         return decode_jpeg_gray(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise ValueError(f"unknown image magic: {payload[:2]!r}")
 
 
@@ -773,3 +781,213 @@ def decode_jpeg_gray(payload: bytes):
     raw = _jpeg_decode(payload)
     px = np.frombuffer(raw, np.uint8, count=w * h).reshape(h, w)
     return np.repeat(px[:, :, None], 3, axis=2)
+
+
+# --------------------------------------------------------- GIF support
+# GIF87a/89a (CompuServe spec, public): logical screen descriptor,
+# global color table, image descriptor, variable-code-width LZW pixel
+# data in length-prefixed sub-blocks. Decode covers the common crawl
+# case: first image frame, global or local palette, no interlace
+# (raises clearly). encode_gif is the fixture/test source with a real
+# greedy-dictionary LZW encoder so decode's code-width growth path is
+# genuinely exercised.
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF variable-width LZW → list of palette indices."""
+    import numpy as np
+
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width):
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("truncated GIF LZW stream")
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        code = read_code(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW code {code}")
+        if n_out + len(entry) > n_pixels:
+            raise ValueError("GIF LZW output exceeds image size")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, np.uint8)
+        n_out += len(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if n_out == n_pixels:
+            break
+    if n_out != n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return out
+
+
+def decode_gif(payload: bytes):
+    """First frame of a GIF87a/89a → (h, w, 3) uint8 RGB. Extensions
+    are skipped; interlaced images raise (not mis-decoded)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated global color table")
+        palette = np.frombuffer(
+            payload, np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated image descriptor")
+        _x, _y, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if iflags & 0x80:  # local color table wins
+            n = 2 << (iflags & 7)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated local color table")
+            palette = np.frombuffer(
+                payload, np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("truncated GIF data sub-block")
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), mcs, w * h)
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("GIF pixel index outside color table")
+        return palette[idx].reshape(h, w, 3)
+    raise ValueError("GIF contains no image block")
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Minimal GIF89a encoder (fixture/test source): ``indices``
+    (h, w) uint8 palette indices, ``palette`` (n, 3) uint8. Real
+    greedy-dictionary variable-width LZW so the decoder's table-growth
+    and width-increase paths are exercised."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, np.uint8)
+    pal = np.asarray(palette, np.uint8)
+    h, w = idx.shape
+    n = pal.shape[0]
+    pbits = max(1, (n - 1).bit_length())
+    full = 1 << pbits
+    gct = np.zeros((full, 3), np.uint8)
+    gct[:n] = pal
+    mcs = max(2, pbits)
+    clear = 1 << mcs
+    end = clear + 1
+
+    codes: list[tuple[int, int]] = []  # (code, width)
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    nxt = end + 1
+    codes.append((clear, width))
+    run = b""
+    for px in idx.reshape(-1):
+        cand = run + bytes([px])
+        if cand in table:
+            run = cand
+            continue
+        codes.append((table[run], width))
+        table[cand] = nxt
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        nxt += 1
+        if nxt == 4096:  # table full: reset (spec-standard)
+            codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = end + 1
+            width = mcs + 1
+        run = bytes([px])
+    if run:
+        codes.append((table[run], width))
+    codes.append((end, width))
+
+    bits = bytearray()
+    acc = nacc = 0
+    for code, cw in codes:
+        acc |= code << nacc
+        nacc += cw
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (pbits - 1), 0, 0])
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(mcs)
+    data = bytes(bits)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

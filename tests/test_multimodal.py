@@ -437,3 +437,60 @@ def test_jpeg_color_rejected():
     ) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes([3])
     with _pytest.raises(ValueError, match="GRAYSCALE"):
         decode_jpeg_gray(sof)
+
+
+# ------------------------------------------------------------- GIF
+def test_gif_roundtrip_randomized():
+    import numpy as np
+
+    from ccog_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(5)
+    for t in range(12):
+        n = int(rng.choice([3, 7, 16, 256]))
+        h, w = int(rng.randint(3, 40)), int(rng.randint(3, 40))
+        pal = rng.randint(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.randint(0, n, (h, w)).astype(np.uint8)
+        if t % 2 == 0:  # long runs: deep LZW dict + width growth
+            idx = (np.arange(h * w) // 7 % n).reshape(h, w).astype(np.uint8)
+        out = decode_gif(encode_gif(idx, pal))
+        assert (out == pal[idx.reshape(-1)].reshape(h, w, 3)).all()
+
+
+def test_gif_through_pixel_kernels(spark):
+    import numpy as np
+
+    from ccog_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (12, 18)).astype(np.uint8)
+    payload = mm.encode_gif(idx, pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    feats = mm.image_features(df).collect()[0]
+    assert (feats.width, feats.height) == (18, 12)
+    exp = pal[idx.reshape(-1)].astype(float)
+    assert abs(feats.mean - exp.mean()) < 0.51
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from ccog_spark.operators.multimodal import decode_gif, encode_gif
+
+    good = encode_gif(
+        np.zeros((4, 4), np.uint8), np.zeros((2, 3), np.uint8)
+    )
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif(b"JIF87a" + good[6:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_gif(good[:10])
+    # interlace flag set on the image descriptor
+    bad = bytearray(good)
+    desc = bad.index(0x2C, 13)
+    bad[desc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(bad))
