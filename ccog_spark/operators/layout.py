@@ -23,6 +23,7 @@ sort pays, nothing more.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -116,6 +117,91 @@ def write_zordered(
         zdf.repartitionByRange(n_files, zcol)
         .sortWithinPartitions(zcol)
         .drop(zcol)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def hilbert_value_kernel(cuts_x: list[float], cuts_y: list[float], bits: int):
+    """Arrow kernel computing the 2-D Hilbert index of rank-quantized
+    (x, y) — strictly better worst-case locality than the Z curve
+    (every curve step is a unit move; Z jumps across half the space at
+    power-of-two boundaries). The xy→d transform is the standard
+    rotate-and-reflect recurrence (Hamilton's convention), vectorized
+    over the batch; quantization is np.searchsorted against the same
+    approxQuantile cuts the Z path uses.
+
+    An expression spelling of the recurrence would double-reference
+    x/y per level — a 3^bits expression-tree blowup past codegen's
+    method limits — so this one op is an Arrow kernel by design; the
+    curve value is computed once per row at write time.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cx = np.asarray(cuts_x, "f8")
+    cy = np.asarray(cuts_y, "f8")
+
+    @pandas_udf("bigint")
+    def hv(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        x = np.searchsorted(cx, xs.to_numpy("f8"), side="right").astype("i8")
+        y = np.searchsorted(cy, ys.to_numpy("f8"), side="right").astype("i8")
+        d = np.zeros(len(x), "i8")
+        s = 1 << (bits - 1)
+        while s > 0:
+            rx = ((x & s) > 0).astype("i8")
+            ry = ((y & s) > 0).astype("i8")
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate quadrant
+            flip = ry == 0
+            swap_flip = flip & (rx == 1)
+            x_f = np.where(swap_flip, s - 1 - x, x)
+            y_f = np.where(swap_flip, s - 1 - y, y)
+            x, y = np.where(flip, y_f, x_f), np.where(flip, x_f, y_f)
+            s >>= 1
+        return pd.Series(d)
+
+    return hv
+
+
+def hilbert_value(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out: str = "_h",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Hilbert-curve key over exactly two numeric columns (same
+    rank-based quantization as zorder_value; see
+    hilbert_value_kernel for why this one is an Arrow kernel)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_value supports exactly 2 dimensions")
+    n_cells = 1 << bits
+    probs = [i / n_cells for i in range(1, n_cells)]
+    all_cuts = df.approxQuantile(cols, probs, relative_error)
+    kern = hilbert_value_kernel(all_cuts[0], all_cuts[1], bits)
+    return df.withColumn(
+        out, kern(F.col(cols[0]).cast("double"), F.col(cols[1]).cast("double"))
+    )
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Hilbert-clustered parquet write (same range-partition + sort
+    shape as write_zordered)."""
+    hcol = "_h"
+    while hcol in df.columns:
+        hcol += "_"
+    hdf = hilbert_value(df, cols, bits, out=hcol)
+    (
+        hdf.repartitionByRange(n_files, hcol)
+        .sortWithinPartitions(hcol)
+        .drop(hcol)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -116,3 +116,51 @@ def test_write_zordered_preserves_user_z_column(spark, tmp_path):
     assert sorted(r._z for r in back.collect()) == sorted(
         f"k{i}" for i in range(20)
     )
+
+
+def test_hilbert_curve_reference_values(spark):
+    """2-bit Hilbert curve (4x4 grid) — the canonical path visits
+    every cell once with unit steps; spot-check against the textbook
+    d-ordering."""
+    import numpy as np
+
+    from ccog_spark.operators.layout import hilbert_value_kernel
+
+    # cuts at 1,2,3 put integer coords 0..3 into cells 0..3
+    kern = hilbert_value_kernel([1.0, 2.0, 3.0], [1.0, 2.0, 3.0], 2)
+    xs, ys = np.meshgrid(np.arange(4), np.arange(4))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs.ravel(), ys.ravel())],
+        "x double, y double",
+    )
+    got = {
+        (int(r.x), int(r.y)): r.h
+        for r in df.select("x", "y", kern(F.col("x"), F.col("y")).alias("h")).collect()
+    }
+    # every d in 0..15 exactly once
+    assert sorted(got.values()) == list(range(16))
+    # consecutive d-values are UNIT steps (the Hilbert property)
+    inv = {d: xy for xy, d in got.items()}
+    for d in range(15):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+    # canonical start/end of the order-2 curve
+    assert got[(0, 0)] == 0
+    assert got[(3, 0)] == 15
+
+
+def test_hilbert_layout_narrows_both_dimensions(spark, tmp_path):
+    from ccog_spark.catalog import load_table
+    from ccog_spark.operators.layout import write_hilbert
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "value"
+    )
+    hpath = str(tmp_path / "h")
+    write_hilbert(ev, hpath, ["user_id", "value"], bits=6, n_files=16)
+    hw = _avg_widths(hpath, ["user_id", "value"])
+    # both dimensions materially narrowed, like (or better than) Z
+    assert hw["user_id"] < 0.6
+    assert hw["value"] < 0.6
+    assert spark.read.parquet(hpath).count() == ev.count()
