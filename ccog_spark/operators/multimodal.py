@@ -751,6 +751,19 @@ def _jpeg_sof(payload: bytes):
             (h,) = struct.unpack_from(">H", payload, pos + 5)
             (w,) = struct.unpack_from(">H", payload, pos + 7)
             return w, h, payload[pos + 9]
+        # Non-baseline SOF family (progressive SOF2, extended SOF1,
+        # lossless SOF3, arithmetic 0xC9-0xCB/0xCD-0xCF): say so
+        # explicitly rather than scanning on and mis-reporting.
+        if 0xC1 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(
+                f"unsupported JPEG SOF marker 0xFF{m:02X} (non-baseline, "
+                f"e.g. progressive); only baseline SOF0 is supported"
+            )
+        # SOS starts entropy-coded data — segment-length walking past
+        # it would interpret scan bytes as lengths. A SOF must appear
+        # before SOS in any valid stream, so stop here.
+        if m == 0xDA:
+            break
         if m in (0xD8, 0xD9, 0x01) or 0xD0 <= m <= 0xD7:
             pos += 2
             continue
@@ -829,6 +842,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
         if code == end:
             break
         if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt GIF LZW code {code}")
             entry = table[code]
         elif code < len(table):
             entry = table[code]

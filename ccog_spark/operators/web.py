@@ -49,8 +49,14 @@ MULTI_SUFFIXES = (
 )
 
 
+# A URL "has a scheme" only when it STARTS with one (RFC 3986 §3.1).
+# contains('://') would be fooled by scheme-less crawl URLs embedding
+# an absolute URL ('t.co/r?u=https://x') and split at the wrong spot.
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+
+
 def _with_scheme(u: Column) -> Column:
-    return F.when(u.contains("://"), u).otherwise(F.concat(F.lit("http://"), u))
+    return F.when(u.rlike(_SCHEME_RE), u).otherwise(F.concat(F.lit("http://"), u))
 
 
 def _scheme_host_rest(url: Column) -> tuple[Column, Column, Column]:
@@ -122,13 +128,18 @@ def url_host(url: Column) -> Column:
 
 def registered_domain(host: Column) -> Column:
     """eTLD+1 heuristic: last 2 labels, or last 3 when the 2-label
-    tail is a known second-level registry (MULTI_SUFFIXES)."""
-    labels = F.split(host, r"\.")
+    tail is a known second-level registry (MULTI_SUFFIXES).
+
+    A non-default port survives canonicalization ('example.com:8080')
+    — strip any ':port' first so it can't ride inside the last label
+    and fragment per-domain quotas."""
+    h = F.regexp_replace(host, r":[0-9]+$", "")
+    labels = F.split(h, r"\.")
     n = F.size(labels)
     two = F.array_join(F.slice(labels, F.greatest(n - F.lit(1), F.lit(1)), 2), ".")
     three = F.array_join(F.slice(labels, F.greatest(n - F.lit(2), F.lit(1)), 3), ".")
     return (
-        F.when(n <= 2, host)
+        F.when(n <= 2, h)
         .when(two.isin(*MULTI_SUFFIXES), three)
         .otherwise(two)
     )

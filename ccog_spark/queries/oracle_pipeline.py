@@ -919,7 +919,7 @@ WITH raw AS (
   FROM documents
 ), s0 AS (
   SELECT doc_id,
-         CASE WHEN contains(split_part(trim(u), '#', 1), '://')
+         CASE WHEN regexp_matches(split_part(trim(u), '#', 1), '^[a-zA-Z][a-zA-Z0-9+.-]*://')
               THEN split_part(trim(u), '#', 1)
               ELSE 'http://' || split_part(trim(u), '#', 1) END AS u
   FROM raw
@@ -958,15 +958,19 @@ WITH raw AS (
   FROM c GROUP BY url
 ), h AS (
   SELECT *, split_part(split_part(split_part(url, '://', 2), '/', 1), '?', 1) AS host,
-         string_split(split_part(split_part(split_part(url, '://', 2), '/', 1), '?', 1), '.') AS ll
+         -- registered_domain strips any ':port' before label-splitting
+         regexp_replace(split_part(split_part(split_part(url, '://', 2), '/', 1), '?', 1),
+                        ':[0-9]+$', '') AS hp
   FROM g
+), h2 AS (
+  SELECT *, string_split(hp, '.') AS ll FROM h
 )
 SELECT url, keeper, n_raw, host,
-       CASE WHEN len(ll) <= 2 THEN host
+       CASE WHEN len(ll) <= 2 THEN hp
             WHEN array_to_string(ll[GREATEST(len(ll) - 1, 1):len(ll)], '.') IN ({sfx})
             THEN array_to_string(ll[GREATEST(len(ll) - 2, 1):len(ll)], '.')
             ELSE array_to_string(ll[GREATEST(len(ll) - 1, 1):len(ll)], '.') END AS domain
-FROM h
+FROM h2
 ORDER BY url
 """
 

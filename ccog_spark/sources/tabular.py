@@ -114,6 +114,16 @@ def upsert_partitioned_parquet(
     parts = [
         r[0] for r in updates.select(partition_col).distinct().collect()
     ]
+    # NULL partition values defeat every isin() below (NULL comparisons
+    # filter out), so existing __HIVE_DEFAULT_PARTITION__ rows would not
+    # be anti-joined and the update would append a duplicate beside the
+    # stale row. Refuse loudly rather than corrupt.
+    if any(p is None for p in parts):
+        raise ValueError(
+            f"updates contain NULL {partition_col!r} partition values; "
+            f"NULL partitions cannot be merged safely (isin/anti-join "
+            f"semantics drop NULL keys) — fill or filter them first"
+        )
     full = spark.read.parquet(path)
     if check_moved_keys:
         moved = (

@@ -439,6 +439,32 @@ def test_jpeg_color_rejected():
         decode_jpeg_gray(sof)
 
 
+def test_jpeg_progressive_and_sos_stop():
+    """Non-baseline SOF markers are reported explicitly, and the
+    segment walk never scans past SOS into entropy-coded data (scan
+    bytes are not segment lengths)."""
+    import pytest as _pytest
+
+    from ccog_spark.operators.multimodal import decode_jpeg_gray
+
+    # progressive SOF2 → explicit 'non-baseline' error, not a
+    # misleading walk-to-EOF 'no SOF0'
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big") + bytes(
+        [8]
+    ) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes([1])
+    with _pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_gray(sof2)
+
+    # SOS with no SOF before it: entropy bytes crafted so that, if the
+    # walker kept going, 0xFF 0xFE would parse as a COM whose bogus
+    # length runs off the end — the correct behavior is to stop at SOS
+    # and raise the honest 'without SOF0'
+    sos = b"\xff\xd8" + b"\xff\xda" + (8).to_bytes(2, "big") + bytes(6)
+    entropy = b"\xff\xfe\xff\xff" + bytes(4)
+    with _pytest.raises(ValueError, match="without SOF0"):
+        decode_jpeg_gray(sos + entropy)
+
+
 # ------------------------------------------------------------- GIF
 def test_gif_roundtrip_randomized():
     import numpy as np
@@ -494,3 +520,16 @@ def test_gif_rejects_malformed():
     bad[desc + 9] |= 0x40
     with _pytest.raises(ValueError, match="interlaced"):
         decode_gif(bytes(bad))
+
+
+def test_gif_lzw_first_code_out_of_range():
+    """A corrupt first-code-after-clear (beyond the table) raises the
+    module's documented ValueError, not IndexError."""
+    import pytest as _pytest
+
+    from ccog_spark.operators.multimodal import _gif_lzw_decode
+
+    # min_code_size=2 → clear=4, end=5, table len 6, width 3.
+    # Sole code = 7 (0b111): out of range while prev is None.
+    with _pytest.raises(ValueError, match="corrupt GIF LZW"):
+        _gif_lzw_decode(bytes([0b111]), 2, 4)

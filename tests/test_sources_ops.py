@@ -304,3 +304,27 @@ def test_upsert_moved_key_detection(spark, tmp_path):
     )
     got = {r.id: r.val for r in spark.read.parquet(path).collect()}
     assert got == {1: "a2", 2: "b"}
+
+
+def test_upsert_null_partition_rejected(spark, tmp_path):
+    """NULL partition values in updates defeat isin()/anti-join (NULL
+    comparisons filter out) — existing default-partition rows would
+    survive as stale duplicates. The upsert must refuse loudly."""
+    import pytest as _pytest
+
+    from ccog_spark.sources.tabular import (
+        upsert_partitioned_parquet,
+        write_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "tbl4")
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 1)], ["id", "val", "p"])
+    write_parquet_partitioned(base, path, ["p"])
+    nullpart = spark.createDataFrame(
+        [(1, "a2", None)], "id int, val string, p int"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        upsert_partitioned_parquet(spark, path, nullpart, ["id"], "p")
+    # table untouched after the refused merge
+    got = {r.id: r.val for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b"}

@@ -35,6 +35,11 @@ def test_canonicalize_rules(spark):
             "https://ex.com/redirect?url=https://other.com/x",
             # second '?' belongs to the query VALUE, not a new query
             "https://ex.com/p?a=1?b=2",
+            # scheme-less URL EMBEDDING an absolute URL: the '://' is in
+            # the query value, not an authority marker — scheme presence
+            # is anchored (^scheme://), so http:// is prepended and the
+            # host is t.co, never a garbage 't.co/r?u=https' scheme
+            "t.co/r?u=https://x.com/p",
         ],
     )
     assert got == [
@@ -48,6 +53,7 @@ def test_canonicalize_rules(spark):
         "https://example.com/a",
         "https://ex.com/redirect?url=https://other.com/x",
         "https://ex.com/p?a=1?b=2",
+        "http://t.co/r?u=https://x.com/p",
     ]
 
 
@@ -69,6 +75,10 @@ def test_url_host_and_registered_domain(spark):
             ("http://a.b.example.com:80/x",),
             ("https://example.com/",),
             ("https://localhost/x",),
+            # non-default port survives in host but NOT in the
+            # registered domain (would fragment per-domain quotas)
+            ("https://a.example.com:8080/x",),
+            ("https://shop.example.co.uk:8443/x",),
         ],
         ["u"],
     )
@@ -81,6 +91,8 @@ def test_url_host_and_registered_domain(spark):
         ("a.b.example.com", "example.com"),
         ("example.com", "example.com"),
         ("localhost", "localhost"),
+        ("a.example.com:8080", "example.com"),
+        ("shop.example.co.uk:8443", "example.co.uk"),
     ]
 
 
