@@ -7,25 +7,33 @@ every dask part derives byte-identical tables
 (/root/reference/ccog/ccog.py:24-39, 261-289). No image library ships
 in this container, so the codec is implemented from the spec:
 
-- baseline sequential DCT, 8-bit, single component (grayscale) — one
-  COG band plane per tile, PlanarConfiguration=2, exactly our writer's
-  tile payload shape;
-- Annex K.1 luminance quantization table scaled by the public IJG
-  quality rule; Annex K.3 standard DC/AC Huffman tables (fixed, not
-  optimized — that is what makes the tables a pure function of the
-  quality level, the property the shared-tables invariant needs);
+- baseline sequential DCT, 8-bit; GRAYSCALE (one COG band plane per
+  tile, PlanarConfiguration=2) and 3-component YCbCr COLOR
+  (interleaved RGB tiles, PlanarConfiguration=1 + Photometric=YCbCr —
+  the dominant real-world JPEG-in-COG shape, GDAL's default for RGB);
+  no chroma subsampling on encode (all components 1x1 — "4:4:4"),
+  decode additionally accepts 2x2-luma 4:2:0 streams (what GDAL/libjpeg
+  write by default) with box upsampling;
+- Annex K.1 luminance + K.2 chrominance quantization tables scaled by
+  the public IJG quality rule; Annex K.3 standard DC/AC Huffman tables
+  for both classes (fixed, not optimized — that is what makes the
+  tables a pure function of the quality level, the property the
+  shared-tables invariant needs);
 - ABBREVIATED streams (TIFF tag 347 style): ``make_tables`` emits the
-  tables-only stream stored once in JPEGTables; ``encode`` emits
-  tables-free SOI/SOF0/SOS tile streams. ``decode`` accepts either a
-  standalone stream or ``tables + tile`` concatenated (the reader
-  prepends the tag payload).
+  tables-only stream stored once in JPEGTables — BOTH table sets, the
+  layout GDAL/libtiff write, which is why GDAL JPEGTables carries two
+  DQT/DHT pairs; ``encode``/``encode_color`` emit tables-free
+  SOI/SOF0/SOS tile streams. ``decode`` accepts either a standalone
+  stream or ``tables + tile`` concatenated (the reader prepends the
+  tag payload).
 
-The DCT/quantization passes are vectorized numpy over all 8×8 blocks
-at once; only the entropy (Huffman) pass is a per-block Python loop —
-acceptable for the encode path because tiles are encoded inside an
-Arrow-batched Spark kernel, and the whole codec exists for format
-parity, not throughput (use deflate/zstd for bulk data; same caveat as
-the pure-Python LZW).
+The DCT/quantization AND the Huffman symbol/category/run-length
+passes are vectorized numpy over all blocks at once; the entropy
+bitstream itself is packed with np.packbits (no per-symbol Python
+loop on encode). Only the DECODE entropy pass is a per-block Python
+loop — acceptable because tiles decode inside Arrow-batched Spark
+kernels, and the codec exists for format parity, not bulk throughput
+(use deflate/zstd for bulk data; same caveat as the pure-Python LZW).
 
 ``level`` semantics: for this codec the COG writer's compress_level IS
 the JPEG quality, clamped to 1..100 (GDAL's JPEG_QUALITY creation
@@ -53,6 +61,21 @@ BASE_QUANT = np.array(
     dtype=np.int64,
 )
 
+# Annex K.2 chrominance quantization table.
+CHROMA_QUANT = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
 # Zigzag scan: position k in the scan reads natural index ZIGZAG[k].
 ZIGZAG = np.array(
     [
@@ -64,7 +87,7 @@ ZIGZAG = np.array(
     dtype=np.int64,
 )
 
-# Annex K.3.1/K.3.2: standard luminance Huffman tables as
+# Annex K.3.1/K.3.2: standard LUMINANCE Huffman tables as
 # (BITS counts per code length 1..16, ordered symbol values).
 DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_VALS = list(range(12))
@@ -93,6 +116,35 @@ AC_VALS = [
     0xF9, 0xFA,
 ]
 
+# Annex K.3.3/K.3.4: standard CHROMINANCE Huffman tables.
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+assert sum(AC_BITS) == len(AC_VALS) and sum(AC_BITS_C) == len(AC_VALS_C)
+
 # Orthonormal 8-point DCT-II matrix: A @ x applies the 1-D transform.
 _DCT = np.zeros((8, 8))
 for _k in range(8):
@@ -101,13 +153,14 @@ for _k in range(8):
         _DCT[_k, _n] = _c * np.cos((2 * _n + 1) * _k * np.pi / 16)
 
 
-def quant_table(level: int) -> np.ndarray:
-    """IJG quality scaling of the Annex K table (public libjpeg rule):
+def quant_table(level: int, chroma: bool = False) -> np.ndarray:
+    """IJG quality scaling of the Annex K tables (public libjpeg rule):
     quality 50 = base table, 100 = all ones (near-lossless), 1 =
     coarsest. Pure function of ``level`` — the shared-tables contract."""
     q = min(100, max(1, int(level)))
     scale = 5000 // q if q < 50 else 200 - 2 * q
-    t = (BASE_QUANT * scale + 50) // 100
+    base = CHROMA_QUANT if chroma else BASE_QUANT
+    t = (base * scale + 50) // 100
     return np.clip(t, 1, 255).astype(np.int64)
 
 
@@ -128,6 +181,35 @@ def _canonical_codes(bits: list[int], vals: list[int]):
 
 _DC_CODES = _canonical_codes(DC_BITS, DC_VALS)
 _AC_CODES = _canonical_codes(AC_BITS, AC_VALS)
+_DC_CODES_C = _canonical_codes(DC_BITS_C, DC_VALS_C)
+_AC_CODES_C = _canonical_codes(AC_BITS_C, AC_VALS_C)
+
+
+def _code_arrays(codes: dict[int, tuple[int, int]], n: int):
+    """(code, length) dict → dense numpy lookup arrays for the
+    vectorized entropy pass. Unassigned symbols keep length 0 (never
+    emitted by a conforming encoder path)."""
+    c = np.zeros(n, dtype=np.int64)
+    ln = np.zeros(n, dtype=np.int64)
+    for sym, (code, length) in codes.items():
+        c[sym] = code
+        ln[sym] = length
+    return c, ln
+
+
+# Row 0 = luminance tables, row 1 = chrominance tables.
+_DC_CODE_ARR = np.stack(
+    [_code_arrays(_DC_CODES, 16)[0], _code_arrays(_DC_CODES_C, 16)[0]]
+)
+_DC_LEN_ARR = np.stack(
+    [_code_arrays(_DC_CODES, 16)[1], _code_arrays(_DC_CODES_C, 16)[1]]
+)
+_AC_CODE_ARR = np.stack(
+    [_code_arrays(_AC_CODES, 256)[0], _code_arrays(_AC_CODES_C, 256)[0]]
+)
+_AC_LEN_ARR = np.stack(
+    [_code_arrays(_AC_CODES, 256)[1], _code_arrays(_AC_CODES_C, 256)[1]]
+)
 
 
 def _marker(tag: int, payload: bytes) -> bytes:
@@ -135,20 +217,30 @@ def _marker(tag: int, payload: bytes) -> bytes:
 
 
 def _dqt_segment(level: int) -> bytes:
-    zz = quant_table(level).reshape(64)[ZIGZAG]
-    return _marker(0xFFDB, b"\x00" + bytes(int(v) for v in zz))
+    """Both quant tables in one DQT segment (id 0 = luma, 1 = chroma),
+    the layout libjpeg's abbreviated tables stream uses."""
+    zz0 = quant_table(level).reshape(64)[ZIGZAG]
+    zz1 = quant_table(level, chroma=True).reshape(64)[ZIGZAG]
+    return _marker(
+        0xFFDB,
+        b"\x00" + bytes(int(v) for v in zz0)
+        + b"\x01" + bytes(int(v) for v in zz1),
+    )
 
 
 def _dht_segments() -> bytes:
-    dc = _marker(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
-    ac = _marker(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
-    return dc + ac
+    dc0 = _marker(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+    ac0 = _marker(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+    dc1 = _marker(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+    ac1 = _marker(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C))
+    return dc0 + ac0 + dc1 + ac1
 
 
 def make_tables(level: int) -> bytes:
     """The JPEGTables (TIFF tag 347) payload: a tables-only abbreviated
-    stream — SOI, DQT, the two DHTs, EOI (the layout GDAL/libtiff
-    write)."""
+    stream — SOI, DQT (both quant tables), all four DHTs, EOI (the
+    two-table-set layout GDAL/libtiff write; grayscale tiles simply
+    never reference set 1)."""
     return b"\xff\xd8" + _dqt_segment(level) + _dht_segments() + b"\xff\xd9"
 
 
@@ -156,31 +248,150 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-class _BitWriter:
-    __slots__ = ("out", "acc", "nbits")
+def _cat_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized JPEG magnitude category: bit_length(|v|). Exact for
+    |v| < 2^52 (log2 on float64 integers); baseline values are ≤ 11
+    bits."""
+    a = np.abs(v)
+    return np.where(
+        a == 0, 0, (np.floor(np.log2(np.maximum(a, 1))) + 1).astype(np.int64)
+    )
 
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
 
-    def put(self, value: int, length: int) -> None:
-        if length == 0:
-            return
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing (T.81 B.1.1.5)
-                self.out.append(0x00)
-        self.acc &= (1 << self.nbits) - 1
+def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """MSB-first concatenation of variable-length codes → stuffed JPEG
+    entropy bytes (1-fill padding, 0x00 after every 0xFF — T.81
+    B.1.1.5). Fully vectorized: per-bit spreading via repeat/arange,
+    np.packbits, np.insert for stuffing."""
+    keep = lens > 0
+    vals, lens = vals[keep], lens[keep]
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    offs = np.cumsum(lens) - lens
+    j = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+    vr = np.repeat(vals, lens)
+    lr = np.repeat(lens, lens)
+    bits = ((vr >> (lr - 1 - j)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])
+    by = np.packbits(bits)
+    ff = np.nonzero(by == 0xFF)[0]
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
 
-    def flush(self) -> None:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # 1-fill padding per spec
+
+def _plane_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(h, w) sample plane → (nb, 64) quantized zigzag coefficients,
+    blocks in raster order. All blocks DCT'd/quantized at once."""
+    h, w = plane.shape
+    blocks = (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    quant = np.round(coef / q).astype(np.int64)
+    return quant.reshape(-1, 64)[:, ZIGZAG]
+
+
+# Emission-order keys for the vectorized entropy pass: each emitted
+# code gets key = block * _KEY_STRIDE + local, where local preserves
+# the T.81 order (DC sym, DC bits, then per AC coefficient position p:
+# up to 3 ZRLs, symbol, value bits, then EOB).
+_KEY_STRIDE = 400
+_EOB_LOCAL = 6 * 64
+
+
+def _encode_scan(
+    zz: np.ndarray, comp: np.ndarray, tsel_of_comp: np.ndarray
+) -> bytes:
+    """Vectorized baseline entropy encoder.
+
+    zz: (nb, 64) quantized zigzag blocks in SCAN (MCU-interleaved)
+    order; comp: (nb,) component index of each block; tsel_of_comp:
+    per-component Huffman/quant class (0 luma / 1 chroma). Returns the
+    stuffed entropy bytes.
+    """
+    nb = zz.shape[0]
+    tsel = tsel_of_comp[comp]
+
+    # --- DC: per-component predictor chains, all vectorized
+    dc = zz[:, 0]
+    diff = np.empty(nb, dtype=np.int64)
+    for c in np.unique(comp):
+        idx = np.nonzero(comp == c)[0]
+        d = dc[idx]
+        diff[idx] = np.diff(d, prepend=0)
+    s_dc = _cat_vec(diff)
+    dc_sym_val = _DC_CODE_ARR[tsel, s_dc]
+    dc_sym_len = _DC_LEN_ARR[tsel, s_dc]
+    dc_bits_val = np.where(diff >= 0, diff, diff + (1 << s_dc) - 1)
+    dc_bits_len = s_dc
+    blk = np.arange(nb, dtype=np.int64)
+    dc_keys = np.concatenate([blk * _KEY_STRIDE, blk * _KEY_STRIDE + 1])
+    dc_vals = np.concatenate([dc_sym_val, dc_bits_val])
+    dc_lens = np.concatenate([dc_sym_len, dc_bits_len])
+
+    # --- AC: runs/categories for every nonzero coefficient at once
+    rows = zz[:, 1:]
+    nzb, nzp = np.nonzero(rows)
+    pos = nzp + 1  # zigzag position 1..63
+    v = rows[nzb, nzp]
+    first = np.empty(len(nzb), dtype=bool)
+    if len(nzb):
+        first[0] = True
+        first[1:] = nzb[1:] != nzb[:-1]
+    prev = np.where(first, 0, np.concatenate(([0], pos[:-1])))
+    run = pos - prev - 1
+    n_zrl = run >> 4
+    rem = run & 15
+    s_ac = _cat_vec(v)
+    sym = (rem << 4) | s_ac
+    t_ac = tsel[nzb]
+    ac_sym_val = _AC_CODE_ARR[t_ac, sym]
+    ac_sym_len = _AC_LEN_ARR[t_ac, sym]
+    ac_bits_val = np.where(v >= 0, v, v + (1 << s_ac) - 1)
+    key_base = nzb * _KEY_STRIDE + 6 * pos
+    ac_keys = np.concatenate([key_base + 4, key_base + 5])
+    ac_vals = np.concatenate([ac_sym_val, ac_bits_val])
+    ac_lens = np.concatenate([ac_sym_len, s_ac])
+
+    # --- ZRL fills (run > 15): n_zrl copies per nonzero, ordered
+    total_zrl = int(n_zrl.sum())
+    if total_zrl:
+        rep = np.repeat(np.arange(len(nzb)), n_zrl)
+        joff = np.arange(total_zrl) - np.repeat(
+            np.cumsum(n_zrl) - n_zrl, n_zrl
+        )
+        zrl_keys = nzb[rep] * _KEY_STRIDE + 6 * pos[rep] + joff
+        zrl_t = t_ac[rep]
+        zrl_vals = _AC_CODE_ARR[zrl_t, 0xF0]
+        zrl_lens = _AC_LEN_ARR[zrl_t, 0xF0]
+    else:
+        zrl_keys = np.empty(0, dtype=np.int64)
+        zrl_vals = np.empty(0, dtype=np.int64)
+        zrl_lens = np.empty(0, dtype=np.int64)
+
+    # --- EOB: blocks whose last nonzero is before position 63
+    lastpos = np.zeros(nb, dtype=np.int64)
+    if len(nzb):
+        np.maximum.at(lastpos, nzb, pos)
+    eob_blocks = np.nonzero(lastpos < 63)[0]
+    eob_t = tsel[eob_blocks]
+    eob_keys = eob_blocks * _KEY_STRIDE + _EOB_LOCAL
+    eob_vals = _AC_CODE_ARR[eob_t, 0x00]
+    eob_lens = _AC_LEN_ARR[eob_t, 0x00]
+
+    keys = np.concatenate([dc_keys, ac_keys, zrl_keys, eob_keys])
+    vals = np.concatenate([dc_vals, ac_vals, zrl_vals, eob_vals])
+    lens = np.concatenate([dc_lens, ac_lens, zrl_lens, eob_lens])
+    order = np.argsort(keys, kind="stable")
+    return _pack_bits(vals[order], lens[order])
 
 
 def encode(data: bytes, level: int = 75) -> bytes:
@@ -194,55 +405,117 @@ def encode(data: bytes, level: int = 75) -> bytes:
             f"multiple of 8; got {len(data)} bytes"
         )
     img = np.frombuffer(data, dtype=np.uint8).reshape(side, side)
-    q = quant_table(level)
-
-    # all blocks at once: (nb, 8, 8) → DCT → quantize → zigzag
-    blocks = (
-        img.reshape(side // 8, 8, side // 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(-1, 8, 8)
-        .astype(np.float64)
-        - 128.0
+    zz = _plane_zz(img, quant_table(level))
+    scan = _encode_scan(
+        zz, np.zeros(len(zz), dtype=np.int64), np.array([0], dtype=np.int64)
     )
-    coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
-    quant = np.round(coef / q).astype(np.int64)
-    zz = quant.reshape(-1, 64)[:, ZIGZAG]
-
-    w = _BitWriter()
-    pred = 0
-    for row in zz:
-        dc = int(row[0])
-        diff = dc - pred
-        pred = dc
-        s = _category(diff)
-        code, length = _DC_CODES[s]
-        w.put(code, length)
-        if s:
-            w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        # AC: run-length of zeros + category
-        nz = np.nonzero(row[1:])[0]
-        k = 1
-        for idx in nz:
-            pos = int(idx) + 1
-            run = pos - k
-            while run > 15:
-                w.put(*_AC_CODES[0xF0])  # ZRL
-                run -= 16
-            v = int(row[pos])
-            s = _category(v)
-            code, length = _AC_CODES[(run << 4) | s]
-            w.put(code, length)
-            w.put(v if v >= 0 else v + (1 << s) - 1, s)
-            k = pos + 1
-        if k <= 63:
-            w.put(*_AC_CODES[0x00])  # EOB
-    w.flush()
-
     sof = _marker(
         0xFFC0, struct.pack(">BHHB", 8, side, side, 1) + b"\x01\x11\x00"
     )
     sos = _marker(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    return b"\xff\xd8" + sof + sos + bytes(w.out) + b"\xff\xd9"
+    return b"\xff\xd8" + sof + sos + scan + b"\xff\xd9"
+
+
+# JFIF (ITU-T T.871) full-range RGB <-> YCbCr. Decode uses the exact
+# inverse so encode→decode round-trips within quantization error.
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_color(data: bytes, level: int = 75, subsampling: str = "444") -> bytes:
+    """Encode one square interleaved-RGB uint8 tile (blocksize² × 3
+    bytes, pixel-interleaved — the writer's PlanarConfiguration=1
+    payload) as an abbreviated baseline YCbCr JPEG stream.
+
+    subsampling: '444' (all components 1x1 — no chroma subsampling;
+    chroma error comes only from quantization) or '420' (luma 2x2,
+    chroma box-downsampled 2× per axis — the GDAL/libjpeg default,
+    ~half the bytes; needs side % 16 == 0 for MCU alignment, which the
+    COG writer's blocksize-multiple-of-16 contract guarantees).
+
+    Component layout matches GDAL/libjpeg color conventions: ids
+    1/2/3, Y on quant+Huffman set 0, Cb/Cr on set 1, MCU-interleaved
+    (Y blocks in MCU-local raster order, then Cb, then Cr)."""
+    n3 = len(data)
+    side = int(np.sqrt(n3 // 3))
+    if side * side * 3 != n3 or side % 8:
+        raise ValueError(
+            f"jpeg color codec expects a square interleaved uint8 RGB "
+            f"tile with side a multiple of 8; got {n3} bytes"
+        )
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    rgb = np.frombuffer(data, dtype=np.uint8).reshape(side, side, 3)
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    ql = quant_table(level)
+    qc = quant_table(level, chroma=True)
+
+    if subsampling == "444":
+        planes = [_plane_zz(y, ql), _plane_zz(cb, qc), _plane_zz(cr, qc)]
+        nb = planes[0].shape[0]
+        # interleave blocks in MCU order: Y0 Cb0 Cr0 Y1 ...
+        zz = np.empty((3 * nb, 64), dtype=np.int64)
+        comp = np.empty(3 * nb, dtype=np.int64)
+        for ci in range(3):
+            zz[ci::3] = planes[ci]
+            comp[ci::3] = ci
+        samp = b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    else:  # 420
+        if side % 16:
+            raise ValueError(
+                f"4:2:0 needs side % 16 == 0 (16x16 MCUs), got {side}"
+            )
+        # box-downsample chroma 2x per axis (mean of each 2x2)
+        cb2 = cb.reshape(side // 2, 2, side // 2, 2).mean(axis=(1, 3))
+        cr2 = cr.reshape(side // 2, 2, side // 2, 2).mean(axis=(1, 3))
+        zy = _plane_zz(y, ql)          # raster block order, bw = side//8
+        zcb = _plane_zz(cb2, qc)       # 1 block per MCU, already MCU order
+        zcr = _plane_zz(cr2, qc)
+        bw = side // 8
+        mx = side // 16
+        n_mcu = mx * mx
+        # luma raster index for MCU mi, local block (byy,bxx)
+        mi = np.arange(n_mcu)
+        myy, mxx = mi // mx, mi % mx
+        yidx = np.empty((n_mcu, 4), dtype=np.int64)
+        for bi, (byy, bxx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            yidx[:, bi] = (2 * myy + byy) * bw + (2 * mxx + bxx)
+        zz = np.empty((6 * n_mcu, 64), dtype=np.int64)
+        comp = np.tile(
+            np.array([0, 0, 0, 0, 1, 2], dtype=np.int64), n_mcu
+        )
+        base = np.arange(n_mcu) * 6
+        for bi in range(4):
+            zz[base + bi] = zy[yidx[:, bi]]
+        zz[base + 4] = zcb
+        zz[base + 5] = zcr
+        samp = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+
+    scan = _encode_scan(zz, comp, np.array([0, 1, 1], dtype=np.int64))
+    sof = _marker(
+        0xFFC0, struct.pack(">BHHB", 8, side, side, 3) + samp
+    )
+    sos = _marker(
+        0xFFDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11"
+        + b"\x00\x3f\x00"
+    )
+    return b"\xff\xd8" + sof + sos + scan + b"\xff\xd9"
 
 
 class _BitReader:
@@ -303,23 +576,40 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode(data: bytes) -> bytes:
-    """Decode a baseline grayscale JPEG stream to raw uint8 bytes.
-    Accepts standalone streams OR ``tables_stream + tile_stream``
-    concatenations (abbreviated TIFF form: the caller prepends the
-    JPEGTables tag payload; interior EOI/SOI markers are skipped).
-    Corrupt or truncated input raises ValueError — never hangs or
-    crashes with a raw IndexError (fuzz-tested)."""
+    """Decode a baseline JPEG stream to raw uint8 bytes — grayscale
+    (h×w plane) or 3-component YCbCr color (h×w×3 interleaved RGB).
+    Sampling: all-1x1 ("4:4:4", what encode_color writes) and
+    2x2-luma 4:2:0 (the GDAL/libjpeg default for reading foreign
+    color COGs; box chroma upsampling). Accepts standalone streams OR
+    ``tables_stream + tile_stream`` concatenations (abbreviated TIFF
+    form: the caller prepends the JPEGTables tag payload; interior
+    EOI/SOI markers are skipped). Corrupt or truncated input raises
+    ValueError — never hangs or crashes with a raw IndexError
+    (fuzz-tested)."""
     try:
         return _decode(data)
     except (IndexError, KeyError, OverflowError, struct.error) as e:
         raise ValueError(f"corrupt JPEG stream: {e!r}") from e
 
 
+def _idct_plane(zz: np.ndarray, q: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """(nb, 64) zigzag coefficients → (bh*8, bw*8) float sample plane."""
+    nb = zz.shape[0]
+    blocks = np.zeros((nb, 64), dtype=np.int64)
+    blocks[:, ZIGZAG] = zz
+    coef = blocks.reshape(nb, 8, 8).astype(np.float64) * q
+    pix = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
+    return pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
+        bh * 8, bw * 8
+    )
+
+
 def _decode(data: bytes) -> bytes:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
-    dc_id = ac_id = 0
+    # SOF component list: (comp_id, h_samp, v_samp, tq) in SOF order
+    sof_comps: list[tuple[int, int, int, int]] = []
     pos = 0
     n = len(data)
     out = None
@@ -358,38 +648,112 @@ def _decode(data: bytes) -> bytes:
             precision, height, width, ncomp = struct.unpack_from(
                 ">BHHB", body, 0
             )
-            if precision != 8 or ncomp != 1:
+            if precision != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    "only 8-bit single-component baseline JPEG supported"
+                    f"only 1- or 3-component baseline JPEG supported "
+                    f"(got {ncomp})"
                 )
-            # per-component fields start at offset 6: id, sampling, Tq
-            qt_id = body[8]
+            sof_comps = []
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                samp = body[7 + 3 * ci]
+                sof_comps.append((cid, samp >> 4, samp & 15, body[8 + 3 * ci]))
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline (SOF0) JPEG supported")
         elif m == 0xDA:  # SOS → entropy data follows
-            dc_id = body[2] >> 4
-            ac_id = body[2] & 15
             if width is None:
                 raise ValueError("SOS before SOF0")
-            if (0, dc_id) not in huff or (1, ac_id) not in huff or not qt:
+            ns = body[0]
+            if ns != len(sof_comps):
+                raise ValueError(
+                    "partial (non-interleaved) scans not supported"
+                )
+            # scan comps in SOS order, mapped back to SOF entries
+            scan: list[tuple[int, int, int]] = []  # (sof_idx, dc, ac)
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                sel = body[2 + 2 * si]
+                sof_idx = next(
+                    (i for i, c in enumerate(sof_comps) if c[0] == cid), None
+                )
+                if sof_idx is None:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                scan.append((sof_idx, sel >> 4, sel & 15))
+            for _, dc_id, ac_id in scan:
+                if (0, dc_id) not in huff or (1, ac_id) not in huff:
+                    raise ValueError(
+                        "abbreviated JPEG tile has no tables in-stream — "
+                        "prepend the JPEGTables (TIFF tag 347) payload"
+                    )
+            if not qt:
                 raise ValueError(
                     "abbreviated JPEG tile has no tables in-stream — "
                     "prepend the JPEGTables (TIFF tag 347) payload"
                 )
-            reader = _BitReader(data, pos + 2 + seglen)
-            nb = (height // 8) * (width // 8)
-            zz = np.zeros((nb, 64), dtype=np.int64)
-            pred = 0
-            done = 0
-            try:
-                for bi in range(nb):
+            out = _decode_sos(data, pos + 2 + seglen, width, height,
+                              sof_comps, scan, qt, huff)
+            break
+        pos += 2 + seglen
+    if out is None:
+        raise ValueError(
+            "no scan data found — abbreviated JPEG tile decoded without "
+            "its JPEGTables? prepend the tag 347 payload"
+        )
+    return out
+
+
+def _decode_sos(
+    data: bytes,
+    start: int,
+    width: int,
+    height: int,
+    sof_comps: list[tuple[int, int, int, int]],
+    scan: list[tuple[int, int, int]],
+    qt: dict[int, np.ndarray],
+    huff: dict[tuple[int, int], dict],
+) -> bytes:
+    hs = [c[1] for c in sof_comps]
+    vs = [c[2] for c in sof_comps]
+    hmax, vmax = max(hs), max(vs)
+    # supported sampling shapes: all-1x1, or 4:2:0 (luma 2x2, chroma 1x1)
+    if not (
+        all(h == 1 and v == 1 for h, v in zip(hs, vs))
+        or (len(sof_comps) == 3 and hs == [2, 1, 1] and vs == [2, 1, 1])
+    ):
+        raise ValueError(
+            f"unsupported JPEG sampling factors {list(zip(hs, vs))} — "
+            f"only 1x1 (4:4:4) and 2x2-luma 4:2:0 are supported"
+        )
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    if width % mcu_w or height % mcu_h:
+        raise ValueError(
+            f"only MCU-aligned dimensions supported, got {width}x{height} "
+            f"with {mcu_w}x{mcu_h} MCUs"
+        )
+    mx, my = width // mcu_w, height // mcu_h
+    n_mcu = mx * my
+    blocks_per_mcu = [hs[i] * vs[i] for i in range(len(sof_comps))]
+    zz = [
+        np.zeros((n_mcu * blocks_per_mcu[i], 64), dtype=np.int64)
+        for i in range(len(sof_comps))
+    ]
+    pred = [0] * len(sof_comps)
+    reader = _BitReader(data, start)
+    done = 0
+    try:
+        for mi in range(n_mcu):
+            for sof_idx, dc_id, ac_id in scan:
+                for bi in range(blocks_per_mcu[sof_idx]):
+                    row = zz[sof_idx][mi * blocks_per_mcu[sof_idx] + bi]
                     s = _read_huffman(reader, huff[(0, dc_id)])
                     if s > 15:  # baseline DC categories are 0..11
                         raise ValueError(f"bad DC category {s}")
                     diff = _extend(reader.bits(s), s) if s else 0
-                    pred += diff
-                    zz[bi, 0] = pred
+                    pred[sof_idx] += diff
+                    row[0] = pred[sof_idx]
                     k = 1
                     while k <= 63:
                         sym = _read_huffman(reader, huff[(1, ac_id)])
@@ -404,34 +768,51 @@ def _decode(data: bytes) -> bytes:
                         k += run
                         if k > 63:
                             raise ValueError("AC index out of range")
-                        zz[bi, k] = _extend(reader.bits(s), s)
+                        row[k] = _extend(reader.bits(s), s)
                         k += 1
-                    done = bi + 1
-            except _ScanEnd:
-                # a marker inside the entropy data before every block
-                # decoded = truncated scan; returning the partial image
-                # would be silent corruption (round-6 review)
-                raise ValueError(
-                    f"truncated JPEG scan: {done} of {nb} blocks decoded"
-                )
-            q = qt[qt_id]
-            blocks = np.zeros((nb, 64), dtype=np.int64)
-            blocks[:, ZIGZAG] = zz
-            coef = blocks.reshape(nb, 8, 8).astype(np.float64) * q
-            pix = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
-            pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
-            bh, bw = height // 8, width // 8
-            out = (
-                pix.reshape(bh, bw, 8, 8)
-                .transpose(0, 2, 1, 3)
-                .reshape(height, width)
-            )
-            # continue scanning (skips trailing EOI); nothing else to do
-            break
-        pos += 2 + seglen
-    if out is None:
+            done = mi + 1
+    except _ScanEnd:
+        # a marker inside the entropy data before every MCU decoded =
+        # truncated scan; returning the partial image would be silent
+        # corruption (round-6 review)
         raise ValueError(
-            "no scan data found — abbreviated JPEG tile decoded without "
-            "its JPEGTables? prepend the tag 347 payload"
+            f"truncated JPEG scan: {done} of {n_mcu} MCUs decoded"
         )
-    return out.tobytes()
+
+    planes = []
+    for i, (cid, h, v, tq) in enumerate(sof_comps):
+        if tq not in qt:
+            raise ValueError(f"component {cid} references missing DQT {tq}")
+        bw = mx * h
+        bh = my * v
+        if h == hmax and v == vmax:
+            # natural raster order only when one block per MCU per dim;
+            # for 2x2 luma the 4 blocks per MCU are in MCU-local order
+            if h == 1 and v == 1:
+                plane = _idct_plane(zz[i], qt[tq], bh, bw)
+            else:
+                # reorder MCU-local (v, h) blocks into plane raster order
+                nb = zz[i].shape[0]
+                idx = np.empty(nb, dtype=np.int64)
+                per = h * v
+                for mi in range(mx * my):
+                    myy, mxx = divmod(mi, mx)
+                    for bi in range(per):
+                        byy, bxx = divmod(bi, h)
+                        r = (myy * v + byy) * bw + (mxx * h + bxx)
+                        idx[r] = mi * per + bi
+                plane = _idct_plane(zz[i][idx], qt[tq], bh, bw)
+        else:
+            plane = _idct_plane(zz[i], qt[tq], bh, bw)
+            # box-upsample chroma to full resolution (nearest — the
+            # cheap, alias-free inverse of the encoder's box downsample)
+            plane = np.repeat(
+                np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
+            )
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        return (
+            np.clip(np.round(planes[0]), 0, 255).astype(np.uint8).tobytes()
+        )
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2]).tobytes()

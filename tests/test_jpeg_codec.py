@@ -52,9 +52,10 @@ def test_make_tables_pure_and_level_dependent():
     assert J.make_tables(60) == J.make_tables(60)
     assert J.make_tables(60) != J.make_tables(61)
     t = J.make_tables(75)
-    # SOI + DQT + two DHTs + EOI
+    # SOI + DQT (luma+chroma tables) + four DHTs (DC/AC × luma/chroma)
+    # + EOI — the two-table-set layout GDAL/libtiff JPEGTables carry
     assert t.startswith(b"\xff\xd8") and t.endswith(b"\xff\xd9")
-    assert t.count(b"\xff\xdb") == 1 and t.count(b"\xff\xc4") == 2
+    assert t.count(b"\xff\xdb") == 1 and t.count(b"\xff\xc4") == 4
 
 
 def test_quant_table_ijg_endpoints():
@@ -209,6 +210,145 @@ def test_fuzz_corrupt_streams_never_hang_or_crash(seed, data):
     stream = J.make_tables(75) + J.encode(img.tobytes(), 75)
     mode = data.draw(st.sampled_from(["truncate", "flip", "both"]))
     buf = bytearray(stream)
+    if mode in ("truncate", "both"):
+        buf = buf[: data.draw(st.integers(0, len(buf) - 1))]
+    if mode in ("flip", "both") and buf:
+        for _ in range(data.draw(st.integers(1, 4))):
+            i = data.draw(st.integers(0, len(buf) - 1))
+            buf[i] ^= data.draw(st.integers(1, 255))
+    try:
+        out = J.decode(bytes(buf))
+        assert isinstance(out, bytes)
+    except ValueError:
+        pass
+
+
+# ------------------------------------------------------- golden bytes
+def test_encoder_golden_bytes_stable():
+    """The entropy encoder's byte output is pinned: the vectorized
+    numpy Huffman pass (r7) must produce EXACTLY the bytes of the
+    original per-symbol implementation — same categories, runs, ZRL
+    splits, EOB placement, 1-fill padding, and 0xFF stuffing."""
+    import hashlib
+
+    rng = np.random.RandomState(7)
+    golden = {
+        10: "a120505cbfea213b", 50: "5e55639d65da2eed",
+        75: "afc128ea1de498a6", 90: "77af2e571a568c21",
+        100: "9dc6ecc31fb2926b",
+    }
+    for q in (10, 50, 75, 90, 100):
+        img = (
+            np.linspace(0, 255, 32 * 32).reshape(32, 32)
+            + rng.randint(0, 30, (32, 32))
+        ).clip(0, 255).astype(np.uint8)
+        d = hashlib.sha256(J.encode(img.tobytes(), q)).hexdigest()[:16]
+        assert d == golden[q], q
+    flat = np.zeros((16, 16), np.uint8)
+    flat[3, 7] = 255  # ZRL-heavy block
+    flat[12, 2] = 9
+    assert (
+        hashlib.sha256(J.encode(flat.tobytes(), 75)).hexdigest()[:16]
+        == "b6402bec92266e3d"
+    )
+    const = np.full((16, 16), 128, np.uint8)
+    assert (
+        hashlib.sha256(J.encode(const.tobytes(), 50)).hexdigest()[:16]
+        == "0731919b0f578726"
+    )
+
+
+# ------------------------------------------------------------- color
+def _rgb_gradient(side: int = 32) -> np.ndarray:
+    y, x = np.mgrid[0:side, 0:side]
+    return np.stack(
+        [
+            (np.sin(x / 5.0) * 60 + y * 2 + 100) % 256,
+            (np.cos(y / 4.0) * 60 + x * 2 + 80) % 256,
+            np.full((side, side), 100.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "quality,sub,max_err",
+    [(95, "444", 10), (75, "444", 20), (50, "444", 26), (90, "420", 24)],
+)
+def test_color_roundtrip_tolerance(quality, sub, max_err):
+    rgb = _rgb_gradient()
+    enc = J.make_tables(quality) + J.encode_color(
+        rgb.tobytes(), quality, subsampling=sub
+    )
+    dec = np.frombuffer(J.decode(enc), np.uint8).reshape(rgb.shape)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= max_err
+
+
+def test_color_constant_near_exact():
+    rgb = np.empty((16, 16, 3), np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 37, 180, 99
+    enc = J.make_tables(95) + J.encode_color(rgb.tobytes(), 95)
+    dec = np.frombuffer(J.decode(enc), np.uint8).reshape(rgb.shape)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_color_gray_input_stays_gray():
+    """An RGB tile with R=G=B has Cb=Cr=128; after round-trip the
+    channels stay (near) equal — the chroma path is not injecting
+    color."""
+    g = _gradient(32)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    enc = J.make_tables(90) + J.encode_color(rgb.tobytes(), 90)
+    dec = np.frombuffer(J.decode(enc), np.uint8).reshape(rgb.shape).astype(int)
+    assert np.abs(dec[..., 0] - dec[..., 1]).max() <= 2
+    assert np.abs(dec[..., 0] - dec[..., 2]).max() <= 2
+
+
+def test_color_420_smaller_than_444():
+    rgb = _rgb_gradient()
+    l444 = len(J.encode_color(rgb.tobytes(), 75, subsampling="444"))
+    l420 = len(J.encode_color(rgb.tobytes(), 75, subsampling="420"))
+    assert l420 < l444
+
+
+def test_color_component_layout_gdal_convention():
+    """SOF/SOS bytes pin the public component convention: ids 1/2/3,
+    Y on table set 0, Cb/Cr on set 1; 4:2:0 sets luma sampling 0x22."""
+    rgb = _rgb_gradient()
+    for sub, ysamp in (("444", 0x11), ("420", 0x22)):
+        enc = J.encode_color(rgb.tobytes(), 75, subsampling=sub)
+        sof = enc.index(b"\xff\xc0") + 4
+        assert enc[sof] == 8 and enc[sof + 5] == 3  # precision, ncomp
+        comps = enc[sof + 6 : sof + 15]
+        assert list(comps) == [1, ysamp, 0, 2, 0x11, 1, 3, 0x11, 1]
+        sos = enc.index(b"\xff\xda") + 4
+        assert list(enc[sos : sos + 7]) == [3, 1, 0x00, 2, 0x11, 3, 0x11]
+
+
+def test_color_420_requires_mcu_alignment():
+    rgb = np.zeros((24, 24, 3), np.uint8)  # 24 % 16 != 0
+    with pytest.raises(ValueError, match="16"):
+        J.encode_color(rgb.tobytes(), 75, subsampling="420")
+
+
+def test_color_bad_subsampling_rejected():
+    rgb = _rgb_gradient(16)
+    with pytest.raises(ValueError, match="subsampling"):
+        J.encode_color(rgb.tobytes(), 75, subsampling="422")
+
+
+@given(st.integers(0, 2 ** 32 - 1), st.data())
+@settings(deadline=None, max_examples=40)
+def test_fuzz_corrupt_color_streams(seed, data):
+    """Same never-hang/never-crash contract for 3-component streams."""
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    sub = data.draw(st.sampled_from(["444", "420"]))
+    stream = J.make_tables(75) + J.encode_color(
+        rgb.tobytes(), 75, subsampling=sub
+    )
+    buf = bytearray(stream)
+    mode = data.draw(st.sampled_from(["truncate", "flip", "both"]))
     if mode in ("truncate", "both"):
         buf = buf[: data.draw(st.integers(0, len(buf) - 1))]
     if mode in ("flip", "both") and buf:
