@@ -248,21 +248,37 @@ def tokenize(
     return docs.withColumn(out, bpe_encode_kernel(merges)(F.col(text_col)))
 
 
-def corpus_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
+def corpus_alphabet(
+    docs: DataFrame, text_col: str = "text", max_alphabet: int = 1 << 17
+) -> list[str]:
     """Distinct non-space characters of the corpus (distributed
-    distinct; result is alphabet-sized — tiny). This is the base-
-    symbol set ``vocabulary`` needs for COMPLETE id coverage: the
+    distinct; result is alphabet-sized — tiny for natural language,
+    bounded above by Unicode's ~155k assigned codepoints). This is the
+    base-symbol set ``vocabulary`` needs for COMPLETE id coverage: the
     merge list alone underdetermines the alphabet (a character that
     never participates in a merge would otherwise be silently absent
-    and its ids lossy)."""
-    rows = (
+    and its ids lossy).
+
+    Guarded like the other driver materializations (PPJoin gate,
+    prefix-sum tree): a ``limit(N+1)`` probe refuses to collect an
+    adversarial corpus whose "alphabet" exceeds ``max_alphabet``
+    distinct strings (possible with combining-character graphemes —
+    Spark's split('') yields grapheme clusters, whose space is
+    unbounded) instead of flooding the driver."""
+    distinct = (
         docs.select(
             F.explode(F.split(F.col(text_col), "")).alias("c")
         )
         .where((F.col("c") != "") & (F.col("c") != " "))
         .distinct()
-        .collect()
     )
+    rows = distinct.limit(max_alphabet + 1).collect()
+    if len(rows) > max_alphabet:
+        raise ValueError(
+            f"corpus alphabet exceeds {max_alphabet} distinct symbols — "
+            f"not a natural-language alphabet; normalize the corpus "
+            f"(NFC, strip combining runs) or raise max_alphabet"
+        )
     return sorted(r.c for r in rows)
 
 

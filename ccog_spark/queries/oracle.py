@@ -320,6 +320,36 @@ SELECT * FROM (
 ORDER BY level, band, y, x
 """
 
+# Color-JPEG COG row: pixels are lossy (not SQL-recomputable), but the
+# STRUCTURE is exact — per-level dims via the same ceil-halving rule
+# (overview_count(160, 96, 32) = 3 overviews), tile counts via ceil
+# division by the blocksize, the PlanarConfig=1/YCbCr tags, one shared
+# JPEGTables copy, multi-part. The verdict flags are true by contract;
+# the Spark side computes them for real and a regression flips the hash.
+ORACLE["cog_color"] = """
+WITH RECURSIVE lv(ifd, w, h) AS (
+  SELECT 0, 160, 96
+  UNION ALL SELECT ifd + 1, (w + 1) // 2, (h + 1) // 2 FROM lv WHERE ifd < 3
+), subs(sub, ych, ycv) AS (
+  SELECT '444', 1, 1 UNION ALL SELECT '420', 2, 2
+)
+SELECT sub,
+       CAST(ifd AS INT) AS ifd,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS bands,
+       CAST(1 AS INT) AS planar,
+       CAST(ych AS INT) AS ych,
+       CAST(ycv AS INT) AS ycv,
+       CAST(((w + 31) // 32) * ((h + 31) // 32) AS INT) AS data_tiles,
+       CAST(0 AS INT) AS sparse_tiles,
+       true AS multi_part,
+       true AS tables_shared,
+       true AS within_tol
+FROM lv CROSS JOIN subs
+ORDER BY sub, ifd
+"""
+
 # Distributed reader round-trip: the float64/deflate write is lossless,
 # so the read-back equals the fixture pixels exactly (identity oracle).
 ORACLE["cog_read"] = f"""

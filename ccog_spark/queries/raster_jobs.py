@@ -194,6 +194,101 @@ def lanczos_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _interp_decimate_q(spark, "lanczos")
 
 
+def cog_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked 3-band COLOR JPEG COG row (round 7): write the
+    smooth uint8 RGB fixture as pixel-interleaved YCbCr JPEG COGs in
+    BOTH 4:4:4 and 4:2:0, multi-part (min_part_size forces >1 part, so
+    the shared-JPEGTables invariant runs across parts like the
+    reference's _test_jpegtables, ccog/ccog.py:261-289), then read each
+    file back with the in-repo TIFF reader and emit per-IFD structure
+    plus verdict flags.
+
+    JPEG is lossy, so pixel values cannot be recomputed in SQL; what
+    IS exactly checkable is everything structural — per-level
+    dimensions, tile counts, PlanarConfiguration=1, Photometric=YCbCr
+    subsampling tags, one shared tables copy, multi-part — which the
+    DuckDB oracle derives independently from the fixture constants via
+    a recursive ceil-halving CTE, plus a bounded-reconstruction-error
+    verdict computed Spark-side against the exact integer fixture
+    (tolerances with wide margin; a codec regression flips the flag and
+    the row hash). Smooth ramps (pure integer arithmetic, no value
+    wraps) keep JPEG error small and the verdict stable."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ccog_spark.raster import jpegcodec
+    from ccog_spark.raster.tiff import read_band
+
+    # smooth uint8 RGB ramps — deterministic integer arithmetic
+    ids = spark.range(BANDS * H * W)
+    band = F.floor(F.col("id") / (H * W)).cast("int") + 1
+    y = F.floor((F.col("id") % (H * W)) / W).cast("int")
+    x = (F.col("id") % W).cast("int")
+    ramp_y = F.floor(y * 255 / (H - 1))
+    ramp_x = F.floor(x * 255 / (W - 1))
+    value = (
+        F.when(band == 1, ramp_y)
+        .when(band == 2, ramp_x)
+        .otherwise(F.floor((ramp_y + ramp_x) / 2))
+    ).cast("double")
+    px = ids.select(
+        band.alias("band"), y.alias("y"), x.alias("x"),
+        value.alias("value"), F.lit(True).alias("valid"),
+    )
+    # driver-side exact original for the tolerance verdict
+    yy, xx = np.mgrid[0:H, 0:W]
+    ry = (yy * 255) // (H - 1)
+    rx = (xx * 255) // (W - 1)
+    orig = np.stack([ry, rx, (ry + rx) // 2]).astype(np.int64)
+
+    tol = {"444": 24, "420": 48}  # measured ~8/~16; wide margin
+    rows = []
+    for sub in ("444", "420"):
+        out = os.path.join(
+            tempfile.gettempdir(), f"ccog_corpus_color_{sub}.tif"
+        )
+        res = write_cog(
+            spark, px, width=W, height=H, bands=BANDS, target_path=out,
+            blocksize=BLOCK, kernel="average", nodata=255.0,
+            dtype="uint8", codec="jpeg", compress_level=90,
+            pixel_interleave=True, jpeg_subsampling=sub,
+            min_part_size=2 << 10,
+        )
+        with open(res.path, "rb") as f:
+            data = f.read()
+        tables = jpegcodec.make_tables(90)
+        shared = data.count(tables) == 1
+        ifds = read_cog(data)
+        for i, ifd in enumerate(ifds):
+            ok = True
+            if i == 0:
+                for b in range(BANDS):
+                    got = read_band(data, ifd, b).astype(np.int64)
+                    ok = ok and (
+                        np.abs(got - orig[b]).max() <= tol[sub]
+                    )
+            else:
+                # overviews: decoding works and fills the clip
+                got = read_band(data, ifd, 0)
+                ok = got.shape == (ifd.height, ifd.width)
+            rows.append(
+                (
+                    sub, i, ifd.width, ifd.height, ifd.bands,
+                    ifd.planar_config,
+                    ifd.ycbcr_subsampling[0], ifd.ycbcr_subsampling[1],
+                    sum(1 for c in ifd.bytecounts if c > 0),
+                    sum(1 for c in ifd.bytecounts if c == 0),
+                    res.n_parts > 1, shared, bool(ok),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "sub string, ifd int, width int, height int, bands int, "
+        "planar int, ych int, ycv int, data_tiles int, sparse_tiles int, "
+        "multi_part boolean, tables_shared boolean, within_tol boolean",
+    ).orderBy("sub", "ifd")
+
+
 def cog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED read-back proof (round 6; complements cog_roundtrip,
     whose read is driver-side numpy): write the fixture COG, reopen it

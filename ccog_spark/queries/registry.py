@@ -62,6 +62,16 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # (noted per entry). If a future driver checks everything, the tail
 # rows are green too (tests/test_corpus.py gates all of them at
 # sf0.001, and the sf0.01 harness passes for all).
+#
+# Round 7 reorder (VERDICT r6 task 4): the strongest composed rows —
+# pipeline_e2e (4-stage hygiene pipeline), ann_ivfpq (fused
+# compressed-domain ANN), multimodal_features (full pixel decode), and
+# the new cog_color (pixel-interleaved YCbCr JPEG COG) — moved INTO
+# the fold so the driver hash-records them; they displaced four rows
+# whose capability keeps an above-fold family row (q07b ≙ q07's
+# grouping-sets family + pivot/unpivot rows; decim_nearest ≙ qr1 +
+# pyramid_avg E20 family; cubicspline_decimate ≙ cubic_decimate E21
+# halo family; stream_sliding ≙ stream_tumbling E31 window family).
 REGISTRY: dict[str, QueryFn] = {
     "q01": relational.q01,
     "q02": relational.q02,
@@ -70,7 +80,10 @@ REGISTRY: dict[str, QueryFn] = {
     "q05": relational.q05,
     "q06": relational.q06,
     "q07": relational.q07,
-    "q07b": relational.q07b,
+    # r7 fold slot (was q07b): flagship composed hygiene pipeline —
+    # filter → exact dedup → MinHash-CC → decontam → stats in ONE lazy
+    # plan; hash-checks the COMPOSITION of four above-fold operators
+    "pipeline_e2e": pipeline.pipeline_e2e,
     "pivot_q": relational.pivot_q,
     "unpivot_q": relational.unpivot_q,
     "q08": relational.q08,
@@ -89,9 +102,15 @@ REGISTRY: dict[str, QueryFn] = {
     "qr2": raster_queries.qr2,
     "qr3": raster_queries.qr3,
     "pyramid_avg": raster_queries.pyramid_avg,
-    "decim_nearest": raster_queries.decim_nearest,
+    # r7 fold slot (was decim_nearest): IVF+PQ composed ANN — cell
+    # pruning over 8-byte PQ codes with broadcast ADC LUTs, the
+    # production compressed-domain configuration
+    "ann_ivfpq": pipeline.ann_ivfpq,
     "cubic_decimate": raster_jobs.cubic_decimate_q,
-    "cubicspline_decimate": raster_jobs.cubicspline_decimate_q,
+    # r7 fold slot (was cubicspline_decimate): hash-checked 3-band
+    # color-JPEG COG — pixel-interleaved YCbCr tiles (PlanarConfig 1,
+    # 4:4:4 + 4:2:0), shared JPEGTables asserted across multipart parts
+    "cog_color": raster_jobs.cog_color,
     # hash-checkable writer proof (write → parse → pixel values);
     # cog_write (structure summary, rows-only) moved to the tail
     "cog_roundtrip": raster_jobs.cog_roundtrip,
@@ -124,10 +143,16 @@ REGISTRY: dict[str, QueryFn] = {
     # stream-stream interval join (watermarked, append mode): distinct
     # capability, kept above the 50-row driver fold
     "stream_join": streaming_corpus.stream_join,
-    # overlapping-window shape — the one E31 window form the other
-    # stream rows don't cover; above the fold in asof_union's old slot
-    "stream_sliding": streaming_corpus.stream_sliding,
+    # r7 fold slot (was stream_sliding): full multimodal pixel decode →
+    # feature extraction (PNG/GIF/JPEG/BMP/PPM), byte-exact oracle
+    "multimodal_features": pipeline.multimodal_features,
     # ---- tail: operator coverage duplicated by an earlier entry ----
+    # r7 displaced fold rows — each keeps an above-fold family row:
+    "q07b": relational.q07b,  # E13 grouping sets ≙ q07 + pivot/unpivot
+    "decim_nearest": raster_queries.decim_nearest,  # E20 ≙ qr1, pyramid_avg
+    # E21 halo family ≙ cubic_decimate (tap tables differ, same machinery)
+    "cubicspline_decimate": raster_jobs.cubicspline_decimate_q,
+    "stream_sliding": streaming_corpus.stream_sliding,  # E31 ≙ stream_tumbling
     # E10 as-of: q23b (above fold) carries the driver row; the three
     # as-of strategies are asserted pairwise-identical in pytest, so
     # the union-strategy row adds hash evidence, not coverage
@@ -174,12 +199,11 @@ REGISTRY: dict[str, QueryFn] = {
     # row hash-proves the executor-side range-read/decode path against
     # the identity oracle (fixture pixels)
     "cog_read": raster_jobs.cog_read,
-    # round 6: multimodal PIXEL verbs (family driver row is
-    # multimodal_meta, above the fold, which covers both container
-    # formats' header walk; these rows hash-prove the full pixel
-    # decode → feature / resize / frame-sample paths — the oracle
-    # recomputes every pixel byte in SQL from the fixture formula)
-    "multimodal_features": pipeline.multimodal_features,
+    # round 6: multimodal PIXEL verbs (multimodal_features moved into
+    # the fold in r7; multimodal_meta covers both container formats'
+    # header walk; these rows hash-prove the remaining pixel
+    # resize / frame-sample paths — the oracle recomputes every pixel
+    # byte in SQL from the fixture formula)
     "multimodal_frames": pipeline.multimodal_frames,
     "multimodal_resize": pipeline.multimodal_resize,
     # round 6: audio modality (WAV/PCM16, real RIFF chunk walk) —
@@ -187,12 +211,9 @@ REGISTRY: dict[str, QueryFn] = {
     "multimodal_audio": pipeline.multimodal_audio,
     # round 6: product-quantization ANN (E36's memory-compression
     # scale path next to exact/LSH/IVF — 8-byte codes + broadcast ADC
-    # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf above fold
+    # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf + the fused
+    # ann_ivfpq (moved into the fold in r7) are above
     "ann_pq": pipeline.ann_pq,
-    # round 6: IVF+PQ composed ANN — cell pruning + compressed-code
-    # ranking, the production configuration; both halves' driver rows
-    # (ann_ivf, ann_pq family evidence) are above/earlier in the list
-    "ann_ivfpq": pipeline.ann_ivfpq,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
@@ -207,14 +228,6 @@ REGISTRY: dict[str, QueryFn] = {
     # inventory web-pipeline stage; E25 string-fn family carries the
     # driver row (q13). Pure JVM expressions, full-rule DuckDB oracle.
     "pipeline_urls": pipeline.pipeline_urls,
-    # round 6: flagship COMPOSED hygiene pipeline — quality filter →
-    # exact dedup → MinHash-CC near-dup removal → decontamination →
-    # corpus stats, one lazy plan. Stage operators each carry their
-    # own above-fold driver row (pipeline_filter, dedup_exact,
-    # dedup_minhash/dedup_cc, pipeline_decontam); this row hash-checks
-    # their COMPOSITION against a single DuckDB query built from the
-    # same verified SQL blocks.
-    "pipeline_e2e": pipeline.pipeline_e2e,
     # round 6: hashing-trick sparse TF-IDF featurization (text →
     # long-form document vectors; operators/text.py::hashed_tfidf) —
     # E37-family text featurization (text_analysis carries the driver
@@ -241,6 +254,7 @@ NON_BENCH = (
     "cog_write",
     "cog_roundtrip",
     "cog_read",
+    "cog_color",
 )
 
 __all__ = ["REGISTRY", "ORACLE", "QueryFn"]

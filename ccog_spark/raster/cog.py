@@ -51,6 +51,7 @@ def encode_tiles(
     predictor: int = 1,
     overview_codec: str | None = None,
     overview_predictor: int | None = None,
+    encode_override=None,
 ) -> DataFrame:
     """Encode tile payloads (map-side, Arrow-batched); sparse tiles (no
     valid pixels) are filtered out up front.
@@ -118,8 +119,11 @@ def encode_tiles(
                 data = []
                 for d, level in zip(pdf["data"], pdf["level"]):
                     # payload already native dtype (tiles_from_pixels
-                    # assembles blocks in the output sample type)
-                    native = np.frombuffer(d, dtype=dt).reshape(bs, bs)
+                    # assembles blocks in the output sample type);
+                    # interleaved payloads (bs×bs×n) flatten the extra
+                    # samples into the row — predictors are rejected
+                    # for those upstream, so row shape is immaterial
+                    native = np.frombuffer(d, dtype=dt).reshape(bs, -1)
                     p = pr0 if level == 0 else ov_pr
                     data.append(comp(predict(native, p), level))
                 yield pd.DataFrame(
@@ -151,12 +155,14 @@ def encode_tiles(
     # a ccog_spark import (the driver may run from any cwd), and
     # runtime-registered codecs don't exist in worker processes at all.
     codecs_mod.register_worker_modules()
+    enc0 = encode_override or spec.encode
+    enc_ov = encode_override or spec_ov.encode
     return dense.mapInPandas(
         make_kernel(
             blocksize, np_dt, compress_level, ov, codec, ov_cdc,
             predictor, ov_pr, exp_tables, spec.make_tables,
             exp_tables_ov, spec_ov.make_tables,
-            spec.encode, spec_ov.encode,
+            enc0, enc_ov,
         ),
         ENC_SCHEMA,
     )
@@ -255,8 +261,19 @@ def write_cog(
     storage_options: dict | None = None,
     internal_mask: bool = False,
     ghost: bool = False,
+    pixel_interleave: bool = False,
+    jpeg_subsampling: str = "444",
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
+
+    ``pixel_interleave``: store ONE pixel-interleaved (PlanarConfig=1)
+    tile per grid cell instead of separate band planes — required for
+    color-JPEG output (Photometric=YCbCr, the GDAL RGB JPEG-in-COG
+    shape; reference profile options /root/reference/ccog/ccog.py:24-39
+    reach the same layout through GDAL). Only valid with codec='jpeg',
+    3 uint8 bands, no predictor. ``jpeg_subsampling``: '444' (no
+    chroma subsampling) or '420' (2x2 box — GDAL/libjpeg default,
+    roughly half the bytes); written as TIFF tag 530.
 
     ``ghost``: write GDAL's COG ghost optimisation — the structural-
     metadata area after the header plus a 4-byte size leader and
@@ -337,6 +354,28 @@ def write_cog(
         if not spec_c.predictor_ok and p not in (None, 1):
             raise ValueError(f"codec {c!r} does not compose with predictors")
 
+    if pixel_interleave:
+        if codec != "jpeg" or (overview_codec or codec) != "jpeg":
+            raise ValueError(
+                "pixel_interleave requires codec='jpeg' on all levels"
+            )
+        if bands != 3:
+            raise ValueError(
+                f"pixel_interleave (YCbCr JPEG) requires exactly 3 "
+                f"bands, got {bands}"
+            )
+        if dtype != "uint8":
+            raise ValueError("pixel_interleave requires dtype='uint8'")
+        if jpeg_subsampling not in ("444", "420"):
+            raise ValueError(
+                f"jpeg_subsampling must be '444' or '420', "
+                f"got {jpeg_subsampling!r}"
+            )
+        if internal_mask:
+            raise ValueError(
+                "internal_mask with pixel_interleave is not supported"
+            )
+
     # Normalize band labels to dense 0-based plane indices (the fixture
     # uses 1-based bands; TIFF planes are positional).
     band_values = sorted(
@@ -389,6 +428,21 @@ def write_cog(
 
     pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
     tiles = tiles_from_pixels(pyr, blocksize, nodata, width, height, dtype=dtype)
+    encode_override = None
+    if pixel_interleave:
+        from functools import partial
+
+        from ccog_spark.raster import jpegcodec as _jc
+        from ccog_spark.raster.tiles import interleave_tiles
+
+        tiles = interleave_tiles(
+            tiles, bands, blocksize, nodata=nodata, dtype=dtype
+        )
+        # encode_color ships by value with the jpegcodec module
+        # (register_worker_modules) — partial binds only the subsampling
+        encode_override = partial(
+            _jc.encode_color, subsampling=jpeg_subsampling
+        )
     enc = encode_tiles(
         tiles,
         compress_level=compress_level,
@@ -399,6 +453,7 @@ def write_cog(
         predictor=predictor,
         overview_codec=overview_codec,
         overview_predictor=overview_predictor,
+        encode_override=encode_override,
     ).persist()
 
     mask_enc = None
@@ -446,6 +501,13 @@ def write_cog(
         ),
         mask_tile_nbytes=mask_tile_nbytes,
         ghost=ghost,
+        planar_config=1 if pixel_interleave else 2,
+        photometric=6 if pixel_interleave else 1,
+        ycbcr_subsampling=(
+            ((1, 1) if jpeg_subsampling == "444" else (2, 2))
+            if pixel_interleave
+            else None
+        ),
     )
 
     # file_seq: header is 0; tiles follow in plan order. The tile-key →

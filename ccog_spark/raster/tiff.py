@@ -47,6 +47,7 @@ TAG_TILE_BYTE_COUNTS = 325
 TAG_PREDICTOR = 317
 TAG_SAMPLE_FORMAT = 339
 TAG_JPEG_TABLES = 347  # shared JPEG quantization/Huffman tables
+TAG_YCBCR_SUBSAMPLING = 530  # (h, v) chroma subsampling for Photometric=6
 TAG_MODEL_PIXEL_SCALE = 33550  # GeoTIFF spec (public)
 TAG_MODEL_TIEPOINT = 33922
 TAG_GEO_KEY_DIRECTORY = 34735
@@ -63,6 +64,7 @@ TYPE_LONG8 = 16  # uint64 (BigTIFF)
 from ccog_spark.raster.codecs import (  # noqa: E402 (tag constants)
     CODEC_TAGS,
     COMPRESSION_DEFLATE,
+    COMPRESSION_JPEG,
     COMPRESSION_LZMA,
 )
 
@@ -288,9 +290,22 @@ def build_cog_plan(
     overview_shared_tables: bytes | None = None,
     mask_tile_nbytes: dict[tuple[int, int, int], int] | None = None,
     ghost: bool = False,
+    planar_config: int = 2,
+    photometric: int = 1,
+    ycbcr_subsampling: tuple[int, int] | None = None,
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
+
+    ``planar_config``: 2 (default — separate band planes, one tile per
+    (level, band, ty, tx)) or 1 ("chunky" pixel-interleaved — ONE tile
+    per (level, ty, tx) carrying all samples; tile_nbytes keys then use
+    band=0). ``photometric``: TIFF PhotometricInterpretation (1 =
+    BlackIsZero default; 6 = YCbCr for color-JPEG tiles, GDAL's RGB
+    JPEG-in-COG shape). ``ycbcr_subsampling``: (h, v) chroma
+    subsampling written as tag 530 when photometric=6 — REQUIRED then,
+    because the TIFF default is (2, 2) and a 4:4:4 file without the
+    tag would be misread by conforming readers.
 
     ``fmt``: 'classic' | 'bigtiff' | 'auto' (BigTIFF when the file
     would cross the classic 4 GiB offset limit — the 100 TB path; both
@@ -326,6 +341,17 @@ def build_cog_plan(
     sparse (offset 0), mirroring data sparse elision.
     """
     bits, sfmt, _ = DTYPES[dtype]
+
+    if planar_config not in (1, 2):
+        raise ValueError(f"planar_config must be 1 or 2, got {planar_config}")
+    if photometric == 6 and ycbcr_subsampling is None:
+        raise ValueError(
+            "photometric=6 (YCbCr) requires ycbcr_subsampling — the TIFF "
+            "default is (2,2), so omitting the tag corrupts 4:4:4 reads"
+        )
+    # tiles per level: one per (band, ty, tx) for separate planes,
+    # one per (ty, tx) for pixel-interleaved
+    n_planes = bands if planar_config == 2 else 1
 
     def codec_of(lvl: int) -> str:
         return codec if lvl == 0 else (overview_codec or codec)
@@ -419,6 +445,7 @@ def build_cog_plan(
             + (ifd0_extra if first else 0)
             + (1 if pred_of(lp.level) != 1 else 0)
             + (1 if tables_of(lp.level) is not None else 0)
+            + (1 if photometric == 6 else 0)  # YCbCrSubSampling
         )
 
     ifd_entry_counts = [
@@ -471,7 +498,7 @@ def build_cog_plan(
             pos += 2 * bands
             ext[(lp.level, "sf")] = pos
             pos += 2 * bands
-        count = bands * lp.n_tiles
+        count = n_planes * lp.n_tiles
         if count * off_size > inline_cap:
             ext[(lp.level, "off")] = pos
             pos += off_size * count
@@ -495,9 +522,9 @@ def build_cog_plan(
     cursor = data_start
     for i_lvl in range(len(levels) - 1, -1, -1):
         lp = levels[i_lvl]
-        lp.offsets = [0] * (bands * lp.n_tiles)
-        lp.bytecounts = [0] * (bands * lp.n_tiles)
-        for band in range(bands):
+        lp.offsets = [0] * (n_planes * lp.n_tiles)
+        lp.bytecounts = [0] * (n_planes * lp.n_tiles)
+        for band in range(n_planes):
             for ty in range(lp.tiles_y):
                 for tx in range(lp.tiles_x):
                     nb = tile_nbytes.get((lp.level, band, ty, tx), 0)
@@ -609,16 +636,22 @@ def build_cog_plan(
         entries.append(
             entry(TAG_COMPRESSION, TYPE_SHORT, 1, CODEC_TAGS[codec_of(lp.level)])
         )
-        entries.append(entry(TAG_PHOTOMETRIC, TYPE_SHORT, 1, 1))
+        entries.append(entry(TAG_PHOTOMETRIC, TYPE_SHORT, 1, photometric))
         entries.append(entry(TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, 1, bands))
-        entries.append(entry(TAG_PLANAR_CONFIG, TYPE_SHORT, 1, 2))
+        entries.append(entry(TAG_PLANAR_CONFIG, TYPE_SHORT, 1, planar_config))
+        if photometric == 6:
+            entries.append(
+                entry_shorts_inline(
+                    TAG_YCBCR_SUBSAMPLING, list(ycbcr_subsampling)
+                )
+            )
         if pred_of(lp.level) != 1:
             entries.append(
                 entry(TAG_PREDICTOR, TYPE_SHORT, 1, pred_of(lp.level))
             )
         entries.append(entry(TAG_TILE_WIDTH, TYPE_SHORT, 1, blocksize))
         entries.append(entry(TAG_TILE_LENGTH, TYPE_SHORT, 1, blocksize))
-        count = bands * lp.n_tiles
+        count = n_planes * lp.n_tiles
         if count * off_size > inline_cap:
             entries.append(entry(TAG_TILE_OFFSETS, off_type, count, ext[(lp.level, "off")]))
             entries.append(
@@ -719,7 +752,7 @@ def build_cog_plan(
         if 2 * bands > inline_cap:
             struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "bps")], *([bits] * bands))
             struct.pack_into(f"<{bands}H", buf, ext[(lp.level, "sf")], *([sfmt] * bands))
-        count = bands * lp.n_tiles
+        count = n_planes * lp.n_tiles
         if count * off_size > inline_cap:
             struct.pack_into(
                 f"<{count}{off_fmt}", buf, ext[(lp.level, "off")], *lp.offsets
@@ -777,6 +810,9 @@ class IfdInfo:
     sample_format: int = 3
     predictor: int = 1
     jpeg_tables: bytes | None = None
+    planar_config: int = 2
+    ycbcr_subsampling: tuple[int, int] | None = None
+    photometric: int = 1
 
     @property
     def np_dtype(self) -> str:
@@ -795,25 +831,59 @@ def _epsg_from_keys(keys) -> int | None:
 
 
 def read_cog(data: bytes) -> list[IfdInfo]:
-    """Parse the IFD chain of a (subset) COG produced by this module —
-    the GDAL-free verification oracle. Handles classic (42) and
-    BigTIFF (43)."""
+    """Parse the IFD chain of a tiled little-endian (Big)TIFF — this
+    writer's own files plus foreign tiled layouts it can represent.
+    Foreign shapes it canNOT represent fail with a clear ValueError,
+    never a mis-decode: big-endian files, strip-based files (no
+    TileWidth), truncated or cyclic IFD chains. Handles classic (42)
+    and BigTIFF (43)."""
+    if len(data) < 8:
+        raise ValueError("truncated TIFF: no header")
     magic, version = struct.unpack_from("<2sH", data, 0)
-    assert magic == b"II", "not little-endian"
+    if magic == b"MM":
+        raise ValueError(
+            "big-endian (MM) TIFF not supported — this reader handles "
+            "little-endian (II) files"
+        )
+    if magic != b"II":
+        raise ValueError(f"not a TIFF: magic {magic!r}")
     if version == 42:
         big = False
         (ifd_off,) = struct.unpack_from("<I", data, 4)
     elif version == 43:
         big = True
         offsize, zero, ifd_off = struct.unpack_from("<HHQ", data, 4)
-        assert offsize == 8 and zero == 0, "malformed BigTIFF header"
+        if offsize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
     else:
-        raise AssertionError(f"unknown TIFF version {version}")
+        raise ValueError(f"unknown TIFF version {version}")
     cnt_size = 8 if big else 2
     entry_size = 20 if big else 12
     inline_cap = 8 if big else 4
     out = []
+    seen_offsets: set[int] = set()
     while ifd_off:
+        if ifd_off in seen_offsets:
+            raise ValueError(
+                f"cyclic IFD chain: offset {ifd_off} repeats"
+            )
+        seen_offsets.add(ifd_off)
+        if len(seen_offsets) > 1024:
+            raise ValueError("IFD chain exceeds 1024 pages")
+        if ifd_off + cnt_size > len(data):
+            raise ValueError(
+                f"truncated TIFF: IFD at {ifd_off} beyond EOF"
+            )
+        if big:
+            (n_probe,) = struct.unpack_from("<Q", data, ifd_off)
+        else:
+            (n_probe,) = struct.unpack_from("<H", data, ifd_off)
+        ptr_size = 8 if big else 4
+        if ifd_off + cnt_size + n_probe * entry_size + ptr_size > len(data):
+            raise ValueError(
+                f"truncated TIFF: IFD at {ifd_off} with {n_probe} "
+                f"entries extends beyond EOF"
+            )
         if big:
             (n,) = struct.unpack_from("<Q", data, ifd_off)
         else:
@@ -833,6 +903,8 @@ def read_cog(data: bytes) -> list[IfdInfo]:
             if tag not in tags:
                 return default
             typ, count, raw = tags[tag]
+            if typ not in TYPE_SIZES:
+                raise ValueError(f"tag {tag}: unknown TIFF type {typ}")
             size = TYPE_SIZES[typ]
             fmt = TYPE_FMTS[typ]
             total = size * count
@@ -840,6 +912,11 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                 payload = raw[:total]
             else:
                 (p,) = struct.unpack("<Q" if big else "<I", raw)
+                if p + total > len(data):
+                    raise ValueError(
+                        f"truncated TIFF: tag {tag} external array at "
+                        f"{p}+{total} beyond EOF"
+                    )
                 payload = data[p : p + total]
             if typ == TYPE_ASCII:
                 return payload.rstrip(b"\x00").decode("ascii")
@@ -848,9 +925,18 @@ def read_cog(data: bytes) -> list[IfdInfo]:
             vals = list(struct.unpack(f"<{count}{fmt}", payload))
             return vals if count > 1 else vals[0]
 
+        if TAG_TILE_WIDTH not in tags:
+            if 273 in tags or 278 in tags:  # StripOffsets/RowsPerStrip
+                raise ValueError(
+                    "strip-based TIFF not supported — this reader "
+                    "handles tiled layouts (TileWidth/TileLength) only"
+                )
+            raise ValueError("IFD has no TileWidth — not a tiled TIFF")
         bands = val(TAG_SAMPLES_PER_PIXEL, 1)
         offsets = val(TAG_TILE_OFFSETS)
         counts = val(TAG_TILE_BYTE_COUNTS)
+        if offsets is None or counts is None:
+            raise ValueError("tiled IFD missing TileOffsets/TileByteCounts")
         nod = val(TAG_GDAL_NODATA)
         bps = val(TAG_BITS_PER_SAMPLE, 64)
         sf = val(TAG_SAMPLE_FORMAT, 3)
@@ -874,6 +960,15 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                 sample_format=sf[0] if isinstance(sf, list) else sf,
                 predictor=val(TAG_PREDICTOR, 1),
                 jpeg_tables=val(TAG_JPEG_TABLES),
+                # TIFF default is 1 (chunky); this writer always emits
+                # the tag, so the default only matters for foreign files
+                planar_config=val(TAG_PLANAR_CONFIG, 1),
+                ycbcr_subsampling=(
+                    tuple(v)
+                    if isinstance((v := val(TAG_YCBCR_SUBSAMPLING)), list)
+                    else None
+                ),
+                photometric=val(TAG_PHOTOMETRIC, 1),
             )
         )
         (ifd_off,) = struct.unpack_from(
@@ -901,17 +996,46 @@ def read_band(data: bytes, ifd: IfdInfo, band: int):
         fill = dt.type(np.nan) if dt.kind == "f" else dt.type(0)
     full = np.full((ty * ifd.tile_height, tx * ifd.tile_width), fill, dtype=dt)
     n_tiles = tx * ty
+    chunky = ifd.planar_config == 1 and ifd.bands > 1
+    if ifd.photometric == 6 and ifd.compression != COMPRESSION_JPEG:
+        # YCbCr raw/deflate tiles would need a color-space pass this
+        # reader doesn't do — decoding them as-is would be WRONG pixels
+        raise ValueError(
+            "YCbCr photometric with non-JPEG compression not supported"
+        )
+    expect = ifd.tile_height * ifd.tile_width * dt.itemsize * (
+        ifd.bands if chunky else 1
+    )
     for t in range(n_tiles):
-        i = band * n_tiles + t
+        # chunky (PlanarConfig=1): ONE tile carries all samples
+        # interleaved — same tile index for every band
+        i = t if chunky else band * n_tiles + t
         off, cnt = ifd.offsets[i], ifd.bytecounts[i]
         if cnt == 0:
             continue
         raw = decode_tile(
             data[off : off + cnt], ifd.compression, tables=ifd.jpeg_tables
         )
-        tile = unpredict_tile(
-            raw, ifd.predictor, ifd.tile_height, ifd.tile_width, ifd.np_dtype
-        )
+        if len(raw) != expect:
+            # e.g. a grayscale JPEG tile inside a 3-sample chunky IFD,
+            # or a foreign payload of the wrong size — reshaping would
+            # scramble pixels; refuse instead
+            raise ValueError(
+                f"tile {t} decodes to {len(raw)} bytes, expected {expect}"
+            )
+        if chunky:
+            if ifd.predictor != 1:
+                raise ValueError(
+                    "predictors on pixel-interleaved tiles not supported"
+                )
+            tile = np.frombuffer(raw, dtype=dt).reshape(
+                ifd.tile_height, ifd.tile_width, ifd.bands
+            )[:, :, band]
+        else:
+            tile = unpredict_tile(
+                raw, ifd.predictor, ifd.tile_height, ifd.tile_width,
+                ifd.np_dtype,
+            )
         r, c = divmod(t, tx)
         full[
             r * ifd.tile_height : (r + 1) * ifd.tile_height,

@@ -153,6 +153,59 @@ def tiles_from_pixels(
     )
 
 
+def interleave_tiles(
+    tiles: DataFrame,
+    bands: int,
+    blocksize: int,
+    nodata: float = -9999.0,
+    dtype: str = "uint8",
+) -> DataFrame:
+    """Merge per-band tile planes into ONE pixel-interleaved payload
+    per (level, tile_y, tile_x) — the PlanarConfiguration=1 ("chunky")
+    tile shape a color-JPEG COG stores (blocksize × blocksize × bands,
+    band-last). Output rows carry band=0 (the interleaved tile IS all
+    bands); valid_count is the sum over bands so a tile is sparse only
+    when every band is.
+
+    One shuffle keyed by the tile — same key cardinality as the tile
+    grid, so this costs what the assembly groupBy cost; payload bytes
+    move once. Missing band planes (fully-sparse in one band only) are
+    filled with nodata, mirroring the writer's padding rule."""
+    np_dt = "<" + _NP_CHAR[dtype]
+
+    def make_kernel(bs: int, nb: int, nd: float, np_dtype: str):
+        def merge(pdf):
+            import numpy as np
+            import pandas as pd
+
+            dt = np.dtype(np_dtype)
+            fill = np.array(nd, dtype="f8").astype(dt).item()
+            arr = np.full((bs, bs, nb), fill, dtype=dt)
+            for r in pdf.itertuples(index=False):
+                arr[:, :, int(r.band)] = np.frombuffer(
+                    r.data, dtype=dt
+                ).reshape(bs, bs)
+            first = pdf.iloc[0]
+            return pd.DataFrame(
+                {
+                    "level": [int(first.level)],
+                    "band": [0],
+                    "tile_y": [int(first.tile_y)],
+                    "tile_x": [int(first.tile_x)],
+                    "height": [int(first.height)],
+                    "width": [int(first.width)],
+                    "data": [arr.tobytes()],
+                    "valid_count": [int(pdf["valid_count"].sum())],
+                }
+            )
+
+        return merge
+
+    return tiles.groupBy("level", "tile_y", "tile_x").applyInPandas(
+        make_kernel(blocksize, bands, nodata, np_dt), TILE_SCHEMA
+    )
+
+
 def pixels_from_tiles(
     tiles: DataFrame, blocksize: int, nodata: float = -9999.0,
     dtype: str = "float64",

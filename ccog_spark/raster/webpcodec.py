@@ -209,10 +209,28 @@ def _write_complex_code(
             bw.write(extra, ebits)
 
 
-def encode(data: bytes, level: int = 6) -> bytes:
-    """Encode one square uint8 tile plane as a lossless WebP file
-    (``level`` accepted for registry-signature parity; VP8L lossless
-    has no quality knob in this subset)."""
+def encode(data: bytes, level: int = 6, lossy: bool = False) -> bytes:
+    """Encode one square uint8 tile plane as a LOSSLESS WebP file.
+
+    ``level``: accepted for registry-signature parity and pinned as a
+    NO-OP — VP8L lossless in this subset has no quality/effort knob,
+    so the output bytes are invariant to ``level`` (test-pinned; the
+    knob is not silently changing fidelity, because there is none to
+    change). Decode(encode(x)) == x exactly at every level.
+
+    ``lossy``: design-N/A, refused loudly. The reference's WEBP
+    profile exposes a lossy quality via GDAL's VP8 intra encoder; a
+    from-scratch VP8 intra-frame codec (boolean arithmetic coder,
+    16x16/4x4 intra prediction, loop filter) is out of scope, and
+    silently writing lossless when a caller asked for lossy would
+    misrepresent the output. Callers wanting a lossy tile codec should
+    use 'jpeg' (grayscale or YCbCr color)."""
+    if lossy:
+        raise ValueError(
+            "lossy (VP8) WebP is not implemented — design N/A; this "
+            "codec is VP8L lossless only. Use lossy='jpeg' tiles, or "
+            "keep webp for bit-exact lossless."
+        )
     side = int(len(data) ** 0.5 + 0.5)
     if side * side != len(data) or side == 0 or side > (1 << 14):
         raise ValueError(

@@ -196,3 +196,19 @@ def test_encode_word_roundtrip_hypothesis():
         assert "".join(units) == w + bpe.EOW
 
     check()
+
+
+def test_corpus_alphabet_guard(spark):
+    """The limit(N+1) probe refuses adversarial high-cardinality
+    'alphabets' instead of collecting them to the driver."""
+    import pytest as _pytest
+
+    # 40 distinct chars via chr() — fine normally, over a tiny cap
+    docs = spark.createDataFrame(
+        [("".join(chr(0x4E00 + i) for i in range(40)),)], ["text"]
+    )
+    with _pytest.raises(ValueError, match="alphabet exceeds"):
+        bpe.corpus_alphabet(docs, max_alphabet=16)
+    # under the cap: full alphabet, sorted
+    a = bpe.corpus_alphabet(docs, max_alphabet=64)
+    assert len(a) == 40 and a == sorted(a)

@@ -1,0 +1,220 @@
+"""Foreign/adversarial TIFF inputs (round-7 hardening): layouts other
+writers produce — strip-based files, big-endian byte order, unknown
+compression tags, YCbCr photometric with the wrong codec, truncated or
+cyclic IFD chains — must fail with a CLEAR ValueError, never decode
+wrong pixels and never crash with a raw struct/Index error.
+
+The builders construct minimal hand-rolled TIFFs (classic, little-
+endian unless stated) so each failure mode is reached deliberately.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ccog_spark.raster import tiff
+
+
+def _entry(tag: int, typ: int, count: int, value: int) -> bytes:
+    return struct.pack("<HHI", tag, typ, count) + struct.pack("<I", value)
+
+
+def _classic_tiff(entries: list[bytes], tail: bytes = b"", next_ifd: int = 0) -> bytes:
+    """Header + one IFD at offset 8 + ``tail`` bytes after the IFD."""
+    ifd = struct.pack("<H", len(entries))
+    for e in sorted(entries, key=lambda e: struct.unpack("<H", e[:2])[0]):
+        ifd += e
+    ifd += struct.pack("<I", next_ifd)
+    return struct.pack("<2sHI", b"II", 42, 8) + ifd + tail
+
+
+def _tiled_entries(
+    w: int = 16, h: int = 16, compression: int = 8, photometric: int = 1,
+    bands: int = 1, off: int = 0, cnt: int = 0, planar: int = 2,
+) -> list[bytes]:
+    return [
+        _entry(256, 3, 1, w),          # ImageWidth
+        _entry(257, 3, 1, h),          # ImageLength
+        _entry(258, 3, 1, 8),          # BitsPerSample
+        _entry(259, 3, 1, compression),
+        _entry(262, 3, 1, photometric),
+        _entry(277, 3, 1, bands),      # SamplesPerPixel
+        _entry(284, 3, 1, planar),
+        _entry(322, 3, 1, 16),         # TileWidth
+        _entry(323, 3, 1, 16),         # TileLength
+        _entry(324, 4, 1, off),        # TileOffsets
+        _entry(325, 4, 1, cnt),        # TileByteCounts
+        _entry(339, 3, 1, 1),          # SampleFormat (uint)
+    ]
+
+
+def test_strip_based_tiff_rejected():
+    entries = [
+        _entry(256, 3, 1, 16),
+        _entry(257, 3, 1, 16),
+        _entry(258, 3, 1, 8),
+        _entry(259, 3, 1, 1),
+        _entry(262, 3, 1, 1),
+        _entry(273, 4, 1, 0),   # StripOffsets
+        _entry(278, 3, 1, 16),  # RowsPerStrip
+        _entry(279, 4, 1, 256), # StripByteCounts
+    ]
+    with pytest.raises(ValueError, match="strip-based"):
+        tiff.read_cog(_classic_tiff(entries))
+
+
+def test_big_endian_rejected():
+    data = struct.pack(">2sHI", b"MM", 42, 8)
+    with pytest.raises(ValueError, match="big-endian"):
+        tiff.read_cog(data)
+
+
+def test_not_a_tiff_rejected():
+    with pytest.raises(ValueError, match="magic|truncated"):
+        tiff.read_cog(b"PK\x03\x04 not a tiff at all")
+    with pytest.raises(ValueError, match="truncated"):
+        tiff.read_cog(b"II")
+
+
+def test_unknown_tiff_version_rejected():
+    with pytest.raises(ValueError, match="version"):
+        tiff.read_cog(struct.pack("<2sHI", b"II", 44, 8))
+
+
+def test_unknown_compression_raises_on_decode():
+    """An exotic compression tag (e.g. 34887 LERC) parses but decoding
+    raises — never returns garbage bytes."""
+    payload = zlib.compress(bytes(256))
+    data = _classic_tiff(
+        _tiled_entries(compression=34887, off=200, cnt=len(payload)),
+    )
+    data = data + b"\x00" * (200 - len(data)) + payload
+    ifd = tiff.read_cog(data)[0]
+    assert ifd.compression == 34887
+    with pytest.raises(ValueError, match="compression"):
+        tiff.read_band(data, ifd, 0)
+
+
+def test_ycbcr_with_deflate_rejected():
+    """Photometric=6 + non-JPEG compression would need a color-space
+    pass; decoding it as planar gray would be silently wrong pixels."""
+    payload = zlib.compress(bytes(256 * 3))
+    data = _classic_tiff(
+        _tiled_entries(
+            compression=8, photometric=6, bands=3, planar=1,
+            off=200, cnt=len(payload),
+        ),
+    )
+    data = data + b"\x00" * (200 - len(data)) + payload
+    ifd = tiff.read_cog(data)[0]
+    with pytest.raises(ValueError, match="YCbCr"):
+        tiff.read_band(data, ifd, 0)
+
+
+def test_wrong_size_payload_rejected():
+    """A tile that decompresses to the wrong byte count (foreign writer
+    disagreement about dims/dtype) must not be reshaped into pixels."""
+    payload = zlib.compress(bytes(100))  # 16x16x1 needs 256
+    data = _classic_tiff(
+        _tiled_entries(compression=8, off=200, cnt=len(payload)),
+    )
+    data = data + b"\x00" * (200 - len(data)) + payload
+    ifd = tiff.read_cog(data)[0]
+    with pytest.raises(ValueError, match="decodes to 100"):
+        tiff.read_band(data, ifd, 0)
+
+
+def test_gray_jpeg_tile_in_chunky_color_ifd_rejected():
+    """A 1-component JPEG tile inside a 3-sample PlanarConfig=1 IFD
+    decodes to a third of the expected bytes — must raise, not
+    scramble."""
+    from ccog_spark.raster import jpegcodec as J
+
+    tile = J.make_tables(75) + J.encode(bytes(256), 75)
+    data = _classic_tiff(
+        _tiled_entries(
+            compression=7, photometric=6, bands=3, planar=1,
+            off=200, cnt=len(tile),
+        ),
+    )
+    data = data + b"\x00" * (200 - len(data)) + tile
+    ifd = tiff.read_cog(data)[0]
+    with pytest.raises(ValueError, match="expected 768"):
+        tiff.read_band(data, ifd, 0)
+
+
+def test_truncated_ifd_chain_rejected():
+    data = _classic_tiff(_tiled_entries(), next_ifd=100000)
+    with pytest.raises(ValueError, match="truncated|beyond EOF"):
+        tiff.read_cog(data)
+
+
+def test_cyclic_ifd_chain_rejected():
+    # next IFD points back at itself (offset 8)
+    data = _classic_tiff(_tiled_entries(), next_ifd=8)
+    with pytest.raises(ValueError, match="cyclic"):
+        tiff.read_cog(data)
+
+
+def test_external_array_beyond_eof_rejected():
+    # TileOffsets claims 4 longs at offset 90000 (past EOF)
+    entries = _tiled_entries()
+    entries[9] = _entry(324, 4, 4, 90000)
+    entries[10] = _entry(325, 4, 4, 90000)
+    with pytest.raises(ValueError, match="truncated|beyond EOF"):
+        tiff.read_cog(_classic_tiff(entries))
+
+
+def test_missing_tile_arrays_rejected():
+    entries = [e for e in _tiled_entries() if struct.unpack("<H", e[:2])[0]
+               not in (324, 325)]
+    with pytest.raises(ValueError, match="TileOffsets"):
+        tiff.read_cog(_classic_tiff(entries))
+
+
+def test_ifd_walker_fuzz_never_crashes_raw():
+    """Byte-flip/truncation fuzz over a real engine-written header:
+    read_cog either parses or raises ValueError — no raw struct/Index/
+    Key errors, no hangs (mirrors the ghost/JPEG parser fuzzes)."""
+    from ccog_spark.raster.tiff import build_cog_plan
+
+    plan = build_cog_plan(
+        96, 64, 2, 32, 1, {(0, b, ty, tx): 64 for b in range(2)
+                           for ty in range(2) for tx in range(3)},
+        nodata=0.0, dtype="uint8",
+    )
+    base = bytearray(plan.header)
+    rng = np.random.default_rng(11)
+    for trial in range(300):
+        buf = bytearray(base)
+        mode = trial % 3
+        if mode in (0, 2):
+            buf = buf[: rng.integers(1, len(buf))]
+        if mode in (1, 2) and buf:
+            for _ in range(int(rng.integers(1, 6))):
+                i = int(rng.integers(0, len(buf)))
+                buf[i] ^= int(rng.integers(1, 256))
+        try:
+            tiff.read_cog(bytes(buf))
+        except ValueError:
+            pass
+
+
+def test_read_header_still_grows_probe_on_truncation(spark, tmp_path):
+    """The distributed reader's windowed header parse keeps working
+    with the hardened error types: a probe window smaller than the
+    header grows instead of failing."""
+    from ccog_spark.raster.cog import write_ccog
+    from ccog_spark.sources.cog_reader import read_header
+
+    arr = (np.arange(64 * 96, dtype=np.int64).reshape(64, 96) % 200)[
+        None
+    ].astype(np.uint8)
+    out = str(tmp_path / "probe.tif")
+    write_ccog(spark, arr, out, blocksize=32, nodata=255.0)
+    ifds = read_header(out, probe=64)  # far smaller than the header
+    assert ifds[0].width == 96 and ifds[0].bands == 1

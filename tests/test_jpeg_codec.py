@@ -143,6 +143,69 @@ def test_jpeg_two_quality_levels_two_tables(spark, tmp_path):
     assert ov.shape == (48, 80)
 
 
+def test_color_jpeg_cog_end_to_end(spark, tmp_path):
+    """Pixel-interleaved YCbCr JPEG COG: PlanarConfig=1, Photometric=6,
+    YCbCrSubSampling tag, ONE tile per grid cell, shared tables across
+    parts, per-band read-back within tolerance — for both subsamplings."""
+    from ccog_spark.raster import tiff
+    from ccog_spark.raster.cog import write_ccog
+    from ccog_spark.raster.codecs import COMPRESSION_JPEG
+
+    y, x = np.mgrid[0:96, 0:160]
+    arr = np.stack(
+        [
+            (y * 255) // 95,
+            (x * 255) // 159,
+            ((y * 255) // 95 + (x * 255) // 159) // 2,
+        ]
+    ).astype(np.uint8)
+    for sub, tol, tag in (("444", 24, (1, 1)), ("420", 48, (2, 2))):
+        out = str(tmp_path / f"color_{sub}.tif")
+        res = write_ccog(
+            spark, arr, out, blocksize=32, nodata=255.0, codec="jpeg",
+            compress_level=90, pixel_interleave=True, jpeg_subsampling=sub,
+            min_part_size=2 << 10,
+        )
+        assert res.n_parts > 1  # tables invariant ran across parts
+        data = open(out, "rb").read()
+        ifds = tiff.read_cog(data)
+        assert data.count(J.make_tables(90)) == 1
+        for ifd in ifds:
+            assert ifd.compression == COMPRESSION_JPEG
+            assert ifd.planar_config == 1 and ifd.bands == 3
+            assert ifd.ycbcr_subsampling == tag
+            # chunky: ONE tile per grid cell, not per band
+            tx = (ifd.width + 31) // 32
+            ty = (ifd.height + 31) // 32
+            assert len(ifd.offsets) == tx * ty
+        for b in range(3):
+            got = tiff.read_band(data, ifds[0], b)
+            assert np.abs(got.astype(int) - arr[b].astype(int)).max() <= tol
+
+
+def test_pixel_interleave_validation(spark, tmp_path):
+    from ccog_spark.raster.cog import write_ccog
+
+    rgb = np.zeros((3, 32, 32), np.uint8)
+    with pytest.raises(ValueError, match="jpeg"):
+        write_ccog(
+            spark, rgb, str(tmp_path / "a.tif"), blocksize=32, nodata=0.0,
+            codec="deflate", pixel_interleave=True,
+        )
+    two = np.zeros((2, 32, 32), np.uint8)
+    with pytest.raises(ValueError, match="3 *bands|bands"):
+        write_ccog(
+            spark, two, str(tmp_path / "b.tif"), blocksize=32, nodata=0.0,
+            codec="jpeg", pixel_interleave=True,
+        )
+    f64 = np.zeros((3, 32, 32), np.float64)
+    with pytest.raises(ValueError, match="uint8"):
+        write_ccog(
+            spark, f64, str(tmp_path / "c.tif"), blocksize=32, nodata=0.0,
+            codec="jpeg", dtype="float64", pixel_interleave=True,
+        )
+
+
 def test_jpeg_requires_uint8_and_no_predictor(spark, tmp_path):
     from ccog_spark.raster.cog import write_ccog
 

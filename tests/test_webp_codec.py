@@ -105,3 +105,17 @@ def test_webp_requires_uint8(spark, tmp_path):
         write_ccog(
             spark, arr, str(tmp_path / "x.tif"), blocksize=16, codec="webp"
         )
+
+
+def test_level_is_pinned_noop_and_lossy_refused():
+    """Declared behavior (round-7 decision): VP8L has no quality knob,
+    so ``level`` must be a bitwise NO-OP — never a silent fidelity
+    change — and a lossy request must raise, not silently encode
+    lossless."""
+    rng = np.random.RandomState(3)
+    data = rng.randint(0, 256, 16 * 16).astype(np.uint8).tobytes()
+    outs = {W.encode(data, level) for level in (1, 6, 50, 99)}
+    assert len(outs) == 1  # bitwise invariant to level
+    assert W.decode(next(iter(outs))) == data  # and still exact
+    with pytest.raises(ValueError, match="lossy.*not implemented|VP8"):
+        W.encode(data, 75, lossy=True)
