@@ -23,6 +23,7 @@ import zlib
 from collections.abc import Callable
 from dataclasses import dataclass
 
+COMPRESSION_NONE = 1  # uncompressed (common in foreign plain GeoTIFFs)
 COMPRESSION_LZW = 5
 COMPRESSION_JPEG = 7  # public TIFF 6.0 new-style JPEG tag
 COMPRESSION_DEFLATE = 8
@@ -111,6 +112,12 @@ from ccog_spark.raster import jpegcodec as _jpegcodec  # noqa: E402
 from ccog_spark.raster import webpcodec as _webpcodec  # noqa: E402
 
 REGISTRY: dict[str, CodecSpec] = {
+    # Uncompressed passthrough (tag 1) — foreign plain GeoTIFFs are
+    # often written without compression; registering it makes those
+    # readable. Not a sensible WRITE choice for COGs, but harmless.
+    "none": CodecSpec(
+        "none", COMPRESSION_NONE, lambda d, lv: bytes(d), bytes,
+    ),
     "deflate": CodecSpec(
         "deflate",
         COMPRESSION_DEFLATE,

@@ -813,11 +813,25 @@ class IfdInfo:
     planar_config: int = 2
     ycbcr_subsampling: tuple[int, int] | None = None
     photometric: int = 1
+    # strip-based (foreign) layout: strips are modeled as full-width
+    # tiles of height rows_per_strip, EXCEPT the last strip is stored
+    # UNPADDED (TIFF 6.0 §3) — readers must size it by the clip
+    rows_per_strip: int | None = None
+
+    @property
+    def is_tiled(self) -> bool:
+        return self.rows_per_strip is None
 
     @property
     def np_dtype(self) -> str:
         """Little-endian numpy dtype of this IFD's samples."""
-        return "<" + NP_OF_TIFF[(self.bits_per_sample, self.sample_format)]
+        key = (self.bits_per_sample, self.sample_format)
+        if key not in NP_OF_TIFF:
+            raise ValueError(
+                f"unsupported sample type: {self.bits_per_sample}-bit "
+                f"sample_format={self.sample_format}"
+            )
+        return "<" + NP_OF_TIFF[key]
 
 
 def _epsg_from_keys(keys) -> int | None:
@@ -925,18 +939,36 @@ def read_cog(data: bytes) -> list[IfdInfo]:
             vals = list(struct.unpack(f"<{count}{fmt}", payload))
             return vals if count > 1 else vals[0]
 
-        if TAG_TILE_WIDTH not in tags:
-            if 273 in tags or 278 in tags:  # StripOffsets/RowsPerStrip
-                raise ValueError(
-                    "strip-based TIFF not supported — this reader "
-                    "handles tiled layouts (TileWidth/TileLength) only"
-                )
-            raise ValueError("IFD has no TileWidth — not a tiled TIFF")
         bands = val(TAG_SAMPLES_PER_PIXEL, 1)
-        offsets = val(TAG_TILE_OFFSETS)
-        counts = val(TAG_TILE_BYTE_COUNTS)
-        if offsets is None or counts is None:
-            raise ValueError("tiled IFD missing TileOffsets/TileByteCounts")
+        rows_per_strip = None
+        if TAG_TILE_WIDTH in tags:
+            tile_w = val(TAG_TILE_WIDTH)
+            tile_h = val(TAG_TILE_LENGTH)
+            offsets = val(TAG_TILE_OFFSETS)
+            counts = val(TAG_TILE_BYTE_COUNTS)
+            if offsets is None or counts is None:
+                raise ValueError(
+                    "tiled IFD missing TileOffsets/TileByteCounts"
+                )
+        elif 273 in tags:  # StripOffsets — foreign strip-based layout
+            img_w = val(TAG_IMAGE_WIDTH)
+            img_h = val(TAG_IMAGE_LENGTH)
+            if img_w is None or img_h is None:
+                raise ValueError("strip IFD missing ImageWidth/Length")
+            # RowsPerStrip default = "infinite" (one strip) per spec
+            rows_per_strip = min(int(val(278, img_h)), img_h)
+            if rows_per_strip <= 0:
+                raise ValueError(f"bad RowsPerStrip {rows_per_strip}")
+            tile_w, tile_h = img_w, rows_per_strip
+            offsets = val(273)
+            counts = val(279)
+            if counts is None:
+                raise ValueError("strip IFD missing StripByteCounts")
+        else:
+            raise ValueError(
+                "IFD has neither TileWidth nor StripOffsets — not a "
+                "tiled or strip-based TIFF"
+            )
         nod = val(TAG_GDAL_NODATA)
         bps = val(TAG_BITS_PER_SAMPLE, 64)
         sf = val(TAG_SAMPLE_FORMAT, 3)
@@ -944,8 +976,8 @@ def read_cog(data: bytes) -> list[IfdInfo]:
             IfdInfo(
                 width=val(TAG_IMAGE_WIDTH),
                 height=val(TAG_IMAGE_LENGTH),
-                tile_width=val(TAG_TILE_WIDTH),
-                tile_height=val(TAG_TILE_LENGTH),
+                tile_width=tile_w,
+                tile_height=tile_h,
                 bands=bands,
                 subfile_type=val(TAG_NEW_SUBFILE_TYPE, 0),
                 offsets=offsets if isinstance(offsets, list) else [offsets],
@@ -969,6 +1001,7 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                     else None
                 ),
                 photometric=val(TAG_PHOTOMETRIC, 1),
+                rows_per_strip=rows_per_strip,
             )
         )
         (ifd_off,) = struct.unpack_from(
@@ -1003,10 +1036,18 @@ def read_band(data: bytes, ifd: IfdInfo, band: int):
         raise ValueError(
             "YCbCr photometric with non-JPEG compression not supported"
         )
-    expect = ifd.tile_height * ifd.tile_width * dt.itemsize * (
-        ifd.bands if chunky else 1
-    )
     for t in range(n_tiles):
+        r, c = divmod(t, tx)
+        # tiles decompress to the FULL padded block; foreign STRIPS
+        # store the last strip unpadded (TIFF 6.0 §3) — size by clip
+        th_t = (
+            ifd.tile_height
+            if ifd.is_tiled
+            else min(ifd.tile_height, ifd.height - r * ifd.tile_height)
+        )
+        expect = th_t * ifd.tile_width * dt.itemsize * (
+            ifd.bands if chunky else 1
+        )
         # chunky (PlanarConfig=1): ONE tile carries all samples
         # interleaved — same tile index for every band
         i = t if chunky else band * n_tiles + t
@@ -1029,18 +1070,15 @@ def read_band(data: bytes, ifd: IfdInfo, band: int):
                     "predictors on pixel-interleaved tiles not supported"
                 )
             tile = np.frombuffer(raw, dtype=dt).reshape(
-                ifd.tile_height, ifd.tile_width, ifd.bands
+                th_t, ifd.tile_width, ifd.bands
             )[:, :, band]
         else:
             tile = unpredict_tile(
-                raw, ifd.predictor, ifd.tile_height, ifd.tile_width,
-                ifd.np_dtype,
+                raw, ifd.predictor, th_t, ifd.tile_width, ifd.np_dtype
             )
-        r, c = divmod(t, tx)
-        full[
-            r * ifd.tile_height : (r + 1) * ifd.tile_height,
-            c * ifd.tile_width : (c + 1) * ifd.tile_width,
-        ] = tile
+        r0 = r * ifd.tile_height
+        c0 = c * ifd.tile_width
+        full[r0 : r0 + th_t, c0 : c0 + ifd.tile_width] = tile
     return full[: ifd.height, : ifd.width]
 
 

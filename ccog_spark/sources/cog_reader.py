@@ -61,13 +61,22 @@ def read_cog_pixels(
     level: int = 0,
     bands: list[int] | None = None,
 ) -> DataFrame:
-    """Open a COG written by this engine as (band, y, x, value, valid).
+    """Open a COG/GeoTIFF as (band, y, x, value, valid).
+
+    Handles this engine's own files plus the common foreign layouts
+    (round 7): strip-based GeoTIFFs (strips = full-width tiles, last
+    strip unpadded), uncompressed (tag 1) payloads, and
+    pixel-interleaved (PlanarConfig=1) color tiles incl. YCbCr JPEG.
+    Layouts it cannot represent raise a clear ValueError from the
+    header parse — never wrong pixels (tests/test_cog_reader_foreign).
 
     ``level`` selects the pyramid level (0 = full resolution);
     ``bands`` optionally prunes band planes at the INDEX level — pruned
     tiles are never read from storage (the reader's analogue of column
-    pruning). Sparse tiles (bytecount 0) yield no rows: their pixels
-    are nodata by construction, matching the writer's elision."""
+    pruning); for pixel-interleaved files the tile must be read anyway,
+    so pruning happens at decode. Sparse tiles (bytecount 0) yield no
+    rows: their pixels are nodata by construction, matching the
+    writer's elision."""
     data_pages = [i for i in read_header(path) if not tiff.is_mask_ifd(i)]
     if level >= len(data_pages):
         raise ValueError(
@@ -77,17 +86,29 @@ def read_cog_pixels(
     tx = (ifd.width + ifd.tile_width - 1) // ifd.tile_width
     ty = (ifd.height + ifd.tile_height - 1) // ifd.tile_height
     n_tiles = tx * ty
+    chunky = ifd.planar_config == 1 and ifd.bands > 1
     index = []
-    for band in range(ifd.bands):
-        if bands is not None and band not in bands:
-            continue
+    if chunky:
+        # pixel-interleaved: ONE stored tile carries every band — band
+        # pruning happens at decode, not at the index (the tile must be
+        # read either way); band = -1 marks "all bands in this tile"
         for t in range(n_tiles):
-            i = band * n_tiles + t
-            if ifd.bytecounts[i] == 0:
-                continue  # sparse: all-nodata, no storage read needed
+            if ifd.bytecounts[t] == 0:
+                continue
             index.append(
-                (band, t // tx, t % tx, ifd.offsets[i], ifd.bytecounts[i])
+                (-1, t // tx, t % tx, ifd.offsets[t], ifd.bytecounts[t])
             )
+    else:
+        for band in range(ifd.bands):
+            if bands is not None and band not in bands:
+                continue
+            for t in range(n_tiles):
+                i = band * n_tiles + t
+                if ifd.bytecounts[i] == 0:
+                    continue  # sparse: all-nodata, no storage read needed
+                index.append(
+                    (band, t // tx, t % tx, ifd.offsets[i], ifd.bytecounts[i])
+                )
     idx_df = spark.createDataFrame(index, INDEX_SCHEMA)
 
     # ship the codec registry by value so the decode closure needs no
@@ -103,6 +124,14 @@ def read_cog_pixels(
     nodata = ifd.nodata
     jpeg_tables = ifd.jpeg_tables
     im_h, im_w = ifd.height, ifd.width
+    # foreign strip-based layouts: strips are full-width "tiles" whose
+    # LAST row block is stored unpadded (TIFF 6.0 §3) — decode with the
+    # clip height instead of decoding th then cropping
+    striped = not ifd.is_tiled
+    n_samples = ifd.bands if chunky else 1
+    want_bands = (
+        list(range(ifd.bands)) if bands is None else sorted(bands)
+    )
 
     def decode_batch(it):
         import numpy as np
@@ -116,36 +145,45 @@ def read_cog_pixels(
                     raw = decompress(
                         f.read(r.nbytes), compression, tables=jpeg_tables
                     )
-                    # inverse predictor: the SAME codecs.unpredict_tile
-                    # the writer/parser use, shipped by value — one
-                    # implementation, no drift (round-6 review)
-                    arr = unpredict(raw, predictor, th, tw, np_dtype)
-                    # clip edge tiles to the image extent
                     h = min(th, im_h - r.tile_y * th)
                     w = min(tw, im_w - r.tile_x * tw)
-                    arr = arr[:h, :w]
+                    dech = h if striped else th
+                    if n_samples > 1:
+                        # pixel-interleaved tile: (th, tw, bands)
+                        arr3 = np.frombuffer(
+                            raw, dtype=np_dtype
+                        ).reshape(dech, tw, n_samples)
+                        planes = [(b, arr3[:h, :w, b]) for b in want_bands]
+                    else:
+                        # inverse predictor: the SAME
+                        # codecs.unpredict_tile the writer/parser use,
+                        # shipped by value — one implementation, no
+                        # drift (round-6 review)
+                        arr = unpredict(raw, predictor, dech, tw, np_dtype)
+                        planes = [(r.band, arr[:h, :w])]
                     yy, xx = np.meshgrid(
                         np.arange(h), np.arange(w), indexing="ij"
                     )
-                    vals = arr.astype("f8")
-                    valid = (
-                        vals != nodata
-                        if nodata is not None
-                        else np.ones_like(vals, dtype=bool)
-                    )
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "band": r.band,
-                                "y": (r.tile_y * th + yy).ravel(),
-                                "x": (r.tile_x * tw + xx).ravel(),
-                                "value": np.where(
-                                    valid, vals, np.nan
-                                ).ravel(),
-                                "valid": valid.ravel(),
-                            }
+                    for b, plane in planes:
+                        vals = plane.astype("f8")
+                        valid = (
+                            vals != nodata
+                            if nodata is not None
+                            else np.ones_like(vals, dtype=bool)
                         )
-                    )
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "band": b,
+                                    "y": (r.tile_y * th + yy).ravel(),
+                                    "x": (r.tile_x * tw + xx).ravel(),
+                                    "value": np.where(
+                                        valid, vals, np.nan
+                                    ).ravel(),
+                                    "valid": valid.ravel(),
+                                }
+                            )
+                        )
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 

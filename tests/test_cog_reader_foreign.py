@@ -52,19 +52,152 @@ def _tiled_entries(
     ]
 
 
-def test_strip_based_tiff_rejected():
+def _strip_tiff(
+    img: np.ndarray, rows_per_strip: int, compression: int = 8,
+    predictor: int = 1, chunky_bands: int = 1, rps_tag: bool = True,
+) -> bytes:
+    """Hand-rolled strip-based gray or chunky-RGB TIFF (what plain
+    GDAL GeoTIFFs look like): full-width strips, LAST strip unpadded."""
+    h = img.shape[0]
+    w = img.shape[1]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        part = img[y0 : y0 + rows_per_strip]
+        raw = part.tobytes()
+        if predictor == 2:
+            d = part.astype(np.uint8).copy()
+            d[:, 1:] = d[:, 1:] - part[:, :-1]
+            raw = d.tobytes()
+        strips.append(zlib.compress(raw) if compression == 8 else raw)
+    n = len(strips)
+    data_start = 400
+    offs, cnts, pos = [], [], data_start
+    for s in strips:
+        offs.append(pos)
+        cnts.append(len(s))
+        pos += len(s)
     entries = [
-        _entry(256, 3, 1, 16),
-        _entry(257, 3, 1, 16),
+        _entry(256, 3, 1, w),
+        _entry(257, 3, 1, h),
         _entry(258, 3, 1, 8),
-        _entry(259, 3, 1, 1),
+        _entry(259, 3, 1, compression),
         _entry(262, 3, 1, 1),
-        _entry(273, 4, 1, 0),   # StripOffsets
-        _entry(278, 3, 1, 16),  # RowsPerStrip
-        _entry(279, 4, 1, 256), # StripByteCounts
+        _entry(277, 3, 1, chunky_bands),
+        _entry(284, 3, 1, 1),
+        _entry(339, 3, 1, 1),
     ]
-    with pytest.raises(ValueError, match="strip-based"):
-        tiff.read_cog(_classic_tiff(entries))
+    if predictor != 1:
+        entries.append(_entry(317, 3, 1, predictor))
+    if rps_tag:
+        entries.append(_entry(278, 3, 1, rows_per_strip))
+    if n == 1:
+        entries.append(_entry(273, 4, 1, offs[0]))
+        entries.append(_entry(279, 4, 1, cnts[0]))
+    else:
+        # external offset/count arrays at fixed positions
+        entries.append(_entry(273, 4, n, 300))
+        entries.append(_entry(279, 4, n, 300 + 4 * n))
+    head = _classic_tiff(entries)
+    buf = bytearray(head) + b"\x00" * (data_start - len(head))
+    if n > 1:
+        struct.pack_into(f"<{n}I", buf, 300, *offs)
+        struct.pack_into(f"<{n}I", buf, 300 + 4 * n, *cnts)
+    return bytes(buf) + b"".join(strips)
+
+
+def test_strip_tiff_reads_exact_gray():
+    """Foreign strip-based layout (GDAL's plain-GeoTIFF default) reads
+    back exactly — incl. the unpadded short last strip."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (21, 16), np.uint8)  # 21 rows: 8+8+5
+    data = _strip_tiff(img, rows_per_strip=8)
+    ifd = tiff.read_cog(data)[0]
+    assert not ifd.is_tiled and ifd.rows_per_strip == 8
+    got = tiff.read_band(data, ifd, 0)
+    assert np.array_equal(got, img)
+
+
+def test_strip_tiff_with_predictor_reads_exact():
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (12, 16), np.uint8)
+    data = _strip_tiff(img, rows_per_strip=5, predictor=2)
+    got = tiff.read_band(data, tiff.read_cog(data)[0], 0)
+    assert np.array_equal(got, img)
+
+
+def test_strip_tiff_uncompressed_reads_exact():
+    """Compression tag 1 (none) — the most common foreign payload."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (10, 16), np.uint8)
+    data = _strip_tiff(img, rows_per_strip=4, compression=1)
+    got = tiff.read_band(data, tiff.read_cog(data)[0], 0)
+    assert np.array_equal(got, img)
+
+
+def test_strip_tiff_chunky_rgb_reads_exact():
+    """Uncompressed pixel-interleaved RGB strips (PlanarConfig=1): the
+    default layout of most non-COG RGB TIFFs."""
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (9, 16, 3), np.uint8)
+    data = _strip_tiff(img, rows_per_strip=4, compression=1, chunky_bands=3)
+    ifd = tiff.read_cog(data)[0]
+    assert ifd.planar_config == 1 and ifd.bands == 3
+    for b in range(3):
+        assert np.array_equal(tiff.read_band(data, ifd, b), img[:, :, b])
+
+
+def test_strip_tiff_default_rows_per_strip():
+    """No RowsPerStrip tag = one strip covering the image (spec
+    default '2**32-1', clamped)."""
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (7, 16), np.uint8)
+    data = _strip_tiff(img, rows_per_strip=7, rps_tag=False)
+    ifd = tiff.read_cog(data)[0]
+    assert ifd.rows_per_strip == 7  # clamped to height
+    assert np.array_equal(tiff.read_band(data, ifd, 0), img)
+
+
+def test_strip_tiff_distributed_reader(spark, tmp_path):
+    """sources.cog_reader handles foreign strip files: executor-side
+    decode sizes the unpadded last strip by the clip."""
+    from ccog_spark.sources.cog_reader import read_cog_pixels
+
+    rng = np.random.RandomState(10)
+    img = rng.randint(0, 255, (21, 16), np.uint8)  # 255 excluded: no nodata hits
+    p = tmp_path / "strips.tif"
+    p.write_bytes(_strip_tiff(img, rows_per_strip=8))
+    rows = read_cog_pixels(spark, str(p)).collect()
+    got = np.zeros_like(img)
+    for r in rows:
+        got[r.y, r.x] = int(r.value)
+    assert np.array_equal(got, img)
+
+
+def test_color_jpeg_cog_distributed_reader(spark, tmp_path):
+    """read_cog_pixels decodes pixel-interleaved YCbCr JPEG tiles on
+    executors (chunky index path: one stored tile = all bands)."""
+    from ccog_spark.raster.cog import write_ccog
+    from ccog_spark.sources.cog_reader import read_cog_pixels
+
+    y, x = np.mgrid[0:32, 0:64]
+    ry, rx = (y * 255) // 31, (x * 255) // 63
+    arr = np.stack([ry, rx, (ry + rx) // 2]).astype(np.uint8)
+    out = str(tmp_path / "c.tif")
+    write_ccog(
+        spark, arr, out, blocksize=32, nodata=255.0, codec="jpeg",
+        compress_level=95, pixel_interleave=True,
+    )
+    df = read_cog_pixels(spark, out, bands=[0, 2])
+    got = {(r.band, r.y, r.x): r.value for r in df.collect()}
+    assert set(b for b, _, _ in got) == {0, 2}
+    err = max(
+        abs(got[(b, yy, xx)] - float(arr[b, yy, xx]))
+        for b in (0, 2)
+        for yy in range(0, 32, 5)
+        for xx in range(0, 64, 7)
+        if (b, yy, xx) in got
+    )
+    assert err <= 24  # lossy tolerance (smooth ramps, q95)
 
 
 def test_big_endian_rejected():
