@@ -366,9 +366,9 @@ def write_cog(
             )
         if dtype != "uint8":
             raise ValueError("pixel_interleave requires dtype='uint8'")
-        if jpeg_subsampling not in ("444", "420"):
+        if jpeg_subsampling not in ("444", "420", "422", "440"):
             raise ValueError(
-                f"jpeg_subsampling must be '444' or '420', "
+                f"jpeg_subsampling must be one of 444/420/422/440, "
                 f"got {jpeg_subsampling!r}"
             )
         if internal_mask:
@@ -504,7 +504,9 @@ def write_cog(
         planar_config=1 if pixel_interleave else 2,
         photometric=6 if pixel_interleave else 1,
         ycbcr_subsampling=(
-            ((1, 1) if jpeg_subsampling == "444" else (2, 2))
+            {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}[
+                jpeg_subsampling
+            ]
             if pixel_interleave
             else None
         ),

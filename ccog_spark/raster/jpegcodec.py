@@ -444,10 +444,12 @@ def encode_color(data: bytes, level: int = 75, subsampling: str = "444") -> byte
     payload) as an abbreviated baseline YCbCr JPEG stream.
 
     subsampling: '444' (all components 1x1 — no chroma subsampling;
-    chroma error comes only from quantization) or '420' (luma 2x2,
+    chroma error comes only from quantization), '420' (luma 2x2,
     chroma box-downsampled 2× per axis — the GDAL/libjpeg default,
-    ~half the bytes; needs side % 16 == 0 for MCU alignment, which the
-    COG writer's blocksize-multiple-of-16 contract guarantees).
+    ~half the bytes), '422' (2× horizontal only) or '440' (2× vertical
+    only). Subsampled forms need side % 16 == 0 for MCU alignment,
+    which the COG writer's blocksize-multiple-of-16 contract
+    guarantees.
 
     Component layout matches GDAL/libjpeg color conventions: ids
     1/2/3, Y on quant+Huffman set 0, Cb/Cr on set 1, MCU-interleaved
@@ -459,7 +461,7 @@ def encode_color(data: bytes, level: int = 75, subsampling: str = "444") -> byte
             f"jpeg color codec expects a square interleaved uint8 RGB "
             f"tile with side a multiple of 8; got {n3} bytes"
         )
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "420", "422", "440"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     rgb = np.frombuffer(data, dtype=np.uint8).reshape(side, side, 3)
     y, cb, cr = _rgb_to_ycbcr(rgb)
@@ -476,36 +478,39 @@ def encode_color(data: bytes, level: int = 75, subsampling: str = "444") -> byte
             zz[ci::3] = planes[ci]
             comp[ci::3] = ci
         samp = b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
-    else:  # 420
+    else:  # subsampled: luma (sh, sv), chroma 1x1
+        sh, sv = {"420": (2, 2), "422": (2, 1), "440": (1, 2)}[subsampling]
         if side % 16:
             raise ValueError(
-                f"4:2:0 needs side % 16 == 0 (16x16 MCUs), got {side}"
+                f"4:2:x needs side % 16 == 0 (MCU alignment), got {side}"
             )
-        # box-downsample chroma 2x per axis (mean of each 2x2)
-        cb2 = cb.reshape(side // 2, 2, side // 2, 2).mean(axis=(1, 3))
-        cr2 = cr.reshape(side // 2, 2, side // 2, 2).mean(axis=(1, 3))
+        # box-downsample chroma by (sv, sh) block means
+        cb2 = cb.reshape(side // sv, sv, side // sh, sh).mean(axis=(1, 3))
+        cr2 = cr.reshape(side // sv, sv, side // sh, sh).mean(axis=(1, 3))
         zy = _plane_zz(y, ql)          # raster block order, bw = side//8
         zcb = _plane_zz(cb2, qc)       # 1 block per MCU, already MCU order
         zcr = _plane_zz(cr2, qc)
         bw = side // 8
-        mx = side // 16
-        n_mcu = mx * mx
-        # luma raster index for MCU mi, local block (byy,bxx)
+        mx, my = side // (8 * sh), side // (8 * sv)
+        n_mcu = mx * my
+        per = sh * sv
+        # luma raster index for MCU mi, local block bi = byy*sh + bxx
+        # (T.81 MCU-local row-major order)
         mi = np.arange(n_mcu)
         myy, mxx = mi // mx, mi % mx
-        yidx = np.empty((n_mcu, 4), dtype=np.int64)
-        for bi, (byy, bxx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            yidx[:, bi] = (2 * myy + byy) * bw + (2 * mxx + bxx)
-        zz = np.empty((6 * n_mcu, 64), dtype=np.int64)
+        zz = np.empty(((per + 2) * n_mcu, 64), dtype=np.int64)
         comp = np.tile(
-            np.array([0, 0, 0, 0, 1, 2], dtype=np.int64), n_mcu
+            np.array([0] * per + [1, 2], dtype=np.int64), n_mcu
         )
-        base = np.arange(n_mcu) * 6
-        for bi in range(4):
-            zz[base + bi] = zy[yidx[:, bi]]
-        zz[base + 4] = zcb
-        zz[base + 5] = zcr
-        samp = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+        base = np.arange(n_mcu) * (per + 2)
+        for bi in range(per):
+            byy, bxx = divmod(bi, sh)
+            zz[base + bi] = zy[(sv * myy + byy) * bw + (sh * mxx + bxx)]
+        zz[base + per] = zcb
+        zz[base + per + 1] = zcr
+        samp = (
+            bytes([1, (sh << 4) | sv, 0]) + b"\x02\x11\x01" + b"\x03\x11\x01"
+        )
 
     scan = _encode_scan(zz, comp, np.array([0, 1, 1], dtype=np.int64))
     sof = _marker(
@@ -718,14 +723,20 @@ def _decode_sos(
     hs = [c[1] for c in sof_comps]
     vs = [c[2] for c in sof_comps]
     hmax, vmax = max(hs), max(vs)
-    # supported sampling shapes: all-1x1, or 4:2:0 (luma 2x2, chroma 1x1)
+    # supported sampling shapes: all-1x1, or the standard 3-component
+    # forms with luma (h,v) in {1,2}^2 and 1x1 chroma — 4:4:4, 4:2:2
+    # (2x1), 4:4:0 (1x2), 4:2:0 (2x2)
     if not (
         all(h == 1 and v == 1 for h, v in zip(hs, vs))
-        or (len(sof_comps) == 3 and hs == [2, 1, 1] and vs == [2, 1, 1])
+        or (
+            len(sof_comps) == 3
+            and hs[0] in (1, 2) and vs[0] in (1, 2)
+            and hs[1:] == [1, 1] and vs[1:] == [1, 1]
+        )
     ):
         raise ValueError(
             f"unsupported JPEG sampling factors {list(zip(hs, vs))} — "
-            f"only 1x1 (4:4:4) and 2x2-luma 4:2:0 are supported"
+            f"luma (h,v) in {{1,2}}² with 1x1 chroma only"
         )
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     if width % mcu_w or height % mcu_h:

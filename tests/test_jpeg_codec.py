@@ -336,7 +336,10 @@ def _rgb_gradient(side: int = 32) -> np.ndarray:
 
 @pytest.mark.parametrize(
     "quality,sub,max_err",
-    [(95, "444", 10), (75, "444", 20), (50, "444", 26), (90, "420", 24)],
+    [
+        (95, "444", 10), (75, "444", 20), (50, "444", 26),
+        (90, "420", 24), (90, "422", 20), (90, "440", 20),
+    ],
 )
 def test_color_roundtrip_tolerance(quality, sub, max_err):
     rgb = _rgb_gradient()
@@ -376,9 +379,11 @@ def test_color_420_smaller_than_444():
 
 def test_color_component_layout_gdal_convention():
     """SOF/SOS bytes pin the public component convention: ids 1/2/3,
-    Y on table set 0, Cb/Cr on set 1; 4:2:0 sets luma sampling 0x22."""
+    Y on table set 0, Cb/Cr on set 1; luma sampling = (h<<4)|v."""
     rgb = _rgb_gradient()
-    for sub, ysamp in (("444", 0x11), ("420", 0x22)):
+    for sub, ysamp in (
+        ("444", 0x11), ("420", 0x22), ("422", 0x21), ("440", 0x12)
+    ):
         enc = J.encode_color(rgb.tobytes(), 75, subsampling=sub)
         sof = enc.index(b"\xff\xc0") + 4
         assert enc[sof] == 8 and enc[sof + 5] == 3  # precision, ncomp
@@ -397,7 +402,7 @@ def test_color_420_requires_mcu_alignment():
 def test_color_bad_subsampling_rejected():
     rgb = _rgb_gradient(16)
     with pytest.raises(ValueError, match="subsampling"):
-        J.encode_color(rgb.tobytes(), 75, subsampling="422")
+        J.encode_color(rgb.tobytes(), 75, subsampling="411")
 
 
 @given(st.integers(0, 2 ** 32 - 1), st.data())
