@@ -394,10 +394,47 @@ def _encode_scan(
     return _pack_bits(vals[order], lens[order])
 
 
-def encode(data: bytes, level: int = 75) -> bytes:
+def _scan_with_restarts(
+    zz: np.ndarray,
+    comp: np.ndarray,
+    tsel: np.ndarray,
+    mcus: int,
+    blocks_per_mcu: int,
+    restart_interval: int,
+) -> bytes:
+    """Entropy bytes for a scan, split at ``restart_interval`` MCUs
+    with RSTm markers (m cycles 0..7) between the independently-coded
+    segments (T.81 §B.2.1.2 / E.1.4 — each segment byte-aligns with
+    1-fill padding and resets every DC predictor)."""
+    if restart_interval <= 0:
+        return _encode_scan(zz, comp, tsel)
+    parts = []
+    step = restart_interval * blocks_per_mcu
+    for seg, b0 in enumerate(range(0, mcus * blocks_per_mcu, step)):
+        if seg:
+            parts.append(bytes([0xFF, 0xD0 + ((seg - 1) & 7)]))
+        parts.append(
+            _encode_scan(zz[b0 : b0 + step], comp[b0 : b0 + step], tsel)
+        )
+    return b"".join(parts)
+
+
+def _dri_segment(restart_interval: int) -> bytes:
+    if restart_interval <= 0:
+        return b""
+    return _marker(0xFFDD, struct.pack(">H", restart_interval))
+
+
+def encode(data: bytes, level: int = 75, restart_interval: int = 0) -> bytes:
     """Encode one square uint8 tile plane (blocksize² bytes — the COG
     writer's payload contract; blocksize is a multiple of 16, so MCU
-    alignment is automatic) as an abbreviated baseline JPEG stream."""
+    alignment is automatic) as an abbreviated baseline JPEG stream.
+
+    ``restart_interval``: emit a DRI segment and RSTm markers every N
+    MCUs (0 = none, the default — matches the golden byte pins).
+    Restart segments are independently decodable, which is what lets
+    foreign readers resynchronize and parallel decoders split a
+    scan."""
     side = int(np.sqrt(len(data)))
     if side * side != len(data) or side % 8:
         raise ValueError(
@@ -406,14 +443,18 @@ def encode(data: bytes, level: int = 75) -> bytes:
         )
     img = np.frombuffer(data, dtype=np.uint8).reshape(side, side)
     zz = _plane_zz(img, quant_table(level))
-    scan = _encode_scan(
-        zz, np.zeros(len(zz), dtype=np.int64), np.array([0], dtype=np.int64)
+    scan = _scan_with_restarts(
+        zz, np.zeros(len(zz), dtype=np.int64), np.array([0], dtype=np.int64),
+        len(zz), 1, restart_interval,
     )
     sof = _marker(
         0xFFC0, struct.pack(">BHHB", 8, side, side, 1) + b"\x01\x11\x00"
     )
     sos = _marker(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    return b"\xff\xd8" + sof + sos + scan + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + sof + _dri_segment(restart_interval) + sos
+        + scan + b"\xff\xd9"
+    )
 
 
 # JFIF (ITU-T T.871) full-range RGB <-> YCbCr. Decode uses the exact
@@ -438,7 +479,12 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def encode_color(data: bytes, level: int = 75, subsampling: str = "444") -> bytes:
+def encode_color(
+    data: bytes,
+    level: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode one square interleaved-RGB uint8 tile (blocksize² × 3
     bytes, pixel-interleaved — the writer's PlanarConfiguration=1
     payload) as an abbreviated baseline YCbCr JPEG stream.
@@ -453,7 +499,9 @@ def encode_color(data: bytes, level: int = 75, subsampling: str = "444") -> byte
 
     Component layout matches GDAL/libjpeg color conventions: ids
     1/2/3, Y on quant+Huffman set 0, Cb/Cr on set 1, MCU-interleaved
-    (Y blocks in MCU-local raster order, then Cb, then Cr)."""
+    (Y blocks in MCU-local raster order, then Cb, then Cr).
+
+    ``restart_interval``: DRI/RSTm markers every N MCUs (see encode)."""
     n3 = len(data)
     side = int(np.sqrt(n3 // 3))
     if side * side * 3 != n3 or side % 8:
@@ -512,7 +560,16 @@ def encode_color(data: bytes, level: int = 75, subsampling: str = "444") -> byte
             bytes([1, (sh << 4) | sv, 0]) + b"\x02\x11\x01" + b"\x03\x11\x01"
         )
 
-    scan = _encode_scan(zz, comp, np.array([0, 1, 1], dtype=np.int64))
+    if subsampling == "444":
+        bpm = 3
+    else:
+        _sh, _sv = {"420": (2, 2), "422": (2, 1), "440": (1, 2)}[subsampling]
+        bpm = _sh * _sv + 2
+    n_mcu = len(comp) // bpm
+    scan = _scan_with_restarts(
+        zz, comp, np.array([0, 1, 1], dtype=np.int64), n_mcu, bpm,
+        restart_interval,
+    )
     sof = _marker(
         0xFFC0, struct.pack(">BHHB", 8, side, side, 3) + samp
     )
@@ -520,7 +577,10 @@ def encode_color(data: bytes, level: int = 75, subsampling: str = "444") -> byte
         0xFFDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11"
         + b"\x00\x3f\x00"
     )
-    return b"\xff\xd8" + sof + sos + scan + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + sof + _dri_segment(restart_interval) + sos
+        + scan + b"\xff\xd9"
+    )
 
 
 class _BitReader:
@@ -615,6 +675,7 @@ def _decode(data: bytes) -> bytes:
     width = height = None
     # SOF component list: (comp_id, h_samp, v_samp, tq) in SOF order
     sof_comps: list[tuple[int, int, int, int]] = []
+    restart_interval = 0
     pos = 0
     n = len(data)
     out = None
@@ -668,6 +729,8 @@ def _decode(data: bytes) -> bytes:
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline (SOF0) JPEG supported")
+        elif m == 0xDD:  # DRI: restart interval in MCUs
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif m == 0xDA:  # SOS → entropy data follows
             if width is None:
                 raise ValueError("SOS before SOF0")
@@ -699,7 +762,7 @@ def _decode(data: bytes) -> bytes:
                     "prepend the JPEGTables (TIFF tag 347) payload"
                 )
             out = _decode_sos(data, pos + 2 + seglen, width, height,
-                              sof_comps, scan, qt, huff)
+                              sof_comps, scan, qt, huff, restart_interval)
             break
         pos += 2 + seglen
     if out is None:
@@ -719,6 +782,7 @@ def _decode_sos(
     scan: list[tuple[int, int, int]],
     qt: dict[int, np.ndarray],
     huff: dict[tuple[int, int], dict],
+    restart_interval: int = 0,
 ) -> bytes:
     hs = [c[1] for c in sof_comps]
     vs = [c[2] for c in sof_comps]
@@ -756,6 +820,28 @@ def _decode_sos(
     done = 0
     try:
         for mi in range(n_mcu):
+            if restart_interval and mi and mi % restart_interval == 0:
+                # T.81 E.1.4: segment is byte-aligned (1-fill padding);
+                # drop buffered pad bits, consume the RSTm marker,
+                # reset every DC predictor
+                reader.acc = 0
+                reader.nbits = 0
+                p = reader.pos
+                if p + 1 >= len(data) or data[p] != 0xFF or not (
+                    0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    raise ValueError(
+                        f"missing restart marker before MCU {mi}"
+                    )
+                exp = 0xD0 + (((mi // restart_interval) - 1) & 7)
+                if data[p + 1] != exp:
+                    raise ValueError(
+                        f"restart marker out of sequence before MCU "
+                        f"{mi}: got 0xFF{data[p + 1]:02X}, expected "
+                        f"0xFF{exp:02X}"
+                    )
+                reader.pos = p + 2
+                pred = [0] * len(sof_comps)
             for sof_idx, dc_id, ac_id in scan:
                 for bi in range(blocks_per_mcu[sof_idx]):
                     row = zz[sof_idx][mi * blocks_per_mcu[sof_idx] + bi]

@@ -286,6 +286,45 @@ def test_fuzz_corrupt_streams_never_hang_or_crash(seed, data):
         pass
 
 
+# ------------------------------------------------------ restart markers
+def test_restart_interval_roundtrip_gray():
+    """DRI/RSTm streams (what many foreign encoders emit) decode to
+    the SAME pixels as the marker-free stream — per-segment predictor
+    reset and byte alignment both exercised."""
+    img = _gradient(32)  # 16 MCUs
+    base = np.frombuffer(
+        J.decode(J.make_tables(75) + J.encode(img.tobytes(), 75)), np.uint8
+    )
+    for ri in (1, 3, 4, 7):
+        enc = J.encode(img.tobytes(), 75, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI present
+        got = np.frombuffer(J.decode(J.make_tables(75) + enc), np.uint8)
+        assert np.array_equal(got, base), ri
+
+
+def test_restart_interval_roundtrip_color():
+    rgb = _rgb_gradient(32)
+    for sub in ("444", "420"):
+        base = J.decode(
+            J.make_tables(90) + J.encode_color(rgb.tobytes(), 90, sub)
+        )
+        enc = J.encode_color(rgb.tobytes(), 90, sub, restart_interval=2)
+        got = J.decode(J.make_tables(90) + enc)
+        assert got == base, sub
+
+
+def test_restart_marker_out_of_sequence_rejected():
+    img = _gradient(32)
+    enc = J.encode(img.tobytes(), 75, restart_interval=4)
+    # corrupt the first RSTm (0xFFD0) to 0xFFD5 — resync would decode
+    # the wrong MCUs silently if sequence weren't checked
+    buf = bytearray(enc)
+    i = buf.index(b"\xff\xd0", 20)
+    buf[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence|corrupt"):
+        J.decode(J.make_tables(75) + bytes(buf))
+
+
 # ------------------------------------------------------- golden bytes
 def test_encoder_golden_bytes_stable():
     """The entropy encoder's byte output is pinned: the vectorized
