@@ -1059,6 +1059,42 @@ ORDER BY doc_id, bucket
 """
 
 
+# Char-trigram LM scoring twin: gram/context extraction by substr
+# positions (DuckDB range(a, b) is exclusive of b), add-one smoothing
+# with exact integer-ratio doubles, per-term half-up micro-quantization
+# summed as BIGINTs — no ln anywhere (repo float rule; see operators/lm).
+PIPELINE_ORACLE["pipeline_lm"] = """
+WITH g AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram,
+         substr(text, CAST(i AS INT), 2) AS ctx
+  FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+), gc AS (
+  SELECT gram, COUNT(*) AS c FROM g GROUP BY gram
+), b2 AS (
+  SELECT substr(text, CAST(i AS INT), 2) AS ctx
+  FROM documents, UNNEST(range(1, length(text))) AS t(i)
+  WHERE length(text) >= 2
+), cc AS (
+  SELECT ctx, COUNT(*) AS c FROM b2 GROUP BY ctx
+), v AS (
+  SELECT COUNT(DISTINCT ch) AS v FROM (
+    SELECT unnest(string_split(text, '')) AS ch FROM documents
+  ) WHERE ch <> ''
+), q AS (
+  SELECT g.doc_id,
+         CAST(FLOOR(((gc.c + 1) / CAST(cc.c + v.v AS DOUBLE)) * 1000000
+                    + 0.5) AS BIGINT) AS q
+  FROM g JOIN gc USING (gram) JOIN cc USING (ctx) CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         / 1000000.0 AS score
+FROM q GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 PIPELINE_ORACLE["pipeline_chunk_dedup"] = """
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS tk,

@@ -568,6 +568,20 @@ def pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hashed_tfidf(docs).orderBy("doc_id", "bucket")
 
 
+def pipeline_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM quality scoring (operators.lm — the CCNet-style
+    "train a small LM, rank documents by fluency" stage): one
+    distributed counting pass builds an alphabet-bounded model, a
+    second map-side pass scores every document against it via two
+    broadcast joins + one aggregate. The oracle replays gram/context
+    extraction, add-one smoothing, and the exact-rational quantized
+    mean (no ln in the hashed path — repo float rule)."""
+    from ccog_spark.operators.lm import lm_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_quality(docs, n=3).orderBy("doc_id")
+
+
 def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level (paragraph-style) dedup — the Dolma/RefinedWeb
     sub-document pass: split documents into NON-overlapping 64-token

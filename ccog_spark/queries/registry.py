@@ -237,6 +237,12 @@ REGISTRY: dict[str, QueryFn] = {
     # keep-first across the corpus; E34/chunking composition (driver
     # rows dedup_exact + text_analysis family above the fold).
     "pipeline_chunk_dedup": pipeline.pipeline_chunk_dedup,
+    # round 7: char-trigram LM quality scoring (operators/lm.py — the
+    # CCNet "small LM fluency filter" stage): alphabet-bounded model
+    # from one counting pass, broadcast-join scoring, exact-rational
+    # quantized mean (ln kept out of the hashed path by design). E37
+    # text-quality family (text_analysis carries the driver row).
+    "pipeline_lm": pipeline.pipeline_lm,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

@@ -217,3 +217,34 @@ def test_tfidf_dense_zero_vector_for_empty_doc(spark):
     assert all(v == 0.0 for v in out[2])
     assert all(v == 0.0 for v in out[3])
     assert any(v > 0.0 for v in out[1])
+
+
+def test_lm_quality_properties(spark):
+    """Char-LM scoring (operators/lm.py): repetitive text is MORE
+    predictable under a self-trained LM (higher mean transition
+    probability, lower perplexity); scores live in (0, 1]; docs
+    shorter than n produce no row; gram accounting is exact."""
+    from ccog_spark.operators.lm import char_ngrams, lm_quality
+
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 8),      # repetitive
+            (2, "qx7!bz@k9#wf$2m%vj^8ru&1pl*3"),     # noise
+            (3, "ab"),                               # shorter than n
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in lm_quality(docs, n=3, perplexity=True).collect()}
+    assert 3 not in rows  # no transitions to judge
+    assert rows[1].n_grams == len("the cat sat on the mat " * 8) - 2
+    for r in rows.values():
+        assert 0.0 < r.score <= 1.0
+    assert rows[1].score > rows[2].score       # fluency ranks above noise
+    assert rows[1].ppl < rows[2].ppl           # and perplexity agrees
+    # ngram extraction: windows of exactly n, count = len - n + 1
+    g = docs.where("doc_id = 2").select(
+        F.explode(char_ngrams("text", 3)).alias("g")
+    ).collect()
+    assert all(len(r.g) == 3 for r in g)
