@@ -55,6 +55,69 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def remove_duplicate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide line-level dedup WITH document rebuild — CCNet's
+    first hygiene stage: a line that appears anywhere earlier in the
+    corpus (boilerplate, navigation chrome, repeated headers) is
+    dropped from every later occurrence, keeping the FIRST; surviving
+    lines are reassembled in original order into a cleaned ``text``.
+
+    Distinct from chunk-level dedup (which REPORTS duplication): this
+    operator returns the cleaned corpus — (id_col, text, n_lines,
+    n_dropped) — so downstream stages consume deduped text directly.
+
+    Keep-first is deterministic: first by (id_col, line position)
+    across the corpus. Lines shorter than ``min_chars`` are kept
+    unconditionally (deduping '' or single chars destroys formatting,
+    per CCNet practice).
+
+    Scale shape: one shuffle partitioned by LINE CONTENT (the same key
+    cardinality any line-dedup must pay; content keys avoid hash-
+    collision false drops), then one per-document regroup. Documents
+    whose every line was dropped survive with empty text — silently
+    losing rows would break corpus alignment."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    dedupable = F.length("line") >= min_chars
+    w = W.partitionBy("line").orderBy(id_col, "pos")
+    ranked = lines.withColumn(
+        "_rn", F.when(dedupable, F.row_number().over(w)).otherwise(F.lit(1))
+    )
+    kept = ranked.withColumn("_keep", F.col("_rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum((~F.col("_keep")).cast("bigint")).alias("n_dropped"),
+    )
+    return docs.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+    )
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingle strings (map-side)."""
     toks = F.split(text, " ")

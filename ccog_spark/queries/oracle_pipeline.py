@@ -1095,6 +1095,36 @@ ORDER BY doc_id
 """
 
 
+# Line-dedup-with-rebuild twin: same 8-token line synthesis, the same
+# corpus-wide keep-first rank (first by doc_id, then position), ordered
+# STRING_AGG rebuild; docs losing every line come back with '' text.
+PIPELINE_ORACLE["pipeline_line_dedup"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         CAST((s - 1) // 8 AS INT) AS pos,
+         array_to_string(tk[CAST(s AS INT) : CAST(LEAST(s + 7, n) AS INT)], ' ') AS line
+  FROM d, UNNEST(range(1, n + 1, 8)) AS t(s)
+), ranked AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l
+), agg AS (
+  SELECT doc_id,
+         COALESCE(STRING_AGG(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE rn = 1), '') AS text,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, text, n_lines, n_dropped FROM agg
+ORDER BY doc_id
+"""
+
+
 PIPELINE_ORACLE["pipeline_chunk_dedup"] = """
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS tk,

@@ -582,6 +582,31 @@ def pipeline_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality(docs, n=3).orderBy("doc_id")
 
 
+def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup with document REBUILD (CCNet stage 1,
+    operators.dedup.remove_duplicate_lines): synthesize deterministic
+    multi-line text (newline every 8 tokens — the fixture corpus is
+    single-line; same synthesize-then-check pattern as pipeline_urls),
+    drop every later occurrence of a repeated line, reassemble cleaned
+    documents in order. The small fixture vocabulary makes 8-token
+    lines collide across documents, so the drop path is exercised
+    heavily; the oracle replays synthesis, keep-first ranking, and the
+    ordered rebuild."""
+    from ccog_spark.operators.dedup import remove_duplicate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n = F.size(tk)
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / 8).cast("int")),
+        lambda i: F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+    )
+    synth = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    return remove_duplicate_lines(synth).orderBy("doc_id")
+
+
 def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level (paragraph-style) dedup — the Dolma/RefinedWeb
     sub-document pass: split documents into NON-overlapping 64-token

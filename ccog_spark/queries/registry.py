@@ -237,6 +237,11 @@ REGISTRY: dict[str, QueryFn] = {
     # keep-first across the corpus; E34/chunking composition (driver
     # rows dedup_exact + text_analysis family above the fold).
     "pipeline_chunk_dedup": pipeline.pipeline_chunk_dedup,
+    # round 7: corpus-wide line dedup WITH document rebuild (CCNet
+    # stage 1; operators/dedup.py::remove_duplicate_lines) — returns
+    # the cleaned corpus, not just counts; E34 family (dedup_exact /
+    # pipeline_chunk_dedup carry sibling driver/hash rows).
+    "pipeline_line_dedup": pipeline.pipeline_line_dedup,
     # round 7: char-trigram LM quality scoring (operators/lm.py — the
     # CCNet "small LM fluency filter" stage): alphabet-bounded model
     # from one counting pass, broadcast-join scoring, exact-rational

@@ -89,3 +89,39 @@ def test_ppjoin_bytes_gate_forces_both_paths(spark, monkeypatch):
     }
     assert dd._LAST_PREFIX_PATH == "distributed"
     assert fast == slow and fast
+
+
+def test_remove_duplicate_lines_rebuild(spark):
+    """Line dedup + rebuild invariants: keep-first across the corpus
+    (by doc_id then position), order-preserving reassembly, empty-doc
+    survival, min_chars bypass."""
+    from ccog_spark.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "header\nalpha\n\nfooter"),
+            (2, "header\nbeta\nfooter"),
+            (3, "header\nfooter"),
+            (4, "\n\n"),  # only empty lines
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_lines(docs, min_chars=1).collect()
+    }
+    # first occurrences survive; later repeats dropped; order preserved
+    assert out[1].text == "header\nalpha\n\nfooter"
+    assert out[2].text == "beta"
+    assert out[3].text == ""
+    assert (out[2].n_lines, out[2].n_dropped) == (3, 2)
+    # empty lines are below min_chars: kept unconditionally
+    assert out[4].text == "\n\n" and out[4].n_dropped == 0
+    # idempotence: a second pass drops nothing new
+    again = remove_duplicate_lines(
+        spark.createDataFrame(
+            [(k, v.text) for k, v in out.items()], ["doc_id", "text"]
+        ),
+        min_chars=1,
+    ).collect()
+    assert all(r.n_dropped == 0 for r in again)
