@@ -60,25 +60,32 @@ def train_char_lm(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(gram_counts, ctx_counts, vocab_size) for an ``n``-gram char LM.
 
-    gram_counts: (gram string, c bigint); ctx_counts: (ctx, c) over the
-    (n-1)-char contexts; vocab_size: 1-row (v bigint) distinct-char
-    count used as the add-one-smoothing denominator mass. All three are
-    lazy plans over the corpus — compose them into a scoring plan and
-    Spark runs the counting once per consumer (or persist them for a
-    reusable model)."""
+    gram_counts: (gram string, c bigint) — the ONE corpus scan.
+    ctx_counts and vocab_size are DERIVED from the gram table
+    (prefix-sum the counts; distinct continuation chars), so they cost
+    model-sized aggregations, not extra passes over the corpus — at
+    100 TB the whole model is 1 scan + tiny-table work. Consequence of
+    deriving contexts from grams: a context is counted once per gram
+    STARTING there (i.e. positions 1..len-n+1, not the trailing
+    (n-1)-gram) — exactly the mass that has continuations, which is
+    the denominator conditional probability wants anyway.
+
+    vocab_size = distinct continuation characters observed (the
+    add-one smoothing denominator mass). All three are lazy plans —
+    compose into a scoring plan, or persist gram_counts for a reusable
+    model."""
     t = F.col(text_col)
     grams = docs.select(F.explode(char_ngrams(t, n)).alias("gram"))
     gram_counts = grams.where(F.length("gram") == n).groupBy("gram").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    ctxs = docs.select(F.explode(char_ngrams(t, n - 1)).alias("ctx"))
-    ctx_counts = ctxs.where(F.length("ctx") == n - 1).groupBy("ctx").agg(
-        F.count("*").cast("bigint").alias("c")
+    ctx_counts = (
+        gram_counts.groupBy(
+            F.substring("gram", 1, n - 1).alias("ctx")
+        ).agg(F.sum("c").cast("bigint").alias("c"))
     )
-    vocab = (
-        docs.select(F.explode(F.split(t, "")).alias("ch"))
-        .where(F.col("ch") != "")
-        .agg(F.count_distinct("ch").cast("bigint").alias("v"))
+    vocab = gram_counts.agg(
+        F.count_distinct(F.substring("gram", n, 1)).cast("bigint").alias("v")
     )
     return gram_counts, ctx_counts, vocab
 
@@ -104,6 +111,11 @@ def lm_quality(
     Scale: the count tables are alphabet-bounded → broadcast; the only
     per-document work is a map-side gram fan-out and one aggregate."""
     gram_counts, ctx_counts, vocab = train_char_lm(docs, n, text_col)
+    # ctx/vocab are DERIVED from gram_counts; without a persist the
+    # lazy composition would re-run the counting scan once per branch
+    # (3 corpus scans). The cache is model-sized (≤ |alphabet|^n rows)
+    # — the registry's budget sweep reclaims it.
+    gram_counts = gram_counts.persist()
     g = docs.select(
         F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
     ).withColumn("ctx", F.substring("gram", 1, n - 1))

@@ -1059,10 +1059,13 @@ ORDER BY doc_id, bucket
 """
 
 
-# Char-trigram LM scoring twin: gram/context extraction by substr
-# positions (DuckDB range(a, b) is exclusive of b), add-one smoothing
-# with exact integer-ratio doubles, per-term half-up micro-quantization
-# summed as BIGINTs — no ln anywhere (repo float rule; see operators/lm).
+# Char-trigram LM scoring twin: gram extraction by substr positions
+# (DuckDB range(a, b) is exclusive of b); context counts and the
+# smoothing vocab are DERIVED from the gram table exactly as the
+# operator does (prefix-sum / distinct continuation chars — one corpus
+# pass); add-one smoothing with exact integer-ratio doubles, per-term
+# half-up micro-quantization summed as BIGINTs — no ln anywhere (repo
+# float rule; see operators/lm).
 PIPELINE_ORACLE["pipeline_lm"] = """
 WITH g AS (
   SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram,
@@ -1071,16 +1074,10 @@ WITH g AS (
   WHERE length(text) >= 3
 ), gc AS (
   SELECT gram, COUNT(*) AS c FROM g GROUP BY gram
-), b2 AS (
-  SELECT substr(text, CAST(i AS INT), 2) AS ctx
-  FROM documents, UNNEST(range(1, length(text))) AS t(i)
-  WHERE length(text) >= 2
 ), cc AS (
-  SELECT ctx, COUNT(*) AS c FROM b2 GROUP BY ctx
+  SELECT substr(gram, 1, 2) AS ctx, SUM(c) AS c FROM gc GROUP BY 1
 ), v AS (
-  SELECT COUNT(DISTINCT ch) AS v FROM (
-    SELECT unnest(string_split(text, '')) AS ch FROM documents
-  ) WHERE ch <> ''
+  SELECT COUNT(DISTINCT substr(gram, 3, 1)) AS v FROM gc
 ), q AS (
   SELECT g.doc_id,
          CAST(FLOOR(((gc.c + 1) / CAST(cc.c + v.v AS DOUBLE)) * 1000000
