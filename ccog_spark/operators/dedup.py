@@ -77,21 +77,31 @@ def remove_duplicate_lines(
     unconditionally (deduping '' or single chars destroys formatting,
     per CCNet practice).
 
-    Scale shape: one shuffle partitioned by LINE CONTENT (the same key
-    cardinality any line-dedup must pay; content keys avoid hash-
-    collision false drops), then one per-document regroup. Documents
-    whose every line was dropped survive with empty text — silently
-    losing rows would break corpus alignment."""
+    Scale shape: keep-first is computed as a groupBy(line).min(struct)
+    — NOT a window. A window partitioned by line content puts a
+    boilerplate line repeated billions of times into ONE task with no
+    remedy; the min-aggregate gets map-side combine (hot lines collapse
+    to one row per input partition before the shuffle) and the join
+    back is AQE-skew-splittable. Content keys (not hashes) — no
+    collision false-drops. One combined shuffle for the firsts table,
+    one line-keyed join, one per-document regroup. Documents whose
+    every line was dropped survive with empty text — silently losing
+    rows would break corpus alignment."""
     lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
     dedupable = F.length("line") >= min_chars
-    w = W.partitionBy("line").orderBy(id_col, "pos")
-    ranked = lines.withColumn(
-        "_rn", F.when(dedupable, F.row_number().over(w)).otherwise(F.lit(1))
+    firsts = (
+        lines.where(dedupable)
+        .groupBy("line")
+        .agg(F.min(F.struct(id_col, "pos")).alias("_first"))
     )
-    kept = ranked.withColumn("_keep", F.col("_rn") == 1)
+    kept = lines.join(firsts, "line", "left").withColumn(
+        "_keep",
+        ~dedupable
+        | (F.struct(id_col, "pos") == F.col("_first")),
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
