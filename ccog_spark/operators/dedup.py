@@ -48,10 +48,21 @@ ROWS_PER_BAND = 4
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep-first exact dedup: one row per distinct content, the row
-    with the minimum id. Adds is_keeper to every input row."""
-    w = W.partitionBy(F.md5(F.col(text_col)))
-    return df.withColumn(
-        "is_keeper", F.col(id_col) == F.min(id_col).over(w)
+    with the minimum id. Adds is_keeper to every input row.
+
+    Keep-first is a groupBy(hash).min — NOT a window over the content
+    hash: at web scale one boilerplate page repeated billions of times
+    would serialize into a single window task, while the aggregate
+    gets map-side combine (hot hashes collapse per input partition
+    before the shuffle) and the join back is AQE-skew-splittable
+    (round-7 skew sweep; same rework as remove_duplicate_lines)."""
+    cols = df.columns
+    tagged = df.withColumn("_h", F.md5(F.col(text_col)))
+    firsts = tagged.groupBy("_h").agg(F.min(id_col).alias("_min_id"))
+    return (
+        tagged.join(firsts, "_h")
+        .withColumn("is_keeper", F.col(id_col) == F.col("_min_id"))
+        .select(*cols, "is_keeper")
     )
 
 

@@ -268,10 +268,14 @@ def pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text", comps["quality"].alias("quality")
     )
     kept = scored.where(F.col("quality") >= 0.5)
-    w = W.partitionBy(F.md5("text"))
-    deduped = kept.withColumn(
-        "keep", F.col("doc_id") == F.min("doc_id").over(w)
-    ).where("keep")
+    # keep-first via groupBy(hash).min + join — map-side combinable and
+    # AQE-skew-splittable where a content-hash window would serialize a
+    # hot duplicate into one task (round-7 skew sweep)
+    hashed = kept.withColumn("_h", F.md5("text"))
+    firsts = hashed.groupBy("_h").agg(F.min("doc_id").alias("_m"))
+    deduped = hashed.join(firsts, "_h").where(
+        F.col("doc_id") == F.col("_m")
+    )
     # avg entirely in integer space: float sums are partition-order
     # dependent, and averages of 4-decimal values land EXACTLY on
     # .xxxx5 boundaries where Spark's ROUND (shortest-decimal HALF_UP)
@@ -613,17 +617,24 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks (stride = chunk), keep-first each distinct chunk content
     ACROSS the whole corpus, and report per-document kept/duplicate
     chunk counts. Composition of chunk_documents (map-side fan-out)
-    with one shuffle on the chunk content hash; the oracle replays the
-    slice arithmetic + the same deterministic keep-first rank."""
+    with the keep-first as a groupBy(hash).min(struct) + join — map-
+    side combinable and AQE-skew-splittable where a hash-partitioned
+    window would serialize a hot duplicate chunk into one task
+    (round-7 skew sweep); the oracle replays the slice arithmetic and
+    the same deterministic first-occurrence rule."""
     docs = load_table(spark, sf_dir, "documents")
     ch = text.chunk_documents(docs, chunk=64, stride=64)
-    w = W.partitionBy("h").orderBy("doc_id", "chunk_idx")
-    ranked = ch.withColumn("_rn", F.row_number().over(w))
+    firsts = ch.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
+    )
+    marked = ch.join(firsts, "h").withColumn(
+        "_dup", F.struct("doc_id", "chunk_idx") != F.col("_first")
+    )
     return (
-        ranked.groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum((F.col("_rn") > 1).cast("bigint")).alias("n_dup_chunks"),
+            F.sum(F.col("_dup").cast("bigint")).alias("n_dup_chunks"),
         )
         .orderBy("doc_id")
     )
