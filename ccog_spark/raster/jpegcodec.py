@@ -622,18 +622,54 @@ class _ScanEnd(Exception):
 
 
 def _decode_tables(codes: dict[int, tuple[int, int]]):
-    """(length, code) → symbol lookup for canonical decoding."""
-    return {(length, code): sym for sym, (code, length) in codes.items()}
+    """Flat 16-bit-lookahead decode tables: every canonical code,
+    left-aligned in a 16-bit window, claims the window range it
+    prefixes — one array index replaces the former per-bit walk
+    (~16 dict probes per symbol). 2×64Ki int16 ≈ 256 KB per table."""
+    sym = np.zeros(1 << 16, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.int16)
+    for s, (code, length) in codes.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    return sym, ln
 
 
-def _read_huffman(reader: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.bits(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("corrupt JPEG stream: no Huffman code matched")
+def _read_huffman(reader: _BitReader, table) -> int:
+    """Decode one Huffman symbol via the 16-bit lookahead table.
+    Within 16 bits of a segment end the window is 1-fill padded (the
+    encoder's own padding rule), so codes that genuinely end before
+    the marker still resolve; a code CLAIMING more bits than remain is
+    a truncated scan."""
+    sym_t, len_t = table
+    while reader.nbits < 16:
+        try:
+            reader._fill()
+        except _ScanEnd:
+            break
+    avail = reader.nbits
+    if avail == 0:
+        raise _ScanEnd(reader.pos)
+    if avail >= 16:  # _fill loads whole bytes: avail may reach 23
+        window = (reader.acc >> (avail - 16)) & 0xFFFF
+    else:
+        window = ((reader.acc << (16 - avail)) & 0xFFFF) | (
+            (1 << (16 - avail)) - 1
+        )
+    ln = int(len_t[window])
+    if ln == 0:
+        if avail < 16:
+            # at segment end the 1-fill padding can form an unassigned
+            # word — that's a TRUNCATED scan (the old per-bit walk hit
+            # the marker mid-code here), not stream corruption
+            raise _ScanEnd(reader.pos)
+        raise ValueError("corrupt JPEG stream: no Huffman code matched")
+    if ln > avail:
+        raise _ScanEnd(reader.pos)
+    reader.nbits = avail - ln
+    reader.acc &= (1 << reader.nbits) - 1
+    return int(sym_t[window])
 
 
 def _extend(v: int, s: int) -> int:
