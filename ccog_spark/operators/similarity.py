@@ -402,26 +402,15 @@ def _rank_adc(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _pq_machinery(
-    corpus: DataFrame, queries: DataFrame, dim: int, m_blocks: int
-):
-    """Shared PQ plumbing for pq_topk / ivfpq_topk: the encode kernel
-    (map-side Arrow, codebook in closure — callers place it in their
-    own projection so it can fuse with sibling kernels in one
-    ArrowEvalPython pass), the ADC lookup kernel over (q_id, codes)
-    rows, and the bare q_id frame."""
-    dsub = dim // m_blocks
-    blocks = range(m_blocks)
+def _codebook_mat(corpus: DataFrame):
+    """Driver-side PQ codebook matrix from the deterministic corpus
+    subsample. The sort+limit stays DISTRIBUTED
+    (TakeOrderedAndProject) so the collect is bounded at PQ_CB_K
+    rows — collecting the raw %-subsample would scale linearly with
+    the corpus (~1/31 of 1e9 rows at the design point; round-6
+    review finding)."""
     import numpy as np
 
-    def slc(col: Column, m: int) -> Column:
-        return F.slice(col, m * dsub + 1, dsub)
-
-    # codebook: driver-collected. The sort+limit stays DISTRIBUTED
-    # (TakeOrderedAndProject) so the collect is bounded at PQ_CB_K
-    # rows — collecting the raw %-subsample would scale linearly with
-    # the corpus (~1/31 of 1e9 rows at the design point; round-6
-    # review finding)
     cb_rows = (
         corpus.where(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RES)
         .orderBy("vec_id")
@@ -429,8 +418,36 @@ def _pq_machinery(
         .select("embedding")
         .collect()
     )
-    spark = corpus.sparkSession
-    cbmat = np.array([[float(x) for x in r.embedding] for r in cb_rows], "f8")
+    return np.array([[float(x) for x in r.embedding] for r in cb_rows], "f8")
+
+
+def _pq_machinery(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    dim: int,
+    m_blocks: int,
+    cbmat=None,
+):
+    """Shared PQ plumbing for pq_topk / ivfpq_topk / the persisted
+    index: the encode kernel (map-side Arrow, codebook in closure —
+    callers place it in their own projection so it can fuse with
+    sibling kernels in one ArrowEvalPython pass), the ADC lookup
+    kernel over (q_id, codes) rows, and the bare q_id frame.
+
+    ``cbmat``: precomputed codebook matrix (loaded from a persisted
+    index) — skips the corpus collect, and the LUT construction is
+    bit-identical because the cb frame is rebuilt from the same
+    doubles either way."""
+    dsub = dim // m_blocks
+    blocks = range(m_blocks)
+    import numpy as np
+
+    def slc(col: Column, m: int) -> Column:
+        return F.slice(col, m * dsub + 1, dsub)
+
+    if cbmat is None:
+        cbmat = _codebook_mat(corpus)
+    spark = queries.sparkSession
     cb = spark.createDataFrame(
         [(j, list(map(float, row))) for j, row in enumerate(cbmat)],
         "j int, ce array<double>",
@@ -517,6 +534,29 @@ def _pq_machinery(
     return encode, adc_kernel, qdf
 
 
+def _ivf_centroid_arrays(corpus: DataFrame, cent_stride: int):
+    """Driver-side (cent_ids, cmat, cnrm) for the IVF coarse quantizer
+    — deterministic stride selection, ids ascending so the assignment
+    kernel's first-occurrence argmax matches the oracle's smallest-
+    cent_id tie-break. Index-sized collect (|corpus| / cent_stride
+    rows; production deployments cap it via kmeans_centroids)."""
+    import numpy as np
+
+    c = corpus.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    centroids = c.where(F.col("vec_id") % cent_stride == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cent_rows = sorted(centroids.collect(), key=lambda r: r.cent_id)
+    cent_ids = np.array([r.cent_id for r in cent_rows], "i8")
+    cmat = np.array([[float(x) for x in r.c_emb] for r in cent_rows], "f8")
+    cnrm = np.array([r.c_nrm for r in cent_rows], "f8")
+    return cent_ids, cmat, cnrm
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -541,27 +581,7 @@ def ivfpq_topk(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    c = corpus.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    centroids = c.where(F.col("vec_id") % cent_stride == 1).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    # Assignment as a map-side Arrow kernel: the centroid matrix rides
-    # in the closure (the same data the JVM spelling broadcasts — a
-    # production deployment caps |centroids| via kmeans_centroids).
-    # argmax over numpy cosines; centroid ids sorted ascending so the
-    # first-occurrence argmax matches the oracle's smallest-cent_id
-    # tie-break; near-tie float divergence vs list_dot_product is the
-    # same measure-zero exposure the PQ encode kernel documents, and
-    # the 3-SF hash gates check it empirically. ann_ivf keeps the pure
-    # JVM spelling, so both forms stay cross-evidenced.
-    cent_rows = sorted(centroids.collect(), key=lambda r: r.cent_id)
-    cent_ids = np.array([r.cent_id for r in cent_rows], "i8")
-    cmat = np.array([[float(x) for x in r.c_emb] for r in cent_rows], "f8")
-    cnrm = np.array([r.c_nrm for r in cent_rows], "f8")
+    cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
     # Rebuild the centroid frame from the collected rows (bit-identical
     # values — float32 round-trips exactly through the f8 matrix)
     # instead of reusing the filtered-corpus frame. Two wins: the

@@ -876,6 +876,10 @@ ORDER BY q_id, rn
 
 
 PIPELINE_ORACLE["ann_ivfpq"] = _ivfpq_sql()
+# The persisted-index path answers from parquet codes and must land on
+# the SAME rows/scores as the inline composition — one SQL truth, two
+# execution paths (bit-identity additionally pinned in test_ann_index).
+PIPELINE_ORACLE["ann_index"] = _ivfpq_sql()
 
 # token-window chunking: 64-token chunks every 48 tokens (1-based
 # inclusive list slice; tail chunks shorter; md5 of the re-joined

@@ -440,6 +440,30 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF+PQ index (operators/ann_index.py): build the
+    parquet index (codes/centroids/codebook/meta) in a temp dir, then
+    answer the standard query batch FROM THE INDEX ONLY — embeddings
+    are never re-read at query time. Must (and does — bit-identical,
+    pinned in tests) produce exactly ivfpq_topk's output, so the
+    oracle is ann_ivfpq's oracle verbatim: one SQL truth, two
+    execution paths (inline vs persisted)."""
+    import os
+    import tempfile
+
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.gettempdir(), "ccog_corpus_ivfpq_idx")
+    build_ivfpq_index(emb, EMB_DIM, idx)
+    return query_ivfpq_index(
+        spark, idx, _queries_subset(emb), k=3
+    ).orderBy("q_id", "rn")
+
+
 def pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window document chunking (operators.text.chunk_documents,
     64-token chunks / 48-token stride): map-side fan-out, no shuffle,

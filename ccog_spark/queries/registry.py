@@ -237,6 +237,10 @@ REGISTRY: dict[str, QueryFn] = {
     # keep-first across the corpus; E34/chunking composition (driver
     # rows dedup_exact + text_analysis family above the fold).
     "pipeline_chunk_dedup": pipeline.pipeline_chunk_dedup,
+    # round 7: PERSISTED IVF+PQ index — build parquet index, query
+    # from codes only; bit-identical to ann_ivfpq (fold row), so its
+    # oracle is reused verbatim (one SQL truth, two execution paths).
+    "ann_index": pipeline.ann_index_q,
     # round 7: corpus-wide line dedup WITH document rebuild (CCNet
     # stage 1; operators/dedup.py::remove_duplicate_lines) — returns
     # the cleaned corpus, not just counts; E34 family (dedup_exact /
@@ -266,6 +270,7 @@ NON_BENCH = (
     "cog_roundtrip",
     "cog_read",
     "cog_color",
+    "ann_index",  # builds a parquet index per run (file IO)
 )
 
 __all__ = ["REGISTRY", "ORACLE", "QueryFn"]

@@ -1,0 +1,67 @@
+"""Persisted IVF+PQ index (operators/ann_index.py): build once from
+the embeddings fixture, query from the parquet tables ONLY, and match
+the inline ivfpq_topk results bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _queries(emb):
+    return emb.where(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+def test_index_build_query_matches_inline(spark, tmp_path):
+    from ccog_spark.operators import similarity
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    q = _queries(emb)
+    idx = str(tmp_path / "ivfpq_idx")
+    meta = build_ivfpq_index(emb, dim, idx)
+    assert meta["n_vectors"] == emb.count()
+
+    inline = similarity.ivfpq_topk(emb, q, dim=dim, k=3).collect()
+    from_index = query_ivfpq_index(spark, idx, q, k=3).collect()
+    key = lambda r: (r.q_id, r.rn)
+    a = {key(r): tuple(r) for r in inline}
+    b = {key(r): tuple(r) for r in from_index}
+    assert a == b  # bit-identical: ids, ranks, ADC scores
+
+
+def test_index_query_never_reads_embeddings(spark, tmp_path):
+    """The retrieval plan touches codes/centroids/codebook parquet —
+    never the corpus embeddings file (the PQ memory contract)."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    idx = str(tmp_path / "idx2")
+    build_ivfpq_index(emb, dim, idx)
+    # materialize the query batch so the plan has no fixture lineage —
+    # production queries arrive as their own vectors
+    q = spark.createDataFrame(
+        [(r.q_id, r.q_emb) for r in _queries(emb).collect()],
+        "q_id bigint, q_emb array<float>",
+    )
+    df = query_ivfpq_index(spark, idx, q, k=3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "embeddings.parquet" not in plan
+    assert "codes" in plan
