@@ -55,6 +55,27 @@ class Engine:
 
         return write_cog(self.spark, pixels, **kwargs)
 
+    def read_cog(self, path: str, **kwargs) -> DataFrame:
+        """Open a COG/GeoTIFF (incl. foreign strip-based / chunky
+        color layouts) as long-form pixels — header on the driver,
+        tile ranges decoded on executors."""
+        from ccog_spark.sources.cog_reader import read_cog_pixels
+
+        return read_cog_pixels(self.spark, path, **kwargs)
+
+    # ---- ANN index lifecycle (build once, query many)
+    def build_ann_index(self, corpus: DataFrame, dim: int, index_dir: str,
+                        **kwargs) -> dict:
+        from ccog_spark.operators.ann_index import build_ivfpq_index
+
+        return build_ivfpq_index(corpus, dim, index_dir, **kwargs)
+
+    def query_ann_index(self, index_dir: str, queries: DataFrame,
+                        **kwargs) -> DataFrame:
+        from ccog_spark.operators.ann_index import query_ivfpq_index
+
+        return query_ivfpq_index(self.spark, index_dir, queries, **kwargs)
+
     # ---- verification
     def check(self, qid: str, sf_dir: str | None = None):
         from ccog_spark.harness import compare_query

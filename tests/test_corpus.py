@@ -54,3 +54,42 @@ def test_engine_facade(spark):
         "SELECT count(*) AS n FROM documents, LATERAL explode_shingles(text)"
     ).collect()[0].n
     assert n > 0
+
+
+def test_engine_facade_ann_and_raster(spark, tmp_path):
+    """The r7 lifecycle verbs are reachable through the facade:
+    COG write → read round-trip, ANN index build → query."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ccog_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=SF_SMOKE)
+    # raster: write via facade, read back via facade
+    ids = spark.range(32 * 32)
+    px = ids.select(
+        F.lit(0).alias("band"),
+        (F.col("id") / 32).cast("int").alias("y"),
+        (F.col("id") % 32).cast("int").alias("x"),
+        (F.col("id") % 251).cast("double").alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    out = str(tmp_path / "eng.tif")
+    eng.write_cog(px, width=32, height=32, bands=1, target_path=out,
+                  blocksize=32, nodata=-1.0)
+    got = eng.read_cog(out).where("valid").collect()
+    assert len(got) == 32 * 32
+    assert all(r.value == float((r.y * 32 + r.x) % 251) for r in got[:50])
+    # ANN: build + query via facade, top-1 of a corpus vector ≈ itself's
+    # nearest PQ neighbors (just shape/contract here; parity is pinned
+    # in test_ann_index)
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    idx = str(tmp_path / "eng_idx")
+    meta = eng.build_ann_index(emb, dim, idx)
+    assert meta["n_vectors"] == emb.count()
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    res = eng.query_ann_index(idx, q, k=2).collect()
+    assert len(res) == 4 and {r.rn for r in res} == {1, 2}
