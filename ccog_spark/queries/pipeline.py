@@ -268,13 +268,19 @@ def pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text", comps["quality"].alias("quality")
     )
     kept = scored.where(F.col("quality") >= 0.5)
-    # keep-first via groupBy(hash).min + join — map-side combinable and
-    # AQE-skew-splittable where a content-hash window would serialize a
-    # hot duplicate into one task (round-7 skew sweep)
-    hashed = kept.withColumn("_h", F.md5("text"))
-    firsts = hashed.groupBy("_h").agg(F.min("doc_id").alias("_m"))
-    deduped = hashed.join(firsts, "_h").where(
-        F.col("doc_id") == F.col("_m")
+    # keep-first as ONE map-side-combinable aggregate: min_by picks the
+    # smallest-doc_id row's fields per content hash directly — no
+    # content window (hot duplicate = one serialized task) and no join
+    # back (round-7 skew sweep, then de-joined: the downstream stats
+    # only need the KEEPER rows, not a flag on every row)
+    deduped = (
+        kept.groupBy(F.md5("text").alias("_h"))
+        .agg(
+            F.min_by(
+                F.struct("lang", "source", "quality"), F.col("doc_id")
+            ).alias("_r")
+        )
+        .select("_r.*")
     )
     # avg entirely in integer space: float sums are partition-order
     # dependent, and averages of 4-decimal values land EXACTLY on
@@ -641,24 +647,31 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks (stride = chunk), keep-first each distinct chunk content
     ACROSS the whole corpus, and report per-document kept/duplicate
     chunk counts. Composition of chunk_documents (map-side fan-out)
-    with the keep-first as a groupBy(hash).min(struct) + join — map-
-    side combinable and AQE-skew-splittable where a hash-partitioned
-    window would serialize a hot duplicate chunk into one task
-    (round-7 skew sweep); the oracle replays the slice arithmetic and
-    the same deterministic first-occurrence rule."""
+    with the keep-first as groupBy(hash).min(struct) — map-side
+    combinable where a hash-partitioned window would serialize a hot
+    duplicate chunk into one task (round-7 skew sweep) — and the
+    per-doc arithmetic done on AGGREGATES only: n_dup = n_chunks −
+    n_first_occurrences, so the full chunk stream is never joined
+    against anything (two combinable shuffles, one doc-sized join).
+    The oracle replays the slice arithmetic and the same deterministic
+    first-occurrence rule."""
     docs = load_table(spark, sf_dir, "documents")
     ch = text.chunk_documents(docs, chunk=64, stride=64)
-    firsts = ch.groupBy("h").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
-    )
-    marked = ch.join(firsts, "h").withColumn(
-        "_dup", F.struct("doc_id", "chunk_idx") != F.col("_first")
+    per_doc = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    kept_per_doc = (
+        ch.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("_first"))
+        .groupBy(F.col("_first.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("_n_kept"))
     )
     return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.col("_dup").cast("bigint")).alias("n_dup_chunks"),
+        per_doc.join(kept_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (
+                F.col("n_chunks") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_dup_chunks"),
         )
         .orderBy("doc_id")
     )
