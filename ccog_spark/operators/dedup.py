@@ -66,6 +66,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """KEEPER ROWS ONLY of a keep-first exact dedup — the common
+    pipeline-stage spelling where downstream never needs the
+    is_keeper flag on dropped rows. ONE map-side-combinable aggregate
+    (min_by over the content hash), no join back, skew-proof: a page
+    duplicated a billion times collapses per input partition before
+    the shuffle. Column set preserved."""
+    cols = df.columns
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_r"))
+        .select("_r.*")
+    )
+
+
 def remove_duplicate_lines(
     docs: DataFrame,
     text_col: str = "text",

@@ -567,7 +567,9 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the decontam probe input) — persist once instead of
     # recomputing quality scoring + the dedup window per consumer
     # (registry._scoped bounds cross-query cache accumulation)
-    kept = dedup.exact_dedup(kept).where("is_keeper").drop("is_keeper").persist()
+    # keeper rows directly (dedup.keep_first): one combinable
+    # aggregate, no flag join — the e2e stage never reads dropped rows
+    kept = dedup.keep_first(kept).persist()
 
     pairs = dedup.minhash_lsh_pairs(kept)
     cc = connected_components(pairs)

@@ -125,3 +125,21 @@ def test_remove_duplicate_lines_rebuild(spark):
         min_chars=1,
     ).collect()
     assert all(r.n_dropped == 0 for r in again)
+
+
+def test_keep_first_matches_exact_dedup(spark):
+    """keep_first == exact_dedup keepers, with identical columns —
+    one aggregate instead of flag+join."""
+    from ccog_spark.operators.dedup import exact_dedup, keep_first
+
+    docs = spark.createDataFrame(
+        [(3, "a", "x"), (1, "a", "y"), (2, "b", "z"), (4, "b", "w")],
+        ["doc_id", "text", "extra"],
+    )
+    a = {tuple(r) for r in keep_first(docs).collect()}
+    b = {
+        tuple(r)[:-1]
+        for r in exact_dedup(docs).where("is_keeper").collect()
+    }
+    assert a == b == {(1, "a", "y"), (2, "b", "z")}
+    assert keep_first(docs).columns == docs.columns
