@@ -226,7 +226,7 @@ def decode_pixels(payload: bytes):
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
-        return decode_jpeg_gray(payload)
+        return decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
     raise ValueError(f"unknown image magic: {payload[:2]!r}")
@@ -772,28 +772,27 @@ def _jpeg_sof(payload: bytes):
     raise ValueError("JPEG stream without SOF0")
 
 
-def decode_jpeg_gray(payload: bytes):
-    """Baseline grayscale JPEG → (h, w, 3) uint8 (gray replicated to
-    RGB), reusing the pure-numpy raster codec (raster/jpegcodec.py —
-    the COG tile codec decodes standalone streams too). Honest
-    limits, each with a clear error instead of a mis-decode: multi-
-    component (color YCbCr) streams, and dimensions that are not
-    multiples of 8 (the tile codec has no partial-MCU crop)."""
+def decode_jpeg(payload: bytes):
+    """Baseline JPEG → (h, w, 3) uint8 RGB — grayscale (replicated to
+    RGB) AND 3-component YCbCr color (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0,
+    the crawl-image shapes), reusing the pure-numpy raster codec
+    (raster/jpegcodec.py — the COG tile codec decodes standalone
+    streams too, incl. restart markers). Honest limits raise a clear
+    error instead of mis-decoding: progressive streams, exotic
+    sampling factors, and dimensions that are not MCU-aligned (the
+    tile codec has no partial-MCU crop)."""
     import numpy as np
 
     w, h, nc = _jpeg_sof(payload)
-    if nc != 1:
-        raise ValueError(
-            f"only baseline GRAYSCALE JPEG is supported ({nc} components)"
-        )
-    if w % 8 or h % 8:
-        raise ValueError(
-            f"only MCU-aligned (multiple-of-8) grayscale JPEG dimensions "
-            f"are supported, got {w}x{h}"
-        )
     raw = _jpeg_decode(payload)
-    px = np.frombuffer(raw, np.uint8, count=w * h).reshape(h, w)
-    return np.repeat(px[:, :, None], 3, axis=2)
+    if nc == 1:
+        px = np.frombuffer(raw, np.uint8, count=w * h).reshape(h, w)
+        return np.repeat(px[:, :, None], 3, axis=2)
+    return np.frombuffer(raw, np.uint8, count=w * h * 3).reshape(h, w, 3)
+
+
+# kept as the historical name (grayscale-era API); now decodes color too
+decode_jpeg_gray = decode_jpeg
 
 
 # --------------------------------------------------------- GIF support

@@ -426,17 +426,32 @@ def test_jpeg_gray_through_pixel_kernels(spark):
     assert feats.width == side and feats.height == side
 
 
-def test_jpeg_color_rejected():
-    import pytest as _pytest
+def test_jpeg_color_through_pixel_kernels(spark):
+    """Color YCbCr JPEG payloads (the crawl-image shape) decode to RGB
+    through the SAME multimodal kernels as the other containers —
+    round-7 upgrade from the grayscale-only era."""
+    import numpy as np
 
-    from ccog_spark.operators.multimodal import decode_jpeg_gray
+    from ccog_spark.operators import multimodal as mm
+    from ccog_spark.raster import jpegcodec
 
-    # hand-built SOF0 with 3 components
-    sof = b"\xff\xd8" + b"\xff\xc0" + (11).to_bytes(2, "big") + bytes(
-        [8]
-    ) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes([3])
-    with _pytest.raises(ValueError, match="GRAYSCALE"):
-        decode_jpeg_gray(sof)
+    side = 32
+    y, x = np.mgrid[0:side, 0:side]
+    rgb = np.stack(
+        [(y * 255) // 31, (x * 255) // 31, ((y + x) * 255) // 62], axis=-1
+    ).astype(np.uint8)
+    payload = jpegcodec.make_tables(90) + jpegcodec.encode_color(
+        rgb.tobytes(), 90, subsampling="420"
+    )
+    px = mm.decode_pixels(payload)
+    assert px.shape == (side, side, 3)
+    assert np.abs(px.astype(int) - rgb.astype(int)).max() <= 24
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    feats = mm.image_features(df).collect()[0]
+    assert feats.width == side and feats.height == side
+    assert abs(feats.mean - rgb.astype(float).mean()) < 4.0
 
 
 def test_jpeg_progressive_and_sos_stop():
