@@ -29,6 +29,12 @@ QUERIES = [
     "pipeline_urls",
     "pipeline_e2e",
     "pipeline_tfidf",
+    # round 7: LM scoring (one counting pass + broadcast scoring),
+    # line dedup with rebuild (combinable min-agg + line join), and
+    # the persisted IVF+PQ index (build + query timed as one row)
+    "pipeline_lm",
+    "pipeline_line_dedup",
+    "ann_index",
 ]
 
 
