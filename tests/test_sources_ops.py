@@ -328,3 +328,7 @@ def test_upsert_null_partition_rejected(spark, tmp_path):
     # table untouched after the refused merge
     got = {r.id: r.val for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+# (bucketed co-located joins are covered by
+# test_bucketed_join_avoids_shuffle above — write_bucketed_table)
