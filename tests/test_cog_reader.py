@@ -104,3 +104,66 @@ def test_roundtrip_values_via_dataframe(spark, cog_file):
     for r in px[::37]:
         assert arr[0][r.y, r.x] == r.value
         assert mask[r.y, r.x]
+
+
+def test_windowed_read_prunes_and_clips(spark, tmp_path):
+    """window=(x0,y0,x1,y1): tiles outside the bbox never enter the
+    index (spatial partition pruning), edge tiles clip to the bbox,
+    values are exact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ccog_spark.raster.cog import write_ccog
+    from ccog_spark.sources.cog_reader import read_cog_pixels
+
+    h, w, bs = 96, 160, 32
+    arr = (np.arange(h * w, dtype=np.int64) % 251).reshape(h, w)[None].astype(
+        np.uint8
+    )
+    out = str(tmp_path / "win.tif")
+    write_ccog(spark, arr, out, blocksize=bs, nodata=255.0)
+
+    win = (40, 20, 100, 70)  # spans tiles (0..2, x) x (0..2, y) partially
+    df = read_cog_pixels(spark, out, window=win)
+    rows = df.collect()
+    x0, y0, x1, y1 = win
+    assert len(rows) == (x1 - x0) * (y1 - y0)
+    for r in rows[:200]:
+        assert x0 <= r.x < x1 and y0 <= r.y < y1
+        assert int(r.value) == (r.y * w + r.x) % 251
+    # pruning: a 1-tile window reads exactly one tile's pixels and the
+    # full-extent read sees all 15 tiles; compare index cardinality via
+    # the number of distinct tile origins in the emitted coordinates
+    one = read_cog_pixels(spark, out, window=(0, 0, 10, 10)).collect()
+    assert len(one) == 100
+    assert {(r.y // bs, r.x // bs) for r in one} == {(0, 0)}
+    # invalid windows raise clearly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        read_cog_pixels(spark, out, window=(0, 0, 1000, 10))
+
+
+def test_windowed_read_color_chunky(spark, tmp_path):
+    """bbox reads compose with pixel-interleaved color tiles."""
+    import numpy as np
+
+    from ccog_spark.raster.cog import write_ccog
+    from ccog_spark.sources.cog_reader import read_cog_pixels
+
+    y, x = np.mgrid[0:64, 0:64]
+    ry, rx = (y * 255) // 63, (x * 255) // 63
+    arr = np.stack([ry, rx, (ry + rx) // 2]).astype(np.uint8)
+    out = str(tmp_path / "winc.tif")
+    write_ccog(
+        spark, arr, out, blocksize=32, nodata=255.0, codec="jpeg",
+        compress_level=95, pixel_interleave=True,
+    )
+    got = read_cog_pixels(
+        spark, out, bands=[1], window=(10, 40, 30, 60)
+    ).collect()
+    assert len(got) == 20 * 20
+    err = max(
+        abs(r.value - float(arr[1, r.y, r.x])) for r in got
+    )
+    assert err <= 24  # lossy tolerance, smooth ramps
