@@ -661,6 +661,53 @@ def collect_cog_bytes(
     return data, res.plan
 
 
+def rebuild_cog(
+    spark: SparkSession,
+    src_path: str,
+    target_path: str,
+    kernel: str = "average",
+    **write_kwargs,
+) -> CogWriteResult:
+    """Regenerate a COG from an existing file's level 0 — the
+    gdaladdo/gdal_translate maintenance verb: rebuild overviews with a
+    different kernel, recompress with a different codec/level, add an
+    internal mask or ghost area, or fix a file whose overviews are
+    stale. Fully distributed end-to-end: level 0 decodes on executors
+    (sources.cog_reader), flows straight into the pyramid/tile/encode
+    pipeline, and nothing but the header region touches the driver.
+
+    Geometry, band count, dtype, and nodata come from the source
+    header; any ``write_cog`` keyword (codec, compress_level,
+    blocksize, internal_mask, ghost, pixel_interleave, geo, …)
+    overrides the defaults. Sparsity is preserved for free: elided
+    source tiles yield no pixel rows, so their tiles re-elide."""
+    from ccog_spark.sources.cog_reader import read_cog_pixels, read_header
+
+    ifds = [i for i in read_header(src_path) if not tiff.is_mask_ifd(i)]
+    ifd = ifds[0]
+    np_name = {
+        "u1": "uint8", "u2": "uint16", "u4": "uint32",
+        "i1": "int8", "i2": "int16", "i4": "int32",
+        "f4": "float32", "f8": "float64",
+    }[ifd.np_dtype.lstrip("<")]
+    write_kwargs.setdefault("dtype", np_name)
+    write_kwargs.setdefault(
+        "nodata", ifd.nodata if ifd.nodata is not None else -9999.0
+    )
+    write_kwargs.setdefault("blocksize", ifd.tile_width)
+    px = read_cog_pixels(spark, src_path, level=0)
+    return write_cog(
+        spark,
+        px,
+        width=ifd.width,
+        height=ifd.height,
+        bands=ifd.bands,
+        target_path=target_path,
+        kernel=kernel,
+        **write_kwargs,
+    )
+
+
 def write_ccog(
     spark: SparkSession,
     arr,

@@ -167,3 +167,37 @@ def test_windowed_read_color_chunky(spark, tmp_path):
         abs(r.value - float(arr[1, r.y, r.x])) for r in got
     )
     assert err <= 24  # lossy tolerance, smooth ramps
+
+
+def test_rebuild_cog_recompress_and_rekernel(spark, tmp_path):
+    """rebuild_cog: level-0 pixels survive a full read->write cycle
+    exactly (lossless codecs); overviews regenerate with the requested
+    kernel; codec/level can change; sparse tiles stay sparse."""
+    import numpy as np
+
+    from ccog_spark.raster import tiff
+    from ccog_spark.raster.cog import rebuild_cog, write_ccog
+    from ccog_spark.raster.fixtures import pixels_df, W, H, BANDS, BLOCK
+    from ccog_spark.raster.cog import write_cog
+
+    src = str(tmp_path / "src.tif")
+    write_cog(
+        spark, pixels_df(spark), width=W, height=H, bands=BANDS,
+        target_path=src, blocksize=BLOCK, kernel="average",
+        nodata=-9999.0,
+    )
+    dst = str(tmp_path / "dst.tif")
+    rebuild_cog(spark, src, dst, kernel="nearest", compress_level=1)
+    a, b = open(src, "rb").read(), open(dst, "rb").read()
+    ia, ib = tiff.read_cog(a), tiff.read_cog(b)
+    assert len(ia) == len(ib)  # same pyramid depth
+    for band in range(BANDS):
+        pa = tiff.read_band(a, ia[0], band)
+        pb = tiff.read_band(b, ib[0], band)
+        assert np.array_equal(pa, pb)  # level 0 survives exactly
+    # sparse tiles preserved (fixture has one all-invalid block/band)
+    assert sum(1 for c in ib[0].bytecounts if c == 0) == sum(
+        1 for c in ia[0].bytecounts if c == 0
+    )
+    # overviews differ (nearest vs average) but dims match
+    assert (ib[1].width, ib[1].height) == (ia[1].width, ia[1].height)
