@@ -358,6 +358,15 @@ SELECT band, y, x, ROUND(value, 4) AS v FROM pixels WHERE valid
 ORDER BY band, y, x
 """
 
+# Windowed read: identity oracle filtered to the same half-open bbox —
+# exactly the pixels the spatially-pruned reader must emit, no more.
+ORACLE["cog_window"] = f"""
+WITH {PIXELS_SQL_CTE}
+SELECT band, y, x, ROUND(value, 4) AS v FROM pixels
+WHERE valid AND x >= 40 AND x < 120 AND y >= 16 AND y < 80
+ORDER BY band, y, x
+"""
+
 ORACLE["pyramid_avg"] = f"""
 WITH {PIXELS_SQL_CTE},
 lvl1 AS ({_corner_step('pixels', 'value', _AVG_TOTAL)}),

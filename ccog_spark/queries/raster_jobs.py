@@ -194,6 +194,40 @@ def lanczos_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _interp_decimate_q(spark, "lanczos")
 
 
+def cog_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked WINDOWED read (round 7): write the fixture COG,
+    reopen a pixel bbox through the distributed reader — tiles outside
+    the window never enter the index (spatial pruning, the access
+    pattern COG exists for) — and emit the in-window valid pixels. The
+    oracle is the fixture pixels CTE filtered to the same half-open
+    bbox (identity values: float64/deflate is lossless), so a fault in
+    the tile-range math, the edge-tile clip, or the coordinate offsets
+    shows as a hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.sources.cog_reader import read_cog_pixels
+
+    nodata = -9999.0
+    px = pixels_df(spark)
+    out = os.path.join(tempfile.gettempdir(), "ccog_corpus_window.tif")
+    write_cog(
+        spark, px, width=W, height=H, bands=BANDS, target_path=out,
+        blocksize=BLOCK, kernel="average", nodata=nodata,
+    )
+    # window spans partial tiles on every edge (BLOCK=32): x 40..120, y 16..80
+    df = read_cog_pixels(spark, out, window=(40, 16, 120, 80))
+    return (
+        df.where("valid")
+        .select(
+            (F.col("band") + 1).alias("band"),  # fixture bands are 1-based
+            "y",
+            "x",
+            F.round(F.col("value"), 4).alias("v"),
+        )
+        .orderBy("band", "y", "x")
+    )
+
+
 def cog_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked 3-band COLOR JPEG COG row (round 7): write the
     smooth uint8 RGB fixture as pixel-interleaved YCbCr JPEG COGs in

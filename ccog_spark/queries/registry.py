@@ -199,6 +199,9 @@ REGISTRY: dict[str, QueryFn] = {
     # row hash-proves the executor-side range-read/decode path against
     # the identity oracle (fixture pixels)
     "cog_read": raster_jobs.cog_read,
+    # round 7: WINDOWED read — spatial tile pruning + edge-tile clip,
+    # identity oracle over the same bbox (cog_read family)
+    "cog_window": raster_jobs.cog_window,
     # round 6: multimodal PIXEL verbs (multimodal_features moved into
     # the fold in r7; multimodal_meta covers both container formats'
     # header walk; these rows hash-prove the remaining pixel
@@ -270,6 +273,7 @@ NON_BENCH = (
     "cog_roundtrip",
     "cog_read",
     "cog_color",
+    "cog_window",
     "ann_index",  # builds a parquet index per run (file IO)
 )
 
