@@ -58,10 +58,18 @@ class Engine:
     def read_cog(self, path: str, **kwargs) -> DataFrame:
         """Open a COG/GeoTIFF (incl. foreign strip-based / chunky
         color layouts) as long-form pixels — header on the driver,
-        tile ranges decoded on executors."""
+        tile ranges decoded on executors. ``window=(x0,y0,x1,y1)``
+        prunes tiles spatially at the index."""
         from ccog_spark.sources.cog_reader import read_cog_pixels
 
         return read_cog_pixels(self.spark, path, **kwargs)
+
+    def rebuild_cog(self, src_path: str, target_path: str, **kwargs):
+        """Regenerate/recompress an existing COG from its level 0
+        (overview kernel, codec, mask, ghost — gdaladdo-style)."""
+        from ccog_spark.raster.cog import rebuild_cog
+
+        return rebuild_cog(self.spark, src_path, target_path, **kwargs)
 
     # ---- ANN index lifecycle (build once, query many)
     def build_ann_index(self, corpus: DataFrame, dim: int, index_dir: str,
