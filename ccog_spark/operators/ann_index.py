@@ -14,7 +14,7 @@ natural parquet seam:
                 reads go through the broadcast probe join, and a
                 100 TB deployment would bucket it BY cell so probe
                 joins prune files)
-    centroids/  (cent_id, c_emb array<float>, c_nrm) — index-sized
+    centroids/  (cent_id, c_emb array<double>, c_nrm) — index-sized
     codebook/   (j, ce array<double>)                — PQ_CB_K rows
     meta/       (dim, m_blocks, cent_stride, n_vectors) — 1 row
 - ``query_ivfpq_index``: reads the model tables (driver-side,
@@ -106,7 +106,12 @@ def build_ivfpq_index(
             (int(i), [float(x) for x in row], float(nv))
             for i, row, nv in zip(cent_ids, cmat, cnrm)
         ],
-        "cent_id long, c_emb array<float>, c_nrm double",
+        # array<double> (NOT float): truncating centroids to f4 would
+        # silently change probe cosines for double-embedding corpora,
+        # breaking the pinned bit-identity with the inline ivfpq_topk
+        # path (which broadcasts doubles). float32 inputs promote
+        # exactly, so fixture hashes are unchanged.
+        "cent_id long, c_emb array<double>, c_nrm double",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
 
     spark.createDataFrame(

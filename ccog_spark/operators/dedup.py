@@ -46,6 +46,14 @@ N_BANDS = 4
 ROWS_PER_BAND = 4
 
 
+def _content_hash(text_col: str) -> Column:
+    """Null-safe content key: md5 of the text, with NULL text mapped
+    to a sentinel no real md5 hex digest can collide with (wrong
+    length / non-hex). Keeps NULL-text rows participating in dedup
+    instead of being dropped by NULL-key equi-joins."""
+    return F.coalesce(F.md5(F.col(text_col)), F.lit("__NULL_TEXT__"))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep-first exact dedup: one row per distinct content, the row
     with the minimum id. Adds is_keeper to every input row.
@@ -57,7 +65,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     before the shuffle) and the join back is AQE-skew-splittable
     (round-7 skew sweep; same rework as remove_duplicate_lines)."""
     cols = df.columns
-    tagged = df.withColumn("_h", F.md5(F.col(text_col)))
+    # coalesce the hash to a sentinel: md5(NULL) is NULL and an equi-
+    # join drops NULL keys, which would silently LOSE NULL-text rows.
+    # With the sentinel they form one dedup group — exactly what the
+    # sibling keep_first's groupBy(NULL-group) does, so the two
+    # spellings agree on NULL-text corpora.
+    tagged = df.withColumn("_h", _content_hash(text_col))
     firsts = tagged.groupBy("_h").agg(F.min(id_col).alias("_min_id"))
     return (
         tagged.join(firsts, "_h")
@@ -77,7 +90,7 @@ def keep_first(
     the shuffle. Column set preserved."""
     cols = df.columns
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        df.groupBy(_content_hash(text_col).alias("_h"))
         .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_r"))
         .select("_r.*")
     )

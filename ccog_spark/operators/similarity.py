@@ -583,7 +583,7 @@ def ivfpq_topk(
 
     cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
     # Rebuild the centroid frame from the collected rows (bit-identical
-    # values — float32 round-trips exactly through the f8 matrix)
+    # values — every element round-trips exactly through the f8 matrix)
     # instead of reusing the filtered-corpus frame. Two wins: the
     # probes branch stops rescanning the corpus for centroid selection,
     # and — the important one — the `vec_id % stride == 1` constraint
@@ -597,7 +597,11 @@ def ivfpq_topk(
             (int(i), [float(x) for x in row], float(n))
             for i, row, n in zip(cent_ids, cmat, cnrm)
         ],
-        "cent_id long, c_emb array<float>, c_nrm double",
+        # array<double>, NOT float: a double-embedding corpus must not
+        # lose centroid precision here (float32 inputs are unaffected
+        # — they promote exactly). Keeps probe cosines bit-identical
+        # to the persisted-index path (ann_index stores doubles too).
+        "cent_id long, c_emb array<double>, c_nrm double",
     )
 
     @pandas_udf("long")

@@ -463,7 +463,18 @@ def ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = os.path.join(tempfile.gettempdir(), "ccog_corpus_ivfpq_idx")
+    # index dir keyed by (sf_dir, pid): concurrent harness runs — or
+    # runs at different scale factors — on one machine must not
+    # interleave build/query on a shared path (round-7 ADVICE). The
+    # query plan reads the parquet lazily, so the dir must outlive
+    # this function; pid-scoped temp dirs are reclaimed by the OS
+    # temp cleaner and are tiny (8-byte codes + model tables).
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ccog_ivfpq_idx_{tag}_{os.getpid()}"
+    )
     build_ivfpq_index(emb, EMB_DIM, idx)
     return query_ivfpq_index(
         spark, idx, _queries_subset(emb), k=3

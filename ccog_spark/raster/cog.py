@@ -244,7 +244,7 @@ def write_cog(
     target_path: str,
     blocksize: int = 512,
     kernel: str = "average",
-    nodata: float = -9999.0,
+    nodata: float | None = -9999.0,
     n_overviews: int | None = None,
     min_part_size: int | None = None,
     fmt: str = "auto",
@@ -320,7 +320,14 @@ def write_cog(
     import numpy as _np
 
     _dt = _np.dtype(tiff.np_dtype_le(dtype))
-    if _dt.kind in "ui":
+    # nodata=None: the file declares NO nodata (no GDAL_NODATA tag);
+    # tile padding / sparse fill use 0 — GDAL's fill for sparse files
+    # without a declared nodata — and readers treat every pixel as
+    # valid. This is how rebuild_cog preserves "source never declared
+    # nodata" instead of inventing a sentinel that wraps for int
+    # dtypes (round-7 ADVICE).
+    fill = 0.0 if nodata is None else nodata
+    if _dt.kind in "ui" and nodata is not None:
         if nodata != int(nodata) or not (
             _np.iinfo(_dt).min <= int(nodata) <= _np.iinfo(_dt).max
         ):
@@ -427,7 +434,7 @@ def write_cog(
     metadata_xml = tiff.gdal_metadata_xml(meta_items) if meta_items else None
 
     pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
-    tiles = tiles_from_pixels(pyr, blocksize, nodata, width, height, dtype=dtype)
+    tiles = tiles_from_pixels(pyr, blocksize, fill, width, height, dtype=dtype)
     encode_override = None
     if pixel_interleave:
         from functools import partial
@@ -436,7 +443,7 @@ def write_cog(
         from ccog_spark.raster.tiles import interleave_tiles
 
         tiles = interleave_tiles(
-            tiles, bands, blocksize, nodata=nodata, dtype=dtype
+            tiles, bands, blocksize, nodata=fill, dtype=dtype
         )
         # encode_color ships by value with the jpegcodec module
         # (register_worker_modules) — partial binds only the subsampling
@@ -635,7 +642,7 @@ def collect_cog_bytes(
     bands: int,
     blocksize: int = 512,
     kernel: str = "average",
-    nodata: float = -9999.0,
+    nodata: float | None = -9999.0,
     n_overviews: int | None = None,
     fmt: str = "auto",
     ghost: bool = False,
@@ -689,11 +696,14 @@ def rebuild_cog(
         "u1": "uint8", "u2": "uint16", "u4": "uint32",
         "i1": "int8", "i2": "int16", "i4": "int32",
         "f4": "float32", "f8": "float64",
-    }[ifd.np_dtype.lstrip("<")]
+    }[ifd.np_dtype.lstrip("<>")]  # source may be big-endian (MM)
     write_kwargs.setdefault("dtype", np_name)
-    write_kwargs.setdefault(
-        "nodata", ifd.nodata if ifd.nodata is not None else -9999.0
-    )
+    # pass the source's nodata through VERBATIM — including None when
+    # the source never declared one (the rebuilt file then carries no
+    # GDAL_NODATA tag either; inventing -9999.0 here wrapped modulo
+    # for int dtypes and made real pixels read back invalid —
+    # round-7 ADVICE)
+    write_kwargs.setdefault("nodata", ifd.nodata)
     write_kwargs.setdefault("blocksize", ifd.tile_width)
     px = read_cog_pixels(spark, src_path, level=0)
     return write_cog(

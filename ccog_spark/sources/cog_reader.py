@@ -36,7 +36,14 @@ INDEX_SCHEMA = (
 
 def read_header(path: str, probe: int = 1 << 20) -> list[tiff.IfdInfo]:
     """Parse the IFD chain reading only the file's head (growing the
-    probe window on truncation — never the data region)."""
+    probe window on truncation — never the data region).
+
+    When the parse knows the byte offset it ran short at, it raises
+    ``tiff.NeedBytes`` with that hint and the retry reads EXACTLY that
+    much — one extra open per IFD-chain segment instead of blind ×4
+    growth re-reading the head log₄(size) times (round-8). The blind
+    ×4 path remains the backstop for errors without a hint
+    (struct.error from unpack_from on a torn buffer)."""
     import os
     import struct
 
@@ -46,6 +53,13 @@ def read_header(path: str, probe: int = 1 << 20) -> list[tiff.IfdInfo]:
             head = f.read(min(probe, size))
         try:
             return tiff.read_cog(head)
+        except tiff.NeedBytes as e:
+            if probe >= size:
+                raise  # whole file read: genuinely corrupt
+            # the parse reported the furthest offset it needs — read
+            # to exactly there (plus nothing; the hint already covers
+            # every known external array of the failing IFD)
+            probe = max(e.hint, probe + 1)
         except (IndexError, ValueError, AssertionError, struct.error):
             # struct.error is what a truncated IFD/external array
             # actually raises from unpack_from — it must grow the

@@ -39,6 +39,22 @@ def test_index_build_query_matches_inline(spark, tmp_path):
     assert a == b  # bit-identical: ids, ranks, ADC scores
 
 
+def test_index_centroids_persist_as_doubles(spark, tmp_path):
+    """Centroids are stored as array<double>: truncating to f4 would
+    change probe cosines for double-embedding corpora and break the
+    bit-identity with the inline path (round-7 ADVICE)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from ccog_spark.operators.ann_index import build_ivfpq_index
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    idx = str(tmp_path / "idx_dtypes")
+    build_ivfpq_index(emb, dim, idx)
+    cent = spark.read.parquet(idx + "/centroids")
+    assert cent.schema["c_emb"].dataType == ArrayType(DoubleType(), True)
+
+
 def test_index_query_never_reads_embeddings(spark, tmp_path):
     """The retrieval plan touches codes/centroids/codebook parquet —
     never the corpus embeddings file (the PQ memory contract)."""

@@ -201,3 +201,45 @@ def test_rebuild_cog_recompress_and_rekernel(spark, tmp_path):
     )
     # overviews differ (nearest vs average) but dims match
     assert (ib[1].width, ib[1].height) == (ia[1].width, ia[1].height)
+
+
+def test_write_rebuild_without_declared_nodata(spark, tmp_path):
+    """nodata=None → NO GDAL_NODATA tag in the file, padding/sparse
+    fill 0 (GDAL's undeclared-nodata convention), every pixel valid on
+    read; rebuild_cog passes the undeclared state through VERBATIM
+    instead of inventing -9999.0 (which wraps to 241 for uint8 and
+    would make real 241-valued pixels read back invalid — round-7
+    ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.raster.cog import rebuild_cog, write_cog
+
+    h = w = 64
+    px = spark.range(h * w).select(
+        F.lit(1).alias("band"),
+        (F.col("id") / w).cast("int").alias("y"),
+        (F.col("id") % w).cast("int").alias("x"),
+        # covers 0..255 incl. 241, the uint8 wrap of -9999
+        ((F.col("id") * 97) % 256).cast("double").alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    src = str(tmp_path / "nd_src.tif")
+    write_cog(
+        spark, px, width=w, height=h, bands=1, target_path=src,
+        blocksize=32, nodata=None, dtype="uint8", n_overviews=1,
+    )
+    data_a = open(src, "rb").read()
+    ia = tiff.read_cog(data_a)
+    assert ia[0].nodata is None  # tag genuinely absent
+
+    dst = str(tmp_path / "nd_dst.tif")
+    rebuild_cog(spark, src, dst)
+    data_b = open(dst, "rb").read()
+    ib = tiff.read_cog(data_b)
+    assert ib[0].nodata is None  # undeclared state survives rebuild
+    assert np.array_equal(
+        tiff.read_band(data_a, ia[0], 0), tiff.read_band(data_b, ib[0], 0)
+    )
+    rows = read_cog_pixels(spark, dst).collect()
+    assert len(rows) == h * w
+    assert all(r.valid for r in rows)  # 241 is a VALID pixel

@@ -200,10 +200,118 @@ def test_color_jpeg_cog_distributed_reader(spark, tmp_path):
     assert err <= 24  # lossy tolerance (smooth ramps, q95)
 
 
-def test_big_endian_rejected():
-    data = struct.pack(">2sHI", b"MM", 42, 8)
-    with pytest.raises(ValueError, match="big-endian"):
-        tiff.read_cog(data)
+def _entry_bo(bo: str, tag: int, typ: int, count: int, value: int) -> bytes:
+    # inline values are LEFT-justified in the 4-byte field (TIFF 6.0
+    # §2): an MM SHORT lives in bytes 0-1, so pack by its own size
+    if typ == 3 and count == 1:
+        val = struct.pack(bo + "H", value) + b"\x00\x00"
+    else:
+        val = struct.pack(bo + "I", value)
+    return struct.pack(bo + "HHI", tag, typ, count) + val
+
+
+def _classic_tiff_bo(bo: str, entries: list[bytes], tail: bytes = b"") -> bytes:
+    ifd = struct.pack(bo + "H", len(entries))
+    for e in sorted(entries, key=lambda e: struct.unpack(bo + "H", e[:2])[0]):
+        ifd += e
+    ifd += struct.pack(bo + "I", 0)
+    magic = b"II" if bo == "<" else b"MM"
+    return struct.pack(bo + "2sHI", magic, 42, 8) + ifd + tail
+
+
+def _tiled_tiff_bo(
+    bo: str, img: np.ndarray, tile: int = 16, predictor: int = 1
+) -> bytes:
+    """Hand-rolled single-IFD tiled TIFF in EITHER byte order: deflate
+    tiles, multi-byte samples stored in the container's order (TIFF
+    6.0 §2). img dims must be tile-aligned."""
+    h, w = img.shape
+    dt_file = img.dtype.newbyteorder(bo)
+    bits = img.dtype.itemsize * 8
+    sfmt = {"u": 1, "i": 2, "f": 3}[img.dtype.kind]
+    ty, tx = h // tile, w // tile
+    tiles = []
+    for r in range(ty):
+        for c in range(tx):
+            block = img[r * tile : (r + 1) * tile, c * tile : (c + 1) * tile]
+            if predictor == 2:
+                d = block.copy()  # diff in NATIVE ints (modular wrap)
+                d[:, 1:] = d[:, 1:] - block[:, :-1]
+                block = d
+            tiles.append(zlib.compress(block.astype(dt_file).tobytes()))
+    n = len(tiles)
+    data_start = 512
+    offs, cnts, pos = [], [], data_start
+    for t in tiles:
+        offs.append(pos)
+        cnts.append(len(t))
+        pos += len(t)
+    entries = [
+        _entry_bo(bo, 256, 3, 1, w),
+        _entry_bo(bo, 257, 3, 1, h),
+        _entry_bo(bo, 258, 3, 1, bits),
+        _entry_bo(bo, 259, 3, 1, 8),   # deflate
+        _entry_bo(bo, 262, 3, 1, 1),
+        _entry_bo(bo, 277, 3, 1, 1),
+        _entry_bo(bo, 284, 3, 1, 2),
+        _entry_bo(bo, 322, 3, 1, tile),
+        _entry_bo(bo, 323, 3, 1, tile),
+        _entry_bo(bo, 339, 3, 1, sfmt),
+    ]
+    if predictor != 1:
+        entries.append(_entry_bo(bo, 317, 3, 1, predictor))
+    if n == 1:
+        entries.append(_entry_bo(bo, 324, 4, 1, offs[0]))
+        entries.append(_entry_bo(bo, 325, 4, 1, cnts[0]))
+    else:
+        entries.append(_entry_bo(bo, 324, 4, n, 300))
+        entries.append(_entry_bo(bo, 325, 4, n, 300 + 4 * n))
+    head = _classic_tiff_bo(bo, entries)
+    buf = bytearray(head) + b"\x00" * (data_start - len(head))
+    if n > 1:
+        struct.pack_into(f"{bo}{n}I", buf, 300, *offs)
+        struct.pack_into(f"{bo}{n}I", buf, 300 + 4 * n, *cnts)
+    return bytes(buf) + b"".join(tiles)
+
+
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_big_endian_tiled_reads_identical_to_le_twin(predictor):
+    """Big-endian (MM) tiled TIFFs decode to EXACTLY the same pixels
+    as a little-endian twin of the same image — multi-byte (uint16)
+    samples byte-swap, IFD walk and external offset/count arrays parse
+    in file order, predictor-2 differencing inverts on the swapped
+    dtype. GDAL produces both orders; rejecting MM was the one
+    foreign-read gap left after round 7."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 65535, (32, 48), np.uint16)
+    mm = _tiled_tiff_bo(">", img, predictor=predictor)
+    ii = _tiled_tiff_bo("<", img, predictor=predictor)
+    ifd_mm = tiff.read_cog(mm)[0]
+    ifd_ii = tiff.read_cog(ii)[0]
+    assert ifd_mm.byteorder == ">" and ifd_ii.byteorder == "<"
+    assert ifd_mm.np_dtype == ">u2"
+    a = tiff.read_band(mm, ifd_mm, 0)
+    b = tiff.read_band(ii, ifd_ii, 0)
+    assert np.array_equal(a, img) and np.array_equal(b, img)
+
+
+def test_big_endian_distributed_read(tmp_path, spark):
+    """MM file through the DISTRIBUTED reader (read_cog_pixels): the
+    executor-side Arrow decode kernel gets the byteorder via the IFD's
+    np_dtype string; uint16 values forced above 255 prove the byte
+    swap actually happened (an unswapped read would scramble them)."""
+    from ccog_spark.sources.cog_reader import read_cog_pixels
+
+    rng = np.random.RandomState(12)
+    img = (rng.randint(0, 65535, (32, 32), np.uint16) | 0x100).astype(
+        np.uint16
+    )
+    mm = _tiled_tiff_bo(">", img, tile=16)
+    p = tmp_path / "mm.tif"
+    p.write_bytes(mm)
+    got = {(r.y, r.x): r.value for r in read_cog_pixels(spark, str(p)).collect()}
+    assert len(got) == 32 * 32
+    assert all(got[(y, x)] == float(img[y, x]) for y in range(32) for x in range(32))
 
 
 def test_not_a_tiff_rejected():
@@ -351,3 +459,47 @@ def test_read_header_still_grows_probe_on_truncation(spark, tmp_path):
     write_ccog(spark, arr, out, blocksize=32, nodata=255.0)
     ifds = read_header(out, probe=64)  # far smaller than the header
     assert ifds[0].width == 96 and ifds[0].bands == 1
+
+
+def test_read_header_probe_hint_opens_at_most_twice(tmp_path, monkeypatch):
+    """A header whose external offset/count arrays sit past the probe
+    window triggers tiff.NeedBytes with the exact furthest offset; the
+    retry reads once more — 2 opens total, not log4(size) blind ×4
+    re-reads (round-7 VERDICT nit)."""
+    import builtins
+
+    from ccog_spark.sources.cog_reader import read_header
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (22, 16), np.uint8)  # 11 strips of 2
+    data = _strip_tiff(img, rows_per_strip=2)
+    p = tmp_path / "hint.tif"
+    p.write_bytes(data)
+
+    opens = {"n": 0}
+    real_open = builtins.open
+
+    def counting_open(file, *a, **k):
+        if str(file) == str(p):
+            opens["n"] += 1
+        return real_open(file, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    # probe=160 covers the IFD itself but NOT the external strip
+    # offset/count arrays at 300..388
+    ifds = read_header(str(p), probe=160)
+    assert opens["n"] <= 2
+    assert ifds[0].rows_per_strip == 2 and len(ifds[0].offsets) == 11
+
+
+def test_need_bytes_hint_is_exact():
+    """NeedBytes.hint names the furthest byte the parse requires:
+    feeding exactly hint bytes must succeed."""
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (22, 16), np.uint8)
+    data = _strip_tiff(img, rows_per_strip=2)
+    with pytest.raises(tiff.NeedBytes) as ei:
+        tiff.read_cog(data[:160])
+    hint = ei.value.hint
+    assert 160 < hint <= len(data)
+    assert tiff.read_cog(data[:hint])[0].width == 16

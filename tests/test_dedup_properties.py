@@ -17,7 +17,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from ccog_spark.operators.dedup import (
+    exact_dedup,
     jaccard,
+    keep_first,
     ngram_jaccard_pairs,
     with_shingle_hashes,
 )
@@ -143,3 +145,19 @@ def test_keep_first_matches_exact_dedup(spark):
     }
     assert a == b == {(1, "a", "y"), (2, "b", "z")}
     assert keep_first(docs).columns == docs.columns
+
+
+def test_exact_dedup_keeps_null_text_rows(spark):
+    """NULL-text rows survive BOTH dedup spellings and agree: md5(NULL)
+    is NULL, and an equi-join on the hash silently dropped those rows
+    while keep_first's groupBy retained them (round-7 ADVICE). The
+    sentinel hash makes all NULL-text rows one dedup group in both."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "a")],
+        "doc_id int, text string",
+    )
+    flagged = exact_dedup(docs).collect()
+    assert len(flagged) == 4  # no row lost
+    assert {r.doc_id for r in flagged if r.is_keeper} == {1, 2}
+    kept = {(r.doc_id, r.text) for r in keep_first(docs).collect()}
+    assert kept == {(1, "a"), (2, None)}
