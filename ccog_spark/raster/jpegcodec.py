@@ -30,10 +30,17 @@ in this container, so the codec is implemented from the spec:
 The DCT/quantization AND the Huffman symbol/category/run-length
 passes are vectorized numpy over all blocks at once; the entropy
 bitstream itself is packed with np.packbits (no per-symbol Python
-loop on encode). Only the DECODE entropy pass is a per-block Python
-loop — acceptable because tiles decode inside Arrow-batched Spark
-kernels, and the codec exists for format parity, not bulk throughput
-(use deflate/zstd for bulk data; same caveat as the pure-Python LZW).
+loop on encode). The DECODE entropy pass (round 8) de-stuffs and
+splits restart segments in one vectorized scan, lru-caches the 64Ki
+lookahead tables across tiles (a COG read re-parses the same
+JPEGTables for every tile), and walks symbols over precomputed
+24-bit byte windows with packed (len|sym) list lookups — ~1.6×
+the _BitReader reference walk, which is kept verbatim as the oracle
+(`_ENTROPY_IMPL`), byte-identical on the golden/fuzz corpus. A full
+per-bit-position gather variant was tried and rejected: .tolist() on
+multi-million-entry arrays costs more than the walk saves. Residual
+per-symbol Python is the floor; tiles decode embarrassingly parallel
+inside Arrow-batched Spark kernels (use deflate/zstd for bulk data).
 
 ``level`` semantics: for this codec the COG writer's compress_level IS
 the JPEG quality, clamped to 1..100 (GDAL's JPEG_QUALITY creation
@@ -42,6 +49,7 @@ option has the same 1-100 domain).
 
 from __future__ import annotations
 
+import functools as _functools
 import struct
 
 import numpy as np
@@ -625,7 +633,12 @@ def _decode_tables(codes: dict[int, tuple[int, int]]):
     """Flat 16-bit-lookahead decode tables: every canonical code,
     left-aligned in a 16-bit window, claims the window range it
     prefixes — one array index replaces the former per-bit walk
-    (~16 dict probes per symbol). 2×64Ki int16 ≈ 256 KB per table."""
+    (~16 dict probes per symbol). 2×64Ki int16 ≈ 256 KB per table.
+
+    Returns (sym_arr, ln_arr, sym_list, ln_list): the numpy pair for
+    the reference reader, plus plain-int lists for the fast entropy
+    walk (Python-int list indexing beats numpy scalar indexing ~5×
+    in a per-symbol loop)."""
     sym = np.zeros(1 << 16, dtype=np.int16)
     ln = np.zeros(1 << 16, dtype=np.int16)
     for s, (code, length) in codes.items():
@@ -633,7 +646,21 @@ def _decode_tables(codes: dict[int, tuple[int, int]]):
         hi = lo + (1 << (16 - length))
         sym[lo:hi] = s
         ln[lo:hi] = length
-    return sym, ln
+    # packed (length<<8 | symbol) per 16-bit window, as a plain-int
+    # list: the fast walk resolves a symbol with ONE list index +
+    # shifts (ln=0 marks windows no code claims)
+    pack = (ln.astype(np.int32) << 8) | (sym.astype(np.int32) & 0xFF)
+    return sym, ln, sym.tolist(), ln.tolist(), pack.tolist()
+
+
+@_functools.lru_cache(maxsize=64)
+def _decode_tables_cached(bits: tuple, vals: tuple):
+    """Per-(bits,vals) cache: a COG read re-parses the same JPEGTables
+    payload for EVERY tile, and rebuilding the 2×64Ki lookahead arrays
+    plus their list twins per tile dominates small-tile decode. The
+    table domain is tiny (one luma + one chroma pair per quality
+    level actually in the file)."""
+    return _decode_tables(_canonical_codes(list(bits), list(vals)))
 
 
 def _read_huffman(reader: _BitReader, table) -> int:
@@ -642,7 +669,7 @@ def _read_huffman(reader: _BitReader, table) -> int:
     encoder's own padding rule), so codes that genuinely end before
     the marker still resolve; a code CLAIMING more bits than remain is
     a truncated scan."""
-    sym_t, len_t = table
+    sym_t, len_t = table[0], table[1]
     while reader.nbits < 16:
         try:
             reader._fill()
@@ -674,6 +701,309 @@ def _read_huffman(reader: _BitReader, table) -> int:
 
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# which entropy-decode implementation _decode_sos uses. "fast" is the
+# round-8 windowed walk below; "ref" is the original _BitReader loop,
+# kept verbatim as the oracle (tests assert byte-identical output on
+# the golden/fuzz corpus through both).
+_ENTROPY_IMPL = "fast"
+
+
+def _entropy_decode_ref(
+    data: bytes,
+    start: int,
+    n_mcu: int,
+    restart_interval: int,
+    scan: list[tuple[int, int, int]],
+    blocks_per_mcu: list[int],
+    huff: dict,
+    ncomp: int,
+) -> list[np.ndarray]:
+    """Reference entropy decode: per-symbol _BitReader walk (the
+    pre-round-8 implementation, unchanged). Oracle for the fast path."""
+    zz = [
+        np.zeros((n_mcu * blocks_per_mcu[i], 64), dtype=np.int64)
+        for i in range(ncomp)
+    ]
+    pred = [0] * ncomp
+    reader = _BitReader(data, start)
+    done = 0
+    try:
+        for mi in range(n_mcu):
+            if restart_interval and mi and mi % restart_interval == 0:
+                # T.81 E.1.4: segment is byte-aligned (1-fill padding);
+                # drop buffered pad bits, consume the RSTm marker,
+                # reset every DC predictor
+                reader.acc = 0
+                reader.nbits = 0
+                p = reader.pos
+                if p + 1 >= len(data) or data[p] != 0xFF or not (
+                    0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    raise ValueError(
+                        f"missing restart marker before MCU {mi}"
+                    )
+                exp = 0xD0 + (((mi // restart_interval) - 1) & 7)
+                if data[p + 1] != exp:
+                    raise ValueError(
+                        f"restart marker out of sequence before MCU "
+                        f"{mi}: got 0xFF{data[p + 1]:02X}, expected "
+                        f"0xFF{exp:02X}"
+                    )
+                reader.pos = p + 2
+                pred = [0] * ncomp
+            for sof_idx, dc_id, ac_id in scan:
+                for bi in range(blocks_per_mcu[sof_idx]):
+                    row = zz[sof_idx][mi * blocks_per_mcu[sof_idx] + bi]
+                    s = _read_huffman(reader, huff[(0, dc_id)])
+                    if s > 15:  # baseline DC categories are 0..11
+                        raise ValueError(f"bad DC category {s}")
+                    diff = _extend(reader.bits(s), s) if s else 0
+                    pred[sof_idx] += diff
+                    row[0] = pred[sof_idx]
+                    k = 1
+                    while k <= 63:
+                        sym = _read_huffman(reader, huff[(1, ac_id)])
+                        if sym == 0x00:  # EOB
+                            break
+                        run, s = sym >> 4, sym & 15
+                        if s == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        row[k] = _extend(reader.bits(s), s)
+                        k += 1
+            done = mi + 1
+    except _ScanEnd:
+        # a marker inside the entropy data before every MCU decoded =
+        # truncated scan; returning the partial image would be silent
+        # corruption (round-6 review)
+        raise ValueError(
+            f"truncated JPEG scan: {done} of {n_mcu} MCUs decoded"
+        )
+    return zz
+
+
+def _split_entropy(data: bytes, start: int):
+    """De-stuff and split the entropy-coded region: one vectorized
+    0xFF scan classifies every candidate (stuffed 0xFF00 → data byte,
+    0xFFD0-D7 → restart boundary, anything else → scan end). Returns
+    (segments as uint8 arrays, restart marker codes)."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = len(b)
+    ff_positions = start + np.nonzero(b[start:] == 0xFF)[0]
+    segs: list[np.ndarray] = []
+    marks: list[int] = []
+    stuffed: list[int] = []
+    seg_from = start
+    end = n
+
+    def _cut(i0: int, i1: int) -> np.ndarray:
+        seg = b[i0:i1]
+        if stuffed:
+            keep = np.ones(i1 - i0, dtype=bool)
+            keep[np.asarray(stuffed) - i0] = False
+            seg = seg[keep]
+        stuffed.clear()
+        return np.ascontiguousarray(seg)
+
+    for j in ff_positions:
+        j = int(j)
+        if j < seg_from:  # inside an already-consumed marker
+            continue
+        if j + 1 >= n:
+            break  # trailing lone 0xFF: decode hits truncation
+        nxt = int(b[j + 1])
+        if nxt == 0x00:
+            stuffed.append(j + 1)
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(_cut(seg_from, j))
+            marks.append(nxt)
+            seg_from = j + 2
+        else:  # a real marker terminates entropy data
+            end = j
+            break
+    segs.append(_cut(seg_from, end))
+    return segs, marks
+
+
+def _entropy_decode_fast(
+    data: bytes,
+    start: int,
+    n_mcu: int,
+    restart_interval: int,
+    scan: list[tuple[int, int, int]],
+    blocks_per_mcu: list[int],
+    huff: dict,
+    ncomp: int,
+) -> list[np.ndarray]:
+    """Windowed entropy decode (round-8, ≙ the r7 encode
+    vectorization): the stream is de-stuffed and split into restart
+    segments in ONE vectorized pass; per segment, 24-bit byte windows
+    are precomputed so each symbol costs two list indexes and a
+    shift/mask on plain Python ints — no _BitReader byte feeding, no
+    numpy scalar indexing, no exception-driven refills. Coefficients
+    accumulate in flat (index, value) lists and scatter into the
+    (n_blocks, 64) arrays in one fancy-indexed write per component.
+    Byte-identical to _entropy_decode_ref on every stream (golden +
+    fuzz suites run both); timing note in SCALING.md."""
+    segs, marks = _split_entropy(data, start)
+    zz = [
+        np.zeros((n_mcu * blocks_per_mcu[i], 64), dtype=np.int64)
+        for i in range(ncomp)
+    ]
+    # flat scatter accumulators per component
+    acc_idx: list[list[int]] = [[] for _ in range(ncomp)]
+    acc_val: list[list[int]] = [[] for _ in range(ncomp)]
+    # EXTEND (T.81 F.2.2.1) folded to two table lookups:
+    # v >= half[s] ? v : v - ext[s]
+    half = [0] + [1 << (s - 1) for s in range(1, 17)]
+    ext = [0] + [(1 << s) - 1 for s in range(1, 17)]
+
+    group = restart_interval if restart_interval else n_mcu
+    n_groups = -(-n_mcu // group)
+    done = 0
+    for g in range(n_groups):
+        mi0 = g * group
+        if g:
+            # T.81 E.1.4 restart boundary: marker presence + sequence
+            if g - 1 >= len(marks):
+                raise ValueError(
+                    f"missing restart marker before MCU {mi0}"
+                )
+            exp = 0xD0 + ((g - 1) & 7)
+            if marks[g - 1] != exp:
+                raise ValueError(
+                    f"restart marker out of sequence before MCU "
+                    f"{mi0}: got 0xFF{marks[g - 1]:02X}, expected "
+                    f"0xFF{exp:02X}"
+                )
+        if g >= len(segs):
+            raise ValueError(
+                f"truncated JPEG scan: {done} of {n_mcu} MCUs decoded"
+            )
+        seg = segs[g]
+        seg_bits = len(seg) * 8
+        # 24-bit windows per BYTE position (one vectorized pass +
+        # one small tolist): the window at bit p is
+        # (w24[p>>3] >> (8-(p&7))) & 0xFFFF. Per-BIT-position gathers
+        # were tried and rejected — .tolist() of multi-million-entry
+        # arrays costs more than the whole walk saves. 0xFF padding
+        # reproduces the encoder's 1-fill rule at segment end, exactly
+        # like _read_huffman's sub-16-bit window padding.
+        pad = np.empty(len(seg) + 3, dtype=np.uint8)
+        pad[: len(seg)] = seg
+        pad[len(seg) :] = 0xFF
+        p32 = pad.astype(np.uint32)
+        w24 = ((p32[:-2] << 16) | (p32[1:-1] << 8) | p32[2:]).tolist()
+        packs = {}  # (tc, th) -> 64Ki packed-entry list (lru-cached)
+        for sof_idx, dc_id, ac_id in scan:
+            for key in ((0, dc_id), (1, ac_id)):
+                if key not in packs:
+                    packs[key] = huff[key][4]
+        p = 0
+        pred = [0] * ncomp
+        for mi in range(mi0, min(mi0 + group, n_mcu)):
+            for sof_idx, dc_id, ac_id in scan:
+                bpm = blocks_per_mcu[sof_idx]
+                ci = acc_idx[sof_idx]
+                cv = acc_val[sof_idx]
+                dcp = packs[(0, dc_id)]
+                acp = packs[(1, ac_id)]
+                pr = pred[sof_idx]
+                base_row = mi * bpm
+                for bi in range(bpm):
+                    base = (base_row + bi) << 6
+                    # ---- DC ----
+                    r = p & 7
+                    t = dcp[(w24[p >> 3] >> (8 - r)) & 0xFFFF]
+                    ln = t >> 8
+                    if ln == 0 or p + ln > seg_bits:
+                        if seg_bits - p >= 16 and ln == 0:
+                            raise ValueError(
+                                "corrupt JPEG stream: no Huffman code "
+                                "matched"
+                            )
+                        raise ValueError(
+                            f"truncated JPEG scan: {done} of "
+                            f"{n_mcu} MCUs decoded"
+                        )
+                    s = t & 255
+                    p += ln
+                    if s > 15:  # baseline DC categories are 0..11
+                        raise ValueError(f"bad DC category {s}")
+                    if s:
+                        if p + s > seg_bits:
+                            raise ValueError(
+                                f"truncated JPEG scan: {done} of "
+                                f"{n_mcu} MCUs decoded"
+                            )
+                        r = p & 7
+                        v = (w24[p >> 3] >> (24 - r - s)) & ext[s]
+                        p += s
+                        pr += v if v >= half[s] else v - ext[s]
+                    ci.append(base)
+                    cv.append(pr)
+                    # ---- AC ----
+                    k = 1
+                    while k <= 63:
+                        r = p & 7
+                        t = acp[(w24[p >> 3] >> (8 - r)) & 0xFFFF]
+                        ln = t >> 8
+                        if ln == 0 or p + ln > seg_bits:
+                            if seg_bits - p >= 16 and ln == 0:
+                                raise ValueError(
+                                    "corrupt JPEG stream: no Huffman "
+                                    "code matched"
+                                )
+                            raise ValueError(
+                                f"truncated JPEG scan: {done} of "
+                                f"{n_mcu} MCUs decoded"
+                            )
+                        sym = t & 255
+                        p += ln
+                        if sym == 0x00:  # EOB
+                            break
+                        s = sym & 15
+                        if s == 0:
+                            if sym != 0xF0:  # only ZRL has size 0
+                                raise ValueError("bad AC symbol")
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError("AC index out of range")
+                        if p + s > seg_bits:
+                            raise ValueError(
+                                f"truncated JPEG scan: {done} of "
+                                f"{n_mcu} MCUs decoded"
+                            )
+                        r = p & 7
+                        v = (w24[p >> 3] >> (24 - r - s)) & ext[s]
+                        p += s
+                        ci.append(base + k)
+                        cv.append(v if v >= half[s] else v - ext[s])
+                        k += 1
+                pred[sof_idx] = pr
+            done = mi + 1
+        # leftover beyond byte-align padding before a restart boundary
+        # means the marker the splitter found is not where the MCU
+        # count says it should be (≙ ref's "missing restart marker")
+        if g + 1 < n_groups and seg_bits - p >= 8:
+            raise ValueError(
+                f"missing restart marker before MCU {mi0 + group}"
+            )
+    for i in range(ncomp):
+        if acc_idx[i]:
+            zz[i].reshape(-1)[
+                np.asarray(acc_idx[i], dtype=np.int64)
+            ] = np.asarray(acc_val[i], dtype=np.int64)
+    return zz
 
 
 def decode(data: bytes) -> bytes:
@@ -744,7 +1074,9 @@ def _decode(data: bytes) -> bytes:
                 bits = list(body[b + 1 : b + 17])
                 nv = sum(bits)
                 vals = list(body[b + 17 : b + 17 + nv])
-                huff[(tc, th)] = _decode_tables(_canonical_codes(bits, vals))
+                huff[(tc, th)] = _decode_tables_cached(
+                    tuple(bits), tuple(vals)
+                )
                 b += 17 + nv
         elif m == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack_from(
@@ -847,70 +1179,14 @@ def _decode_sos(
     mx, my = width // mcu_w, height // mcu_h
     n_mcu = mx * my
     blocks_per_mcu = [hs[i] * vs[i] for i in range(len(sof_comps))]
-    zz = [
-        np.zeros((n_mcu * blocks_per_mcu[i], 64), dtype=np.int64)
-        for i in range(len(sof_comps))
-    ]
-    pred = [0] * len(sof_comps)
-    reader = _BitReader(data, start)
-    done = 0
-    try:
-        for mi in range(n_mcu):
-            if restart_interval and mi and mi % restart_interval == 0:
-                # T.81 E.1.4: segment is byte-aligned (1-fill padding);
-                # drop buffered pad bits, consume the RSTm marker,
-                # reset every DC predictor
-                reader.acc = 0
-                reader.nbits = 0
-                p = reader.pos
-                if p + 1 >= len(data) or data[p] != 0xFF or not (
-                    0xD0 <= data[p + 1] <= 0xD7
-                ):
-                    raise ValueError(
-                        f"missing restart marker before MCU {mi}"
-                    )
-                exp = 0xD0 + (((mi // restart_interval) - 1) & 7)
-                if data[p + 1] != exp:
-                    raise ValueError(
-                        f"restart marker out of sequence before MCU "
-                        f"{mi}: got 0xFF{data[p + 1]:02X}, expected "
-                        f"0xFF{exp:02X}"
-                    )
-                reader.pos = p + 2
-                pred = [0] * len(sof_comps)
-            for sof_idx, dc_id, ac_id in scan:
-                for bi in range(blocks_per_mcu[sof_idx]):
-                    row = zz[sof_idx][mi * blocks_per_mcu[sof_idx] + bi]
-                    s = _read_huffman(reader, huff[(0, dc_id)])
-                    if s > 15:  # baseline DC categories are 0..11
-                        raise ValueError(f"bad DC category {s}")
-                    diff = _extend(reader.bits(s), s) if s else 0
-                    pred[sof_idx] += diff
-                    row[0] = pred[sof_idx]
-                    k = 1
-                    while k <= 63:
-                        sym = _read_huffman(reader, huff[(1, ac_id)])
-                        if sym == 0x00:  # EOB
-                            break
-                        run, s = sym >> 4, sym & 15
-                        if s == 0:
-                            if run != 15:
-                                raise ValueError("bad AC symbol")
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC index out of range")
-                        row[k] = _extend(reader.bits(s), s)
-                        k += 1
-            done = mi + 1
-    except _ScanEnd:
-        # a marker inside the entropy data before every MCU decoded =
-        # truncated scan; returning the partial image would be silent
-        # corruption (round-6 review)
-        raise ValueError(
-            f"truncated JPEG scan: {done} of {n_mcu} MCUs decoded"
-        )
+    impl = (
+        _entropy_decode_fast if _ENTROPY_IMPL == "fast"
+        else _entropy_decode_ref
+    )
+    zz = impl(
+        data, start, n_mcu, restart_interval, scan, blocks_per_mcu,
+        huff, len(sof_comps),
+    )
 
     planes = []
     for i, (cid, h, v, tq) in enumerate(sof_comps):

@@ -480,3 +480,64 @@ def test_truncated_scan_raises_not_partial():
     truncated = J.make_tables(75) + enc[:cut] + b"\xff\xd9"
     with pytest.raises(ValueError, match="truncated JPEG scan"):
         J.decode(truncated)
+
+
+# ------------------------------------------- fast-vs-ref entropy decode
+def _both_impls(stream):
+    old = J._ENTROPY_IMPL
+    try:
+        J._ENTROPY_IMPL = "fast"
+        a = J.decode(stream)
+        J._ENTROPY_IMPL = "ref"
+        b = J.decode(stream)
+    finally:
+        J._ENTROPY_IMPL = old
+    return a, b
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "440", "420"])
+@pytest.mark.parametrize("ri", [0, 2])
+def test_fast_entropy_decode_matches_ref_color(sub, ri):
+    """The round-8 windowed entropy walk is byte-identical to the
+    _BitReader reference on every sampling shape, with and without
+    restart markers."""
+    rng = np.random.RandomState(31)
+    rgb = rng.randint(0, 256, (64, 64, 3), np.uint8)
+    stream = J.make_tables(90) + J.encode_color(
+        rgb.tobytes(), 90, sub, restart_interval=ri
+    )
+    a, b = _both_impls(stream)
+    assert a == b
+
+
+@pytest.mark.parametrize("q", [30, 75, 100])
+def test_fast_entropy_decode_matches_ref_gray(q):
+    rng = np.random.RandomState(32)
+    img = rng.randint(0, 256, (64, 64), np.uint8)
+    stream = J.make_tables(q) + J.encode(img.tobytes(), q, restart_interval=3)
+    a, b = _both_impls(stream)
+    assert a == b
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fast_entropy_fuzz_corrupt_agrees_on_validity(seed):
+    """On randomly corrupted streams both implementations must either
+    both raise ValueError or both return bytes; when both return, the
+    bytes agree (the fast path may not silently decode what the
+    reference rejects, or vice versa)."""
+    rng = np.random.RandomState(100 + seed)
+    img = rng.randint(0, 256, (32, 32), np.uint8)
+    stream = bytearray(J.make_tables(75) + J.encode(img.tobytes(), 75, restart_interval=2))
+    for _ in range(6):
+        stream[rng.randint(len(stream) - 30) + 20] = rng.randint(256)
+    outcomes = []
+    for impl in ("fast", "ref"):
+        J._ENTROPY_IMPL = impl
+        try:
+            outcomes.append(("ok", J.decode(bytes(stream))))
+        except ValueError:
+            outcomes.append(("err", None))
+    J._ENTROPY_IMPL = "fast"
+    assert outcomes[0][0] == outcomes[1][0]
+    if outcomes[0][0] == "ok":
+        assert outcomes[0][1] == outcomes[1][1]
