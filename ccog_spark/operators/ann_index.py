@@ -21,6 +21,10 @@ natural parquet seam:
   index-sized), broadcasts per-query LUTs, joins the probe cells
   against the CODES table only — the raw embeddings are never read
   again, which is the point of PQ (8 bytes/vector resident).
+- ``append_to_index`` (round 8): encode a corpus delta with the SAVED
+  model (no retrain) and append to codes/ — the production growth
+  path; returns an occupancy-skew staleness signal (see its
+  docstring for the drift contract).
 
 Query results are BIT-IDENTICAL to ``ivfpq_topk`` on the same corpus
 (asserted in tests): the codebook/centroid doubles round-trip exactly
@@ -51,19 +55,20 @@ from ccog_spark.operators.similarity import (
 )
 
 
-def build_ivfpq_index(
+def _code_frame(
     corpus: DataFrame,
+    cent_ids: "np.ndarray",
+    cmat: "np.ndarray",
+    cnrm: "np.ndarray",
+    cbmat: "np.ndarray",
     dim: int,
-    index_dir: str,
-    cent_stride: int = 25,
-    m_blocks: int = PQ_M_BLOCKS,
-) -> dict:
-    """One corpus pass → persisted index. Returns the meta dict."""
+    m_blocks: int,
+) -> DataFrame:
+    """Fused assign+encode over a corpus with a GIVEN (frozen) model:
+    one scan, one Arrow crossing (same stage shape as ivfpq_topk's
+    inline path). Shared by build (fresh model) and append (model
+    loaded from the saved index — no retrain)."""
     from pyspark.sql.functions import pandas_udf
-
-    spark = corpus.sparkSession
-    cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
-    cbmat = _codebook_mat(corpus)
 
     n_blocks = m_blocks
     d_sub = dim // m_blocks
@@ -92,12 +97,27 @@ def build_ivfpq_index(
             out[:, m] = d2.argmin(1)
         return pd.Series(list(out))
 
-    # fused assign+encode: one scan, one Arrow crossing (same stage
-    # shape as ivfpq_topk's inline path)
-    codes = corpus.select(
+    return corpus.select(
         "vec_id",
         F.coalesce(assign(F.col("embedding")), F.lit(-1)).alias("cell"),
         encode(F.col("embedding")).alias("codes"),
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    dim: int,
+    index_dir: str,
+    cent_stride: int = 25,
+    m_blocks: int = PQ_M_BLOCKS,
+) -> dict:
+    """One corpus pass → persisted index. Returns the meta dict."""
+    spark = corpus.sparkSession
+    cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
+    cbmat = _codebook_mat(corpus)
+
+    codes = _code_frame(
+        corpus, cent_ids, cmat, cnrm, cbmat, dim, m_blocks
     )
     codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
 
@@ -135,6 +155,81 @@ def build_ivfpq_index(
         "dim int, m_blocks int, cent_stride int, n_vectors bigint",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
     return meta
+
+
+def _load_model(spark: SparkSession, index_dir: str):
+    """Driver-side (meta, cent_ids, cmat, cnrm, cbmat) from the saved
+    index — index-sized reads only."""
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+        key=lambda r: r.cent_id,
+    )
+    cent_ids = np.array([r.cent_id for r in cent_rows], "i8")
+    cmat = np.array([[float(x) for x in r.c_emb] for r in cent_rows], "f8")
+    cnrm = np.array([r.c_nrm for r in cent_rows], "f8")
+    cb_rows = sorted(
+        spark.read.parquet(os.path.join(index_dir, "codebook")).collect(),
+        key=lambda r: r.j,
+    )
+    cbmat = np.array([[float(x) for x in r.ce] for r in cb_rows], "f8")
+    return meta, cent_ids, cmat, cnrm, cbmat
+
+
+def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
+    """Incremental append: encode ``corpus_delta`` with the SAVED
+    centroids/codebook (NO retrain), append the resulting 8-byte codes
+    to ``codes/``, update ``meta``. Production indexes grow; a rebuild
+    re-derives the model and re-encodes the whole corpus, while append
+    touches only the delta (one fused assign+encode Arrow pass) plus
+    the index-sized model tables.
+
+    DRIFT CONTRACT: the model stays frozen, so append(B) after
+    build(A) is BIT-IDENTICAL to encoding A∪B under A's model
+    (pinned in tests) — but it is NOT build(A∪B), whose model would
+    see B. As the data distribution moves away from A's, quantization
+    error grows and recall degrades; the returned ``occupancy_skew``
+    (max/mean vectors per occupied cell, whole index) is the staleness
+    signal — a climbing skew means new vectors are crowding a few
+    cells the frozen quantizer never planned for, and the index should
+    be rebuilt. Appends are not atomic w.r.t. concurrent readers of
+    the same dir (parquet file listing); pause queries or append to a
+    copy, exactly like any parquet-append pipeline."""
+    spark = corpus_delta.sparkSession
+    meta, cent_ids, cmat, cnrm, cbmat = _load_model(spark, index_dir)
+    dim, m_blocks = int(meta.dim), int(meta.m_blocks)
+    codes = _code_frame(
+        corpus_delta, cent_ids, cmat, cnrm, cbmat, dim, m_blocks
+    )
+    codes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
+
+    all_codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    # one index-sized aggregate: total count + cell-occupancy skew
+    occ = (
+        all_codes.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").alias("total"),
+            F.max("n").alias("mx"),
+            F.avg("n").alias("mean"),
+        )
+        .collect()[0]
+    )
+    new_meta = {
+        "dim": dim,
+        "m_blocks": m_blocks,
+        "cent_stride": int(meta.cent_stride),
+        "n_vectors": int(occ.total),
+    }
+    spark.createDataFrame(
+        [tuple(new_meta.values())],
+        "dim int, m_blocks int, cent_stride int, n_vectors bigint",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    return {
+        **new_meta,
+        "appended": int(occ.total) - int(meta.n_vectors),
+        "occupancy_skew": float(occ.mx) / float(occ.mean),
+    }
 
 
 def query_ivfpq_index(

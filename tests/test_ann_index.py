@@ -81,3 +81,61 @@ def test_index_query_never_reads_embeddings(spark, tmp_path):
     )
     assert "embeddings.parquet" not in plan
     assert "codes" in plan
+
+
+def test_append_bit_identical_to_frozen_model_build(spark, tmp_path):
+    """build(A) + append(B) ≡ one-pass encode of A∪B under A's FROZEN
+    model: identical codes table, identical query results, meta
+    updated, staleness metric present. (NOT build(A∪B) — that would
+    retrain the model; the drift contract is documented on
+    append_to_index.)"""
+    import shutil
+
+    from ccog_spark.operators.ann_index import (
+        _code_frame,
+        _load_model,
+        append_to_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    a = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "grow")
+    build_ivfpq_index(a, dim, idx)
+    n_a = a.count()
+
+    meta = append_to_index(b, idx)
+    assert meta["appended"] == b.count()
+    assert meta["n_vectors"] == emb.count()
+    assert meta["occupancy_skew"] >= 1.0
+
+    # frozen-model one-pass twin: A's model tables + codes(A∪B)
+    twin = str(tmp_path / "twin")
+    import os
+
+    os.makedirs(twin)
+    for part in ("centroids", "codebook", "meta"):
+        shutil.copytree(os.path.join(idx, part), os.path.join(twin, part))
+    m, ci, cm, cn, cb = _load_model(spark, idx)
+    _code_frame(emb, ci, cm, cn, cb, dim, int(m.m_blocks)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(twin, "codes"))
+
+    codes_grown = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in spark.read.parquet(idx + "/codes").collect()
+    }
+    codes_twin = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in spark.read.parquet(twin + "/codes").collect()
+    }
+    assert codes_grown == codes_twin
+
+    q = _queries(emb)
+    key = lambda r: (r.q_id, r.rn)
+    got = {key(r): tuple(r) for r in query_ivfpq_index(spark, idx, q, k=3).collect()}
+    want = {key(r): tuple(r) for r in query_ivfpq_index(spark, twin, q, k=3).collect()}
+    assert got == want and got  # bit-identical retrieval
