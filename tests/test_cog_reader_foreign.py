@@ -1,11 +1,15 @@
-"""Foreign/adversarial TIFF inputs (round-7 hardening): layouts other
-writers produce — strip-based files, big-endian byte order, unknown
-compression tags, YCbCr photometric with the wrong codec, truncated or
-cyclic IFD chains — must fail with a CLEAR ValueError, never decode
-wrong pixels and never crash with a raw struct/Index error.
+"""Foreign/adversarial TIFF inputs (round-7 hardening, round-8
+big-endian support): layouts other writers produce. Strip-based
+files, chunky RGB, uncompressed payloads, and — since round 8 —
+big-endian (MM) classic/BigTIFF containers must decode to EXACTLY the
+pixels of their little-endian twins; shapes the reader cannot
+represent (unknown compression tags, YCbCr photometric with the wrong
+codec, truncated or cyclic IFD chains) must fail with a CLEAR
+ValueError, never decode wrong pixels and never crash with a raw
+struct/Index error.
 
 The builders construct minimal hand-rolled TIFFs (classic, little-
-endian unless stated) so each failure mode is reached deliberately.
+endian unless stated) so each path is reached deliberately.
 """
 
 from __future__ import annotations
@@ -503,3 +507,59 @@ def test_need_bytes_hint_is_exact():
     hint = ei.value.hint
     assert 160 < hint <= len(data)
     assert tiff.read_cog(data[:hint])[0].width == 16
+
+
+def _bigtiff_entry_bo(bo: str, tag: int, typ: int, count: int, value: int) -> bytes:
+    # BigTIFF entries are 20 bytes with an 8-byte value field; inline
+    # values are left-justified (same rule as classic)
+    if typ == 3 and count == 1:
+        val = struct.pack(bo + "H", value) + b"\x00" * 6
+    elif typ == 16:  # LONG8
+        val = struct.pack(bo + "Q", value)
+    else:
+        val = struct.pack(bo + "I", value) + b"\x00" * 4
+    return struct.pack(bo + "HHQ", tag, typ, count) + val
+
+
+def _bigtiff_single_tile_bo(bo: str, img: np.ndarray) -> bytes:
+    """Single-tile BigTIFF (version 43) in either byte order: deflate
+    payload, all tags inline (count 1)."""
+    h, w = img.shape
+    dt_file = img.dtype.newbyteorder(bo)
+    payload = zlib.compress(img.astype(dt_file).tobytes())
+    data_start = 512
+    e = [
+        _bigtiff_entry_bo(bo, 256, 3, 1, w),
+        _bigtiff_entry_bo(bo, 257, 3, 1, h),
+        _bigtiff_entry_bo(bo, 258, 3, 1, img.dtype.itemsize * 8),
+        _bigtiff_entry_bo(bo, 259, 3, 1, 8),
+        _bigtiff_entry_bo(bo, 262, 3, 1, 1),
+        _bigtiff_entry_bo(bo, 277, 3, 1, 1),
+        _bigtiff_entry_bo(bo, 284, 3, 1, 2),
+        _bigtiff_entry_bo(bo, 322, 3, 1, w),
+        _bigtiff_entry_bo(bo, 323, 3, 1, h),
+        _bigtiff_entry_bo(bo, 324, 16, 1, data_start),
+        _bigtiff_entry_bo(bo, 325, 16, 1, len(payload)),
+        _bigtiff_entry_bo(bo, 339, 3, 1, {"u": 1, "i": 2, "f": 3}[img.dtype.kind]),
+    ]
+    e.sort(key=lambda x: struct.unpack(bo + "H", x[:2])[0])
+    magic = b"II" if bo == "<" else b"MM"
+    head = struct.pack(bo + "2sHHHQ", magic, 43, 8, 0, 16)
+    ifd = struct.pack(bo + "Q", len(e)) + b"".join(e) + struct.pack(bo + "Q", 0)
+    buf = bytearray(head + ifd)
+    buf += b"\x00" * (data_start - len(buf))
+    return bytes(buf) + payload
+
+
+def test_big_endian_bigtiff_reads_identical_to_le_twin():
+    """MM BigTIFF (version 43) exercises the big-endian branch of the
+    8-byte count/offset parse; pixels identical to the II twin."""
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 65535, (16, 16), np.uint16)
+    mm = _bigtiff_single_tile_bo(">", img)
+    ii = _bigtiff_single_tile_bo("<", img)
+    ifd_mm = tiff.read_cog(mm)[0]
+    ifd_ii = tiff.read_cog(ii)[0]
+    assert ifd_mm.byteorder == ">" and ifd_mm.np_dtype == ">u2"
+    assert np.array_equal(tiff.read_band(mm, ifd_mm, 0), img)
+    assert np.array_equal(tiff.read_band(ii, ifd_ii, 0), img)
