@@ -779,11 +779,22 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
-def _ivfpq_sql(dim: int = 64, cent_stride: int = 25, nprobe: int = 2) -> str:
+def _ivfpq_sql(
+    dim: int = 64,
+    cent_stride: int = 25,
+    nprobe: int = 2,
+    model_pred: str = "",
+) -> str:
     """IVF + PQ composed: the ann_ivf cell/probe CTEs joined with the
     ann_pq codebook/encode/LUT CTEs, candidates restricted to probed
     cells and ranked by ADC — built at import from the same constants
-    as operators.similarity.ivfpq_topk."""
+    as operators.similarity.ivfpq_topk.
+
+    ``model_pred``: extra SQL predicate (e.g. "AND vec_id % 3 <> 0")
+    restricting the MODEL-BEARING rows (centroid selection + codebook
+    rows) to a sub-corpus while codes/candidates still cover
+    everything — the frozen-model semantics of ann_index's
+    build(A)+append(B) path (round 8)."""
     from ccog_spark.operators.similarity import (
         PQ_CB_K,
         PQ_CB_MOD,
@@ -821,7 +832,7 @@ WITH nv AS (
   FROM embeddings
 ), cent AS (
   SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM nv
-  WHERE vec_id % {cent_stride} = 1
+  WHERE vec_id % {cent_stride} = 1 {model_pred}
 ), asn AS (
   SELECT vec_id, cent_id,
          ROW_NUMBER() OVER (
@@ -832,7 +843,7 @@ WITH nv AS (
 ), cells AS (
   SELECT vec_id, cent_id AS cell FROM asn WHERE arn = 1
 ), cbr AS (
-  SELECT vec_id, e FROM nv WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES}
+  SELECT vec_id, e FROM nv WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES} {model_pred}
   ORDER BY vec_id LIMIT {PQ_CB_K}
 ), cb AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, e AS ce
@@ -880,6 +891,13 @@ PIPELINE_ORACLE["ann_ivfpq"] = _ivfpq_sql()
 # the SAME rows/scores as the inline composition — one SQL truth, two
 # execution paths (bit-identity additionally pinned in test_ann_index).
 PIPELINE_ORACLE["ann_index"] = _ivfpq_sql()
+# Incremental append (round 8): build(A = vec_id%3<>0) then append(B)
+# under the FROZEN model — the oracle derives centroids/codebook from
+# A only while codes/candidates cover the whole corpus, replaying the
+# drift contract append_to_index documents.
+PIPELINE_ORACLE["ann_index_append"] = _ivfpq_sql(
+    model_pred="AND vec_id % 3 <> 0"
+)
 
 # token-window chunking: 64-token chunks every 48 tokens (1-based
 # inclusive list slice; tail chunks shorter; md5 of the re-joined

@@ -481,6 +481,39 @@ def ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def ann_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index growth (operators/ann_index.append_to_index,
+    round 8): build the parquet index from the vec_id%3≠0 two-thirds
+    of the corpus, append the remaining third encoded under the FROZEN
+    saved model (no retrain), answer the standard query batch from the
+    grown index. The oracle replays exactly that drift contract:
+    centroid selection and codebook rows come from the build subset
+    only, while encode/candidates cover the whole corpus — so a
+    silent retrain (or a failure to encode the delta) hash-mismatches."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ccog_spark.operators.ann_index import (
+        append_to_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ccog_ivfpq_app_{tag}_{os.getpid()}"
+    )
+    build_ivfpq_index(a, EMB_DIM, idx)
+    append_to_index(b, idx)
+    return query_ivfpq_index(
+        spark, idx, _queries_subset(emb), k=3
+    ).orderBy("q_id", "rn")
+
+
 def pipeline_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window document chunking (operators.text.chunk_documents,
     64-token chunks / 48-token stride): map-side fan-out, no shuffle,

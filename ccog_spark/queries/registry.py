@@ -271,6 +271,12 @@ REGISTRY: dict[str, QueryFn] = {
     # E31 tumbling window ≙ q19 (same result, batch spelling) and the
     # fold's stream_join/stream_dedup real readStream rows
     "stream_tumbling": streaming_corpus.stream_tumbling,
+    # round 8: INCREMENTAL ann-index growth — build on two-thirds of
+    # the corpus, append the rest under the frozen saved model, query
+    # the grown index; the oracle derives the model from the build
+    # subset only (E36 family; ann_index carries the fold row, the
+    # frozen-model bit-identity is additionally pinned in pytest)
+    "ann_index_append": pipeline.ann_index_append_q,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
@@ -291,6 +297,7 @@ NON_BENCH = (
     "cog_color",
     "cog_window",
     "ann_index",  # builds a parquet index per run (file IO)
+    "ann_index_append",  # builds + appends a parquet index (file IO)
 )
 
 __all__ = ["REGISTRY", "ORACLE", "QueryFn"]
