@@ -238,6 +238,13 @@ def _tiled_tiff_bo(
     for r in range(ty):
         for c in range(tx):
             block = img[r * tile : (r + 1) * tile, c * tile : (c + 1) * tile]
+            if predictor == 3:
+                # fp byte-plane predictor output is big-endian-split by
+                # spec — byte-order independent, same payload for MM/II
+                from ccog_spark.raster.codecs import predict_tile
+
+                tiles.append(zlib.compress(predict_tile(block, 3)))
+                continue
             if predictor == 2:
                 d = block.copy()  # diff in NATIVE ints (modular wrap)
                 d[:, 1:] = d[:, 1:] - block[:, :-1]
@@ -563,3 +570,18 @@ def test_big_endian_bigtiff_reads_identical_to_le_twin():
     assert ifd_mm.byteorder == ">" and ifd_mm.np_dtype == ">u2"
     assert np.array_equal(tiff.read_band(mm, ifd_mm, 0), img)
     assert np.array_equal(tiff.read_band(ii, ifd_ii, 0), img)
+
+
+def test_big_endian_float_predictor3_reads_exact():
+    """MM float32 with the TIFF TechNote-3 fp predictor: the byte-
+    plane split is big-endian by SPEC (order-independent payload), so
+    the MM and II twins share tile bytes and must both invert to the
+    exact float array through the byteorder-threaded unpredict."""
+    rng = np.random.RandomState(14)
+    img = (rng.random((32, 32)) * 1000 - 500).astype(np.float32)
+    mm = _tiled_tiff_bo(">", img, tile=16, predictor=3)
+    ii = _tiled_tiff_bo("<", img, tile=16, predictor=3)
+    ifd_mm = tiff.read_cog(mm)[0]
+    assert ifd_mm.np_dtype == ">f4" and ifd_mm.predictor == 3
+    assert np.array_equal(tiff.read_band(mm, ifd_mm, 0), img)
+    assert np.array_equal(tiff.read_band(ii, tiff.read_cog(ii)[0], 0), img)
