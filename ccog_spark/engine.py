@@ -84,6 +84,14 @@ class Engine:
 
         return query_ivfpq_index(self.spark, index_dir, queries, **kwargs)
 
+    def append_ann_index(self, corpus_delta: DataFrame,
+                         index_dir: str) -> dict:
+        """Grow a persisted index under its frozen model (round 8);
+        returns meta incl. the occupancy-skew staleness signal."""
+        from ccog_spark.operators.ann_index import append_to_index
+
+        return append_to_index(corpus_delta, index_dir)
+
     # ---- verification
     def check(self, qid: str, sf_dir: str | None = None):
         from ccog_spark.harness import compare_query

@@ -93,3 +93,13 @@ def test_engine_facade_ann_and_raster(spark, tmp_path):
     )
     res = eng.query_ann_index(idx, q, k=2).collect()
     assert len(res) == 4 and {r.rn for r in res} == {1, 2}
+    # incremental growth via facade (frozen-model parity is pinned in
+    # test_ann_index; here: meta/staleness contract)
+    delta = emb.select(
+        (F.col("vec_id") + meta["n_vectors"] * 10).alias("vec_id"),
+        "embedding",
+    ).limit(5)
+    meta2 = eng.append_ann_index(delta, idx)
+    assert meta2["appended"] == 5
+    assert meta2["n_vectors"] == meta["n_vectors"] + 5
+    assert meta2["occupancy_skew"] >= 1.0
