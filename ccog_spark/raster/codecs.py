@@ -27,6 +27,7 @@ COMPRESSION_NONE = 1  # uncompressed (common in foreign plain GeoTIFFs)
 COMPRESSION_LZW = 5
 COMPRESSION_JPEG = 7  # public TIFF 6.0 new-style JPEG tag
 COMPRESSION_DEFLATE = 8
+COMPRESSION_PACKBITS = 32773  # TIFF 6.0 §9 (old scanners, fax TIFFs)
 COMPRESSION_WEBP = 50001  # public GDAL/libtiff WebP tag
 COMPRESSION_LZMA = 34925  # public GDAL/libtiff LZMA tag
 COMPRESSION_ZSTD = 50000  # public GDAL/libtiff ZSTD tag
@@ -38,6 +39,7 @@ CODEC_TAGS = {
     "zstd": COMPRESSION_ZSTD,
     "jpeg": COMPRESSION_JPEG,
     "webp": COMPRESSION_WEBP,
+    "packbits": COMPRESSION_PACKBITS,
 }
 
 
@@ -91,6 +93,60 @@ def _zstd_decode(data: bytes) -> bytes:
     return zstandard.ZstdDecompressor().decompress(data)
 
 
+def packbits_encode(data: bytes, level: int = 0) -> bytes:
+    """TIFF 6.0 §9 PackBits (Apple run-length): runs of ≥2 equal bytes
+    become (-(len-1), byte); literal stretches become (len-1, bytes).
+    Literal stretches break at the next ≥3-byte repeat — the exact
+    packing of the spec's worked example (pinned in tests). Packs the
+    whole tile buffer (runs may cross row boundaries; sequential
+    decoders — libtiff/GDAL — accept this). ``level`` ignored:
+    PackBits has no ratio knob."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:  # run of length j-i+1 in 2..128
+            out.append((257 - (j - i + 1)) & 0xFF)
+            out.append(data[i])
+            i = j + 1
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j < n - 2 and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """Inverse of packbits_encode; accepts any spec-valid stream
+    (incl. per-row packings from other writers — the decode is purely
+    sequential). Truncated streams raise ValueError."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal: next c+1 bytes
+            if i + c + 1 > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c == 128:  # noop per spec
+            continue
+        else:  # repeat next byte 257-c times (2..128)
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    return bytes(out)
+
+
 def _lzma_encode(data: bytes, level: int) -> bytes:
     import lzma
 
@@ -132,6 +188,12 @@ REGISTRY: dict[str, CodecSpec] = {
     ),
     "lzma": CodecSpec("lzma", COMPRESSION_LZMA, _lzma_encode, _lzma_decode),
     "zstd": CodecSpec("zstd", COMPRESSION_ZSTD, _zstd_encode, _zstd_decode),
+    # TIFF 6.0 §9 PackBits (round 8): decode-side parity for foreign
+    # files from old scanners/fax pipelines; also writable (predictor
+    # 2 composes per spec, useful for categorical/mask-like rasters)
+    "packbits": CodecSpec(
+        "packbits", COMPRESSION_PACKBITS, packbits_encode, packbits_decode,
+    ),
     # Real pure-numpy baseline JPEG (raster/jpegcodec.py): abbreviated
     # tile streams + make_tables for the shared JPEGTables tag — the
     # registry's one live global-tables codec.

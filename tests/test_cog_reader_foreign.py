@@ -585,3 +585,49 @@ def test_big_endian_float_predictor3_reads_exact():
     assert ifd_mm.np_dtype == ">f4" and ifd_mm.predictor == 3
     assert np.array_equal(tiff.read_band(mm, ifd_mm, 0), img)
     assert np.array_equal(tiff.read_band(ii, tiff.read_cog(ii)[0], 0), img)
+
+
+def test_strip_tiff_packbits_reads_exact():
+    """Foreign PackBits strips (tag 32773, old scanner/fax TIFFs) —
+    packed per-row like libtiff writes them (runs never cross rows),
+    decoded by the sequential PackBits decoder."""
+    from ccog_spark.raster.codecs import packbits_encode
+
+    rng = np.random.RandomState(15)
+    # repeat-heavy rows so PackBits actually compresses
+    img = np.repeat(rng.randint(0, 256, (11, 4), np.uint8), 4, axis=1)
+    h, w = img.shape
+    rows_per_strip = 4
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        part = img[y0 : y0 + rows_per_strip]
+        # per-ROW packing (libtiff behavior), concatenated per strip
+        strips.append(b"".join(packbits_encode(r.tobytes()) for r in part))
+    n = len(strips)
+    data_start = 400
+    offs, cnts, pos = [], [], data_start
+    for s in strips:
+        offs.append(pos)
+        cnts.append(len(s))
+        pos += len(s)
+    entries = [
+        _entry(256, 3, 1, w),
+        _entry(257, 3, 1, h),
+        _entry(258, 3, 1, 8),
+        _entry(259, 3, 1, 32773),
+        _entry(262, 3, 1, 1),
+        _entry(277, 3, 1, 1),
+        _entry(284, 3, 1, 1),
+        _entry(339, 3, 1, 1),
+        _entry(278, 3, 1, rows_per_strip),
+        _entry(273, 4, n, 300),
+        _entry(279, 4, n, 300 + 4 * n),
+    ]
+    head = _classic_tiff(entries)
+    buf = bytearray(head) + b"\x00" * (data_start - len(head))
+    struct.pack_into(f"<{n}I", buf, 300, *offs)
+    struct.pack_into(f"<{n}I", buf, 300 + 4 * n, *cnts)
+    data = bytes(buf) + b"".join(strips)
+    ifd = tiff.read_cog(data)[0]
+    assert ifd.compression == 32773
+    assert np.array_equal(tiff.read_band(data, ifd, 0), img)

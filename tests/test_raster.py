@@ -394,6 +394,26 @@ def test_lzma_codec_roundtrip(spark, tmp_path):
         assert np.array_equal(got[ok[b]], val[b][ok[b]])
 
 
+def test_packbits_codec_roundtrip(spark, tmp_path):
+    """PackBits tile codec (TIFF 6.0 §9, tag 32773, round 8): identical
+    pixels through the full write→parse→read path, incl. predictor 2
+    (which composes with PackBits per spec)."""
+    for pred, name in ((1, "pb1.tif"), (3, "pb3.tif")):
+        out = str(tmp_path / name)
+        write_cog(
+            spark, pixels_df(spark), W, H, BANDS, out, blocksize=BLOCK,
+            nodata=NODATA, codec="packbits", predictor=pred,
+        )
+        data = open(out, "rb").read()
+        ifds = tiff.read_cog(data)
+        assert all(i.compression == 32773 for i in ifds)
+        assert all(i.predictor == pred for i in ifds)
+        val, ok = fixture_array(spark, level=0)
+        for b in range(BANDS):
+            got = tiff.read_band(data, ifds[0], b)
+            assert np.array_equal(got[ok[b]], val[b][ok[b]])
+
+
 def test_geotiff_georeferencing(spark, tmp_path):
     """GeoTIFF tags (ModelPixelScale, ModelTiepoint, GeoKeyDirectory):
     CRS + affine transform survive the write/read round-trip."""
