@@ -2,7 +2,8 @@
 ccog/ccog.py:24-39 and _adjust_compression :452-478).
 
 Implemented: deflate (zlib), LZW (pure Python, TIFF 6.0 §13 including
-the historical "early change" code-width quirk), LZMA (public
+the historical "early change" code-width quirk), PackBits (TIFF 6.0
+§9 — spec-worked-example-pinned; round 8), LZMA (public
 GDAL/libtiff tag), zstd (GDAL tag 50000, gated on the optional
 ``zstandard`` module), and baseline JPEG (pure numpy, raster/
 jpegcodec.py — abbreviated tile streams whose global tables live in
