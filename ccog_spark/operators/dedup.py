@@ -169,6 +169,100 @@ def remove_duplicate_lines(
     )
 
 
+def remove_repeated_spans(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """EXACT-SUBSTRING (span) dedup with document rebuild — the
+    "dedup repeated 50-token spans" stage of Lee et al. 2022
+    (Deduplicating Training Data Makes Language Models Better),
+    re-expressed corpus-wide at TOKEN granularity: every maximal
+    k-token window that occurred anywhere earlier in the corpus
+    (earlier = smaller (id, position)) has its covered tokens dropped;
+    surviving tokens are reassembled in order. Sub-line granularity —
+    catches repeated boilerplate that line dedup (needs exact line
+    match) and chunk dedup (fixed 64-token alignment) both miss.
+
+    Returns (id_col, text, n_tokens, n_dropped). Overlapping repeated
+    windows merge naturally (dropped POSITIONS are set-unioned);
+    repeats WITHIN one document drop too (surgical self-repetition
+    removal, the exact-span complement of the Gopher repetition
+    heuristics). Documents shorter than k tokens pass through; fully-
+    covered documents survive with empty text (corpus alignment).
+
+    Scale shape — same skew discipline as remove_duplicate_lines:
+    keep-first is groupBy(gram).min(struct), NEVER a window (a
+    boilerplate span repeated billions of times collapses map-side
+    before the shuffle); the gram join back is AQE-skew-splittable;
+    the position-level anti-join and per-doc regroup shuffle
+    (id, pos)-sized rows only. Gram keys are the token STRINGS, not
+    hashes — no collision false-drops. Explode factor is ≤k gram rows
+    per token; at 100 TB pick k≈50 like the paper (the default) and
+    the gram table is ~k× the token count of corpus-wide text, all
+    map-side-generated and combiner-collapsed."""
+    t = docs.select(
+        F.col(id_col), F.split(F.col(text_col), sep).alias("tk")
+    ).withColumn("n", F.size("tk"))
+    grams = (
+        t.where(F.col("n") >= k)
+        .select(
+            id_col,
+            "tk",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - F.lit(k))
+            ).alias("p"),
+        )
+        .select(
+            id_col,
+            "p",
+            F.array_join(
+                F.slice("tk", F.col("p") + 1, F.lit(k)), sep
+            ).alias("_g"),
+        )
+    )
+    firsts = grams.groupBy("_g").agg(
+        F.min(F.struct(id_col, "p")).alias("_first")
+    )
+    dup_spans = (
+        grams.join(firsts, "_g")
+        .where(F.struct(id_col, "p") != F.col("_first"))
+        .select(id_col, "p")
+    )
+    dropped = dup_spans.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("p"), F.col("p") + F.lit(k - 1))
+        ).alias("pos"),
+    ).distinct()
+    toks = t.select(
+        id_col, F.posexplode("tk").alias("pos", "tok")
+    )
+    kept = toks.join(dropped, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("bigint").alias("_kept"),
+    )
+    return t.select(id_col, "n").join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        F.col("n").cast("int").alias("n_tokens"),
+        (F.col("n") - F.coalesce("_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingle strings (map-side)."""
     toks = F.split(text, " ")

@@ -1164,3 +1164,47 @@ SELECT doc_id, COUNT(*) AS n_chunks,
 FROM ranked GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# Exact-substring (span) dedup, round 8: k=8 token windows, global
+# keep-first by (doc_id, position), covered POSITIONS set-unioned,
+# ordered rebuild. The oracle may use a window over gram content
+# (oracle-side only — the ENGINE spells keep-first as a combinable
+# min-struct aggregate; PLANS.md skew ledger).
+PIPELINE_ORACLE["pipeline_span_dedup"] = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(p AS INT) AS p,
+         array_to_string(tk[CAST(p + 1 AS INT) : CAST(p + 8 AS INT)], ' ') AS gram
+  FROM d, UNNEST(range(0, n - 8 + 1)) AS t(p)
+  WHERE n >= 8
+), ranked AS (
+  SELECT doc_id, p,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+  FROM g
+), dropped AS (
+  SELECT DISTINCT doc_id, CAST(p + off AS INT) AS pos
+  FROM (SELECT doc_id, p FROM ranked WHERE rn > 1) s,
+       UNNEST(range(0, 8)) AS o(off)
+), toks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, tk[CAST(i + 1 AS INT)] AS tok
+  FROM d, UNNEST(range(0, n)) AS t(i)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN dropped x
+    ON t.doc_id = x.doc_id AND t.pos = x.pos
+  WHERE x.pos IS NULL
+), agg AS (
+  SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS text,
+         COUNT(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.text, '') AS text,
+       CAST(d.n AS INT) AS n_tokens,
+       CAST(d.n - COALESCE(a.kept_n, 0) AS BIGINT) AS n_dropped
+FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""

@@ -481,6 +481,20 @@ def ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def pipeline_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (span) dedup with rebuild (operators.dedup.
+    remove_repeated_spans — Lee et al. 2022's repeated-span removal at
+    token granularity, k=8 for the small-vocab fixture): every 8-token
+    window seen earlier in the corpus has its tokens dropped; cleaned
+    documents are reassembled in order. The oracle replays window
+    extraction, global keep-first ranking, position-set coverage, and
+    the ordered rebuild in pure SQL."""
+    from ccog_spark.operators.dedup import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, k=8).orderBy("doc_id")
+
+
 def ann_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL index growth (operators/ann_index.append_to_index,
     round 8): build the parquet index from the vec_id%3≠0 two-thirds

@@ -271,6 +271,12 @@ REGISTRY: dict[str, QueryFn] = {
     # E31 tumbling window ≙ q19 (same result, batch spelling) and the
     # fold's stream_join/stream_dedup real readStream rows
     "stream_tumbling": streaming_corpus.stream_tumbling,
+    # round 8: EXACT-SUBSTRING (span) dedup with rebuild — Lee et al.
+    # 2022's repeated-span removal at token granularity; sub-line
+    # boilerplate that line dedup (exact-line) and chunk dedup
+    # (64-token alignment) both miss (E34 family; dedup_exact /
+    # pipeline_line_dedup carry fold rows)
+    "pipeline_span_dedup": pipeline.pipeline_span_dedup,
     # round 8: INCREMENTAL ann-index growth — build on two-thirds of
     # the corpus, append the rest under the frozen saved model, query
     # the grown index; the oracle derives the model from the build

@@ -161,3 +161,40 @@ def test_exact_dedup_keeps_null_text_rows(spark):
     assert {r.doc_id for r in flagged if r.is_keeper} == {1, 2}
     kept = {(r.doc_id, r.text) for r in keep_first(docs).collect()}
     assert kept == {(1, "a"), (2, None)}
+
+
+def test_remove_repeated_spans_semantics(spark):
+    """Exact-substring (span) dedup invariants: keep-first by
+    (doc_id, pos) across the corpus, overlapping spans merge, short
+    docs pass through, within-doc repeats drop, idempotence."""
+    from ccog_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # source of the repeated span
+            (2, "x a b c d y"),        # contains repeat of (a b c d)
+            (3, "a b c d a b c d"),    # cross-doc repeat AND self-repeat
+            (4, "p q"),                # shorter than k: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r for r in remove_repeated_spans(docs, k=4).collect()
+    }
+    # doc 1 holds every first occurrence: nothing dropped
+    assert out[1].text == "a b c d e f" and out[1].n_dropped == 0
+    # doc 2: window (a b c d) at pos 1 repeats doc 1 pos 0 -> drop 4
+    assert out[2].text == "x y" and out[2].n_dropped == 4
+    # doc 3: every 4-window repeats doc 1's prefix or overlaps one
+    # that does -> the whole text is covered
+    assert out[3].text == "" and out[3].n_dropped == 8
+    assert out[4].text == "p q" and out[4].n_dropped == 0
+    assert out[2].n_tokens == 6
+    # idempotence: a second pass drops nothing new
+    again = remove_repeated_spans(
+        spark.createDataFrame(
+            [(d, r.text) for d, r in out.items()], ["doc_id", "text"]
+        ),
+        k=4,
+    ).collect()
+    assert all(r.n_dropped == 0 for r in again)
