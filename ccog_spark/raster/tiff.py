@@ -1083,6 +1083,15 @@ def read_band(data: bytes, ifd: IfdInfo, band: int):
     full = np.full((ty * ifd.tile_height, tx * ifd.tile_width), fill, dtype=dt)
     n_tiles = tx * ty
     chunky = ifd.planar_config == 1 and ifd.bands > 1
+    needed = n_tiles if chunky else ifd.bands * n_tiles
+    if len(ifd.offsets) < needed or len(ifd.bytecounts) < needed:
+        # corrupt/foreign header: the declared geometry implies more
+        # tiles than the offset/count arrays hold — indexing would
+        # crash with a raw IndexError (round-8 MM fuzz)
+        raise ValueError(
+            f"IFD geometry implies {needed} tiles but offsets/counts "
+            f"hold {len(ifd.offsets)}/{len(ifd.bytecounts)}"
+        )
     if ifd.photometric == 6 and ifd.compression != COMPRESSION_JPEG:
         # YCbCr raw/deflate tiles would need a color-space pass this
         # reader doesn't do — decoding them as-is would be WRONG pixels

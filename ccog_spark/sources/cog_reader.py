@@ -125,6 +125,12 @@ def read_cog_pixels(
             return True
         return ty0 <= r <= ty1 and tx0 <= c <= tx1
 
+    needed = n_tiles if chunky else ifd.bands * n_tiles
+    if len(ifd.offsets) < needed or len(ifd.bytecounts) < needed:
+        raise ValueError(
+            f"IFD geometry implies {needed} tiles but offsets/counts "
+            f"hold {len(ifd.offsets)}/{len(ifd.bytecounts)}"
+        )
     index = []
     if chunky:
         # pixel-interleaved: ONE stored tile carries every band — band

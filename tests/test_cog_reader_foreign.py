@@ -631,3 +631,20 @@ def test_strip_tiff_packbits_reads_exact():
     ifd = tiff.read_cog(data)[0]
     assert ifd.compression == 32773
     assert np.array_equal(tiff.read_band(data, ifd, 0), img)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_big_endian_header_fuzz_never_crashes(seed):
+    """Byte-mutated MM headers/IFDs: parse+decode either succeeds or
+    raises ValueError — never a raw struct/Index/Key error and never
+    a hang (same contract the II fuzz suite pins)."""
+    rng = np.random.RandomState(200 + seed)
+    img = rng.randint(0, 65535, (32, 32), np.uint16)
+    data = bytearray(_tiled_tiff_bo(">", img, tile=16))
+    for _ in range(4):
+        data[rng.randint(2, 300)] = rng.randint(256)
+    try:
+        for ifd in tiff.read_cog(bytes(data)):
+            tiff.read_band(bytes(data), ifd, 0)
+    except (ValueError, zlib.error):
+        pass  # clear rejection is the contract
