@@ -919,3 +919,96 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos") >= cos_min)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    cent_stride: int = 25,
+    cos_min: float = 0.98,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer,
+    then prune near-duplicates WITHIN each cluster only — a vector is
+    dropped when a SMALLER-id vector in its cluster has cosine ≥
+    ``cos_min``. Returns (vec_id, cell, is_keeper) for every input
+    vector.
+
+    The third embedding-dedup scale shape next to corpus-wide LSH
+    banding (embedding_dup_pairs) and exact all-pairs: candidate
+    scope is the CLUSTER, so pair work is Σ|cell|² — the knob is the
+    cluster count (at 100 TB size #clusters ∝ N so cells stay
+    ~constant and the join is linear). The cluster assignment reuses
+    the deterministic IVF coarse quantizer (broadcast centroids,
+    map-side argmax, smallest-cent_id tie-break), which is what makes
+    the whole operator SQL-replayable; production deployments swap in
+    kmeans_centroids exactly like ann_ivf does.
+
+    Scale shape: one Arrow assign pass (broadcast centroid matrix);
+    ONE shuffle on the cell key for the within-cell self-join; the
+    cosine verify is a pure JVM expression (whole-stage codegen, no
+    Python in the pair loop); the drop decision is a distinct +
+    left join — never a window. Cosines are rounded to 4 digits
+    before the threshold on BOTH engines (repo float rule)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ccog_spark.functions.vectors import dot, norm
+    from ccog_spark.operators.similarity import _ivf_centroid_arrays
+
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "e"
+        ),
+    )
+    cent_ids, cmat, cnrm = _ivf_centroid_arrays(
+        base.select("vec_id", F.col("e").alias("embedding")), cent_stride
+    )
+
+    @pandas_udf("long")
+    def assign(col: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype="f8") for v in col])
+        cos = (x @ cmat.T) / (
+            np.sqrt((x * x).sum(1))[:, None] * cnrm[None, :]
+        )
+        return pd.Series(cent_ids[cos.argmax(1)])
+
+    cells = base.select(
+        "vec_id",
+        "e",
+        norm(F.col("e")).alias("nrm"),
+        F.coalesce(assign(F.col("e")), F.lit(-1)).alias("cell"),
+    ).persist()  # referenced by both join sides + the final projection
+    a = cells.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = cells.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("id_b") < F.col("id_a"))
+        .where(
+            F.round(
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            )
+            >= cos_min
+        )
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return cells.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_keeper"),
+    )

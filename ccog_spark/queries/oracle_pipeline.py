@@ -1208,3 +1208,44 @@ SELECT d.doc_id,
 FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
 ORDER BY d.doc_id
 """
+
+# SemDeDup-style cluster-scoped semantic dedup, round 8: augmented
+# corpus (same planting as dedup_embed), deterministic IVF centroid
+# selection + argmax assignment, cosine >= 0.98 keep-first WITHIN the
+# assigned cell only. The oracle windows over vec_id for the argmax
+# (oracle-side only — the engine assigns map-side via the broadcast
+# centroid matrix, and its drop decision is distinct + left join).
+PIPELINE_ORACLE["dedup_semantic"] = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), aug AS (
+  SELECT vec_id, e FROM base
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id, list_concat([e[1] + 0.01], e[2:]) AS e
+  FROM base WHERE vec_id % 10 = 0
+), nv AS (
+  SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM aug
+), cent AS (
+  SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM nv
+  WHERE vec_id % 25 = 1
+), asn AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(e, cv) / (nrm * cn) DESC, cent_id
+         ) AS arn
+  FROM nv CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, cent_id AS cell FROM asn WHERE arn = 1
+), j AS (
+  SELECT nv.vec_id, nv.e, nv.nrm, c.cell
+  FROM nv JOIN cells c ON nv.vec_id = c.vec_id
+), dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM j a JOIN j b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.98
+)
+SELECT j.vec_id, j.cell, d.vec_id IS NULL AS is_keeper
+FROM j LEFT JOIN dups d ON j.vec_id = d.vec_id
+ORDER BY j.vec_id
+"""

@@ -481,6 +481,22 @@ def ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (operators.dedup.
+    semantic_dedup): coarse-quantizer cells via the deterministic IVF
+    centroid selection, cosine ≥ 0.98 keep-first WITHIN each cell, on
+    the planted-near-dup augmented corpus (same augmentation as
+    dedup_embed so the drop path is exercised). Third embedding-dedup
+    scale shape next to LSH banding and exact pairs: candidate scope
+    is the CLUSTER, pair work Σ|cell|². The oracle replays centroid
+    selection, argmax assignment (smallest-cent_id tie-break), and
+    the rounded-cosine within-cell exists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(
+        _augmented_embeddings(emb), dim=EMB_DIM
+    ).orderBy("vec_id")
+
+
 def pipeline_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (span) dedup with rebuild (operators.dedup.
     remove_repeated_spans — Lee et al. 2022's repeated-span removal at

@@ -271,6 +271,11 @@ REGISTRY: dict[str, QueryFn] = {
     # E31 tumbling window ≙ q19 (same result, batch spelling) and the
     # fold's stream_join/stream_dedup real readStream rows
     "stream_tumbling": streaming_corpus.stream_tumbling,
+    # round 8: SemDeDup-style cluster-scoped semantic dedup — the
+    # third embedding-dedup scale shape next to LSH banding
+    # (dedup_embed, fold family) and exact pairs; cluster cells via
+    # the deterministic IVF quantizer, cosine keep-first within cells
+    "dedup_semantic": pipeline.dedup_semantic,
     # round 8: EXACT-SUBSTRING (span) dedup with rebuild — Lee et al.
     # 2022's repeated-span removal at token granularity; sub-line
     # boilerplate that line dedup (exact-line) and chunk dedup

