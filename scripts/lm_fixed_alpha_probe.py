@@ -45,9 +45,12 @@ def main():
                "model_gram_rows": model_rows, "model_ctx_rows": ctx_rows}
         for q in ("pipeline_lm", "pipeline_line_dedup"):
             fn = REGISTRY[q]
-            fn(spark, d).count()  # warm-up
+            # collect(), not count(): count lets Catalyst PRUNE the
+            # expensive output columns (the rebuilt text, the score),
+            # which silently under-measures — scaling_smoke protocol
+            fn(spark, d).collect()  # warm-up
             t0 = time.perf_counter()
-            fn(spark, d).count()
+            fn(spark, d).collect()
             row[q + "_s"] = round(time.perf_counter() - t0, 2)
         print("ROWJSON:", json.dumps(row), flush=True)
 
