@@ -228,3 +228,52 @@ def test_semantic_dedup_drops_planted_in_cell(spark):
     # originals are never dropped BY their planted copy (copy id larger)
     keep_rate = sum(out[v].is_keeper for v in out if v < 10_000_000)
     assert keep_rate >= len(emb.collect()) - 5  # random fixture: ~all keep
+
+
+def _plan_text(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_span_and_semantic_dedup_plan_shapes(spark):
+    """Pin the 100 TB-relevant plan shapes: NO window over content
+    keys anywhere (keep-first must be a combinable aggregate), the
+    span dedup's position removal is a real anti-join, and semantic
+    dedup has no nested-loop/cartesian pair generation."""
+    from ccog_spark.operators.dedup import (
+        remove_repeated_spans,
+        semantic_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], ["doc_id", "text"]
+    )
+    span_plan = _plan_text(remove_repeated_spans(docs, k=4))
+    assert "Window" not in span_plan
+    assert "LeftAnti" in span_plan
+    assert "HashAggregate" in span_plan  # combinable keep-first
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(200)
+    dim = len(emb.select("embedding").first()[0])
+    sem_plan = _plan_text(semantic_dedup(emb, dim=dim))
+    assert "Window" not in sem_plan
+    assert "NestedLoop" not in sem_plan and "CartesianProduct" not in sem_plan
+    assert "ArrowEvalPython" in sem_plan  # the one assign pass
+    # every ArrowEvalPython occurrence must sit INSIDE an
+    # InMemoryRelation build-plan rendering (the persisted `cells`
+    # frame referenced by both join sides + the projection): that
+    # means ONE real Arrow materialization, re-rendered per cache
+    # reference — an occurrence OUTSIDE the cache would be a second
+    # live assign pass (the planner trap the verify notes document)
+    import re
+
+    arrows = len(re.findall(r"ArrowEvalPython", sem_plan))
+    cached = sem_plan.count("InMemoryRelation")
+    assert arrows <= cached
