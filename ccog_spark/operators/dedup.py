@@ -926,6 +926,7 @@ def semantic_dedup(
     dim: int,
     cent_stride: int = 25,
     cos_min: float = 0.98,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public
     arXiv:2303.09540): cluster embeddings with a coarse quantizer,
@@ -941,8 +942,11 @@ def semantic_dedup(
     ~constant and the join is linear). The cluster assignment reuses
     the deterministic IVF coarse quantizer (broadcast centroids,
     map-side argmax, smallest-cent_id tie-break), which is what makes
-    the whole operator SQL-replayable; production deployments swap in
-    kmeans_centroids exactly like ann_ivf does.
+    the whole operator SQL-replayable; production deployments pass
+    ``centroids`` = similarity.kmeans_centroids(emb, n_cells)
+    ((cent_id, c_emb, c_nrm) frame) exactly like ann_ivf does —
+    cluster count is THE cost knob (size it ∝ N so cells stay
+    constant-sized).
 
     Scale shape: one Arrow assign pass (broadcast centroid matrix);
     ONE shuffle on the cell key for the within-cell self-join; the
@@ -962,9 +966,16 @@ def semantic_dedup(
             "e"
         ),
     )
-    cent_ids, cmat, cnrm = _ivf_centroid_arrays(
-        base.select("vec_id", F.col("e").alias("embedding")), cent_stride
-    )
+    if centroids is not None:
+        rows = sorted(centroids.collect(), key=lambda r: r.cent_id)
+        cent_ids = np.array([r.cent_id for r in rows], "i8")
+        cmat = np.array([[float(x) for x in r.c_emb] for r in rows], "f8")
+        cnrm = np.array([float(r.c_nrm) for r in rows], "f8")
+    else:
+        cent_ids, cmat, cnrm = _ivf_centroid_arrays(
+            base.select("vec_id", F.col("e").alias("embedding")),
+            cent_stride,
+        )
 
     @pandas_udf("long")
     def assign(col: pd.Series) -> pd.Series:

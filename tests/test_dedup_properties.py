@@ -277,3 +277,29 @@ def test_span_and_semantic_dedup_plan_shapes(spark):
     arrows = len(re.findall(r"ArrowEvalPython", sem_plan))
     cached = sem_plan.count("InMemoryRelation")
     assert arrows <= cached
+
+
+def test_semantic_dedup_with_kmeans_centroids(spark):
+    """Production quantizer path: semantic_dedup(centroids=
+    kmeans_centroids(...)) — planted identical copies still drop
+    (identical vectors ALWAYS share a cell under any quantizer)."""
+    from ccog_spark.operators.dedup import semantic_dedup
+    from ccog_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(planted)
+    cents = kmeans_centroids(aug, n_cells=8)
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(aug, dim=dim, centroids=cents).collect()
+    }
+    assert len(out) == aug.count()
+    for vid in out:
+        if vid >= 10_000_000:
+            # identical copy: same cell as its original, larger id
+            assert out[vid].cell == out[vid - 10_000_000].cell
+            assert not out[vid].is_keeper
