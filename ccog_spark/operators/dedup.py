@@ -953,7 +953,17 @@ def semantic_dedup(
     cosine verify is a pure JVM expression (whole-stage codegen, no
     Python in the pair loop); the drop decision is a distinct +
     left join — never a window. Cosines are rounded to 4 digits
-    before the threshold on BOTH engines (repo float rule)."""
+    before the threshold on BOTH engines (repo float rule).
+
+    SCALE CAVEAT (measured, SCALING.md sf10 row): with the DEFAULT
+    stride-selected quantizer #cells ∝ N, so the brute-force assign
+    is O(N·#cells) = O(N²/stride) — fine at fixture scale (it is the
+    oracle-determinism device), wrong at 100 TB. The production
+    contract is ``centroids=`` with a sub-linear cell count (Spark ML
+    KMeans via similarity.kmeans_centroids, tested), or hierarchical
+    assignment (coarse-quantize the centroids themselves — the
+    standard IVF-on-centroids construction) when cells must track N
+    to bound pair work."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
