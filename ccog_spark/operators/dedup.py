@@ -36,7 +36,7 @@ every operator here is hash-checkable against DuckDB.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ccog_spark.functions.hashing import MOD, minhash_perm, roll_hash

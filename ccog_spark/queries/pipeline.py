@@ -7,11 +7,10 @@ ccog_spark.operators. Keys/aliases match queries/oracle_pipeline.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ccog_spark.catalog import load_table
-from ccog_spark.functions.vectors import dot, norm
 from ccog_spark.operators import dedup, multimodal, sharding, similarity, text, web
 from ccog_spark.operators.asof import asof_join_union
 
