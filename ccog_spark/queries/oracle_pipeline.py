@@ -1249,3 +1249,27 @@ SELECT j.vec_id, j.cell, d.vec_id IS NULL AS is_keeper
 FROM j LEFT JOIN dups d ON j.vec_id = d.vec_id
 ORDER BY j.vec_id
 """
+
+# Per-source corpus profile, round 8: composes the text_analysis CTE
+# (one truth for per-doc metrics) with the exact-dup keeper window and
+# per-source integer aggregates (quantized ratio sums — float rule).
+_TA_BODY = PIPELINE_ORACLE["text_analysis"].rsplit("ORDER BY doc_id", 1)[0]
+PIPELINE_ORACLE["corpus_profile"] = f"""
+WITH ta AS ({_TA_BODY}),
+dup AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY MD5(text)) AS is_keeper
+  FROM documents
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ta.n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CASE WHEN dup.is_keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CAST(FLOOR(ta.distinct_ratio * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_dr_q,
+       CAST(SUM(CASE WHEN ta.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM documents d
+JOIN ta ON d.doc_id = ta.doc_id
+JOIN dup ON d.doc_id = dup.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""

@@ -480,6 +480,39 @@ def ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-source corpus PROFILE — the "what's in this crawl"
+    report every pipeline run starts with: doc counts, token mass,
+    exact-dup rate, mean distinct-ratio (quantized-integer sum — repo
+    float rule: consumers divide by n_docs), and language mix, all
+    composed from text.analyze + dedup.exact_dedup in ONE lazy plan.
+    groupBy(source) aggregates are map-side combinable; the only
+    joins are doc_id-keyed (AQE). The oracle reuses the text_analysis
+    SQL as a CTE — one truth for the per-doc metrics."""
+    from ccog_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    an = text.analyze(docs)
+    return (
+        an.join(docs.select("doc_id", "source"), "doc_id")
+        .join(exact_dedup(docs).select("doc_id", "is_keeper"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum((~F.col("is_keeper")).cast("bigint")).alias("n_dup"),
+            F.sum(
+                F.floor(F.col("distinct_ratio") * 1000000 + F.lit(0.5))
+                .cast("bigint")
+            ).cast("bigint").alias("sum_dr_q"),
+            F.sum(
+                (F.col("lang_pred") == "en").cast("bigint")
+            ).alias("n_en"),
+        )
+        .orderBy("source")
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic dedup (operators.dedup.
     semantic_dedup): coarse-quantizer cells via the deterministic IVF

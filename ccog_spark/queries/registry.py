@@ -271,6 +271,10 @@ REGISTRY: dict[str, QueryFn] = {
     # E31 tumbling window ≙ q19 (same result, batch spelling) and the
     # fold's stream_join/stream_dedup real readStream rows
     "stream_tumbling": streaming_corpus.stream_tumbling,
+    # round 8: one-pass per-source corpus profile — the "what's in
+    # this crawl" report composing text.analyze + exact_dedup in one
+    # lazy plan (E37/E34 composition; both carry fold family rows)
+    "corpus_profile": pipeline.corpus_profile,
     # round 8: SemDeDup-style cluster-scoped semantic dedup — the
     # third embedding-dedup scale shape next to LSH banding
     # (dedup_embed, fold family) and exact pairs; cluster cells via

@@ -243,3 +243,33 @@ def test_write_rebuild_without_declared_nodata(spark, tmp_path):
     rows = read_cog_pixels(spark, dst).collect()
     assert len(rows) == h * w
     assert all(r.valid for r in rows)  # 241 is a VALID pixel
+
+
+def test_rebuild_color_jpeg_to_planar_deflate(spark, tmp_path):
+    """rebuild_cog transcodes a pixel-interleaved YCbCr JPEG COG into
+    planar deflate: the chunky distributed read feeds the planar write
+    path, and pixels survive within the JPEG's own lossy tolerance
+    (deflate adds nothing)."""
+    from ccog_spark.raster.cog import rebuild_cog, write_ccog
+
+    y, x = np.mgrid[0:32, 0:32]
+    ry, rx = (y * 255) // 31, (x * 255) // 31
+    arr = np.stack([ry, rx, (ry + rx) // 2]).astype(np.uint8)
+    src = str(tmp_path / "color.tif")
+    write_ccog(
+        spark, arr, src, blocksize=32, nodata=255.0, codec="jpeg",
+        compress_level=95, pixel_interleave=True,
+    )
+    dst = str(tmp_path / "planar.tif")
+    rebuild_cog(spark, src, dst, codec="deflate")
+    data = open(dst, "rb").read()
+    ifds = [i for i in tiff.read_cog(data) if not tiff.is_mask_ifd(i)]
+    assert ifds[0].compression == 8 and ifds[0].planar_config == 2
+    assert ifds[0].bands == 3
+    # decoded JPEG pixels re-encode losslessly: dst == src's decode
+    src_data = open(src, "rb").read()
+    src_ifd = tiff.read_cog(src_data)[0]
+    for b in range(3):
+        a = tiff.read_band(src_data, src_ifd, b)
+        bnd = tiff.read_band(data, ifds[0], b)
+        assert np.array_equal(a, bnd)
