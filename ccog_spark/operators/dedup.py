@@ -977,6 +977,8 @@ def semantic_dedup(
         ),
     )
     if centroids is not None:
+        # index-sized collect: the quantizer frame is n_cells rows by
+        # construction (kmeans_centroids' contract), never corpus-sized
         rows = sorted(centroids.collect(), key=lambda r: r.cent_id)
         cent_ids = np.array([r.cent_id for r in rows], "i8")
         cmat = np.array([[float(x) for x in r.c_emb] for r in rows], "f8")
