@@ -303,3 +303,50 @@ def test_semantic_dedup_with_kmeans_centroids(spark):
             # identical copy: same cell as its original, larger id
             assert out[vid].cell == out[vid - 10_000_000].cell
             assert not out[vid].is_keeper
+
+
+def _span_dedup_reference(rows, k):
+    """Independent pure-Python replay of remove_repeated_spans'
+    semantics: global keep-first window occurrences by (doc_id, pos),
+    covered positions set-unioned, ordered rebuild."""
+    first = {}
+    for d, t in sorted(rows):
+        toks = t.split(" ")
+        for p in range(len(toks) - k + 1):
+            g = " ".join(toks[p : p + k])
+            if g not in first or (d, p) < first[g]:
+                first[g] = (d, p)
+    out = {}
+    for d, t in rows:
+        toks = t.split(" ")
+        dropped = set()
+        for p in range(len(toks) - k + 1):
+            g = " ".join(toks[p : p + k])
+            if first[g] != (d, p):
+                dropped.update(range(p, p + k))
+        kept = [tok for i, tok in enumerate(toks) if i not in dropped]
+        out[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_remove_repeated_spans_matches_reference(spark, seed):
+    """Randomized corpora with a tiny vocabulary (forcing heavy window
+    collisions, incl. overlapping and within-doc repeats) — the Spark
+    operator must equal the independent Python replay exactly."""
+    from ccog_spark.operators.dedup import remove_repeated_spans
+
+    rng = random.Random(100 + seed)
+    vocab = [f"t{i}" for i in range(6)]  # tiny: dense collisions
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(2, 20))))
+        for i in range(40)
+    ]
+    want = _span_dedup_reference(rows, k=4)
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_dropped)
+        for r in remove_repeated_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=4
+        ).collect()
+    }
+    assert got == want
