@@ -45,6 +45,49 @@ N_PERMS = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
 
+# Span-dedup gram-key implementation (see remove_repeated_spans):
+# 'hash'   — two-seed xxhash64 128-bit pair over the token-window
+#            array; the production default (the shuffle carries 16
+#            bytes per gram instead of ~k tokens of text).
+# 'string' — full token-string keys; the collision-free oracle twin
+#            (kept runnable so the two modes can cross-check).
+_SPAN_KEY_IMPL = "hash"
+
+
+def _re_quote(sep: str) -> str:
+    """Literal separator → Java-regex pattern for F.split (which takes
+    a REGEX, not a literal): \\Q…\\E quoting, the JVM's own
+    Pattern.quote construction. Without this a metachar separator
+    ('.', '|') silently tokenizes wrong — and diverges from the DuckDB
+    oracles, which split literally. Separators containing the two-char
+    sequence '\\E' are rejected rather than mis-quoted."""
+    if "\\E" in sep:
+        raise ValueError(r"separator must not contain the sequence \E")
+    return "\\Q" + sep + "\\E"
+
+
+def _persist_latest(tag: str, df: DataFrame) -> DataFrame:
+    """persist() with single-slot scope per operator tag: the PREVIOUS
+    call's cached frame is released (async) when a new one arrives, so
+    repeated calls in a long-lived session hold at most one cached
+    frame per operator instead of accumulating leak sites (operators
+    return lazy results, so they cannot unpersist at their own exit;
+    the registry's byte-budget sweep remains the global backstop).
+    Note Spark's CacheManager keys cache REUSE by analyzed-plan
+    equality, so an identical re-invocation first releases, then
+    re-persists the same plan — one recompute, no double-caching."""
+    prev = _PERSISTED.pop(tag, None)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session may be stopped; nothing to release
+    _PERSISTED[tag] = df.persist()
+    return df
+
+
+_PERSISTED: dict[str, DataFrame] = {}
+
 
 def _content_hash(text_col: str) -> Column:
     """Null-safe content key: md5 of the text, with NULL text mapped
@@ -130,7 +173,9 @@ def remove_duplicate_lines(
     rows would break corpus alignment."""
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re_quote(sep))
+        ).alias("pos", "line"),
     )
     dedupable = F.length("line") >= min_chars
     firsts = (
@@ -175,6 +220,7 @@ def remove_repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = " ",
+    gram_keys: str | None = None,
 ) -> DataFrame:
     """EXACT-SUBSTRING (span) dedup with document rebuild — the
     "dedup repeated 50-token spans" stage of Lee et al. 2022
@@ -198,36 +244,55 @@ def remove_repeated_spans(
     boilerplate span repeated billions of times collapses map-side
     before the shuffle); the gram join back is AQE-skew-splittable;
     the position-level anti-join and per-doc regroup shuffle
-    (id, pos)-sized rows only. Gram keys are the token STRINGS, not
-    hashes — no collision false-drops. Explode factor is ≤k gram rows
-    per token; at 100 TB pick k≈50 like the paper (the default) and
-    the gram table is ~k× the token count of corpus-wide text, all
-    map-side-generated and combiner-collapsed."""
+    (id, pos)-sized rows only. Explode factor is ≤k gram rows per
+    token; at 100 TB pick k≈50 like the paper (the default).
+
+    Gram KEYS (``gram_keys``, default module _SPAN_KEY_IMPL='hash'):
+    the two exchanges that dominate at scale — the keep-first groupBy
+    and the join-back — are keyed on a 128-bit TWO-SEED xxhash64 pair
+    of the token-window ARRAY, computed map-side, so the shuffle
+    carries 16 bytes per gram instead of a ~k-token string (~50×
+    shuffle-byte cut at k=50; SCALING.md span-dedup row). Collision
+    risk is ~N²/2¹²⁸ — zero for any physical corpus — and hashing the
+    array (not a joined string) removes any separator-injection
+    ambiguity outright. ``gram_keys='string'`` keeps full token-string
+    keys (NO collision assumption) as the oracle twin: the DuckDB
+    oracle replays string grams, and the two modes are asserted equal
+    on collision-dense corpora in pytest."""
+    mode = gram_keys if gram_keys is not None else _SPAN_KEY_IMPL
+    if mode not in ("hash", "string"):
+        raise ValueError(f"gram_keys must be 'hash' or 'string': {mode}")
     t = docs.select(
-        F.col(id_col), F.split(F.col(text_col), sep).alias("tk")
+        F.col(id_col),
+        F.split(F.col(text_col), _re_quote(sep)).alias("tk"),
     ).withColumn("n", F.size("tk"))
-    grams = (
-        t.where(F.col("n") >= k)
-        .select(
-            id_col,
-            "tk",
-            F.explode(
-                F.sequence(F.lit(0), F.col("n") - F.lit(k))
-            ).alias("p"),
-        )
-        .select(
+    windows = t.where(F.col("n") >= k).select(
+        id_col,
+        "tk",
+        F.explode(F.sequence(F.lit(0), F.col("n") - F.lit(k))).alias("p"),
+    ).select(
+        id_col, "p", F.slice("tk", F.col("p") + 1, F.lit(k)).alias("_w")
+    )
+    if mode == "hash":
+        # two independent 64-bit lanes: xxhash64 folds arguments
+        # sequentially, so a distinct leading literal re-seeds lane 2
+        grams = windows.select(
             id_col,
             "p",
-            F.array_join(
-                F.slice("tk", F.col("p") + 1, F.lit(k)), sep
-            ).alias("_g"),
+            F.xxhash64("_w").alias("_g1"),
+            F.xxhash64(F.lit(1), "_w").alias("_g2"),
         )
-    )
-    firsts = grams.groupBy("_g").agg(
+        key = ["_g1", "_g2"]
+    else:
+        grams = windows.select(
+            id_col, "p", F.array_join("_w", sep).alias("_g1")
+        )
+        key = ["_g1"]
+    firsts = grams.groupBy(*key).agg(
         F.min(F.struct(id_col, "p")).alias("_first")
     )
     dup_spans = (
-        grams.join(firsts, "_g")
+        grams.join(firsts, key)
         .where(F.struct(id_col, "p") != F.col("_first"))
         .select(id_col, "p")
     )
@@ -876,14 +941,16 @@ def embedding_dup_pairs(
     # persisted: referenced three times (bands + both verify sides).
     # Band keys via the Arrow-vectorized kernel (bit-identical to the
     # expression version; see similarity.band_keys_arrow).
-    nv = (
+    # persisted (3 refs: bands + both verify sides), scoped so repeated
+    # calls release the prior call's cache (round-8 ADVICE)
+    nv = _persist_latest(
+        "embedding_dup_pairs.nv",
         emb.select(
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
         )
         .withColumn("nrm", norm(F.col("e")))
-        .withColumn("bks", band_keys_arrow(dim, nt, bb)(F.col("e")))
-        .persist()
+        .withColumn("bks", band_keys_arrow(dim, nt, bb)(F.col("e"))),
     )
     bands = nv.select(
         "vec_id", F.posexplode(F.col("bks")).alias("tbl", "bk")
@@ -927,6 +994,7 @@ def semantic_dedup(
     cent_stride: int = 25,
     cos_min: float = 0.98,
     centroids: DataFrame | None = None,
+    coarse_stride: int = 25,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public
     arXiv:2303.09540): cluster embeddings with a coarse quantizer,
@@ -955,15 +1023,27 @@ def semantic_dedup(
     left join — never a window. Cosines are rounded to 4 digits
     before the threshold on BOTH engines (repo float rule).
 
-    SCALE CAVEAT (measured, SCALING.md sf10 row): with the DEFAULT
-    stride-selected quantizer #cells ∝ N, so the brute-force assign
-    is O(N·#cells) = O(N²/stride) — fine at fixture scale (it is the
-    oracle-determinism device), wrong at 100 TB. The production
-    contract is ``centroids=`` with a sub-linear cell count (Spark ML
-    KMeans via similarity.kmeans_centroids, tested), or hierarchical
-    assignment (coarse-quantize the centroids themselves — the
-    standard IVF-on-centroids construction) when cells must track N
-    to bound pair work."""
+    DEFAULT quantizer (``centroids=None``): stride-selected centroids
+    (#cells ∝ N keeps cells constant-sized, so within-cell pair work
+    stays LINEAR in N) assigned HIERARCHICALLY — the standard
+    IVF-on-centroids construction. Every ``coarse_stride``-th centroid
+    (by cent_id rank, so the set is never empty) forms a coarse level;
+    each centroid maps to its nearest coarse centroid once
+    (O(C²/coarse_stride), centroid-sized); each vector picks its
+    coarse cell (O(N·C/coarse_stride)) then argmaxes only that coarse
+    cell's member centroids (O(N·coarse_stride) average). Total
+    assign O(N·√(N/stride)·2/√1) ≈ O(N^1.5/stride) — sub-quadratic,
+    replacing the flat assign's measured O(N²/stride) (the r8 sf10
+    probe's 34×-at-100×; SCALING.md carries the re-measured curve).
+    Every hop is a deterministic argmax with first-occurrence
+    (smallest-id) tie-break, so the DuckDB oracle replays the full
+    two-hop assignment. With C ≤ coarse_stride there is one coarse
+    cell and the hierarchy degenerates to the flat assign exactly.
+
+    ``centroids=`` (production contract, e.g. similarity.
+    kmeans_centroids with BOUNDED n_cells ∝ corpus/cell-budget) keeps
+    the flat exact-nearest assign: with bounded C it is linear and
+    hierarchy would only approximate it for no asymptotic gain."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -983,26 +1063,56 @@ def semantic_dedup(
         cent_ids = np.array([r.cent_id for r in rows], "i8")
         cmat = np.array([[float(x) for x in r.c_emb] for r in rows], "f8")
         cnrm = np.array([float(r.c_nrm) for r in rows], "f8")
+        hier = None
     else:
         cent_ids, cmat, cnrm = _ivf_centroid_arrays(
             base.select("vec_id", F.col("e").alias("embedding")),
             cent_stride,
         )
+        # coarse level by RANK (cent_ids ascending): never empty, and
+        # C ≤ coarse_stride degenerates to one coarse cell ≡ flat
+        ci = np.arange(0, len(cent_ids), coarse_stride)
+        ccm, ccn = cmat[ci], cnrm[ci]
+        # centroid → nearest coarse, first-occurrence (smallest
+        # coarse cent_id) tie-break; members stay cent_id-ascending
+        # so the hop-2 argmax keeps the smallest-cent_id tie-break
+        cc = (cmat @ ccm.T) / (cnrm[:, None] * ccn[None, :])
+        cmap = cc.argmax(1)
+        members = [np.where(cmap == j)[0] for j in range(len(ci))]
+        hier = (ci, ccm, ccn, members)
 
     @pandas_udf("long")
     def assign(col: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(v, dtype="f8") for v in col])
-        cos = (x @ cmat.T) / (
-            np.sqrt((x * x).sum(1))[:, None] * cnrm[None, :]
-        )
-        return pd.Series(cent_ids[cos.argmax(1)])
+        xn = np.sqrt((x * x).sum(1))
+        if hier is None:
+            cos = (x @ cmat.T) / (xn[:, None] * cnrm[None, :])
+            return pd.Series(cent_ids[cos.argmax(1)])
+        ci, ccm, ccn, members = hier
+        h1 = ((x @ ccm.T) / (xn[:, None] * ccn[None, :])).argmax(1)
+        out = np.empty(len(x), "i8")
+        for j in np.unique(h1):
+            sel = h1 == j
+            mem = members[j]
+            if len(mem) == 0:  # orphan coarse cell (duplicate-vector
+                mem = np.arange(len(cent_ids))  # tie): exact fallback
+            sub = (x[sel] @ cmat[mem].T) / (
+                xn[sel][:, None] * cnrm[mem][None, :]
+            )
+            out[sel] = cent_ids[mem[sub.argmax(1)]]
+        return pd.Series(out)
 
-    cells = base.select(
-        "vec_id",
-        "e",
-        norm(F.col("e")).alias("nrm"),
-        F.coalesce(assign(F.col("e")), F.lit(-1)).alias("cell"),
-    ).persist()  # referenced by both join sides + the final projection
+    # referenced by both join sides + the final projection; scoped so
+    # repeated calls release the prior call's cache (round-8 ADVICE)
+    cells = _persist_latest(
+        "semantic_dedup.cells",
+        base.select(
+            "vec_id",
+            "e",
+            norm(F.col("e")).alias("nrm"),
+            F.coalesce(assign(F.col("e")), F.lit(-1)).alias("cell"),
+        ),
+    )
     a = cells.select(
         "cell",
         F.col("vec_id").alias("id_a"),

@@ -1209,12 +1209,18 @@ FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
 ORDER BY d.doc_id
 """
 
-# SemDeDup-style cluster-scoped semantic dedup, round 8: augmented
-# corpus (same planting as dedup_embed), deterministic IVF centroid
-# selection + argmax assignment, cosine >= 0.98 keep-first WITHIN the
-# assigned cell only. The oracle windows over vec_id for the argmax
-# (oracle-side only — the engine assigns map-side via the broadcast
-# centroid matrix, and its drop decision is distinct + left join).
+# SemDeDup-style cluster-scoped semantic dedup, round 8 (round 9:
+# HIERARCHICAL two-hop assignment): augmented corpus (same planting
+# as dedup_embed), deterministic IVF centroid selection, then the
+# IVF-on-centroids assign the engine runs at scale — every 25th
+# centroid BY RANK forms a coarse level, each centroid maps once to
+# its nearest coarse centroid, each vector picks its coarse cell and
+# argmaxes only that cell's member centroids. Every hop tie-breaks
+# on smallest id (ROW_NUMBER cos DESC, id ASC — mirroring numpy's
+# first-occurrence argmax over id-ascending arrays). The oracle
+# windows over vec_id for the argmaxes (oracle-side only — the
+# engine assigns map-side via broadcast centroid matrices, and its
+# drop decision is distinct + left join).
 PIPELINE_ORACLE["dedup_semantic"] = """
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1226,17 +1232,45 @@ WITH base AS (
 ), nv AS (
   SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm FROM aug
 ), cent AS (
-  SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM nv
-  WHERE vec_id % 25 = 1
-), asn AS (
-  SELECT vec_id, cent_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY vec_id
-           ORDER BY list_dot_product(e, cv) / (nrm * cn) DESC, cent_id
-         ) AS arn
-  FROM nv CROSS JOIN cent
+  SELECT vec_id AS cent_id, e AS cv, nrm AS cn,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS crk
+  FROM nv WHERE vec_id % 25 = 1
+), coarse AS (
+  SELECT cent_id AS co_id, cv AS gv, cn AS gn
+  FROM cent WHERE (crk - 1) % 25 = 0
+), cmap AS (
+  SELECT cent_id, co_id FROM (
+    SELECT c.cent_id, g.co_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cent_id
+             ORDER BY list_dot_product(c.cv, g.gv) / (c.cn * g.gn)
+                      DESC, g.co_id
+           ) AS rn
+    FROM cent c CROSS JOIN coarse g
+  ) WHERE rn = 1
+), hop1 AS (
+  SELECT vec_id, co_id FROM (
+    SELECT v.vec_id, g.co_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, g.gv) / (v.nrm * g.gn)
+                      DESC, g.co_id
+           ) AS rn
+    FROM nv v CROSS JOIN coarse g
+  ) WHERE rn = 1
 ), cells AS (
-  SELECT vec_id, cent_id AS cell FROM asn WHERE arn = 1
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cn)
+                      DESC, c.cent_id
+           ) AS rn
+    FROM nv v
+    JOIN hop1 h ON v.vec_id = h.vec_id
+    JOIN cmap m ON m.co_id = h.co_id
+    JOIN cent c ON c.cent_id = m.cent_id
+  ) WHERE rn = 1
 ), j AS (
   SELECT nv.vec_id, nv.e, nv.nrm, c.cell
   FROM nv JOIN cells c ON nv.vec_id = c.vec_id

@@ -54,6 +54,23 @@ TAG_GEO_KEY_DIRECTORY = 34735
 TAG_GDAL_METADATA = 42112
 TAG_GDAL_NODATA = 42113
 
+# Every tag id read_header's val() ever dereferences (incl. the
+# numeric strip-layout ids 273/278/279 used for foreign strip TIFFs).
+# The external-array pre-scan is restricted to THIS set: an
+# unreferenced external tag in a foreign TIFF (ICC profile, EXIF,
+# XMP…) must neither fail the parse when it points past EOF nor force
+# a head-probing reader to read up to it (round-8 ADVICE).
+_PARSED_TAGS = frozenset({
+    TAG_NEW_SUBFILE_TYPE, TAG_IMAGE_WIDTH, TAG_IMAGE_LENGTH,
+    TAG_BITS_PER_SAMPLE, TAG_COMPRESSION, TAG_PHOTOMETRIC,
+    TAG_SAMPLES_PER_PIXEL, TAG_PLANAR_CONFIG, TAG_TILE_WIDTH,
+    TAG_TILE_LENGTH, TAG_TILE_OFFSETS, TAG_TILE_BYTE_COUNTS,
+    TAG_PREDICTOR, TAG_SAMPLE_FORMAT, TAG_JPEG_TABLES,
+    TAG_YCBCR_SUBSAMPLING, TAG_MODEL_PIXEL_SCALE, TAG_MODEL_TIEPOINT,
+    TAG_GEO_KEY_DIRECTORY, TAG_GDAL_METADATA, TAG_GDAL_NODATA,
+    273, 278, 279,  # StripOffsets / RowsPerStrip / StripByteCounts
+})
+
 TYPE_SHORT = 3  # uint16
 TYPE_LONG = 4  # uint32
 TYPE_ASCII = 2

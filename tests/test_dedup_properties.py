@@ -279,6 +279,58 @@ def test_span_and_semantic_dedup_plan_shapes(spark):
     assert arrows <= cached
 
 
+def test_semantic_dedup_hierarchical_degenerates_to_flat(spark):
+    """The round-9 hierarchical default: with coarse_stride ≥ #cents
+    there is ONE coarse cell, so the two-hop assignment must equal a
+    flat exact-nearest replay bit-for-bit (docstring contract); and
+    the real default (coarse_stride=25) still assigns every vector to
+    a centroid that exists, keeping identical vectors co-celled."""
+    import numpy as np
+
+    from ccog_spark.operators.dedup import semantic_dedup
+    from ccog_spark.operators.similarity import _ivf_centroid_arrays
+
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    # flat replay in numpy over the SAME double-cast view the operator
+    # quantizes (same argmax + first-occurrence tie-break)
+    dbl = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cent_ids, cmat, cnrm = _ivf_centroid_arrays(dbl, 25)
+    rows = dbl.collect()
+    want = {}
+    for r in rows:
+        x = np.asarray([float(v) for v in r.embedding], "f8")
+        cos = (cmat @ x) / (np.sqrt(x @ x) * cnrm)
+        want[r.vec_id] = int(cent_ids[int(cos.argmax())])
+    degen = {
+        r.vec_id: r.cell
+        for r in semantic_dedup(
+            emb, dim=dim, coarse_stride=10**9
+        ).collect()
+    }
+    assert degen == want
+    # a REAL multi-coarse hierarchy (coarse_stride=4 → ≥5 coarse cells
+    # on the ~20-centroid fixture): every assigned cell is a valid
+    # centroid id, no vector lost, and identical inputs co-cell (the
+    # assignment is a pure function of the embedding)
+    assert len(cent_ids) > 4
+    out = {
+        r.vec_id: r.cell
+        for r in semantic_dedup(emb, dim=dim, coarse_stride=4).collect()
+    }
+    assert len(out) == len(rows)
+    assert set(out.values()) <= set(int(c) for c in cent_ids)
+
+
 def test_semantic_dedup_with_kmeans_centroids(spark):
     """Production quantizer path: semantic_dedup(centroids=
     kmeans_centroids(...)) — planted identical copies still drop
@@ -329,11 +381,14 @@ def _span_dedup_reference(rows, k):
     return out
 
 
+@pytest.mark.parametrize("mode", ["hash", "string"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_remove_repeated_spans_matches_reference(spark, seed):
+def test_remove_repeated_spans_matches_reference(spark, seed, mode):
     """Randomized corpora with a tiny vocabulary (forcing heavy window
     collisions, incl. overlapping and within-doc repeats) — the Spark
-    operator must equal the independent Python replay exactly."""
+    operator must equal the independent Python replay exactly, in BOTH
+    gram-key modes (the production 128-bit two-seed hash keys and the
+    collision-free string-key oracle twin)."""
     from ccog_spark.operators.dedup import remove_repeated_spans
 
     rng = random.Random(100 + seed)
@@ -346,7 +401,45 @@ def test_remove_repeated_spans_matches_reference(spark, seed):
     got = {
         r.doc_id: (r.text, r.n_tokens, r.n_dropped)
         for r in remove_repeated_spans(
-            spark.createDataFrame(rows, ["doc_id", "text"]), k=4
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            k=4,
+            gram_keys=mode,
         ).collect()
     }
     assert got == want
+
+
+def test_remove_repeated_spans_regex_metachar_sep(spark):
+    """A regex-metachar separator ('.') must split LITERALLY (round-8
+    ADVICE: F.split takes a Java regex; the engine \\Q…\\E-quotes it)
+    — and both gram-key modes must agree on it."""
+    from ccog_spark.operators.dedup import (
+        remove_duplicate_lines,
+        remove_repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a.b.c.d.e"), (2, "x.a.b.c.d")], ["doc_id", "text"]
+    )
+    for mode in ("hash", "string"):
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_spans(
+                docs, k=4, sep=".", gram_keys=mode
+            ).collect()
+        }
+        assert out[1].text == "a.b.c.d.e" and out[1].n_tokens == 5
+        assert out[2].text == "x" and out[2].n_dropped == 4
+    # same latent pattern in line dedup: '|'-separated records
+    ld = {
+        r.doc_id: r
+        for r in remove_duplicate_lines(
+            spark.createDataFrame(
+                [(1, "aa|bb"), (2, "bb|cc")], ["doc_id", "text"]
+            ),
+            sep="|",
+        ).collect()
+    }
+    assert ld[1].text == "aa|bb" and ld[2].text == "cc"
+    with pytest.raises(ValueError, match=r"\\E"):
+        remove_repeated_spans(docs, k=4, sep="\\E").collect()
