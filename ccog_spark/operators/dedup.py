@@ -35,6 +35,8 @@ every operator here is hash-checkable against DuckDB.
 
 from __future__ import annotations
 
+import threading
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -75,18 +77,29 @@ def _persist_latest(tag: str, df: DataFrame) -> DataFrame:
     the registry's byte-budget sweep remains the global backstop).
     Note Spark's CacheManager keys cache REUSE by analyzed-plan
     equality, so an identical re-invocation first releases, then
-    re-persists the same plan — one recompute, no double-caching."""
-    prev = _PERSISTED.pop(tag, None)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session may be stopped; nothing to release
-    _PERSISTED[tag] = df.persist()
+    re-persists the same plan — one recompute, no double-caching.
+    The same plan-keyed reuse means two TAGS whose frames analyze to
+    the same plan alias one cache entry: unpersisting one tag's slot
+    releases the other's too (perf-only — the released frame
+    recomputes correctly; no tag pair in this module shares a plan).
+    The registry dict is lock-guarded: concurrent pipelines in one
+    session (e.g. parallel test workers sharing a SparkSession) must
+    not interleave pop/persist and strand an unreleased frame. The
+    terminal frame per tag stays pinned until the next call or the
+    registry byte-budget sweep's clearCache()."""
+    with _PERSISTED_LOCK:
+        prev = _PERSISTED.pop(tag, None)
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass  # session may be stopped; nothing to release
+        _PERSISTED[tag] = df.persist()
     return df
 
 
 _PERSISTED: dict[str, DataFrame] = {}
+_PERSISTED_LOCK = threading.Lock()
 
 
 def _content_hash(text_col: str) -> Column:
@@ -994,7 +1007,7 @@ def semantic_dedup(
     cent_stride: int = 25,
     cos_min: float = 0.98,
     centroids: DataFrame | None = None,
-    coarse_stride: int = 25,
+    coarse_stride: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public
     arXiv:2303.09540): cluster embeddings with a coarse quantizer,
@@ -1026,24 +1039,31 @@ def semantic_dedup(
     DEFAULT quantizer (``centroids=None``): stride-selected centroids
     (#cells ∝ N keeps cells constant-sized, so within-cell pair work
     stays LINEAR in N) assigned HIERARCHICALLY — the standard
-    IVF-on-centroids construction. Every ``coarse_stride``-th centroid
-    (by cent_id rank, so the set is never empty) forms a coarse level;
-    each centroid maps to its nearest coarse centroid once
-    (O(C²/coarse_stride), centroid-sized); each vector picks its
-    coarse cell (O(N·C/coarse_stride)) then argmaxes only that coarse
-    cell's member centroids (O(N·coarse_stride) average). Total
-    assign O(N·√(N/stride)·2/√1) ≈ O(N^1.5/stride) — sub-quadratic,
-    replacing the flat assign's measured O(N²/stride) (the r8 sf10
-    probe's 34×-at-100×; SCALING.md carries the re-measured curve).
-    Every hop is a deterministic argmax with first-occurrence
-    (smallest-id) tie-break, so the DuckDB oracle replays the full
-    two-hop assignment. With C ≤ coarse_stride there is one coarse
-    cell and the hierarchy degenerates to the flat assign exactly.
+    IVF-on-centroids construction. The coarse level is √C-SIZED
+    (round-10 fix of the r9 fixed-stride version, which was a 625×
+    constant cut but still O(N²) asymptotically): with C centroids,
+    ``n_coarse = ⌈√C⌉`` and the rank stride is ``⌈C/⌈√C⌉⌉`` — every
+    stride-th centroid by cent_id rank forms the coarse level (never
+    empty). Each centroid maps to its nearest coarse centroid once
+    (O(C^1.5), centroid-sized); each vector picks its coarse cell
+    (O(N·√C)) then argmaxes only that cell's ~√C member centroids
+    (O(N·√C) average). Total assign O(N·√C) = O(N^1.5/√cent_stride)
+    — genuinely sub-quadratic, replacing the flat assign's measured
+    O(N²/stride) (the r8 sf10 probe's 34×-at-100×; SCALING.md §r10
+    carries the re-measured curve). Every hop is a deterministic
+    argmax with first-occurrence (smallest-id) tie-break, and the
+    stride rule is pure integer arithmetic (``isqrt``), so the DuckDB
+    oracle replays the full two-hop assignment including the stride
+    computation. Passing an explicit ``coarse_stride`` int pins the
+    rank stride instead (tests use this for the degenerate flat case:
+    stride ≥ C → one coarse cell ≡ flat assign exactly).
 
     ``centroids=`` (production contract, e.g. similarity.
     kmeans_centroids with BOUNDED n_cells ∝ corpus/cell-budget) keeps
     the flat exact-nearest assign: with bounded C it is linear and
     hierarchy would only approximate it for no asymptotic gain."""
+    import math
+
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -1070,8 +1090,18 @@ def semantic_dedup(
             cent_stride,
         )
         # coarse level by RANK (cent_ids ascending): never empty, and
-        # C ≤ coarse_stride degenerates to one coarse cell ≡ flat
-        ci = np.arange(0, len(cent_ids), coarse_stride)
+        # C ≤ stride degenerates to one coarse cell ≡ flat. Default
+        # stride makes the coarse level √C-sized — ⌈√C⌉ coarse cells
+        # of ~√C members each, so both hops are O(√C) per vector.
+        # Integer-exact (isqrt) so the SQL oracle mirrors it verbatim:
+        # n_coarse = ⌈√C⌉ = isqrt(C-1)+1, stride = ⌈C/n_coarse⌉.
+        C = len(cent_ids)
+        if coarse_stride is not None:
+            stride = coarse_stride
+        else:
+            n_coarse = math.isqrt(max(C, 1) - 1) + 1
+            stride = -(-C // n_coarse) if C else 1
+        ci = np.arange(0, C, stride)
         ccm, ccn = cmat[ci], cnrm[ci]
         # centroid → nearest coarse, first-occurrence (smallest
         # coarse cent_id) tie-break; members stay cent_id-ascending

@@ -1210,13 +1210,20 @@ ORDER BY d.doc_id
 """
 
 # SemDeDup-style cluster-scoped semantic dedup, round 8 (round 9:
-# HIERARCHICAL two-hop assignment): augmented corpus (same planting
-# as dedup_embed), deterministic IVF centroid selection, then the
-# IVF-on-centroids assign the engine runs at scale — every 25th
-# centroid BY RANK forms a coarse level, each centroid maps once to
-# its nearest coarse centroid, each vector picks its coarse cell and
-# argmaxes only that cell's member centroids. Every hop tie-breaks
-# on smallest id (ROW_NUMBER cos DESC, id ASC — mirroring numpy's
+# HIERARCHICAL two-hop assignment; round 10: √C-SIZED coarse level +
+# orphan-cell fallback parity): augmented corpus (same planting as
+# dedup_embed), deterministic IVF centroid selection, then the
+# IVF-on-centroids assign the engine runs at scale — with C centroids
+# the coarse rank stride is ⌈C/⌈√C⌉⌉ (cst CTE, pure integer math
+# mirroring the engine's isqrt rule), every stride-th centroid BY
+# RANK forms the coarse level, each centroid maps once to its nearest
+# coarse centroid, each vector picks its coarse cell and argmaxes
+# only that cell's member centroids. Vectors whose coarse cell has NO
+# cmap members (unreachable unless float asymmetry — an orphan cell
+# loses every hop-1 tie to its identical smaller-id twin) replay the
+# engine's exact full-centroid fallback via cells_o instead of being
+# silently dropped by the inner joins. Every hop tie-breaks on
+# smallest id (ROW_NUMBER cos DESC, id ASC — mirroring numpy's
 # first-occurrence argmax over id-ascending arrays). The oracle
 # windows over vec_id for the argmaxes (oracle-side only — the
 # engine assigns map-side via broadcast centroid matrices, and its
@@ -1235,9 +1242,15 @@ WITH base AS (
   SELECT vec_id AS cent_id, e AS cv, nrm AS cn,
          ROW_NUMBER() OVER (ORDER BY vec_id) AS crk
   FROM nv WHERE vec_id % 25 = 1
+), cst AS (
+  SELECT GREATEST(
+           (COUNT(*) + CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) - 1)
+           // GREATEST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT), 1),
+           1) AS stride
+  FROM cent
 ), coarse AS (
   SELECT cent_id AS co_id, cv AS gv, cn AS gn
-  FROM cent WHERE (crk - 1) % 25 = 0
+  FROM cent, cst WHERE (crk - 1) % cst.stride = 0
 ), cmap AS (
   SELECT cent_id, co_id FROM (
     SELECT c.cent_id, g.co_id,
@@ -1258,7 +1271,7 @@ WITH base AS (
            ) AS rn
     FROM nv v CROSS JOIN coarse g
   ) WHERE rn = 1
-), cells AS (
+), cells_h AS (
   SELECT vec_id, cell FROM (
     SELECT v.vec_id, c.cent_id AS cell,
            ROW_NUMBER() OVER (
@@ -1271,6 +1284,21 @@ WITH base AS (
     JOIN cmap m ON m.co_id = h.co_id
     JOIN cent c ON c.cent_id = m.cent_id
   ) WHERE rn = 1
+), cells_o AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cn)
+                      DESC, c.cent_id
+           ) AS rn
+    FROM nv v
+    JOIN hop1 h ON v.vec_id = h.vec_id
+    CROSS JOIN cent c
+    WHERE h.co_id NOT IN (SELECT co_id FROM cmap)
+  ) WHERE rn = 1
+), cells AS (
+  SELECT * FROM cells_h UNION ALL SELECT * FROM cells_o
 ), j AS (
   SELECT nv.vec_id, nv.e, nv.nrm, c.cell
   FROM nv JOIN cells c ON nv.vec_id = c.vec_id

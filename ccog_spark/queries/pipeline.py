@@ -17,6 +17,29 @@ from ccog_spark.operators.asof import asof_join_union
 EMB_DIM = 64  # fixture embedding dimension (asserted in tests)
 
 
+def _tmp_index_dir(prefix: str, sf_dir: str) -> str:
+    """(sf_dir, pid)-scoped temp path for a persisted parquet index,
+    registered for atexit removal (round-9 ADVICE #4: repeated
+    harness runs must not strand ccog_ivfpq_* dirs under the OS temp
+    dir). The dir must OUTLIVE the returning query (its plan reads
+    the parquet lazily; the driver collects later), so cleanup is
+    process-exit, not function-exit; pid scoping keeps concurrent
+    harness runs (or other scale factors) from interleaving on a
+    shared path."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{tag}_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.analyze(docs).orderBy("doc_id")
@@ -453,27 +476,13 @@ def ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests) produce exactly ivfpq_topk's output, so the
     oracle is ann_ivfpq's oracle verbatim: one SQL truth, two
     execution paths (inline vs persisted)."""
-    import os
-    import tempfile
-
     from ccog_spark.operators.ann_index import (
         build_ivfpq_index,
         query_ivfpq_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # index dir keyed by (sf_dir, pid): concurrent harness runs — or
-    # runs at different scale factors — on one machine must not
-    # interleave build/query on a shared path (round-7 ADVICE). The
-    # query plan reads the parquet lazily, so the dir must outlive
-    # this function; pid-scoped temp dirs are reclaimed by the OS
-    # temp cleaner and are tiny (8-byte codes + model tables).
-    import hashlib
-
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx = os.path.join(
-        tempfile.gettempdir(), f"ccog_ivfpq_idx_{tag}_{os.getpid()}"
-    )
+    idx = _tmp_index_dir("ccog_ivfpq_idx", sf_dir)
     build_ivfpq_index(emb, EMB_DIM, idx)
     return query_ivfpq_index(
         spark, idx, _queries_subset(emb), k=3
@@ -552,10 +561,6 @@ def ann_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid selection and codebook rows come from the build subset
     only, while encode/candidates cover the whole corpus — so a
     silent retrain (or a failure to encode the delta) hash-mismatches."""
-    import hashlib
-    import os
-    import tempfile
-
     from ccog_spark.operators.ann_index import (
         append_to_index,
         build_ivfpq_index,
@@ -565,10 +570,7 @@ def ann_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.where(F.col("vec_id") % 3 != 0)
     b = emb.where(F.col("vec_id") % 3 == 0)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx = os.path.join(
-        tempfile.gettempdir(), f"ccog_ivfpq_app_{tag}_{os.getpid()}"
-    )
+    idx = _tmp_index_dir("ccog_ivfpq_app", sf_dir)
     build_ivfpq_index(a, EMB_DIM, idx)
     append_to_index(b, idx)
     return query_ivfpq_index(

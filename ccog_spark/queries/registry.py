@@ -83,6 +83,18 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # the fold's ann_ivfpq and the promoted ann_index), stream_tumbling
 # (E31 — stream_join/stream_dedup keep real readStream fold evidence;
 # tail q19 is its documented same-result batch twin).
+#
+# Round 10 reorder (VERDICT r9 task 1): the operators REWRITTEN in r9
+# — pipeline_span_dedup (hashed 128-bit gram keys) and dedup_semantic
+# (hierarchical √C coarse assign) — plus the r8 stars ann_index_append
+# and corpus_profile move INTO the fold so the driver hash-gates the
+# code that actually changed. Displaced, each keeping fold family
+# rows: q22 (E29 array-fn cosine ≙ ann_exact's brute-force cosine
+# top-k, above fold; q17 keeps a tail E29 row), pyramid_avg (E20
+# decimation ≙ qr1 + the fold's full pyramid path in cog_roundtrip),
+# dedup_simhash (E35 dedup family keeps minhash/cc/ngram/embed +
+# both r9-promoted dedup rows above fold), ann_lsh (E36 ANN family ≙
+# ann_ivfpq + ann_index above fold).
 REGISTRY: dict[str, QueryFn] = {
     "q01": relational.q01,
     "q02": relational.q02,
@@ -105,12 +117,20 @@ REGISTRY: dict[str, QueryFn] = {
     "q16": relational.q16,
     "q18": llm.q18,
     "q20": llm.q20,  # E16 analytic windows + session-window semantics
-    "q22": llm.q22,
+    # r10 fold slot (was q22): EXACT-SUBSTRING (span) dedup with
+    # rebuild — Lee et al. 2022 repeated-span removal, r9-rewritten to
+    # two-seed xxhash64 128-bit gram keys (string-gram oracle twin +
+    # random-corpus cross-check in pytest); driver hash now gates the
+    # hashed-key path
+    "pipeline_span_dedup": pipeline.pipeline_span_dedup,
     # raster corpus — incl. the 4 entries the r01 driver never reached
     "qr1": raster_queries.qr1,
     "qr2": raster_queries.qr2,
     "qr3": raster_queries.qr3,
-    "pyramid_avg": raster_queries.pyramid_avg,
+    # r10 fold slot (was pyramid_avg): SemDeDup cluster-scoped
+    # semantic dedup — r9/r10-rewritten hierarchical two-hop assign
+    # (√C-sized coarse level), full two-hop SQL oracle replay
+    "dedup_semantic": pipeline.dedup_semantic,
     # r7 fold slot (was decim_nearest): IVF+PQ composed ANN — cell
     # pruning over 8-byte PQ codes with broadcast ADC LUTs, the
     # production compressed-domain configuration
@@ -146,11 +166,15 @@ REGISTRY: dict[str, QueryFn] = {
     "pipeline_filter": pipeline.pipeline_filter,
     "dedup_exact": pipeline.dedup_exact,
     "dedup_minhash": pipeline.dedup_minhash,
-    "dedup_simhash": pipeline.dedup_simhash,
+    # r10 fold slot (was dedup_simhash): one-pass per-source corpus
+    # profile composing text.analyze + exact_dedup in one lazy plan
+    "corpus_profile": pipeline.corpus_profile,
     "dedup_ngram": pipeline.dedup_ngram,
     "dedup_embed": pipeline.dedup_embed,
     "ann_exact": pipeline.ann_exact,
-    "ann_lsh": pipeline.ann_lsh,
+    # r10 fold slot (was ann_lsh): INCREMENTAL ann-index growth —
+    # frozen-model delta encode + query of the grown parquet index
+    "ann_index_append": pipeline.ann_index_append_q,
     # r8 fold slot (was ann_ivf): PERSISTED IVF+PQ index — build the
     # parquet index once, answer queries from 8-byte codes only;
     # bit-identical to ann_ivfpq, oracle reused verbatim
@@ -271,27 +295,17 @@ REGISTRY: dict[str, QueryFn] = {
     # E31 tumbling window ≙ q19 (same result, batch spelling) and the
     # fold's stream_join/stream_dedup real readStream rows
     "stream_tumbling": streaming_corpus.stream_tumbling,
-    # round 8: one-pass per-source corpus profile — the "what's in
-    # this crawl" report composing text.analyze + exact_dedup in one
-    # lazy plan (E37/E34 composition; both carry fold family rows)
-    "corpus_profile": pipeline.corpus_profile,
-    # round 8: SemDeDup-style cluster-scoped semantic dedup — the
-    # third embedding-dedup scale shape next to LSH banding
-    # (dedup_embed, fold family) and exact pairs; cluster cells via
-    # the deterministic IVF quantizer, cosine keep-first within cells
-    "dedup_semantic": pipeline.dedup_semantic,
-    # round 8: EXACT-SUBSTRING (span) dedup with rebuild — Lee et al.
-    # 2022's repeated-span removal at token granularity; sub-line
-    # boilerplate that line dedup (exact-line) and chunk dedup
-    # (64-token alignment) both miss (E34 family; dedup_exact /
-    # pipeline_line_dedup carry fold rows)
-    "pipeline_span_dedup": pipeline.pipeline_span_dedup,
-    # round 8: INCREMENTAL ann-index growth — build on two-thirds of
-    # the corpus, append the rest under the frozen saved model, query
-    # the grown index; the oracle derives the model from the build
-    # subset only (E36 family; ann_index carries the fold row, the
-    # frozen-model bit-identity is additionally pinned in pytest)
-    "ann_index_append": pipeline.ann_index_append_q,
+    # r10 displaced fold rows — each keeps above-fold family rows:
+    # E29 array-fn cosine ≙ ann_exact (fold carries brute-force
+    # cosine top-k) + tail q17
+    "q22": llm.q22,
+    # E20 decimation ≙ qr1 (fold) + cog_roundtrip's full pyramid
+    "pyramid_avg": raster_queries.pyramid_avg,
+    # E35 fingerprint dedup ≙ dedup_minhash/dedup_cc/dedup_ngram/
+    # dedup_embed + dedup_semantic/pipeline_span_dedup (all fold)
+    "dedup_simhash": pipeline.dedup_simhash,
+    # E36 LSH ANN ≙ ann_ivfpq + ann_index + ann_index_append (fold)
+    "ann_lsh": pipeline.ann_lsh,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

@@ -263,6 +263,7 @@ def write_cog(
     ghost: bool = False,
     pixel_interleave: bool = False,
     jpeg_subsampling: str = "444",
+    colormap: dict[int, tuple[int, int, int]] | None = None,
 ) -> CogWriteResult:
     """Write long-form pixels (band,y,x,value,valid) as a COG.
 
@@ -305,8 +306,19 @@ def write_cog(
     written for bands with valid_percent > 0, like the reference.
 
     ``band_meta``: {band_index: {"description":…, "scale":…,
-    "offset":…, "unit":…}} → per-band GDAL_METADATA items (≙
-    _add_metadata, ccog/ccog.py:213-235).
+    "offset":…, "unit":…, "colorinterp":…}} → per-band GDAL_METADATA
+    items (≙ _add_metadata, ccog/ccog.py:213-235). ``colorinterp``
+    (e.g. "Red", "Gray", "Palette") is written as GDAL's
+    role="colorinterp" COLORINTERP item — the GeoTIFF driver's
+    spelling for interpretations TIFF tags cannot express (≙ the
+    reference's colorinterp profile key, ccog/ccog.py:229-230).
+
+    ``colormap``: {pixel_value: (r, g, b)} 8-bit palette for a
+    single-band uint8/uint16 raster — written as PhotometricInterp=3
+    + TIFF ColorMap (tag 320, 16-bit ×257 scaling, one shared
+    external array across all IFDs) and read back by tiff.read_cog /
+    sources.cog_reader into IfdInfo.colormap (≙ the reference's
+    write_colormap profile key, ccog/ccog.py:231-235).
     """
     if n_overviews is None:
         n_overviews = overview_count(width, height, blocksize)
@@ -382,6 +394,17 @@ def write_cog(
             raise ValueError(
                 "internal_mask with pixel_interleave is not supported"
             )
+    if colormap is not None:
+        # fail BEFORE the pyramid/encode jobs run (build_cog_plan
+        # re-validates, but only after the expensive distributed work)
+        if bands != 1:
+            raise ValueError("colormap requires a single band")
+        if dtype not in ("uint8", "uint16"):
+            raise ValueError(
+                f"colormap requires dtype uint8/uint16, got {dtype!r}"
+            )
+        if pixel_interleave:
+            raise ValueError("colormap and pixel_interleave conflict")
 
     # Normalize band labels to dense 0-based plane indices (the fixture
     # uses 1-based bands; TIFF planes are positional).
@@ -395,7 +418,7 @@ def write_cog(
     )
     pixels = pixels.withColumn("band", band_map[F.col("band")])
 
-    meta_items: list[tuple[str, int | None, str]] = []
+    meta_items: list[tuple] = []
     if band_meta:
         key_of = {
             "description": "DESCRIPTION",
@@ -405,7 +428,14 @@ def write_cog(
         }
         for b, kv in sorted(band_meta.items()):
             for k, v in kv.items():
-                meta_items.append((key_of.get(k, k.upper()), b, str(v)))
+                if k == "colorinterp":
+                    # GDAL's role="colorinterp" item (GeoTIFF driver
+                    # spelling; ≙ reference ccog/ccog.py:229-230)
+                    meta_items.append(
+                        ("COLORINTERP", b, str(v), "colorinterp")
+                    )
+                else:
+                    meta_items.append((key_of.get(k, k.upper()), b, str(v)))
     if statistics:
         # one small job: 5 scalars per band (≙ ccog/ccog.py:511-541)
         vv = F.when(F.col("valid"), F.col("value"))
@@ -517,6 +547,7 @@ def write_cog(
             if pixel_interleave
             else None
         ),
+        colormap=colormap,
     )
 
     # file_seq: header is 0; tiles follow in plan order. The tile-key →

@@ -47,6 +47,7 @@ TAG_TILE_BYTE_COUNTS = 325
 TAG_PREDICTOR = 317
 TAG_SAMPLE_FORMAT = 339
 TAG_JPEG_TABLES = 347  # shared JPEG quantization/Huffman tables
+TAG_COLORMAP = 320  # palette RGB shorts for Photometric=3
 TAG_YCBCR_SUBSAMPLING = 530  # (h, v) chroma subsampling for Photometric=6
 TAG_MODEL_PIXEL_SCALE = 33550  # GeoTIFF spec (public)
 TAG_MODEL_TIEPOINT = 33922
@@ -66,7 +67,8 @@ _PARSED_TAGS = frozenset({
     TAG_SAMPLES_PER_PIXEL, TAG_PLANAR_CONFIG, TAG_TILE_WIDTH,
     TAG_TILE_LENGTH, TAG_TILE_OFFSETS, TAG_TILE_BYTE_COUNTS,
     TAG_PREDICTOR, TAG_SAMPLE_FORMAT, TAG_JPEG_TABLES,
-    TAG_YCBCR_SUBSAMPLING, TAG_MODEL_PIXEL_SCALE, TAG_MODEL_TIEPOINT,
+    TAG_COLORMAP, TAG_YCBCR_SUBSAMPLING,
+    TAG_MODEL_PIXEL_SCALE, TAG_MODEL_TIEPOINT,
     TAG_GEO_KEY_DIRECTORY, TAG_GDAL_METADATA, TAG_GDAL_NODATA,
     273, 278, 279,  # StripOffsets / RowsPerStrip / StripByteCounts
 })
@@ -310,6 +312,7 @@ def build_cog_plan(
     planar_config: int = 2,
     photometric: int = 1,
     ycbcr_subsampling: tuple[int, int] | None = None,
+    colormap: dict[int, tuple[int, int, int]] | None = None,
 ) -> CogPlan:
     """Compute the complete file layout: IFD chain bytes with final tile
     offsets, and the ordered (level,band,ty,tx) data sequence.
@@ -366,6 +369,30 @@ def build_cog_plan(
             "photometric=6 (YCbCr) requires ycbcr_subsampling — the TIFF "
             "default is (2,2), so omitting the tag corrupts 4:4:4 reads"
         )
+    # Palette (Photometric=3 + ColorMap tag 320 — ≙ the reference's
+    # write_colormap profile key reaching rasterio's write_colormap,
+    # ccog/ccog.py:231-235). One external RGB short array (all reds,
+    # then greens, then blues, 2^bits each), shared by every data IFD
+    # — TIFF requires ColorMap on each palette page; sharing one copy
+    # is spec-legal offset reuse, like the JPEGTables copies. 8-bit
+    # palette entries are scaled to the 16-bit TIFF domain by ×257
+    # (0→0, 255→65535 — GDAL/rasterio's convention); missing indices
+    # are black (0,0,0).
+    if colormap is not None:
+        photometric = 3
+        if bands != 1 or planar_config != 2:
+            raise ValueError("colormap requires a single band")
+        if bits not in (8, 16):
+            raise ValueError(
+                f"colormap requires uint8/uint16 samples, got {bits}-bit"
+            )
+        for idx, rgb in colormap.items():
+            if not (0 <= int(idx) < (1 << bits)):
+                raise ValueError(f"colormap index {idx} out of range")
+            if len(rgb) != 3 or any(not (0 <= int(v) <= 255) for v in rgb):
+                raise ValueError(f"colormap entry {idx}: need 8-bit (r,g,b)")
+    elif photometric == 3:
+        raise ValueError("photometric=3 requires a colormap")
     # tiles per level: one per (band, ty, tx) for separate planes,
     # one per (ty, tx) for pixel-interleaved
     n_planes = bands if planar_config == 2 else 1
@@ -466,6 +493,7 @@ def build_cog_plan(
             + (1 if pred_of(lp.level) != 1 else 0)
             + (1 if tables_of(lp.level) is not None else 0)
             + (1 if photometric == 6 else 0)  # YCbCrSubSampling
+            + (1 if colormap is not None else 0)  # ColorMap, every page
         )
 
     ifd_entry_counts = [
@@ -514,6 +542,9 @@ def build_cog_plan(
         pos += 8 * 6
         ext[("geo", "keys")] = pos
         pos += 2 * len(geo_keys)
+    if colormap is not None:
+        ext[("colormap", "s")] = pos
+        pos += 2 * 3 * (1 << bits)
     for lp in levels:
         if 2 * bands > inline_cap:
             ext[(lp.level, "bps")] = pos
@@ -667,6 +698,13 @@ def build_cog_plan(
                     TAG_YCBCR_SUBSAMPLING, list(ycbcr_subsampling)
                 )
             )
+        if colormap is not None:
+            entries.append(
+                entry(
+                    TAG_COLORMAP, TYPE_SHORT, 3 * (1 << bits),
+                    ext[("colormap", "s")],
+                )
+            )
         if pred_of(lp.level) != 1:
             entries.append(
                 entry(TAG_PREDICTOR, TYPE_SHORT, 1, pred_of(lp.level))
@@ -762,6 +800,17 @@ def build_cog_plan(
     ):
         p0 = ext[("jpegtables_ov", "s")]
         buf[p0 : p0 + len(overview_shared_tables)] = overview_shared_tables
+    if colormap is not None:
+        n_pal = 1 << bits
+        pal = [0] * (3 * n_pal)
+        for idx, (r, g, b) in colormap.items():
+            # 8-bit → 16-bit TIFF domain: v*257 == (v<<8)|v
+            pal[int(idx)] = int(r) * 257
+            pal[n_pal + int(idx)] = int(g) * 257
+            pal[2 * n_pal + int(idx)] = int(b) * 257
+        struct.pack_into(
+            f"<{3 * n_pal}H", buf, ext[("colormap", "s")], *pal
+        )
     if geo_keys is not None:
         sx, sy = geo["px_size"]
         ox, oy = geo["origin"]
@@ -800,15 +849,20 @@ def build_cog_plan(
 
 
 # ----------------------------------------------------------------- read
-def gdal_metadata_xml(items: list[tuple[str, int | None, str]]) -> str:
+def gdal_metadata_xml(items: list[tuple]) -> str:
     """GDAL_METADATA tag payload: ``<GDALMetadata>`` XML with per-band
     ("sample") items — the public format GDAL reads band descriptions,
     scales/offsets/units and STATISTICS_* tags from (≙ the reference's
-    update_tags calls, ccog/ccog.py:213-235,543-555)."""
+    update_tags calls, ccog/ccog.py:213-235,543-555). Items are
+    (name, sample, value) or (name, sample, value, role) — role is
+    GDAL's item namespace attribute (e.g. role="colorinterp" for the
+    COLORINTERP band item, matching what GDAL's GeoTIFF driver emits
+    for interpretations TIFF tags cannot express)."""
     lines = ["<GDALMetadata>"]
-    for name, sample, value in items:
+    for name, sample, value, *rest in items:
         s = f' sample="{sample}"' if sample is not None else ""
-        lines.append(f'  <Item name="{name}"{s}>{value}</Item>')
+        r = f' role="{rest[0]}"' if rest and rest[0] else ""
+        lines.append(f'  <Item name="{name}"{s}{r}>{value}</Item>')
     lines.append("</GDALMetadata>")
     return "\n".join(lines)
 
@@ -836,6 +890,10 @@ class IfdInfo:
     planar_config: int = 2
     ycbcr_subsampling: tuple[int, int] | None = None
     photometric: int = 1
+    # Photometric=3 palette, parsed back to the writer's 8-bit dict
+    # form {index: (r, g, b)}: 16-bit ColorMap shorts descaled //257,
+    # all-black entries elided (they are the tag's fill)
+    colormap: dict[int, tuple[int, int, int]] | None = None
     # strip-based (foreign) layout: strips are modeled as full-width
     # tiles of height rows_per_strip, EXCEPT the last strip is stored
     # UNPADDED (TIFF 6.0 §3) — readers must size it by the clip
@@ -968,6 +1026,13 @@ def read_cog(data: bytes) -> list[IfdInfo]:
         # failed val() at a time.
         furthest = 0
         for _tag, (typ, count, raw) in tags.items():
+            if _tag not in _PARSED_TAGS:
+                # unreferenced external tag (ICC/EXIF/XMP…): val()
+                # never dereferences it, so it must neither fail the
+                # parse when it points past EOF nor force a
+                # head-probing reader to over-read (round-8 ADVICE;
+                # _PARSED_TAGS is the contract)
+                continue
             if typ not in TYPE_SIZES:
                 continue  # val() reports unknown types when asked
             total = TYPE_SIZES[typ] * count
@@ -1041,6 +1106,21 @@ def read_cog(data: bytes) -> list[IfdInfo]:
         nod = val(TAG_GDAL_NODATA)
         bps = val(TAG_BITS_PER_SAMPLE, 64)
         sf = val(TAG_SAMPLE_FORMAT, 3)
+        cmap_raw = val(TAG_COLORMAP)
+        cmap = None
+        if cmap_raw is not None:
+            pal = cmap_raw if isinstance(cmap_raw, list) else [cmap_raw]
+            if len(pal) % 3:
+                raise ValueError(
+                    f"ColorMap length {len(pal)} is not divisible by 3"
+                )
+            n_pal = len(pal) // 3
+            cmap = {
+                i: (pal[i] // 257, pal[n_pal + i] // 257,
+                    pal[2 * n_pal + i] // 257)
+                for i in range(n_pal)
+                if pal[i] or pal[n_pal + i] or pal[2 * n_pal + i]
+            }
         out.append(
             IfdInfo(
                 width=val(TAG_IMAGE_WIDTH),
@@ -1070,6 +1150,7 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                     else None
                 ),
                 photometric=val(TAG_PHOTOMETRIC, 1),
+                colormap=cmap,
                 rows_per_strip=rows_per_strip,
                 byteorder=bo,
             )

@@ -139,3 +139,31 @@ def test_append_bit_identical_to_frozen_model_build(spark, tmp_path):
     got = {key(r): tuple(r) for r in query_ivfpq_index(spark, idx, q, k=3).collect()}
     want = {key(r): tuple(r) for r in query_ivfpq_index(spark, twin, q, k=3).collect()}
     assert got == want and got  # bit-identical retrieval
+
+
+def test_tmp_index_dirs_removed_at_process_exit(tmp_path):
+    """Round-10 (r9 ADVICE #4): the pid-scoped parquet index dirs the
+    registry queries build under the OS temp dir are atexit-registered
+    for removal — repeated harness runs must not strand ccog_ivfpq_*
+    dirs. Simulated in a subprocess (no Spark needed: the contract is
+    _tmp_index_dir's registration, not the build)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    out = subprocess.run(
+        [sys.executable, "-c", textwrap.dedent("""
+            import os, sys
+            sys.path.insert(0, "/root/repo")
+            from ccog_spark.queries.pipeline import _tmp_index_dir
+            p = _tmp_index_dir("ccog_ivfpq_idx", "/root/testdata/sf0.001")
+            os.makedirs(os.path.join(p, "codes"), exist_ok=True)
+            open(os.path.join(p, "codes", "part-0.parquet"), "w").write("x")
+            print(p)
+        """)],
+        capture_output=True, text=True, check=True,
+    )
+    path = out.stdout.strip().splitlines()[-1]
+    assert "ccog_ivfpq_idx" in path
+    assert not os.path.exists(path)  # reaped at interpreter exit

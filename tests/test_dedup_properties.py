@@ -280,11 +280,12 @@ def test_span_and_semantic_dedup_plan_shapes(spark):
 
 
 def test_semantic_dedup_hierarchical_degenerates_to_flat(spark):
-    """The round-9 hierarchical default: with coarse_stride ≥ #cents
-    there is ONE coarse cell, so the two-hop assignment must equal a
-    flat exact-nearest replay bit-for-bit (docstring contract); and
-    the real default (coarse_stride=25) still assigns every vector to
-    a centroid that exists, keeping identical vectors co-celled."""
+    """The hierarchical default (round-10: √C-sized coarse level):
+    with a pinned coarse_stride ≥ #cents there is ONE coarse cell, so
+    the two-hop assignment must equal a flat exact-nearest replay
+    bit-for-bit (docstring contract); and a real multi-coarse
+    hierarchy still assigns every vector to a centroid that exists,
+    keeping identical vectors co-celled."""
     import numpy as np
 
     from ccog_spark.operators.dedup import semantic_dedup
@@ -443,3 +444,78 @@ def test_remove_repeated_spans_regex_metachar_sep(spark):
     assert ld[1].text == "aa|bb" and ld[2].text == "cc"
     with pytest.raises(ValueError, match=r"\\E"):
         remove_repeated_spans(docs, k=4, sep="\\E").collect()
+
+
+def test_semantic_dedup_parallel_coarse_twins_oracle_parity(spark):
+    """Round-10 orphan-cell parity (VERDICT r9 task 5 / ADVICE #3):
+    a corpus with two PARALLEL-but-not-identical embeddings (v76 =
+    2·v1, exact in floats: power-of-two scaling commutes with dot,
+    norm, and the cosine quotient, so every cosine against the twins
+    ties EXACTLY in both engines) that both land in the √C coarse
+    level — centroid ranks {1,4,7,10} of C=10 ⇒ cent_ids {1,76,151,
+    226}. The larger-id twin's coarse cell is then memberless (even
+    centroid 76 itself ties to coarse 1 and loses on id), i.e. a live
+    ORPHAN cell: the engine's full-centroid fallback guard and the
+    oracle's cells_o branch both face it. Both engines must agree row
+    for row with no silent drops (the pre-fix oracle lost orphan
+    vectors to its inner joins)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ccog_spark.operators.dedup import semantic_dedup
+    from ccog_spark.queries.oracle_pipeline import PIPELINE_ORACLE
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    vecs = {i: rng.normal(size=dim).round(3) for i in range(1, 251)}
+    vecs[76] = 2.0 * vecs[1]  # parallel, NOT identical
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(sdf, dim=dim).collect()}
+
+    # the scenario is real: recompute the √C coarse level + cmap the
+    # engine builds and assert the larger twin's coarse cell is orphan
+    cent_ids = np.array(sorted(i for i in vecs if i % 25 == 1), "i8")
+    C = len(cent_ids)
+    assert C == 10
+    import math
+
+    stride = -(-C // (math.isqrt(C - 1) + 1))
+    ci = np.arange(0, C, stride)
+    coarse_ids = cent_ids[ci]
+    assert 1 in coarse_ids and 76 in coarse_ids  # twins straddle it
+    cmat = np.array([vecs[int(i)] for i in cent_ids], "f8")
+    cnrm = np.sqrt((cmat * cmat).sum(1))
+    cc = (cmat @ cmat[ci].T) / (cnrm[:, None] * cnrm[ci][None, :])
+    cmap = cc.argmax(1)
+    orphan_rank = int(np.where(coarse_ids == 76)[0][0])
+    assert not (cmap == orphan_rank).any()  # cell 76 is memberless
+
+    # oracle replay: the SHIPPED dedup_semantic SQL verbatim, with the
+    # fixture augmentation disabled so it runs on this corpus as-is
+    sql = PIPELINE_ORACLE["dedup_semantic"].replace(
+        "FROM base WHERE vec_id % 10 = 0", "FROM base WHERE FALSE"
+    )
+    assert sql != PIPELINE_ORACLE["dedup_semantic"]
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": sorted(vecs),
+                "embedding": [list(vecs[i]) for i in sorted(vecs)],
+            }
+        ),
+    )
+    want = {
+        int(v): (int(c), bool(k))
+        for v, c, k in con.execute(sql).fetchall()
+    }
+    got = {v: (int(r.cell), bool(r.is_keeper)) for v, r in out.items()}
+    assert len(got) == 250 and len(want) == 250  # no silent drops
+    assert got == want
+    # the parallel twin co-cells with its original and is pruned
+    assert got[76] == (1, False) and got[1][1] is True

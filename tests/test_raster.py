@@ -492,3 +492,73 @@ def test_write_ccog_xarray_metadata_inference(spark, tmp_path):
     write_ccog(spark, _FakeDataArray(vals), out3, blocksize=32)
     ifd0 = tiff.read_cog(open(out3, "rb").read())[0]
     assert ifd0.nodata == -9999.0 and ifd0.epsg is None
+
+
+def test_palette_colormap_roundtrip(spark, tmp_path):
+    """Round-10 (R4 gap / r8 task 4): single-band uint8 palette COG —
+    write_ccog(colormap=..., band_meta colorinterp) must produce a
+    PhotometricInterpretation=3 file whose ColorMap (tag 320, 16-bit
+    ×257 scaling, shared across data IFDs) reads back IDENTICAL via
+    tiff.read_cog, with pixels intact and the GDAL_METADATA carrying
+    GDAL's role="colorinterp" COLORINTERP item (≙ reference
+    write_colormap/colorinterp profile keys, ccog/ccog.py:229-235)."""
+    from ccog_spark.raster.cog import write_ccog
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 5, (48, 64), dtype=np.uint8)
+    cmap = {
+        0: (0, 0, 0),
+        1: (255, 0, 0),
+        2: (0, 255, 0),
+        3: (0, 0, 255),
+        4: (255, 255, 255),
+    }
+    out = str(tmp_path / "palette.tif")
+    write_ccog(
+        spark,
+        arr,
+        out,
+        blocksize=32,
+        nodata=255.0,  # outside the palette's used index range
+        colormap=cmap,
+        band_meta={0: {"colorinterp": "Palette"}},
+    )
+    data = open(out, "rb").read()
+    ifds = tiff.read_cog(data)
+    assert all(i.photometric == 3 for i in ifds)
+    # identical color table on EVERY page (all-black 0 entry is the
+    # tag's fill, elided by the parser — compare the non-black set)
+    want = {k: v for k, v in cmap.items() if v != (0, 0, 0)}
+    for ifd in ifds:
+        assert ifd.colormap == want
+    # pixels intact (palette indices are ordinary uint8 samples)
+    got = tiff.read_band(data, ifds[0], 0)
+    assert np.array_equal(got, arr)
+    # reference-matching GDAL_METADATA item
+    assert (
+        '<Item name="COLORINTERP" sample="0" role="colorinterp">'
+        "Palette</Item>" in ifds[0].metadata
+    )
+
+
+def test_colormap_validation(spark, tmp_path):
+    """Palette misuse fails BEFORE the distributed jobs: multi-band,
+    non-integer dtype, out-of-range entries; and photometric=3 without
+    a colormap is rejected at the plan layer."""
+    from ccog_spark.raster.cog import write_ccog
+
+    arr3 = np.zeros((3, 32, 32), dtype=np.uint8)
+    with pytest.raises(ValueError, match="single band"):
+        write_ccog(spark, arr3, str(tmp_path / "x.tif"), blocksize=32,
+                   nodata=255.0, colormap={0: (1, 2, 3)})
+    arrf = np.zeros((32, 32), dtype=np.float64)
+    with pytest.raises(ValueError, match="uint8/uint16"):
+        write_ccog(spark, arrf, str(tmp_path / "x.tif"), blocksize=32,
+                   colormap={0: (1, 2, 3)})
+    with pytest.raises(ValueError, match="out of range"):
+        tiff.build_cog_plan(32, 32, 1, 32, 0, {(0, 0, 0, 0): 10},
+                            nodata=None, dtype="uint8",
+                            colormap={256: (1, 2, 3)})
+    with pytest.raises(ValueError, match="requires a colormap"):
+        tiff.build_cog_plan(32, 32, 1, 32, 0, {(0, 0, 0, 0): 10},
+                            nodata=None, dtype="uint8", photometric=3)
