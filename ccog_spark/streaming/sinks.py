@@ -29,3 +29,53 @@ def write_stream_exactly_once(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def write_stream_cogs(
+    stream_pixels: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    width: int,
+    height: int,
+    bands: int,
+    **write_cog_kwargs,
+):
+    """foreachBatch → COG seam (round 10): each micro-batch of
+    long-form pixels (band, y, x, value, valid) becomes ONE complete
+    COG at ``{out_dir}/scene_epoch={N}.tif`` via the ordered multipart
+    writer — the streaming spelling of the batch write path (satellite
+    ingest: every arriving scene granule is COG-ified as it lands).
+
+    Idempotency mirrors write_stream_exactly_once: the COG path is
+    keyed by epoch_id and write_cog's finalize REPLACES the target, so
+    a replayed batch rewrites its own file, never duplicates. The
+    write inside foreachBatch is the same distributed pyramid/encode/
+    MPU job the batch API runs — foreachBatch hands over a normal
+    DataFrame, so nothing in the COG pipeline is streaming-special.
+
+    The grid geometry (width/height/bands) is fixed per stream, as in
+    a tile-ingest feed; heterogeneous scenes need one stream per
+    geometry (write_cog validates the batch against the declared
+    grid, so a mis-fed scene fails loudly instead of writing a
+    corrupt file)."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return  # empty trigger: no scene arrived, write nothing
+        from ccog_spark.raster.cog import write_cog
+
+        write_cog(
+            df.sparkSession,
+            df,
+            width,
+            height,
+            bands,
+            f"{out_dir}/scene_epoch={epoch_id}.tif",
+            **write_cog_kwargs,
+        )
+
+    return (
+        stream_pixels.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

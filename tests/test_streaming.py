@@ -121,3 +121,64 @@ def test_foreachbatch_exactly_once_sink(spark, tmp_path):
     assert written.select("event_id").distinct().count() == src.count()
     epochs = written.select("epoch").distinct().count()
     assert epochs >= 2  # maxFilesPerTrigger=1 over 4 staged files
+
+
+def test_foreachbatch_stream_to_cog(spark, tmp_path):
+    """Streaming-COG seam (round-10, r8 task 6): a 2-file pixel stream
+    (maxFilesPerTrigger=1 → one micro-batch per scene) through
+    write_stream_cogs produces TWO complete, independently valid COGs
+    — each parses, carries the declared grid + overview chain, and
+    reads back its scene's constant fill exactly."""
+    import glob
+
+    import numpy as np
+
+    from ccog_spark.raster import tiff
+    from ccog_spark.streaming.sinks import write_stream_cogs
+
+    W_, H_, B_ = 64, 48, 1
+    staging = str(tmp_path / "scenes")
+    # two scenes, one parquet FILE each (repartition(1) + per-scene
+    # write) so each micro-batch is exactly one whole scene
+    for scene, fill in ((0, 10.0), (1, 20.0)):
+        rows = [
+            (1, y, x, fill, True) for y in range(H_) for x in range(W_)
+        ]
+        (
+            spark.createDataFrame(
+                rows, "band int, y int, x int, value double, valid boolean"
+            )
+            .repartition(1)
+            .write.mode("append")
+            .parquet(staging)
+        )
+    stream = (
+        spark.readStream.schema(
+            "band int, y int, x int, value double, valid boolean"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    out = str(tmp_path / "cogs")
+    q = write_stream_cogs(
+        stream, out, str(tmp_path / "ckpt"), W_, H_, B_,
+        blocksize=32, nodata=-1.0,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    paths = sorted(glob.glob(out + "/scene_epoch=*.tif"))
+    assert len(paths) == 2
+    fills = set()
+    for p in paths:
+        data = open(p, "rb").read()
+        ifds = tiff.read_cog(data)
+        assert ifds[0].width == W_ and ifds[0].height == H_
+        assert len(ifds) >= 2  # overview chain present
+        px = tiff.read_band(data, ifds[0], 0)
+        vals = np.unique(px)
+        assert len(vals) == 1  # constant scene fill, no cross-batch mix
+        fills.add(float(vals[0]))
+    assert fills == {10.0, 20.0}
