@@ -590,3 +590,34 @@ SELECT band, oj AS y, ox AS x,
 FROM colp
 ORDER BY band, y, x
 """
+
+
+# Palette COG row (round 10, R4-complete evidence): indices, the
+# nearest decimation, and the palette RGB arithmetic are all exact
+# integer formulas — recomputed here with no knowledge of the file.
+# The Spark side reads r/g/b from the file's parsed ColorMap, so a
+# palette write/read defect anywhere (tag bytes, ×257 scaling,
+# per-page sharing) breaks the value hash.
+ORACLE["cog_palette"] = """
+WITH ids AS (
+  SELECT UNNEST(range(0, 15360)) AS id
+), px AS (
+  SELECT CAST(id // 160 AS INT) AS y, CAST(id % 160 AS INT) AS x,
+         CAST((id // 160 + 2 * (id % 160)) % 7 AS INT) AS idx
+  FROM ids
+), lvl1 AS (
+  SELECT CAST(y // 2 AS INT) AS y, CAST(x // 2 AS INT) AS x, idx
+  FROM px WHERE y % 2 = 0 AND x % 2 = 0
+), allpx AS (
+  SELECT 0 AS level, y, x, idx FROM px
+  UNION ALL
+  SELECT 1 AS level, y, x, idx FROM lvl1
+)
+SELECT CAST(level AS INT) AS level, y, x, idx,
+       CAST(30 * idx AS INT) AS r,
+       CAST(25 * idx + 5 AS INT) AS g,
+       CAST(40 * idx + 10 AS INT) AS b,
+       'Palette' AS ci
+FROM allpx
+ORDER BY level, y, x
+"""

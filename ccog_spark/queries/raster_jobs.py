@@ -354,3 +354,70 @@ def cog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band", "y", "x")
     )
+
+
+def cog_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked PALETTE COG row (round 10, closing R4): write a
+    single-band uint8 raster of deterministic palette indices with
+    write_cog(colormap=..., band_meta colorinterp), read the file back
+    with the in-repo TIFF reader, and emit — for level 0 AND the
+    first (nearest-kernel) overview — every pixel's index JOINED WITH
+    ITS READ-BACK COLOR from that IFD's parsed ColorMap (tag 320,
+    16-bit ×257 round trip) plus the parsed role="colorinterp"
+    COLORINTERP metadata item (≙ reference write_colormap/colorinterp
+    profile keys, ccog/ccog.py:229-235). The DuckDB oracle recomputes
+    indices, the nearest decimation, and the palette arithmetic
+    independently — a wrong palette byte, a broken per-page tag, or a
+    scaling mistake shifts r/g/b and fails the value hash."""
+    import re
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ccog_spark.raster.tiff import read_band
+
+    pal = {i: (30 * i, 25 * i + 5, 40 * i + 10) for i in range(7)}
+    ids = spark.range(H * W)
+    y = F.floor(F.col("id") / W).cast("int")
+    x = (F.col("id") % W).cast("int")
+    px = ids.select(
+        F.lit(1).alias("band"),
+        y.alias("y"),
+        x.alias("x"),
+        ((y + 2 * x) % 7).cast("double").alias("value"),
+        F.lit(True).alias("valid"),
+    )
+    out = os.path.join(tempfile.gettempdir(), "ccog_corpus_palette.tif")
+    res = write_cog(
+        spark, px, width=W, height=H, bands=1, target_path=out,
+        blocksize=BLOCK, kernel="nearest", nodata=250.0, dtype="uint8",
+        colormap=pal, band_meta={0: {"colorinterp": "Palette"}},
+    )
+    with open(res.path, "rb") as f:
+        data = f.read()
+    ifds = read_cog(data)
+    m = re.search(
+        r'<Item name="COLORINTERP" sample="0" role="colorinterp">'
+        r"([^<]*)</Item>",
+        ifds[0].metadata or "",
+    )
+    ci = m.group(1) if m else "MISSING"
+    rows = []
+    for level in (0, 1):
+        ifd = ifds[level]
+        cm = ifd.colormap or {}
+        arr = read_band(data, ifd, 0)
+        ys, xs = np.indices(arr.shape)
+        for yy, xx, v in zip(
+            ys.ravel().tolist(), xs.ravel().tolist(), arr.ravel().tolist()
+        ):
+            r, g, b = cm.get(int(v), (-1, -1, -1))
+            rows.append((level, yy, xx, int(v), r, g, b, ci))
+    return (
+        spark.createDataFrame(
+            rows,
+            "level int, y int, x int, idx int, r int, g int, b int, "
+            "ci string",
+        )
+        .orderBy("level", "y", "x")
+    )

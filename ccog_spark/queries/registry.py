@@ -306,6 +306,11 @@ REGISTRY: dict[str, QueryFn] = {
     "dedup_simhash": pipeline.dedup_simhash,
     # E36 LSH ANN ≙ ann_ivfpq + ann_index + ann_index_append (fold)
     "ann_lsh": pipeline.ann_lsh,
+    # round 10: PALETTE COG (R4-complete) — colormap tag 320 + role=
+    # colorinterp item, pixels AND read-back colors hash-checked
+    # against the palette formula (writer family fold rows:
+    # cog_roundtrip, cog_color, cog_window)
+    "cog_palette": raster_jobs.cog_palette,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
@@ -327,6 +332,7 @@ NON_BENCH = (
     "cog_window",
     "ann_index",  # builds a parquet index per run (file IO)
     "ann_index_append",  # builds + appends a parquet index (file IO)
+    "cog_palette",  # writes + reads back a palette COG (file IO)
 )
 
 __all__ = ["REGISTRY", "ORACLE", "QueryFn"]
