@@ -67,19 +67,23 @@ def _code_frame(
     """Fused assign+encode over a corpus with a GIVEN (frozen) model:
     one scan, one Arrow crossing (same stage shape as ivfpq_topk's
     inline path). Shared by build (fresh model) and append (model
-    loaded from the saved index — no retrain)."""
+    loaded from the saved index — no retrain). The cell assign is the
+    shared √C two-hop assigner (round 10): the hierarchy is a pure
+    function of the centroid array, so append re-derives the IDENTICAL
+    structure from the saved centroid table — frozen-model bit-identity
+    holds by construction (pinned in test_ann_index)."""
     from pyspark.sql.functions import pandas_udf
+
+    from ccog_spark.operators.similarity import hierarchical_assigner
 
     n_blocks = m_blocks
     d_sub = dim // m_blocks
+    assign_batch = hierarchical_assigner(cent_ids, cmat, cnrm)
 
     @pandas_udf("long")
     def assign(col: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(e, dtype="f8") for e in col])
-        cos = (x @ cmat.T) / (
-            np.sqrt((x * x).sum(1))[:, None] * cnrm[None, :]
-        )
-        return pd.Series(cent_ids[cos.argmax(1)])
+        return pd.Series(assign_batch(x, np.sqrt((x * x).sum(1))))
 
     @pandas_udf("array<int>")
     def encode(col: pd.Series) -> pd.Series:

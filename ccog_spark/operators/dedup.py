@@ -966,30 +966,44 @@ def embedding_dup_pairs(
         .withColumn("bks", band_keys_arrow(dim, nt, bb)(F.col("e"))),
     )
     bands = nv.select(
-        "vec_id", F.posexplode(F.col("bks")).alias("tbl", "bk")
+        "vec_id", "e", "nrm", F.posexplode(F.col("bks")).alias("tbl", "bk")
     )
-    a = bands.select("tbl", "bk", F.col("vec_id").alias("id_a"))
-    b = bands.select("tbl", "bk", F.col("vec_id").alias("id_b"))
-    cands = (
+    # INLINE verify (round 10): the vectors ride INTO the band join
+    # and the cosine filter runs in the SAME stage as the join — the
+    # quadratic candidate stream is pipelined through whole-stage
+    # codegen and never hits an exchange. The previous spelling
+    # (.distinct() on bare (id_a, id_b) THEN two vector joins) was a
+    # scale bomb this round's sf10 probe detonated: band-bucket sizes
+    # grow ∝ N once the 2^bits key space saturates, so the pre-verify
+    # distinct shuffled ~2.2 BILLION pair rows at 100× (>78 GB of
+    # sort spill — job death), all to deduplicate pairs that the
+    # cosine filter would have cut to a few thousand rows anyway.
+    # Cost of the inline spelling: the band-join shuffle carries the
+    # arrays (~4 KB/vector × n_tables — LINEAR in N), and a pair
+    # sharing ≥2 tables evaluates its cosine once per shared table
+    # (deduped by the terminal distinct; cos is rounded, so the
+    # duplicates are bit-identical rows). Semantics and the oracle
+    # ("share ≥1 band AND cos ≥ t") are unchanged. The per-bucket
+    # quadratic work that REMAINS is the LSH contract — band_bits is
+    # the knob (buckets ~n/2^bits; size bits ∝ log N at 100 TB;
+    # scripts/embed_knee.py measures the trade).
+    a = bands.select(
+        "tbl",
+        "bk",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = bands.select(
+        "tbl",
+        "bk",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    return (
         a.join(b, ["tbl", "bk"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    va = nv.select(
-        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a")
-    )
-    vb = nv.select(
-        F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
-    )
-    # Verify joins broadcast under a size gate (same policy as the
-    # ngram verify): a few-MB vector frame beats two shuffles; past the
-    # gate these become ordinary shuffle joins.
-    if nv.count() <= _VERIFY_BCAST_MAX_DOCS:  # nv is persisted: cheap
-        va, vb = F.broadcast(va), F.broadcast(vb)
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -998,6 +1012,7 @@ def embedding_dup_pairs(
             ).alias("cos"),
         )
         .where(F.col("cos") >= cos_min)
+        .distinct()
     )
 
 
@@ -1062,13 +1077,14 @@ def semantic_dedup(
     kmeans_centroids with BOUNDED n_cells ∝ corpus/cell-budget) keeps
     the flat exact-nearest assign: with bounded C it is linear and
     hierarchy would only approximate it for no asymptotic gain."""
-    import math
-
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     from ccog_spark.functions.vectors import dot, norm
-    from ccog_spark.operators.similarity import _ivf_centroid_arrays
+    from ccog_spark.operators.similarity import (
+        _ivf_centroid_arrays,
+        hierarchical_assigner,
+    )
 
     base = emb.select(
         "vec_id",
@@ -1083,54 +1099,27 @@ def semantic_dedup(
         cent_ids = np.array([r.cent_id for r in rows], "i8")
         cmat = np.array([[float(x) for x in r.c_emb] for r in rows], "f8")
         cnrm = np.array([float(r.c_nrm) for r in rows], "f8")
-        hier = None
+        assign_batch = None  # flat exact-nearest (bounded C contract)
     else:
         cent_ids, cmat, cnrm = _ivf_centroid_arrays(
             base.select("vec_id", F.col("e").alias("embedding")),
             cent_stride,
         )
-        # coarse level by RANK (cent_ids ascending): never empty, and
-        # C ≤ stride degenerates to one coarse cell ≡ flat. Default
-        # stride makes the coarse level √C-sized — ⌈√C⌉ coarse cells
-        # of ~√C members each, so both hops are O(√C) per vector.
-        # Integer-exact (isqrt) so the SQL oracle mirrors it verbatim:
-        # n_coarse = ⌈√C⌉ = isqrt(C-1)+1, stride = ⌈C/n_coarse⌉.
-        C = len(cent_ids)
-        if coarse_stride is not None:
-            stride = coarse_stride
-        else:
-            n_coarse = math.isqrt(max(C, 1) - 1) + 1
-            stride = -(-C // n_coarse) if C else 1
-        ci = np.arange(0, C, stride)
-        ccm, ccn = cmat[ci], cnrm[ci]
-        # centroid → nearest coarse, first-occurrence (smallest
-        # coarse cent_id) tie-break; members stay cent_id-ascending
-        # so the hop-2 argmax keeps the smallest-cent_id tie-break
-        cc = (cmat @ ccm.T) / (cnrm[:, None] * ccn[None, :])
-        cmap = cc.argmax(1)
-        members = [np.where(cmap == j)[0] for j in range(len(ci))]
-        hier = (ci, ccm, ccn, members)
+        # √C two-hop assigner (shared with ivfpq_topk / ann_index);
+        # an explicit coarse_stride pins the rank stride, and
+        # stride ≥ C degenerates to one coarse cell ≡ flat
+        assign_batch = hierarchical_assigner(
+            cent_ids, cmat, cnrm, coarse_stride
+        )
 
     @pandas_udf("long")
     def assign(col: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(v, dtype="f8") for v in col])
         xn = np.sqrt((x * x).sum(1))
-        if hier is None:
+        if assign_batch is None:
             cos = (x @ cmat.T) / (xn[:, None] * cnrm[None, :])
             return pd.Series(cent_ids[cos.argmax(1)])
-        ci, ccm, ccn, members = hier
-        h1 = ((x @ ccm.T) / (xn[:, None] * ccn[None, :])).argmax(1)
-        out = np.empty(len(x), "i8")
-        for j in np.unique(h1):
-            sel = h1 == j
-            mem = members[j]
-            if len(mem) == 0:  # orphan coarse cell (duplicate-vector
-                mem = np.arange(len(cent_ids))  # tie): exact fallback
-            sub = (x[sel] @ cmat[mem].T) / (
-                xn[sel][:, None] * cnrm[mem][None, :]
-            )
-            out[sel] = cent_ids[mem[sub.argmax(1)]]
-        return pd.Series(out)
+        return pd.Series(assign_batch(x, xn))
 
     # referenced by both join sides + the final projection; scoped so
     # repeated calls release the prior call's cache (round-8 ADVICE)

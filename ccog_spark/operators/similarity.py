@@ -217,6 +217,13 @@ def ivf_topk(
     over the n×c pair stream, so the only corpus shuffle is the
     vec_id-keyed agg+join. Probing touches nprobe/cells of the corpus
     per query instead of all of it.
+
+    This pure-JVM spelling keeps the FLAT n×c assignment (it IS the
+    O(N·C) shape when C ∝ N): it exists as the oracle-simplest IVF
+    demonstration. The scale configuration is ivfpq_topk /
+    ann_index, whose Arrow assign uses the √C two-hop
+    hierarchical_assigner — or pass ``centroids=`` with bounded C,
+    which makes the flat assign linear.
     """
     c = corpus.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
@@ -534,6 +541,64 @@ def _pq_machinery(
     return encode, adc_kernel, qdf
 
 
+def hierarchical_assigner(cent_ids, cmat, cnrm, coarse_stride: int | None = None):
+    """Driver-side √C two-hop assigner over a centroid array — THE
+    fix for the O(N·C) flat-argmax wall when #centroids ∝ N (the
+    stride-quantizer default): with C centroids, every
+    ``⌈C/⌈√C⌉⌉``-th centroid BY RANK forms a ⌈√C⌉-cell coarse level,
+    each centroid maps once to its nearest coarse centroid
+    (O(C^1.5), driver-side, centroid-sized), and a batch assign is
+    hop-1 over ⌈√C⌉ coarse cells then hop-2 over that cell's ~√C
+    members — O(√C) per vector instead of O(C). Every hop is a
+    deterministic argmax with first-occurrence (smallest-id)
+    tie-break over id-ascending arrays, and the stride rule is pure
+    integer arithmetic (isqrt), so DuckDB oracles replay the full
+    two-hop assignment bit-for-bit (the crk/cst/coarse/cmap/hop1
+    CTE chain). An explicit ``coarse_stride`` pins the rank stride
+    (stride ≥ C ⇒ one coarse cell ⇒ exactly the flat assign).
+
+    Returns ``assign_batch(x, xn) -> np.ndarray[cent_id]`` for a
+    (n, dim) float64 matrix and its (n,) norms. Shared by
+    dedup.semantic_dedup, ivfpq_topk, and ann_index's fused
+    assign+encode (the hierarchy is a pure function of the centroid
+    array, so frozen-model append replays it identically from the
+    saved centroid table)."""
+    import math
+
+    import numpy as np
+
+    C = len(cent_ids)
+    if coarse_stride is not None:
+        stride = coarse_stride
+    else:
+        n_coarse = math.isqrt(max(C, 1) - 1) + 1
+        stride = -(-C // n_coarse) if C else 1
+    ci = np.arange(0, C, stride)
+    ccm, ccn = cmat[ci], cnrm[ci]
+    # centroid → nearest coarse, first-occurrence (smallest coarse
+    # cent_id) tie-break; members stay cent_id-ascending so the
+    # hop-2 argmax keeps the smallest-cent_id tie-break
+    cc = (cmat @ ccm.T) / (cnrm[:, None] * ccn[None, :])
+    cmap = cc.argmax(1)
+    members = [np.where(cmap == j)[0] for j in range(len(ci))]
+
+    def assign_batch(x, xn):
+        h1 = ((x @ ccm.T) / (xn[:, None] * ccn[None, :])).argmax(1)
+        out = np.empty(len(x), "i8")
+        for j in np.unique(h1):
+            sel = h1 == j
+            mem = members[j]
+            if len(mem) == 0:  # orphan coarse cell (duplicate-vector
+                mem = np.arange(C)  # tie): exact full-scan fallback
+            sub = (x[sel] @ cmat[mem].T) / (
+                xn[sel][:, None] * cnrm[mem][None, :]
+            )
+            out[sel] = cent_ids[mem[sub.argmax(1)]]
+        return out
+
+    return assign_batch
+
+
 def _ivf_centroid_arrays(corpus: DataFrame, cent_stride: int):
     """Driver-side (cent_ids, cmat, cnrm) for the IVF coarse quantizer
     — deterministic stride selection, ids ascending so the assignment
@@ -604,13 +669,17 @@ def ivfpq_topk(
         "cent_id long, c_emb array<double>, c_nrm double",
     )
 
+    # √C two-hop assign (round 10): with stride-selected centroids
+    # C ∝ N, so the flat argmax was O(N·C) = O(N²/stride) — measured
+    # 58.7 s at the 100× probe, the same wall semantic_dedup hit.
+    # The hierarchy is a pure function of the centroid array and
+    # replays in the oracle's crk/cst/coarse/cmap/hop1 CTE chain.
+    assign_batch = hierarchical_assigner(cent_ids, cmat, cnrm)
+
     @pandas_udf("long")
     def assign(col: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(e, dtype="f8") for e in col])
-        cos = (x @ cmat.T) / (
-            np.sqrt((x * x).sum(1))[:, None] * cnrm[None, :]
-        )
-        return pd.Series(cent_ids[cos.argmax(1)])
+        return pd.Series(assign_batch(x, np.sqrt((x * x).sum(1))))
 
     cents = F.broadcast(centroids)
     q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))

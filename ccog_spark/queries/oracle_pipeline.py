@@ -785,10 +785,15 @@ def _ivfpq_sql(
     nprobe: int = 2,
     model_pred: str = "",
 ) -> str:
-    """IVF + PQ composed: the ann_ivf cell/probe CTEs joined with the
-    ann_pq codebook/encode/LUT CTEs, candidates restricted to probed
-    cells and ranked by ADC — built at import from the same constants
-    as operators.similarity.ivfpq_topk.
+    """IVF + PQ composed: the cell/probe CTEs joined with the ann_pq
+    codebook/encode/LUT CTEs, candidates restricted to probed cells
+    and ranked by ADC — built at import from the same constants as
+    operators.similarity.ivfpq_topk. The CORPUS cell assignment
+    (round 10) replays the engine's √C two-hop hierarchical assigner
+    (similarity.hierarchical_assigner — the crk/cst/coarse/cmap/hop1/
+    cells CTE chain, identical to dedup_semantic's, incl. the
+    orphan-cell full-scan fallback); QUERY probing stays a flat scan
+    over all centroids, exactly like the engine (|queries| is small).
 
     ``model_pred``: extra SQL predicate (e.g. "AND vec_id % 3 <> 0")
     restricting the MODEL-BEARING rows (centroid selection + codebook
@@ -831,17 +836,66 @@ WITH nv AS (
                                CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings
 ), cent AS (
-  SELECT vec_id AS cent_id, e AS cv, nrm AS cn FROM nv
-  WHERE vec_id % {cent_stride} = 1 {model_pred}
-), asn AS (
-  SELECT vec_id, cent_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY vec_id
-           ORDER BY list_dot_product(e, cv) / (nrm * cn) DESC, cent_id
-         ) AS arn
-  FROM nv CROSS JOIN cent
+  SELECT vec_id AS cent_id, e AS cv, nrm AS cn,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS crk
+  FROM nv WHERE vec_id % {cent_stride} = 1 {model_pred}
+), cst AS (
+  SELECT GREATEST(
+           (COUNT(*) + CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) - 1)
+           // GREATEST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT), 1),
+           1) AS stride
+  FROM cent
+), coarse AS (
+  SELECT cent_id AS co_id, cv AS gv, cn AS gn
+  FROM cent, cst WHERE (crk - 1) % cst.stride = 0
+), cmap AS (
+  SELECT cent_id, co_id FROM (
+    SELECT c.cent_id, g.co_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cent_id
+             ORDER BY list_dot_product(c.cv, g.gv) / (c.cn * g.gn)
+                      DESC, g.co_id
+           ) AS rn
+    FROM cent c CROSS JOIN coarse g
+  ) WHERE rn = 1
+), hop1 AS (
+  SELECT vec_id, co_id FROM (
+    SELECT v.vec_id, g.co_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, g.gv) / (v.nrm * g.gn)
+                      DESC, g.co_id
+           ) AS rn
+    FROM nv v CROSS JOIN coarse g
+  ) WHERE rn = 1
+), cells_h AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cn)
+                      DESC, c.cent_id
+           ) AS rn
+    FROM nv v
+    JOIN hop1 h ON v.vec_id = h.vec_id
+    JOIN cmap m ON m.co_id = h.co_id
+    JOIN cent c ON c.cent_id = m.cent_id
+  ) WHERE rn = 1
+), cells_o AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cn)
+                      DESC, c.cent_id
+           ) AS rn
+    FROM nv v
+    JOIN hop1 h ON v.vec_id = h.vec_id
+    CROSS JOIN cent c
+    WHERE h.co_id NOT IN (SELECT co_id FROM cmap)
+  ) WHERE rn = 1
 ), cells AS (
-  SELECT vec_id, cent_id AS cell FROM asn WHERE arn = 1
+  SELECT * FROM cells_h UNION ALL SELECT * FROM cells_o
 ), cbr AS (
   SELECT vec_id, e FROM nv WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES} {model_pred}
   ORDER BY vec_id LIMIT {PQ_CB_K}
