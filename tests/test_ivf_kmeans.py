@@ -145,3 +145,51 @@ def test_null_embedding_fails_loudly(spark):
     )
     with _pytest.raises((PythonException, Py4JJavaError)):
         lsh_topk(corpus, queries, dim=8, k=1).collect()
+
+
+def test_hierarchical_assigner_contracts():
+    """Round-10 shared √C assigner (used by semantic dedup, ivfpq_topk
+    and ann_index): a pinned stride ≥ C must equal the flat argmax
+    bit-for-bit; the default √C hierarchy must emit only real cent_ids,
+    assign centroids' own vectors to themselves, and map identical
+    inputs identically; a memberless coarse cell (forced via a
+    duplicate-direction coarse centroid) must fall back to the exact
+    full scan instead of crashing."""
+    import numpy as np
+
+    from ccog_spark.operators.similarity import hierarchical_assigner
+
+    rng = np.random.default_rng(11)
+    C, dim, n = 200, 16, 500
+    cmat = rng.normal(size=(C, dim))
+    cent_ids = np.arange(10, 10 + C, dtype="i8")
+    cnrm = np.sqrt((cmat * cmat).sum(1))
+    x = rng.normal(size=(n, dim))
+    xn = np.sqrt((x * x).sum(1))
+
+    flat = cent_ids[
+        ((x @ cmat.T) / (xn[:, None] * cnrm[None, :])).argmax(1)
+    ]
+    pinned = hierarchical_assigner(cent_ids, cmat, cnrm, coarse_stride=C)
+    assert np.array_equal(pinned(x, xn), flat)
+
+    default = hierarchical_assigner(cent_ids, cmat, cnrm)
+    out = default(x, xn)
+    assert set(out.tolist()) <= set(cent_ids.tolist())
+    # centroids' own vectors: exact self-match survives the hierarchy
+    assert np.array_equal(default(cmat, cnrm), cent_ids)
+    # identical inputs co-assign (pure function of the vector)
+    two = np.stack([x[0], x[0]])
+    t = default(two, np.sqrt((two * two).sum(1)))
+    assert t[0] == t[1]
+
+    # forced orphan: duplicate the rank-0 centroid's direction at a
+    # later COARSE rank (stride=14 ⇒ ranks 0,14,28,… are coarse);
+    # rank 14's coarse cell then loses every tie to rank 0 and is
+    # memberless — the full-scan fallback must still place vectors
+    cm2 = cmat.copy()
+    cm2[14] = 2.0 * cm2[0]
+    cn2 = np.sqrt((cm2 * cm2).sum(1))
+    orph = hierarchical_assigner(cent_ids, cm2, cn2, coarse_stride=14)
+    o = orph(x, xn)
+    assert set(o.tolist()) <= set(cent_ids.tolist()) and len(o) == n
