@@ -541,6 +541,13 @@ def _pq_machinery(
     return encode, adc_kernel, qdf
 
 
+# Row-block size for the centroid→coarse assignment GEMM inside
+# hierarchical_assigner: peak driver temporary is 8192·⌈√C⌉ float64s
+# (~64 MB at C = 10⁶) regardless of C. Chunking is bit-identical to
+# the one-shot product (argmax is per-row).
+_CMAP_BLOCK = 8192
+
+
 def hierarchical_assigner(cent_ids, cmat, cnrm, coarse_stride: int | None = None):
     """Driver-side √C two-hop assigner over a centroid array — THE
     fix for the O(N·C) flat-argmax wall when #centroids ∝ N (the
@@ -557,6 +564,12 @@ def hierarchical_assigner(cent_ids, cmat, cnrm, coarse_stride: int | None = None
     CTE chain). An explicit ``coarse_stride`` pins the rank stride
     (stride ≥ C ⇒ one coarse cell ⇒ exactly the flat assign).
 
+    The centroid→coarse map is computed in row blocks of
+    ``_CMAP_BLOCK`` centroids (argmax per block is independent, so
+    the result is bit-identical to the one-shot GEMM), bounding the
+    driver's peak temporary at O(block·√C) floats — ~64 MB at
+    C = 10⁶ — instead of O(C·√C) (~8 GB at the same C).
+
     Returns ``assign_batch(x, xn) -> np.ndarray[cent_id]`` for a
     (n, dim) float64 matrix and its (n,) norms. Shared by
     dedup.semantic_dedup, ivfpq_topk, and ann_index's fused
@@ -568,18 +581,29 @@ def hierarchical_assigner(cent_ids, cmat, cnrm, coarse_stride: int | None = None
     import numpy as np
 
     C = len(cent_ids)
+    if C == 0:
+        raise ValueError(
+            "hierarchical_assigner: no centroids (cent_ids is empty — "
+            "the stride/filter selection matched no rows)"
+        )
     if coarse_stride is not None:
         stride = coarse_stride
     else:
-        n_coarse = math.isqrt(max(C, 1) - 1) + 1
-        stride = -(-C // n_coarse) if C else 1
+        n_coarse = math.isqrt(C - 1) + 1
+        stride = -(-C // n_coarse)
     ci = np.arange(0, C, stride)
     ccm, ccn = cmat[ci], cnrm[ci]
     # centroid → nearest coarse, first-occurrence (smallest coarse
     # cent_id) tie-break; members stay cent_id-ascending so the
-    # hop-2 argmax keeps the smallest-cent_id tie-break
-    cc = (cmat @ ccm.T) / (cnrm[:, None] * ccn[None, :])
-    cmap = cc.argmax(1)
+    # hop-2 argmax keeps the smallest-cent_id tie-break. Blockwise:
+    # per-row argmax is independent, so chunking the GEMM is
+    # bit-identical while capping driver peak memory at
+    # O(_CMAP_BLOCK·√C) instead of O(C·√C).
+    cmap = np.empty(C, "i8")
+    for s in range(0, C, _CMAP_BLOCK):
+        e = min(s + _CMAP_BLOCK, C)
+        cc = (cmat[s:e] @ ccm.T) / (cnrm[s:e, None] * ccn[None, :])
+        cmap[s:e] = cc.argmax(1)
     members = [np.where(cmap == j)[0] for j in range(len(ci))]
 
     def assign_batch(x, xn):

@@ -808,6 +808,13 @@ def build_cog_plan(
             pal[int(idx)] = int(r) * 257
             pal[n_pal + int(idx)] = int(g) * 257
             pal[2 * n_pal + int(idx)] = int(b) * 257
+            if (r, g, b) == (0, 0, 0):
+                # an EXPLICIT black entry must survive read_cog's
+                # all-zero-triple fill elision: 16-bit red = 1 is the
+                # sentinel (1 // 257 == 0, so it reads back as exact
+                # (0,0,0) — no consumer can tell 1/65535 from black —
+                # while the triple is no longer the unwritten fill)
+                pal[int(idx)] = 1
         struct.pack_into(
             f"<{3 * n_pal}H", buf, ext[("colormap", "s")], *pal
         )
@@ -1115,6 +1122,12 @@ def read_cog(data: bytes) -> list[IfdInfo]:
                     f"ColorMap length {len(pal)} is not divisible by 3"
                 )
             n_pal = len(pal) // 3
+            # all-zero 16-BIT triples are the dense tag's unwritten
+            # fill and are elided; this writer never emits that shape
+            # for an explicit entry (explicit black carries the
+            # 16-bit red=1 sentinel, which still reads back (0,0,0)
+            # after //257), so written colormaps — including black
+            # entries — round-trip identical (r10 ADVICE)
             cmap = {
                 i: (pal[i] // 257, pal[n_pal + i] // 257,
                     pal[2 * n_pal + i] // 257)

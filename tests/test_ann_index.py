@@ -152,16 +152,19 @@ def test_tmp_index_dirs_removed_at_process_exit(tmp_path):
     import sys
     import textwrap
 
+    # repo root from __file__, not hardcoded (ADVICE r10); the sf_dir
+    # argument is never read by _tmp_index_dir — any string keys it
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "-c", textwrap.dedent("""
             import os, sys
-            sys.path.insert(0, "/root/repo")
+            sys.path.insert(0, sys.argv[1])
             from ccog_spark.queries.pipeline import _tmp_index_dir
-            p = _tmp_index_dir("ccog_ivfpq_idx", "/root/testdata/sf0.001")
+            p = _tmp_index_dir("ccog_ivfpq_idx", "any/sf_dir/string")
             os.makedirs(os.path.join(p, "codes"), exist_ok=True)
             open(os.path.join(p, "codes", "part-0.parquet"), "w").write("x")
             print(p)
-        """)],
+        """), repo_root],
         capture_output=True, text=True, check=True,
     )
     path = out.stdout.strip().splitlines()[-1]

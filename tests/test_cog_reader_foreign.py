@@ -665,13 +665,21 @@ def test_unreferenced_external_tag_past_eof_ignored():
     assert got[0].height == 16
 
     # and the probe hint is unaffected: a truncated buffer's NeedBytes
-    # hint must cover only the PARSED arrays, not the ICC fiction at
-    # 95000 (an over-read hint would make head-probing readers fetch
-    # ~90 KB for a 200-byte header)
-    img = np.arange(22 * 16, dtype=np.uint8).reshape(22, 16)
-    data = bytearray(_strip_tiff(img, rows_per_strip=2))
-    # graft the ICC entry into a fresh strip TIFF is fiddly; instead
-    # assert on the tiled fixture: truncating AFTER the IFD but before
-    # nothing else parsed means no NeedBytes at all despite the ICC
-    # tag pointing to 90000+5000
-    assert len(_classic_tiff(entries)) < 1000  # fixture sanity
+    # hint must cover only PARSED arrays, not the ICC fiction ending
+    # at 95000 (an over-read hint would make head-probing readers
+    # fetch ~90 KB for a sub-KB header). A 16×32 layout has 2 tiles,
+    # so TileOffsets/TileByteCounts (LONG ×2 = 8 bytes each) exceed
+    # the 4-byte inline cap and live as EXTERNAL parsed arrays — park
+    # them just past the provided bytes at 500/508 alongside the ICC
+    # tag: the hint must be exactly 516 (= 508 + 8), not 95000.
+    trunc = _tiled_entries(h=32)
+    trunc = [
+        e for e in trunc
+        if struct.unpack("<H", e[:2])[0] not in (324, 325)
+    ]
+    trunc.append(_entry(324, 4, 2, 500))          # external, ends 508
+    trunc.append(_entry(325, 4, 2, 508))          # external, ends 516
+    trunc.append(_entry(34675, 7, 5000, 90000))   # ICC, UNPARSED
+    with pytest.raises(tiff.NeedBytes) as ei:
+        tiff.read_cog(_classic_tiff(trunc))
+    assert ei.value.hint == 516  # excludes the 90000+5000 ICC range

@@ -193,3 +193,41 @@ def test_hierarchical_assigner_contracts():
     orph = hierarchical_assigner(cent_ids, cm2, cn2, coarse_stride=14)
     o = orph(x, xn)
     assert set(o.tolist()) <= set(cent_ids.tolist()) and len(o) == n
+
+
+def test_hierarchical_assigner_empty_centroids_raises():
+    """C == 0 (stride/filter selection matched nothing) must fail at
+    CONSTRUCTION with a clear ValueError, not as an opaque numpy
+    argmax-over-empty-axis error inside a pandas_udf on first use
+    (ADVICE r10)."""
+    import numpy as np
+
+    from ccog_spark.operators.similarity import hierarchical_assigner
+
+    with pytest.raises(ValueError, match="no centroids"):
+        hierarchical_assigner(
+            np.empty(0, "i8"), np.empty((0, 8), "f8"), np.empty(0, "f8")
+        )
+
+
+def test_hierarchical_assigner_blockwise_cmap_parity(monkeypatch):
+    """The centroid→coarse map is computed in _CMAP_BLOCK row blocks
+    (r11: bounds driver peak memory at O(block·√C) instead of
+    O(C·√C)). Per-row argmax is independent, so a tiny block size
+    must produce bit-identical assignments to one covering all of C."""
+    import numpy as np
+
+    from ccog_spark.operators import similarity
+
+    rng = np.random.default_rng(23)
+    C, dim, n = 157, 12, 400
+    cmat = rng.normal(size=(C, dim))
+    cent_ids = np.arange(C, dtype="i8")
+    cnrm = np.sqrt((cmat * cmat).sum(1))
+    x = rng.normal(size=(n, dim))
+    xn = np.sqrt((x * x).sum(1))
+
+    one_shot = similarity.hierarchical_assigner(cent_ids, cmat, cnrm)(x, xn)
+    monkeypatch.setattr(similarity, "_CMAP_BLOCK", 7)  # forces 23 blocks
+    chunked = similarity.hierarchical_assigner(cent_ids, cmat, cnrm)(x, xn)
+    assert np.array_equal(one_shot, chunked)

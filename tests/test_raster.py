@@ -526,11 +526,12 @@ def test_palette_colormap_roundtrip(spark, tmp_path):
     data = open(out, "rb").read()
     ifds = tiff.read_cog(data)
     assert all(i.photometric == 3 for i in ifds)
-    # identical color table on EVERY page (all-black 0 entry is the
-    # tag's fill, elided by the parser — compare the non-black set)
-    want = {k: v for k, v in cmap.items() if v != (0, 0, 0)}
+    # identical color table on EVERY page — INCLUDING the explicit
+    # black entry at index 0 (r11: the writer's 16-bit red=1 sentinel
+    # distinguishes it from the tag's unwritten all-zero fill, so the
+    # parser no longer drops legitimately-black entries)
     for ifd in ifds:
-        assert ifd.colormap == want
+        assert ifd.colormap == cmap
     # pixels intact (palette indices are ordinary uint8 samples)
     got = tiff.read_band(data, ifds[0], 0)
     assert np.array_equal(got, arr)
