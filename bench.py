@@ -6,6 +6,16 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Protocol (BASELINE.md): warm JVM — one untimed warm-up pass, then the
 timed pass; each query timed end-to-end (plan + execute + fetch).
+
+Round 11: the JSON also carries ``calibration_sec`` — a fixed pure-JVM
+aggregate over spark.range(5e7), run warm (one untimed + one timed
+execution) BEFORE the query passes. The probe touches no input data
+and no Python workers, so round-over-round movement in it is HOST
+drift (CPU contention, thermal, co-tenants), not code: normalize
+per-query ratios across rounds by dividing out
+calibration_sec_now / calibration_sec_then before attributing a
+regression (the r9→r10 +25% swing on untouched queries was exactly
+this signature and cost two clean re-runs to adjudicate).
 """
 
 from __future__ import annotations
@@ -27,6 +37,28 @@ def run() -> dict:
 
     spark = get_spark(app_name="ccog_spark_bench")
 
+    def _calibration() -> float:
+        # fixed-work JVM-only probe: hash-distribute 50M longs, two
+        # aggregates (forces the exchange + whole-stage codegen), no
+        # file IO, no Arrow, no Python workers — a pure host-speed
+        # yardstick. collect() (not count) so the aggregate values
+        # are actually materialized.
+        from pyspark.sql import functions as F
+
+        df = (
+            spark.range(50_000_000)
+            .withColumn("g", F.col("id") % 1024)
+            .groupBy("g")
+            .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+            .agg(F.sum("s").alias("ts"), F.sum("c").alias("tc"))
+        )
+        df.collect()  # warm (codegen + stage setup)
+        t0 = time.perf_counter()
+        df.collect()
+        return round(time.perf_counter() - t0, 4)
+
+    calibration_sec = _calibration()
+
     qids = sorted(q for q in REGISTRY if q not in NON_BENCH)
     # Warm-up: JVM JIT, parquet footer caches, Python worker pool.
     for qid in qids:
@@ -45,6 +77,8 @@ def run() -> dict:
         "unit": "sec",
         "n_queries": len(timings),  # corpus grows across rounds;
         # compare totals per-query, not raw
+        "calibration_sec": calibration_sec,  # host-speed yardstick —
+        # divide cross-round ratios by the calibration ratio first
         "queries": timings,
         "sf": sf,
     }

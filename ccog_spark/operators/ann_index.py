@@ -10,10 +10,19 @@ natural parquet seam:
   assign+encode Arrow stage as ivfpq_topk) writes four parquet
   tables under ``index_dir``:
     codes/      (vec_id, cell, codes array<int>)   — corpus-sized, the
-                only big table; partitioned by nothing (cell-keyed
-                reads go through the broadcast probe join, and a
-                100 TB deployment would bucket it BY cell so probe
-                joins prune files)
+                only big table; CLUSTERED BY CELL (round 11): rows
+                land in ``grp=<g>`` partition directories, where
+                grp = centroid_rank · n_groups // C is a pure
+                function of the SAVED sorted centroid ids (no
+                range-sampling shuffle, so build never re-runs the
+                encode kernels, and append re-derives the identical
+                map from the frozen model). Files are sorted by
+                (cell, vec_id) within each directory, so a probe
+                query reads ≤ nprobe directories (exact partition
+                pruning on grp) and within them only the row groups
+                whose cell min/max intersect the probed cells
+                (parquet stats pruning) — nprobe/n_groups of the
+                corpus instead of all of it
     centroids/  (cent_id, c_emb array<double>, c_nrm) — index-sized
     codebook/   (j, ce array<double>)                — PQ_CB_K rows
     meta/       (dim, m_blocks, cent_stride, n_vectors) — 1 row
@@ -108,12 +117,51 @@ def _code_frame(
     )
 
 
+def _grp_frame(spark: SparkSession, cent_ids, n_groups: int) -> DataFrame:
+    """Tiny broadcastable (cell → grp) map: grp = rank·n_groups // C
+    over the ASCENDING centroid ids. Pure integer function of the
+    sorted centroid array, so build, append (frozen model), and query
+    all derive the identical layout from the saved centroids table."""
+    C = len(cent_ids)
+    return spark.createDataFrame(
+        [(int(c), int(i * n_groups // C)) for i, c in enumerate(cent_ids)],
+        "cell long, grp int",
+    )
+
+
+def _write_clustered_codes(
+    codes: DataFrame, cent_ids, codes_dir: str, n_groups: int, mode: str
+) -> None:
+    """Cell-clustered codes layout: grp partition dirs (exact pruning
+    for probe reads), (cell, vec_id)-sorted files inside (narrow
+    parquet row-group stats on cell). One hash shuffle on grp — no
+    range sampling, so the assign/encode Arrow kernels run exactly
+    once over the corpus."""
+    spark = codes.sparkSession
+    grp = _grp_frame(spark, cent_ids, n_groups)
+    (
+        codes.join(F.broadcast(grp), "cell")
+        .repartition(n_groups, "grp")
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode(mode)
+        .partitionBy("grp")
+        .parquet(codes_dir)
+    )
+
+
+# default codes/ partition-directory count — at 100 TB size it so a
+# directory is O(10) GB (n_groups ≈ corpus_bytes / 10 GiB); probe
+# reads touch nprobe/n_groups of the table either way
+CODES_GROUPS = 16
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     dim: int,
     index_dir: str,
     cent_stride: int = 25,
     m_blocks: int = PQ_M_BLOCKS,
+    n_groups: int = CODES_GROUPS,
 ) -> dict:
     """One corpus pass → persisted index. Returns the meta dict."""
     spark = corpus.sparkSession
@@ -123,7 +171,10 @@ def build_ivfpq_index(
     codes = _code_frame(
         corpus, cent_ids, cmat, cnrm, cbmat, dim, m_blocks
     )
-    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    _write_clustered_codes(
+        codes, cent_ids, os.path.join(index_dir, "codes"), n_groups,
+        "overwrite",
+    )
 
     spark.createDataFrame(
         [
@@ -153,10 +204,12 @@ def build_ivfpq_index(
         "m_blocks": m_blocks,
         "cent_stride": cent_stride,
         "n_vectors": int(n_vectors),
+        "n_groups": n_groups,
     }
     spark.createDataFrame(
         [tuple(meta.values())],
-        "dim int, m_blocks int, cent_stride int, n_vectors bigint",
+        "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
+        "n_groups int",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
     return meta
 
@@ -205,7 +258,13 @@ def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
     codes = _code_frame(
         corpus_delta, cent_ids, cmat, cnrm, cbmat, dim, m_blocks
     )
-    codes.write.mode("append").parquet(os.path.join(index_dir, "codes"))
+    # same cell→grp map as build — pure function of the SAVED sorted
+    # centroid ids, so appended files land in the matching partition
+    # dirs and stay (cell, vec_id)-sorted for stats pruning
+    _write_clustered_codes(
+        codes, cent_ids, os.path.join(index_dir, "codes"),
+        int(meta.n_groups), "append",
+    )
 
     all_codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     # one index-sized aggregate: total count + cell-occupancy skew
@@ -224,10 +283,12 @@ def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
         "m_blocks": m_blocks,
         "cent_stride": int(meta.cent_stride),
         "n_vectors": int(occ.total),
+        "n_groups": int(meta.n_groups),
     }
     spark.createDataFrame(
         [tuple(new_meta.values())],
-        "dim int, m_blocks int, cent_stride int, n_vectors bigint",
+        "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
+        "n_groups int",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
     return {
         **new_meta,
@@ -245,8 +306,15 @@ def query_ivfpq_index(
 ) -> DataFrame:
     """Top-k ADC retrieval against a persisted index. Embeddings are
     never read — only the codes table (8 bytes/vector) plus the
-    index-sized model tables. Bit-identical to ivfpq_topk on the same
-    corpus/queries (the test pins it)."""
+    index-sized model tables; and of the codes table only the probed
+    cells' neighborhoods (round 11): the probe cells are query-batch-
+    sized and driver-known, so they push into the parquet scan as a
+    partition filter on grp (exact directory pruning against the
+    cell-clustered layout) plus an In(cell) data filter (row-group
+    stats pruning inside each directory) — reads ~nprobe/n_groups of
+    the files instead of scanning the full corpus-sized table.
+    Bit-identical to ivfpq_topk on the same corpus/queries (the test
+    pins it): the filters name exactly the equi-join keys."""
     from pyspark.sql import Window as W
 
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
@@ -283,8 +351,32 @@ def query_ivfpq_index(
     _encode, adc_kernel, _qdf = _pq_machinery(
         None, queries, int(meta.dim), int(meta.m_blocks), cbmat=cbmat
     )
-    cand = codes.join(F.broadcast(probes), "cell").where(
-        F.col("vec_id") != F.col("q_id")
+    # Driver-known probe set (query-batch-sized — the LUTs above are
+    # already collected, so this adds no new scale constraint):
+    # rebuild the probe frame with createDataFrame (repo planner rule:
+    # no constraints ride on it into the join) and push the cells as
+    # scan filters. grp is derived from the SAVED sorted centroid ids
+    # — the same pure map the writer used.
+    prows = probes.collect()
+    probes = spark.createDataFrame(
+        [(int(r.q_id), int(r.cell)) for r in prows],
+        "q_id long, cell long",
+    )
+    crank = {
+        int(r.cent_id): i
+        for i, r in enumerate(
+            sorted(centroids.select("cent_id").collect(),
+                   key=lambda r: r.cent_id)
+        )
+    }
+    n_groups = int(meta.n_groups)
+    pcells = sorted({int(r.cell) for r in prows})
+    pgrps = sorted({crank[c] * n_groups // len(crank) for c in pcells})
+    cand = (
+        codes.where(F.col("grp").isin(pgrps))
+        .where(F.col("cell").isin(pcells))
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
     )
     pairs = cand.select(
         "q_id",

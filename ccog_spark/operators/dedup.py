@@ -939,18 +939,33 @@ def embedding_dup_pairs(
     double before every arithmetic step so DuckDB sees identical IEEE
     operations.
 
-    ``n_tables``/``band_bits`` override similarity.N_TABLES/BAND_BITS
-    (recall/verify-cost knob: more bits → smaller buckets → fewer
-    verify pairs but lower per-table recall; more tables recover
-    recall at ~linear band-join cost. scripts/embed_knee.py measures
-    the trade; the driver oracle mirrors the defaults).
+    ``n_tables`` overrides similarity.N_TABLES; ``band_bits`` PINS the
+    band width (tests / controlled probes). The DEFAULT band width is
+    ADAPTIVE (round 11): ``similarity.adaptive_band_bits(n)`` with n
+    from a cheap count of ``emb`` — bits = max(BAND_BITS,
+    ceil(log2(ceil(n / TARGET_BUCKET)))), capping expected bucket
+    occupancy at TARGET_BUCKET rows so total verify work stays LINEAR
+    in n past the floor instead of carrying the fixed-constant
+    n²/2^bits CPU term to 100 TB. The count is one column-pruned
+    aggregate over the input (noise next to the band join). Table t
+    draws planes from its own fixed t·MAX_BAND_BITS range, so the
+    DuckDB oracle replays the adaptive width EXACTLY by masking
+    full-width keys with (2^bits − 1), bits from the same integer
+    rule (COUNT → ceil-div → power-of-two CASE ladder). More bits →
+    smaller buckets → fewer verify pairs but lower per-table recall;
+    more tables recover recall at ~linear band-join cost
+    (scripts/embed_knee.py measures the trade).
     """
     from ccog_spark.functions.vectors import dot, norm
     from ccog_spark.operators import similarity
     from ccog_spark.operators.similarity import band_keys_arrow
 
     nt = similarity.N_TABLES if n_tables is None else n_tables
-    bb = similarity.BAND_BITS if band_bits is None else band_bits
+    bb = (
+        similarity.adaptive_band_bits(emb.count())
+        if band_bits is None
+        else band_bits
+    )
     # persisted: referenced three times (bands + both verify sides).
     # Band keys via the Arrow-vectorized kernel (bit-identical to the
     # expression version; see similarity.band_keys_arrow).

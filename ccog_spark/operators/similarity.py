@@ -24,20 +24,45 @@ from ccog_spark.functions.vectors import dot, norm
 N_PLANES = 8
 
 # Multi-table banding (embedding near-dup blocking): N_TABLES
-# independent tables of BAND_BITS sign-bits each; table t uses
-# hyperplanes j = t*BAND_BITS .. t*BAND_BITS + BAND_BITS - 1. A pair
-# sharing >= 1 table's full key becomes a candidate — the standard
-# OR-of-ANDs LSH amplification.
+# independent tables of up to MAX_BAND_BITS sign-bits each; table t
+# OWNS hyperplanes j = t*MAX_BAND_BITS .. (t+1)*MAX_BAND_BITS - 1 and
+# a key of ``bits`` uses the FIRST ``bits`` of them (round 11 — the
+# fixed per-table plane range makes a key at any ``bits`` the low-bit
+# MASK of the same table's full-width key, which is what lets the
+# DuckDB oracle replay a DATA-DEPENDENT ``bits`` with pure integer
+# SQL: full key & (2^bits - 1)). A pair sharing >= 1 table's full key
+# becomes a candidate — the standard OR-of-ANDs LSH amplification.
 #
-# Defaults tuned by scripts/embed_knee.py (SCALING.md): at sf1 the old
-# 4×8 produced 10.0M candidate pairs (12.6 s) from overfull 256-bucket
-# tables; 8×10 cuts pairs to 6.4M and time to 2.65 s at equal recall
-# (1998/1999 planted dups) and is faster at sf0.1 too. More bits →
-# smaller buckets (pair count ~n²/2^bits per table); more tables
-# recover recall at linear cost. The DuckDB oracle builds its SQL from
-# these same constants, so both engines move together.
+# Floor defaults tuned by scripts/embed_knee.py (SCALING.md): at sf1
+# the old 4×8 produced 10.0M candidate pairs (12.6 s) from overfull
+# 256-bucket tables; 8×10 cuts pairs to 6.4M and time to 2.65 s at
+# equal recall (1998/1999 planted dups) and is faster at sf0.1 too.
+# More bits → smaller buckets (pair count ~n²/2^bits per table); more
+# tables recover recall at linear cost. The DuckDB oracle builds its
+# SQL from these same constants, so both engines move together.
 N_TABLES = 8
 BAND_BITS = 10
+# Past 2^BAND_BITS key-space saturation the per-bucket verify work
+# grows ∝ n²/2^bits — a FIXED default carries a quadratic CPU term to
+# 100 TB (r10 verdict). adaptive_band_bits makes the documented rule
+# ("bits ∝ log N to hold bucket occupancy constant") executable:
+# expected occupancy is capped at TARGET_BUCKET rows, i.e. ≤
+# N_TABLES·TARGET_BUCKET/2 verify cosines per vector — past the floor,
+# total verify work is LINEAR in n at fixed recall-per-table (tables
+# buy recall back at linear cost; scripts/embed_knee.py measures).
+TARGET_BUCKET = 128
+MAX_BAND_BITS = 30  # int32 key space; 1024·2^30 ≈ 10^12 vectors
+
+
+def adaptive_band_bits(n: int) -> int:
+    """Corpus-sized band width: ``max(BAND_BITS, ceil(log2(ceil(n /
+    TARGET_BUCKET))))``, clamped to MAX_BAND_BITS — pure integer
+    arithmetic ((m-1).bit_length() is exact ceil-log2), replayed
+    bit-for-bit by the dedup_embed oracle's ``prm`` CTE (ceil-div +
+    power-of-two CASE ladder + key mask)."""
+    m = (n + TARGET_BUCKET - 1) // TARGET_BUCKET
+    bits = (m - 1).bit_length() if m > 1 else 0
+    return max(BAND_BITS, min(MAX_BAND_BITS, bits))
 
 
 def _hyperplane(j: int, dim: int) -> list[int]:
@@ -67,14 +92,20 @@ def band_keys(
 
     Each key is ``bits`` sign-bits of deterministic hyperplane dot
     products, so the whole construction is reproducible in the DuckDB
-    oracle. Blocking on (table, key) bounds candidate generation to
-    ~n²·tables/2^bits per key-space instead of n² per attribute block."""
+    oracle. Table t draws from its OWN fixed plane range
+    (t*MAX_BAND_BITS + b), so a key at any ``bits`` ≤ MAX_BAND_BITS is
+    the low-``bits`` mask of that table's full-width key — the oracle
+    replays adaptive widths by masking. Blocking on (table, key)
+    bounds candidate generation to ~n²·tables/2^bits per key-space
+    instead of n² per attribute block."""
+    if bits > MAX_BAND_BITS:
+        raise ValueError(f"band bits {bits} > MAX_BAND_BITS {MAX_BAND_BITS}")
     keys = []
     for t in range(n_tables):
         key = F.lit(0)
         for b in range(bits):
             weights = F.array(
-                *[F.lit(w) for w in _hyperplane(t * bits + b, dim)]
+                *[F.lit(w) for w in _hyperplane(t * MAX_BAND_BITS + b, dim)]
             )
             d = F.aggregate(
                 F.zip_with(emb, weights, lambda x, w: x.cast("double") * w),
@@ -100,9 +131,11 @@ def band_keys_arrow(dim: int, n_tables: int = N_TABLES, bits: int = BAND_BITS):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if bits > MAX_BAND_BITS:
+        raise ValueError(f"band bits {bits} > MAX_BAND_BITS {MAX_BAND_BITS}")
     planes = np.array(
         [
-            [_hyperplane(t * bits + b, dim) for b in range(bits)]
+            [_hyperplane(t * MAX_BAND_BITS + b, dim) for b in range(bits)]
             for t in range(n_tables)
         ],
         dtype="f8",

@@ -20,8 +20,10 @@ from ccog_spark.operators.dedup import (
 )
 from ccog_spark.operators.similarity import (
     BAND_BITS,
+    MAX_BAND_BITS,
     N_PLANES,
     N_TABLES,
+    TARGET_BUCKET,
     _hyperplane,
 )
 from ccog_spark.operators.text import (
@@ -248,22 +250,40 @@ ORDER BY doc_a, doc_b
 
 # Mirrors pipeline._augmented_embeddings + dedup.embedding_dup_pairs:
 # plant a +0.01-perturbed copy of every 10th vector, block candidates
-# on (table, band-key) from N_TABLES × BAND_BITS deterministic
-# hyperplane sign-bits, verify with exact cosine ≥ 0.98.
+# on (table, band-key) from N_TABLES tables of ADAPTIVE-width
+# deterministic hyperplane sign-bits, verify with exact cosine ≥ 0.98.
+# Round 11: the engine's band width is data-dependent —
+# similarity.adaptive_band_bits(n) = max(BAND_BITS,
+# ceil(log2(ceil(n/TARGET_BUCKET)))) — and because table t owns the
+# FIXED plane range t·MAX_BAND_BITS+b, a width-``bits`` key is the
+# low-bit MASK of the full-width key. So the oracle computes each
+# table's full MAX_BAND_BITS-wide key and masks it with (2^bits − 1),
+# bits derived by the SAME integer rule in the ``prm`` CTE
+# (COUNT → ceil-div → power-of-two CASE ladder): data-dependent
+# blocking, replayed bit-for-bit in pure SQL.
 def _band_sql(t: int, dim: int) -> str:
     terms = []
-    for b in range(BAND_BITS):
-        weights = ", ".join(str(w) for w in _hyperplane(t * BAND_BITS + b, dim))
+    for b in range(MAX_BAND_BITS):
+        weights = ", ".join(
+            str(w) for w in _hyperplane(t * MAX_BAND_BITS + b, dim)
+        )
         terms.append(
             f"CASE WHEN list_dot_product(e, CAST([{weights}] AS DOUBLE[])) > 0 "
-            f"THEN {1 << b} ELSE 0 END"
+            f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
         )
     return "\n         + ".join(terms)
 
 
 _EMB_BAND_UNION = "\n  UNION ALL\n".join(
-    f"  SELECT vec_id, {t} AS tbl, bk{t} AS bk FROM nv" for t in range(N_TABLES)
+    f"  SELECT vec_id, {t} AS tbl, bk{t} & mask AS bk FROM nv, prm"
+    for t in range(N_TABLES)
 )
+
+# ceil(log2(m)) as a power-of-two CASE ladder — exact integer
+# arithmetic, no float log in the hash-gated path (repo float rule)
+_CEIL_LOG2_M = "CASE WHEN m <= 1 THEN 0 " + " ".join(
+    f"WHEN m <= {1 << k} THEN {k}" for k in range(1, MAX_BAND_BITS + 1)
+) + f" ELSE {MAX_BAND_BITS + 1} END"
 
 PIPELINE_ORACLE["dedup_embed"] = f"""
 WITH base AS (
@@ -273,6 +293,11 @@ WITH base AS (
   UNION ALL
   SELECT vec_id + 10000000 AS vec_id, list_concat([e[1] + 0.01], e[2:]) AS e
   FROM base WHERE vec_id % 10 = 0
+), prm AS (
+  SELECT (CAST(1 AS BIGINT) << GREATEST({BAND_BITS}, LEAST({MAX_BAND_BITS},
+           {_CEIL_LOG2_M}))) - 1 AS mask
+  FROM (SELECT (COUNT(*) + {TARGET_BUCKET - 1}) // {TARGET_BUCKET} AS m
+        FROM aug)
 ), nv AS (
   SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm,
          {",".join(f"{_band_sql(t, 64)} AS bk{t}" for t in range(N_TABLES))}

@@ -95,6 +95,13 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # dedup_simhash (E35 dedup family keeps minhash/cc/ngram/embed +
 # both r9-promoted dedup rows above fold), ann_lsh (E36 ANN family ≙
 # ann_ivfpq + ann_index above fold).
+#
+# Round 11 reorder (VERDICT r10 task 4): cog_palette — the r10-new
+# palette COG row that completed R4 — moves INTO the fold so the
+# driver hash-gates the colormap write/read path (incl. this round's
+# explicit-black sentinel). Displaced: qr1 (E20 SQL decimation ≙
+# cog_roundtrip's full average-decimation pyramid above fold +
+# decim_nearest/pyramid_avg/decim_rms tails).
 REGISTRY: dict[str, QueryFn] = {
     "q01": relational.q01,
     "q02": relational.q02,
@@ -124,7 +131,11 @@ REGISTRY: dict[str, QueryFn] = {
     # hashed-key path
     "pipeline_span_dedup": pipeline.pipeline_span_dedup,
     # raster corpus — incl. the 4 entries the r01 driver never reached
-    "qr1": raster_queries.qr1,
+    # r11 fold slot (was qr1): PALETTE COG (R4-complete) — colormap
+    # tag 320 + role=colorinterp item, pixels AND read-back colors
+    # hash-checked against the palette formula; gates the r11
+    # explicit-black sentinel round-trip
+    "cog_palette": raster_jobs.cog_palette,
     "qr2": raster_queries.qr2,
     "qr3": raster_queries.qr3,
     # r10 fold slot (was pyramid_avg): SemDeDup cluster-scoped
@@ -306,11 +317,10 @@ REGISTRY: dict[str, QueryFn] = {
     "dedup_simhash": pipeline.dedup_simhash,
     # E36 LSH ANN ≙ ann_ivfpq + ann_index + ann_index_append (fold)
     "ann_lsh": pipeline.ann_lsh,
-    # round 10: PALETTE COG (R4-complete) — colormap tag 320 + role=
-    # colorinterp item, pixels AND read-back colors hash-checked
-    # against the palette formula (writer family fold rows:
-    # cog_roundtrip, cog_color, cog_window)
-    "cog_palette": raster_jobs.cog_palette,
+    # r11 displaced fold row: E20 SQL decimation ≙ cog_roundtrip's
+    # full average pyramid (fold) + decim_nearest/pyramid_avg/
+    # decim_rms (tail)
+    "qr1": raster_queries.qr1,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

@@ -94,6 +94,7 @@ def test_append_bit_identical_to_frozen_model_build(spark, tmp_path):
     from ccog_spark.operators.ann_index import (
         _code_frame,
         _load_model,
+        _write_clustered_codes,
         append_to_index,
         build_ivfpq_index,
         query_ivfpq_index,
@@ -120,9 +121,10 @@ def test_append_bit_identical_to_frozen_model_build(spark, tmp_path):
     for part in ("centroids", "codebook", "meta"):
         shutil.copytree(os.path.join(idx, part), os.path.join(twin, part))
     m, ci, cm, cn, cb = _load_model(spark, idx)
-    _code_frame(emb, ci, cm, cn, cb, dim, int(m.m_blocks)).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(twin, "codes"))
+    _write_clustered_codes(
+        _code_frame(emb, ci, cm, cn, cb, dim, int(m.m_blocks)),
+        ci, os.path.join(twin, "codes"), int(m.n_groups), "overwrite",
+    )
 
     codes_grown = {
         r.vec_id: (r.cell, tuple(r.codes))
@@ -170,3 +172,88 @@ def test_tmp_index_dirs_removed_at_process_exit(tmp_path):
     path = out.stdout.strip().splitlines()[-1]
     assert "ccog_ivfpq_idx" in path
     assert not os.path.exists(path)  # reaped at interpreter exit
+
+
+def test_codes_layout_probe_read_prunes(spark, tmp_path):
+    """Round-11 (r10 'What's missing' #1): the persisted codes table is
+    CLUSTERED BY CELL — grp partition directories derived from
+    centroid rank, files sorted by (cell, vec_id) inside. A probe
+    query must (a) carry the grp partition filter and the In(cell)
+    pushed filter in its scan, (b) touch ≪ all partition directories,
+    and (c) inside the touched directories have row-group cell stats
+    that EXCLUDE most non-probed cells (the stats-pruning property) —
+    while returning bit-identical results to the unfiltered join
+    (covered by test_index_build_query_matches_inline)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    idx = str(tmp_path / "pruned_idx")
+    meta = build_ivfpq_index(emb, dim, idx)
+    q = _queries(emb).limit(2)
+
+    df = query_ivfpq_index(spark, idx, q, k=3, nprobe=2)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # (a) partition pruning on grp + data filter on cell reach the scan
+    assert "PartitionFilters" in plan and "grp" in plan
+    assert "PushedFilters" in plan and "cell" in plan
+
+    # (b) ≤ nprobe·|q| probed cells map to few grp dirs
+    all_grps = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(idx, "codes", "grp=*"))
+    }
+    cents = sorted(
+        r.cent_id
+        for r in spark.read.parquet(idx + "/centroids").collect()
+    )
+    probed_cells = {
+        r.cell
+        for r in df.join(
+            spark.read.parquet(idx + "/codes").select("vec_id", "cell"),
+            "vec_id",
+        ).collect()
+    }
+    n_groups = int(meta["n_groups"])
+    probe_grps = {
+        f"grp={cents.index(c) * n_groups // len(cents)}"
+        for c in probed_cells
+    }
+    assert probe_grps <= all_grps
+    assert len(probe_grps) < len(all_grps)  # most dirs never touched
+
+    # (c) row-group stats: within the whole table, the fraction of
+    # row groups whose [min,max] cell span could contain an arbitrary
+    # single cell is small — files are cell-sorted, so stats are
+    # narrow, which is what makes the In(cell) pushdown effective
+    spans = []
+    lo_all, hi_all = None, None
+    for f in glob.glob(os.path.join(idx, "codes", "grp=*", "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                if col.path_in_schema == "cell" and col.statistics:
+                    mn = int(col.statistics.min)
+                    mx = int(col.statistics.max)
+                    spans.append((mn, mx))
+                    lo_all = mn if lo_all is None else min(lo_all, mn)
+                    hi_all = mx if hi_all is None else max(hi_all, mx)
+    assert spans, "codes files must carry cell statistics"
+    total = (hi_all - lo_all) or 1
+    avg_span = sum((mx - mn) for mn, mx in spans) / len(spans)
+    # each row group covers a narrow slice of the global cell range
+    assert avg_span / total < 0.5

@@ -519,3 +519,42 @@ def test_semantic_dedup_parallel_coarse_twins_oracle_parity(spark):
     assert got == want
     # the parallel twin co-cells with its original and is pruned
     assert got[76] == (1, False) and got[1][1] is True
+
+
+def test_adaptive_band_bits_rule_and_oracle_ladder_parity():
+    """Round-11 adaptive band width: the Python rule (exact integer
+    ceil-log2 of ceil(n/TARGET_BUCKET), floored at BAND_BITS, capped
+    at MAX_BAND_BITS) must agree with the dedup_embed oracle's prm
+    CTE spelling (ceil-div + power-of-two CASE ladder + shift) for a
+    sweep of corpus sizes including every boundary."""
+    import duckdb
+
+    from ccog_spark.operators.similarity import (
+        BAND_BITS,
+        MAX_BAND_BITS,
+        TARGET_BUCKET,
+        adaptive_band_bits,
+    )
+    from ccog_spark.queries.oracle_pipeline import _CEIL_LOG2_M
+
+    # pinned values: floor holds to n = TARGET_BUCKET * 2^BAND_BITS,
+    # the next vector adds a bit, the cap binds at astronomical n
+    knee = TARGET_BUCKET * (1 << BAND_BITS)
+    assert adaptive_band_bits(1) == BAND_BITS
+    assert adaptive_band_bits(knee) == BAND_BITS
+    assert adaptive_band_bits(knee + 1) == BAND_BITS + 1
+    assert adaptive_band_bits(10**15) == MAX_BAND_BITS
+
+    ns = [1, 2, TARGET_BUCKET, TARGET_BUCKET + 1, knee, knee + 1]
+    for k in range(1, MAX_BAND_BITS + 2):
+        base = TARGET_BUCKET * (1 << k)
+        ns += [base - 1, base, base + 1]
+    con = duckdb.connect()
+    for n in ns:
+        (bits,) = con.execute(
+            f"SELECT GREATEST({BAND_BITS}, LEAST({MAX_BAND_BITS}, "
+            f"{_CEIL_LOG2_M})) FROM (SELECT "
+            f"(CAST({n} AS BIGINT) + {TARGET_BUCKET - 1}) // "
+            f"{TARGET_BUCKET} AS m)"
+        ).fetchone()
+        assert bits == adaptive_band_bits(n), n

@@ -5,7 +5,7 @@ multipart protocol: initiate / upload-part / complete / abort)."""
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 import pytest
 
@@ -29,8 +29,13 @@ def _make_handler(state: _S3State):
             u = urlparse(self.path)
             bucket, _, key = u.path.lstrip("/").partition("/")
             # keep_blank_values: S3's initiate request is '?uploads'
-            # with no value, which parse_qs drops by default
-            return bucket, key, parse_qs(u.query, keep_blank_values=True)
+            # with no value, which parse_qs drops by default.
+            # unquote: boto3 percent-encodes reserved chars in the
+            # key path (e.g. '=' in scene_epoch=0.tif → %3D) and real
+            # S3 decodes them back to the logical key
+            return bucket, unquote(key), parse_qs(
+                u.query, keep_blank_values=True
+            )
 
         def _xml(self, code: int, body: str):
             data = body.encode()

@@ -182,3 +182,71 @@ def test_foreachbatch_stream_to_cog(spark, tmp_path):
         assert len(vals) == 1  # constant scene fill, no cross-batch mix
         fills.add(float(vals[0]))
     assert fills == {10.0, 20.0}
+
+
+# the in-process S3 REST stand-in + fsspec-style options builder from
+# the MPU suite; importing the fixture makes it resolvable here
+from tests.test_s3_stub import _storage_options, s3_stub  # noqa: E402,F401
+
+
+def test_foreachbatch_stream_to_cog_s3_mpu(spark, tmp_path, s3_stub):
+    """Round-11 (VERDICT r10 task 6): the streaming-COG seam composed
+    with the OBJECT-STORE target — write_stream_cogs pointed at
+    s3://… drives the ordered multipart finalize (create → parts →
+    ETag-checked complete) per micro-batch, not the local-file path.
+    Two epochs → two completed S3 objects, each a valid COG whose
+    pixels read back the scene fill; zero aborts (the stub REJECTS a
+    complete whose ETags mismatch its upload-time values, so two
+    completed objects prove the ETag round-trip end-to-end)."""
+    import numpy as np
+
+    from ccog_spark.raster import tiff
+    from ccog_spark.streaming.sinks import write_stream_cogs
+
+    state, endpoint = s3_stub
+    W_, H_, B_ = 64, 48, 1
+    staging = str(tmp_path / "scenes")
+    for scene, fill in ((0, 10.0), (1, 20.0)):
+        rows = [
+            (1, y, x, fill, True) for y in range(H_) for x in range(W_)
+        ]
+        (
+            spark.createDataFrame(
+                rows, "band int, y int, x int, value double, valid boolean"
+            )
+            .repartition(1)
+            .write.mode("append")
+            .parquet(staging)
+        )
+    stream = (
+        spark.readStream.schema(
+            "band int, y int, x int, value double, valid boolean"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = write_stream_cogs(
+        stream, "s3://testbkt/scenes", str(tmp_path / "ckpt"),
+        W_, H_, B_, blocksize=32, nodata=-1.0,
+        storage_options=_storage_options(endpoint),
+        min_part_size=4096,  # force several ordered parts per object
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    keys = sorted(k for b, k in state.objects if b == "testbkt")
+    assert keys == ["scenes/scene_epoch=0.tif", "scenes/scene_epoch=1.tif"]
+    assert not state.aborted  # every multipart upload completed
+    fills = set()
+    for k in keys:
+        data = state.objects[("testbkt", k)]
+        ifds = tiff.read_cog(data)
+        assert ifds[0].width == W_ and ifds[0].height == H_
+        assert len(ifds) >= 2  # overview chain survived the MPU path
+        px = tiff.read_band(data, ifds[0], 0)
+        vals = np.unique(px)
+        assert len(vals) == 1
+        fills.add(float(vals[0]))
+    assert fills == {10.0, 20.0}
