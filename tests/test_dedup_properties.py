@@ -558,3 +558,66 @@ def test_adaptive_band_bits_rule_and_oracle_ladder_parity():
             f"{TARGET_BUCKET} AS m)"
         ).fetchone()
         assert bits == adaptive_band_bits(n), n
+
+
+def test_band_key_width_is_low_bit_mask(spark):
+    """The oracle's adaptive replay rests on one property: because
+    table t owns the FIXED plane range t·MAX_BAND_BITS+b, a
+    width-``bits`` band key equals the low-``bits`` mask of the same
+    table's full-width key. Pin it engine-side across widths."""
+    import numpy as np
+
+    from ccog_spark.operators.similarity import (
+        MAX_BAND_BITS,
+        band_keys_arrow,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    full = band_keys_arrow(16, 4, MAX_BAND_BITS)
+    out = df.select(
+        "vec_id",
+        full(F.col("e")).alias("kf"),
+        band_keys_arrow(16, 4, 10)(F.col("e")).alias("k10"),
+        band_keys_arrow(16, 4, 13)(F.col("e")).alias("k13"),
+    ).collect()
+    for r in out:
+        for t in range(4):
+            assert r.k10[t] == (r.kf[t] & ((1 << 10) - 1))
+            assert r.k13[t] == (r.kf[t] & ((1 << 13) - 1))
+
+
+def test_embedding_dup_pairs_default_is_adaptive(spark):
+    """The DEFAULT band width routes through adaptive_band_bits(n):
+    pinning band_bits to exactly that value must reproduce the default
+    output row-for-row (and the floor holds on a small corpus, so the
+    r10-era pinned-10 behavior is unchanged below the knee)."""
+    import numpy as np
+
+    from ccog_spark.operators.dedup import embedding_dup_pairs
+    from ccog_spark.operators.similarity import (
+        BAND_BITS,
+        adaptive_band_bits,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(120, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant near-dups so the result is non-vacuous
+    rows += [
+        (1000 + i, [float(x) for x in v + 1e-4])
+        for i, v in enumerate(base[:12])
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n = emb.count()
+    assert adaptive_band_bits(n) == BAND_BITS  # floor below the knee
+    key = lambda r: (r.id_a, r.id_b)
+    dflt = {key(r): r.cos for r in embedding_dup_pairs(emb, 16).collect()}
+    pinned = {
+        key(r): r.cos
+        for r in embedding_dup_pairs(
+            emb, 16, band_bits=adaptive_band_bits(n)
+        ).collect()
+    }
+    assert dflt == pinned and dflt  # identical, non-empty
