@@ -8,7 +8,7 @@ Protocol (BASELINE.md): warm JVM — one untimed warm-up pass, then the
 timed pass; each query timed end-to-end (plan + execute + fetch).
 
 Round 11: the JSON also carries ``calibration_sec`` — a fixed pure-JVM
-aggregate over spark.range(5e7), run warm (one untimed + one timed
+aggregate over spark.range(5e8), run warm (one untimed + one timed
 execution) BEFORE the query passes. The probe touches no input data
 and no Python workers, so round-over-round movement in it is HOST
 drift (CPU contention, thermal, co-tenants), not code: normalize
@@ -38,24 +38,29 @@ def run() -> dict:
     spark = get_spark(app_name="ccog_spark_bench")
 
     def _calibration() -> float:
-        # fixed-work JVM-only probe: hash-distribute 50M longs, two
+        # fixed-work JVM-only probe: hash-distribute 500M longs, two
         # aggregates (forces the exchange + whole-stage codegen), no
         # file IO, no Arrow, no Python workers — a pure host-speed
         # yardstick. collect() (not count) so the aggregate values
-        # are actually materialized.
+        # are materialized; min-of-3 warm runs filters one-off
+        # scheduling jitter while keeping sustained contention —
+        # exactly the drift signal the field exists to expose.
         from pyspark.sql import functions as F
 
         df = (
-            spark.range(50_000_000)
+            spark.range(500_000_000)
             .withColumn("g", F.col("id") % 1024)
             .groupBy("g")
             .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
             .agg(F.sum("s").alias("ts"), F.sum("c").alias("tc"))
         )
         df.collect()  # warm (codegen + stage setup)
-        t0 = time.perf_counter()
-        df.collect()
-        return round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(3):  # min-of-3: filters scheduling jitter,
+            t0 = time.perf_counter()  # keeps contention (the signal)
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
 
     calibration_sec = _calibration()
 

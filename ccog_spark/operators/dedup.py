@@ -953,19 +953,29 @@ def embedding_dup_pairs(
     full-width keys with (2^bits − 1), bits from the same integer
     rule (COUNT → ceil-div → power-of-two CASE ladder). More bits →
     smaller buckets → fewer verify pairs but lower per-table recall;
-    more tables recover recall at ~linear band-join cost
-    (scripts/embed_knee.py measures the trade).
+    the buy-back is ALSO executable: the adaptive default adds
+    2 tables per bit above the floor (similarity.adaptive_n_tables,
+    linear band-join cost, oracle-gated UNION branches up to
+    MAX_TABLES). scripts/embed_knee.py and embed_adaptive_probe.py
+    measure the trade.
     """
     from ccog_spark.functions.vectors import dot, norm
     from ccog_spark.operators import similarity
     from ccog_spark.operators.similarity import band_keys_arrow
 
-    nt = similarity.N_TABLES if n_tables is None else n_tables
-    bb = (
-        similarity.adaptive_band_bits(emb.count())
-        if band_bits is None
-        else band_bits
-    )
+    if band_bits is None:
+        bb = similarity.adaptive_band_bits(emb.count())
+        # recall buy-back rides with the adaptive width: +2 tables per
+        # bit above the floor (linear cost) compensates the per-table
+        # recall each extra bit costs; an explicit n_tables pins
+        nt = (
+            similarity.adaptive_n_tables(bb)
+            if n_tables is None
+            else n_tables
+        )
+    else:
+        bb = band_bits
+        nt = similarity.N_TABLES if n_tables is None else n_tables
     # persisted: referenced three times (bands + both verify sides).
     # Band keys via the Arrow-vectorized kernel (bit-identical to the
     # expression version; see similarity.band_keys_arrow).

@@ -52,6 +52,9 @@ BAND_BITS = 10
 # buy recall back at linear cost; scripts/embed_knee.py measures).
 TARGET_BUCKET = 128
 MAX_BAND_BITS = 30  # int32 key space; 1024·2^30 ≈ 10^12 vectors
+# recall buy-back cap: the oracle mirrors table-count adaptivity with
+# MAX_TABLES gated UNION branches, so the executable rule is bounded
+MAX_TABLES = 16
 
 
 def adaptive_band_bits(n: int) -> int:
@@ -63,6 +66,18 @@ def adaptive_band_bits(n: int) -> int:
     m = (n + TARGET_BUCKET - 1) // TARGET_BUCKET
     bits = (m - 1).bit_length() if m > 1 else 0
     return max(BAND_BITS, min(MAX_BAND_BITS, bits))
+
+
+def adaptive_n_tables(bits: int) -> int:
+    """Executable recall buy-back (the rule SCALING.md states as
+    prose): every band bit above the floor costs per-table recall
+    p^bits, and tables recover it at LINEAR cost — +2 tables per
+    extra bit slightly over-compensates at the cos_min boundary
+    (miss prob (1-p^(floor+k))^(8+2k) < (1-p^floor)^8 for p ≈ 0.94),
+    capped at MAX_TABLES so the oracle's gated UNION stays bounded.
+    Pure integer arithmetic, replayed by the ``ntab`` column of the
+    dedup_embed oracle's ``prm`` CTE."""
+    return min(MAX_TABLES, N_TABLES + 2 * (bits - BAND_BITS))
 
 
 def _hyperplane(j: int, dim: int) -> list[int]:

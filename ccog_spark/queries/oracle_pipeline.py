@@ -21,6 +21,7 @@ from ccog_spark.operators.dedup import (
 from ccog_spark.operators.similarity import (
     BAND_BITS,
     MAX_BAND_BITS,
+    MAX_TABLES,
     N_PLANES,
     N_TABLES,
     TARGET_BUCKET,
@@ -274,9 +275,15 @@ def _band_sql(t: int, dim: int) -> str:
     return "\n         + ".join(terms)
 
 
+# One branch per POSSIBLE table (MAX_TABLES), each gated by the
+# data-dependent ntab from prm — the oracle replay of
+# similarity.adaptive_n_tables' recall buy-back (+2 tables per bit
+# above the floor); at or below the knee ntab = N_TABLES and the
+# extra branches contribute nothing
 _EMB_BAND_UNION = "\n  UNION ALL\n".join(
     f"  SELECT vec_id, {t} AS tbl, bk{t} & mask AS bk FROM nv, prm"
-    for t in range(N_TABLES)
+    f" WHERE {t} < ntab"
+    for t in range(MAX_TABLES)
 )
 
 # ceil(log2(m)) as a power-of-two CASE ladder — exact integer
@@ -294,13 +301,18 @@ WITH base AS (
   SELECT vec_id + 10000000 AS vec_id, list_concat([e[1] + 0.01], e[2:]) AS e
   FROM base WHERE vec_id % 10 = 0
 ), prm AS (
-  SELECT (CAST(1 AS BIGINT) << GREATEST({BAND_BITS}, LEAST({MAX_BAND_BITS},
-           {_CEIL_LOG2_M}))) - 1 AS mask
-  FROM (SELECT (COUNT(*) + {TARGET_BUCKET - 1}) // {TARGET_BUCKET} AS m
-        FROM aug)
+  SELECT (CAST(1 AS BIGINT) << bits) - 1 AS mask,
+         LEAST({MAX_TABLES},
+               {N_TABLES} + 2 * (bits - {BAND_BITS})) AS ntab
+  FROM (
+    SELECT GREATEST({BAND_BITS}, LEAST({MAX_BAND_BITS},
+             {_CEIL_LOG2_M})) AS bits
+    FROM (SELECT (COUNT(*) + {TARGET_BUCKET - 1}) // {TARGET_BUCKET} AS m
+          FROM aug)
+  )
 ), nv AS (
   SELECT vec_id, e, SQRT(list_dot_product(e, e)) AS nrm,
-         {",".join(f"{_band_sql(t, 64)} AS bk{t}" for t in range(N_TABLES))}
+         {",".join(f"{_band_sql(t, 64)} AS bk{t}" for t in range(MAX_TABLES))}
   FROM aug
 ), bands AS (
 {_EMB_BAND_UNION}

@@ -39,11 +39,20 @@ def main():
     n = emb.count()
     planted = emb.where(F.col("vec_id") >= 10_000_000).count()
     adaptive_bits = similarity.adaptive_band_bits(n)
+    adaptive_nt = similarity.adaptive_n_tables(adaptive_bits)
     print(json.dumps({"sf_dir": sf_dir, "n": n, "planted": planted,
-                      "adaptive_bits": adaptive_bits}), flush=True)
+                      "adaptive_bits": adaptive_bits,
+                      "adaptive_n_tables": adaptive_nt}), flush=True)
 
-    for label, bb in (("fixed10", 10), ("adaptive", None)):
-        out = embedding_dup_pairs(emb, EMB_DIM, band_bits=bb)
+    # fixed10 = the pre-r11 default; adaptive_bits_only isolates the
+    # width effect; adaptive = the shipped default (width + table
+    # buy-back riding together)
+    for label, nt, bb in (
+        ("fixed10", 8, 10),
+        ("adaptive_bits_only", 8, adaptive_bits),
+        ("adaptive", None, None),
+    ):
+        out = embedding_dup_pairs(emb, EMB_DIM, n_tables=nt, band_bits=bb)
         t0 = time.time()
         rows = out.collect()
         dt = round(time.time() - t0, 1)
@@ -52,7 +61,8 @@ def main():
             if r.id_b == r.id_a + 10_000_000 and r.id_a % 10 == 0
         )
         print(json.dumps({
-            "config": label, "bits": bb or adaptive_bits, "sec": dt,
+            "config": label, "n_tables": nt or adaptive_nt,
+            "bits": bb or adaptive_bits, "sec": dt,
             "result_rows": len(rows), "planted_found": found,
             "recall_pct": round(100.0 * found / planted, 2),
         }), flush=True)

@@ -532,8 +532,11 @@ def test_adaptive_band_bits_rule_and_oracle_ladder_parity():
     from ccog_spark.operators.similarity import (
         BAND_BITS,
         MAX_BAND_BITS,
+        MAX_TABLES,
+        N_TABLES,
         TARGET_BUCKET,
         adaptive_band_bits,
+        adaptive_n_tables,
     )
     from ccog_spark.queries.oracle_pipeline import _CEIL_LOG2_M
 
@@ -551,13 +554,16 @@ def test_adaptive_band_bits_rule_and_oracle_ladder_parity():
         ns += [base - 1, base, base + 1]
     con = duckdb.connect()
     for n in ns:
-        (bits,) = con.execute(
-            f"SELECT GREATEST({BAND_BITS}, LEAST({MAX_BAND_BITS}, "
-            f"{_CEIL_LOG2_M})) FROM (SELECT "
+        bits, ntab = con.execute(
+            f"SELECT bits, LEAST({MAX_TABLES}, "
+            f"{N_TABLES} + 2 * (bits - {BAND_BITS})) FROM (SELECT "
+            f"GREATEST({BAND_BITS}, LEAST({MAX_BAND_BITS}, "
+            f"{_CEIL_LOG2_M})) AS bits FROM (SELECT "
             f"(CAST({n} AS BIGINT) + {TARGET_BUCKET - 1}) // "
-            f"{TARGET_BUCKET} AS m)"
+            f"{TARGET_BUCKET} AS m))"
         ).fetchone()
         assert bits == adaptive_band_bits(n), n
+        assert ntab == adaptive_n_tables(bits), n  # buy-back twin
 
 
 def test_band_key_width_is_low_bit_mask(spark):
