@@ -8,8 +8,8 @@ Protocol (BASELINE.md): warm JVM — one untimed warm-up pass, then the
 timed pass; each query timed end-to-end (plan + execute + fetch).
 
 Round 11: the JSON also carries ``calibration_sec`` — a fixed pure-JVM
-aggregate over spark.range(5e8), run warm (one untimed + one timed
-execution) BEFORE the query passes. The probe touches no input data
+aggregate over spark.range(5e8), run warm (one untimed pass, then
+min-of-3 timed executions) BEFORE the query passes. The probe touches no input data
 and no Python workers, so round-over-round movement in it is HOST
 drift (CPU contention, thermal, co-tenants), not code: normalize
 per-query ratios across rounds by dividing out

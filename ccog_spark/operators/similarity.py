@@ -51,7 +51,7 @@ BAND_BITS = 10
 # total verify work is LINEAR in n at fixed recall-per-table (tables
 # buy recall back at linear cost; scripts/embed_knee.py measures).
 TARGET_BUCKET = 128
-MAX_BAND_BITS = 30  # int32 key space; 1024·2^30 ≈ 10^12 vectors
+MAX_BAND_BITS = 30  # int32 key space; 128·2^30 ≈ 1.4·10^11 vectors
 # recall buy-back cap: the oracle mirrors table-count adaptivity with
 # MAX_TABLES gated UNION branches, so the executable rule is bounded
 MAX_TABLES = 16
