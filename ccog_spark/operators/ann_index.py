@@ -149,10 +149,23 @@ def _write_clustered_codes(
     )
 
 
-# default codes/ partition-directory count — at 100 TB size it so a
-# directory is O(10) GB (n_groups ≈ corpus_bytes / 10 GiB); probe
-# reads touch nprobe/n_groups of the table either way
+# codes/ partition-directory floor — the DEFAULT directory count is
+# corpus-sized (adaptive_n_groups): one dir ≈ GROUP_TARGET_ROWS code
+# rows (~36 B each → ~7 GiB of parquet), floored at CODES_GROUPS so
+# small corpora still demonstrate pruning. Probe reads touch
+# nprobe/n_groups of the table; write parallelism equals n_groups
+# (one task per directory), which at the target sizing is
+# corpus_bytes / 7 GiB tasks — ample at scale.
 CODES_GROUPS = 16
+GROUP_TARGET_ROWS = 200_000_000
+
+
+def adaptive_n_groups(n: int) -> int:
+    """Corpus-sized directory count: ceil(n / GROUP_TARGET_ROWS),
+    floored at CODES_GROUPS. Pure integer arithmetic; the chosen
+    value is persisted in meta/ so append and query re-derive the
+    identical layout without recomputing the rule."""
+    return max(CODES_GROUPS, -(-n // GROUP_TARGET_ROWS))
 
 
 def build_ivfpq_index(
@@ -161,10 +174,15 @@ def build_ivfpq_index(
     index_dir: str,
     cent_stride: int = 25,
     m_blocks: int = PQ_M_BLOCKS,
-    n_groups: int = CODES_GROUPS,
+    n_groups: int | None = None,
 ) -> dict:
-    """One corpus pass → persisted index. Returns the meta dict."""
+    """One corpus pass → persisted index. Returns the meta dict.
+    ``n_groups`` defaults to adaptive_n_groups(corpus count) — one
+    extra column-pruned count job at build time; pass an int to pin
+    the directory count (tests, controlled probes)."""
     spark = corpus.sparkSession
+    if n_groups is None:
+        n_groups = adaptive_n_groups(corpus.count())
     cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
     cbmat = _codebook_mat(corpus)
 

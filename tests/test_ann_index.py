@@ -257,3 +257,21 @@ def test_codes_layout_probe_read_prunes(spark, tmp_path):
     avg_span = sum((mx - mn) for mn, mx in spans) / len(spans)
     # each row group covers a narrow slice of the global cell range
     assert avg_span / total < 0.5
+
+
+def test_adaptive_n_groups_rule():
+    """Directory-count rule: floor of CODES_GROUPS below the knee,
+    exact ceil-division above it — integer boundaries pinned so the
+    persisted layout is deterministic at every corpus size."""
+    from ccog_spark.operators.ann_index import (
+        CODES_GROUPS,
+        GROUP_TARGET_ROWS,
+        adaptive_n_groups,
+    )
+
+    assert adaptive_n_groups(1) == CODES_GROUPS
+    knee = CODES_GROUPS * GROUP_TARGET_ROWS
+    assert adaptive_n_groups(knee) == CODES_GROUPS
+    assert adaptive_n_groups(knee + 1) == CODES_GROUPS + 1
+    # 100 TB-ish: 4e11 vectors → one ~7 GiB dir per 2e8 rows
+    assert adaptive_n_groups(4 * 10**11) == 2000
