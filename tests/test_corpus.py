@@ -103,3 +103,28 @@ def test_engine_facade_ann_and_raster(spark, tmp_path):
     assert meta2["appended"] == 5
     assert meta2["n_vectors"] == meta["n_vectors"] + 5
     assert meta2["occupancy_skew"] >= 1.0
+
+
+def test_driver_fold_discipline():
+    """The grading driver hash-records exactly the FIRST 50 registry
+    entries, so fold membership is a correctness-visibility contract:
+    every key promoted for driver gating (r7–r11 reorders) must sit in
+    the fold, the designed rows-only entry (cog_write) must NOT, and
+    the dict must be duplicate-free (a duplicate key would silently
+    keep only the later entry — past footgun)."""
+    keys = list(REGISTRY)
+    fold = set(keys[:50])
+    promoted = {
+        # r7: composed/fused stars
+        "pipeline_e2e", "ann_ivfpq", "multimodal_features", "cog_color",
+        # r8: persisted index, LM, line dedup, windowed COG read
+        "ann_index", "pipeline_lm", "pipeline_line_dedup", "cog_window",
+        # r10: the rewritten operators + r8 stars
+        "pipeline_span_dedup", "dedup_semantic", "corpus_profile",
+        "ann_index_append",
+        # r11: the palette row that completed R4
+        "cog_palette",
+    }
+    assert promoted <= fold, sorted(promoted - fold)
+    assert "cog_write" not in fold  # rows-only by design, tail-pinned
+    assert len(keys) == len(set(keys))
