@@ -959,7 +959,7 @@ def embedding_dup_pairs(
     MAX_TABLES). scripts/embed_knee.py and embed_adaptive_probe.py
     measure the trade.
     """
-    from ccog_spark.functions.vectors import dot, norm
+    from ccog_spark.functions.vectors import norm
     from ccog_spark.operators import similarity
     from ccog_spark.operators.similarity import band_keys_arrow
 
@@ -976,65 +976,150 @@ def embedding_dup_pairs(
     else:
         bb = band_bits
         nt = similarity.N_TABLES if n_tables is None else n_tables
-    # persisted: referenced three times (bands + both verify sides).
     # Band keys via the Arrow-vectorized kernel (bit-identical to the
-    # expression version; see similarity.band_keys_arrow).
-    # persisted (3 refs: bands + both verify sides), scoped so repeated
-    # calls release the prior call's cache (round-8 ADVICE)
-    nv = _persist_latest(
-        "embedding_dup_pairs.nv",
+    # expression version; see similarity.band_keys_arrow). nv is
+    # consumed exactly once by the bucket shuffle below — no persist.
+    nv = (
         emb.select(
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
         )
         .withColumn("nrm", norm(F.col("e")))
-        .withColumn("bks", band_keys_arrow(dim, nt, bb)(F.col("e"))),
+        .withColumn("bks", band_keys_arrow(dim, nt, bb)(F.col("e")))
     )
     bands = nv.select(
         "vec_id", "e", "nrm", F.posexplode(F.col("bks")).alias("tbl", "bk")
     )
-    # INLINE verify (round 10): the vectors ride INTO the band join
-    # and the cosine filter runs in the SAME stage as the join — the
-    # quadratic candidate stream is pipelined through whole-stage
-    # codegen and never hits an exchange. The previous spelling
-    # (.distinct() on bare (id_a, id_b) THEN two vector joins) was a
-    # scale bomb this round's sf10 probe detonated: band-bucket sizes
-    # grow ∝ N once the 2^bits key space saturates, so the pre-verify
-    # distinct shuffled ~2.2 BILLION pair rows at 100× (>78 GB of
-    # sort spill — job death), all to deduplicate pairs that the
-    # cosine filter would have cut to a few thousand rows anyway.
-    # Cost of the inline spelling: the band-join shuffle carries the
-    # arrays (~4 KB/vector × n_tables — LINEAR in N), and a pair
-    # sharing ≥2 tables evaluates its cosine once per shared table
-    # (deduped by the terminal distinct; cos is rounded, so the
-    # duplicates are bit-identical rows). Semantics and the oracle
-    # ("share ≥1 band AND cos ≥ t") are unchanged. The per-bucket
-    # quadratic work that REMAINS is the LSH contract — band_bits is
-    # the knob (buckets ~n/2^bits; size bits ∝ log N at 100 TB;
-    # scripts/embed_knee.py measures the trade).
-    a = bands.select(
-        "tbl",
-        "bk",
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("e_a"),
-        F.col("nrm").alias("n_a"),
-    )
-    b = bands.select(
-        "tbl",
-        "bk",
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("e_b"),
-        F.col("nrm").alias("n_b"),
+    # PER-BUCKET verify kernel (round 11). History of this hot path:
+    # the original spelling (.distinct() on bare pair ids THEN two
+    # vector joins) shuffled ~2.2 B pair rows at 100× — job death;
+    # round 10 fused the cosine into the band join (no pair exchange),
+    # which survives but MATERIALIZES every candidate as a joined row
+    # carrying both ~512 B vectors — the r11 sf10 probe measured
+    # 1.13 B candidates (skewed buckets: p50 = 35 but max ≈ 4700), so
+    # the join was moving ~1 TB of row data to compute 72 GFLOPs.
+    # Now: ONE shuffle groups each (tbl, bk) bucket, and an Arrow
+    # kernel does the pairwise work in numpy — a blocked X @ X.T
+    # PREFILTER at margin (cos_min − 1e-4) finds candidate pairs at
+    # BLAS speed, then ONLY the survivors (result-sized) get their
+    # cosine recomputed with strict per-dim left-to-right
+    # accumulation — the exact addition sequence of the JVM fold and
+    # the DuckDB oracle, so emitted values are BIT-IDENTICAL to the
+    # r10 join spelling (the margin safely covers BLAS-vs-sequential
+    # rounding ~1e-12 plus the round-to-4 boundary 5e-5; a pair whose
+    # rounded cos passes ≥ cos_min has raw ≥ cos_min − 5e-5 > margin,
+    # so no true pair is lost). Pair rows never exist JVM-side at
+    # all; the exchange count is unchanged (one (tbl, bk) shuffle,
+    # ~0.5 KB/vector/table — LINEAR in N). Semantics and the oracle
+    # ("share ≥1 band AND cos ≥ t") are unchanged; a pair sharing ≥2
+    # tables is emitted once per shared table as bit-identical rows,
+    # deduped by the terminal distinct. The per-bucket quadratic
+    # PREFILTER work remains the LSH contract — adaptive band_bits is
+    # the knob (SCALING.md §round-11).
+    margin = cos_min - 1e-4
+    blk = 4096  # G-block ≈ 134 MB; bounds kernel memory on hot buckets
+
+    def _emit_chunk(pdf: "pd.DataFrame"):
+        # one complete-buckets chunk: build the arrays ONCE (the
+        # per-row object→numpy conversion is the chunk's fixed cost),
+        # then every bucket is an array SLICE — tiny buckets cost a
+        # few numpy calls, not a pandas DataFrame each (the reason
+        # this is mapInPandas over sorted partitions rather than
+        # groupBy.applyInPandas: at sf0.1 ~15k near-empty buckets
+        # made per-group overhead 2.4× the whole operator)
+        import numpy as np
+
+        tb = pdf["tbl"].to_numpy()
+        bkk = pdf["bk"].to_numpy()
+        ids_all = pdf["vec_id"].to_numpy()
+        X_all = np.stack(
+            [np.asarray(v, dtype="f8") for v in pdf["e"].to_numpy()]
+        )
+        nr_all = pdf["nrm"].to_numpy()
+        cut = np.nonzero((tb[1:] != tb[:-1]) | (bkk[1:] != bkk[:-1]))[0] + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(pdf)]))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            order = np.argsort(ids_all[s:e], kind="stable")
+            ids = ids_all[s:e][order]
+            X = X_all[s:e][order]
+            nr = nr_all[s:e][order]
+            for s1 in range(0, n, blk):
+                e1 = min(s1 + blk, n)
+                for s2 in range(s1, n, blk):
+                    e2 = min(s2 + blk, n)
+                    g = (X[s1:e1] @ X[s2:e2].T) / (
+                        nr[s1:e1, None] * nr[None, s2:e2]
+                    )
+                    if s1 == s2:  # diagonal block: strict upper tri
+                        g[np.tril_indices(e1 - s1, 0)] = -2.0
+                    ii, jj = np.nonzero(g >= margin)
+                    if len(ii) == 0:
+                        continue
+                    i, j = ii + s1, jj + s2
+                    # exact cosine for survivors only: vectorized
+                    # over pairs, SEQUENTIAL over dim — the identical
+                    # addition order of the JVM fold / oracle
+                    # list_dot_product
+                    acc = np.zeros(len(i))
+                    for d in range(X.shape[1]):
+                        acc += X[i, d] * X[j, d]
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_c.append(acc / (nr[i] * nr[j]))
+        if not out_a:
+            return None
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
+
+    def partition_pairs(batches):
+        # rows arrive sorted by (tbl, bk) within the partition; a
+        # bucket may straddle Arrow batches, so hold back the last
+        # (possibly incomplete) run and prepend it to the next batch
+        import numpy as np
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            tb = pdf["tbl"].to_numpy()
+            bkk = pdf["bk"].to_numpy()
+            cut = np.nonzero(
+                (tb[1:] != tb[:-1]) | (bkk[1:] != bkk[:-1])
+            )[0]
+            if len(cut) == 0:
+                carry = pdf  # single run — may continue next batch
+                continue
+            split = int(cut[-1]) + 1
+            carry = pdf.iloc[split:]
+            out = _emit_chunk(pdf.iloc[:split])
+            if out is not None:
+                yield out
+        if carry is not None and len(carry) > 1:
+            out = _emit_chunk(carry)
+            if out is not None:
+                yield out
+
+    pairs = (
+        bands.repartition("tbl", "bk")
+        .sortWithinPartitions("tbl", "bk")
+        .mapInPandas(partition_pairs, "id_a long, id_b long, cos_raw double")
     )
     return (
-        a.join(b, ["tbl", "bk"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 4
-            ).alias("cos"),
+        pairs.select(
+            "id_a", "id_b", F.round(F.col("cos_raw"), 4).alias("cos")
         )
         .where(F.col("cos") >= cos_min)
         .distinct()
