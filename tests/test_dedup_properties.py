@@ -627,3 +627,45 @@ def test_embedding_dup_pairs_default_is_adaptive(spark):
         ).collect()
     }
     assert dflt == pinned and dflt  # identical, non-empty
+
+
+def test_embedding_dup_pairs_bucket_straddles_arrow_batches(spark):
+    """The r11 verify kernel (mapInPandas over sorted band partitions)
+    buffers the trailing (tbl, bk) run across Arrow batches — a bucket
+    larger than spark.sql.execution.arrow.maxRecordsPerBatch must be
+    reassembled, not split into partial pair sets. Force 16-row
+    batches against a 90-vector near-duplicate cluster (one hot
+    bucket per table, far wider than a batch) and require the result
+    to equal the default-batch run row-for-row."""
+    import numpy as np
+
+    from ccog_spark.operators.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16)
+    rows = [
+        (i, [float(x) for x in base + 1e-5 * rng.normal(size=16)])
+        for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    default = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_dup_pairs(emb, 16, band_bits=10).collect()
+    }
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "16")
+        tiny = {
+            (r.id_a, r.id_b): r.cos
+            for r in embedding_dup_pairs(emb, 16, band_bits=10).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert tiny == default
+    # the cluster really is one hot bucket: ~all C(90,2) pairs found
+    assert len(default) > 3500
