@@ -140,7 +140,16 @@ def _write_clustered_codes(
     spark = codes.sparkSession
     grp = _grp_frame(spark, cent_ids, n_groups)
     (
-        codes.join(F.broadcast(grp), "cell")
+        # LEFT join + coalesce: a row carrying the cell = -1 assignment
+        # fallback (null embedding, _code_frame) has no centroid-map
+        # entry — an inner join would silently DROP it from the
+        # persisted table (the pre-r11 flat writer kept such rows, and
+        # n_vectors/occupancy accounting counts the written parquet).
+        # Unmapped rows land in a dedicated grp = -1 directory: probe
+        # reads never touch it (pgrps come from real centroid ranks),
+        # so pruning is unchanged (round-12 ADVICE).
+        codes.join(F.broadcast(grp), "cell", "left")
+        .withColumn("grp", F.coalesce(F.col("grp"), F.lit(-1)))
         .repartition(n_groups, "grp")
         .sortWithinPartitions("cell", "vec_id")
         .write.mode(mode)
@@ -390,10 +399,20 @@ def query_ivfpq_index(
     n_groups = int(meta.n_groups)
     pcells = sorted({int(r.cell) for r in prows})
     pgrps = sorted({crank[c] * n_groups // len(crank) for c in pcells})
+    # Push the probe set into the scan only while it PRUNES: a large
+    # query batch (registry-scale probes ~40% of cells) reaches most
+    # directories, where thousands of In() literals bloat the plan and
+    # per-row filter evaluation while skipping nothing — fall back to
+    # the plain broadcast join there (round-12 ADVICE). The 1/2
+    # directory-coverage threshold keeps the selective case (the layout
+    # probe's 4.6%-of-bytes reads) on the pruned path.
+    cand = codes
+    if len(pgrps) * 2 <= n_groups and len(pcells) <= 10_000:
+        cand = cand.where(F.col("grp").isin(pgrps)).where(
+            F.col("cell").isin(pcells)
+        )
     cand = (
-        codes.where(F.col("grp").isin(pgrps))
-        .where(F.col("cell").isin(pcells))
-        .join(F.broadcast(probes), "cell")
+        cand.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("q_id"))
     )
     pairs = cand.select(

@@ -1052,12 +1052,23 @@ def embedding_dup_pairs(
                 e1 = min(s1 + blk, n)
                 for s2 in range(s1, n, blk):
                     e2 = min(s2 + blk, n)
-                    g = (X[s1:e1] @ X[s2:e2].T) / (
-                        nr[s1:e1, None] * nr[None, s2:e2]
-                    )
+                    # 0/0 for zero-norm embeddings is a deliberate NaN
+                    # (both engines order NaN above every double), so
+                    # silence the warning rather than mask the value
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        g = (X[s1:e1] @ X[s2:e2].T) / (
+                            nr[s1:e1, None] * nr[None, s2:e2]
+                        )
                     if s1 == s2:  # diagonal block: strict upper tri
                         g[np.tril_indices(e1 - s1, 0)] = -2.0
-                    ii, jj = np.nonzero(g >= margin)
+                    # NaN-safe keep: `g >= margin` is False for NaN, but
+                    # Spark and DuckDB both order NaN ABOVE every double,
+                    # so the r10 join spelling and the oracle EMIT a
+                    # zero-norm pair (cos = 0/0 = NaN). `~(g < margin)`
+                    # keeps NaN candidates so the exact recompute below
+                    # reproduces the NaN and the engines stay agreed
+                    # (round-12 ADVICE).
+                    ii, jj = np.nonzero(~(g < margin))
                     if len(ii) == 0:
                         continue
                     i, j = ii + s1, jj + s2
@@ -1070,7 +1081,15 @@ def embedding_dup_pairs(
                         acc += X[i, d] * X[j, d]
                     out_a.append(ids[i])
                     out_b.append(ids[j])
-                    out_c.append(acc / (nr[i] * nr[j]))
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        c = acc / (nr[i] * nr[j])
+                    # Arrow's pandas conversion turns float NaN into SQL
+                    # NULL (pandas' NA sentinel), which the >= filter
+                    # would silently drop — ship the degenerate 0/0
+                    # cosine as +inf (impossible otherwise: |cos| <= 1
+                    # for nonzero norms) and restore NaN JVM-side
+                    c[np.isnan(c)] = np.inf
+                    out_c.append(c)
         if not out_a:
             return None
         return pd.DataFrame(
@@ -1117,10 +1136,15 @@ def embedding_dup_pairs(
         .sortWithinPartitions("tbl", "bk")
         .mapInPandas(partition_pairs, "id_a long, id_b long, cos_raw double")
     )
+    # +inf marks a zero-norm 0/0 cosine (see the kernel comment):
+    # restore the NaN the r10 join spelling and the DuckDB oracle
+    # produce — both engines order NaN above every double, so the
+    # degenerate pair passes the threshold in both (round-12 ADVICE)
+    raw = F.when(
+        F.col("cos_raw") == float("inf"), F.lit(float("nan"))
+    ).otherwise(F.col("cos_raw"))
     return (
-        pairs.select(
-            "id_a", "id_b", F.round(F.col("cos_raw"), 4).alias("cos")
-        )
+        pairs.select("id_a", "id_b", F.round(raw, 4).alias("cos"))
         .where(F.col("cos") >= cos_min)
         .distinct()
     )

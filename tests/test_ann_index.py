@@ -275,3 +275,65 @@ def test_adaptive_n_groups_rule():
     assert adaptive_n_groups(knee + 1) == CODES_GROUPS + 1
     # 100 TB-ish: 4e11 vectors → one ~7 GiB dir per 2e8 rows
     assert adaptive_n_groups(4 * 10**11) == 2000
+
+
+def test_clustered_codes_write_keeps_unmapped_cells(spark, tmp_path):
+    """_write_clustered_codes must be LOSSLESS: a row carrying the
+    cell = -1 assignment fallback (null embedding) has no centroid-map
+    entry, and the pre-r12 inner join silently dropped it from the
+    persisted table (n_vectors/occupancy count the written parquet).
+    Unmapped rows land in a dedicated grp = -1 directory that probe
+    reads never touch (round-12 ADVICE)."""
+    import os
+
+    from ccog_spark.operators.ann_index import _write_clustered_codes
+
+    codes = spark.createDataFrame(
+        [
+            (0, 10, bytearray(b"\x01" * 8)),
+            (1, 20, bytearray(b"\x02" * 8)),
+            (2, -1, bytearray(b"\x03" * 8)),  # fallback assignment
+        ],
+        "vec_id long, cell long, codes binary",
+    )
+    out = str(tmp_path / "codes")
+    _write_clustered_codes(codes, [10, 20], out, n_groups=2, mode="overwrite")
+    back = spark.read.parquet(out)
+    assert back.count() == 3  # nothing dropped
+    fallback = back.where("vec_id = 2").collect()
+    assert len(fallback) == 1 and fallback[0].grp == -1
+    assert os.path.isdir(os.path.join(out, "grp=-1"))
+
+
+def test_query_skips_isin_pushdown_when_probing_most_dirs(spark, tmp_path):
+    """When the probe set covers most grp directories (registry-scale
+    query batches probe ~40% of cells), the In()-literal pushdown
+    prunes nothing while bloating the plan — the query must fall back
+    to the plain broadcast join (round-12 ADVICE), with results still
+    bit-identical to the inline path."""
+    from ccog_spark.operators import similarity
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    idx = str(tmp_path / "wide_probe_idx")
+    build_ivfpq_index(emb, dim, idx)
+    q = _queries(emb)
+    n_cells = spark.read.parquet(idx + "/centroids").count()
+
+    # probe EVERY cell: coverage 100% → the pushdown branch must skip
+    df = query_ivfpq_index(spark, idx, q, k=3, nprobe=n_cells)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "cell IN " not in plan  # no In(cell) literal wall
+    inline = similarity.ivfpq_topk(emb, q, dim=dim, k=3, nprobe=n_cells)
+    key = lambda r: (r.q_id, r.rn)
+    a = {key(r): tuple(r) for r in inline.collect()}
+    b = {key(r): tuple(r) for r in df.collect()}
+    assert a == b

@@ -669,3 +669,28 @@ def test_embedding_dup_pairs_bucket_straddles_arrow_batches(spark):
     assert tiny == default
     # the cluster really is one hot bucket: ~all C(90,2) pairs found
     assert len(default) > 3500
+
+
+def test_embedding_dup_pairs_zero_norm_nan_pair_survives(spark):
+    """A zero-norm pair's cosine is 0/0 = NaN, and BOTH engines (Spark
+    and DuckDB) order NaN above every double — so the r10 join spelling
+    and the oracle emit the pair. The r11 numpy prefilter's `g >=
+    margin` was False for NaN and silently dropped it; pin the NaN-safe
+    keep `~(g < margin)` (round-12 ADVICE)."""
+    import math
+
+    from ccog_spark.operators.dedup import embedding_dup_pairs
+
+    rows = [
+        (0, [0.0] * 16),
+        (1, [0.0] * 16),
+        (2, [1.0] + [0.0] * 15),
+        (3, [1.0] + [0.0] * 15),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_dup_pairs(emb, 16, cos_min=0.9, band_bits=10).collect()
+    by_pair = {(r.id_a, r.id_b): r.cos for r in got}
+    # the degenerate zero-norm pair surfaces with a NaN cosine
+    assert (0, 1) in by_pair and math.isnan(by_pair[(0, 1)])
+    # and the ordinary exact-duplicate pair still verifies normally
+    assert by_pair.get((2, 3)) == 1.0
