@@ -551,6 +551,30 @@ FROM colp
 ORDER BY band, y, x
 """
 
+# Interpolating-overview COG write round-trip (round 12, closes R7):
+# base level = the valid pixels themselves (float64/deflate is
+# lossless); overview 1 = the SAME fixed-association separable
+# Catmull-Rom convolution the cubic_decimate row pins, recomputed
+# directly from the pixels CTE with no knowledge of the file. Invalid
+# outputs (any tap invalid / past the image edge) are stored as nodata
+# by the writer and filtered by the read-back, matching WHERE rok.
+ORACLE["cog_cubic"] = f"""
+WITH {PIXELS_SQL_CTE},
+rowp AS ({_conv_pass(_ROW_GRID, 'pixels', 'y', 'x', 'oj', 'value', 's.valid')}),
+rsrc AS (SELECT band, oj, x, rv, rok FROM rowp),
+colp AS ({_conv_pass(_COL_GRID, 'rsrc', 'x', 'oj', 'ox', 'rv', 's.rok')})
+SELECT * FROM (
+  SELECT 0 AS level, band, y, x,
+         FLOOR(value * 10000 + 0.5) / 10000.0 AS v
+  FROM pixels WHERE valid
+  UNION ALL
+  SELECT 1 AS level, band, oj AS y, ox AS x,
+         FLOOR(rv * 10000 + 0.5) / 10000.0 AS v
+  FROM colp WHERE rok
+)
+ORDER BY level, band, y, x
+"""
+
 # Same separable machinery, cubic-B-spline taps (GDAL 'cubicspline';
 # ccog kernel table ccog/ccog.py:41-53). Taps embed as exact doubles.
 from ccog_spark.raster.halo import CUBICSPLINE_TAPS as _BSPL  # noqa: E402

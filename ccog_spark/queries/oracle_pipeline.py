@@ -1426,3 +1426,156 @@ JOIN dup ON d.doc_id = dup.doc_id
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+# BPE tokenization (round 12): a FULL data-dependent replay of the
+# engine's train → encode → id construction (operators/bpe.py) in pure
+# SQL — no baked merge tables, so the oracle holds at every scale
+# factor. Pieces:
+#
+# - ``train``: the greedy merge loop as a recursive CTE. Each iteration
+#   counts adjacent symbol pairs over the previous state (DuckDB allows
+#   aggregates over the recursive reference), picks the max-count pair
+#   with lexicographic (a, b) tie-break — the trainer's exact heap key —
+#   and rewrites every word with the LEFT-TO-RIGHT single-pair pass:
+#   within each run of consecutive candidate positions the pass merges
+#   the even offsets ('aaa' + (a,a) → ['aa','a']), which is the
+#   gaps-and-islands parity rule (island = j − rank-among-candidates).
+# - ``enc``: the ascending-rank encode loop (merge ONE occurrence per
+#   step: lowest rank, then leftmost — ORDER BY rnk, i LIMIT 1).
+# - ``vocab_map``: vocabulary(merges, alphabet) — sorted base symbols
+#   (chars + char·EOW + merge operands, minus produced) then merged
+#   symbols in rank order; duplicate produced strings keep the LAST id
+#   (the engine's dict-comprehension semantics) via MAX(id).
+#
+# EOW is chr(1), matching operators.bpe.EOW.
+PIPELINE_ORACLE["pipeline_tokenize"] = """
+WITH RECURSIVE
+words0 AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> '' GROUP BY w
+),
+winit AS (
+  SELECT word, cnt,
+         list_append(sp[:LENGTH(word)-1], sp[-1] || chr(1)) AS syms
+  FROM (SELECT word, cnt, string_split(word, '') AS sp FROM words0) t
+),
+train(it, word, cnt, syms, ma, mb) AS (
+  SELECT 0, word, cnt, syms, NULL::VARCHAR, NULL::VARCHAR FROM winit
+  UNION ALL
+  SELECT it, word, cnt,
+         list(CASE WHEN sel THEN s0 || s1 ELSE s0 END ORDER BY j)
+           FILTER (WHERE NOT consumed),
+         ma, mb
+  FROM (
+    SELECT *,
+           COALESCE(LAG(sel) OVER (PARTITION BY word ORDER BY j), false)
+             AS consumed
+    FROM (
+      SELECT *,
+             cand AND (crn - MIN(crn) OVER (
+               PARTITION BY word, island, cand)) % 2 = 0 AS sel
+      FROM (
+        SELECT *, j - crn AS island
+        FROM (
+          SELECT *,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY word, cand ORDER BY j) AS crn
+          FROM (
+            SELECT t.it + 1 AS it, t.word, t.cnt, bp.a AS ma, bp.b AS mb,
+                   u.j, t.syms[u.j] AS s0,
+                   CASE WHEN u.j < len(t.syms) THEN t.syms[u.j + 1] END AS s1,
+                   (u.j < len(t.syms) AND t.syms[u.j] = bp.a
+                    AND t.syms[u.j + 1] = bp.b) AS cand
+            FROM train t,
+                 (SELECT a, b FROM (
+                    SELECT s.syms[u2.i] AS a, s.syms[u2.i + 1] AS b,
+                           SUM(s.cnt) AS c
+                    FROM train s, UNNEST(range(1, len(s.syms))) AS u2(i)
+                    GROUP BY 1, 2) pc
+                  ORDER BY c DESC, a, b LIMIT 1) bp,
+                 UNNEST(range(1, len(t.syms) + 1)) AS u(j)
+            WHERE t.it < 60
+          ) l1
+        ) l2
+      ) l3
+    ) l4
+  ) l5
+  GROUP BY it, word, cnt, ma, mb
+),
+merges AS (
+  SELECT it - 1 AS rnk, MIN(ma) AS a, MIN(mb) AS b
+  FROM train WHERE it >= 1 GROUP BY it
+),
+enc(it, word, syms) AS (
+  SELECT 0, word, syms FROM winit
+  UNION ALL
+  SELECT it + 1, word,
+         list_concat(
+           list_concat(syms[:bi - 1], [syms[bi] || syms[bi + 1]]),
+           syms[bi + 2:])
+  FROM (
+    SELECT e0.it, e0.word, e0.syms,
+           (SELECT u.i
+            FROM UNNEST(range(1, len(e0.syms))) AS u(i)
+            JOIN merges m
+              ON m.a = e0.syms[u.i] AND m.b = e0.syms[u.i + 1]
+            ORDER BY m.rnk, u.i LIMIT 1) AS bi
+    FROM enc e0
+  ) e
+  WHERE bi IS NOT NULL
+),
+final_enc AS (
+  SELECT word, max_by(syms, it) AS syms FROM enc GROUP BY word
+),
+alpha AS (
+  SELECT DISTINCT c
+  FROM (SELECT UNNEST(string_split(text, '')) AS c FROM documents) t
+  WHERE c <> '' AND c <> ' '
+),
+vocab_list AS (
+  SELECT u, ROW_NUMBER() OVER (ORDER BY grp, su, r) - 1 AS id
+  FROM (
+    SELECT u, 0 AS grp, u AS su, 0 AS r FROM (
+      SELECT c AS u FROM alpha
+      UNION SELECT c || chr(1) FROM alpha
+      UNION SELECT a FROM merges
+      UNION SELECT b FROM merges
+    ) b
+    WHERE u NOT IN (SELECT a || b FROM merges)
+    UNION ALL
+    SELECT a || b, 1, '', rnk FROM merges
+  ) v
+),
+vocab_map AS (
+  SELECT u, MAX(id) AS id FROM vocab_list GROUP BY u
+),
+doc_words AS (
+  SELECT d.doc_id, u.wi, string_split(d.text, ' ')[u.wi] AS word
+  FROM documents d,
+       UNNEST(range(1, len(string_split(d.text, ' ')) + 1)) AS u(wi)
+),
+doc_tokens AS (
+  SELECT dw.doc_id, dw.wi, s.si, fe.syms[s.si] AS u
+  FROM doc_words dw
+  JOIN final_enc fe USING (word),
+       UNNEST(range(1, len(fe.syms) + 1)) AS s(si)
+  WHERE dw.word <> ''
+),
+tok_ids AS (
+  SELECT doc_id, id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, si) AS rn
+  FROM doc_tokens JOIN vocab_map USING (u)
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n, 0) AS INT) AS n_tokens,
+       COALESCE(t.first8, '') AS first8
+FROM documents d LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n,
+         STRING_AGG(CASE WHEN rn <= 8 THEN CAST(id AS VARCHAR) END,
+                    ',' ORDER BY rn) AS first8
+  FROM tok_ids GROUP BY doc_id
+) t USING (doc_id)
+ORDER BY d.doc_id
+"""

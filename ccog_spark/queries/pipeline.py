@@ -712,6 +712,48 @@ def pipeline_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hashed_tfidf(docs).orderBy("doc_id", "bucket")
 
 
+# pipeline_tokenize merge budget: small enough that rare words stay
+# multi-token on the fixture corpus (non-trivial encode), large enough
+# to exercise merged-symbol operands in later merges.
+TOKENIZE_MERGES = 60
+
+
+def pipeline_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization driver row (round 12 — operators/bpe.py was the
+    one substantial operator with zero queries() presence): train
+    TOKENIZE_MERGES merges on the documents corpus (deterministic —
+    greedy max pair count, lexicographic tie-break), derive the id
+    vocabulary from the corpus alphabet, tokenize every document
+    map-side, and emit (doc_id, n_tokens, first8) with the first 8
+    token ids comma-joined.
+
+    The DuckDB oracle replays the ENTIRE construction data-dependently
+    in SQL — word counts, the greedy merge loop (recursive CTE; the
+    left-to-right single-pair rewrite is the candidate-run parity
+    rule), the ascending-rank encode loop, vocabulary id assignment,
+    and the per-doc flatten — so a divergence anywhere in training
+    order, the encode loop, or id assignment breaks the value hash.
+    Training's driver-side merge loop collects only the word-frequency
+    table (vocabulary-sized, Heaps-law ≪ corpus; MAX_VOCAB_WORDS
+    guard), exactly like production BPE trainers."""
+    from ccog_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=TOKENIZE_MERGES)
+    alpha = bpe.corpus_alphabet(docs)
+    toks = bpe.tokenize_ids(docs, merges, alpha)
+    return toks.select(
+        "doc_id",
+        F.size("ids").alias("n_tokens"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("ids"), 1, 8), lambda x: x.cast("string")
+            ),
+        ).alias("first8"),
+    ).orderBy("doc_id")
+
+
 def pipeline_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram LM quality scoring (operators.lm — the CCNet-style
     "train a small LM, rank documents by fluency" stage): one

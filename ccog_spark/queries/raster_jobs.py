@@ -178,6 +178,61 @@ def cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("level", "band", "y", "x")
 
 
+def cog_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked INTERPOLATING-overview COG write (round 12 — closes
+    the last R7 gap end-to-end): write the fixture raster with
+    kernel='cubic' (the reference writer accepts any kernel in its
+    overlap table and runs it per chunk, ccog/ccog.py:41-53,905-915,
+    292-360; write_cog now routes the interpolating five through
+    raster.pyramid.build_pyramid_interp), parse the produced file with
+    the in-repo TIFF reader, and emit every VALID pixel of the base
+    image and the first overview. The DuckDB oracle recomputes the
+    overview DIRECTLY from the pixels CTE with the same
+    fixed-association separable Catmull-Rom convolution the
+    cubic_decimate row pins — so a wrong byte anywhere in re-tile →
+    halo exchange → convolution → tiles → encode → offset plan →
+    multipart assembly surfaces as a value-hash mismatch.
+
+    Quantization uses FLOOR(v·1e4 + 0.5)/1e4 on both sides (the
+    engine-stable half-up spelling; see _interp_decimate_q)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ccog_spark.raster.tiff import read_band
+
+    nodata = -9999.0
+    px = pixels_df(spark)
+    out = os.path.join(tempfile.gettempdir(), "ccog_corpus_cubic.tif")
+    res = write_cog(
+        spark, px, width=W, height=H, bands=BANDS, target_path=out,
+        blocksize=BLOCK, kernel="cubic", nodata=nodata,
+    )
+    with open(res.path, "rb") as f:
+        data = f.read()
+    ifds = read_cog(data)
+    rows = []
+    for level in (0, 1):
+        ifd = ifds[level]
+        for b in range(BANDS):
+            arr = read_band(data, ifd, b)
+            ys, xs = np.nonzero(arr != nodata)
+            vals = arr[ys, xs]
+            rows.extend(
+                (level, b + 1, int(y), int(x), float(v))
+                for y, x, v in zip(ys.tolist(), xs.tolist(), vals.tolist())
+            )
+    df = spark.createDataFrame(
+        rows, "level int, band int, y int, x int, v double"
+    )
+    return df.select(
+        "level",
+        "band",
+        "y",
+        "x",
+        (F.floor(F.col("v") * 10000 + 0.5) / 10000.0).alias("v"),
+    ).orderBy("level", "band", "y", "x")
+
+
 def bilinear_decimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilinear (2-tap) halo-exchange decimation — see _interp_decimate_q."""
     return _interp_decimate_q(spark, "bilinear")

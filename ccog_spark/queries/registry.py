@@ -28,6 +28,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # clear only past it — reuse is kept, pressure is bounded.
 _CACHE_BUDGET_BYTES = 2 << 30
 
+# Blind fallback cadence (round 12, VERDICT r11 #6): Spark 4.x still
+# exposes NO public byte-accounted storage API from Python, so size
+# introspection rides the private _jsc py4j bridge — and a Spark bump
+# could break it. When it IS broken, the old fallback ("assume under
+# budget") let caches accumulate unboundedly across a long session;
+# now a blind clear fires every _FALLBACK_CLEAR_EVERY queries instead,
+# so memory stays bounded either way (test_cache_budget_fallback_*).
+_FALLBACK_CLEAR_EVERY = 25
+_fallback_calls = {"n": 0}
+
 
 def _scoped(fn: QueryFn) -> QueryFn:
     """Bound cross-query cache accumulation (see _CACHE_BUDGET_BYTES)."""
@@ -39,15 +49,21 @@ def _scoped(fn: QueryFn) -> QueryFn:
         # the REST status endpoint isn't reachable without config.
         # SparkContext.getRDDStorageInfo is a stable public SCALA API —
         # only the _jsc bridge to it is private — so this reaches it
-        # via py4j and degrades to "assume under budget" on any drift
-        # (worst case: the budget check no-ops and caches accumulate,
-        # never a wrong result).
+        # via py4j; if the bridge breaks, the blind every-N clear
+        # above keeps cache pressure bounded (never a wrong result,
+        # worst case a cold re-read).
+        cached = None
         try:
             infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
             cached = sum(i.memSize() + i.diskSize() for i in infos)
         except Exception:  # storage introspection is best-effort
-            cached = 0
-        if cached > _CACHE_BUDGET_BYTES:
+            pass
+        if cached is None:
+            _fallback_calls["n"] += 1
+            if _fallback_calls["n"] >= _FALLBACK_CLEAR_EVERY:
+                _fallback_calls["n"] = 0
+                spark.catalog.clearCache()
+        elif cached > _CACHE_BUDGET_BYTES:
             spark.catalog.clearCache()
         return fn(spark, sf_dir)
 
@@ -102,6 +118,16 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # explicit-black sentinel). Displaced: qr1 (E20 SQL decimation ≙
 # cog_roundtrip's full average-decimation pyramid above fold +
 # decim_nearest/pyramid_avg/decim_rms tails).
+#
+# Round 12 reorder (VERDICT r11 tasks 1/2/8): the NEW rows — cog_cubic
+# (interpolating-overview write, closes R7) and pipeline_tokenize (BPE
+# train + encode, the one operator with zero queries() presence) —
+# plus bilinear_decimate (E21 tap family had only cubic/cubicspline
+# fold evidence) and stream_stateful (E33's custom
+# applyInPandasWithState verb never had a driver row) move INTO the
+# fold. Displaced, each keeping ≥2 above-fold family rows: q14 + q16
+# (E25–E28 scalar fns keep q13/q15), text_winnow + text_repetition
+# (E37 keeps text_analysis/pipeline_lm).
 REGISTRY: dict[str, QueryFn] = {
     "q01": relational.q01,
     "q02": relational.q02,
@@ -119,9 +145,15 @@ REGISTRY: dict[str, QueryFn] = {
     "q11": relational.q11,
     "q12": relational.q12,
     "q13": relational.q13,
-    "q14": relational.q14,
+    # r12 fold slot (was q14): INTERPOLATING-overview COG write — the
+    # round-12 write-path integration of the halo-exchange kernels
+    # (closes R7); write → parse → pixel hash vs the separable-conv SQL
+    "cog_cubic": raster_jobs.cog_cubic,
     "q15": relational.q15,
-    "q16": relational.q16,
+    # r12 fold slot (was q16): BPE train → tokenize (operators/bpe.py
+    # finally has a driver row) — the oracle replays training, encode,
+    # and id assignment data-dependently in recursive-CTE SQL
+    "pipeline_tokenize": pipeline.pipeline_tokenize,
     "q18": llm.q18,
     "q20": llm.q20,  # E16 analytic windows + session-window semantics
     # r10 fold slot (was q22): EXACT-SUBSTRING (span) dedup with
@@ -160,9 +192,14 @@ REGISTRY: dict[str, QueryFn] = {
     "cog_window": raster_jobs.cog_window,
     # LLM-pipeline operator corpus
     "text_analysis": pipeline.text_analysis,
-    "text_winnow": pipeline.text_winnow,
-    # intra-doc repetition metrics (Gopher/C4-style removal rules)
-    "text_repetition": pipeline.text_repetition,
+    # r12 fold slot (was text_winnow): E21 interpolating-tap family had
+    # only cubic/cubicspline hash evidence in any fold so far —
+    # bilinear pins the 2-tap/halo-1 row of the tap table
+    "bilinear_decimate": raster_jobs.bilinear_decimate_q,
+    # r12 fold slot (was text_repetition): E33's CUSTOM stateful verb
+    # (applyInPandasWithState running totals) had never had a driver
+    # row — stream_dedup covers dropDuplicates only
+    "stream_stateful": streaming_corpus.stream_stateful,
     # r8 fold slot (was q05): char-trigram LM quality scoring (CCNet's
     # small-LM fluency filter) — alphabet-bounded broadcast model,
     # exact-rational quantized mean keeps ln out of the hashed path
@@ -244,11 +281,9 @@ REGISTRY: dict[str, QueryFn] = {
     # rows-only structure summary; the writer's hash gate is
     # cog_roundtrip (above the fold) + byte tests in test_raster.py
     "cog_write": raster_jobs.cog_write,
-    # E21 kernels beyond cubic/cubicspline: oracle-checked via the
-    # generalized separable-tap SQL; driver-fold position is tail
-    # (pytest gates them at sf0.001; operator family already has two
-    # green driver rows)
-    "bilinear_decimate": raster_jobs.bilinear_decimate_q,
+    # E21 kernels beyond cubic/cubicspline/bilinear (bilinear promoted
+    # to the fold in r12): oracle-checked via the generalized
+    # separable-tap SQL; pytest gates them at sf0.001
     "gauss_decimate": raster_jobs.gauss_decimate_q,
     "lanczos_decimate": raster_jobs.lanczos_decimate_q,
     # round 6: DISTRIBUTED COG read-back (sources/cog_reader) — the
@@ -275,11 +310,14 @@ REGISTRY: dict[str, QueryFn] = {
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
     "pipeline_chunks": pipeline.pipeline_chunks,
-    # round 6: custom stateful streaming agg (applyInPandasWithState
-    # running totals — the E33 verb beyond dedup; family driver row
-    # stream_dedup above fold); final state hash-matches the batch
-    # GROUP BY oracle
-    "stream_stateful": streaming_corpus.stream_stateful,
+    # r12 displaced fold rows — each keeps above-fold family rows:
+    # E26 date fns / E28 conditional fns ≙ q13 (string) + q15 (math)
+    # carry the E25–E28 scalar-function family evidence
+    "q14": relational.q14,
+    "q16": relational.q16,
+    # E37 text family keeps text_analysis + pipeline_lm above fold
+    "text_winnow": pipeline.text_winnow,
+    "text_repetition": pipeline.text_repetition,
     # round 6: URL canonicalization + URL-level keep-first dedup +
     # registered-domain extraction (operators/web.py) — beyond-
     # inventory web-pipeline stage; E25 string-fn family carries the
@@ -343,6 +381,7 @@ NON_BENCH = (
     "ann_index",  # builds a parquet index per run (file IO)
     "ann_index_append",  # builds + appends a parquet index (file IO)
     "cog_palette",  # writes + reads back a palette COG (file IO)
+    "cog_cubic",  # writes + reads back an interp-overview COG (file IO)
 )
 
 __all__ = ["REGISTRY", "ORACLE", "QueryFn"]

@@ -31,7 +31,12 @@ from pyspark.sql import types as T
 
 from ccog_spark.raster import codecs as codecs_mod
 from ccog_spark.raster import tiff
-from ccog_spark.raster.pyramid import build_pyramid, overview_count
+from ccog_spark.raster.pyramid import (
+    KERNELS,
+    build_pyramid,
+    build_pyramid_interp,
+    overview_count,
+)
 from ccog_spark.raster.tiles import tiles_from_pixels
 from ccog_spark.sinks.mpu import pack_parts, resolve_store, upload_segments
 
@@ -463,7 +468,23 @@ def write_cog(
                 ]
     metadata_xml = tiff.gdal_metadata_xml(meta_items) if meta_items else None
 
-    pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
+    # Overview kernel routing (≙ the reference accepting any kernel in
+    # its overlap table, ccog/ccog.py:41-53,905-915): non-interpolating
+    # kernels are pure SQL aggregations; the interpolating five run the
+    # halo-exchange convolution per level (closes R7 — round 12).
+    from ccog_spark.raster.halo import INTERP_KERNELS
+
+    if kernel in KERNELS:
+        pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
+    elif kernel in INTERP_KERNELS:
+        pyr = build_pyramid_interp(
+            pixels, n_overviews, kernel, blocksize, width, height, nodata
+        )
+    else:
+        raise ValueError(
+            f"unknown resampling kernel {kernel!r}; expected one of "
+            f"{sorted((*KERNELS, *INTERP_KERNELS))}"
+        )
     tiles = tiles_from_pixels(pyr, blocksize, fill, width, height, dtype=dtype)
     encode_override = None
     if pixel_interleave:
@@ -802,13 +823,12 @@ def write_ccog(
 
     if blocksize % 16 != 0:
         raise ValueError(f"blocksize {blocksize} must be a multiple of 16")
-    if overview_resampling not in KERNELS:
-        if overview_resampling in INTERP_KERNELS:
-            raise ValueError(
-                f"interpolating kernel {overview_resampling!r}: use "
-                "raster.halo.interp_decimate for overviews (pyramid "
-                "write integration uses the SQL kernels)"
-            )
+    if overview_resampling not in KERNELS and (
+        overview_resampling not in INTERP_KERNELS
+    ):
+        # ≙ the reference's kernel validation (ccog/ccog.py:905-915):
+        # any kernel in the overlap table is accepted — SQL kernels and
+        # the interpolating five both reach the write path (round 12)
         raise ValueError(f"unknown resampling {overview_resampling!r}")
     arr = np.asarray(arr)
     if arr.ndim == 2:

@@ -80,10 +80,13 @@ STRIP_SCHEMA = (
 PIXEL_SCHEMA = "band int, y int, x int, value double, valid boolean"
 
 
-def _emit_strips_kernel(bs: int, halo: int, nodata: float):
+def _emit_strips_kernel(bs: int, halo: int, nodata: float | None):
     """mapInPandas kernel: each tile row → its core (rel 0,0) plus up to
     8 halo strips addressed to neighbouring tile keys. Self-contained
-    closure (no ccog_spark import on executors)."""
+    closure (no ccog_spark import on executors). ``nodata=None`` means
+    the raster declares no nodata: every clip pixel is valid (the
+    write path's sparse-fill-0 rule must not mark real zeros invalid);
+    image-edge padding stays invalid via the assemble kernel's vpad."""
 
     def emit(it):
         import numpy as _np
@@ -100,7 +103,11 @@ def _emit_strips_kernel(bs: int, halo: int, nodata: float):
                 arr = _np.frombuffer(r.data, dtype="<f8").reshape(bs, bs)[
                     : r.height, : r.width
                 ]
-                valid = arr != nodata
+                valid = (
+                    _np.ones(arr.shape, dtype=bool)
+                    if nodata is None
+                    else arr != nodata
+                )
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):
                         ty, tx = r.tile_y + dy, r.tile_x + dx
@@ -141,11 +148,16 @@ def _emit_strips_kernel(bs: int, halo: int, nodata: float):
     return emit
 
 
-def _assemble_decimate_kernel(bs: int, halo: int, nodata: float, taps, offsets):
+def _assemble_decimate_kernel(
+    bs: int, halo: int, nodata: float | None, taps, offsets
+):
     """applyInPandas kernel: strips of one (band, tile) → padded array →
-    separable n-tap 2× decimation of the core → long-form pixels."""
+    separable n-tap 2× decimation of the core → long-form pixels.
+    ``nodata=None``: pad fill is 0.0 (never read — vpad gates every
+    tap) and validity comes entirely from the strip masks."""
     tap_arr = list(taps)
     off_arr = list(offsets)
+    fill = 0.0 if nodata is None else nodata
 
     def assemble(pdf):
         import numpy as _np
@@ -165,7 +177,7 @@ def _assemble_decimate_kernel(bs: int, halo: int, nodata: float, taps, offsets):
         main = at_origin.loc[at_origin["src_h"].idxmax()]
         h, w = int(main["src_h"]), int(main["src_w"])
 
-        pad = _np.full((h + 2 * halo, w + 2 * halo), nodata, dtype="<f8")
+        pad = _np.full((h + 2 * halo, w + 2 * halo), fill, dtype="<f8")
         vpad = _np.zeros((h + 2 * halo, w + 2 * halo), dtype=bool)
         for r in pdf.itertuples(index=False):
             sub = _np.frombuffer(r.data, dtype="<f8").reshape(r.src_h, r.src_w)
@@ -218,12 +230,14 @@ def interp_decimate(
     tiles: DataFrame,
     blocksize: int,
     kernel: str = "cubic",
-    nodata: float = -9999.0,
+    nodata: float | None = -9999.0,
 ) -> DataFrame:
     """2× interpolating decimation of a tile DataFrame via halo
     exchange (kernel ∈ INTERP_KERNELS). Returns long-form pixels at
     half resolution. One strip shuffle (groupBy tile key), one Python
-    kernel pass.
+    kernel pass. ``nodata=None``: every clip pixel is valid (no-nodata
+    rasters); output pixels are invalid only where taps cross the
+    image edge.
     """
     offsets, taps, halo = INTERP_KERNELS[kernel]
     strips = tiles.mapInPandas(
@@ -245,14 +259,15 @@ def interp_decimate_reference(
     arr: np.ndarray,
     valid: np.ndarray,
     kernel: str = "cubic",
-    nodata: float = -9999.0,
+    nodata: float | None = -9999.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side untiled reference of the same convolution (the
     tiling-invariance oracle): pad the full array with a nodata halo
     and apply the identical separable taps."""
     offsets, taps, halo = INTERP_KERNELS[kernel]
+    fill = 0.0 if nodata is None else nodata
     h, w = arr.shape
-    pad = np.full((h + 2 * halo, w + 2 * halo), nodata)
+    pad = np.full((h + 2 * halo, w + 2 * halo), fill)
     vpad = np.zeros((h + 2 * halo, w + 2 * halo), dtype=bool)
     pad[halo : halo + h, halo : halo + w] = arr
     vpad[halo : halo + h, halo : halo + w] = valid
@@ -271,7 +286,7 @@ def interp_decimate_reference(
         idx = 2 * np.arange(ow) + off + halo
         col_acc += t[k] * row_acc[:, idx]
         col_ok &= row_ok[:, idx]
-    return np.where(col_ok, col_acc, nodata), col_ok
+    return np.where(col_ok, col_acc, fill), col_ok
 
 
 def cubic_decimate_reference(

@@ -141,6 +141,63 @@ def overview_count(width: int, height: int, blocksize: int, cap: int = 30) -> in
     return n
 
 
+def build_pyramid_interp(
+    pixels: DataFrame,
+    levels: int,
+    kernel: str,
+    blocksize: int,
+    width: int,
+    height: int,
+    nodata: float | None,
+    persist_levels: bool = True,
+) -> DataFrame:
+    """Interpolating-kernel pyramid for the WRITE path (closes R7: the
+    reference writer accepts all 9 GDAL kernels and runs them per chunk,
+    ccog/ccog.py:41-53,905-915,292-360 — here the interpolating five
+    route through the halo-exchange machinery instead of GDAL).
+
+    Per level: re-tile the current level's pixels (one groupBy-tile
+    shuffle, float64 payloads so the convolution math is exact) and run
+    raster.halo.interp_decimate (strip emit + one tile-key shuffle).
+    Two shuffles per level vs the SQL kernels' one, each level 4×
+    smaller than the last — at 100 TB the halo traffic adds only
+    ~2·halo/blocksize (<2%) over the re-tile itself.
+
+    Validity rule (pinned, documented GDAL divergence): an output pixel
+    is valid iff ALL taps are valid. When a level dim is ODD, its last
+    output row/col always has taps past the image edge (every kernel
+    has an offset ≥ 1), so it is invalid → written as nodata fill; the
+    kernel emits h//2 rows and tiles_from_pixels pads the ceil-halved
+    grid, which is the same thing.
+    """
+    from ccog_spark.raster.halo import INTERP_KERNELS, interp_decimate
+    from ccog_spark.raster.tiles import tiles_from_pixels
+
+    if kernel not in INTERP_KERNELS:
+        raise ValueError(
+            f"unknown interpolating kernel {kernel!r}; expected one of "
+            f"{sorted(INTERP_KERNELS)}"
+        )
+    out = pixels.withColumn("level", F.lit(0))
+    cur = pixels
+    for lvl in range(1, levels + 1):
+        tiles = tiles_from_pixels(
+            cur.withColumn("level", F.lit(lvl - 1)).select(
+                "level", "band", "y", "x", "value", "valid"
+            ),
+            blocksize,
+            0.0 if nodata is None else nodata,
+            width,
+            height,
+            dtype="float64",
+        )
+        cur = interp_decimate(tiles, blocksize, kernel, nodata)
+        if persist_levels and lvl < levels:
+            cur = cur.persist()
+        out = out.unionByName(cur.withColumn("level", F.lit(lvl)))
+    return out
+
+
 def build_pyramid(
     pixels: DataFrame,
     levels: int,

@@ -225,10 +225,57 @@ def _boto3_kwargs(storage_options: dict | None) -> dict:
     return kw
 
 
+# Bounded exponential backoff for TRANSIENT S3 failures (round 12,
+# VERDICT r11 #5): at 10,000 parts a real bucket throttles (SlowDown /
+# 503) and occasionally 500s; boto3 carries its own retry layer, but
+# the writer adds an explicit outer bound so throttle behavior is
+# deterministic and configurable regardless of the client's retry
+# mode. Retried: throttle codes + any 5xx. NOT retried: 4xx protocol
+# errors (InvalidPart, auth) — those re-raise immediately, keeping the
+# repo's deliberate abort-AND-re-raise divergence (mpu complete) fully
+# intact. Sleeps are RETRY_BASE · 2^attempt, RETRY_TRIES total
+# attempts.
+RETRY_TRIES = 5
+RETRY_BASE = 0.1
+
+_RETRY_CODES = (
+    "SlowDown",
+    "Throttling",
+    "ThrottlingException",
+    "RequestTimeout",
+    "RequestTimeoutException",
+    "InternalError",
+    "ServiceUnavailable",
+)
+
+
+def _s3_retryable(exc: Exception) -> bool:
+    """True for botocore ClientErrors carrying a throttle code or a
+    5xx status (transient); False for everything else."""
+    resp = getattr(exc, "response", None)
+    if not isinstance(resp, dict):
+        return False
+    code = str(resp.get("Error", {}).get("Code", ""))
+    status = resp.get("ResponseMetadata", {}).get("HTTPStatusCode", 0)
+    return code in _RETRY_CODES or (isinstance(status, int) and status >= 500)
+
+
+def _call_with_backoff(fn, tries: int, base: float):
+    import time
+
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - filtered by _s3_retryable
+            if attempt == tries - 1 or not _s3_retryable(e):
+                raise
+            time.sleep(base * (2**attempt))
+
+
 class S3Mpu:
     """boto3-backed store with the same interface (endpoint-level
-    behavior untestable in this container — no S3 service; client
-    construction with storage_options IS tested)."""
+    behavior exercised against the in-process REST stub in
+    tests/test_s3_stub.py, incl. throttle-retry fault injection)."""
 
     def __init__(self, bucket: str, key: str, storage_options: dict | None = None):
         import boto3  # gated: present in the image, endpoint is not
@@ -239,31 +286,63 @@ class S3Mpu:
         self.upload_id: str | None = None
 
     def create(self) -> str:
-        resp = self.client.create_multipart_upload(Bucket=self.bucket, Key=self.key)
+        resp = _call_with_backoff(
+            lambda: self.client.create_multipart_upload(
+                Bucket=self.bucket, Key=self.key
+            ),
+            RETRY_TRIES,
+            RETRY_BASE,
+        )
         self.upload_id = resp["UploadId"]
         return self.upload_id
 
     def part_putter(self):
         """Executor-side part upload (≙ aws_tools.py upload_part): the
         boto3 client is created lazily INSIDE the closure (clients are
-        not picklable); only bucket/key/upload_id ship with the task."""
+        not picklable); only bucket/key/upload_id ship with the task.
+        The closure is SELF-CONTAINED (no ccog_spark import on
+        executors), so the transient-retry loop is inlined with the
+        module's RETRY_* bounds captured at build time."""
         bucket, key, upload_id = self.bucket, self.key, self.upload_id
         storage_options = self.storage_options
+        tries, base, retry_codes = RETRY_TRIES, RETRY_BASE, _RETRY_CODES
 
         def put(part_no: int, data: bytes) -> dict | None:
             if not data:
                 return None
+            import time as _time
+
             import boto3 as _boto3
 
-            resp = _boto3.client(
-                "s3", **_boto3_kwargs(storage_options)
-            ).upload_part(
-                Bucket=bucket,
-                Key=key,
-                UploadId=upload_id,
-                PartNumber=part_no,
-                Body=data,
-            )
+            client = _boto3.client("s3", **_boto3_kwargs(storage_options))
+            for attempt in range(tries):
+                try:
+                    resp = client.upload_part(
+                        Bucket=bucket,
+                        Key=key,
+                        UploadId=upload_id,
+                        PartNumber=part_no,
+                        Body=data,
+                    )
+                    break
+                except Exception as e:  # noqa: BLE001 - code-filtered below
+                    r = getattr(e, "response", None)
+                    code = (
+                        str(r.get("Error", {}).get("Code", ""))
+                        if isinstance(r, dict)
+                        else ""
+                    )
+                    status = (
+                        r.get("ResponseMetadata", {}).get("HTTPStatusCode", 0)
+                        if isinstance(r, dict)
+                        else 0
+                    )
+                    transient = code in retry_codes or (
+                        isinstance(status, int) and status >= 500
+                    )
+                    if attempt == tries - 1 or not transient:
+                        raise
+                    _time.sleep(base * (2**attempt))
             return {
                 "PartNumber": part_no,
                 "ETag": resp["ETag"],
@@ -278,11 +357,15 @@ class S3Mpu:
                 ({"PartNumber": r["PartNumber"], "ETag": r["ETag"]} for r in receipts if r),
                 key=lambda r: r["PartNumber"],
             )
-            self.client.complete_multipart_upload(
-                Bucket=self.bucket,
-                Key=self.key,
-                UploadId=self.upload_id,
-                MultipartUpload={"Parts": parts},
+            _call_with_backoff(
+                lambda: self.client.complete_multipart_upload(
+                    Bucket=self.bucket,
+                    Key=self.key,
+                    UploadId=self.upload_id,
+                    MultipartUpload={"Parts": parts},
+                ),
+                RETRY_TRIES,
+                RETRY_BASE,
             )
             # completed uploads can't be aborted: clear the id so a
             # caller's cleanup-path abort() is a no-op instead of a

@@ -124,7 +124,44 @@ def test_driver_fold_discipline():
         "ann_index_append",
         # r11: the palette row that completed R4
         "cog_palette",
+        # r12: interp-overview write (R7 closed), BPE driver row, the
+        # E21 bilinear tap row, the E33 custom-stateful verb
+        "cog_cubic", "pipeline_tokenize", "bilinear_decimate",
+        "stream_stateful",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
     assert len(keys) == len(set(keys))
+
+
+def test_cache_budget_fallback_bounds_memory(monkeypatch):
+    """When the private _jsc storage-introspection bridge breaks (a
+    Spark bump could remove it), the cache budget must still BOUND
+    memory: the blind fallback clears every _FALLBACK_CLEAR_EVERY
+    queries instead of silently no-oping (round 12, VERDICT r11 #6).
+    Pure-Python: fake session, no Spark."""
+    from ccog_spark.queries import registry as reg
+
+    class _Cat:
+        def __init__(self):
+            self.cleared = 0
+
+        def clearCache(self):
+            self.cleared += 1
+
+    class _SC:
+        @property
+        def _jsc(self):
+            raise RuntimeError("bridge gone")
+
+    class _Spark:
+        def __init__(self):
+            self.sparkContext = _SC()
+            self.catalog = _Cat()
+
+    monkeypatch.setattr(reg, "_fallback_calls", {"n": 0})
+    wrapped = reg._scoped(lambda s, d: 42)
+    s = _Spark()
+    for _ in range(reg._FALLBACK_CLEAR_EVERY * 2):
+        assert wrapped(s, "x") == 42
+    assert s.catalog.cleared == 2  # one blind clear per N queries
