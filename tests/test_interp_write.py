@@ -41,7 +41,7 @@ def _levels_from_file(path: str, bands: int):
     return out
 
 
-@pytest.mark.parametrize("kernel", ["cubic", "bilinear", "gauss"])
+@pytest.mark.parametrize("kernel", sorted(INTERP_KERNELS))
 def test_write_cog_interp_pyramid_matches_untiled_reference(
     spark, tmp_path, kernel
 ):
@@ -147,6 +147,36 @@ def test_write_cog_interp_no_nodata_declares_all_valid(spark, tmp_path):
     # bilinear taps (0, 1) never cross the edge on even dims: all valid
     assert ok.all()
     assert np.array_equal(got, want)
+
+
+def test_interp_write_with_internal_mask(spark, tmp_path):
+    """Composition: interp overviews + internal MASK pages. The mask
+    plane is the FIRST band's validity, which for interp levels is the
+    all-taps-valid rule — the mask page must agree with the nodata
+    sentinel in the data page at every level."""
+    from ccog_spark.raster.tiff import read_mask
+
+    px = pixels_df(spark)
+    out = str(tmp_path / "mask_cubic.tif")
+    res = write_cog(
+        spark, px, width=W, height=H, bands=BANDS, target_path=out,
+        blocksize=BLOCK, kernel="cubic", nodata=NODATA,
+        internal_mask=True,
+    )
+    from ccog_spark.raster.tiff import read_mask
+
+    with open(res.path, "rb") as f:
+        data = f.read()
+    all_ifds = read_cog(data)
+    data_ifds = [i for i in all_ifds if not (i.subfile_type & 4)]
+    mask_ifds = [i for i in all_ifds if i.subfile_type & 4]
+    assert len(mask_ifds) == len(data_ifds)
+    for lvl in range(min(2, len(data_ifds))):
+        band0 = read_band(data, data_ifds[lvl], 0)
+        m = read_mask(data, mask_ifds[lvl])[
+            : data_ifds[lvl].height, : data_ifds[lvl].width
+        ]
+        assert np.array_equal(m.astype(bool), band0 != NODATA), lvl
 
 
 def test_unknown_kernel_still_rejected(spark):
