@@ -804,3 +804,64 @@ def ivfpq_topk(
         adc_kernel(F.col("q_id"), F.col("codes")).alias("adc_raw"),
     )
     return _rank_adc(pairs, k)
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    m: int = 10,
+    cent_stride: int = 25,
+    nprobe: int = 2,
+    m_blocks: int = PQ_M_BLOCKS,
+) -> DataFrame:
+    """Two-stage retrieval: compressed-domain IVF+PQ selects ``m``
+    candidates per query, then ONLY those |Q|·m rows are re-ranked by
+    EXACT cosine against the original embeddings (Jégou et al. §V's
+    re-ranking stage — the shape every production IVF+PQ deployment
+    runs, because ADC distances carry quantization error that exact
+    re-ranking removes for the final k).
+
+    Scale shape: stage 1 reads 8-byte codes (ivfpq_topk's contract);
+    stage 2 joins the query-batch-sized candidate set (|Q|·m rows —
+    BROADCAST side) back to the embeddings scan, so the exact cosine
+    touches |Q|·m embedding rows, never a second corpus pass; k rows
+    per query cross the final exchange. The candidate CUT at rank m is
+    deterministic in both engines (ADC ties break on vec_id), so the
+    re-rank input set — and therefore the output — replays exactly in
+    the DuckDB oracle.
+
+    Returns (q_id, vec_id, cos, rn): the exact cosine and the exact
+    rank, directly comparable to brute_force_topk on the same queries
+    (recall@k against it is pinned in tests)."""
+    cands = ivfpq_topk(
+        corpus, queries, dim, k=m, cent_stride=cent_stride,
+        nprobe=nprobe, m_blocks=m_blocks,
+    ).select("q_id", "vec_id")
+    c = corpus.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
+    exact = (
+        c.join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        exact.select(
+            "q_id",
+            "vec_id",
+            F.round("cos_raw", 4).alias("cos"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+    )

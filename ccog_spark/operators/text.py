@@ -10,6 +10,7 @@ queries/oracle_pipeline.py) so results are hash-checkable.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ccog_spark.functions.hashing import MOD, roll_hash
@@ -340,4 +341,116 @@ def tfidf_dense(
         .distinct()
         .join(agg, id_col, "left")
         .select(id_col, fill.alias(out))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Spärck Jones — the standard
+    probabilistic ranking function): top-``k`` documents per query by
+
+        Σ_{t ∈ q}  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    ``queries``: (q_id, q_text); query terms are DISTINCT (repeated
+    query words score once — documented simplification). The idf here
+    is the RATIONAL spelling (N − df + 0.5)/(df + 0.5) rather than its
+    ln — same precedent (and same reason) as hashed_tfidf's rational
+    IDF: identical ordering per term with pure rational double
+    arithmetic that replays bit-identically in any engine, where ln's
+    last ulp differs across libm implementations and would poison a
+    hash-gated oracle. Per-term scores are quantized half-up at 1e6
+    and summed as BIGINTs (the repo-wide rule for order-sensitive
+    float sums), so the returned ``score`` is an exact integer.
+
+    Scale shape: one token explode + one (doc, term) TF aggregate over
+    the corpus; DF is a term-level aggregate of the TF table
+    (vocabulary-sized, Heaps-law ≪ corpus); N/avgdl stay IN the plan
+    as a broadcast 1-row aggregate (no eager count). Scoring joins the
+    query-term table (|Q|·terms rows — broadcast) into the TF table,
+    so the shuffle carries matching (doc, term) rows only; k rows per
+    query cross the final exchange. No content-keyed windows: the
+    rank window partitions on q_id (query-batch-sized)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).where(F.col("t") != "")
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = (
+        queries.select(
+            "q_id", F.explode(F.split(F.col("q_text"), " ")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    joined = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(dfs), "t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    # avgdl spelled EXACTLY as the oracle does: CAST(sum AS DOUBLE)/N,
+    # then dl/avgdl — association order is part of the contract
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfp = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avgdl))
+    )
+    term_q = F.floor(idf * tfp * 1000000.0 + 0.5).cast("long")
+    scored = joined.select(
+        "q_id", F.col(id_col), term_q.alias("tq")
+    ).groupBy("q_id", id_col).agg(F.sum("tq").alias("score"))
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.select(
+        "q_id", id_col, "score", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009 — the
+    standard score-free hybrid-retrieval combiner): fused(d) =
+    Σ_lists 1/(c + rank_list(d)), documents absent from a list
+    contribute 0. Inputs are two ranked frames (q_id, id_col, rn);
+    modality-agnostic — lexical BM25 + vector ANN is the canonical
+    pairing. Per-document fused scores are quantized half-up at 1e9
+    into BIGINTs (repo float rule), ranked (score DESC, id) per query.
+
+    Scale shape: both inputs are already top-m per query (query-batch
+    × m rows), so the full-outer join and the rank window are
+    query-batch-sized — nothing corpus-sized reaches this operator."""
+    a = ranked_a.select("q_id", id_col, F.col("rn").alias("rn_a"))
+    b = ranked_b.select("q_id", id_col, F.col("rn").alias("rn_b"))
+    fused = a.join(b, ["q_id", id_col], "full_outer")
+    term_a = F.when(
+        F.col("rn_a").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("rn_a"))
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("rn_b").isNotNull(), F.lit(1.0) / (F.lit(c) + F.col("rn_b"))
+    ).otherwise(F.lit(0.0))
+    rrf_q = F.floor((term_a + term_b) * 1000000000.0 + 0.5).cast("long")
+    w = W.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col(id_col))
+    return (
+        fused.select("q_id", id_col, rrf_q.alias("rrf"))
+        .select(
+            "q_id", id_col, "rrf", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= k)
     )

@@ -821,6 +821,7 @@ def _ivfpq_sql(
     cent_stride: int = 25,
     nprobe: int = 2,
     model_pred: str = "",
+    k: int = 3,
 ) -> str:
     """IVF + PQ composed: the cell/probe CTEs joined with the ann_pq
     codebook/encode/LUT CTEs, candidates restricted to probed cells
@@ -972,7 +973,7 @@ WITH nv AS (
   SELECT q_id, vec_id, ROUND(adc_raw, 4) AS adc,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_raw, vec_id) AS rn
   FROM pairs)
-SELECT q_id, vec_id, adc, rn FROM ranked WHERE rn <= 3
+SELECT q_id, vec_id, adc, rn FROM ranked WHERE rn <= {k}
 ORDER BY q_id, rn
 """
 
@@ -989,6 +990,34 @@ PIPELINE_ORACLE["ann_index"] = _ivfpq_sql()
 PIPELINE_ORACLE["ann_index_append"] = _ivfpq_sql(
     model_pred="AND vec_id % 3 <> 0"
 )
+
+# Two-stage retrieval (round 12, similarity.ivfpq_rerank_topk): the
+# full ADC composition at k = m selects the candidate set (the whole
+# _ivfpq_sql query embeds as a subquery — its rank-m cut is
+# deterministic, ADC ties break on vec_id in both engines), then the
+# exact-cosine re-rank replays over ONLY those rows.
+PIPELINE_ORACLE["ann_rerank"] = f"""
+WITH nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), cand AS (
+  SELECT q_id, vec_id FROM ({_ivfpq_sql(k=10)}) c
+), rq AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE vec_id % 100 = 0
+), rx AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(q.qe, v.e) / (q.qn * v.nrm) AS cos_raw
+  FROM cand c JOIN rq q USING (q_id) JOIN nv v USING (vec_id)
+), rr AS (
+  SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM rx)
+SELECT q_id, vec_id, cos, rn FROM rr WHERE rn <= 3
+ORDER BY q_id, rn
+"""
 
 # token-window chunking: 64-token chunks every 48 tokens (1-based
 # inclusive list slice; tail chunks shorter; md5 of the re-joined
@@ -1578,4 +1607,108 @@ FROM documents d LEFT JOIN (
   FROM tok_ids GROUP BY doc_id
 ) t USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+# BM25 retrieval (round 12, text.bm25_topk): full replay — tokenize,
+# TF/DF/dl, N and avgdl as plan-level aggregates, the rational idf
+# (N − df + 0.5)/(df + 0.5) (no ln in the hashed path — same precedent
+# as hashed_tfidf), per-term half-up 1e6 quantization, BIGINT sums.
+# Double constants are Python-computed reprs so both engines parse the
+# identical IEEE values; association order mirrors the engine exactly.
+def _bm25_sql(k: int = 5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents) x
+  WHERE t <> ''
+), tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+), dfs AS (
+  SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+), q AS (
+  SELECT DISTINCT q_id, t FROM (
+    SELECT doc_id AS q_id,
+           UNNEST(string_split(text, ' ')[1:3]) AS t
+    FROM documents WHERE doc_id % 97 = 11) y
+  WHERE t <> ''
+), j AS (
+  SELECT q.q_id, tf.doc_id,
+         CAST(FLOOR(
+           (((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+            * ((tf.tf * 2.2) /
+               (tf.tf + 1.2 * (0.25 + 0.75 *
+                 (dl.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))))
+           * 1000000.0 + 0.5) AS BIGINT) AS tq
+  FROM tf
+  JOIN q USING (t)
+  JOIN dfs USING (t)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+), scored AS (
+  SELECT q_id, doc_id, CAST(SUM(tq) AS BIGINT) AS score
+  FROM j GROUP BY q_id, doc_id
+), ranked AS (
+  SELECT q_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS rn
+  FROM scored)
+SELECT q_id, doc_id, score, rn FROM ranked WHERE rn <= {k}
+ORDER BY q_id, rn
+"""
+
+
+PIPELINE_ORACLE["pipeline_bm25"] = _bm25_sql(5)
+
+
+# Hybrid retrieval (round 12, text.rrf_fuse): BM25 top-20 (the builder
+# above at k=20) FULL OUTER JOIN exact-cosine vector top-20 on
+# (q_id, doc_id), reciprocal-rank fusion 1/(60+rn) per present side,
+# quantized half-up at 1e9 into BIGINT, top-5 per query.
+PIPELINE_ORACLE["pipeline_hybrid"] = f"""
+WITH lex AS (
+  SELECT q_id, doc_id, rn FROM ({_bm25_sql(20)}) l0
+), vec AS (
+  SELECT q_id, vec_id AS doc_id, rn FROM (
+    WITH nv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), vq AS (
+      SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv
+      WHERE vec_id % 97 = 11
+    ), pairs AS (
+      SELECT q_id, vec_id,
+             list_dot_product(qe, e) / (qn * nrm) AS cos_raw
+      FROM vq JOIN nv ON vec_id <> q_id
+    ), ranked AS (
+      SELECT q_id, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+      FROM pairs)
+    SELECT q_id, vec_id, rn FROM ranked WHERE rn <= 20
+  ) v0
+), fused AS (
+  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(FLOOR((
+             CASE WHEN l.rn IS NOT NULL
+                  THEN 1.0 / (60 + l.rn) ELSE 0.0 END
+           + CASE WHEN v.rn IS NOT NULL
+                  THEN 1.0 / (60 + v.rn) ELSE 0.0 END
+         ) * 1000000000.0 + 0.5) AS BIGINT) AS rrf
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+), rk AS (
+  SELECT q_id, doc_id, rrf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INT) AS rn
+  FROM fused)
+SELECT q_id, doc_id, rrf, rn FROM rk WHERE rn <= 5
+ORDER BY q_id, rn
 """

@@ -468,6 +468,23 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (round 12, similarity.ivfpq_rerank_topk):
+    compressed-domain IVF+PQ top-10 candidates per query, exact-cosine
+    re-rank of ONLY those rows to top-3 — the production recipe that
+    removes ADC quantization error from the final ranking without a
+    second corpus pass (stage 2 is a broadcast candidate join into the
+    embeddings scan). Oracle: the full ADC SQL embedded at k = 10 as a
+    candidate subquery + exact-cosine re-rank replay."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.ivfpq_rerank_topk(
+            emb, _queries_subset(emb), dim=EMB_DIM, k=3, m=10
+        )
+        .orderBy("q_id", "rn")
+    )
+
+
 def ann_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED IVF+PQ index (operators/ann_index.py): build the
     parquet index (codes/centroids/codebook/meta) in a temp dir, then
@@ -752,6 +769,50 @@ def pipeline_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("first8"),
     ).orderBy("doc_id")
+
+
+def pipeline_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (round 12, operators.text.bm25_topk):
+    deterministic query set (first 3 words of every doc_id % 97 == 11
+    document), top-5 docs per query by the rational-idf BM25 with
+    per-term half-up 1e6 quantization summed as BIGINTs. The oracle
+    replays tokenization, TF/DF/dl/avgdl, the exact double arithmetic
+    (identical association order), and the quantized sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    return text.bm25_topk(docs, queries, k=5).orderBy("q_id", "rn")
+
+
+def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 12): BM25 lexical top-20 and
+    exact-cosine vector top-20 over the SAME query set (documents and
+    embeddings are 1:1 by id in the fixture), fused with
+    reciprocal-rank fusion (text.rrf_fuse, c=60) into a top-5 — the
+    standard two-tower + lexical production recipe. The vector side
+    excludes self-matches (brute_force_topk's contract) while the
+    lexical side naturally ranks the query's source document; the
+    oracle replays both rankings and the quantized fusion verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_text = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    q_emb = emb.where(F.col("vec_id") % 97 == 11).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    lex = text.bm25_topk(docs, q_text, k=20)
+    vec = similarity.brute_force_topk(emb, q_emb, k=20).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return text.rrf_fuse(lex, vec, "doc_id", k=5).orderBy("q_id", "rn")
 
 
 def pipeline_lm(spark: SparkSession, sf_dir: str) -> DataFrame:

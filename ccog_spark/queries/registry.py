@@ -306,6 +306,19 @@ REGISTRY: dict[str, QueryFn] = {
     # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf + the fused
     # ann_ivfpq (moved into the fold in r7) are above
     "ann_pq": pipeline.ann_pq,
+    # round 12: two-stage ADC-candidates → exact-cosine re-rank (the
+    # production IVF+PQ recipe); E36 family keeps 4 fold rows — tail
+    # position, full oracle replay (ADC SQL embedded at k=m + exact
+    # re-rank), recall-vs-exact pinned in pytest
+    "ann_rerank": pipeline.ann_rerank,
+    # round 12: BM25 lexical retrieval (rational idf + quantized BIGINT
+    # sums — the hashed_tfidf float-rule precedent); E37/search family
+    # keeps text_analysis + pipeline_lm fold rows
+    "pipeline_bm25": pipeline.pipeline_bm25,
+    # round 12: hybrid lexical+vector retrieval — BM25 top-20 and
+    # exact-cosine top-20 fused by reciprocal-rank fusion (documents
+    # and embeddings are 1:1 by id in the fixture)
+    "pipeline_hybrid": pipeline.pipeline_hybrid,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle

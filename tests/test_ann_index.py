@@ -337,3 +337,44 @@ def test_query_skips_isin_pushdown_when_probing_most_dirs(spark, tmp_path):
     a = {key(r): tuple(r) for r in inline.collect()}
     b = {key(r): tuple(r) for r in df.collect()}
     assert a == b
+
+
+def test_rerank_is_exact_ordering_of_the_adc_pool(spark):
+    """ivfpq_rerank_topk (round 12): every returned (q_id, vec_id)
+    must carry EXACTLY the brute-force cosine (the re-rank stage is
+    exact arithmetic), and the returned top-k must be the exact-cosine
+    ordering of each query's ADC candidate pool — the operator's
+    contract (global recall is a corpus/nprobe property, not the
+    operator's)."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.operators import similarity
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    q = _queries(emb)
+    pool = similarity.ivfpq_topk(emb, q, dim=dim, k=10).collect()
+    rr = similarity.ivfpq_rerank_topk(emb, q, dim=dim, k=3, m=10).collect()
+
+    exact_all = {
+        (r.q_id, r.vec_id): r.cos
+        for r in similarity.brute_force_topk(emb, q, k=10**6).collect()
+    }
+    for r in rr:
+        assert exact_all[(r.q_id, r.vec_id)] == r.cos  # exact arithmetic
+
+    # rerank == exact ranking RESTRICTED to each query's ADC pool
+    # (recall vs the global exact top-k is a property of the corpus's
+    # cluster structure + nprobe, not of this operator; the operator's
+    # contract is a correct exact ordering of the pool)
+    pools: dict = {}
+    for r in pool:
+        pools.setdefault(r.q_id, []).append(r.vec_id)
+    got: dict = {}
+    for r in sorted(rr, key=lambda r: (r.q_id, r.rn)):
+        got.setdefault(r.q_id, []).append(r.vec_id)
+    for qid, vids in pools.items():
+        want = sorted(
+            vids, key=lambda v: (-exact_all[(qid, v)], v)
+        )[:3]
+        assert got[qid] == want, qid

@@ -248,3 +248,54 @@ def test_lm_quality_properties(spark):
         F.explode(char_ngrams("text", 3)).alias("g")
     ).collect()
     assert all(len(r.g) == 3 for r in g)
+
+
+def test_bm25_ranks_matching_terms_and_rare_terms_higher(spark):
+    """BM25 basics on a controlled corpus: a document containing the
+    query terms outranks one without; among single-term matches the
+    RARE term outweighs the common one (idf monotone in rarity); and
+    scores are exact BIGINTs (quantized half-up at 1e6)."""
+    from ccog_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple"),
+            (3, "banana banana banana"),
+            (4, "durian elderberry fig"),
+            (5, "apple durian banana"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(100, "apple durian")], "q_id long, q_text string"
+    )
+    rows = bm25_topk(docs, q, k=5).orderBy("rn").collect()
+    ids = [r.doc_id for r in rows]
+    assert 4 not in ids or ids.index(4) > 0  # no-term doc never first
+    # doc 5 matches BOTH terms -> top
+    assert ids[0] == 5
+    # 'durian' (df=2) is rarer than 'apple' (df=3): doc 4 (durian only)
+    # outranks docs 1/2 (apple only)
+    assert ids.index(4) < ids.index(1) and ids.index(4) < ids.index(2)
+    assert all(isinstance(r.score, int) for r in rows)
+
+
+def test_rrf_fuse_rewards_presence_in_both_lists(spark):
+    """RRF: a document ranked 2nd in BOTH lists must outscore one
+    ranked 1st in only a single list (1/62+1/62 > 1/61); absent-side
+    contribution is 0, and the quantized scores replay the formula."""
+    from ccog_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "q_id long, doc_id long, rn int"
+    )
+    b = spark.createDataFrame(
+        [(1, 30, 1), (1, 20, 2)], "q_id long, doc_id long, rn int"
+    )
+    rows = {r.doc_id: r for r in rrf_fuse(a, b, "doc_id", k=5).collect()}
+    assert rows[20].rn == 1  # in both lists at rank 2 -> wins
+    assert rows[20].rrf == round((1 / 62 + 1 / 62) * 1e9)
+    assert rows[10].rrf == rows[30].rrf == round((1 / 61) * 1e9)
+    # deterministic tie-break on doc_id
+    assert rows[10].rn == 2 and rows[30].rn == 3
