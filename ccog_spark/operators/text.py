@@ -380,8 +380,11 @@ def bm25_topk(
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
     ).where(F.col("t") != "")
+    # ONE corpus-shuffled aggregate: tf per (doc, term); dl and the
+    # corpus stats both derive from it (no second explode+scan), and
+    # df is a vocabulary-sized aggregate OF it
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -393,9 +396,13 @@ def bm25_topk(
         .where(F.col("t") != "")
         .distinct()
     )
+    # df rides WITH the query terms: dfs is vocabulary-sized (Heaps'
+    # law — hundreds of millions of terms at 100 TB, NOT broadcastable
+    # wholesale), so join it to the query-term frame first and
+    # broadcast only the query-batch-sized result into the TF table
+    qstats = qterms.join(dfs, "t")
     joined = (
-        tf.join(F.broadcast(qterms), "t")
-        .join(F.broadcast(dfs), "t")
+        tf.join(F.broadcast(qstats), "t")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
     )

@@ -822,6 +822,7 @@ def _ivfpq_sql(
     nprobe: int = 2,
     model_pred: str = "",
     k: int = 3,
+    q_pred: str = "vec_id % 100 = 0",
 ) -> str:
     """IVF + PQ composed: the cell/probe CTEs joined with the ann_pq
     codebook/encode/LUT CTEs, candidates restricted to probed cells
@@ -945,7 +946,7 @@ WITH nv AS (
          {enc_aggs}
   FROM (SELECT vec_id, e FROM nv) v CROSS JOIN cb GROUP BY vec_id
 ), q AS (
-  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE vec_id % 100 = 0
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE {q_pred}
 ), probe AS (
   SELECT q_id, cent_id AS cell,
          ROW_NUMBER() OVER (
@@ -996,16 +997,19 @@ PIPELINE_ORACLE["ann_index_append"] = _ivfpq_sql(
 # _ivfpq_sql query embeds as a subquery — its rank-m cut is
 # deterministic, ADC ties break on vec_id in both engines), then the
 # exact-cosine re-rank replays over ONLY those rows.
-PIPELINE_ORACLE["ann_rerank"] = f"""
+def _rerank_sql(
+    k: int = 3, m: int = 10, q_pred: str = "vec_id % 100 = 0"
+) -> str:
+    return f"""
 WITH nv AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings
 ), cand AS (
-  SELECT q_id, vec_id FROM ({_ivfpq_sql(k=10)}) c
+  SELECT q_id, vec_id FROM ({_ivfpq_sql(k=m, q_pred=q_pred)}) c
 ), rq AS (
-  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE vec_id % 100 = 0
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE {q_pred}
 ), rx AS (
   SELECT c.q_id, c.vec_id,
          list_dot_product(q.qe, v.e) / (q.qn * v.nrm) AS cos_raw
@@ -1015,9 +1019,12 @@ WITH nv AS (
          ROW_NUMBER() OVER (
            PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
   FROM rx)
-SELECT q_id, vec_id, cos, rn FROM rr WHERE rn <= 3
+SELECT q_id, vec_id, cos, rn FROM rr WHERE rn <= {k}
 ORDER BY q_id, rn
 """
+
+
+PIPELINE_ORACLE["ann_rerank"] = _rerank_sql()
 
 # token-window chunking: 64-token chunks every 48 tokens (1-based
 # inclusive list slice; tail chunks shorter; md5 of the re-joined
@@ -1666,33 +1673,17 @@ PIPELINE_ORACLE["pipeline_bm25"] = _bm25_sql(5)
 
 
 # Hybrid retrieval (round 12, text.rrf_fuse): BM25 top-20 (the builder
-# above at k=20) FULL OUTER JOIN exact-cosine vector top-20 on
-# (q_id, doc_id), reciprocal-rank fusion 1/(60+rn) per present side,
-# quantized half-up at 1e9 into BIGINT, top-5 per query.
+# above at k=20) FULL OUTER JOIN the PRODUCTION vector ranking —
+# ADC top-30 re-ranked by exact cosine to top-20 (_rerank_sql, the
+# same two-stage SQL ann_rerank pins) — on (q_id, doc_id);
+# reciprocal-rank fusion 1/(60+rn) per present side, quantized
+# half-up at 1e9 into BIGINT, top-5 per query.
 PIPELINE_ORACLE["pipeline_hybrid"] = f"""
 WITH lex AS (
   SELECT q_id, doc_id, rn FROM ({_bm25_sql(20)}) l0
 ), vec AS (
-  SELECT q_id, vec_id AS doc_id, rn FROM (
-    WITH nv AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
-    ), vq AS (
-      SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv
-      WHERE vec_id % 97 = 11
-    ), pairs AS (
-      SELECT q_id, vec_id,
-             list_dot_product(qe, e) / (qn * nrm) AS cos_raw
-      FROM vq JOIN nv ON vec_id <> q_id
-    ), ranked AS (
-      SELECT q_id, vec_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
-      FROM pairs)
-    SELECT q_id, vec_id, rn FROM ranked WHERE rn <= 20
-  ) v0
+  SELECT q_id, vec_id AS doc_id, rn
+  FROM ({_rerank_sql(k=20, m=30, q_pred="vec_id % 97 = 11")}) v0
 ), fused AS (
   SELECT COALESCE(l.q_id, v.q_id) AS q_id,
          COALESCE(l.doc_id, v.doc_id) AS doc_id,

@@ -789,14 +789,16 @@ def pipeline_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval (round 12): BM25 lexical top-20 and
-    exact-cosine vector top-20 over the SAME query set (documents and
+    """Hybrid retrieval (round 12): BM25 lexical top-20 and the
+    PRODUCTION vector path — IVF+PQ ADC top-30 candidates re-ranked by
+    exact cosine to top-20 (similarity.ivfpq_rerank_topk, never a
+    corpus-wide exact scan) — over the SAME query set (documents and
     embeddings are 1:1 by id in the fixture), fused with
-    reciprocal-rank fusion (text.rrf_fuse, c=60) into a top-5 — the
-    standard two-tower + lexical production recipe. The vector side
-    excludes self-matches (brute_force_topk's contract) while the
-    lexical side naturally ranks the query's source document; the
-    oracle replays both rankings and the quantized fusion verbatim."""
+    reciprocal-rank fusion (text.rrf_fuse, c=60) into a top-5. The
+    vector side excludes self-matches (the ADC candidate contract)
+    while the lexical side naturally ranks the query's source
+    document; the oracle replays both rankings (the full ADC SQL
+    embeds at k=m) and the quantized fusion verbatim."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     q_text = docs.where(F.col("doc_id") % 97 == 11).select(
@@ -809,9 +811,9 @@ def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     lex = text.bm25_topk(docs, q_text, k=20)
-    vec = similarity.brute_force_topk(emb, q_emb, k=20).withColumnRenamed(
-        "vec_id", "doc_id"
-    )
+    vec = similarity.ivfpq_rerank_topk(
+        emb, q_emb, dim=EMB_DIM, k=20, m=30
+    ).withColumnRenamed("vec_id", "doc_id")
     return text.rrf_fuse(lex, vec, "doc_id", k=5).orderBy("q_id", "rn")
 
 

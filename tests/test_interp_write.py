@@ -163,8 +163,6 @@ def test_interp_write_with_internal_mask(spark, tmp_path):
         blocksize=BLOCK, kernel="cubic", nodata=NODATA,
         internal_mask=True,
     )
-    from ccog_spark.raster.tiff import read_mask
-
     with open(res.path, "rb") as f:
         data = f.read()
     all_ifds = read_cog(data)
@@ -187,3 +185,30 @@ def test_unknown_kernel_still_rejected(spark):
             target_path="/tmp/never.tif", blocksize=BLOCK,
             kernel="sinc_supreme",
         )
+
+
+def test_rebuild_cog_with_interp_kernel(spark, tmp_path):
+    """The gdaladdo-style maintenance verb forwards the kernel into
+    the write path — rebuilding an average-overview COG with
+    kernel='bilinear' must produce overviews equal to the bilinear
+    reference of the (unchanged) base level."""
+    from ccog_spark.raster.cog import rebuild_cog
+
+    px = pixels_df(spark)
+    src = str(tmp_path / "src_avg.tif")
+    write_cog(
+        spark, px, width=W, height=H, bands=BANDS, target_path=src,
+        blocksize=BLOCK, kernel="average", nodata=NODATA,
+    )
+    dst = str(tmp_path / "rebuilt_bilinear.tif")
+    res = rebuild_cog(spark, src, dst, kernel="bilinear")
+    levels = _levels_from_file(res.path, BANDS)
+    src_levels = _levels_from_file(src, BANDS)
+    # base level unchanged byte-for-byte in pixel values
+    assert np.array_equal(levels[0], src_levels[0])
+    for b in range(BANDS):
+        base = levels[0][b]
+        want, _ = interp_decimate_reference(
+            base, base != NODATA, "bilinear", NODATA
+        )
+        assert np.array_equal(levels[1][b], want)
