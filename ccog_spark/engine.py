@@ -92,6 +92,29 @@ class Engine:
 
         return append_to_index(corpus_delta, index_dir)
 
+    # ---- retrieval (round 12)
+    def bm25(self, docs: DataFrame, queries: DataFrame,
+             **kwargs) -> DataFrame:
+        """BM25 lexical top-k: queries = (q_id, q_text)."""
+        from ccog_spark.operators.text import bm25_topk
+
+        return bm25_topk(docs, queries, **kwargs)
+
+    def ann_rerank(self, corpus: DataFrame, queries: DataFrame, dim: int,
+                   **kwargs) -> DataFrame:
+        """Two-stage ANN: ADC candidates → exact-cosine re-rank."""
+        from ccog_spark.operators.similarity import ivfpq_rerank_topk
+
+        return ivfpq_rerank_topk(corpus, queries, dim, **kwargs)
+
+    def hybrid_search(self, ranked_lexical: DataFrame,
+                      ranked_vector: DataFrame, id_col: str,
+                      **kwargs) -> DataFrame:
+        """Reciprocal-rank fusion of two ranked (q_id, id, rn) frames."""
+        from ccog_spark.operators.text import rrf_fuse
+
+        return rrf_fuse(ranked_lexical, ranked_vector, id_col, **kwargs)
+
     # ---- verification
     def check(self, qid: str, sf_dir: str | None = None):
         from ccog_spark.harness import compare_query

@@ -165,3 +165,34 @@ def test_cache_budget_fallback_bounds_memory(monkeypatch):
     for _ in range(reg._FALLBACK_CLEAR_EVERY * 2):
         assert wrapped(s, "x") == 42
     assert s.catalog.cleared == 2  # one blind clear per N queries
+
+
+def test_engine_facade_retrieval(spark):
+    """Round-12 retrieval verbs through the facade: BM25, two-stage
+    ANN re-rank, and RRF hybrid fusion — shape/contract here (value
+    parity is pinned by the pipeline_bm25/ann_rerank/pipeline_hybrid
+    oracle rows and the operator property tests)."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=SF_SMOKE)
+    docs = eng.table("documents")
+    emb = eng.table("embeddings")
+    q_text = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    q_emb = emb.where(F.col("vec_id") % 97 == 11).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    lex = eng.bm25(docs, q_text, k=20)
+    vec = eng.ann_rerank(emb, q_emb, dim=64, k=20, m=30).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = eng.hybrid_search(lex, vec, "doc_id", k=5).collect()
+    assert fused and all(1 <= r.rn <= 5 for r in fused)
+    n_q = q_text.count()
+    assert len({r.q_id for r in fused}) == n_q

@@ -250,3 +250,70 @@ def test_foreachbatch_stream_to_cog_s3_mpu(spark, tmp_path, s3_stub):
         assert len(vals) == 1
         fills.add(float(vals[0]))
     assert fills == {10.0, 20.0}
+
+
+def test_tws_operator_guards_missing_protobuf(spark, sf_dir):
+    """running_user_totals_tws (the Spark 4.x transformWithStateInPandas
+    twin) hard-depends on google.protobuf for its state-server protocol
+    — without it the streaming worker would crash with an opaque JVM
+    error mid-query, so the operator must fail FAST with an actionable
+    message instead (optional-dependency gate, same pattern as the
+    rasterio oracle tests)."""
+    import importlib.util
+
+    import pytest
+
+    from ccog_spark.streaming.stateful import running_user_totals_tws
+    from ccog_spark.streaming.windows import read_events_stream
+
+    events = read_events_stream(spark, sf_dir)
+    try:  # find_spec raises when even the parent 'google' ns is absent
+        has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_pb = False
+    if not has_pb:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_user_totals_tws(events)
+    else:
+        # protobuf present: the frame must at least construct
+        assert running_user_totals_tws(events).columns == [
+            "user_id", "n_events", "total_value",
+        ]
+
+
+def test_tws_matches_classic_stateful_api(spark, sf_dir):
+    """When protobuf IS installed, the transformWithStateInPandas twin
+    must produce exactly the classic applyInPandasWithState result on
+    the same stream (skips in the protobuf-less CI container)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from ccog_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+    from ccog_spark.streaming.windows import (
+        read_events_stream,
+        run_stream_to_batch,
+    )
+
+    def final_rows(op):
+        events = read_events_stream(spark, sf_dir).withColumn(
+            "value", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+        )
+        out = run_stream_to_batch(op(events), "update")
+        return {
+            r.user_id: (r.n_events, r.total_value)
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+            .collect()
+        }
+
+    assert final_rows(running_user_totals_tws) == final_rows(
+        running_user_totals
+    )
