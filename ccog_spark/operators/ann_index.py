@@ -330,6 +330,8 @@ def query_ivfpq_index(
     queries: DataFrame,
     k: int = 3,
     nprobe: int = 2,
+    rerank_corpus: DataFrame | None = None,
+    m: int = 10,
 ) -> DataFrame:
     """Top-k ADC retrieval against a persisted index. Embeddings are
     never read — only the codes table (8 bytes/vector) plus the
@@ -341,7 +343,17 @@ def query_ivfpq_index(
     stats pruning inside each directory) — reads ~nprobe/n_groups of
     the files instead of scanning the full corpus-sized table.
     Bit-identical to ivfpq_topk on the same corpus/queries (the test
-    pins it): the filters name exactly the equi-join keys."""
+    pins it): the filters name exactly the equi-join keys.
+
+    ``rerank_corpus`` (round 12): when given, the index supplies the
+    top-``m`` ADC candidates per query and the final top-k is the
+    EXACT-cosine re-rank of those rows against the provided embeddings
+    frame — the production two-stage recipe with the persisted index
+    as stage 1. Bit-identical to the inline ivfpq_rerank_topk (the
+    rerank stage is the SHARED similarity.exact_rerank, and the
+    candidate sets are already pinned identical); the embeddings scan
+    touches |Q|·m rows via a broadcast candidate join, preserving the
+    index's never-scan-the-corpus property."""
     from pyspark.sql import Window as W
 
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
@@ -420,4 +432,9 @@ def query_ivfpq_index(
         "vec_id",
         adc_kernel(F.col("q_id"), F.col("codes")).alias("adc_raw"),
     )
-    return _rank_adc(pairs, k)
+    if rerank_corpus is None:
+        return _rank_adc(pairs, k)
+    from ccog_spark.operators.similarity import exact_rerank
+
+    cands = _rank_adc(pairs, m).select("q_id", "vec_id")
+    return exact_rerank(rerank_corpus, queries, cands, k)

@@ -839,6 +839,18 @@ def ivfpq_rerank_topk(
         corpus, queries, dim, k=m, cent_stride=cent_stride,
         nprobe=nprobe, m_blocks=m_blocks,
     ).select("q_id", "vec_id")
+    return exact_rerank(corpus, queries, cands, k)
+
+
+def exact_rerank(
+    corpus: DataFrame, queries: DataFrame, cands: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of a (q_id, vec_id) candidate frame against
+    the original embeddings — the stage shared by the inline
+    (ivfpq_rerank_topk) and persisted-index (ann_index.query + rerank)
+    paths, so the two stay bit-identical by construction. ``cands`` is
+    query-batch-sized (top-m per query) and BROADCASTS into the corpus
+    scan; k rows per query cross the final exchange."""
     c = corpus.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )

@@ -378,3 +378,30 @@ def test_rerank_is_exact_ordering_of_the_adc_pool(spark):
             vids, key=lambda v: (-exact_all[(qid, v)], v)
         )[:3]
         assert got[qid] == want, qid
+
+
+def test_index_rerank_bit_identical_to_inline(spark, tmp_path):
+    """query_ivfpq_index(rerank_corpus=...) — stage 1 from the
+    persisted index, stage 2 the shared exact_rerank — must equal the
+    inline ivfpq_rerank_topk row-for-row (same shared rerank code over
+    pinned-identical candidate sets)."""
+    from ccog_spark.operators import similarity
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    q = _queries(emb)
+    idx = str(tmp_path / "rr_idx")
+    build_ivfpq_index(emb, dim, idx)
+
+    inline = similarity.ivfpq_rerank_topk(emb, q, dim=dim, k=3, m=10)
+    from_index = query_ivfpq_index(
+        spark, idx, q, k=3, rerank_corpus=emb, m=10
+    )
+    key = lambda r: (r.q_id, r.rn)
+    a = {key(r): tuple(r) for r in inline.collect()}
+    b = {key(r): tuple(r) for r in from_index.collect()}
+    assert a == b and a  # ids, exact cosines, ranks
