@@ -436,5 +436,10 @@ def query_ivfpq_index(
         return _rank_adc(pairs, k)
     from ccog_spark.operators.similarity import exact_rerank
 
+    if m < k:
+        raise ValueError(
+            f"rerank candidate pool m={m} must be >= k={k} "
+            "(stage 2 can only reorder what stage 1 supplies)"
+        )
     cands = _rank_adc(pairs, m).select("q_id", "vec_id")
     return exact_rerank(rerank_corpus, queries, cands, k)

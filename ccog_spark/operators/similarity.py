@@ -835,6 +835,11 @@ def ivfpq_rerank_topk(
     Returns (q_id, vec_id, cos, rn): the exact cosine and the exact
     rank, directly comparable to brute_force_topk on the same queries
     (recall@k against it is pinned in tests)."""
+    if m < k:
+        raise ValueError(
+            f"rerank candidate pool m={m} must be >= k={k} "
+            "(stage 2 can only reorder what stage 1 supplies)"
+        )
     cands = ivfpq_topk(
         corpus, queries, dim, k=m, cent_stride=cent_stride,
         nprobe=nprobe, m_blocks=m_blocks,

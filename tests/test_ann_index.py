@@ -405,3 +405,25 @@ def test_index_rerank_bit_identical_to_inline(spark, tmp_path):
     a = {key(r): tuple(r) for r in inline.collect()}
     b = {key(r): tuple(r) for r in from_index.collect()}
     assert a == b and a  # ids, exact cosines, ranks
+
+
+def test_rerank_pool_must_cover_k(spark, tmp_path):
+    """m < k is a silent-truncation foot-gun (stage 2 can only reorder
+    what stage 1 supplies) — both rerank entry points refuse it."""
+    import pytest
+
+    from ccog_spark.operators import similarity
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    q = _queries(emb)
+    with pytest.raises(ValueError, match="m=2 must be >= k=5"):
+        similarity.ivfpq_rerank_topk(emb, q, dim=dim, k=5, m=2)
+    idx = str(tmp_path / "guard_idx")
+    build_ivfpq_index(emb, dim, idx)
+    with pytest.raises(ValueError, match="m=2 must be >= k=5"):
+        query_ivfpq_index(spark, idx, q, k=5, rerank_corpus=emb, m=2)
