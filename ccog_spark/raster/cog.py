@@ -474,11 +474,20 @@ def write_cog(
     # halo-exchange convolution per level (closes R7 — round 12).
     from ccog_spark.raster.halo import INTERP_KERNELS
 
+    # level persists are collected and unpersisted in the finally below
+    # (round-13 ADVICE: without this, repeated writes — e.g. the
+    # streaming foreachBatch COG sink — leak cached level frames for
+    # the session's lifetime)
+    level_persists: list = []
     if kernel in KERNELS:
-        pyr = build_pyramid(pixels, n_overviews, kernel=kernel)
+        pyr = build_pyramid(
+            pixels, n_overviews, kernel=kernel,
+            persist_registry=level_persists,
+        )
     elif kernel in INTERP_KERNELS:
         pyr = build_pyramid_interp(
-            pixels, n_overviews, kernel, blocksize, width, height, nodata
+            pixels, n_overviews, kernel, blocksize, width, height, nodata,
+            persist_registry=level_persists,
         )
     else:
         raise ValueError(
@@ -674,6 +683,8 @@ def write_cog(
         enc.unpersist()
         if mask_enc is not None:
             mask_enc.unpersist()
+        for lv in level_persists:
+            lv.unpersist()
 
     total_tiles = sum(bands * lp.n_tiles for lp in plan.levels)
     n_data_written = sum(1 for k in plan.file_order if k[1] != -1)

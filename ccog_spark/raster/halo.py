@@ -80,13 +80,21 @@ STRIP_SCHEMA = (
 PIXEL_SCHEMA = "band int, y int, x int, value double, valid boolean"
 
 
-def _emit_strips_kernel(bs: int, halo: int, nodata: float | None):
+def _emit_strips_kernel(bs: int, halo: int, nodata: float | None, use_mask: bool = False):
     """mapInPandas kernel: each tile row → its core (rel 0,0) plus up to
     8 halo strips addressed to neighbouring tile keys. Self-contained
-    closure (no ccog_spark import on executors). ``nodata=None`` means
-    the raster declares no nodata: every clip pixel is valid (the
-    write path's sparse-fill-0 rule must not mark real zeros invalid);
-    image-edge padding stays invalid via the assemble kernel's vpad."""
+    closure (no ccog_spark import on executors).
+
+    Validity source: with ``use_mask`` the tile rows carry a ``vmask``
+    column (packed bits, tiles.TILE_MASK_SCHEMA) that is authoritative —
+    valid=false input rows stay invalid even when their fill value
+    can't signal it, and valid pixels whose value EQUALS nodata stay
+    valid (round-13 ADVICE fix). Without it (legacy/standalone tile
+    frames) validity is re-derived from the sentinel: ``nodata=None``
+    means the raster declares no nodata, so every clip pixel is valid
+    (the write path's sparse-fill-0 rule must not mark real zeros
+    invalid); image-edge padding stays invalid via the assemble
+    kernel's vpad."""
 
     def emit(it):
         import numpy as _np
@@ -103,11 +111,15 @@ def _emit_strips_kernel(bs: int, halo: int, nodata: float | None):
                 arr = _np.frombuffer(r.data, dtype="<f8").reshape(bs, bs)[
                     : r.height, : r.width
                 ]
-                valid = (
-                    _np.ones(arr.shape, dtype=bool)
-                    if nodata is None
-                    else arr != nodata
-                )
+                if use_mask:
+                    valid = _np.unpackbits(
+                        _np.frombuffer(r.vmask, dtype=_np.uint8),
+                        count=bs * bs,
+                    ).astype(bool).reshape(bs, bs)[: r.height, : r.width]
+                elif nodata is None:
+                    valid = _np.ones(arr.shape, dtype=bool)
+                else:
+                    valid = arr != nodata
                 for dy in (-1, 0, 1):
                     for dx in (-1, 0, 1):
                         ty, tx = r.tile_y + dy, r.tile_x + dx
@@ -237,11 +249,16 @@ def interp_decimate(
     half resolution. One strip shuffle (groupBy tile key), one Python
     kernel pass. ``nodata=None``: every clip pixel is valid (no-nodata
     rasters); output pixels are invalid only where taps cross the
-    image edge.
+    image edge. When ``tiles`` carries a ``vmask`` column
+    (tiles_from_pixels(with_mask=True)) it is the authoritative
+    validity source — no sentinel round-trip.
     """
     offsets, taps, halo = INTERP_KERNELS[kernel]
     strips = tiles.mapInPandas(
-        _emit_strips_kernel(blocksize, halo, nodata), STRIP_SCHEMA
+        _emit_strips_kernel(
+            blocksize, halo, nodata, use_mask="vmask" in tiles.columns
+        ),
+        STRIP_SCHEMA,
     )
     return strips.groupBy("band", "tile_y", "tile_x").applyInPandas(
         _assemble_decimate_kernel(blocksize, halo, nodata, taps, offsets),

@@ -150,6 +150,7 @@ def build_pyramid_interp(
     height: int,
     nodata: float | None,
     persist_levels: bool = True,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Interpolating-kernel pyramid for the WRITE path (closes R7: the
     reference writer accepts all 9 GDAL kernels and runs them per chunk,
@@ -169,6 +170,18 @@ def build_pyramid_interp(
     has an offset ≥ 1), so it is invalid → written as nodata fill; the
     kernel emits h//2 rows and tiles_from_pixels pads the ceil-halved
     grid, which is the same thing.
+
+    The re-tile ships the packed validity mask WITH each tile
+    (tiles_from_pixels(with_mask=True)) so validity never round-trips
+    through the nodata sentinel: input rows with valid=false stay
+    invalid under nodata=None, and valid pixels whose value equals
+    nodata stay valid (round-13 ADVICE fix).
+
+    ``persist_registry``: when a list is passed, every intermediate
+    level frame this builder persists is appended to it so the CALLER
+    can unpersist them once the pyramid is consumed (write_cog does —
+    otherwise repeated writes, e.g. a streaming foreachBatch COG sink,
+    would leak cached level frames for the session's lifetime).
     """
     from ccog_spark.raster.halo import INTERP_KERNELS, interp_decimate
     from ccog_spark.raster.tiles import tiles_from_pixels
@@ -190,10 +203,13 @@ def build_pyramid_interp(
             width,
             height,
             dtype="float64",
+            with_mask=True,
         )
         cur = interp_decimate(tiles, blocksize, kernel, nodata)
         if persist_levels and lvl < levels:
             cur = cur.persist()
+            if persist_registry is not None:
+                persist_registry.append(cur)
         out = out.unionByName(cur.withColumn("level", F.lit(lvl)))
     return out
 
@@ -203,6 +219,7 @@ def build_pyramid(
     levels: int,
     kernel: str = "average",
     persist_levels: bool = True,
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Full pyramid as a union of level-tagged pixel DataFrames.
 
@@ -210,7 +227,8 @@ def build_pyramid(
     is persisted before deriving the next so level k is computed once,
     not re-derived from level 0 for every consumer — the Spark analogue
     of the reference's ``to_delayed(optimize_graph=False)`` tradeoff
-    (ccog/ccog.py:618-621).
+    (ccog/ccog.py:618-621). ``persist_registry`` collects the persisted
+    handles for caller-side unpersist (see build_pyramid_interp).
     """
     out = pixels.withColumn("level", F.lit(0))
     cur = pixels
@@ -218,5 +236,7 @@ def build_pyramid(
         cur = decimate(cur, kernel)
         if persist_levels and lvl < levels:
             cur = cur.persist()
+            if persist_registry is not None:
+                persist_registry.append(cur)
         out = out.unionByName(cur.withColumn("level", F.lit(lvl)))
     return out

@@ -36,6 +36,17 @@ TILE_SCHEMA = (
     "height int, width int, data binary, valid_count int"
 )
 
+# tiles_from_pixels(with_mask=True) appends the packed validity grid:
+# np.packbits of the full blocksize×blocksize boolean mask (True only
+# where a VALID input pixel was placed — sparse gaps, valid=false rows
+# and edge padding are all False). Consumers that would otherwise
+# re-derive validity from the nodata sentinel (the halo kernels) read
+# this instead, so valid=false pixels at the fill value and valid
+# pixels whose value EQUALS nodata both survive the round-trip
+# (round-13 ADVICE: the interp write path lost both distinctions).
+# Cost: bs²/8 bytes per tile ≈ 1.6% of a float64 payload.
+TILE_MASK_SCHEMA = TILE_SCHEMA + ", vmask binary"
+
 PIXEL_SCHEMA = "level int, band int, y int, x int, value double, valid boolean"
 
 # numpy dtype char per supported sample type (mirrors tiff.DTYPES;
@@ -72,8 +83,13 @@ def tiles_from_pixels(
     width: int | None = None,
     height: int | None = None,
     dtype: str = "float64",
+    with_mask: bool = False,
 ) -> DataFrame:
     """Long-form pixels (level,band,y,x,value,valid) → tile rows.
+
+    ``with_mask=True`` appends a ``vmask`` column (packed validity
+    bits, see TILE_MASK_SCHEMA) so downstream kernels never have to
+    infer validity from the nodata sentinel.
 
     One shuffle on the tile key; each group materializes its dense
     full-blocksize block in numpy and emits a single binary row.
@@ -104,7 +120,7 @@ def tiles_from_pixels(
         "valid",
     )
 
-    def make_kernel(bs: int, nd: float, im_w, im_h, np_dtype: str):
+    def make_kernel(bs: int, nd: float, im_w, im_h, np_dtype: str, mask: bool):
         def to_tile(pdf):
             import numpy as np
             import pandas as pd
@@ -133,23 +149,27 @@ def tiles_from_pixels(
             # same C-cast the encode kernel applied when payloads were
             # float64 working blocks
             arr[iy[valid], ix[valid]] = vals[valid].astype(dt)
-            return pd.DataFrame(
-                {
-                    "level": [level],
-                    "band": [band],
-                    "tile_y": [ty],
-                    "tile_x": [tx],
-                    "height": [h],
-                    "width": [w],
-                    "data": [arr.tobytes()],
-                    "valid_count": [int(valid.sum())],
-                }
-            )
+            out = {
+                "level": [level],
+                "band": [band],
+                "tile_y": [ty],
+                "tile_x": [tx],
+                "height": [h],
+                "width": [w],
+                "data": [arr.tobytes()],
+                "valid_count": [int(valid.sum())],
+            }
+            if mask:
+                vgrid = np.zeros((bs, bs), dtype=bool)
+                vgrid[iy[valid], ix[valid]] = True
+                out["vmask"] = [np.packbits(vgrid.ravel()).tobytes()]
+            return pd.DataFrame(out)
 
         return to_tile
 
     return keyed.groupBy("level", "band", "tile_y", "tile_x").applyInPandas(
-        make_kernel(blocksize, nodata, width, height, np_dt), TILE_SCHEMA
+        make_kernel(blocksize, nodata, width, height, np_dt, with_mask),
+        TILE_MASK_SCHEMA if with_mask else TILE_SCHEMA,
     )
 
 

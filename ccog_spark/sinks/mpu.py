@@ -357,16 +357,7 @@ class S3Mpu:
                 ({"PartNumber": r["PartNumber"], "ETag": r["ETag"]} for r in receipts if r),
                 key=lambda r: r["PartNumber"],
             )
-            _call_with_backoff(
-                lambda: self.client.complete_multipart_upload(
-                    Bucket=self.bucket,
-                    Key=self.key,
-                    UploadId=self.upload_id,
-                    MultipartUpload={"Parts": parts},
-                ),
-                RETRY_TRIES,
-                RETRY_BASE,
-            )
+            self._complete_with_backoff(parts)
             # completed uploads can't be aborted: clear the id so a
             # caller's cleanup-path abort() is a no-op instead of a
             # NoSuchUpload ClientError (round-6 review — same
@@ -376,6 +367,47 @@ class S3Mpu:
         except Exception:
             self.abort()
             raise
+
+    def _complete_with_backoff(self, parts: list[dict]) -> None:
+        """complete_multipart_upload with the writer's transient-retry
+        bound, PLUS the complete-specific ambiguity rule (round-13
+        ADVICE): complete is NOT idempotent — if the first attempt
+        succeeds server-side but its response is lost (5xx/timeout),
+        the RETRY returns NoSuchUpload (404), which naively reads as
+        failure and triggers abort-and-re-raise for an upload that
+        actually landed. So a NoSuchUpload raised on attempt > 0 is
+        resolved by HEAD-ing the target object: if it exists, the
+        first attempt completed and this is success; if not, the
+        upload really is gone and the original error propagates."""
+        import time
+
+        for attempt in range(RETRY_TRIES):
+            try:
+                self.client.complete_multipart_upload(
+                    Bucket=self.bucket,
+                    Key=self.key,
+                    UploadId=self.upload_id,
+                    MultipartUpload={"Parts": parts},
+                )
+                return
+            except Exception as e:  # noqa: BLE001 - code-filtered below
+                resp = getattr(e, "response", None)
+                code = (
+                    str(resp.get("Error", {}).get("Code", ""))
+                    if isinstance(resp, dict)
+                    else ""
+                )
+                if attempt > 0 and code == "NoSuchUpload":
+                    try:
+                        self.client.head_object(
+                            Bucket=self.bucket, Key=self.key
+                        )
+                        return  # object exists: the lost attempt won
+                    except Exception:  # noqa: BLE001 - HEAD 404/denied
+                        raise e from None
+                if attempt == RETRY_TRIES - 1 or not _s3_retryable(e):
+                    raise
+                time.sleep(RETRY_BASE * (2**attempt))
 
     def abort(self) -> None:
         """Abort the in-flight MPU (called by the writer when any part

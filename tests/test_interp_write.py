@@ -212,3 +212,95 @@ def test_rebuild_cog_with_interp_kernel(spark, tmp_path):
             base, base != NODATA, "bilinear", NODATA
         )
         assert np.array_equal(levels[1][b], want)
+
+
+def _level1_grids(rows, h, w, nodata):
+    """Collected level-1 pixel rows → (value, valid) dense arrays."""
+    oh, ow = h // 2, w // 2
+    vals = np.full((oh, ow), np.nan)
+    ok = np.zeros((oh, ow), dtype=bool)
+    for r in rows:
+        if r.level == 1:
+            ok[r.y, r.x] = bool(r.valid)
+            if r.valid:
+                vals[r.y, r.x] = r.value
+    return vals, ok
+
+
+def test_interp_pyramid_valid_false_rows_stay_invalid_without_nodata(spark):
+    """Round-13 ADVICE (medium): with nodata=None the re-tile fill is
+    0.0 and the old sentinel round-trip declared EVERY pixel valid —
+    input rows explicitly marked valid=false became valid zeros in the
+    overview convolution. The packed vmask now rides with each tile, so
+    the level-1 validity must equal the all-taps-valid rule applied to
+    the TRUE input mask, and valid values must match the reference
+    convolution that zero-weights the invalid pixels."""
+    from ccog_spark.raster.pyramid import build_pyramid_interp
+
+    h, w = 32, 32
+    rng = np.random.default_rng(21)
+    arr = np.floor(rng.uniform(1, 9, (h, w)))
+    valid = np.ones((h, w), dtype=bool)
+    valid[5:9, 10:14] = False  # explicit valid=false patch
+    arr[~valid] = 0.0  # at the nodata=None fill value — the trap
+    vals = [
+        (1, y, x, float(arr[y, x]), bool(valid[y, x]))
+        for y in range(h)
+        for x in range(w)
+    ]
+    px = spark.createDataFrame(
+        vals, "band int, y int, x int, value double, valid boolean"
+    )
+    out = build_pyramid_interp(
+        px, 1, "cubic", 16, w, h, None, persist_levels=False
+    )
+    got_v, got_ok = _level1_grids(out.collect(), h, w, None)
+    want, want_ok = interp_decimate_reference(arr, valid, "cubic", None)
+    assert not want_ok.all()  # the patch must invalidate some outputs
+    assert np.array_equal(got_ok, want_ok)
+    assert np.array_equal(got_v[got_ok], want[want_ok])
+
+
+def test_interp_pyramid_valid_pixel_at_nodata_value_stays_valid(spark):
+    """Symmetric half of the same ADVICE item: with nodata set, a
+    genuinely VALID pixel whose value equals nodata used to be flipped
+    invalid by the sentinel re-derivation. With the mask it stays valid
+    and contributes its (nodata-valued) sample to the convolution."""
+    from ccog_spark.raster.pyramid import build_pyramid_interp
+
+    h, w = 32, 32
+    arr = np.fromfunction(lambda y, x: (3 * y + 5 * x) % 11, (h, w))
+    arr[8, 8] = NODATA  # valid pixel that HAPPENS to hold -9999.0
+    valid = np.ones((h, w), dtype=bool)
+    vals = [
+        (1, y, x, float(arr[y, x]), True)
+        for y in range(h)
+        for x in range(w)
+    ]
+    px = spark.createDataFrame(
+        vals, "band int, y int, x int, value double, valid boolean"
+    )
+    out = build_pyramid_interp(
+        px, 1, "bilinear", 16, w, h, NODATA, persist_levels=False
+    )
+    got_v, got_ok = _level1_grids(out.collect(), h, w, NODATA)
+    want, want_ok = interp_decimate_reference(arr, valid, "bilinear", NODATA)
+    assert want_ok.all()  # true mask: every output pixel valid
+    assert np.array_equal(got_ok, want_ok)
+    assert np.array_equal(got_v, want)
+
+
+@pytest.mark.parametrize("kernel", ["cubic", "average"])
+def test_write_cog_unpersists_level_frames(spark, tmp_path, kernel):
+    """Round-13 ADVICE (low): write_cog must release the pyramid level
+    persists when the upload completes — repeated writes (the streaming
+    foreachBatch COG sink) must not accumulate cached level frames."""
+    spark.catalog.clearCache()
+    px = pixels_df(spark)
+    out = str(tmp_path / f"nopersistleak_{kernel}.tif")
+    write_cog(
+        spark, px, width=W, height=H, bands=BANDS, target_path=out,
+        blocksize=BLOCK, kernel=kernel, nodata=NODATA,
+    )
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [str(i.name()) for i in infos]

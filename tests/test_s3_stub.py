@@ -23,6 +23,10 @@ class _S3State:
         # bounded-backoff retry layer
         self.throttle_puts = 0
         self.throttle_completes = 0
+        # round 13: complete succeeds SERVER-side but the response is
+        # lost (500 returned after the object is assembled) — the
+        # ambiguous-retry case real S3 can produce
+        self.lose_complete_response = 0
 
 
 def _make_handler(state: _S3State):
@@ -72,6 +76,11 @@ def _make_handler(state: _S3State):
                     state.throttle_completes -= 1
                     self._xml(503, "<Error><Code>SlowDown</Code></Error>")
                     return
+                if uid not in state.uploads:
+                    # real S3: completing an already-completed (or
+                    # aborted) upload id returns NoSuchUpload
+                    self._xml(404, "<Error><Code>NoSuchUpload</Code></Error>")
+                    return
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n).decode()
                 order = [int(x) for x in re.findall(r"<PartNumber>(\d+)<", body)]
@@ -88,6 +97,15 @@ def _make_handler(state: _S3State):
                 state.objects[(bucket, key)] = b"".join(
                     state.uploads[uid][p] for p in sorted(order)
                 )
+                if state.lose_complete_response > 0:
+                    # the object IS assembled, the upload id IS
+                    # consumed — but the client never learns it
+                    state.lose_complete_response -= 1
+                    del state.uploads[uid]
+                    self._xml(
+                        500, "<Error><Code>InternalError</Code></Error>"
+                    )
+                    return
                 self._xml(
                     200,
                     "<CompleteMultipartUploadResult>"
@@ -126,6 +144,19 @@ def _make_handler(state: _S3State):
             state.aborted.append(q["uploadId"][0])
             self.send_response(204)
             self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_HEAD(self):
+            bucket, key, _ = self._path_parts()
+            obj = state.objects.get((bucket, key))
+            if obj is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(obj)))
+            self.send_header("ETag", '"done"')
             self.end_headers()
 
     return Handler
@@ -387,3 +418,76 @@ def test_s3mpu_retry_bounds_and_nonretryable_passthrough(
         m.complete([{"PartNumber": 2, "ETag": "bogus"}])
     assert state.aborted  # abort-and-re-raise divergence intact
     assert calls_before == state.throttle_completes
+
+
+def test_s3mpu_complete_lost_response_resolved_by_head(
+    s3_stub, monkeypatch
+):
+    """Round-13 ADVICE: complete is NOT idempotent. When the first
+    complete succeeds server-side but its 200 is lost (stub returns
+    500 AFTER assembling the object), the retry gets NoSuchUpload —
+    which must be resolved by HEAD-ing the target: the object exists,
+    so complete() reports SUCCESS and nothing is aborted."""
+    from ccog_spark.sinks import mpu as mpu_mod
+    from ccog_spark.sinks.mpu import S3Mpu
+
+    monkeypatch.setattr(mpu_mod, "RETRY_BASE", 0.01)
+    state, endpoint = s3_stub
+    m = S3Mpu("b", "lost.bin", _no_client_retry_options(endpoint))
+    m.create()
+    rec = m.part_putter()(1, b"payload!")
+    state.lose_complete_response = 1
+    path = m.complete([rec])
+    assert path == "s3://b/lost.bin"
+    assert state.objects[("b", "lost.bin")] == b"payload!"
+    assert not state.aborted  # the upload DID land — no abort
+    assert m.upload_id is None  # cleanup abort stays a no-op
+
+
+def test_s3mpu_first_attempt_nosuchupload_still_fails(s3_stub):
+    """The HEAD rescue applies ONLY to retries (attempt > 0): a
+    NoSuchUpload on the FIRST attempt — stale/foreign upload id — is a
+    real failure even when some older object happens to exist at the
+    key, and must abort-and-re-raise as before."""
+    import botocore.exceptions
+
+    from ccog_spark.sinks.mpu import S3Mpu
+
+    state, endpoint = s3_stub
+    m = S3Mpu("b", "stale.bin", _no_client_retry_options(endpoint))
+    m.create()
+    rec = m.part_putter()(1, b"x")
+    state.objects[("b", "stale.bin")] = b"older object"  # decoy
+    del state.uploads[m.upload_id]  # upload vanishes (e.g. aborted)
+    with pytest.raises(botocore.exceptions.ClientError) as ei:
+        m.complete([rec])
+    assert ei.value.response["Error"]["Code"] == "NoSuchUpload"
+    assert state.objects[("b", "stale.bin")] == b"older object"
+
+
+def test_s3mpu_retry_nosuchupload_without_object_still_fails(
+    s3_stub, monkeypatch
+):
+    """NoSuchUpload on a RETRY with NO object at the key: the HEAD
+    404s, so the original NoSuchUpload propagates (abort-and-re-raise
+    divergence intact — abort itself is a no-op on the gone id)."""
+    import botocore.exceptions
+
+    from ccog_spark.sinks import mpu as mpu_mod
+    from ccog_spark.sinks.mpu import S3Mpu
+
+    monkeypatch.setattr(mpu_mod, "RETRY_BASE", 0.01)
+    state, endpoint = s3_stub
+    m = S3Mpu("b", "gone.bin", _no_client_retry_options(endpoint))
+    m.create()
+    rec = m.part_putter()(1, b"x")
+    uid = m.upload_id
+
+    # first attempt throttles; while the client backs off, the upload
+    # is aborted out from under it (no object is ever assembled)
+    state.throttle_completes = 1
+    del state.uploads[uid]
+    with pytest.raises(botocore.exceptions.ClientError) as ei:
+        m.complete([rec])
+    assert ei.value.response["Error"]["Code"] == "NoSuchUpload"
+    assert ("b", "gone.bin") not in state.objects
