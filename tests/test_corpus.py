@@ -159,12 +159,47 @@ def test_cache_budget_fallback_bounds_memory(monkeypatch):
             self.sparkContext = _SC()
             self.catalog = _Cat()
 
-    monkeypatch.setattr(reg, "_fallback_calls", {"n": 0})
     wrapped = reg._scoped(lambda s, d: 42)
     s = _Spark()
     for _ in range(reg._FALLBACK_CLEAR_EVERY * 2):
         assert wrapped(s, "x") == 42
     assert s.catalog.cleared == 2  # one blind clear per N queries
+
+
+def test_cache_budget_fallback_counter_is_per_session():
+    """Round-13 ADVICE: the blind-clear counter is keyed per
+    SparkSession (WeakKeyDictionary under a lock), not module-global —
+    two sessions interleaving queries must each need the FULL cadence
+    before their own clear fires, instead of sharing one counter."""
+    from ccog_spark.queries import registry as reg
+
+    class _Cat:
+        def __init__(self):
+            self.cleared = 0
+
+        def clearCache(self):
+            self.cleared += 1
+
+    class _SC:
+        @property
+        def _jsc(self):
+            raise RuntimeError("bridge gone")
+
+    class _Spark:
+        def __init__(self):
+            self.sparkContext = _SC()
+            self.catalog = _Cat()
+
+    wrapped = reg._scoped(lambda s, d: 1)
+    a, b = _Spark(), _Spark()
+    # interleave: a shared counter would fire after N TOTAL calls;
+    # per-session counters fire only after N calls EACH
+    for _ in range(reg._FALLBACK_CLEAR_EVERY - 1):
+        wrapped(a, "x")
+        wrapped(b, "x")
+    assert a.catalog.cleared == 0 and b.catalog.cleared == 0
+    wrapped(a, "x")
+    assert a.catalog.cleared == 1 and b.catalog.cleared == 0
 
 
 def test_engine_facade_retrieval(spark):
@@ -196,3 +231,44 @@ def test_engine_facade_retrieval(spark):
     assert fused and all(1 <= r.rn <= 5 for r in fused)
     n_q = q_text.count()
     assert len({r.q_id for r in fused}) == n_q
+
+
+def test_persist_ledger_makes_query_caches_self_cleaning(spark):
+    """Round 13 (VERDICT r12 #4): operator-internal persists are
+    tracked per registry call and released when a DIFFERENT query
+    enters (or explicitly via release_persists), so back-to-back heavy
+    queries don't run inside each other's cache pressure. Pinned:
+    (a) a persisting query fills the ledger, (b) explicit release with
+    blocking=True leaves RDD storage EMPTY, (c) entering another query
+    auto-evicts the previous owner's entries from the ledger while
+    keeping its own."""
+    from ccog_spark.queries import registry as reg
+
+    spark.catalog.clearCache()
+    reg.release_persists(spark, blocking=True)
+
+    # (a) dedup_minhash persists its signature frames
+    REGISTRY["dedup_minhash"](spark, SF_SMOKE).collect()
+    st = reg._session_state(spark)
+    owners = {own for own, _ in st["persists"]}
+    assert "dedup_minhash" in owners
+
+    # (b) explicit blocking release → storage empty between rows
+    reg.release_persists(spark, blocking=True)
+    assert st["persists"] == []
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [str(i.name()) for i in infos]
+
+    # (c) a different query's entry evicts the previous owner's
+    # persists but keeps its own (bench reps stay warm)
+    REGISTRY["dedup_minhash"](spark, SF_SMOKE).collect()
+    REGISTRY["dedup_cc"](spark, SF_SMOKE).collect()
+    owners = {own for own, _ in st["persists"]}
+    assert "dedup_minhash" not in owners
+    assert "dedup_cc" in owners
+
+    # same-owner re-entry keeps the warm entries tracked (they are
+    # re-released only when a different query enters)
+    REGISTRY["dedup_cc"](spark, SF_SMOKE).collect()
+    assert {own for own, _ in st["persists"]} == {"dedup_cc"}
+    reg.release_persists(spark, blocking=True)
