@@ -234,6 +234,23 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # cog_roundtrip's full average-decimation pyramid above fold +
 # decim_nearest/pyramid_avg/decim_rms tails).
 #
+# Round 13 reorder (VERDICT r12 tasks 1/5): the r12 retrieval trio —
+# ann_rerank (two-stage ADC→exact re-rank), pipeline_bm25 (BM25
+# lexical retrieval, now with lossless max-score pruning) and
+# pipeline_hybrid (RRF fusion) — were tail-only with zero
+# CORRECTNESS_r12 presence; promoted so the driver hash-gates them.
+# Plus fold-hygiene rows: gauss_decimate (the E21 3-tap kernel family
+# member that never had a fold hash) and q14 (E26 date fns, rotated
+# out in r12). Displaced, each keeping ≥1 above-fold family row:
+# cubic_decimate (E21 ≙ cog_cubic + bilinear_decimate + the promoted
+# gauss_decimate), cog_color (E23 JPEG ≙ cog_roundtrip/cog_palette/
+# cog_cubic carry the write-path hash gates; its YCbCr-specific bytes
+# stay pinned by 33 jpeg pytest rows), cog_window (windowed read ≙
+# cog_roundtrip write + cog_read tail + pytest tile-pruning plan
+# asserts), dedup_ngram (E35 keeps minhash/cc/embed/semantic/span/
+# line — 6 fold rows), multimodal_meta (≙ multimodal_features, the
+# full pixel-decode fold row).
+#
 # Round 12 reorder (VERDICT r11 tasks 1/2/8): the NEW rows — cog_cubic
 # (interpolating-overview write, closes R7) and pipeline_tokenize (BPE
 # train + encode, the one operator with zero queries() presence) —
@@ -293,18 +310,22 @@ REGISTRY: dict[str, QueryFn] = {
     # pruning over 8-byte PQ codes with broadcast ADC LUTs, the
     # production compressed-domain configuration
     "ann_ivfpq": pipeline.ann_ivfpq,
-    "cubic_decimate": raster_jobs.cubic_decimate_q,
-    # r7 fold slot (was cubicspline_decimate): hash-checked 3-band
-    # color-JPEG COG — pixel-interleaved YCbCr tiles (PlanarConfig 1,
-    # 4:4:4 + 4:2:0), shared JPEGTables asserted across multipart parts
-    "cog_color": raster_jobs.cog_color,
+    # r13 fold slot (was cubic_decimate): the E21 3-tap (gauss) kernel
+    # row — gauss/lanczos had never been fold-hashed (judge-sweep +
+    # pytest only); gauss pins the halo-1 row of the tap table
+    "gauss_decimate": raster_jobs.gauss_decimate_q,
+    # r13 fold slot (was cog_color): two-stage ANN — IVF+PQ ADC top-m
+    # candidates exactly re-ranked by true cosine (the production
+    # retrieval recipe); full oracle replay (ADC SQL at k=m + exact
+    # re-rank), recall-vs-exact pinned in pytest
+    "ann_rerank": pipeline.ann_rerank,
     # hash-checkable writer proof (write → parse → pixel values);
     # cog_write (structure summary, rows-only) moved to the tail
     "cog_roundtrip": raster_jobs.cog_roundtrip,
-    # r8 fold slot (was unpivot_q): WINDOWED bbox read — index-level
-    # spatial tile pruning + edge-tile clip, THE COG access pattern;
-    # identity oracle over the same bbox
-    "cog_window": raster_jobs.cog_window,
+    # r13 fold slot (was cog_window): BM25 lexical retrieval (rational
+    # idf + quantized BIGINT sums) — with the r13 lossless max-score
+    # candidate pruning in the SAME hashed plan
+    "pipeline_bm25": pipeline.pipeline_bm25,
     # LLM-pipeline operator corpus
     "text_analysis": pipeline.text_analysis,
     # r12 fold slot (was text_winnow): E21 interpolating-tap family had
@@ -332,7 +353,9 @@ REGISTRY: dict[str, QueryFn] = {
     # r10 fold slot (was dedup_simhash): one-pass per-source corpus
     # profile composing text.analyze + exact_dedup in one lazy plan
     "corpus_profile": pipeline.corpus_profile,
-    "dedup_ngram": pipeline.dedup_ngram,
+    # r13 fold slot (was dedup_ngram): hybrid retrieval — BM25 top-20
+    # and exact-cosine top-20 fused by reciprocal-rank fusion
+    "pipeline_hybrid": pipeline.pipeline_hybrid,
     "dedup_embed": pipeline.dedup_embed,
     "ann_exact": pipeline.ann_exact,
     # r10 fold slot (was ann_lsh): INCREMENTAL ann-index growth —
@@ -345,7 +368,10 @@ REGISTRY: dict[str, QueryFn] = {
     # shard assembly: bucketed two-level global prefix sum + hash
     # sampling (training-data last mile)
     "pipeline_shards": pipeline.pipeline_shards,
-    "multimodal_meta": pipeline.multimodal_meta,
+    # r13 fold slot (was multimodal_meta): E26 date functions back in
+    # the fold — q14/q16 both rotated out in r12, leaving the date/
+    # conditional scalar families without a direct fold row
+    "q14": relational.q14,
     "q23b": pipeline.q23b,
     # Structured Streaming corpus (real streaming jobs, batch-checked)
     "stream_dedup": streaming_corpus.stream_dedup,
@@ -396,11 +422,24 @@ REGISTRY: dict[str, QueryFn] = {
     # rows-only structure summary; the writer's hash gate is
     # cog_roundtrip (above the fold) + byte tests in test_raster.py
     "cog_write": raster_jobs.cog_write,
-    # E21 kernels beyond cubic/cubicspline/bilinear (bilinear promoted
-    # to the fold in r12): oracle-checked via the generalized
-    # separable-tap SQL; pytest gates them at sf0.001
-    "gauss_decimate": raster_jobs.gauss_decimate_q,
+    # E21 kernels beyond the fold's bilinear/gauss/cog_cubic rows
+    # (gauss promoted to the fold in r13): oracle-checked via the
+    # generalized separable-tap SQL; pytest gates them at sf0.001
     "lanczos_decimate": raster_jobs.lanczos_decimate_q,
+    # r13 displaced fold rows — each keeps above-fold family rows:
+    # E21 4-tap ≙ cog_cubic (write path) + bilinear/gauss (fold)
+    "cubic_decimate": raster_jobs.cubic_decimate_q,
+    # E23 JPEG COG ≙ cog_roundtrip/cog_palette/cog_cubic write gates
+    # (fold) + the 33-test jpeg codec suite; YCbCr layout pinned there
+    "cog_color": raster_jobs.cog_color,
+    # windowed bbox read ≙ cog_roundtrip (fold) + cog_read (tail) +
+    # pytest tile-pruning plan asserts
+    "cog_window": raster_jobs.cog_window,
+    # E35 n-gram Jaccard ≙ 6 dedup fold rows (minhash/cc/embed/
+    # semantic/span/line)
+    "dedup_ngram": pipeline.dedup_ngram,
+    # container-header walk ≙ multimodal_features (fold, full decode)
+    "multimodal_meta": pipeline.multimodal_meta,
     # round 6: DISTRIBUTED COG read-back (sources/cog_reader) — the
     # write side's hash gate is cog_roundtrip (above the fold); this
     # row hash-proves the executor-side range-read/decode path against
@@ -421,27 +460,12 @@ REGISTRY: dict[str, QueryFn] = {
     # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf + the fused
     # ann_ivfpq (moved into the fold in r7) are above
     "ann_pq": pipeline.ann_pq,
-    # round 12: two-stage ADC-candidates → exact-cosine re-rank (the
-    # production IVF+PQ recipe); E36 family keeps 4 fold rows — tail
-    # position, full oracle replay (ADC SQL embedded at k=m + exact
-    # re-rank), recall-vs-exact pinned in pytest
-    "ann_rerank": pipeline.ann_rerank,
-    # round 12: BM25 lexical retrieval (rational idf + quantized BIGINT
-    # sums — the hashed_tfidf float-rule precedent); E37/search family
-    # keeps text_analysis + pipeline_lm fold rows
-    "pipeline_bm25": pipeline.pipeline_bm25,
-    # round 12: hybrid lexical+vector retrieval — BM25 top-20 and
-    # exact-cosine top-20 fused by reciprocal-rank fusion (documents
-    # and embeddings are 1:1 by id in the fixture)
-    "pipeline_hybrid": pipeline.pipeline_hybrid,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
     "pipeline_chunks": pipeline.pipeline_chunks,
-    # r12 displaced fold rows — each keeps above-fold family rows:
-    # E26 date fns / E28 conditional fns ≙ q13 (string) + q15 (math)
-    # carry the E25–E28 scalar-function family evidence
-    "q14": relational.q14,
+    # r12 displaced fold row (q14 returned to the fold in r13): E28
+    # conditional fns ≙ q13 (string) + q15 (math) + q14 (date, fold)
     "q16": relational.q16,
     # E37 text family keeps text_analysis + pipeline_lm above fold
     "text_winnow": pipeline.text_winnow,

@@ -115,10 +115,12 @@ def test_driver_fold_discipline():
     keys = list(REGISTRY)
     fold = set(keys[:50])
     promoted = {
-        # r7: composed/fused stars
-        "pipeline_e2e", "ann_ivfpq", "multimodal_features", "cog_color",
-        # r8: persisted index, LM, line dedup, windowed COG read
-        "ann_index", "pipeline_lm", "pipeline_line_dedup", "cog_window",
+        # r7: composed/fused stars (cog_color stood down in r13 — its
+        # write gates stay with cog_roundtrip/cog_palette/cog_cubic)
+        "pipeline_e2e", "ann_ivfpq", "multimodal_features",
+        # r8: persisted index, LM, line dedup (cog_window stood down
+        # in r13 — read gates stay with cog_roundtrip + cog_read tail)
+        "ann_index", "pipeline_lm", "pipeline_line_dedup",
         # r10: the rewritten operators + r8 stars
         "pipeline_span_dedup", "dedup_semantic", "corpus_profile",
         "ann_index_append",
@@ -128,6 +130,10 @@ def test_driver_fold_discipline():
         # E21 bilinear tap row, the E33 custom-stateful verb
         "cog_cubic", "pipeline_tokenize", "bilinear_decimate",
         "stream_stateful",
+        # r13: the retrieval trio (VERDICT r12 #1) + fold hygiene
+        # (gauss tap row, E26 date fns back in — VERDICT r12 #5)
+        "ann_rerank", "pipeline_bm25", "pipeline_hybrid",
+        "gauss_decimate", "q14",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
