@@ -344,6 +344,131 @@ def tfidf_dense(
     )
 
 
+# Max-score pruning knobs (bm25_topk(prune=True)). Both gates are
+# decided DRIVER-side from exact df counts before any plan is built,
+# and both plans are lossless-identical, so flipping between them can
+# never change results.
+#
+# MAX_CANDIDATES bounds the (q_id, doc_id) candidate broadcast: the
+# pairs are two longs (~16 B serialized), so the cap is ~64 MB — the
+# conventional broadcast ceiling. Above it the planner declines and
+# the unpruned plan runs (a shuffle-side semi join would re-shuffle
+# the very postings the cut is meant to keep out of the exchange).
+BM25_PRUNE_MAX_CANDIDATES = 4_000_000  # Σ df(essential) broadcast cap
+BM25_PRUNE_MIN_SAVINGS = 0.5  # prune only if ≥ this postings fraction is cut
+
+
+def _bm25_essential_terms(
+    spark, score_frame, stats, qstats, k: int, k1: float
+):
+    """Driver-side max-score planning (Turtle & Flood 1995's max-score
+    heuristic, made LOSSLESS for top-k): returns the per-query
+    essential (q_id, t) list, or None when pruning can't pay for
+    itself. Everything here is query-batch-sized: qstats (term, df per
+    query term) and the 1-row corpus stats are collected; the only job
+    touching postings is the θ probe over the single RAREST term per
+    query.
+
+    Bound: a term's quantized score is at most ub(t) =
+    floor(idf(t)·(k1+1)·1e6 + 0.5) + 1 — tf·(k1+1)/(tf + k1·norm) <
+    k1+1 for any tf, dl > 0, and the +1 quantization unit absorbs any
+    double-rounding asymmetry between the driver's product and the
+    plan's, keeping ub ≥ every realizable per-term score.
+
+    θ (per query): the k-th highest SINGLE-term quantized score among
+    the rarest term's postings — a valid lower bound on the k-th best
+    FULL score (those k docs' full scores only add non-negative
+    terms). Any document containing ONLY terms from a suffix of the
+    ub-descending term list whose Σub < θ is strictly below ≥ k docs
+    and can never reach top-k, tie-breaks included — so candidate
+    generation may skip those terms' postings entirely. Documents
+    matching ≥ 1 essential term are then FULLY scored over all query
+    terms, which is why the result is bit-identical to the unpruned
+    plan."""
+    import math
+
+    srow = stats.first()
+    if srow is None or not srow["n_docs"]:
+        return None
+    n_docs = srow["n_docs"]
+    qrows = qstats.collect()  # query-batch-sized: (q_id, t, df)
+    if not qrows:
+        return None
+    per_q: dict = {}
+    for r in qrows:
+        idf_v = (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)
+        ub = math.floor(idf_v * (k1 + 1.0) * 1000000.0 + 0.5) + 1
+        per_q.setdefault(r["q_id"], []).append((r["t"], int(r["df"]), ub))
+
+    # Seed: rarest (max-ub) term per query — preferring terms with
+    # df ≥ k, since a term with fewer than k postings cannot fill a
+    # top-k on its own (its probe would yield no θ). Ties break by
+    # term text for determinism (θ quality, not correctness, depends
+    # on the choice).
+    seeds = {}
+    for q, ts in per_q.items():
+        pool = [x for x in ts if x[1] >= k] or ts
+        seeds[q] = max(pool, key=lambda x: (x[2], x[0]))
+
+    # Optimistic pre-check BEFORE the θ probe job: θ is the k-th
+    # highest single-term score of the seed, so θ ≤ ub(seed). If even
+    # θ = ub(seed) couldn't cut MIN_SAVINGS of the postings, decline
+    # now — the fixture-style uniform-df vocabulary exits here with
+    # only the two query-batch-sized collects spent, no postings job.
+    opt_total = opt_cut = 0
+    for q, ts in per_q.items():
+        ts.sort(key=lambda x: (-x[2], x[0]))  # ub desc
+        opt_total += sum(d for _, d, _ in ts)
+        theta_max = seeds[q][2]
+        acc = 0
+        cut = len(ts)
+        while cut > 0 and acc + ts[cut - 1][2] < theta_max:
+            acc += ts[cut - 1][2]
+            cut -= 1
+        opt_cut += sum(d for _, d, _ in ts[cut:])
+    if opt_total == 0 or opt_cut / opt_total < BM25_PRUNE_MIN_SAVINGS:
+        return None
+
+    seed_pairs = [(q, s[0]) for q, s in seeds.items()]
+    from pyspark.sql.types import StructField, StructType
+
+    pair_schema = StructType(
+        [qstats.schema["q_id"], qstats.schema["t"]]
+    )
+    seed_df = spark.createDataFrame(seed_pairs, pair_schema)
+    seed_qstats = qstats.join(F.broadcast(seed_df), ["q_id", "t"], "left_semi")
+    w = W.partitionBy("q_id").orderBy(F.col("tq").desc())
+    thetas = {
+        r["q_id"]: r["tq"]
+        for r in score_frame(seed_qstats)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k)
+        .collect()
+    }
+
+    essential: list[tuple] = []
+    total_df = pruned_df = ess_df_sum = 0
+    for q, ts in per_q.items():  # already ub-desc sorted above
+        theta = thetas.get(q, 0)
+        total_df += sum(d for _, d, _ in ts)
+        # longest suffix with Σub < θ is non-essential (strict <:
+        # a doc tying θ could still win the id tie-break)
+        cut = len(ts)
+        acc = 0
+        while cut > 0 and acc + ts[cut - 1][2] < theta:
+            acc += ts[cut - 1][2]
+            cut -= 1
+        for t, d, _ in ts[:cut]:
+            essential.append((q, t))
+            ess_df_sum += d
+        pruned_df += sum(d for _, d, _ in ts[cut:])
+    if ess_df_sum > BM25_PRUNE_MAX_CANDIDATES:
+        return None  # candidate set not safely broadcastable
+    if total_df == 0 or pruned_df / total_df < BM25_PRUNE_MIN_SAVINGS:
+        return None  # not worth the candidate pass
+    return essential
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -352,6 +477,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prune: bool = True,
 ) -> DataFrame:
     """BM25 lexical retrieval (Robertson/Spärck Jones — the standard
     probabilistic ranking function): top-``k`` documents per query by
@@ -370,20 +496,38 @@ def bm25_topk(
     float sums), so the returned ``score`` is an exact integer.
 
     Scale shape: one token explode + one (doc, term) TF aggregate over
-    the corpus; DF is a term-level aggregate of the TF table
+    the corpus (persisted for the operator's lifetime — four subplans
+    read it); DF is a term-level aggregate of the TF table
     (vocabulary-sized, Heaps-law ≪ corpus); N/avgdl stay IN the plan
     as a broadcast 1-row aggregate (no eager count). Scoring joins the
     query-term table (|Q|·terms rows — broadcast) into the TF table,
     so the shuffle carries matching (doc, term) rows only; k rows per
     query cross the final exchange. No content-keyed windows: the
-    rank window partitions on q_id (query-batch-sized)."""
+    rank window partitions on q_id (query-batch-sized).
+
+    ``prune=True`` (round 13, VERDICT r12 #2): LOSSLESS max-score
+    candidate pruning. A corpus-scale-df query term (a stopword in
+    the query) used to drag its entire posting list through the
+    scoring shuffle; now the driver computes per-term score upper
+    bounds and a per-query top-k lower bound θ (see
+    _bm25_essential_terms), restricts candidate generation to the
+    essential terms, and fully scores ONLY candidate documents — the
+    high-df terms' postings are read but never shuffled except for
+    candidate rows. Results are bit-identical (pruning only discards
+    documents provably below the k-th score, ties included); when the
+    planner finds no worthwhile cut it falls back to the unpruned
+    plan, so `prune` never changes output."""
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
     ).where(F.col("t") != "")
     # ONE corpus-shuffled aggregate: tf per (doc, term); dl and the
     # corpus stats both derive from it (no second explode+scan), and
-    # df is a vocabulary-sized aggregate OF it
+    # df is a vocabulary-sized aggregate OF it. Persisted: the scoring
+    # join, dl, dfs/stats and (when pruning) the θ probe + candidate
+    # pass all read it — the registry ledger releases it at query exit.
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    if prune:
+        tf = tf.persist()
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
@@ -401,11 +545,7 @@ def bm25_topk(
     # wholesale), so join it to the query-term frame first and
     # broadcast only the query-batch-sized result into the TF table
     qstats = qterms.join(dfs, "t")
-    joined = (
-        tf.join(F.broadcast(qstats), "t")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-    )
+
     # avgdl spelled EXACTLY as the oracle does: CAST(sum AS DOUBLE)/N,
     # then dl/avgdl — association order is part of the contract
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
@@ -416,9 +556,45 @@ def bm25_topk(
         F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avgdl))
     )
     term_q = F.floor(idf * tfp * 1000000.0 + 0.5).cast("long")
-    scored = joined.select(
-        "q_id", F.col(id_col), term_q.alias("tq")
-    ).groupBy("q_id", id_col).agg(F.sum("tq").alias("score"))
+
+    def score_frame(q_side: DataFrame) -> DataFrame:
+        """Per-(query, doc, term) quantized scores for the given
+        query-term frame — the ONE scoring spelling both the full
+        plan and the pruning θ probe share."""
+        j = (
+            tf.join(F.broadcast(q_side), "t")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(stats))
+        )
+        return j.select("q_id", F.col(id_col), term_q.alias("tq"))
+
+    rows = score_frame(qstats)
+    if prune:
+        essential = _bm25_essential_terms(
+            docs.sparkSession, score_frame, stats, qstats, k, k1
+        )
+        if essential is not None:
+            from pyspark.sql.types import StructType
+
+            pair_schema = StructType(
+                [qstats.schema["q_id"], qstats.schema["t"]]
+            )
+            ess_df = docs.sparkSession.createDataFrame(
+                essential, pair_schema
+            )
+            # candidate docs: ≥1 essential-term match; bounded by the
+            # planner's Σ df(essential) ≤ BM25_PRUNE_MAX_CANDIDATES,
+            # so the broadcast semi-join keeps the full-scoring
+            # shuffle candidate-sized instead of postings-sized
+            cands = (
+                tf.join(F.broadcast(ess_df), "t")
+                .select("q_id", F.col(id_col))
+                .distinct()
+            )
+            rows = rows.join(
+                F.broadcast(cands), ["q_id", id_col], "left_semi"
+            )
+    scored = rows.groupBy("q_id", id_col).agg(F.sum("tq").alias("score"))
     w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.select(
         "q_id", id_col, "score", F.row_number().over(w).alias("rn")

@@ -80,6 +80,63 @@ def main():
                 k=5,
             ),
         )
+
+    # Round 13 (VERDICT r12 #2): max-score pruning on a HIGH-DF query
+    # batch. The replica-TAGGED sf10 fixture prefixes every token, so
+    # per-term df is scale-CONSTANT there — the FIXED-ALPHABET fixtures
+    # (make_sf_fixed_alphabet.py) preserve the token multiset, so df
+    # grows ∝ corpus: the honest high-df regime. The fixture vocabulary
+    # has exactly one rare term ('dup', df ≈ n_docs/20) amid ~uniform
+    # corpus-scale terms; a 64-query batch of "dup + two stopword-scale
+    # terms" makes the scoring shuffle (Σ df ≈ 100·N_docs rows)
+    # dominate the TF build (~40·N_docs token rows) — exactly the case
+    # the planner must cut. prune=True keeps only 'dup' essential
+    # (postings ≈ 3·N_docs), so its growth must be SUBLINEAR vs the
+    # unpruned plan's from fa-sf1 → fa-sf10. Results are asserted
+    # bit-identical. Caches cleared before every timed pass so both
+    # variants pay the full TF build.
+    import itertools
+
+    others = [
+        "the", "a", "of", "stream", "value", "spark", "data", "big",
+        "small", "filter", "line", "part", "sort", "query", "batch",
+        "agg",
+    ]
+    pairs = list(itertools.combinations(others, 2))[:64]
+    highdf = spark.createDataFrame(
+        [(i + 1, f"dup {w1} {w2}") for i, (w1, w2) in enumerate(pairs)],
+        "q_id long, q_text string",
+    )
+    for sf_dir, tag in [
+        ("/root/testdata/sf0.1", "sf0.1"),
+        ("/tmp/ccog_sf_fa1", "fa-sf1"),
+        ("/tmp/ccog_sf_fa10", "fa-sf10"),
+    ]:
+        if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            print(json.dumps({"skip": tag, "reason": "fixture missing"}))
+            continue
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+        def run_bm25_highdf(name, prune):
+            def thunk():
+                spark.catalog.clearCache()
+                return text.bm25_topk(docs, highdf, k=5, prune=prune)
+
+            thunk().collect()  # warm-up (OS cache, codegen)
+            t0 = time.time()
+            rows = thunk().collect()
+            dt = round(time.time() - t0, 2)
+            out.setdefault(name, {})[tag] = {"sec": dt, "rows": len(rows)}
+            print(
+                json.dumps({"q": name, "sf": tag, "sec": dt, "rows": len(rows)}),
+                flush=True,
+            )
+            return sorted(map(tuple, rows))
+
+        a = run_bm25_highdf("bm25_highdf_unpruned", prune=False)
+        b = run_bm25_highdf("bm25_highdf_pruned", prune=True)
+        assert a == b, f"pruning changed results at {tag} — must be lossless"
+        spark.catalog.clearCache()
     print("RESULT " + json.dumps(out), flush=True)
 
 

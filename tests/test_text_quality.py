@@ -4,6 +4,7 @@ fixture corpus against the DuckDB oracle)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ccog_spark.operators.decontam import contamination_flags
@@ -299,3 +300,130 @@ def test_rrf_fuse_rewards_presence_in_both_lists(spark):
     assert rows[10].rrf == rows[30].rrf == round((1 / 61) * 1e9)
     # deterministic tie-break on doc_id
     assert rows[10].rn == 2 and rows[30].rn == 3
+
+
+def _bm25_corpus(spark, seed: int, n_docs: int = 120):
+    """Random corpus with a Zipf-ish mix: a handful of stopwords in
+    almost every doc (corpus-scale df — the pruning target), mid-df
+    topic words, and rare tail words."""
+    import random
+
+    rng = random.Random(seed)
+    stop = ["the", "of", "and"]
+    mid = [f"topic{i}" for i in range(12)]
+    rare = [f"rare{i}" for i in range(60)]
+    rows = []
+    for d in range(1, n_docs + 1):
+        words = []
+        words += [w for w in stop if rng.random() < 0.9]
+        words += rng.sample(mid, rng.randint(1, 4))
+        if rng.random() < 0.5:
+            words += rng.sample(rare, rng.randint(1, 2))
+        words *= rng.randint(1, 3)
+        rng.shuffle(words)
+        rows.append((d, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_bm25_maxscore_pruning_is_lossless(spark, seed):
+    """Round 13 (VERDICT r12 #2): max-score candidate pruning must be
+    LOSSLESS — identical (q_id, doc_id, score, rn) rows to the
+    unpruned plan on stopword-heavy queries (where pruning actually
+    engages), including tie-breaks."""
+    from ccog_spark.operators import text as T
+
+    docs = _bm25_corpus(spark, seed)
+    # stopword + rare pairs: high-df terms are exactly what the
+    # planner should classify non-essential
+    qs = spark.createDataFrame(
+        [
+            (1, "the rare3"),
+            (2, "of and rare7 topic2"),
+            (3, "the of and"),          # all-stopword query: no cut
+            (4, "rare11 rare12"),       # all-rare: nothing to cut
+            (5, "and topic5 rare20"),
+            (6, "the topic1"),          # mid-df essential: cut engages
+            (7, "of and topic7"),
+        ],
+        "q_id long, q_text string",
+    )
+    a = T.bm25_topk(docs, qs, k=4, prune=False).collect()
+    b = T.bm25_topk(docs, qs, k=4, prune=True).collect()
+    key = lambda r: (r.q_id, r.rn)
+    assert sorted(map(tuple, a), key=lambda x: (x[0], x[3])) == sorted(
+        map(tuple, b), key=lambda x: (x[0], x[3])
+    )
+
+
+def test_bm25_pruning_planner_actually_prunes(spark):
+    """The planner must (a) return a strict subset of query terms on a
+    stopword+rare query against a stopword-saturated corpus — the
+    stopword's postings are the cut — and (b) decline to prune when
+    nothing worthwhile can be cut (all-stopword query)."""
+    from ccog_spark.operators import text as T
+
+    docs = _bm25_corpus(spark, 9, n_docs=150)
+    base_kwargs = dict(k=3, k1=1.2)
+
+    def plan_for(qs):
+        # rebuild the operator's internal frames the way bm25_topk does
+        from pyspark.sql import functions as F
+
+        toks = docs.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.col("text"), " ")).alias("t"),
+        ).where(F.col("t") != "")
+        tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        qterms = (
+            qs.select(
+                "q_id", F.explode(F.split(F.col("q_text"), " ")).alias("t")
+            )
+            .where(F.col("t") != "")
+            .distinct()
+        )
+        qstats = qterms.join(dfs, "t")
+        avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+        idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        tfp = (F.col("tf") * 2.2) / (
+            F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl))
+        )
+        term_q = F.floor(idf * tfp * 1000000.0 + 0.5).cast("long")
+
+        def score_frame(q_side):
+            j = (
+                tf.join(F.broadcast(q_side), "t")
+                .join(dl, "doc_id")
+                .crossJoin(F.broadcast(stats))
+            )
+            return j.select("q_id", F.col("doc_id"), term_q.alias("tq"))
+
+        return T._bm25_essential_terms(
+            spark, score_frame, stats, qstats, base_kwargs["k"],
+            base_kwargs["k1"],
+        )
+
+    # mid-df topic terms have df >= k, so k docs matching them bound
+    # the stopword out of the candidate pass; a RARE term with df < k
+    # cannot (the top-k then necessarily includes stopword-only docs),
+    # which is why mid-df terms are the essential side here
+    qs_mixed = spark.createDataFrame(
+        [(1, "the topic3"), (2, "of topic8")], "q_id long, q_text string"
+    )
+    plan = plan_for(qs_mixed)
+    assert plan is not None
+    # per query only the mid-df topic term survives as essential
+    ess = {}
+    for q, t in plan:
+        ess.setdefault(q, set()).add(t)
+    assert ess[1] == {"topic3"} and ess[2] == {"topic8"}
+
+    qs_stop = spark.createDataFrame(
+        [(1, "the of and")], "q_id long, q_text string"
+    )
+    assert plan_for(qs_stop) is None  # nothing worthwhile to cut
