@@ -344,30 +344,39 @@ def tfidf_dense(
     )
 
 
-# Max-score pruning knobs (bm25_topk(prune=True)). Both gates are
+# Max-score pruning knobs (bm25_topk(prune=True)). All gates are
 # decided DRIVER-side from exact df counts before any plan is built,
 # and both plans are lossless-identical, so flipping between them can
 # never change results.
 #
-# MAX_CANDIDATES bounds the (q_id, doc_id) candidate broadcast: the
-# pairs are two longs (~16 B serialized), so the cap is ~64 MB — the
-# conventional broadcast ceiling. Above it the planner declines and
-# the unpruned plan runs (a shuffle-side semi join would re-shuffle
-# the very postings the cut is meant to keep out of the exchange).
-BM25_PRUNE_MAX_CANDIDATES = 4_000_000  # Σ df(essential) broadcast cap
+# MAX_CANDIDATES bounds the candidate DOC-ID broadcast (one long per
+# id, Σ df over the UNION of essential terms is its exact upper
+# bound): ~32 MB at the cap — the conventional broadcast ceiling.
+# Above it the planner declines and the unpruned plan runs (a
+# shuffle-side semi join would re-shuffle the very postings the cut
+# is meant to keep out of the exchange).
+BM25_PRUNE_MAX_CANDIDATES = 4_000_000  # Σ df(essential-term union) cap
 BM25_PRUNE_MIN_SAVINGS = 0.5  # prune only if ≥ this postings fraction is cut
+# Below this many total matching postings the unpruned single-action
+# plan is already trivially cheap — the planner's extra jobs (stats,
+# qstats collect, θ probe) cost more than they save. Measured
+# crossover (retrieval_scale_probe high-df batch): at 5.1M postings
+# the engaged planner LOSES 4.7 s; at 51M it WINS 23.6 s (2.6×) —
+# the floor sits between, biased high because a wrongly-declined
+# mid-size batch costs far less than a wrongly-engaged small one.
+BM25_PRUNE_MIN_POSTINGS = 20_000_000
 
 
 def _bm25_essential_terms(
     spark, score_frame, stats, qstats, k: int, k1: float
 ):
     """Driver-side max-score planning (Turtle & Flood 1995's max-score
-    heuristic, made LOSSLESS for top-k): returns the per-query
-    essential (q_id, t) list, or None when pruning can't pay for
-    itself. Everything here is query-batch-sized: qstats (term, df per
-    query term) and the 1-row corpus stats are collected; the only job
-    touching postings is the θ probe over the single RAREST term per
-    query.
+    heuristic, made LOSSLESS for top-k): returns the sorted UNION of
+    essential terms across queries, or None when pruning can't pay
+    for itself. Everything here is query-batch-sized: qstats (term,
+    df per query term) and the 1-row corpus stats are collected; the
+    only job touching postings is the θ probe over the single RAREST
+    term per query.
 
     Bound: a term's quantized score is at most ub(t) =
     floor(idf(t)·(k1+1)·1e6 + 0.5) + 1 — tf·(k1+1)/(tf + k1·norm) <
@@ -381,24 +390,36 @@ def _bm25_essential_terms(
     terms). Any document containing ONLY terms from a suffix of the
     ub-descending term list whose Σub < θ is strictly below ≥ k docs
     and can never reach top-k, tie-breaks included — so candidate
-    generation may skip those terms' postings entirely. Documents
-    matching ≥ 1 essential term are then FULLY scored over all query
-    terms, which is why the result is bit-identical to the unpruned
-    plan."""
+    generation may skip those terms' postings entirely.
+
+    The returned candidate filter is DOC-level (union of essential
+    terms, no q_id): every query's true top-k doc contains ≥ 1 of its
+    OWN essential terms, hence ≥ 1 union term — and fully scoring
+    EXTRA docs (candidates via another query's essential term) cannot
+    perturb a top-k computed over correct full scores. Doc-level ids
+    broadcast ~100× smaller than (q_id, doc) pairs and the semi join
+    pushes BELOW the query-term join, so non-candidate postings never
+    materialize past the scan."""
     import math
 
-    srow = stats.first()
-    if srow is None or not srow["n_docs"]:
+    # ONE planner job: query-batch-sized (q_id, t, df) rows with the
+    # 1-row corpus stats cross-joined on — in the declined case this
+    # is the planner's ONLY postings-touching action
+    qrows = qstats.crossJoin(F.broadcast(stats)).collect()
+    if not qrows or not qrows[0]["n_docs"]:
         return None
-    n_docs = srow["n_docs"]
-    qrows = qstats.collect()  # query-batch-sized: (q_id, t, df)
-    if not qrows:
-        return None
+    n_docs = qrows[0]["n_docs"]
     per_q: dict = {}
     for r in qrows:
         idf_v = (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)
         ub = math.floor(idf_v * (k1 + 1.0) * 1000000.0 + 0.5) + 1
         per_q.setdefault(r["q_id"], []).append((r["t"], int(r["df"]), ub))
+
+    # Absolute floor: when the whole batch touches few postings the
+    # unpruned single action is already cheap — the planner's extra
+    # jobs would dominate.
+    if sum(d for ts in per_q.values() for _, d, _ in ts) < BM25_PRUNE_MIN_POSTINGS:
+        return None
 
     # Seed: rarest (max-ub) term per query — preferring terms with
     # df ≥ k, since a term with fewer than k postings cannot fill a
@@ -446,8 +467,8 @@ def _bm25_essential_terms(
         .collect()
     }
 
-    essential: list[tuple] = []
-    total_df = pruned_df = ess_df_sum = 0
+    essential: dict[str, int] = {}  # term -> df (union across queries)
+    total_df = pruned_df = 0
     for q, ts in per_q.items():  # already ub-desc sorted above
         theta = thetas.get(q, 0)
         total_df += sum(d for _, d, _ in ts)
@@ -459,14 +480,13 @@ def _bm25_essential_terms(
             acc += ts[cut - 1][2]
             cut -= 1
         for t, d, _ in ts[:cut]:
-            essential.append((q, t))
-            ess_df_sum += d
+            essential[t] = d
         pruned_df += sum(d for _, d, _ in ts[cut:])
-    if ess_df_sum > BM25_PRUNE_MAX_CANDIDATES:
-        return None  # candidate set not safely broadcastable
+    if sum(essential.values()) > BM25_PRUNE_MAX_CANDIDATES:
+        return None  # candidate id set not safely broadcastable
     if total_df == 0 or pruned_df / total_df < BM25_PRUNE_MIN_SAVINGS:
         return None  # not worth the candidate pass
-    return essential
+    return sorted(essential)
 
 
 def bm25_topk(
@@ -574,26 +594,33 @@ def bm25_topk(
             docs.sparkSession, score_frame, stats, qstats, k, k1
         )
         if essential is not None:
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
-            pair_schema = StructType(
-                [qstats.schema["q_id"], qstats.schema["t"]]
-            )
             ess_df = docs.sparkSession.createDataFrame(
-                essential, pair_schema
+                [(t,) for t in essential],
+                StructType([StructField("t", qstats.schema["t"].dataType)]),
             )
-            # candidate docs: ≥1 essential-term match; bounded by the
-            # planner's Σ df(essential) ≤ BM25_PRUNE_MAX_CANDIDATES,
-            # so the broadcast semi-join keeps the full-scoring
-            # shuffle candidate-sized instead of postings-sized
-            cands = (
+            # candidate DOC ids: ≥1 essential-term match anywhere in
+            # the batch (doc-level union — see _bm25_essential_terms
+            # for why the superset is lossless); bounded by the
+            # planner's Σ df(essential union) ≤ MAX_CANDIDATES. The
+            # broadcast semi joins restrict tf AND dl BELOW the
+            # query-term join, so non-candidate postings never leave
+            # the (cached) TF scan and the scoring aggregate's input
+            # is candidate-sized instead of postings-sized.
+            cand_ids = (
                 tf.join(F.broadcast(ess_df), "t")
-                .select("q_id", F.col(id_col))
+                .select(id_col)
                 .distinct()
             )
-            rows = rows.join(
-                F.broadcast(cands), ["q_id", id_col], "left_semi"
+            tf_c = tf.join(F.broadcast(cand_ids), id_col, "left_semi")
+            dl_c = dl.join(F.broadcast(cand_ids), id_col, "left_semi")
+            j = (
+                tf_c.join(F.broadcast(qstats), "t")
+                .join(dl_c, id_col)
+                .crossJoin(F.broadcast(stats))
             )
+            rows = j.select("q_id", F.col(id_col), term_q.alias("tq"))
     scored = rows.groupBy("q_id", id_col).agg(F.sum("tq").alias("score"))
     w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col))
     return scored.select(
