@@ -368,7 +368,8 @@ BM25_PRUNE_MIN_POSTINGS = 20_000_000
 
 
 def _bm25_essential_terms(
-    spark, score_frame, stats, qstats, k: int, k1: float
+    spark, score_frame, stats, qstats, k: int, k1: float,
+    min_postings: int | None = None,
 ):
     """Driver-side max-score planning (Turtle & Flood 1995's max-score
     heuristic, made LOSSLESS for top-k): returns the sorted UNION of
@@ -417,8 +418,11 @@ def _bm25_essential_terms(
 
     # Absolute floor: when the whole batch touches few postings the
     # unpruned single action is already cheap — the planner's extra
-    # jobs would dominate.
-    if sum(d for ts in per_q.values() for _, d, _ in ts) < BM25_PRUNE_MIN_POSTINGS:
+    # jobs would dominate. ``min_postings`` overrides the module
+    # default (0 = always plan; used by the hash-gated engaged-path
+    # registry row and the scale probes).
+    floor = BM25_PRUNE_MIN_POSTINGS if min_postings is None else min_postings
+    if sum(d for ts in per_q.values() for _, d, _ in ts) < floor:
         return None
 
     # Seed: rarest (max-ub) term per query — preferring terms with
@@ -498,6 +502,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     prune: bool = True,
+    min_postings: int | None = None,
 ) -> DataFrame:
     """BM25 lexical retrieval (Robertson/Spärck Jones — the standard
     probabilistic ranking function): top-``k`` documents per query by
@@ -591,7 +596,8 @@ def bm25_topk(
     rows = score_frame(qstats)
     if prune:
         essential = _bm25_essential_terms(
-            docs.sparkSession, score_frame, stats, qstats, k, k1
+            docs.sparkSession, score_frame, stats, qstats, k, k1,
+            min_postings=min_postings,
         )
         if essential is not None:
             from pyspark.sql.types import StructField, StructType

@@ -1623,7 +1623,20 @@ ORDER BY d.doc_id
 # as hashed_tfidf), per-term half-up 1e6 quantization, BIGINT sums.
 # Double constants are Python-computed reprs so both engines parse the
 # identical IEEE values; association order mirrors the engine exactly.
-def _bm25_sql(k: int = 5) -> str:
+def _bm25_sql(k: int = 5, q_cte: str | None = None) -> str:
+    """``q_cte``: SQL for the (q_id, t) DISTINCT query-term set;
+    defaults to the corpus-derived registry batch. The scoring body is
+    ALWAYS the unpruned full replay — the engine's max-score pruning
+    (round 13) is lossless, so the engaged-path row
+    (pipeline_bm25_pruned) reuses this oracle verbatim with a fixed
+    VALUES query set."""
+    if q_cte is None:
+        q_cte = """
+  SELECT DISTINCT q_id, t FROM (
+    SELECT doc_id AS q_id,
+           UNNEST(string_split(text, ' ')[1:3]) AS t
+    FROM documents WHERE doc_id % 97 = 11) y
+  WHERE t <> ''"""
     return f"""
 WITH toks AS (
   SELECT doc_id, t FROM (
@@ -1637,12 +1650,7 @@ WITH toks AS (
   SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
 ), stats AS (
   SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
-), q AS (
-  SELECT DISTINCT q_id, t FROM (
-    SELECT doc_id AS q_id,
-           UNNEST(string_split(text, ' ')[1:3]) AS t
-    FROM documents WHERE doc_id % 97 = 11) y
-  WHERE t <> ''
+), q AS ({q_cte}
 ), j AS (
   SELECT q.q_id, tf.doc_id,
          CAST(FLOOR(
@@ -1670,6 +1678,33 @@ ORDER BY q_id, rn
 
 
 PIPELINE_ORACLE["pipeline_bm25"] = _bm25_sql(5)
+
+
+def _bm25_pruned_q_cte() -> str:
+    """VALUES-based (q_id, t) set replaying the engaged-path batch —
+    imported from queries.pipeline so engine and oracle can't drift."""
+    from ccog_spark.queries.pipeline import BM25_PRUNED_QUERY_BATCH
+
+    rows = []
+    for q_id, q_text in BM25_PRUNED_QUERY_BATCH:
+        for t in dict.fromkeys(q_text.split(" ")):  # distinct, order-free
+            if t:
+                rows.append(f"({q_id}, '{t}')")
+    # CAST: DuckDB VALUES integers are INT32; the engine's q_id is long
+    return (
+        "\n  SELECT CAST(q_id AS BIGINT) AS q_id, t FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS v(q_id, t)"
+    )
+
+
+# Engaged-path row (round 13): SAME unpruned scoring SQL, fixed
+# rare+stopword query batch — the engine side runs with the pruning
+# planner ENGAGED (min_postings=0), so a hash match here proves the
+# max-score cut lossless on the driver's own comparison.
+PIPELINE_ORACLE["pipeline_bm25_pruned"] = _bm25_sql(
+    5, q_cte=_bm25_pruned_q_cte()
+)
 
 
 # Hybrid retrieval (round 12, text.rrf_fuse): BM25 top-20 (the builder

@@ -788,6 +788,39 @@ def pipeline_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(docs, queries, k=5).orderBy("q_id", "rn")
 
 
+# Fixed high-df query batch for the ENGAGED-path row below: 'dup' is
+# the fixture's one rare term (df ≈ n_docs/20) amid ~uniform
+# corpus-scale words, so every query is "rare essential + two
+# prunable stopword-scale terms" — the max-score planner engages at
+# every SF (seed df ≥ k, pre-check cut ≈ 97% of postings). Shared
+# with the oracle builder so both sides stay in sync.
+BM25_PRUNED_QUERY_BATCH = (
+    (1, "dup the stream"),
+    (2, "dup value data"),
+    (3, "dup big small"),
+    (4, "dup a spark"),
+    (5, "dup sort query"),
+    (6, "dup agg batch"),
+)
+
+
+def pipeline_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with max-score pruning ENGAGED (round 13): the fixed
+    rare+stopword query batch above with the postings floor lifted, so
+    the driver hash-gates the pruned plan — candidate doc-id union,
+    pushed-down semi joins, θ probe — against the UNPRUNED DuckDB
+    replay. Identical hashes ARE the losslessness proof at every SF
+    (the 3-seed pytest property covers random corpora; this row covers
+    the fixture + the driver's own comparison)."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(BM25_PRUNED_QUERY_BATCH), "q_id long, q_text string"
+    )
+    return text.bm25_topk(
+        docs, queries, k=5, min_postings=0
+    ).orderBy("q_id", "rn")
+
+
 def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (round 12): BM25 lexical top-20 and the
     PRODUCTION vector path — IVF+PQ ADC top-30 candidates re-ranked by

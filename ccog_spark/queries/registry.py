@@ -460,6 +460,12 @@ REGISTRY: dict[str, QueryFn] = {
     # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf + the fused
     # ann_ivfpq (moved into the fold in r7) are above
     "ann_pq": pipeline.ann_pq,
+    # round 13: max-score pruning ENGAGED-path row — same unpruned
+    # oracle SQL, fixed rare+stopword query batch, postings floor
+    # lifted so the planner's candidate cut runs at every SF; a hash
+    # match IS the losslessness proof (fold row pipeline_bm25 gates
+    # the production default, which declines on the uniform fixture)
+    "pipeline_bm25_pruned": pipeline.pipeline_bm25_pruned,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
