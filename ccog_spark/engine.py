@@ -84,6 +84,22 @@ class Engine:
 
         return query_ivfpq_index(self.spark, index_dir, queries, **kwargs)
 
+    def build_text_index(self, docs: DataFrame, index_dir: str,
+                         **kwargs) -> dict:
+        """Persisted BM25 inverted index (round 13): bucket-partitioned
+        postings/terms/doclens parquet under index_dir."""
+        from ccog_spark.operators.text_index import build_bm25_index
+
+        return build_bm25_index(docs, index_dir, **kwargs)
+
+    def query_text_index(self, index_dir: str, queries: DataFrame,
+                         **kwargs) -> DataFrame:
+        """BM25 top-k from the persisted index — bit-identical to
+        bm25() on the indexed corpus."""
+        from ccog_spark.operators.text_index import query_bm25_index
+
+        return query_bm25_index(self.spark, index_dir, queries, **kwargs)
+
     def append_ann_index(self, corpus_delta: DataFrame,
                          index_dir: str) -> dict:
         """Grow a persisted index under its frozen model (round 8);

@@ -565,6 +565,34 @@ def bm25_topk(
         .where(F.col("t") != "")
         .distinct()
     )
+    return _bm25_rank(
+        docs.sparkSession, tf, dl, dfs, stats, qterms,
+        k=k, k1=k1, b=b, id_col=id_col,
+        prune=prune, min_postings=min_postings,
+    )
+
+
+def _bm25_rank(
+    spark,
+    tf: DataFrame,
+    dl: DataFrame,
+    dfs: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    prune: bool,
+    min_postings: int | None,
+) -> DataFrame:
+    """The ONE BM25 scoring/pruning core, shared by ``bm25_topk``
+    (frames derived from the raw corpus) and
+    ``text_index.query_bm25_index`` (frames read from the persisted
+    inverted index) — bit-identical results between the two paths are
+    the index module's contract. Inputs: tf=(id, t, tf),
+    dl=(id, dl), dfs=(t, df), stats = 1-row (n_docs, sum_dl),
+    qterms = DISTINCT (q_id, t)."""
     # df rides WITH the query terms: dfs is vocabulary-sized (Heaps'
     # law — hundreds of millions of terms at 100 TB, NOT broadcastable
     # wholesale), so join it to the query-term frame first and
@@ -596,13 +624,13 @@ def bm25_topk(
     rows = score_frame(qstats)
     if prune:
         essential = _bm25_essential_terms(
-            docs.sparkSession, score_frame, stats, qstats, k, k1,
+            spark, score_frame, stats, qstats, k, k1,
             min_postings=min_postings,
         )
         if essential is not None:
             from pyspark.sql.types import StructField, StructType
 
-            ess_df = docs.sparkSession.createDataFrame(
+            ess_df = spark.createDataFrame(
                 [(t,) for t in essential],
                 StructType([StructField("t", qstats.schema["t"].dataType)]),
             )
@@ -612,8 +640,8 @@ def bm25_topk(
             # planner's Σ df(essential union) ≤ MAX_CANDIDATES. The
             # broadcast semi joins restrict tf AND dl BELOW the
             # query-term join, so non-candidate postings never leave
-            # the (cached) TF scan and the scoring aggregate's input
-            # is candidate-sized instead of postings-sized.
+            # the (cached/pruned) TF scan and the scoring aggregate's
+            # input is candidate-sized instead of postings-sized.
             cand_ids = (
                 tf.join(F.broadcast(ess_df), "t")
                 .select(id_col)

@@ -1,0 +1,173 @@
+"""Persisted BM25 inverted index: build once, query many.
+
+``bm25_topk`` (operators/text.py) re-derives TF/DF/doclen from the raw
+corpus on EVERY call — right for one-shot corpus rows, wrong for
+production retrieval where the corpus is static and query batches
+arrive forever. This module splits the pipeline at the natural parquet
+seam, the same lifecycle (and module shape) as the persisted ANN index
+(operators/ann_index.py — the reference-style build/query split the
+E36 surface already ships):
+
+- ``build_bm25_index``: ONE tokenize pass writes four tables under
+  ``index_dir``:
+    postings/  (t, doc_id, tf) — corpus-sized, the only big table;
+               PARTITIONED BY bkt = pmod(xxhash64(t), n_buckets), so
+               a query batch reads ≤ |distinct query terms| bucket
+               directories (exact partition pruning on bkt — the
+               text-side analogue of the ANN codes grp layout)
+    terms/     (t, df) vocabulary table, same bkt partitioning —
+               Heaps-law-sized; serves idf AND the max-score planner
+               (df lookups become bucket-pruned index reads: the
+               pruning decision costs NO corpus pass here)
+    doclens/   (doc_id, dl)
+    meta/      (n_docs, sum_dl, n_buckets, n_terms) — 1 row
+- ``query_bm25_index``: reads meta (driver-side), prunes postings and
+  terms to the query terms' buckets, and delegates to the SHARED
+  scoring/pruning core (text._bm25_rank) — results are BIT-IDENTICAL
+  to ``bm25_topk`` on the same corpus (pinned in tests and by the
+  registry row's oracle, which is the from-scratch BM25 SQL verbatim:
+  one SQL truth, two execution paths).
+
+Scale shape at 100 TB: the corpus is tokenized once at build;
+per-batch query cost is (query-term buckets of postings) + a doc-id
+join against doclens, both independent of the corpus's non-matching
+terms. With pruning engaged the doclens/postings joins are further
+restricted to the candidate doc-id union BELOW the query-term join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _bkt(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("t")), F.lit(n_buckets)).cast("int")
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """One tokenize pass → persisted index. Returns the meta dict.
+
+    The TF aggregate is persisted for the duration of the build (all
+    three written tables derive from it) and released before return.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).where(F.col("t") != "")
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    try:
+        tf.withColumn("bkt", _bkt(n_buckets)).write.mode(
+            "overwrite"
+        ).partitionBy("bkt").parquet(os.path.join(index_dir, "postings"))
+        tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).withColumn(
+            "bkt", _bkt(n_buckets)
+        ).write.mode("overwrite").partitionBy("bkt").parquet(
+            os.path.join(index_dir, "terms")
+        )
+        tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, "doclens"))
+    finally:
+        tf.unpersist()
+
+    # corpus stats from the WRITTEN doclens (no further corpus pass);
+    # spelled as the same count/sum aggregate bm25_topk keeps in-plan
+    row = (
+        spark.read.parquet(os.path.join(index_dir, "doclens"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .first()
+    )
+    n_terms = spark.read.parquet(os.path.join(index_dir, "terms")).count()
+    meta = {
+        "n_docs": int(row["n_docs"]),
+        "sum_dl": int(row["sum_dl"]) if row["sum_dl"] is not None else 0,
+        "n_buckets": n_buckets,
+        "n_terms": int(n_terms),
+        "id_col": id_col,
+    }
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        "n_docs bigint, sum_dl bigint, n_buckets int, n_terms bigint, "
+        "id_col string",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    return meta
+
+
+def query_bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prune: bool = True,
+    min_postings: int | None = None,
+) -> DataFrame:
+    """Top-``k`` docs per query FROM THE INDEX ONLY — the raw corpus is
+    never re-read. ``queries``: (q_id, q_text). Bit-identical to
+    ``bm25_topk`` on the indexed corpus (shared scoring core; the
+    1-row stats frame is rebuilt from meta with the same BIGINT
+    values, so every double op sees identical inputs).
+
+    Bucket pruning: the distinct query terms are collected (query-
+    batch-sized, the ANN-index precedent) and their bkt values derived
+    by the same xxhash64 expression in a local no-scan job — Python
+    cannot replay Spark's xxhash64 — then pushed as isin partition
+    filters into both the postings and terms scans."""
+    from ccog_spark.operators.text import _bm25_rank
+
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    n_buckets = int(meta["n_buckets"])
+    id_col = str(meta["id_col"])
+    qterms = (
+        queries.select(
+            "q_id", F.explode(F.split(F.col("q_text"), " ")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    tlist = [r["t"] for r in qterms.select("t").distinct().collect()]
+    if tlist:
+        bkts = sorted(
+            {
+                r["b"]
+                for r in spark.createDataFrame([(t,) for t in tlist], "t string")
+                .select(_bkt(n_buckets).alias("b"))
+                .collect()
+            }
+        )
+    else:
+        bkts = []
+    # empty query batch: isin() rejects zero args — an always-false
+    # literal keeps the (empty) plan well-formed
+    bkt_pred = F.col("bkt").isin(bkts) if bkts else F.lit(False)
+    postings = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .where(bkt_pred)
+        .select(id_col, "t", "tf")
+    )
+    terms = (
+        spark.read.parquet(os.path.join(index_dir, "terms"))
+        .where(bkt_pred)
+        .select("t", "df")
+    )
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    stats = spark.createDataFrame(
+        [(int(meta["n_docs"]), int(meta["sum_dl"]))],
+        "n_docs bigint, sum_dl bigint",
+    )
+    return _bm25_rank(
+        spark, postings, doclens, terms, stats, qterms,
+        k=k, k1=k1, b=b, id_col=id_col,
+        prune=prune, min_postings=min_postings,
+    )

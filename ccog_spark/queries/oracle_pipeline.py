@@ -1706,6 +1706,13 @@ PIPELINE_ORACLE["pipeline_bm25_pruned"] = _bm25_sql(
     5, q_cte=_bm25_pruned_q_cte()
 )
 
+# Persisted-index row (round 13, text_index.query_bm25_index): the
+# engine answers from the bucket-partitioned parquet index; results
+# must equal the from-scratch computation, so the oracle is the
+# pipeline_bm25 SQL VERBATIM — one truth, two execution paths (the
+# ann_index precedent).
+PIPELINE_ORACLE["pipeline_bm25_index"] = _bm25_sql(5)
+
 
 # Hybrid retrieval (round 12, text.rrf_fuse): BM25 top-20 (the builder
 # above at k=20) FULL OUTER JOIN the PRODUCTION vector ranking —

@@ -821,6 +821,33 @@ def pipeline_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def pipeline_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED BM25 inverted index (round 13,
+    operators/text_index.py): build the bucket-partitioned parquet
+    index (postings/terms/doclens/meta) in a temp dir, then answer the
+    standard corpus-derived query batch FROM THE INDEX ONLY — the raw
+    documents are never re-read at query time. Must (and does — shared
+    scoring core, pinned in tests) produce exactly bm25_topk's output,
+    so the oracle is pipeline_bm25's from-scratch SQL verbatim: one
+    SQL truth, two execution paths (inline vs persisted) — the same
+    contract ann_index carries for E36."""
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_bm25_idx", sf_dir)
+    build_bm25_index(docs, idx)
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
+
+
 def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (round 12): BM25 lexical top-20 and the
     PRODUCTION vector path — IVF+PQ ADC top-30 candidates re-ranked by

@@ -466,6 +466,12 @@ REGISTRY: dict[str, QueryFn] = {
     # match IS the losslessness proof (fold row pipeline_bm25 gates
     # the production default, which declines on the uniform fixture)
     "pipeline_bm25_pruned": pipeline.pipeline_bm25_pruned,
+    # round 13: PERSISTED BM25 inverted index — build the bucket-
+    # partitioned parquet postings/terms/doclens in a temp dir, answer
+    # the standard batch from the index only; oracle = pipeline_bm25's
+    # from-scratch SQL verbatim (one truth, two execution paths — the
+    # ann_index precedent for E37/search)
+    "pipeline_bm25_index": pipeline.pipeline_bm25_index,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
@@ -538,6 +544,7 @@ NON_BENCH = (
     "cog_window",
     "ann_index",  # builds a parquet index per run (file IO)
     "ann_index_append",  # builds + appends a parquet index (file IO)
+    "pipeline_bm25_index",  # builds a parquet text index (file IO)
     "cog_palette",  # writes + reads back a palette COG (file IO)
     "cog_cubic",  # writes + reads back an interp-overview COG (file IO)
 )

@@ -1,0 +1,130 @@
+"""Persisted BM25 inverted index (round 13, operators/text_index.py):
+build/query lifecycle, bit-identity with the from-scratch operator,
+bucket partition pruning, and losslessness of max-score pruning when
+answered from the index."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccog_spark.operators.text import bm25_topk
+from ccog_spark.operators.text_index import (
+    build_bm25_index,
+    query_bm25_index,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _queries(spark, docs):
+    return docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+
+
+def test_index_query_bit_identical_to_inline(spark, tmp_path):
+    """query_bm25_index == bm25_topk row-for-row on the same corpus —
+    the module's contract (shared scoring core + meta stats rebuilt
+    with the same BIGINT values)."""
+    docs = _docs(spark)
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "bm25_idx")
+    meta = build_bm25_index(docs, idx)
+    assert meta["n_docs"] == docs.count()
+    assert meta["n_terms"] > 0 and meta["sum_dl"] > 0
+
+    a = sorted(map(tuple, bm25_topk(docs, qs, k=5).collect()))
+    b = sorted(map(tuple, query_bm25_index(spark, idx, qs, k=5).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_index_postings_scan_is_bucket_pruned(spark, tmp_path):
+    """The postings scan must carry bkt partition filters (exact
+    partition pruning — the text analogue of the ANN codes grp
+    layout), and the query batch's bucket set must be a strict subset
+    of the written directories."""
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(1, "dup the"), (2, "dup stream")], "q_id long, q_text string"
+    )
+    idx = str(tmp_path / "bm25_idx_prune")
+    build_bm25_index(docs, idx, n_buckets=32)
+
+    df = query_bm25_index(spark, idx, qs, k=3)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan and "bkt" in plan
+    all_dirs = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(idx, "postings", "bkt=*"))
+    }
+    # 3 distinct terms → ≤ 3 of the written bucket dirs are readable
+    assert len(all_dirs) > 3
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_index_pruned_query_lossless(spark, tmp_path):
+    """Max-score pruning answered FROM THE INDEX (df lookups are
+    bucket-pruned terms reads — no corpus pass) must match the
+    unpruned index query exactly on the engaged rare+stopword batch."""
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [
+            (1, "dup the stream"),
+            (2, "dup value data"),
+            (3, "dup big small"),
+        ],
+        "q_id long, q_text string",
+    )
+    idx = str(tmp_path / "bm25_idx_loss")
+    build_bm25_index(docs, idx)
+    a = sorted(map(tuple, query_bm25_index(
+        spark, idx, qs, k=5, prune=False).collect()))
+    b = sorted(map(tuple, query_bm25_index(
+        spark, idx, qs, k=5, prune=True, min_postings=0).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_index_empty_and_unknown_query_terms(spark, tmp_path):
+    """An all-unknown-term batch returns 0 rows (inner df join drops
+    unknown terms — same semantics as bm25_topk); an empty batch is a
+    well-formed empty plan, not an isin() error."""
+    docs = _docs(spark)
+    idx = str(tmp_path / "bm25_idx_edge")
+    build_bm25_index(docs, idx)
+    unknown = spark.createDataFrame(
+        [(1, "zzz qqq")], "q_id long, q_text string"
+    )
+    assert query_bm25_index(spark, idx, unknown, k=3).count() == 0
+    empty = spark.createDataFrame([], "q_id long, q_text string")
+    assert query_bm25_index(spark, idx, empty, k=3).count() == 0
+
+
+def test_engine_facade_text_index(spark, tmp_path):
+    """Facade verbs: build_text_index/query_text_index round-trip and
+    agree with the facade's inline bm25 verb."""
+    from ccog_spark.engine import Engine
+
+    eng = Engine(spark=spark, sf_dir=SF_SMOKE)
+    docs = eng.table("documents")
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "eng_text_idx")
+    meta = eng.build_text_index(docs, idx)
+    assert meta["n_docs"] == docs.count()
+    a = sorted(map(tuple, eng.bm25(docs, qs, k=4).collect()))
+    b = sorted(map(tuple, eng.query_text_index(idx, qs, k=4).collect()))
+    assert a == b
