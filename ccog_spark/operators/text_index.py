@@ -103,6 +103,93 @@ def build_bm25_index(
     return meta
 
 
+def append_to_text_index(
+    docs_delta: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> dict:
+    """Grow the index with a corpus delta — the production path (the
+    ann_index.append_to_index precedent): postings and doclens rows
+    APPEND under the same bucket function; the vocabulary-sized terms
+    table is df-MERGED (old + delta per term) and swapped in via a
+    staged rewrite (stage dir + rename — on an object store this would
+    be a versioned directory; the meta row is rewritten last either
+    way). Queries after append are identical to an index built from
+    the union corpus (pinned in tests).
+
+    Caveat (same contract as the ANN append): delta ``doc_id``s must
+    be NEW — re-appending an existing id would double its doclens row
+    and postings. n_docs/sum_dl/n_terms in meta are updated from the
+    written tables."""
+    spark = docs_delta.sparkSession
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    n_buckets = int(meta["n_buckets"])
+    if id_col is None:
+        id_col = str(meta["id_col"])
+
+    toks = docs_delta.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).where(F.col("t") != "")
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    try:
+        tf.withColumn("bkt", _bkt(n_buckets)).write.mode(
+            "append"
+        ).partitionBy("bkt").parquet(os.path.join(index_dir, "postings"))
+        tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "doclens"))
+
+        # terms df merge: old ⊕ delta per term (both Heaps-law-sized).
+        # Staged: Spark cannot overwrite a path it is lazily reading.
+        old_terms = spark.read.parquet(
+            os.path.join(index_dir, "terms")
+        ).select("t", "df")
+        delta_df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df_new"))
+        merged = (
+            old_terms.join(delta_df, "t", "full_outer")
+            .select(
+                "t",
+                (
+                    F.coalesce(F.col("df"), F.lit(0))
+                    + F.coalesce(F.col("df_new"), F.lit(0))
+                ).alias("df"),
+            )
+            .withColumn("bkt", _bkt(n_buckets))
+        )
+        stage = os.path.join(index_dir, "terms__stage")
+        merged.write.mode("overwrite").partitionBy("bkt").parquet(stage)
+    finally:
+        tf.unpersist()
+    import shutil
+
+    live = os.path.join(index_dir, "terms")
+    shutil.rmtree(live)
+    os.rename(stage, live)
+
+    row = (
+        spark.read.parquet(os.path.join(index_dir, "doclens"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .first()
+    )
+    n_terms = spark.read.parquet(live).count()
+    appended = int(row["n_docs"]) - int(meta["n_docs"])
+    new_meta = {
+        "n_docs": int(row["n_docs"]),
+        "sum_dl": int(row["sum_dl"]) if row["sum_dl"] is not None else 0,
+        "n_buckets": n_buckets,
+        "n_terms": int(n_terms),
+        "id_col": id_col,
+    }
+    spark.createDataFrame(
+        [tuple(new_meta.values())],
+        "n_docs bigint, sum_dl bigint, n_buckets int, n_terms bigint, "
+        "id_col string",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    return {**new_meta, "appended": appended}
+
+
 def query_bm25_index(
     spark: SparkSession,
     index_dir: str,

@@ -1713,6 +1713,11 @@ PIPELINE_ORACLE["pipeline_bm25_pruned"] = _bm25_sql(
 # ann_index precedent).
 PIPELINE_ORACLE["pipeline_bm25_index"] = _bm25_sql(5)
 
+# Incremental text-index growth (round 13): build on 6/7 + append 1/7
+# must equal the from-scratch computation over the union corpus — the
+# ann_index_append equivalence contract on the text side.
+PIPELINE_ORACLE["pipeline_bm25_index_append"] = _bm25_sql(5)
+
 
 # Hybrid retrieval (round 12, text.rrf_fuse): BM25 top-20 (the builder
 # above at k=20) FULL OUTER JOIN the PRODUCTION vector ranking —

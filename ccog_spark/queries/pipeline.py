@@ -848,6 +848,33 @@ def pipeline_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
 
 
+def pipeline_bm25_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL text-index growth (round 13,
+    text_index.append_to_text_index): build the index on 6/7 of the
+    corpus, append the remaining 1/7 (postings/doclens append + staged
+    terms df-merge), answer the standard batch from the GROWN index.
+    Results must equal the from-scratch computation over the union
+    corpus, so the oracle is pipeline_bm25's SQL verbatim — the same
+    build-vs-grown equivalence contract ann_index_append carries."""
+    from ccog_spark.operators.text_index import (
+        append_to_text_index,
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_bm25_app", sf_dir)
+    build_bm25_index(docs.where(F.col("doc_id") % 7 != 0), idx)
+    append_to_text_index(docs.where(F.col("doc_id") % 7 == 0), idx)
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
+
+
 def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (round 12): BM25 lexical top-20 and the
     PRODUCTION vector path — IVF+PQ ADC top-30 candidates re-ranked by

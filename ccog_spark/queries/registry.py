@@ -472,6 +472,11 @@ REGISTRY: dict[str, QueryFn] = {
     # from-scratch SQL verbatim (one truth, two execution paths — the
     # ann_index precedent for E37/search)
     "pipeline_bm25_index": pipeline.pipeline_bm25_index,
+    # round 13: incremental text-index growth — postings/doclens
+    # append + staged terms df-merge; grown index must answer exactly
+    # like a from-scratch build over the union corpus (oracle =
+    # pipeline_bm25 SQL verbatim; ann_index_append's contract)
+    "pipeline_bm25_index_append": pipeline.pipeline_bm25_index_append_q,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
@@ -545,6 +550,7 @@ NON_BENCH = (
     "ann_index",  # builds a parquet index per run (file IO)
     "ann_index_append",  # builds + appends a parquet index (file IO)
     "pipeline_bm25_index",  # builds a parquet text index (file IO)
+    "pipeline_bm25_index_append",  # builds + appends a text index (file IO)
     "cog_palette",  # writes + reads back a palette COG (file IO)
     "cog_cubic",  # writes + reads back an interp-overview COG (file IO)
 )

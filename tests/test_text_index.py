@@ -128,3 +128,58 @@ def test_engine_facade_text_index(spark, tmp_path):
     a = sorted(map(tuple, eng.bm25(docs, qs, k=4).collect()))
     b = sorted(map(tuple, eng.query_text_index(idx, qs, k=4).collect()))
     assert a == b
+
+
+def test_append_equals_union_build(spark, tmp_path):
+    """build(base) + append(delta) answers queries IDENTICALLY to an
+    index built from the union corpus (and to the inline operator on
+    the union) — the growth-path contract (ann append precedent)."""
+    from ccog_spark.operators.text_index import append_to_text_index
+
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") % 7 != 0)
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    qs = _queries(spark, docs)
+
+    grown = str(tmp_path / "grown_idx")
+    meta0 = build_bm25_index(base, grown)
+    meta1 = append_to_text_index(delta, grown)
+    assert meta1["appended"] == delta.count()
+    assert meta1["n_docs"] == docs.count()
+    assert meta1["sum_dl"] > meta0["sum_dl"]
+
+    full = str(tmp_path / "full_idx")
+    build_bm25_index(docs, full)
+
+    a = sorted(map(tuple, query_bm25_index(spark, grown, qs, k=5).collect()))
+    b = sorted(map(tuple, query_bm25_index(spark, full, qs, k=5).collect()))
+    c = sorted(map(tuple, bm25_topk(docs, qs, k=5).collect()))
+    assert a == b == c and len(a) > 0
+
+
+def test_append_merges_term_df(spark, tmp_path):
+    """The vocabulary merge sums per-term df across base and delta —
+    spot-checked against the union corpus's true df."""
+    from ccog_spark.operators.text_index import append_to_text_index
+
+    docs = _docs(spark)
+    base = docs.where(F.col("doc_id") % 2 == 0)
+    delta = docs.where(F.col("doc_id") % 2 != 0)
+    idx = str(tmp_path / "dfmerge_idx")
+    build_bm25_index(base, idx)
+    append_to_text_index(delta, idx)
+    got = {
+        r.t: r.df
+        for r in spark.read.parquet(idx + "/terms").select("t", "df").collect()
+    }
+    want = {
+        r.t: r.df
+        for r in docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    }
+    assert got == want
