@@ -1750,3 +1750,10 @@ WITH lex AS (
 SELECT q_id, doc_id, rrf, rn FROM rk WHERE rn <= 5
 ORDER BY q_id, rn
 """
+
+
+# Index-only hybrid (round 13): both retrieval sides answered from
+# persisted indexes, each pinned bit-identical to its inline twin —
+# the oracle is pipeline_hybrid's SQL verbatim. (Assigned at module
+# end: the hybrid oracle itself is built further up.)
+PIPELINE_ORACLE["pipeline_hybrid_index"] = PIPELINE_ORACLE["pipeline_hybrid"]

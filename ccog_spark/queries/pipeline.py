@@ -904,6 +904,48 @@ def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rrf_fuse(lex, vec, "doc_id", k=5).orderBy("q_id", "rn")
 
 
+def pipeline_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval answered ENTIRELY from persisted indexes
+    (round 13 — the production stack): BM25 top-20 from the
+    bucket-partitioned inverted index (text_index.query_bm25_index)
+    fused with the vector top-20 from the persisted IVF+PQ index with
+    exact re-rank (ann_index.query_ivfpq_index(rerank_corpus=…) — the
+    embeddings table is read ONLY for the |Q|·m re-rank rows, the
+    stage-2 contract). Both sides are pinned bit-identical to their
+    inline twins, so the oracle is pipeline_hybrid's SQL VERBATIM:
+    one truth, and now a fully index-resident execution path. The raw
+    documents are never re-read at query time."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_text = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    q_emb = emb.where(F.col("vec_id") % 97 == 11).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    tidx = _tmp_index_dir("ccog_bm25_hyb", sf_dir)
+    build_bm25_index(docs, tidx)
+    vidx = _tmp_index_dir("ccog_ivfpq_hyb", sf_dir)
+    build_ivfpq_index(emb, EMB_DIM, vidx)
+    lex = query_bm25_index(spark, tidx, q_text, k=20)
+    vec = query_ivfpq_index(
+        spark, vidx, q_emb, k=20, rerank_corpus=emb, m=30
+    ).withColumnRenamed("vec_id", "doc_id")
+    return text.rrf_fuse(lex, vec, "doc_id", k=5).orderBy("q_id", "rn")
+
+
 def pipeline_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram LM quality scoring (operators.lm — the CCNet-style
     "train a small LM, rank documents by fluency" stage): one

@@ -477,6 +477,10 @@ REGISTRY: dict[str, QueryFn] = {
     # like a from-scratch build over the union corpus (oracle =
     # pipeline_bm25 SQL verbatim; ann_index_append's contract)
     "pipeline_bm25_index_append": pipeline.pipeline_bm25_index_append_q,
+    # round 13: hybrid retrieval from PERSISTED indexes only — BM25
+    # from the inverted index + IVF+PQ ADC→exact-rerank from the saved
+    # ANN index, RRF-fused; oracle = pipeline_hybrid SQL verbatim
+    "pipeline_hybrid_index": pipeline.pipeline_hybrid_index,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
@@ -551,6 +555,7 @@ NON_BENCH = (
     "ann_index_append",  # builds + appends a parquet index (file IO)
     "pipeline_bm25_index",  # builds a parquet text index (file IO)
     "pipeline_bm25_index_append",  # builds + appends a text index (file IO)
+    "pipeline_hybrid_index",  # builds two parquet indexes (file IO)
     "cog_palette",  # writes + reads back a palette COG (file IO)
     "cog_cubic",  # writes + reads back an interp-overview COG (file IO)
 )
