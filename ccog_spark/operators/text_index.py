@@ -47,6 +47,12 @@ def _bkt(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("t")), F.lit(n_buckets)).cast("int")
 
 
+# Above this many distinct query terms the In(t) data filter is skipped:
+# a thousands-strong isin costs more in expression evaluation than the
+# row-group pruning saves (ANN's probe-isin skip precedent).
+_TERM_ISIN_CAP = 256
+
+
 def build_bm25_index(
     docs: DataFrame,
     index_dir: str,
@@ -66,7 +72,14 @@ def build_bm25_index(
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.persist()
     try:
-        tf.withColumn("bkt", _bkt(n_buckets)).write.mode(
+        # postings are clustered by bkt and SORTED by (t, id) within
+        # each directory, so parquet row-group min/max stats on t are
+        # tight — the query side's In(t) data filter then prunes row
+        # groups INSIDE the matched buckets (the ANN codes
+        # cell-clustering precedent). One extra build shuffle.
+        tf.withColumn("bkt", _bkt(n_buckets)).repartition(
+            "bkt"
+        ).sortWithinPartitions("t", id_col).write.mode(
             "overwrite"
         ).partitionBy("bkt").parquet(os.path.join(index_dir, "postings"))
         tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).withColumn(
@@ -134,7 +147,11 @@ def append_to_text_index(
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
     tf = tf.persist()
     try:
-        tf.withColumn("bkt", _bkt(n_buckets)).write.mode(
+        # same clustered-and-sorted layout as build, so appended files
+        # keep tight row-group stats on t
+        tf.withColumn("bkt", _bkt(n_buckets)).repartition(
+            "bkt"
+        ).sortWithinPartitions("t", id_col).write.mode(
             "append"
         ).partitionBy("bkt").parquet(os.path.join(index_dir, "postings"))
         tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).write.mode(
@@ -238,11 +255,18 @@ def query_bm25_index(
     # empty query batch: isin() rejects zero args — an always-false
     # literal keeps the (empty) plan well-formed
     bkt_pred = F.col("bkt").isin(bkts) if bkts else F.lit(False)
-    postings = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
-        .where(bkt_pred)
-        .select(id_col, "t", "tf")
+    postings = spark.read.parquet(os.path.join(index_dir, "postings")).where(
+        bkt_pred
     )
+    # In(t) data filter: semantically redundant with the scoring join
+    # but pushes into the parquet scan, where the build-time (t, id)
+    # sort makes row-group min/max stats on t tight — reads only the
+    # query terms' neighbourhoods inside each matched bucket. Skipped
+    # for very large term batches (expression bloat dwarfs the stats
+    # win — the ANN isin-skip precedent).
+    if tlist and len(tlist) <= _TERM_ISIN_CAP:
+        postings = postings.where(F.col("t").isin(tlist))
+    postings = postings.select(id_col, "t", "tf")
     terms = (
         spark.read.parquet(os.path.join(index_dir, "terms"))
         .where(bkt_pred)

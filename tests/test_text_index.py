@@ -67,6 +67,9 @@ def test_index_postings_scan_is_bucket_pruned(spark, tmp_path):
         )
     )
     assert "PartitionFilters" in plan and "bkt" in plan
+    # the In(t) data filter reaches the scan too (row-group stats
+    # pruning inside matched buckets — postings are (t, id)-sorted)
+    assert "PushedFilters" in plan and "In(t," in plan.replace(" ", "")
     all_dirs = {
         os.path.basename(p)
         for p in glob.glob(os.path.join(idx, "postings", "bkt=*"))
