@@ -53,19 +53,38 @@ def _bkt(n_buckets: int):
 _TERM_ISIN_CAP = 256
 
 
+def adaptive_n_buckets(n_docs: int) -> int:
+    """Bucket count scaled to the corpus (the ann_index
+    adaptive_n_groups precedent): one bucket per ~50k docs, power of
+    two, floored at 64 (small corpora keep the fixture layout) and
+    capped at 4096 (beyond that, per-query pruning gains flatten while
+    tiny partitions multiply file counts)."""
+    import math
+
+    if n_docs <= 0:
+        return 64
+    raw = 1 << max(0, math.ceil(math.log2(max(1, n_docs / 50_000))))
+    return min(4096, max(64, raw))
+
+
 def build_bm25_index(
     docs: DataFrame,
     index_dir: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict:
     """One tokenize pass → persisted index. Returns the meta dict.
 
-    The TF aggregate is persisted for the duration of the build (all
-    three written tables derive from it) and released before return.
+    ``n_buckets`` defaults to adaptive_n_buckets(corpus count) — one
+    extra column-pruned count job at build time; pass an int to pin
+    the directory count (tests, controlled probes). The TF aggregate
+    is persisted for the duration of the build (all three written
+    tables derive from it) and released before return.
     """
     spark = docs.sparkSession
+    if n_buckets is None:
+        n_buckets = adaptive_n_buckets(docs.count())
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
     ).where(F.col("t") != "")

@@ -186,3 +186,19 @@ def test_append_merges_term_df(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_adaptive_n_buckets_schedule():
+    """Floor 64 (fixture layout preserved), ~1 bucket per 50k docs,
+    power-of-two, capped at 4096."""
+    from ccog_spark.operators.text_index import adaptive_n_buckets
+
+    assert adaptive_n_buckets(0) == 64
+    assert adaptive_n_buckets(5_000) == 64
+    assert adaptive_n_buckets(500_000) == 64
+    assert adaptive_n_buckets(5_000_000) == 128
+    assert adaptive_n_buckets(50_000_000) == 1024
+    assert adaptive_n_buckets(10**9) == 4096
+    for n in (1, 10**6, 10**8, 10**10):
+        v = adaptive_n_buckets(n)
+        assert v & (v - 1) == 0 and 64 <= v <= 4096
