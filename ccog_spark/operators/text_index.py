@@ -226,6 +226,44 @@ def append_to_text_index(
     return {**new_meta, "appended": appended}
 
 
+def compact_text_index(spark: SparkSession, index_dir: str) -> dict:
+    """Maintenance verb: rewrite the postings table clustered and
+    (t, id)-sorted again. Every append lands its own files per bucket
+    directory, each with its own row groups — fine for a few appends,
+    but across many the per-file overhead grows and the t-sort that
+    makes row-group stats tight only holds WITHIN each append's files.
+    Compaction restores the freshly-built layout (staged rewrite +
+    swap, same pattern as append's terms merge). Query results are
+    unchanged by construction — layout only; doclens/terms/meta are
+    untouched.
+
+    Returns {"files_before": n, "files_after": m}."""
+    import glob
+    import shutil
+
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    id_col = str(meta["id_col"])  # bkt already rides in the stored rows
+    live = os.path.join(index_dir, "postings")
+
+    def n_files(root: str) -> int:
+        return len(glob.glob(os.path.join(root, "bkt=*", "*.parquet")))
+
+    before = n_files(live)
+    stage = os.path.join(index_dir, "postings__stage")
+    (
+        spark.read.parquet(live)
+        .select(id_col, "t", "tf", "bkt")
+        .repartition("bkt")
+        .sortWithinPartitions("t", id_col)
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(stage)
+    )
+    shutil.rmtree(live)
+    os.rename(stage, live)
+    return {"files_before": before, "files_after": n_files(live)}
+
+
 def query_bm25_index(
     spark: SparkSession,
     index_dir: str,

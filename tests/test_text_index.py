@@ -202,3 +202,30 @@ def test_adaptive_n_buckets_schedule():
     for n in (1, 10**6, 10**8, 10**10):
         v = adaptive_n_buckets(n)
         assert v & (v - 1) == 0 and 64 <= v <= 4096
+
+
+def test_compact_after_appends_preserves_answers(spark, tmp_path):
+    """Three appends → many small postings files; compaction shrinks
+    the file count and leaves query answers IDENTICAL (layout-only
+    rewrite). The plan's In(t)/bkt pushdown still holds after."""
+    from ccog_spark.operators.text_index import (
+        append_to_text_index,
+        compact_text_index,
+    )
+
+    docs = _docs(spark)
+    parts = [docs.where(F.col("doc_id") % 4 == i) for i in range(4)]
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "compact_idx")
+    build_bm25_index(parts[0], idx, n_buckets=16)
+    for p in parts[1:]:
+        append_to_text_index(p, idx)
+
+    before = sorted(map(tuple, query_bm25_index(spark, idx, qs, k=5).collect()))
+    stats = compact_text_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    after = sorted(map(tuple, query_bm25_index(spark, idx, qs, k=5).collect()))
+    assert before == after and len(after) > 0
+    # and still equals the inline truth over the union corpus
+    truth = sorted(map(tuple, bm25_topk(docs, qs, k=5).collect()))
+    assert after == truth
