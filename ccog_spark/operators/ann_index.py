@@ -324,6 +324,43 @@ def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
     }
 
 
+def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
+    """Maintenance verb (round 13, twin of
+    text_index.compact_text_index): rewrite codes/ clustered and
+    (cell, vec_id)-sorted again. append_to_index lands its own files
+    per grp directory on every call, and the cell-sort that makes
+    row-group stats narrow only holds WITHIN each append's files —
+    compaction restores the freshly-built layout via the staged-swap
+    pattern. Layout-only: query answers are unchanged (pinned), model
+    tables and meta untouched.
+
+    Returns {"files_before": n, "files_after": m}."""
+    import glob
+    import shutil
+
+    live = os.path.join(index_dir, "codes")
+
+    def n_files(root: str) -> int:
+        return len(glob.glob(os.path.join(root, "grp=*", "*.parquet")))
+
+    before = n_files(live)
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    n_groups = int(meta["n_groups"])
+    stage = os.path.join(index_dir, "codes__stage")
+    (
+        spark.read.parquet(live)
+        .select("vec_id", "cell", "codes", "grp")
+        .repartition(n_groups, "grp")
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("grp")
+        .parquet(stage)
+    )
+    shutil.rmtree(live)
+    os.rename(stage, live)
+    return {"files_before": before, "files_after": n_files(live)}
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     index_dir: str,

@@ -427,3 +427,39 @@ def test_rerank_pool_must_cover_k(spark, tmp_path):
     build_ivfpq_index(emb, dim, idx)
     with pytest.raises(ValueError, match="m=2 must be >= k=5"):
         query_ivfpq_index(spark, idx, q, k=5, rerank_corpus=emb, m=2)
+
+
+def test_compact_ann_index_preserves_answers(spark, tmp_path):
+    """Round 13: after two appends, compaction shrinks the codes file
+    count and leaves query answers IDENTICAL (layout-only rewrite;
+    grp/cell pruning still reaches the scan after)."""
+    from ccog_spark.operators.ann_index import (
+        append_to_index,
+        build_ivfpq_index,
+        compact_ann_index,
+        query_ivfpq_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "compact_ann")
+    build_ivfpq_index(base, dim, idx, n_groups=8)
+    for m in (1, 2):
+        append_to_index(
+            emb.where(F.col("vec_id") % 3 == m), idx
+        )
+    q = _queries(emb).limit(3)
+    before = sorted(map(tuple, query_ivfpq_index(spark, idx, q, k=3).collect()))
+    stats = compact_ann_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    after_df = query_ivfpq_index(spark, idx, q, k=3)
+    after = sorted(map(tuple, after_df.collect()))
+    assert before == after and len(after) > 0
+    plan = after_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan and "grp" in plan
