@@ -100,6 +100,25 @@ class Engine:
 
         return query_bm25_index(self.spark, index_dir, queries, **kwargs)
 
+    def append_text_index(self, docs_delta: DataFrame, index_dir: str,
+                          **kwargs) -> dict:
+        """Grow the persisted BM25 index with a corpus delta."""
+        from ccog_spark.operators.text_index import append_to_text_index
+
+        return append_to_text_index(docs_delta, index_dir, **kwargs)
+
+    def compact_text_index(self, index_dir: str) -> dict:
+        """Layout-only postings rewrite after appends."""
+        from ccog_spark.operators.text_index import compact_text_index
+
+        return compact_text_index(self.spark, index_dir)
+
+    def compact_ann_index(self, index_dir: str) -> dict:
+        """Layout-only codes rewrite after appends."""
+        from ccog_spark.operators.ann_index import compact_ann_index
+
+        return compact_ann_index(self.spark, index_dir)
+
     def append_ann_index(self, corpus_delta: DataFrame,
                          index_dir: str) -> dict:
         """Grow a persisted index under its frozen model (round 8);
