@@ -698,3 +698,39 @@ def rrf_fuse(
         )
         .where(F.col("rn") <= k)
     )
+
+
+def rrf_fuse_many(
+    ranked: list[DataFrame],
+    id_col: str,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """N-list reciprocal-rank fusion (the general Cormack et al. form;
+    ``rrf_fuse`` above is the 2-list spelling the hybrid row pins).
+    Inputs: ≥2 ranked frames (q_id, id_col, rn). Per-list
+    contributions 1/(c + rn) are quantized half-up at 1e9 into BIGINTs
+    and SUMMED as integers (the repo float rule — exact regardless of
+    list order), then ranked (score DESC, id) per query.
+
+    Scale shape: a union of top-m-per-query frames — query-batch ×
+    Σm rows; the aggregate and window are query-batch-sized. NOTE the
+    quantization granularity differs from rrf_fuse's (per-list vs
+    after-sum): orderings agree except within < 1e-9 fused-score ties,
+    so the two spellings are separate verbs rather than one."""
+    if len(ranked) < 2:
+        raise ValueError(f"rrf_fuse_many needs >= 2 lists, got {len(ranked)}")
+    contrib = F.floor(
+        (F.lit(1.0) / (F.lit(c) + F.col("rn"))) * 1000000000.0 + 0.5
+    ).cast("long")
+    tagged = [
+        r.select("q_id", F.col(id_col), contrib.alias("tq")) for r in ranked
+    ]
+    allrows = tagged[0]
+    for t in tagged[1:]:
+        allrows = allrows.unionByName(t)
+    fused = allrows.groupBy("q_id", id_col).agg(F.sum("tq").alias("rrf"))
+    w = W.partitionBy("q_id").orderBy(F.col("rrf").desc(), F.col(id_col))
+    return fused.select(
+        "q_id", id_col, "rrf", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)

@@ -447,3 +447,47 @@ def test_bm25_pruning_declines_below_postings_floor(spark):
     a = T.bm25_topk(docs, qs, k=3, prune=True).collect()
     b = T.bm25_topk(docs, qs, k=3, prune=False).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_rrf_fuse_many_three_lists_exact(spark):
+    """N-list RRF: per-list 1/(c+rn) quantized at 1e9 and summed as
+    BIGINTs; a doc present in all three lists at modest ranks beats a
+    single-list rank-1 doc; guards reject < 2 lists."""
+    from ccog_spark.operators.text import rrf_fuse_many
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "q_id long, doc_id long, rn int"
+    )
+    a = mk([(1, 10, 1), (1, 20, 2)])
+    b = mk([(1, 30, 1), (1, 20, 3)])
+    c = mk([(1, 40, 1), (1, 20, 2)])
+    rows = {r.doc_id: r for r in rrf_fuse_many([a, b, c], "doc_id", k=5).collect()}
+    q = lambda rn: round(1e9 / (60 + rn))
+    assert rows[20].rrf == q(2) + q(3) + q(2)
+    assert rows[10].rrf == rows[30].rrf == rows[40].rrf == q(1)
+    assert rows[20].rn == 1  # in all three lists -> wins
+    # deterministic id tie-break among the three singles
+    assert [rows[10].rn, rows[30].rn, rows[40].rn] == [2, 3, 4]
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="2 lists"):
+        rrf_fuse_many([a], "doc_id")
+
+
+def test_rrf_fuse_many_agrees_with_pairwise_ordering(spark):
+    """On the fixture retrieval pair, the N-list verb's ordering equals
+    rrf_fuse's (quantization granularity differs below 1e-9; ranks
+    must match on real data)."""
+    from ccog_spark.operators.text import rrf_fuse, rrf_fuse_many
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "q_id long, doc_id long, rn int"
+    )
+    a = mk([(1, i, r + 1) for r, i in enumerate([5, 3, 9, 7, 1])])
+    b = mk([(1, i, r + 1) for r, i in enumerate([3, 1, 5, 11, 13])])
+    two = [(r.q_id, r.doc_id, r.rn) for r in
+           rrf_fuse(a, b, "doc_id", k=8).orderBy("q_id", "rn").collect()]
+    many = [(r.q_id, r.doc_id, r.rn) for r in
+            rrf_fuse_many([a, b], "doc_id", k=8).orderBy("q_id", "rn").collect()]
+    assert two == many
