@@ -547,23 +547,38 @@ def bm25_topk(
     ).where(F.col("t") != "")
     # ONE corpus-shuffled aggregate: tf per (doc, term); dl and the
     # corpus stats both derive from it (no second explode+scan), and
-    # df is a vocabulary-sized aggregate OF it. Persisted: the scoring
-    # join, dl, dfs/stats and (when pruning) the θ probe + candidate
-    # pass all read it — the registry ledger releases it at query exit.
+    # df is a vocabulary-sized aggregate OF it. Persisted below iff the
+    # pruning planner survives the pre-gate (its θ probe + candidate
+    # pass re-read it); the registry ledger releases it at query exit.
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    if prune:
-        tf = tf.persist()
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
     qterms = (
         queries.select(
             "q_id", F.explode(F.split(F.col("q_text"), " ")).alias("t")
         )
         .where(F.col("t") != "")
         .distinct()
+    )
+    if prune:
+        # Metadata-cheap pre-gate BEFORE any postings job: Σ df over
+        # the query terms is at most |distinct query terms| · n_docs,
+        # so when that CEILING is under the floor the planner could
+        # never engage — decline with a query-batch count and a
+        # row-group-metadata corpus count instead of building (and
+        # persisting) the TF table for a df job.
+        floor = (
+            BM25_PRUNE_MIN_POSTINGS if min_postings is None else min_postings
+        )
+        if qterms.count() * docs.count() < floor:
+            prune = False
+    if prune:
+        # persisted only when the planner will actually run jobs over
+        # it (θ probe, candidate pass); the registry ledger releases
+        # it at query exit
+        tf = tf.persist()
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     return _bm25_rank(
         docs.sparkSession, tf, dl, dfs, stats, qterms,

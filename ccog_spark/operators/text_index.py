@@ -334,6 +334,17 @@ def query_bm25_index(
         [(int(meta["n_docs"]), int(meta["sum_dl"]))],
         "n_docs bigint, sum_dl bigint",
     )
+    if prune:
+        # free pre-gate (the bm25_topk one, but n_docs comes from
+        # meta): Σ df ≤ |distinct query terms| · n_docs — under the
+        # floor, the planner could never engage
+        from ccog_spark.operators.text import BM25_PRUNE_MIN_POSTINGS
+
+        floor = (
+            BM25_PRUNE_MIN_POSTINGS if min_postings is None else min_postings
+        )
+        if len(tlist) * int(meta["n_docs"]) < floor:
+            prune = False
     return _bm25_rank(
         spark, postings, doclens, terms, stats, qterms,
         k=k, k1=k1, b=b, id_col=id_col,
