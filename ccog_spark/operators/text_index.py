@@ -335,15 +335,18 @@ def query_bm25_index(
         "n_docs bigint, sum_dl bigint",
     )
     if prune:
-        # free pre-gate (the bm25_topk one, but n_docs comes from
-        # meta): Σ df ≤ |distinct query terms| · n_docs — under the
-        # floor, the planner could never engage
+        # cheap pre-gate (the bm25_topk one, but n_docs comes from
+        # meta): the planner's postings total sums df PER (q_id, t)
+        # pair, so its ceiling is |distinct (q_id, t) pairs| · n_docs
+        # — under the floor, the planner could never engage. NB the
+        # DISTINCT-TERM count would under-bound it (a term shared by
+        # many queries contributes once per query).
         from ccog_spark.operators.text import BM25_PRUNE_MIN_POSTINGS
 
         floor = (
             BM25_PRUNE_MIN_POSTINGS if min_postings is None else min_postings
         )
-        if len(tlist) * int(meta["n_docs"]) < floor:
+        if qterms.count() * int(meta["n_docs"]) < floor:
             prune = False
     return _bm25_rank(
         spark, postings, doclens, terms, stats, qterms,

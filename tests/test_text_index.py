@@ -229,3 +229,35 @@ def test_compact_after_appends_preserves_answers(spark, tmp_path):
     # and still equals the inline truth over the union corpus
     truth = sorted(map(tuple, bm25_topk(docs, qs, k=5).collect()))
     assert after == truth
+
+
+def test_index_pregate_uses_pair_count(spark, tmp_path, monkeypatch):
+    """The metadata pre-gate's ceiling is |distinct (q_id, t) PAIRS| ·
+    n_docs — the planner sums df once per pair, so a shared term
+    counts once per query. Pinned with a floor BETWEEN the (wrong)
+    distinct-term ceiling and the (right) pair ceiling: the planner
+    must still be consulted."""
+    from ccog_spark.operators import text as T
+    from ccog_spark.operators.text_index import query_bm25_index as QI
+
+    docs = _docs(spark)
+    n_docs = docs.count()
+    idx = str(tmp_path / "pregate_idx")
+    build_bm25_index(docs, idx)
+    # 3 queries sharing 'dup': 4 distinct terms, 6 (q, t) pairs
+    qs = spark.createDataFrame(
+        [(1, "dup the"), (2, "dup stream"), (3, "dup value")],
+        "q_id long, q_text string",
+    )
+    floor = 5 * n_docs  # terms-ceiling 4·n < floor < 6·n pairs-ceiling
+    calls = []
+    orig = T._bm25_essential_terms
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(T, "_bm25_essential_terms", spy)
+    rows = QI(spark, idx, qs, k=3, min_postings=floor).collect()
+    assert len(rows) > 0
+    assert calls, "pre-gate declined on the distinct-term ceiling"
