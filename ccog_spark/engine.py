@@ -107,14 +107,34 @@ class Engine:
 
         return append_to_text_index(docs_delta, index_dir, **kwargs)
 
+    def delete_text_index(self, index_dir: str, doc_ids: DataFrame,
+                          **kwargs) -> dict:
+        """Delete documents from the persisted BM25 index (round 14):
+        tombstones + df-decremented terms + rewritten corpus stats —
+        queries answer as if built from the survivors."""
+        from ccog_spark.operators.text_index import delete_from_text_index
+
+        return delete_from_text_index(self.spark, index_dir, doc_ids,
+                                      **kwargs)
+
     def compact_text_index(self, index_dir: str) -> dict:
-        """Layout-only postings rewrite after appends."""
+        """Postings rewrite after appends/deletes — restores the
+        clustered layout and applies pending tombstones physically."""
         from ccog_spark.operators.text_index import compact_text_index
 
         return compact_text_index(self.spark, index_dir)
 
+    def delete_ann_index(self, index_dir: str, vec_ids: DataFrame) -> dict:
+        """Delete vectors from the persisted IVF+PQ index (round 14):
+        tombstoned ids are excluded from every candidate set until
+        compact removes their codes physically."""
+        from ccog_spark.operators.ann_index import delete_from_ann_index
+
+        return delete_from_ann_index(self.spark, index_dir, vec_ids)
+
     def compact_ann_index(self, index_dir: str) -> dict:
-        """Layout-only codes rewrite after appends."""
+        """Codes rewrite after appends/deletes — restores the
+        clustered layout and applies pending tombstones physically."""
         from ccog_spark.operators.ann_index import compact_ann_index
 
         return compact_ann_index(self.spark, index_dir)

@@ -53,6 +53,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ccog_spark.operators import index_common as ic
 from ccog_spark.operators.similarity import (
     PQ_M_BLOCKS,
     _codebook_mat,
@@ -281,6 +282,7 @@ def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
     copy, exactly like any parquet-append pipeline."""
     spark = corpus_delta.sparkSession
     meta, cent_ids, cmat, cnrm, cbmat = _load_model(spark, index_dir)
+    ic.begin_mutation(index_dir, "append")
     dim, m_blocks = int(meta.dim), int(meta.m_blocks)
     codes = _code_frame(
         corpus_delta, cent_ids, cmat, cnrm, cbmat, dim, m_blocks
@@ -317,6 +319,7 @@ def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
         "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
         "n_groups int",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    ic.end_mutation(index_dir)
     return {
         **new_meta,
         "appended": int(occ.total) - int(meta.n_vectors),
@@ -324,17 +327,53 @@ def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
     }
 
 
+def delete_from_ann_index(
+    spark: SparkSession, index_dir: str, vec_ids: DataFrame
+) -> dict:
+    """Remove vectors from the index (round 14, VERDICT r13 #2 — the
+    text-index deletion's E36 twin). Deletion is LOGICAL: the ids land
+    in ``tombstones/`` (small parquet set, appended and deduplicated
+    against prior deletes), ``query_ivfpq_index`` anti-joins candidates
+    against it, and ``compact_ann_index`` applies it physically.
+    Unlike BM25, ADC scoring has NO corpus-level statistics — removing
+    a vector cannot change any other vector's score — so nothing else
+    needs rewriting: query-after-delete is bit-identical to an index
+    whose codes were encoded from the surviving corpus under the SAME
+    frozen model (pinned in tests; the registry row's oracle replays
+    the full-model/survivor-candidate SQL). meta.n_vectors keeps
+    counting PHYSICAL rows until compact (it is informational — no
+    scoring path reads it).
+
+    Idempotent: already-tombstoned ids are skipped. Returns
+    {"tombstoned": n} — n counts newly tombstoned ids (they need not
+    exist in the index; absent ids are harmless no-ops at query
+    time)."""
+    ic.begin_mutation(index_dir, "delete")
+    ids = vec_ids.toDF("vec_id").distinct()
+    tomb = ic.read_tombstones(spark, index_dir, "vec_id")
+    new_ids = ic.anti_tombstones(ids, tomb, "vec_id")
+    n_new = new_ids.count()
+    if n_new:
+        ic.append_tombstones(new_ids, index_dir)
+    ic.end_mutation(index_dir)
+    return {"tombstoned": int(n_new)}
+
+
 def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     """Maintenance verb (round 13, twin of
     text_index.compact_text_index): rewrite codes/ clustered and
-    (cell, vec_id)-sorted again. append_to_index lands its own files
-    per grp directory on every call, and the cell-sort that makes
-    row-group stats narrow only holds WITHIN each append's files —
-    compaction restores the freshly-built layout via the staged-swap
-    pattern. Layout-only: query answers are unchanged (pinned), model
-    tables and meta untouched.
+    (cell, vec_id)-sorted again, APPLYING pending tombstones
+    physically (round 14) and clearing the tombstone set.
+    append_to_index lands its own files per grp directory on every
+    call, and the cell-sort that makes row-group stats narrow only
+    holds WITHIN each append's files — compaction restores the
+    freshly-built layout via the staged-swap pattern. Query answers
+    are unchanged (pinned): deletes were already logically applied by
+    the query-side anti-join; meta.n_vectors drops to the surviving
+    physical count.
 
-    Returns {"files_before": n, "files_after": m}."""
+    Returns {"files_before": n, "files_after": m,
+    "tombstones_applied": t}."""
     import glob
     import shutil
 
@@ -346,10 +385,15 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     before = n_files(live)
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
     n_groups = int(meta["n_groups"])
+    tomb = ic.read_tombstones(spark, index_dir, "vec_id")
+    n_tomb = tomb.count() if tomb is not None else 0
+    ic.begin_mutation(index_dir, "compact")
     stage = os.path.join(index_dir, "codes__stage")
     (
-        spark.read.parquet(live)
-        .select("vec_id", "cell", "codes", "grp")
+        ic.anti_tombstones(
+            spark.read.parquet(live).select("vec_id", "cell", "codes", "grp"),
+            tomb, "vec_id",
+        )
         .repartition(n_groups, "grp")
         .sortWithinPartitions("cell", "vec_id")
         .write.mode("overwrite")
@@ -358,7 +402,26 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     )
     shutil.rmtree(live)
     os.rename(stage, live)
-    return {"files_before": before, "files_after": n_files(live)}
+    ic.clear_tombstones(index_dir)
+    if n_tomb:
+        n_vectors = spark.read.parquet(live).count()
+        spark.createDataFrame(
+            [
+                (
+                    int(meta.dim), int(meta.m_blocks),
+                    int(meta.cent_stride), int(n_vectors),
+                    int(meta.n_groups),
+                )
+            ],
+            "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
+            "n_groups int",
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    ic.end_mutation(index_dir)
+    return {
+        "files_before": before,
+        "files_after": n_files(live),
+        "tombstones_applied": int(n_tomb),
+    }
 
 
 def query_ivfpq_index(
@@ -393,6 +456,7 @@ def query_ivfpq_index(
     index's never-scan-the-corpus property."""
     from pyspark.sql import Window as W
 
+    ic.check_not_inflight(index_dir)
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cb_rows = sorted(
@@ -460,6 +524,13 @@ def query_ivfpq_index(
         cand = cand.where(F.col("grp").isin(pgrps)).where(
             F.col("cell").isin(pcells)
         )
+    # pending deletions (round 14): tombstoned vectors stay physical
+    # until compact — drop them from the candidate stream AFTER the
+    # scan filters (pruning intact) and BEFORE ranking, so a deleted
+    # vector can neither appear in nor displace a top-k row
+    cand = ic.anti_tombstones(
+        cand, ic.read_tombstones(spark, index_dir, "vec_id"), "vec_id"
+    )
     cand = (
         cand.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("q_id"))

@@ -571,10 +571,21 @@ def bm25_topk(
         if qterms.count() * docs.count() < floor:
             prune = False
     if prune:
-        # persisted only when the planner will actually run jobs over
-        # it (θ probe, candidate pass); the registry ledger releases
-        # it at query exit
-        tf = tf.persist()
+        # Persisted only when the planner will actually run jobs over
+        # it (θ probe, candidate pass). The cache is registered with
+        # the session ledger (round 14, ADVICE r13): registry callers
+        # release it when the next query enters, and DIRECT callers
+        # (Engine.bm25, ad-hoc use) are self-cleaning — each
+        # bm25_topk call releases the PREVIOUS call's TF cache, so at
+        # most one call's corpus-sized frame stays cached per session
+        # instead of one per call. (Consume the previous result before
+        # issuing the next call, or its TF recomputes — persist is a
+        # recompute hint, never a correctness mechanism.)
+        from ccog_spark import cache_ledger
+
+        spark = docs.sparkSession
+        cache_ledger.release_owner(spark, "bm25_topk")
+        tf = cache_ledger.track(spark, "bm25_topk", tf.persist())
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(

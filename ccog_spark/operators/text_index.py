@@ -42,9 +42,32 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ccog_spark.operators import index_common as ic
+
 
 def _bkt(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("t")), F.lit(n_buckets)).cast("int")
+
+
+_META_SCHEMA = (
+    "n_docs bigint, sum_dl bigint, n_buckets int, n_terms bigint, "
+    "id_col string, generation bigint"
+)
+_META_KEYS = ("n_docs", "sum_dl", "n_buckets", "n_terms", "id_col",
+              "generation")
+
+
+def _write_meta(spark: SparkSession, index_dir: str, meta: dict) -> None:
+    spark.createDataFrame(
+        [tuple(meta[k] for k in _META_KEYS)], _META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+
+
+def _read_meta(spark: SparkSession, index_dir: str) -> dict:
+    row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    d = row.asDict()
+    d.setdefault("generation", 1)  # pre-round-14 index layout
+    return d
 
 
 # Above this many distinct query terms the In(t) data filter is skipped:
@@ -126,12 +149,9 @@ def build_bm25_index(
         "n_buckets": n_buckets,
         "n_terms": int(n_terms),
         "id_col": id_col,
+        "generation": 1,
     }
-    spark.createDataFrame(
-        [tuple(meta.values())],
-        "n_docs bigint, sum_dl bigint, n_buckets int, n_terms bigint, "
-        "id_col string",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    _write_meta(spark, index_dir, meta)
     return meta
 
 
@@ -152,13 +172,33 @@ def append_to_text_index(
 
     Caveat (same contract as the ANN append): delta ``doc_id``s must
     be NEW — re-appending an existing id would double its doclens row
-    and postings. n_docs/sum_dl/n_terms in meta are updated from the
-    written tables."""
+    and postings, and an id sitting in the tombstone set (deleted,
+    not yet compacted) would stay invisible behind the query-time
+    anti-join: to re-add a deleted id, compact first.
+    n_docs/sum_dl/n_terms in meta are updated from the written tables
+    (minus pending tombstones).
+
+    TORN-APPEND SAFETY (round 14, ADVICE r13): the verb commits
+    postings and doclens BEFORE the terms merge and meta rewrite — a
+    crash between those steps leaves stale df/n_docs that would
+    silently mis-score every query. An ``_inflight`` marker brackets
+    the whole mutation (written first, removed after the meta
+    rewrite), and the query side refuses a marked index (see
+    index_common.check_not_inflight for the repair path).
+
+    DRIFT SIGNAL (the occupancy-skew twin for text): the returned
+    ``new_terms`` / ``vocab_growth`` report how much the delta grew
+    the vocabulary. Under Heaps' law, same-domain deltas grow the
+    vocabulary ever more slowly — a SPIKE in vocab_growth means the
+    delta's term distribution has shifted away from the corpus the
+    bucket count and compaction layout were sized for, the cue to
+    compact (and at the extreme re-bucket via rebuild)."""
     spark = docs_delta.sparkSession
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    meta = _read_meta(spark, index_dir)
     n_buckets = int(meta["n_buckets"])
     if id_col is None:
         id_col = str(meta["id_col"])
+    ic.begin_mutation(index_dir, "append", int(meta["generation"]) + 1)
 
     toks = docs_delta.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
@@ -204,44 +244,189 @@ def append_to_text_index(
     shutil.rmtree(live)
     os.rename(stage, live)
 
+    # corpus stats from the written doclens MINUS pending tombstones
+    # (an earlier delete leaves its rows physical until compact —
+    # counting them here would silently restore the deleted docs'
+    # n_docs/avgdl contribution; caught by the delete-then-append
+    # composition test)
     row = (
-        spark.read.parquet(os.path.join(index_dir, "doclens"))
+        ic.anti_tombstones(
+            spark.read.parquet(os.path.join(index_dir, "doclens")),
+            ic.read_tombstones(spark, index_dir, id_col),
+            id_col,
+        )
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
         .first()
     )
     n_terms = spark.read.parquet(live).count()
     appended = int(row["n_docs"]) - int(meta["n_docs"])
+    new_terms = int(n_terms) - int(meta["n_terms"])
     new_meta = {
         "n_docs": int(row["n_docs"]),
         "sum_dl": int(row["sum_dl"]) if row["sum_dl"] is not None else 0,
         "n_buckets": n_buckets,
         "n_terms": int(n_terms),
         "id_col": id_col,
+        "generation": int(meta["generation"]) + 1,
     }
-    spark.createDataFrame(
-        [tuple(new_meta.values())],
-        "n_docs bigint, sum_dl bigint, n_buckets int, n_terms bigint, "
-        "id_col string",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
-    return {**new_meta, "appended": appended}
+    _write_meta(spark, index_dir, new_meta)
+    ic.end_mutation(index_dir)
+    return {
+        **new_meta,
+        "appended": appended,
+        # vocabulary-drift staleness signal (see docstring): fraction
+        # by which this append grew the term dictionary
+        "new_terms": new_terms,
+        "vocab_growth": (
+            new_terms / int(meta["n_terms"]) if int(meta["n_terms"]) else 0.0
+        ),
+    }
+
+
+def delete_from_text_index(
+    spark: SparkSession,
+    index_dir: str,
+    doc_ids: DataFrame,
+    docs_delta: DataFrame | None = None,
+    text_col: str = "text",
+) -> dict:
+    """Remove documents from the index (round 14, VERDICT r13 #2 —
+    takedowns, upstream dedup, licence filtering). Deletion is
+    LOGICAL-first: the ids land in ``tombstones/`` (a small parquet
+    set queries anti-join against) while the corpus-sized postings
+    and doclens tables stay untouched until ``compact_text_index``
+    applies the tombstones physically. What CANNOT be deferred is the
+    statistics: BM25 scores depend on df/n_docs/avgdl, so the
+    vocabulary-sized terms table is df-decremented (staged rewrite,
+    terms hitting df = 0 dropped) and meta is rewritten — after this
+    verb, query results are BIT-IDENTICAL to an index built from
+    scratch over the surviving corpus (pinned in tests; the registry
+    row's oracle is the from-scratch SQL over survivors).
+
+    The per-term df decrement needs the deleted docs' term sets.
+    Two sources:
+    - ``docs_delta`` given (id + text of the docs being deleted — the
+      takedown workflow has them): ONE tokenize pass over the
+      delta only; nothing corpus-sized is read. The scale path.
+    - ``docs_delta`` omitted: the postings table is semi-joined on
+      the deleted ids — a full postings scan (the ids are spread
+      across every term bucket), acceptable for occasional deletes,
+      batched takedown queues should pass the delta.
+
+    Ids not present in the index, or already tombstoned, are ignored
+    (the verb is IDEMPOTENT — a double delete never double-decrements
+    df). Returns {"deleted": n, "generation": g}."""
+    meta = _read_meta(spark, index_dir)
+    n_buckets = int(meta["n_buckets"])
+    id_col = str(meta["id_col"])
+    ic.begin_mutation(index_dir, "delete", int(meta["generation"]) + 1)
+    # NB: the marker is removed ONLY on the success paths below — an
+    # exception mid-mutation must LEAVE it so the query side refuses
+    # the possibly-inconsistent index (that detection is the marker's
+    # whole job)
+    ids = doc_ids.toDF(id_col).distinct()
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    tomb = ic.read_tombstones(spark, index_dir, id_col)
+    # live ∧ not-already-tombstoned: the set whose stats must go
+    live_del = doclens.join(F.broadcast(ids), id_col, "left_semi")
+    live_del = ic.anti_tombstones(live_del, tomb, id_col)
+    live_del = live_del.persist()
+    try:
+        agg = live_del.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).first()
+        n_del = int(agg["n"])
+        if n_del == 0:
+            ic.end_mutation(index_dir)  # nothing was touched
+            return {"deleted": 0, "generation": int(meta["generation"])}
+        del_ids = live_del.select(id_col)
+
+        # per-term df decrement from the deleted docs' term sets
+        if docs_delta is not None:
+            del_terms = (
+                docs_delta.join(F.broadcast(del_ids), id_col, "left_semi")
+                .select(
+                    F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("t"),
+                )
+                .where(F.col("t") != "")
+                .select(id_col, "t")
+                .distinct()
+            )
+        else:
+            del_terms = (
+                spark.read.parquet(os.path.join(index_dir, "postings"))
+                .join(F.broadcast(del_ids), id_col, "left_semi")
+                .select(id_col, "t")
+            )
+        df_del = del_terms.groupBy("t").agg(
+            F.count(F.lit(1)).alias("df_del")
+        )
+
+        # staged terms rewrite (Spark cannot overwrite a path it
+        # lazily reads — append's proven swap pattern); df = 0 rows
+        # are dropped exactly as a from-scratch build over the
+        # survivors would never have them
+        old_terms = spark.read.parquet(
+            os.path.join(index_dir, "terms")
+        ).select("t", "df")
+        merged = (
+            old_terms.join(df_del, "t", "left")
+            .select(
+                "t",
+                (
+                    F.col("df") - F.coalesce(F.col("df_del"), F.lit(0))
+                ).alias("df"),
+            )
+            .where(F.col("df") > 0)
+            .withColumn("bkt", _bkt(n_buckets))
+        )
+        stage = os.path.join(index_dir, "terms__stage")
+        merged.write.mode("overwrite").partitionBy("bkt").parquet(stage)
+
+        ic.append_tombstones(del_ids, index_dir)
+    finally:
+        live_del.unpersist()
+    import shutil
+
+    live = os.path.join(index_dir, "terms")
+    shutil.rmtree(live)
+    os.rename(stage, live)
+
+    n_terms = spark.read.parquet(live).count()
+    new_meta = {
+        "n_docs": int(meta["n_docs"]) - n_del,
+        "sum_dl": int(meta["sum_dl"]) - int(agg["s"]),
+        "n_buckets": n_buckets,
+        "n_terms": int(n_terms),
+        "id_col": id_col,
+        "generation": int(meta["generation"]) + 1,
+    }
+    _write_meta(spark, index_dir, new_meta)
+    ic.end_mutation(index_dir)
+    return {**new_meta, "deleted": n_del}
 
 
 def compact_text_index(spark: SparkSession, index_dir: str) -> dict:
     """Maintenance verb: rewrite the postings table clustered and
-    (t, id)-sorted again. Every append lands its own files per bucket
-    directory, each with its own row groups — fine for a few appends,
-    but across many the per-file overhead grows and the t-sort that
-    makes row-group stats tight only holds WITHIN each append's files.
-    Compaction restores the freshly-built layout (staged rewrite +
-    swap, same pattern as append's terms merge). Query results are
-    unchanged by construction — layout only; doclens/terms/meta are
-    untouched.
+    (t, id)-sorted again, APPLYING pending tombstones physically
+    (round 14). Every append lands its own files per bucket directory,
+    each with its own row groups — fine for a few appends, but across
+    many the per-file overhead grows and the t-sort that makes
+    row-group stats tight only holds WITHIN each append's files; and
+    every delete leaves its rows in place behind the tombstone
+    anti-join. Compaction restores the freshly-built layout (staged
+    rewrite + swap, same pattern as append's terms merge), drops
+    tombstoned rows from postings AND doclens, and clears the
+    tombstone set. Query answers are unchanged by construction —
+    deletes were already logically applied (pinned in tests).
 
-    Returns {"files_before": n, "files_after": m}."""
+    Returns {"files_before": n, "files_after": m, "tombstones_applied":
+    t}."""
     import glob
     import shutil
 
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    meta = _read_meta(spark, index_dir)
     id_col = str(meta["id_col"])  # bkt already rides in the stored rows
     live = os.path.join(index_dir, "postings")
 
@@ -249,19 +434,42 @@ def compact_text_index(spark: SparkSession, index_dir: str) -> dict:
         return len(glob.glob(os.path.join(root, "bkt=*", "*.parquet")))
 
     before = n_files(live)
+    tomb = ic.read_tombstones(spark, index_dir, id_col)
+    n_tomb = tomb.count() if tomb is not None else 0
+    ic.begin_mutation(index_dir, "compact", int(meta["generation"]) + 1)
     stage = os.path.join(index_dir, "postings__stage")
     (
-        spark.read.parquet(live)
-        .select(id_col, "t", "tf", "bkt")
+        ic.anti_tombstones(
+            spark.read.parquet(live).select(id_col, "t", "tf", "bkt"),
+            tomb, id_col,
+        )
         .repartition("bkt")
         .sortWithinPartitions("t", id_col)
         .write.mode("overwrite")
         .partitionBy("bkt")
         .parquet(stage)
     )
+    if tomb is not None:
+        dl_live = os.path.join(index_dir, "doclens")
+        dl_stage = os.path.join(index_dir, "doclens__stage")
+        ic.anti_tombstones(
+            spark.read.parquet(dl_live), tomb, id_col
+        ).write.mode("overwrite").parquet(dl_stage)
+        shutil.rmtree(dl_live)
+        os.rename(dl_stage, dl_live)
     shutil.rmtree(live)
     os.rename(stage, live)
-    return {"files_before": before, "files_after": n_files(live)}
+    ic.clear_tombstones(index_dir)
+    _write_meta(
+        spark, index_dir,
+        {**meta, "generation": int(meta["generation"]) + 1},
+    )
+    ic.end_mutation(index_dir)
+    return {
+        "files_before": before,
+        "files_after": n_files(live),
+        "tombstones_applied": int(n_tomb),
+    }
 
 
 def query_bm25_index(
@@ -287,9 +495,13 @@ def query_bm25_index(
     filters into both the postings and terms scans."""
     from ccog_spark.operators.text import _bm25_rank
 
-    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    # a torn append/delete (crash between the postings/doclens commit
+    # and the terms/meta rewrite) would silently mis-score — refuse it
+    ic.check_not_inflight(index_dir)
+    meta = _read_meta(spark, index_dir)
     n_buckets = int(meta["n_buckets"])
     id_col = str(meta["id_col"])
+    tomb = ic.read_tombstones(spark, index_dir, id_col)
     qterms = (
         queries.select(
             "q_id", F.explode(F.split(F.col("q_text"), " ")).alias("t")
@@ -323,13 +535,22 @@ def query_bm25_index(
     # win — the ANN isin-skip precedent).
     if tlist and len(tlist) <= _TERM_ISIN_CAP:
         postings = postings.where(F.col("t").isin(tlist))
-    postings = postings.select(id_col, "t", "tf")
+    # pending deletions (round 14): tombstoned docs' postings and
+    # doclens rows are still physically present until compact — the
+    # anti-joins below, together with the already-decremented df/meta
+    # stats, make the query bit-identical to a from-scratch build
+    # over the surviving corpus (pinned in tests)
+    postings = ic.anti_tombstones(
+        postings.select(id_col, "t", "tf"), tomb, id_col
+    )
     terms = (
         spark.read.parquet(os.path.join(index_dir, "terms"))
         .where(bkt_pred)
         .select("t", "df")
     )
-    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    doclens = ic.anti_tombstones(
+        spark.read.parquet(os.path.join(index_dir, "doclens")), tomb, id_col
+    )
     stats = spark.createDataFrame(
         [(int(meta["n_docs"]), int(meta["sum_dl"]))],
         "n_docs bigint, sum_dl bigint",

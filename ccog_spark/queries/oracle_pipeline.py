@@ -823,6 +823,7 @@ def _ivfpq_sql(
     model_pred: str = "",
     k: int = 3,
     q_pred: str = "vec_id % 100 = 0",
+    cand_pred: str = "",
 ) -> str:
     """IVF + PQ composed: the cell/probe CTEs joined with the ann_pq
     codebook/encode/LUT CTEs, candidates restricted to probed cells
@@ -838,7 +839,14 @@ def _ivfpq_sql(
     restricting the MODEL-BEARING rows (centroid selection + codebook
     rows) to a sub-corpus while codes/candidates still cover
     everything — the frozen-model semantics of ann_index's
-    build(A)+append(B) path (round 8)."""
+    build(A)+append(B) path (round 8).
+
+    ``cand_pred`` (round 14): extra SQL predicate (e.g.
+    "AND e.vec_id % 11 <> 5") restricting the CANDIDATE rows while
+    the model still derives from the full corpus — the mirrored
+    frozen-model semantics of index DELETION (tombstoned vectors are
+    excluded from retrieval; nothing else can change, ADC has no
+    corpus statistics)."""
     from ccog_spark.operators.similarity import (
         PQ_CB_K,
         PQ_CB_MOD,
@@ -969,7 +977,7 @@ WITH nv AS (
   JOIN cells USING (cell)
   JOIN enc e ON e.vec_id = cells.vec_id
   JOIN lut l ON l.q_id = p.q_id
-  WHERE e.vec_id <> l.q_id
+  WHERE e.vec_id <> l.q_id {cand_pred}
 ), ranked AS (
   SELECT q_id, vec_id, ROUND(adc_raw, 4) AS adc,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_raw, vec_id) AS rn
@@ -990,6 +998,13 @@ PIPELINE_ORACLE["ann_index"] = _ivfpq_sql()
 # drift contract append_to_index documents.
 PIPELINE_ORACLE["ann_index_append"] = _ivfpq_sql(
     model_pred="AND vec_id % 3 <> 0"
+)
+# Index deletion (round 14, delete_from_ann_index): model frozen on
+# the FULL corpus, candidates restricted to the survivors — the
+# append row's drift contract mirrored (tombstoned vectors excluded
+# from retrieval, every other vector's score untouched).
+PIPELINE_ORACLE["ann_index_delete"] = _ivfpq_sql(
+    cand_pred="AND e.vec_id % 11 <> 5"
 )
 
 # Two-stage retrieval (round 12, similarity.ivfpq_rerank_topk): the
@@ -1623,13 +1638,25 @@ ORDER BY d.doc_id
 # as hashed_tfidf), per-term half-up 1e6 quantization, BIGINT sums.
 # Double constants are Python-computed reprs so both engines parse the
 # identical IEEE values; association order mirrors the engine exactly.
-def _bm25_sql(k: int = 5, q_cte: str | None = None) -> str:
+def _bm25_sql(
+    k: int = 5, q_cte: str | None = None, corpus_pred: str | None = None
+) -> str:
     """``q_cte``: SQL for the (q_id, t) DISTINCT query-term set;
     defaults to the corpus-derived registry batch. The scoring body is
     ALWAYS the unpruned full replay — the engine's max-score pruning
     (round 13) is lossless, so the engaged-path row
     (pipeline_bm25_pruned) reuses this oracle verbatim with a fixed
-    VALUES query set."""
+    VALUES query set.
+
+    ``corpus_pred`` (round 14): SQL predicate restricting the SCORED
+    corpus (tf/dl/df/N/avgdl all derive from the filtered set) — the
+    from-scratch-over-SURVIVORS truth the index-deletion row must
+    match. The query CTE still reads the full table: a deleted
+    document stops being findable, not askable."""
+    corpus = (
+        "documents" if corpus_pred is None
+        else f"(SELECT * FROM documents WHERE {corpus_pred})"
+    )
     if q_cte is None:
         q_cte = """
   SELECT DISTINCT q_id, t FROM (
@@ -1640,7 +1667,8 @@ def _bm25_sql(k: int = 5, q_cte: str | None = None) -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, t FROM (
-    SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents) x
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+    FROM {corpus} corpus_d) x
   WHERE t <> ''
 ), tf AS (
   SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2
@@ -1717,6 +1745,15 @@ PIPELINE_ORACLE["pipeline_bm25_index"] = _bm25_sql(5)
 # must equal the from-scratch computation over the union corpus — the
 # ann_index_append equivalence contract on the text side.
 PIPELINE_ORACLE["pipeline_bm25_index_append"] = _bm25_sql(5)
+
+# Index deletion (round 14, delete_from_text_index): build on the full
+# corpus + delete the doc_id % 13 == 3 slice must equal the
+# from-scratch computation over the SURVIVING corpus — tombstone
+# anti-joins, df-decremented terms, and the rewritten N/avgdl all
+# hash-gated at once (a stale df or n_docs shifts every idf).
+PIPELINE_ORACLE["pipeline_bm25_index_delete"] = _bm25_sql(
+    5, corpus_pred="doc_id % 13 <> 3"
+)
 
 
 # Hybrid retrieval (round 12, text.rrf_fuse): BM25 top-20 (the builder

@@ -875,6 +875,64 @@ def pipeline_bm25_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
 
 
+def pipeline_bm25_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX DELETION (round 14, text_index.delete_from_text_index —
+    VERDICT r13 #2): build the inverted index over the FULL corpus,
+    delete the doc_id % 13 == 3 slice (takedown batch: tombstones +
+    df-decremented terms + meta rewrite), answer the standard batch
+    from the index. Results must equal the from-scratch computation
+    over the SURVIVING corpus — the oracle is pipeline_bm25's SQL with
+    the corpus CTE filtered to the survivors (queries still derive
+    from the full table: a deleted document stops being FINDABLE, not
+    askable). Physical postings are untouched until compact — the
+    bit-identity of logical deletion is exactly what this row hashes."""
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        delete_from_text_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_bm25_del", sf_dir)
+    build_bm25_index(docs, idx)
+    delete_from_text_index(
+        spark, idx, docs.where(F.col("doc_id") % 13 == 3).select("doc_id")
+    )
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
+
+
+def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX DELETION (round 14, ann_index.delete_from_ann_index —
+    the E36 twin of pipeline_bm25_index_delete): build the IVF+PQ
+    index over the full corpus, tombstone the vec_id % 11 == 5 slice,
+    answer the standard batch. ADC scoring has no corpus statistics,
+    so deletion is purely candidate exclusion — the oracle is the
+    ann_ivfpq SQL with the CANDIDATE side filtered to survivors while
+    the model (centroids/codebook trained on the full corpus) stays
+    frozen, exactly the drift contract of the append row mirrored."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        delete_from_ann_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _tmp_index_dir("ccog_ivfpq_del", sf_dir)
+    build_ivfpq_index(emb, EMB_DIM, idx)
+    delete_from_ann_index(
+        spark, idx, emb.where(F.col("vec_id") % 11 == 5).select("vec_id")
+    )
+    return query_ivfpq_index(
+        spark, idx, _queries_subset(emb), k=3
+    ).orderBy("q_id", "rn")
+
+
 def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (round 12): BM25 lexical top-20 and the
     PRODUCTION vector path — IVF+PQ ADC top-30 candidates re-ranked by

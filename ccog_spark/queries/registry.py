@@ -2,12 +2,11 @@
 
 from __future__ import annotations
 
-import threading
 from collections.abc import Callable
-from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ccog_spark import cache_ledger
 from ccog_spark.queries import llm, pipeline, raster_jobs, relational, streaming_corpus
 from ccog_spark.queries.oracle import ORACLE
 from ccog_spark.queries.oracle_pipeline import PIPELINE_ORACLE
@@ -45,24 +44,18 @@ _CACHE_BUDGET_BYTES = 2 << 30
 # recomputation of those operators' frames.
 _FALLBACK_CLEAR_EVERY = 25
 
-# Per-SparkSession mutable registry state (round-13 ADVICE: the old
-# module-global counter was shared across sessions and threads).
-# WeakKeyDictionary: state dies with its session. Each entry holds the
-# blind-clear counter and the persist ledger (below); mutations happen
-# under _STATE_LOCK.
-# RLock: _PersistCapture holds it across the wrapped call and its own
-# helpers re-enter it
-_STATE_LOCK = threading.RLock()
-_SESSION_STATE: WeakKeyDictionary = WeakKeyDictionary()
-
-
-def _session_state(spark) -> dict:
-    with _STATE_LOCK:
-        st = _SESSION_STATE.get(spark)
-        if st is None:
-            st = {"fallback_n": 0, "persists": []}
-            _SESSION_STATE[spark] = st
-        return st
+# Per-SparkSession mutable registry state now lives in
+# ccog_spark.cache_ledger (round 14, ADVICE r13: moved out so
+# operators can register persists directly — bm25_topk's TF frame no
+# longer leaks for non-registry callers — and so attribution is
+# THREAD-scoped: a persist issued by a concurrent non-registry thread
+# during a capture window is left untracked instead of being
+# misattributed to the in-flight query and later unpersisted out from
+# under its owner; query builds on different threads no longer
+# serialize on the capture lock). The names below stay as the
+# registry's public surface.
+_session_state = cache_ledger.session_state
+_STATE_LOCK = cache_ledger._STATE_LOCK
 
 
 def release_persists(spark, owner: str | None = None, blocking: bool = False):
@@ -78,70 +71,10 @@ def release_persists(spark, owner: str | None = None, blocking: bool = False):
     measured span-dedup 15→34 s band at sf10). Same-owner persists are
     kept — identical re-invocations (bench reps) still reuse the warm
     cache, which is worth ~2× on the UDF-heavy queries."""
-    st = _session_state(spark)
-    with _STATE_LOCK:
-        keep, drop = [], []
-        for own, df in st["persists"]:
-            (keep if owner is not None and own == owner else drop).append(
-                (own, df)
-            )
-        st["persists"] = keep
-    for _, df in drop:
-        try:
-            df.unpersist(blocking=blocking)
-        except Exception:  # session teardown races are benign
-            pass
+    cache_ledger.release(spark, keep_owner=owner, blocking=blocking)
 
 
-def _dataframe_classes() -> list[type]:
-    """The concrete DataFrame classes whose ``persist`` must be
-    wrapped. Spark 4.x: pyspark.sql.DataFrame is a dispatch base and
-    pyspark.sql.classic.dataframe.DataFrame OVERRIDES persist in its
-    own __dict__ — patching only the base would capture nothing."""
-    classes = [DataFrame]
-    try:  # Spark 4.x classic implementation
-        from pyspark.sql.classic.dataframe import DataFrame as _CDF
-
-        classes.append(_CDF)
-    except ImportError:  # Spark 3.x: the base IS the implementation
-        pass
-    return classes
-
-
-class _PersistCapture:
-    """Record every DataFrame.persist() issued while a registry query
-    BUILDS its plan, into the session's persist ledger. Patching the
-    class attributes is safe here: the registry is driven single-file
-    by the driver/bench (the lock still serializes overlapping
-    captures, attributing frames to the outermost query)."""
-
-    def __init__(self, spark, owner: str):
-        self.spark, self.owner = spark, owner
-
-    def __enter__(self):
-        _STATE_LOCK.acquire()
-        ledger = _session_state(self.spark)["persists"]
-        owner = self.owner
-        self._origs = []
-        for cls in _dataframe_classes():
-            if "persist" not in cls.__dict__:
-                continue  # inherits a patched parent — one wrap only
-            orig = cls.__dict__["persist"]
-
-            def tracking_persist(df_self, *a, _orig=orig, **k):
-                out = _orig(df_self, *a, **k)
-                ledger.append((owner, out))
-                return out
-
-            self._origs.append((cls, orig))
-            cls.persist = tracking_persist
-        return self
-
-    def __exit__(self, *exc):
-        for cls, orig in self._origs:
-            cls.persist = orig
-        _STATE_LOCK.release()
-        return False
+_PersistCapture = cache_ledger.capture
 
 
 def _scoped(fn: QueryFn) -> QueryFn:
@@ -251,6 +184,22 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # line — 6 fold rows), multimodal_meta (≙ multimodal_features, the
 # full pixel-decode fold row).
 #
+# Round 14 reorder (VERDICT r13 task 1): the r13 index/pruning rows —
+# pipeline_bm25_pruned (the losslessness hash gate), pipeline_bm25_index,
+# pipeline_bm25_index_append and pipeline_hybrid_index — were tail-only
+# with zero CORRECTNESS_r13 presence; promoted so the driver hash-gates
+# them. Plus q16 (E28 conditional fns — tail-only since r12, restoring
+# the scalar families' last direct fold row). Displaced, each keeping
+# ≥1 above-fold family row: q09 (E15 ranking windows ≙ q24 tail +
+# fold's q11 top-k; the verdict's named stand-down), pipeline_filter
+# (quality filtering ≙ pipeline_e2e composes the same filter stage,
+# fold + text_analysis scores it), dedup_minhash (E35 keeps cc/embed/
+# semantic/span/line — 5 fold rows; cc's banding is a superset of
+# minhash's), ann_index_append (E36 keeps ann_index/ann_ivfpq/
+# ann_rerank; append equivalence stays pinned in test_ann_index),
+# stream_join (E31/E32 keep stream_dedup + stream_stateful real
+# readStream fold rows).
+#
 # Round 12 reorder (VERDICT r11 tasks 1/2/8): the NEW rows — cog_cubic
 # (interpolating-overview write, closes R7) and pipeline_tokenize (BPE
 # train + encode, the one operator with zero queries() presence) —
@@ -273,7 +222,10 @@ REGISTRY: dict[str, QueryFn] = {
     "pipeline_e2e": pipeline.pipeline_e2e,
     "pivot_q": relational.pivot_q,
     "q08": relational.q08,
-    "q09": relational.q09,
+    # r14 fold slot (was q09): E28 conditional fns — tail-only since
+    # r12 left the scalar families without this direct fold row
+    # (VERDICT r13 #1 named it alongside the index rows)
+    "q16": relational.q16,
     "q11": relational.q11,
     "q12": relational.q12,
     "q13": relational.q13,
@@ -347,9 +299,16 @@ REGISTRY: dict[str, QueryFn] = {
     # benchmark n-gram decontamination (broadcast semi-join)
     "pipeline_decontam": pipeline.pipeline_decontam,
     "dedup_cc": pipeline.dedup_cc,
-    "pipeline_filter": pipeline.pipeline_filter,
+    # r14 fold slot (was pipeline_filter): max-score pruning ENGAGED —
+    # the pruned plan (candidate union, pushed semi joins, θ probe)
+    # hashed against the UNPRUNED SQL; the match IS the losslessness
+    # proof on the driver's own comparison (VERDICT r13 #1)
+    "pipeline_bm25_pruned": pipeline.pipeline_bm25_pruned,
     "dedup_exact": pipeline.dedup_exact,
-    "dedup_minhash": pipeline.dedup_minhash,
+    # r14 fold slot (was dedup_minhash): PERSISTED BM25 inverted index
+    # — bucket-partitioned postings answered from parquet only, oracle
+    # = the from-scratch SQL verbatim (one truth, two execution paths)
+    "pipeline_bm25_index": pipeline.pipeline_bm25_index,
     # r10 fold slot (was dedup_simhash): one-pass per-source corpus
     # profile composing text.analyze + exact_dedup in one lazy plan
     "corpus_profile": pipeline.corpus_profile,
@@ -358,9 +317,11 @@ REGISTRY: dict[str, QueryFn] = {
     "pipeline_hybrid": pipeline.pipeline_hybrid,
     "dedup_embed": pipeline.dedup_embed,
     "ann_exact": pipeline.ann_exact,
-    # r10 fold slot (was ann_lsh): INCREMENTAL ann-index growth —
-    # frozen-model delta encode + query of the grown parquet index
-    "ann_index_append": pipeline.ann_index_append_q,
+    # r14 fold slot (was ann_index_append): INCREMENTAL text-index
+    # growth — postings/doclens append + staged terms df-merge; the
+    # grown index must answer exactly like a from-scratch build over
+    # the union corpus (ann_index_append's contract, text side)
+    "pipeline_bm25_index_append": pipeline.pipeline_bm25_index_append_q,
     # r8 fold slot (was ann_ivf): PERSISTED IVF+PQ index — build the
     # parquet index once, answer queries from 8-byte codes only;
     # bit-identical to ann_ivfpq, oracle reused verbatim
@@ -375,9 +336,10 @@ REGISTRY: dict[str, QueryFn] = {
     "q23b": pipeline.q23b,
     # Structured Streaming corpus (real streaming jobs, batch-checked)
     "stream_dedup": streaming_corpus.stream_dedup,
-    # stream-stream interval join (watermarked, append mode): distinct
-    # capability, kept above the 50-row driver fold
-    "stream_join": streaming_corpus.stream_join,
+    # r14 fold slot (was stream_join): hybrid retrieval answered from
+    # PERSISTED indexes only — inverted-index BM25 ⊕ saved-IVF+PQ
+    # rerank, RRF-fused; oracle = pipeline_hybrid's SQL verbatim
+    "pipeline_hybrid_index": pipeline.pipeline_hybrid_index,
     # r7 fold slot (was stream_sliding): full multimodal pixel decode →
     # feature extraction (PNG/GIF/JPEG/BMP/PPM), byte-exact oracle
     "multimodal_features": pipeline.multimodal_features,
@@ -460,34 +422,34 @@ REGISTRY: dict[str, QueryFn] = {
     # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf + the fused
     # ann_ivfpq (moved into the fold in r7) are above
     "ann_pq": pipeline.ann_pq,
-    # round 13: max-score pruning ENGAGED-path row — same unpruned
-    # oracle SQL, fixed rare+stopword query batch, postings floor
-    # lifted so the planner's candidate cut runs at every SF; a hash
-    # match IS the losslessness proof (fold row pipeline_bm25 gates
-    # the production default, which declines on the uniform fixture)
-    "pipeline_bm25_pruned": pipeline.pipeline_bm25_pruned,
-    # round 13: PERSISTED BM25 inverted index — build the bucket-
-    # partitioned parquet postings/terms/doclens in a temp dir, answer
-    # the standard batch from the index only; oracle = pipeline_bm25's
-    # from-scratch SQL verbatim (one truth, two execution paths — the
-    # ann_index precedent for E37/search)
-    "pipeline_bm25_index": pipeline.pipeline_bm25_index,
-    # round 13: incremental text-index growth — postings/doclens
-    # append + staged terms df-merge; grown index must answer exactly
-    # like a from-scratch build over the union corpus (oracle =
-    # pipeline_bm25 SQL verbatim; ann_index_append's contract)
-    "pipeline_bm25_index_append": pipeline.pipeline_bm25_index_append_q,
-    # round 13: hybrid retrieval from PERSISTED indexes only — BM25
-    # from the inverted index + IVF+PQ ADC→exact-rerank from the saved
-    # ANN index, RRF-fused; oracle = pipeline_hybrid SQL verbatim
-    "pipeline_hybrid_index": pipeline.pipeline_hybrid_index,
+    # r14 displaced fold rows — each keeps above-fold family rows:
+    # E15 ranking windows ≙ q11 top-k (fold) + q24 (tail)
+    "q09": relational.q09,
+    # quality filtering ≙ pipeline_e2e (fold, composes the same filter
+    # stage) + text_analysis (fold, scores the same signals)
+    "pipeline_filter": pipeline.pipeline_filter,
+    # E35 keeps dedup_cc/embed/semantic/span/line fold rows; cc's
+    # banding machinery is a superset of minhash's
+    "dedup_minhash": pipeline.dedup_minhash,
+    # E36 growth ≙ ann_index (fold) + frozen-model bit-identity pinned
+    # in test_ann_index; the append contract's fold hash moved to the
+    # text side (pipeline_bm25_index_append)
+    "ann_index_append": pipeline.ann_index_append_q,
+    # E31/E32 ≙ stream_dedup + stream_stateful (fold, real readStream)
+    "stream_join": streaming_corpus.stream_join,
+    # round 14: INDEX DELETION, text side (VERDICT r13 #2) — build →
+    # tombstone a slice (df-decremented terms, rewritten N/avgdl) →
+    # query; oracle = the from-scratch BM25 SQL over the SURVIVING
+    # corpus (corpus_pred), so stale stats hash-mismatch loudly
+    "pipeline_bm25_index_delete": pipeline.pipeline_bm25_index_delete_q,
+    # round 14: INDEX DELETION, ANN side — tombstoned vectors excluded
+    # from candidates under the frozen full-corpus model; oracle =
+    # ann_ivfpq SQL with the candidate side filtered to survivors
+    "ann_index_delete": pipeline.ann_index_delete_q,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
     "pipeline_chunks": pipeline.pipeline_chunks,
-    # r12 displaced fold row (q14 returned to the fold in r13): E28
-    # conditional fns ≙ q13 (string) + q15 (math) + q14 (date, fold)
-    "q16": relational.q16,
     # E37 text family keeps text_analysis + pipeline_lm above fold
     "text_winnow": pipeline.text_winnow,
     "text_repetition": pipeline.text_repetition,
@@ -555,6 +517,8 @@ NON_BENCH = (
     "ann_index_append",  # builds + appends a parquet index (file IO)
     "pipeline_bm25_index",  # builds a parquet text index (file IO)
     "pipeline_bm25_index_append",  # builds + appends a text index (file IO)
+    "pipeline_bm25_index_delete",  # builds + deletes from a text index
+    "ann_index_delete",  # builds + deletes from an ANN index (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)
     "cog_palette",  # writes + reads back a palette COG (file IO)
     "cog_cubic",  # writes + reads back an interp-overview COG (file IO)

