@@ -147,6 +147,22 @@ class Engine:
 
         return append_to_index(corpus_delta, index_dir)
 
+    def phrase_match(self, docs: DataFrame, phrases: DataFrame,
+                     **kwargs) -> DataFrame:
+        """Exact multi-token phrase search over a corpus (round 14):
+        (q_id, phrase) → matching (q_id, doc_id, n_matches)."""
+        from ccog_spark.operators.text import phrase_match
+
+        return phrase_match(docs, phrases, **kwargs)
+
+    def query_phrase_index(self, index_dir: str,
+                           phrases: DataFrame) -> DataFrame:
+        """Phrase search from a positional text index (built with
+        positions=True) — the corpus is never re-read."""
+        from ccog_spark.operators.text_index import phrase_match_index
+
+        return phrase_match_index(self.spark, index_dir, phrases)
+
     # ---- retrieval (round 12)
     def bm25(self, docs: DataFrame, queries: DataFrame,
              **kwargs) -> DataFrame:

@@ -178,6 +178,66 @@ def adaptive_n_groups(n: int) -> int:
     return max(CODES_GROUPS, -(-n // GROUP_TARGET_ROWS))
 
 
+# nprobe auto-tune (round 14, VERDICT r13 #6). IVF recall at fixed
+# nprobe degrades as cell occupancy skews: when vectors crowd a few
+# cells the frozen quantizer never planned for, a query's true
+# neighbours spill past its nearest-centroid ranking and more cells
+# must be probed to recover them. The rule scales the probe count by
+# the occupancy imbalance, measured as C_occ / E where E is the
+# participation ratio (Σn)²/Σn² — the "effective number of equally
+# loaded cells" (E = C_occ when uniform, E → 1 when one cell holds
+# everything). Pure integer arithmetic throughout, so the DuckDB
+# oracle replays the identical value from the same per-cell counts
+# (the adaptive_band_bits precedent: data-dependent knob as a pure
+# post-transform of a deterministic construction).
+NPROBE_BASE = 2  # the uniform-occupancy default (all existing rows)
+NPROBE_CAP = 8  # conservative ceiling a fixed setting would need
+
+
+def auto_nprobe(counts: list[int]) -> int:
+    """clamp(ceil(NPROBE_BASE · C_occ / E), BASE, CAP, C_occ) over the
+    OCCUPIED cells' sizes. Uniform → BASE (existing behaviour);
+    skewed → proportionally more probes, never past CAP."""
+    counts = [int(c) for c in counts if c > 0]
+    if not counts:
+        return NPROBE_BASE
+    s = sum(counts)
+    q = sum(c * c for c in counts)
+    e = (s * s) // q  # effective equally-loaded cell count, >= 1
+    c_occ = len(counts)
+    np_ = min(NPROBE_CAP, max(NPROBE_BASE, -(-NPROBE_BASE * c_occ // e)))
+    return min(np_, c_occ)
+
+
+def _write_cellstats(spark: SparkSession, index_dir: str) -> None:
+    """Per-cell occupancy of the WRITTEN codes table (real cells only
+    — the grp = -1 null-embedding fallback rows never participate in
+    probing). Index-sized; serves auto_nprobe without a codes scan at
+    query time."""
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    (
+        codes.where(F.col("cell") >= 0)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, "cellstats__stage"))
+    )
+    import shutil
+
+    live = os.path.join(index_dir, "cellstats")
+    shutil.rmtree(live, ignore_errors=True)
+    os.rename(os.path.join(index_dir, "cellstats__stage"), live)
+
+
+def _read_cellstats(spark: SparkSession, index_dir: str) -> list[int]:
+    """The per-cell counts, deriving them from codes when the index
+    predates the cellstats table (one index-sized aggregate)."""
+    p = os.path.join(index_dir, "cellstats")
+    if not os.path.isdir(p):
+        _write_cellstats(spark, index_dir)
+    return [r.n for r in spark.read.parquet(p).collect()]
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     dim: int,
@@ -227,6 +287,7 @@ def build_ivfpq_index(
     n_vectors = spark.read.parquet(
         os.path.join(index_dir, "codes")
     ).count()
+    _write_cellstats(spark, index_dir)  # serves auto_nprobe
     meta = {
         "dim": dim,
         "m_blocks": m_blocks,
@@ -319,6 +380,7 @@ def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
         "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
         "n_groups int",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    _write_cellstats(spark, index_dir)  # occupancy moved: refresh
     ic.end_mutation(index_dir)
     return {
         **new_meta,
@@ -404,6 +466,7 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     os.rename(stage, live)
     ic.clear_tombstones(index_dir)
     if n_tomb:
+        _write_cellstats(spark, index_dir)  # occupancy shrank
         n_vectors = spark.read.parquet(live).count()
         spark.createDataFrame(
             [
@@ -429,7 +492,7 @@ def query_ivfpq_index(
     index_dir: str,
     queries: DataFrame,
     k: int = 3,
-    nprobe: int = 2,
+    nprobe: int | str = 2,
     rerank_corpus: DataFrame | None = None,
     m: int = 10,
 ) -> DataFrame:
@@ -458,6 +521,15 @@ def query_ivfpq_index(
 
     ic.check_not_inflight(index_dir)
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if nprobe == "auto":
+        # occupancy-skew-tuned probe count (round 14, VERDICT r13 #6):
+        # derived from the persisted per-cell counts — an index-sized
+        # driver read, no codes scan. The value is a deterministic
+        # pure function of the saved index state (the oracle replays
+        # it from the same counts); pending tombstones leave the
+        # counts slightly stale until compact — a recall/cost
+        # heuristic drifting a little, not a correctness input.
+        nprobe = auto_nprobe(_read_cellstats(spark, index_dir))
     centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cb_rows = sorted(
         spark.read.parquet(os.path.join(index_dir, "codebook")).collect(),

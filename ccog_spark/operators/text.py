@@ -760,3 +760,87 @@ def rrf_fuse_many(
     return fused.select(
         "q_id", id_col, "rrf", F.row_number().over(w).alias("rn")
     ).where(F.col("rn") <= k)
+
+
+def _phrase_core(
+    toks: DataFrame, phrases: DataFrame, id_col: str
+) -> DataFrame:
+    """The ONE phrase-adjacency core, shared by ``phrase_match``
+    (token positions derived from the raw corpus) and
+    ``text_index.phrase_match_index`` (positions read from the
+    positional postings) — bit-identical results between the two
+    paths are the positional index's contract.
+
+    Inputs: toks = (id_col, pos, t) with ``pos`` the 1-based index of
+    the token in the RAW whitespace split (empty tokens filtered but
+    their positions kept — the deterministic rule both the engine and
+    the DuckDB oracle replay); phrases = (q_id, phrase).
+
+    The adjacency trick is anchor normalization: a phrase term at
+    offset ``i`` matching a document position ``pos`` implies the
+    phrase would START at anchor = pos − i; a document contains the
+    phrase exactly where ONE anchor collects ALL n distinct offsets.
+    No window over content keys — one broadcast join (phrase terms
+    are query-batch-sized) and two map-side-combinable aggregates;
+    only matching tokens ever shuffle, grouped by (q_id, id, anchor)
+    whose cardinality is bounded by the matching-token count."""
+    pterms = (
+        phrases.select(
+            "q_id",
+            F.posexplode(F.split(F.col("phrase"), " ")).alias("i", "t"),
+        )
+        .where(F.col("t") != "")
+    )
+    # phrase length n = distinct offsets AMONG NON-EMPTY terms (the
+    # same rule the oracle spells with COUNT(DISTINCT i))
+    pn = pterms.groupBy("q_id").agg(F.count_distinct("i").alias("n"))
+    m = toks.join(F.broadcast(pterms), "t").select(
+        "q_id", F.col(id_col), (F.col("pos") - F.col("i")).alias("anchor"),
+        "i",
+    )
+    hits = (
+        m.groupBy("q_id", id_col, "anchor")
+        .agg(F.count_distinct("i").alias("k"))
+        .join(F.broadcast(pn), "q_id")
+        .where(F.col("k") == F.col("n"))
+    )
+    return (
+        hits.groupBy("q_id", id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact multi-token PHRASE search (round 14, VERDICT r13 #5 —
+    the first thing every BM25 user asks for next): for each query
+    phrase, the documents containing its tokens CONSECUTIVELY, with
+    the number of occurrences. ``phrases``: (q_id, phrase); output
+    (q_id, id_col, n_matches), matching documents only.
+
+    Positions are 1-based indices into the raw whitespace split
+    (empty tokens filtered, positions NOT renumbered — so a phrase
+    never matches across a double space; deterministic and replayed
+    verbatim by the SQL oracle). Integer-only output — fully
+    hash-gateable, no floats anywhere.
+
+    Scale shape: one posexplode over the corpus (map-side, no
+    shuffle), a broadcast join against the query-batch-sized phrase
+    terms, then aggregates over MATCHING tokens only — a corpus-scale
+    document containing no phrase vocabulary contributes zero rows to
+    any exchange. The positional-index twin
+    (text_index.phrase_match_index) answers the same question reading
+    only the phrase terms' posting buckets."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "t"),
+        )
+        .where(F.col("t") != "")
+        .select(id_col, (F.col("p0") + 1).alias("pos"), "t")
+    )
+    return _phrase_core(toks, phrases, id_col)

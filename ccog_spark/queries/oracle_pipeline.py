@@ -819,7 +819,7 @@ FROM events GROUP BY user_id ORDER BY user_id
 def _ivfpq_sql(
     dim: int = 64,
     cent_stride: int = 25,
-    nprobe: int = 2,
+    nprobe: int | str = 2,
     model_pred: str = "",
     k: int = 3,
     q_pred: str = "vec_id % 100 = 0",
@@ -846,7 +846,33 @@ def _ivfpq_sql(
     the model still derives from the full corpus — the mirrored
     frozen-model semantics of index DELETION (tombstoned vectors are
     excluded from retrieval; nothing else can change, ADC has no
-    corpus statistics)."""
+    corpus statistics).
+
+    ``nprobe="auto"`` (round 14, VERDICT r13 #6): the probe count is
+    computed IN SQL from the per-cell occupancy of the replayed cells
+    CTE — the exact integer rule ann_index.auto_nprobe applies to its
+    persisted cellstats: E = (Σn)² // Σn² (participation ratio),
+    np = clamp(ceil(BASE·C_occ/E), BASE, CAP, C_occ). A hash match
+    proves the engine picked the identical data-dependent knob (the
+    adaptive_band_bits oracle pattern)."""
+    from ccog_spark.operators.ann_index import NPROBE_BASE, NPROBE_CAP
+
+    if nprobe == "auto":
+        # the exact auto_nprobe integer rule over the cells CTE's
+        # occupancy; ceil-div spelled (a + b - 1) // b, E >= 1 always
+        npx_cte = f""", npx AS (
+  SELECT LEAST(
+           LEAST({NPROBE_CAP}, GREATEST({NPROBE_BASE},
+             CAST(({NPROBE_BASE} * COUNT(*)
+                   + (SUM(n) * SUM(n)) // SUM(n * n) - 1)
+                  // ((SUM(n) * SUM(n)) // SUM(n * n)) AS BIGINT))),
+           COUNT(*)) AS np
+  FROM (SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell) occ
+)"""
+        prn_cut = "(SELECT np FROM npx)"
+    else:
+        npx_cte = ""
+        prn_cut = str(int(nprobe))
     from ccog_spark.operators.similarity import (
         PQ_CB_K,
         PQ_CB_MOD,
@@ -943,7 +969,7 @@ WITH nv AS (
   ) WHERE rn = 1
 ), cells AS (
   SELECT * FROM cells_h UNION ALL SELECT * FROM cells_o
-), cbr AS (
+){npx_cte}, cbr AS (
   SELECT vec_id, e FROM nv WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES} {model_pred}
   ORDER BY vec_id LIMIT {PQ_CB_K}
 ), cb AS (
@@ -973,7 +999,7 @@ WITH nv AS (
 ), pairs AS (
   SELECT l.q_id, e.vec_id,
          {adc} AS adc_raw
-  FROM (SELECT * FROM probe WHERE prn <= {nprobe}) p
+  FROM (SELECT * FROM probe WHERE prn <= {prn_cut}) p
   JOIN cells USING (cell)
   JOIN enc e ON e.vec_id = cells.vec_id
   JOIN lut l ON l.q_id = p.q_id
@@ -1006,6 +1032,10 @@ PIPELINE_ORACLE["ann_index_append"] = _ivfpq_sql(
 PIPELINE_ORACLE["ann_index_delete"] = _ivfpq_sql(
     cand_pred="AND e.vec_id % 11 <> 5"
 )
+# nprobe auto-tune (round 14, VERDICT r13 #6): the probe count is the
+# data-dependent auto_nprobe value, replayed in SQL from the cells
+# CTE's occupancy — hash match ⇒ identical knob AND identical top-k.
+PIPELINE_ORACLE["ann_autoprobe"] = _ivfpq_sql(nprobe="auto")
 
 # Two-stage retrieval (round 12, similarity.ivfpq_rerank_topk): the
 # full ADC composition at k = m selects the candidate set (the whole
@@ -1745,6 +1775,47 @@ PIPELINE_ORACLE["pipeline_bm25_index"] = _bm25_sql(5)
 # must equal the from-scratch computation over the union corpus — the
 # ann_index_append equivalence contract on the text side.
 PIPELINE_ORACLE["pipeline_bm25_index_append"] = _bm25_sql(5)
+
+# Exact phrase search (round 14, text.phrase_match — VERDICT r13 #5):
+# full adjacency replay. Positions are 1-based indices in the RAW
+# whitespace split (empty tokens filtered, positions kept — a phrase
+# never matches across a double space, identically in both engines);
+# phrase terms carry their 0-based offsets; a document matches at an
+# anchor = pos − i that collects ALL distinct offsets; n_matches
+# counts such anchors. Integer-only — no float anywhere.
+_PHRASE_SQL = """
+WITH toks AS (
+  SELECT d.doc_id, u.wi AS pos, string_split(d.text, ' ')[u.wi] AS t
+  FROM documents d,
+       UNNEST(range(1, len(string_split(d.text, ' ')) + 1)) AS u(wi)
+  WHERE string_split(d.text, ' ')[u.wi] <> ''
+), ph AS (
+  SELECT doc_id AS q_id, string_split(text, ' ')[2:4] AS phr
+  FROM documents WHERE doc_id % 101 = 7
+), pt AS (
+  SELECT q_id, u.wi - 1 AS i, phr[u.wi] AS t
+  FROM ph, UNNEST(range(1, len(phr) + 1)) AS u(wi)
+  WHERE phr[u.wi] <> ''
+), pn AS (
+  SELECT q_id, COUNT(DISTINCT i) AS n FROM pt GROUP BY q_id
+), m AS (
+  SELECT pt.q_id, toks.doc_id, toks.pos - pt.i AS anchor, pt.i
+  FROM toks JOIN pt USING (t)
+), hits AS (
+  SELECT q_id, doc_id, anchor, COUNT(DISTINCT i) AS k
+  FROM m GROUP BY q_id, doc_id, anchor
+)
+SELECT h.q_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM hits h JOIN pn USING (q_id)
+WHERE h.k = pn.n
+GROUP BY h.q_id, h.doc_id
+ORDER BY q_id, doc_id
+"""
+
+PIPELINE_ORACLE["pipeline_phrase"] = _PHRASE_SQL
+# Index-backed phrase search: shared adjacency core ⇒ bit-identical to
+# the inline operator — one SQL truth, two execution paths.
+PIPELINE_ORACLE["pipeline_phrase_index"] = _PHRASE_SQL
 
 # Index deletion (round 14, delete_from_text_index): build on the full
 # corpus + delete the doc_id % 13 == 3 slice must equal the

@@ -907,6 +907,53 @@ def pipeline_bm25_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
 
 
+def _phrase_batch(docs: DataFrame) -> DataFrame:
+    """Deterministic phrase set: words 2..4 of every doc_id % 101 == 7
+    document — every phrase has ≥ 1 guaranteed match (its source doc)
+    and the small fixture vocabulary makes cross-document matches
+    common, so both the hit and miss paths are exercised."""
+    return docs.where(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 2, 3), " "
+        ).alias("phrase"),
+    )
+
+
+def pipeline_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (round 14, text.phrase_match — VERDICT r13
+    #5): anchor-normalized adjacency over 1-based raw-split token
+    positions, counting occurrences per (query, document). Pure
+    integer output; the oracle replays tokenization with positions,
+    the anchor group, the distinct-offset coverage test, and the
+    occurrence count in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.phrase_match(docs, _phrase_batch(docs)).orderBy(
+        "q_id", "doc_id"
+    )
+
+
+def pipeline_phrase_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search FROM THE POSITIONAL INDEX (round 14,
+    text_index.phrase_match_index): build_bm25_index(positions=True)
+    stores per-posting occurrence positions; the phrase terms' posting
+    buckets alone answer the adjacency query — the corpus is never
+    re-read. Shared adjacency core ⇒ bit-identical to the inline
+    operator, so the oracle is pipeline_phrase's SQL verbatim (the
+    query_bm25_index one-truth contract)."""
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        phrase_match_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_bm25_pos", sf_dir)
+    build_bm25_index(docs, idx, positions=True)
+    return phrase_match_index(spark, idx, _phrase_batch(docs)).orderBy(
+        "q_id", "doc_id"
+    )
+
+
 def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN INDEX DELETION (round 14, ann_index.delete_from_ann_index —
     the E36 twin of pipeline_bm25_index_delete): build the IVF+PQ
@@ -930,6 +977,29 @@ def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return query_ivfpq_index(
         spark, idx, _queries_subset(emb), k=3
+    ).orderBy("q_id", "rn")
+
+
+def ann_autoprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCCUPANCY-TUNED nprobe (round 14, ann_index.auto_nprobe —
+    VERDICT r13 #6): the probe count is derived from the persisted
+    per-cell occupancy (participation-ratio rule, pure integers)
+    instead of the fixed default — skewed quantizers probe more,
+    uniform ones keep the cheap setting. The oracle recomputes the
+    SAME rule in SQL from the replayed cell assignment and uses it as
+    the probe cut, so the hash gates both the knob and the answers
+    (the adaptive_band_bits contract). Recall-vs-cost is pinned by a
+    pytest property on a deliberately skewed corpus."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _tmp_index_dir("ccog_ivfpq_auto", sf_dir)
+    build_ivfpq_index(emb, EMB_DIM, idx)
+    return query_ivfpq_index(
+        spark, idx, _queries_subset(emb), k=3, nprobe="auto"
     ).orderBy("q_id", "rn")
 
 

@@ -437,6 +437,14 @@ REGISTRY: dict[str, QueryFn] = {
     "ann_index_append": pipeline.ann_index_append_q,
     # E31/E32 ≙ stream_dedup + stream_stateful (fold, real readStream)
     "stream_join": streaming_corpus.stream_join,
+    # round 14: exact PHRASE search (VERDICT r13 #5) — inline
+    # anchor-normalized adjacency over raw-split positions; pure
+    # integer output, full SQL adjacency replay
+    "pipeline_phrase": pipeline.pipeline_phrase,
+    # round 14: phrase search from the POSITIONAL index — postings
+    # store per-occurrence positions, the corpus is never re-read;
+    # shared adjacency core ⇒ oracle is pipeline_phrase SQL verbatim
+    "pipeline_phrase_index": pipeline.pipeline_phrase_index_q,
     # round 14: INDEX DELETION, text side (VERDICT r13 #2) — build →
     # tombstone a slice (df-decremented terms, rewritten N/avgdl) →
     # query; oracle = the from-scratch BM25 SQL over the SURVIVING
@@ -446,6 +454,9 @@ REGISTRY: dict[str, QueryFn] = {
     # from candidates under the frozen full-corpus model; oracle =
     # ann_ivfpq SQL with the candidate side filtered to survivors
     "ann_index_delete": pipeline.ann_index_delete_q,
+    # round 14: occupancy-tuned nprobe — the data-dependent probe
+    # count replayed by the oracle's SQL participation-ratio rule
+    "ann_autoprobe": pipeline.ann_autoprobe_q,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
@@ -518,7 +529,9 @@ NON_BENCH = (
     "pipeline_bm25_index",  # builds a parquet text index (file IO)
     "pipeline_bm25_index_append",  # builds + appends a text index (file IO)
     "pipeline_bm25_index_delete",  # builds + deletes from a text index
+    "pipeline_phrase_index",  # builds a positional text index (file IO)
     "ann_index_delete",  # builds + deletes from an ANN index (file IO)
+    "ann_autoprobe",  # builds a parquet ANN index per run (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)
     "cog_palette",  # writes + reads back a palette COG (file IO)
     "cog_cubic",  # writes + reads back an interp-overview COG (file IO)

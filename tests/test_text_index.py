@@ -261,3 +261,101 @@ def test_index_pregate_uses_pair_count(spark, tmp_path, monkeypatch):
     rows = QI(spark, idx, qs, k=3, min_postings=floor).collect()
     assert len(rows) > 0
     assert calls, "pre-gate declined on the distinct-term ceiling"
+
+
+def test_phrase_inline_matches_oracle_shape(spark):
+    """text.phrase_match: every phrase finds at least its source
+    document with >= 1 occurrence; a nonsense phrase finds nothing;
+    a single-token phrase counts plain term occurrences."""
+    from ccog_spark.operators.text import phrase_match
+
+    docs = _docs(spark)
+    phrases = docs.where(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 2, 3), " "
+        ).alias("phrase"),
+    )
+    out = phrase_match(docs, phrases).collect()
+    got = {(r.q_id, r.doc_id): r.n_matches for r in out}
+    for q in phrases.collect():
+        assert got.get((q.q_id, q.q_id), 0) >= 1  # source doc matches
+    assert all(n >= 1 for n in got.values())
+
+    none = spark.createDataFrame(
+        [(1, "zzz qqq xxx")], "q_id long, phrase string"
+    )
+    assert phrase_match(docs, none).count() == 0
+
+    single = spark.createDataFrame(
+        [(1, "dup")], "q_id long, phrase string"
+    )
+    one = {r.doc_id: r.n_matches for r in phrase_match(docs, single).collect()}
+    tf = {
+        r.doc_id: r.c
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda t: t == F.lit("dup"))
+            ).alias("c"),
+        ).collect()
+        if r.c > 0
+    }
+    assert one == tf  # 1-token phrase == term frequency
+
+
+def test_phrase_index_bit_identical_and_lifecycle(spark, tmp_path):
+    """phrase_match_index == phrase_match row-for-row (shared
+    adjacency core); positions survive append, delete hides a doc's
+    matches, compact preserves the positional layout; a
+    positions-less index refuses phrase queries."""
+    from ccog_spark.operators.text import phrase_match
+    from ccog_spark.operators.text_index import (
+        append_to_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        phrase_match_index,
+    )
+
+    docs = _docs(spark)
+    phrases = docs.where(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 2, 3), " "
+        ).alias("phrase"),
+    )
+    base = docs.where(F.col("doc_id") % 7 != 0)
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+
+    idx = str(tmp_path / "pos_idx")
+    build_bm25_index(base, idx, n_buckets=64, positions=True)
+    append_to_text_index(delta, idx)  # must carry positions through
+
+    want = sorted(map(tuple, phrase_match(docs, phrases).collect()))
+    got = sorted(map(tuple, phrase_match_index(spark, idx, phrases).collect()))
+    assert got == want and len(got) > 0
+
+    # delete a slice: its docs disappear from phrase results
+    dels = docs.where(F.col("doc_id") % 13 == 3).select("doc_id")
+    delete_from_text_index(spark, idx, dels)
+    surv = sorted(
+        map(tuple, phrase_match_index(spark, idx, phrases).collect())
+    )
+    del_set = {r.doc_id for r in dels.collect()}
+    assert surv == [t for t in want if t[1] not in del_set]
+
+    # compact keeps the positional layout AND the deletion
+    compact_text_index(spark, idx)
+    assert (
+        sorted(map(tuple, phrase_match_index(spark, idx, phrases).collect()))
+        == surv
+    )
+    # BM25 from the positional index still works (pos column pruned)
+    qs = _queries(spark, docs)
+    assert query_bm25_index(spark, idx, qs, k=5).count() > 0
+
+    # a scoring-only index refuses phrase queries loudly
+    flat = str(tmp_path / "flat_idx")
+    build_bm25_index(base, flat, n_buckets=64)
+    with pytest.raises(ValueError, match="positions=True"):
+        phrase_match_index(spark, flat, phrases)
