@@ -156,12 +156,31 @@ class Engine:
         return phrase_match(docs, phrases, **kwargs)
 
     def query_phrase_index(self, index_dir: str,
-                           phrases: DataFrame) -> DataFrame:
+                           phrases: DataFrame, **kwargs) -> DataFrame:
         """Phrase search from a positional text index (built with
         positions=True) — the corpus is never re-read."""
         from ccog_spark.operators.text_index import phrase_match_index
 
-        return phrase_match_index(self.spark, index_dir, phrases)
+        return phrase_match_index(self.spark, index_dir, phrases, **kwargs)
+
+    def proximity_match(self, docs: DataFrame, phrases: DataFrame,
+                        max_span: int, **kwargs) -> DataFrame:
+        """Unordered proximity search (round 14): all terms of each
+        (q_id, phrase) within ``max_span`` consecutive positions, any
+        order → matching (q_id, doc_id, n_matches)."""
+        from ccog_spark.operators.text import proximity_match
+
+        return proximity_match(docs, phrases, max_span, **kwargs)
+
+    def query_proximity_index(self, index_dir: str, phrases: DataFrame,
+                              max_span: int, **kwargs) -> DataFrame:
+        """Proximity search from a positional text index (built with
+        positions=True) — the corpus is never re-read."""
+        from ccog_spark.operators.text_index import proximity_match_index
+
+        return proximity_match_index(
+            self.spark, index_dir, phrases, max_span, **kwargs
+        )
 
     # ---- retrieval (round 12)
     def bm25(self, docs: DataFrame, queries: DataFrame,

@@ -844,3 +844,87 @@ def phrase_match(
         .select(id_col, (F.col("p0") + 1).alias("pos"), "t")
     )
     return _phrase_core(toks, phrases, id_col)
+
+
+def _proximity_core(
+    toks: DataFrame, phrases: DataFrame, id_col: str, max_span: int
+) -> DataFrame:
+    """UNORDERED proximity core, shared by ``proximity_match`` (raw
+    corpus positions) and ``text_index.proximity_match_index``
+    (positions from the positional postings) — the same two-paths-one-
+    truth contract as ``_phrase_core``.
+
+    Semantics: a document matches a query where SOME window of
+    ``max_span`` consecutive raw positions contains every phrase
+    offset's term, in ANY order (Lucene's unordered sloppy-phrase
+    shape, with an explicit window instead of edit-distance slop —
+    deterministic and SQL-replayable). Duplicate phrase terms
+    degenerate to distinct-TERM coverage: one in-window token
+    satisfies every offset carrying that term (count_distinct(i)
+    counts offsets, and a matching token matches all its term's
+    offsets). ``n_matches`` counts qualifying window STARTS, where a
+    window must start at a matching token's position (anchoring that
+    makes the count finite and both engines agree on it).
+
+    Scale shape: matching tokens only (broadcast phrase-term join),
+    then a self-join on (q_id, id) with the span range as the join
+    filter — per-document cost is quadratic in that document's
+    MATCHING-token count (bounded by document length, not corpus
+    size); non-matching documents contribute zero rows to any
+    exchange. The aggregates are map-side-combinable."""
+    if max_span < 1:
+        raise ValueError(f"max_span must be >= 1, got {max_span}")
+    pterms = (
+        phrases.select(
+            "q_id",
+            F.posexplode(F.split(F.col("phrase"), " ")).alias("i", "t"),
+        )
+        .where(F.col("t") != "")
+    )
+    pn = pterms.groupBy("q_id").agg(F.count_distinct("i").alias("n"))
+    m = toks.join(F.broadcast(pterms), "t").select(
+        "q_id", F.col(id_col), "pos", "i"
+    )
+    wins = m.select("q_id", id_col, F.col("pos").alias("w0")).distinct()
+    cover = (
+        m.join(wins, ["q_id", id_col])
+        .where(
+            (F.col("pos") >= F.col("w0"))
+            & (F.col("pos") <= F.col("w0") + F.lit(max_span - 1))
+        )
+        .groupBy("q_id", id_col, "w0")
+        .agg(F.count_distinct("i").alias("k"))
+        .join(F.broadcast(pn), "q_id")
+        .where(F.col("k") == F.col("n"))
+    )
+    return cover.groupBy("q_id", id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
+
+
+def proximity_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    max_span: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unordered PROXIMITY search (round 14 — the relaxation every
+    exact-phrase user asks for next): documents where all the query
+    terms co-occur within ``max_span`` consecutive token positions,
+    in any order. ``phrases``: (q_id, phrase); output (q_id, id_col,
+    n_matches) with ``n_matches`` = qualifying window starts (see
+    ``_proximity_core`` for the exact anchoring rule). Positions are
+    the same 1-based raw-whitespace-split indices as
+    ``phrase_match``; exact phrase is the ordered special case —
+    proximity with max_span == len(phrase) additionally accepts
+    permutations. Integer-only output, fully hash-gateable."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "t"),
+        )
+        .where(F.col("t") != "")
+        .select(id_col, (F.col("p0") + 1).alias("pos"), "t")
+    )
+    return _proximity_core(toks, phrases, id_col, max_span)

@@ -1669,7 +1669,10 @@ ORDER BY d.doc_id
 # Double constants are Python-computed reprs so both engines parse the
 # identical IEEE values; association order mirrors the engine exactly.
 def _bm25_sql(
-    k: int = 5, q_cte: str | None = None, corpus_pred: str | None = None
+    k: int = 5,
+    q_cte: str | None = None,
+    corpus_pred: str | None = None,
+    cand_pred: str | None = None,
 ) -> str:
     """``q_cte``: SQL for the (q_id, t) DISTINCT query-term set;
     defaults to the corpus-derived registry batch. The scoring body is
@@ -1682,11 +1685,24 @@ def _bm25_sql(
     corpus (tf/dl/df/N/avgdl all derive from the filtered set) — the
     from-scratch-over-SURVIVORS truth the index-deletion row must
     match. The query CTE still reads the full table: a deleted
-    document stops being findable, not askable."""
+    document stops being findable, not askable.
+
+    ``cand_pred`` (round 14, filtered retrieval): predicate
+    restricting CANDIDATES only — df/N/avgdl stay corpus-wide (Lucene
+    filter semantics, the doc_filter contract of query_bm25_index),
+    the opposite statistics rule from ``corpus_pred``'s deletion
+    semantics."""
     corpus = (
         "documents" if corpus_pred is None
         else f"(SELECT * FROM documents WHERE {corpus_pred})"
     )
+    cand_join = ""
+    if cand_pred is not None:
+        cand_join = (
+            "JOIN (SELECT doc_id FROM documents WHERE "
+            + cand_pred
+            + ") cand USING (doc_id)\n  "
+        )
     if q_cte is None:
         q_cte = """
   SELECT DISTINCT q_id, t FROM (
@@ -1721,7 +1737,7 @@ WITH toks AS (
   JOIN q USING (t)
   JOIN dfs USING (t)
   JOIN dl USING (doc_id)
-  CROSS JOIN stats s
+  {cand_join}CROSS JOIN stats s
 ), scored AS (
   SELECT q_id, doc_id, CAST(SUM(tq) AS BIGINT) AS score
   FROM j GROUP BY q_id, doc_id
@@ -1776,6 +1792,18 @@ PIPELINE_ORACLE["pipeline_bm25_index"] = _bm25_sql(5)
 # ann_index_append equivalence contract on the text side.
 PIPELINE_ORACLE["pipeline_bm25_index_append"] = _bm25_sql(5)
 
+
+def _bm25_filtered_sql() -> str:
+    """Filtered-retrieval oracle (round 14): candidates restricted by
+    the docmeta predicate, statistics corpus-wide — the predicate is
+    imported from queries.pipeline so engine and oracle can't drift."""
+    from ccog_spark.queries.pipeline import BM25_FILTER_PRED
+
+    return _bm25_sql(5, cand_pred=BM25_FILTER_PRED)
+
+
+PIPELINE_ORACLE["pipeline_bm25_index_filtered"] = _bm25_filtered_sql()
+
 # Exact phrase search (round 14, text.phrase_match — VERDICT r13 #5):
 # full adjacency replay. Positions are 1-based indices in the RAW
 # whitespace split (empty tokens filtered, positions kept — a phrase
@@ -1816,6 +1844,52 @@ PIPELINE_ORACLE["pipeline_phrase"] = _PHRASE_SQL
 # Index-backed phrase search: shared adjacency core ⇒ bit-identical to
 # the inline operator — one SQL truth, two execution paths.
 PIPELINE_ORACLE["pipeline_phrase_index"] = _PHRASE_SQL
+
+# Unordered proximity search (round 14, text.proximity_match): same
+# tokenization/phrase batch as the exact rows; a document matches
+# where some 5-position window starting AT a matching token contains
+# every phrase offset's term in any order (count_distinct(i) over the
+# window = n); n_matches counts qualifying window starts. Duplicate
+# phrase terms degenerate to distinct-term coverage — identically in
+# both engines (one in-window token matches all its term's offsets).
+_PROXIMITY_SQL = """
+WITH toks AS (
+  SELECT d.doc_id, u.wi AS pos, string_split(d.text, ' ')[u.wi] AS t
+  FROM documents d,
+       UNNEST(range(1, len(string_split(d.text, ' ')) + 1)) AS u(wi)
+  WHERE string_split(d.text, ' ')[u.wi] <> ''
+), ph AS (
+  SELECT doc_id AS q_id, string_split(text, ' ')[2:4] AS phr
+  FROM documents WHERE doc_id % 101 = 7
+), pt AS (
+  SELECT q_id, u.wi - 1 AS i, phr[u.wi] AS t
+  FROM ph, UNNEST(range(1, len(phr) + 1)) AS u(wi)
+  WHERE phr[u.wi] <> ''
+), pn AS (
+  SELECT q_id, COUNT(DISTINCT i) AS n FROM pt GROUP BY q_id
+), m AS (
+  SELECT pt.q_id, toks.doc_id, toks.pos, pt.i
+  FROM toks JOIN pt USING (t)
+), wins AS (
+  SELECT DISTINCT q_id, doc_id, pos AS w0 FROM m
+), cover AS (
+  SELECT w.q_id, w.doc_id, w.w0, COUNT(DISTINCT m.i) AS k
+  FROM wins w JOIN m
+    ON m.q_id = w.q_id AND m.doc_id = w.doc_id
+   AND m.pos BETWEEN w.w0 AND w.w0 + 4
+  GROUP BY w.q_id, w.doc_id, w.w0
+)
+SELECT c.q_id, c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM cover c JOIN pn USING (q_id)
+WHERE c.k = pn.n
+GROUP BY c.q_id, c.doc_id
+ORDER BY q_id, doc_id
+"""
+
+PIPELINE_ORACLE["pipeline_proximity"] = _PROXIMITY_SQL
+# Index-backed proximity: shared window core ⇒ bit-identical to the
+# inline operator — one SQL truth, two execution paths.
+PIPELINE_ORACLE["pipeline_proximity_index"] = _PROXIMITY_SQL
 
 # Index deletion (round 14, delete_from_text_index): build on the full
 # corpus + delete the doc_id % 13 == 3 slice must equal the

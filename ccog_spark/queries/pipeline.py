@@ -875,6 +875,47 @@ def pipeline_bm25_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
 
 
+# Filtered-retrieval predicate over the index's docmeta columns —
+# module-level so the oracle imports it VERBATIM (the
+# BM25_PRUNED_QUERY_BATCH no-drift precedent). Odd-numbered sources ≈
+# half the corpus: both the kept and excluded paths carry weight.
+BM25_FILTER_PRED = (
+    "source IN ('src1','src3','src5','src7','src9',"
+    "'src11','src13','src15','src17','src19')"
+)
+
+
+def pipeline_bm25_index_filtered_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED retrieval from the persisted index (round 14,
+    query_bm25_index(doc_filter=…)): the index stores a narrow
+    docmeta table (build_bm25_index(meta_cols=…), Lucene stored-fields
+    shape); at query time a metadata predicate restricts CANDIDATES
+    while df/n_docs/avgdl stay index-wide — Lucene filter semantics,
+    the statistical opposite of the deletion row. The oracle is the
+    bm25 SQL with the same predicate joined into the scoring CTE
+    only (stats CTEs untouched), predicate shared verbatim via
+    BM25_FILTER_PRED."""
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_bm25_fil", sf_dir)
+    build_bm25_index(docs, idx, meta_cols=("lang", "source"))
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    return query_bm25_index(
+        spark, idx, queries, k=5, doc_filter=BM25_FILTER_PRED
+    ).orderBy("q_id", "rn")
+
+
 def pipeline_bm25_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INDEX DELETION (round 14, text_index.delete_from_text_index —
     VERDICT r13 #2): build the inverted index over the FULL corpus,
@@ -952,6 +993,44 @@ def pipeline_phrase_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match_index(spark, idx, _phrase_batch(docs)).orderBy(
         "q_id", "doc_id"
     )
+
+
+def pipeline_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered PROXIMITY search (round 14, text.proximity_match —
+    the relaxation of pipeline_phrase): all query terms co-occurring
+    within a 5-position window in any order, counting qualifying
+    window starts. Same deterministic phrase batch as the exact rows
+    (3-token phrases ⇒ span 5 admits permutations and one-token
+    gaps); the oracle replays the window self-join, the
+    distinct-offset coverage test, and the start count in SQL —
+    integers only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.proximity_match(docs, _phrase_batch(docs), max_span=5).orderBy(
+        "q_id", "doc_id"
+    )
+
+
+def pipeline_proximity_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search FROM THE POSITIONAL INDEX (round 14,
+    text_index.proximity_match_index): the query terms' posting
+    buckets alone answer the window query — the corpus is never
+    re-read. Shared core (text._proximity_core) ⇒ bit-identical to
+    the inline operator, so the oracle is pipeline_proximity's SQL
+    verbatim (the phrase pair's one-truth pattern)."""
+    import os
+
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        proximity_match_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_bm25_pos", sf_dir)
+    if not os.path.isdir(os.path.join(idx, "meta")):
+        build_bm25_index(docs, idx, positions=True)
+    return proximity_match_index(
+        spark, idx, _phrase_batch(docs), max_span=5
+    ).orderBy("q_id", "doc_id")
 
 
 def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:

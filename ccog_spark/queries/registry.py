@@ -445,6 +445,19 @@ REGISTRY: dict[str, QueryFn] = {
     # store per-occurrence positions, the corpus is never re-read;
     # shared adjacency core ⇒ oracle is pipeline_phrase SQL verbatim
     "pipeline_phrase_index": pipeline.pipeline_phrase_index_q,
+    # round 14: UNORDERED proximity search (Lucene sloppy-phrase
+    # shape with an explicit window) — all terms within a 5-position
+    # window in any order; window self-join over matching tokens
+    # only, full SQL replay
+    "pipeline_proximity": pipeline.pipeline_proximity,
+    # round 14: proximity from the POSITIONAL index — shared window
+    # core ⇒ oracle is pipeline_proximity SQL verbatim
+    "pipeline_proximity_index": pipeline.pipeline_proximity_index_q,
+    # round 14: FILTERED retrieval — docmeta predicate restricts
+    # candidates, statistics stay index-wide (Lucene filter
+    # semantics); oracle = bm25 SQL with the predicate joined into
+    # the scoring CTE only, shared verbatim via BM25_FILTER_PRED
+    "pipeline_bm25_index_filtered": pipeline.pipeline_bm25_index_filtered_q,
     # round 14: INDEX DELETION, text side (VERDICT r13 #2) — build →
     # tombstone a slice (df-decremented terms, rewritten N/avgdl) →
     # query; oracle = the from-scratch BM25 SQL over the SURVIVING
@@ -530,6 +543,8 @@ NON_BENCH = (
     "pipeline_bm25_index_append",  # builds + appends a text index (file IO)
     "pipeline_bm25_index_delete",  # builds + deletes from a text index
     "pipeline_phrase_index",  # builds a positional text index (file IO)
+    "pipeline_proximity_index",  # builds a positional text index (file IO)
+    "pipeline_bm25_index_filtered",  # builds a text index + docmeta (file IO)
     "ann_index_delete",  # builds + deletes from an ANN index (file IO)
     "ann_autoprobe",  # builds a parquet ANN index per run (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)

@@ -179,3 +179,85 @@ def apply_text_index_batch(
     if on_epoch is not None:
         on_epoch(epoch_id, stats)
     return True
+
+
+def write_stream_ann_index(
+    stream_vecs: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    dim: int,
+    on_epoch=None,
+):
+    """foreachBatch → persisted IVF+PQ index maintenance (round 14):
+    the ANN twin of ``write_stream_text_index``. The first non-empty
+    micro-batch BUILDS the index (trains centroids/codebook on that
+    batch); every later batch is encoded under the FROZEN saved model
+    via ``append_to_index`` — so after N epochs the index is
+    bit-identical to build(batch 1) + append(batches 2..N), which is
+    the frozen-model drift contract batch appends already pin
+    (ann_index.py append_to_index docstring), now with streaming
+    arrival.
+
+    Visibility is epoch-boundary (the _inflight marker guards the
+    mid-append window); replays of an already-applied epoch are
+    skipped via checkpoint-namespaced markers in
+    ``{index_dir}/_stream_epochs/`` — identical protocol to the text
+    sink, see its docstring for the namespace rationale.
+
+    Staleness: each append's ``occupancy_skew`` (max/mean vectors per
+    occupied cell) reaches ``on_epoch(epoch_id, stats)`` — a climbing
+    skew across epochs means arriving vectors crowd cells the frozen
+    quantizer never planned for: compact won't help (layout-only);
+    rebuild."""
+    import hashlib
+    import os
+
+    ns = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        apply_ann_index_batch(
+            df, epoch_id, index_dir, ns, dim, on_epoch=on_epoch
+        )
+
+    return (
+        stream_vecs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def apply_ann_index_batch(
+    df: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    ns: str,
+    dim: int,
+    on_epoch=None,
+) -> bool:
+    """One epoch of streaming ANN-index maintenance (the foreachBatch
+    body of ``write_stream_ann_index``, exposed for direct testing of
+    the replay-skip contract). Returns True when the batch was
+    applied, False for an already-applied replay (or empty batch)."""
+    import os
+
+    if df.isEmpty():
+        return False
+    epochs_dir = os.path.join(index_dir, "_stream_epochs")
+    marker = os.path.join(epochs_dir, f"{ns}_epoch_{epoch_id}.done")
+    if os.path.exists(marker):
+        return False  # replayed batch: already applied, skip
+    from ccog_spark.operators.ann_index import (
+        append_to_index,
+        build_ivfpq_index,
+    )
+
+    if os.path.isdir(os.path.join(index_dir, "meta")):
+        stats = append_to_index(df, index_dir)
+    else:
+        stats = build_ivfpq_index(df, dim, index_dir)
+    os.makedirs(epochs_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("applied")
+    if on_epoch is not None:
+        on_epoch(epoch_id, stats)
+    return True

@@ -13,11 +13,20 @@ which is the saturation behavior real corpora show.
 
 doc_ids still shift by r*stride so dedup-style keys stay unique.
 
-Output: $SF_FA_DIR (default /tmp/ccog_sf_fa)/documents.parquet with
-SF_REPLICAS copies (10 → "sf1", 100 → "sf10")."""
+Round 14 adds embeddings.parquet to the fixture (the hybrid-index
+per-batch probe needs a vector side at the same scale): replica r
+shifts vec_id by the same stride rule and ROLLS each embedding array
+by r positions — norms and pairwise-distance distribution are
+preserved (a coordinate permutation is an isometry), but replicas do
+not collapse onto identical points, so IVF cell occupancy stays
+realistic instead of degenerate.
+
+Output: $SF_FA_DIR (default /tmp/ccog_sf_fa)/{documents,embeddings}
+.parquet with SF_REPLICAS copies (10 → "sf1", 100 → "sf10")."""
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -51,6 +60,32 @@ def main():
     )
     print("wrote", OUT, pq.ParquetFile(
         os.path.join(OUT, "documents.parquet")).metadata.num_rows)
+
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet")).to_pandas()
+    vstride = int(emb["vec_id"].max()) + 1
+    dim = len(emb["embedding"].iloc[0])
+    mat = np.stack(emb["embedding"].to_numpy())
+    echunks = []
+    for r in range(R):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + r * vstride
+        if r % dim:
+            e["embedding"] = list(np.roll(mat, r % dim, axis=1))
+        echunks.append(e)
+    ebig = pd.concat(echunks, ignore_index=True)
+    ebig["embedding"] = [np.asarray(v, dtype=np.float32) for v in ebig["embedding"]]
+    et = pa.Table.from_pandas(ebig, preserve_index=False)
+    et = et.set_column(
+        et.schema.get_field_index("embedding"),
+        pa.field("embedding", pa.list_(pa.float32())),
+        et["embedding"].cast(pa.list_(pa.float32())),
+    )
+    pq.write_table(
+        et, os.path.join(OUT, "embeddings.parquet"),
+        row_group_size=max(len(et) // 32, 1024),
+    )
+    print("wrote embeddings", pq.ParquetFile(
+        os.path.join(OUT, "embeddings.parquet")).metadata.num_rows)
 
 
 if __name__ == "__main__":

@@ -334,8 +334,8 @@ def test_bm25_direct_caller_tf_cache_self_cleans(spark):
     from pyspark.sql import functions as F
 
     from ccog_spark import cache_ledger
+    from ccog_spark.catalog import load_table
     from ccog_spark.operators import text
-    from ccog_spark.queries.catalog import load_table
 
     cache_ledger.release(spark, blocking=True)
     st = cache_ledger.session_state(spark)
@@ -348,7 +348,13 @@ def test_bm25_direct_caller_tf_cache_self_cleans(spark):
     text.bm25_topk(docs, queries, k=3, min_postings=0).collect()
     first = [df for own, df in st["persists"] if own == "bm25_topk"]
     assert len(first) == 1
-    text.bm25_topk(docs, queries, k=3, min_postings=0).collect()
+    # the second call must score a DIFFERENT corpus frame: Spark's
+    # CacheManager is canonicalized-PLAN-keyed, so an identical call
+    # would re-persist the same plan and re-light the first frame's
+    # storageLevel even after its unpersist
+    text.bm25_topk(
+        docs.where(F.col("doc_id") % 2 == 0), queries, k=3, min_postings=0
+    ).collect()
     second = [df for own, df in st["persists"] if own == "bm25_topk"]
     assert len(second) == 1  # previous call's frame was released
     assert first[0] is not second[0]

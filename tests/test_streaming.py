@@ -435,3 +435,92 @@ def test_stream_text_index_replay_skip(spark, tmp_path):
     assert (
         apply_text_index_batch(part_b.limit(0), 99, idx, ns="ck1") is False
     )
+
+
+def test_stream_ann_index_maintenance(spark, tmp_path):
+    """Streaming IVF+PQ-index maintenance (round 14, the ANN twin of
+    the text sink): vectors staged as files → maxFilesPerTrigger=1
+    micro-batches → first non-empty batch BUILDS, later batches append
+    under the FROZEN model. After the stream drains, queries answer
+    BIT-IDENTICALLY to a batch build(batch 1) + append(rest) twin —
+    the drift contract append_to_index pins, under streaming arrival.
+    Checkpoint resume applies only the NEW file; occupancy-skew
+    staleness stats surface per append epoch."""
+    import glob as _glob
+
+    from ccog_spark.operators.ann_index import (
+        append_to_index,
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from ccog_spark.streaming.sinks import write_stream_ann_index
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    schema = "vec_id bigint, embedding array<float>, label int"
+    staging = str(tmp_path / "staged_vecs")
+    idx = str(tmp_path / "stream_ann")
+    ckpt = str(tmp_path / "ckpt_ann")
+
+    part_a = emb.where(F.col("vec_id") % 3 == 0)
+    part_b = emb.where(F.col("vec_id") % 3 == 1)
+    part_c = emb.where(F.col("vec_id") % 3 == 2)
+    part_a.coalesce(1).write.mode("append").parquet(staging)
+    time.sleep(1.05)  # file-source ordering is by modification time
+    part_b.coalesce(1).write.mode("append").parquet(staging)
+
+    epoch_log = []
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        return write_stream_ann_index(
+            stream, idx, ckpt, dim,
+            on_epoch=lambda e, s: epoch_log.append((e, s)),
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(epoch_log) >= 2  # build epoch + ≥1 append epoch
+    appends = [s for _, s in epoch_log if "occupancy_skew" in s]
+    assert appends and all(s["occupancy_skew"] >= 1.0 for s in appends)
+
+    # batch twin: build on the FIRST batch's vectors, append the rest
+    twin = str(tmp_path / "twin_ann")
+    build_ivfpq_index(part_a, dim, twin)
+    append_to_index(part_b, twin)
+
+    qs = emb.where(F.col("vec_id") % 97 == 11).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    key = lambda r: (r.q_id, r.rn)
+    got = {key(r): tuple(r) for r in query_ivfpq_index(spark, idx, qs, k=3).collect()}
+    want = {
+        key(r): tuple(r) for r in query_ivfpq_index(spark, twin, qs, k=3).collect()
+    }
+    assert got == want and got
+
+    # restart from the SAME checkpoint after a third file lands
+    time.sleep(1.05)
+    part_c.coalesce(1).write.mode("append").parquet(staging)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    append_to_index(part_c, twin)
+    got_all = {
+        key(r): tuple(r) for r in query_ivfpq_index(spark, idx, qs, k=3).collect()
+    }
+    want_all = {
+        key(r): tuple(r) for r in query_ivfpq_index(spark, twin, qs, k=3).collect()
+    }
+    assert got_all == want_all
+    markers = _glob.glob(f"{idx}/_stream_epochs/*_epoch_*.done")
+    assert len(markers) == 3  # one per applied (non-empty) batch

@@ -359,3 +359,254 @@ def test_phrase_index_bit_identical_and_lifecycle(spark, tmp_path):
     build_bm25_index(base, flat, n_buckets=64)
     with pytest.raises(ValueError, match="positions=True"):
         phrase_match_index(spark, flat, phrases)
+
+
+def test_proximity_semantics_hand_cases(spark):
+    """text.proximity_match (round 14): the unordered-window contract
+    on hand-built documents — permutations match within span, gaps
+    beyond the window don't, window starts are counted, single-token
+    queries count term frequency."""
+    from ccog_spark.operators.text import phrase_match, proximity_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "x q q q y"),
+            (3, "a b a b"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # permutation: "c a" never matches exactly, but span-3 covers it
+    ph = spark.createDataFrame([(1, "c a")], "q_id long, phrase string")
+    assert phrase_match(docs, ph).count() == 0
+    got = {
+        (r.doc_id): r.n_matches
+        for r in proximity_match(docs, ph, max_span=3).collect()
+    }
+    # one qualifying start: pos 1's window [1,3] = {a,b,c} covers both
+    # terms; pos 3's window [3,5] holds only 'c'
+    assert got == {1: 1}
+
+    # gap: "x y" needs span >= 5 (positions 1 and 5)
+    ph = spark.createDataFrame([(1, "x y")], "q_id long, phrase string")
+    assert proximity_match(docs, ph, max_span=4).count() == 0
+    got = proximity_match(docs, ph, max_span=5).collect()
+    assert [(r.doc_id, r.n_matches) for r in got] == [(2, 1)]
+
+    # window-start counting: "a b" span 2 in "a b a b"
+    ph = spark.createDataFrame([(1, "a b")], "q_id long, phrase string")
+    got = {
+        r.doc_id: r.n_matches
+        for r in proximity_match(docs, ph, max_span=2).collect()
+    }
+    assert got[3] == 3  # starts at pos 1, 2, 3 (pos-4 window is just 'b')
+    assert got[1] == 1
+
+    # single token == term frequency (any span)
+    ph = spark.createDataFrame([(1, "a")], "q_id long, phrase string")
+    got = {
+        r.doc_id: r.n_matches
+        for r in proximity_match(docs, ph, max_span=1).collect()
+    }
+    assert got == {1: 1, 3: 2}
+
+    # exact-phrase matches are a subset of span=len proximity matches
+    docs_sf = _docs(spark)
+    phrases = docs_sf.where(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 2, 3), " "
+        ).alias("phrase"),
+    )
+    exact = {
+        (r.q_id, r.doc_id) for r in phrase_match(docs_sf, phrases).collect()
+    }
+    prox = {
+        (r.q_id, r.doc_id)
+        for r in proximity_match(docs_sf, phrases, max_span=3).collect()
+    }
+    assert exact <= prox and exact
+
+
+def test_proximity_index_bit_identical_and_gate(spark, tmp_path):
+    """proximity_match_index == proximity_match row-for-row (shared
+    window core over the positional postings); a positions-less index
+    refuses proximity queries; max_span < 1 is rejected."""
+    import pytest as _pytest
+
+    from ccog_spark.operators.text import proximity_match
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        proximity_match_index,
+    )
+
+    docs = _docs(spark)
+    phrases = docs.where(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 2, 3), " "
+        ).alias("phrase"),
+    )
+    idx = str(tmp_path / "posidx")
+    build_bm25_index(docs, idx, positions=True)
+    got = sorted(
+        map(tuple, proximity_match_index(spark, idx, phrases, 5).collect())
+    )
+    want = sorted(
+        map(tuple, proximity_match(docs, phrases, max_span=5).collect())
+    )
+    assert got == want and len(got) > 0
+
+    bare = str(tmp_path / "bareidx")
+    build_bm25_index(docs, bare)
+    with _pytest.raises(ValueError, match="positions"):
+        proximity_match_index(spark, bare, phrases, 5).collect()
+    with _pytest.raises(ValueError, match="max_span"):
+        proximity_match(docs, phrases, max_span=0)
+
+
+def test_filtered_retrieval_lucene_semantics(spark, tmp_path):
+    """query_bm25_index(doc_filter=…) (round 14): candidates restrict
+    to the docmeta predicate while df/n_docs/avgdl stay index-wide —
+    the filtered top-k must equal the UNFILTERED all-scores list
+    restricted to allowed docs and re-cut at k (Lucene filter
+    semantics, bit-exact); pruning under the filter is lossless; a
+    filter on an index without meta_cols refuses."""
+    import pytest as _pytest
+
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+    from ccog_spark.queries.pipeline import BM25_FILTER_PRED
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "filidx")
+    build_bm25_index(docs, idx, meta_cols=("lang", "source"))
+    qs = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+
+    got = query_bm25_index(
+        spark, idx, qs, k=5, doc_filter=BM25_FILTER_PRED
+    ).collect()
+    assert got
+
+    # ground truth: unfiltered ALL-scores (k = corpus size), restrict
+    # to allowed ids in the test, re-rank per query, cut at 5
+    n = docs.count()
+    full = query_bm25_index(spark, idx, qs, k=n).collect()
+    allowed = {
+        r.doc_id
+        for r in docs.where(F.expr(BM25_FILTER_PRED)).select("doc_id").collect()
+    }
+    per_q: dict = {}
+    for r in full:
+        if r.doc_id in allowed:
+            per_q.setdefault(r.q_id, []).append((r.doc_id, r.score))
+    want = set()
+    for q_id, rows in per_q.items():
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        for rn, (d, s) in enumerate(rows[:5], start=1):
+            want.add((q_id, d, s, rn))
+    assert {tuple(r) for r in got} == want
+
+    # every returned doc satisfies the predicate
+    assert {r.doc_id for r in got} <= allowed
+
+    # max-score pruning stays lossless under the filter (θ probe sees
+    # only eligible docs because the semi-join lands before scoring)
+    pruned = query_bm25_index(
+        spark, idx, qs, k=5, doc_filter=BM25_FILTER_PRED, min_postings=0
+    ).collect()
+    assert sorted(map(tuple, pruned)) == sorted(map(tuple, got))
+
+    bare = str(tmp_path / "bareidx")
+    build_bm25_index(docs, bare)
+    with _pytest.raises(ValueError, match="meta_cols"):
+        query_bm25_index(
+            spark, bare, qs, k=5, doc_filter=BM25_FILTER_PRED
+        ).collect()
+
+
+def test_filtered_retrieval_lifecycle(spark, tmp_path):
+    """docmeta rides through the index lifecycle: append carries the
+    delta's metadata (filtered query on grown index == on a
+    from-scratch build), compact applies tombstones to docmeta, and
+    the positional verbs honor doc_filter (matches = unfiltered
+    matches restricted to allowed docs)."""
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        compact_text_index,
+        delete_from_text_index,
+        phrase_match_index,
+        query_bm25_index,
+    )
+    from ccog_spark.queries.pipeline import BM25_FILTER_PRED
+
+    docs = _docs(spark)
+    qs = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+
+    # append carries docmeta
+    from ccog_spark.operators.text_index import append_to_text_index
+
+    grown = str(tmp_path / "grown")
+    build_bm25_index(
+        docs.where(F.col("doc_id") % 7 != 0), grown,
+        meta_cols=("lang", "source"),
+    )
+    append_to_text_index(docs.where(F.col("doc_id") % 7 == 0), grown)
+    scratch = str(tmp_path / "scratch")
+    build_bm25_index(docs, scratch, meta_cols=("lang", "source"))
+    a = sorted(map(tuple, query_bm25_index(
+        spark, grown, qs, k=5, doc_filter=BM25_FILTER_PRED).collect()))
+    b = sorted(map(tuple, query_bm25_index(
+        spark, scratch, qs, k=5, doc_filter=BM25_FILTER_PRED).collect()))
+    assert a == b and a
+
+    # compact applies tombstones to docmeta
+    del_ids = docs.where(F.col("doc_id") % 13 == 3).select("doc_id")
+    delete_from_text_index(spark, scratch, del_ids)
+    compact_text_index(spark, scratch)
+    dm_ids = {
+        r.doc_id
+        for r in spark.read.parquet(scratch + "/docmeta").collect()
+    }
+    gone = {r.doc_id for r in del_ids.collect()}
+    assert not (dm_ids & gone)
+
+    # positional verbs: filtered matches == unfiltered ∩ allowed
+    pos = str(tmp_path / "posfil")
+    build_bm25_index(
+        docs, pos, positions=True, meta_cols=("lang", "source")
+    )
+    phrases = docs.where(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 2, 3), " "
+        ).alias("phrase"),
+    )
+    allowed = {
+        r.doc_id
+        for r in docs.where(F.expr(BM25_FILTER_PRED)).select("doc_id").collect()
+    }
+    unf = {
+        tuple(r) for r in phrase_match_index(spark, pos, phrases).collect()
+    }
+    fil = {
+        tuple(r)
+        for r in phrase_match_index(
+            spark, pos, phrases, doc_filter=BM25_FILTER_PRED
+        ).collect()
+    }
+    assert fil == {r for r in unf if r[1] in allowed} and fil
