@@ -245,14 +245,27 @@ def build_ivfpq_index(
     cent_stride: int = 25,
     m_blocks: int = PQ_M_BLOCKS,
     n_groups: int | None = None,
+    meta_cols: tuple[str, ...] = (),
 ) -> dict:
     """One corpus pass → persisted index. Returns the meta dict.
     ``n_groups`` defaults to adaptive_n_groups(corpus count) — one
     extra column-pruned count job at build time; pass an int to pin
-    the directory count (tests, controlled probes)."""
+    the directory count (tests, controlled probes).
+
+    ``meta_cols`` (round 14): metadata columns copied into an
+    index-resident ``vecmeta/`` table (the text index's docmeta twin),
+    enabling query-time FILTERED vector search
+    (``query_ivfpq_index(vec_filter=...)``) without re-reading the
+    embeddings. Presence is detected by the directory (the ANN meta
+    row keeps its fixed schema); the vecmeta schema itself names the
+    stored columns."""
     spark = corpus.sparkSession
     if n_groups is None:
         n_groups = adaptive_n_groups(corpus.count())
+    if meta_cols:
+        corpus.select("vec_id", *meta_cols).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "vecmeta")
+        )
     cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
     cbmat = _codebook_mat(corpus)
 
@@ -355,6 +368,18 @@ def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
         codes, cent_ids, os.path.join(index_dir, "codes"),
         int(meta.n_groups), "append",
     )
+    vm_dir = os.path.join(index_dir, "vecmeta")
+    if os.path.isdir(vm_dir):
+        # filtered-retrieval metadata rides along: the delta must carry
+        # the build's vecmeta columns (schema read from the table —
+        # the select fails loudly if the delta lacks one)
+        vm_cols = [
+            f for f in spark.read.parquet(vm_dir).schema.fieldNames()
+            if f != "vec_id"
+        ]
+        corpus_delta.select("vec_id", *vm_cols).write.mode("append").parquet(
+            vm_dir
+        )
 
     all_codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     # one index-sized aggregate: total count + cell-occupancy skew
@@ -464,6 +489,14 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     )
     shutil.rmtree(live)
     os.rename(stage, live)
+    vm_dir = os.path.join(index_dir, "vecmeta")
+    if n_tomb and os.path.isdir(vm_dir):
+        vm_stage = os.path.join(index_dir, "vecmeta__stage")
+        ic.anti_tombstones(
+            spark.read.parquet(vm_dir), tomb, "vec_id"
+        ).write.mode("overwrite").parquet(vm_stage)
+        shutil.rmtree(vm_dir)
+        os.rename(vm_stage, vm_dir)
     ic.clear_tombstones(index_dir)
     if n_tomb:
         _write_cellstats(spark, index_dir)  # occupancy shrank
@@ -495,6 +528,7 @@ def query_ivfpq_index(
     nprobe: int | str = 2,
     rerank_corpus: DataFrame | None = None,
     m: int = 10,
+    vec_filter: str | None = None,
 ) -> DataFrame:
     """Top-k ADC retrieval against a persisted index. Embeddings are
     never read — only the codes table (8 bytes/vector) plus the
@@ -507,6 +541,20 @@ def query_ivfpq_index(
     the files instead of scanning the full corpus-sized table.
     Bit-identical to ivfpq_topk on the same corpus/queries (the test
     pins it): the filters name exactly the equi-join keys.
+
+    ``vec_filter`` (round 14, filtered vector search): a SQL predicate
+    over the index's vecmeta columns (``build_ivfpq_index(
+    meta_cols=…)``) restricting CANDIDATES — exactly the tombstone
+    exclusion mechanism with a predicate-defined set, applied after
+    the scan filters (pruning intact) and before ranking. ADC has no
+    corpus statistics, so filtering is pure candidate exclusion:
+    filter-then-rank ≡ rank-over-allowed, no semantics caveat (and
+    bit-identical to tombstoning the predicate's complement — pinned
+    in tests). Probing is NOT filter-aware: nprobe cells are chosen
+    by query-centroid cosine as usual, so a highly selective filter
+    can return < k rows where eligible vectors live outside the
+    probed cells — raise nprobe for needle-queries, the standard
+    filtered-IVF recall/cost trade.
 
     ``rerank_corpus`` (round 12): when given, the index supplies the
     top-``m`` ADC candidates per query and the final top-k is the
@@ -603,6 +651,20 @@ def query_ivfpq_index(
     cand = ic.anti_tombstones(
         cand, ic.read_tombstones(spark, index_dir, "vec_id"), "vec_id"
     )
+    if vec_filter is not None:
+        vm_dir = os.path.join(index_dir, "vecmeta")
+        if not os.path.isdir(vm_dir):
+            raise ValueError(
+                f"index at {index_dir!r} was built without meta_cols — "
+                "filtered search needs the vecmeta table (rebuild with "
+                "build_ivfpq_index(..., meta_cols=(...)))"
+            )
+        allowed = (
+            spark.read.parquet(vm_dir)
+            .where(F.expr(vec_filter))
+            .select("vec_id")
+        )
+        cand = cand.join(allowed, "vec_id", "left_semi")
     cand = (
         cand.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("q_id"))

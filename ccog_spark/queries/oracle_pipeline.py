@@ -1032,6 +1032,27 @@ PIPELINE_ORACLE["ann_index_append"] = _ivfpq_sql(
 PIPELINE_ORACLE["ann_index_delete"] = _ivfpq_sql(
     cand_pred="AND e.vec_id % 11 <> 5"
 )
+
+
+def _ann_filtered_sql() -> str:
+    """Filtered vector search (round 14): candidates restricted by the
+    vecmeta predicate (shared verbatim from queries.pipeline), model
+    full-corpus — the deletion oracle's shape with a predicate-defined
+    set. The candidate CTE carries codes only, so the predicate is
+    applied as a semi-join back onto the embeddings table (exactly
+    what the engine's vecmeta semi-join is)."""
+    from ccog_spark.queries.pipeline import ANN_FILTER_PRED
+
+    return _ivfpq_sql(
+        cand_pred=(
+            "AND e.vec_id IN (SELECT vec_id FROM embeddings WHERE "
+            + ANN_FILTER_PRED
+            + ")"
+        )
+    )
+
+
+PIPELINE_ORACLE["ann_index_filtered"] = _ann_filtered_sql()
 # nprobe auto-tune (round 14, VERDICT r13 #6): the probe count is the
 # data-dependent auto_nprobe value, replayed in SQL from the cells
 # CTE's occupancy — hash match ⇒ identical knob AND identical top-k.

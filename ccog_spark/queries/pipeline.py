@@ -1059,6 +1059,38 @@ def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+# Filtered-vector-search predicate over the index's vecmeta columns —
+# module-level so the oracle derives its SQL from the SAME string
+# (BM25_FILTER_PRED precedent; the oracle wraps it in a semi-join
+# subquery against the embeddings table, so it must be valid over
+# that table's columns).
+ANN_FILTER_PRED = "label % 2 = 0"
+
+
+def ann_index_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search from the persisted index (round 14,
+    query_ivfpq_index(vec_filter=…) — the text filtered-retrieval
+    row's E36 twin): the index stores a narrow vecmeta table
+    (build_ivfpq_index(meta_cols=…)); at query time a metadata
+    predicate restricts candidates through the tombstone-exclusion
+    mechanism. ADC has no corpus statistics, so the oracle is the
+    ann_ivfpq SQL with the candidate side filtered by the same
+    predicate — the deletion row's shape with a predicate-defined
+    set (bit-identity to tombstoning the complement is pinned in
+    pytest)."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _tmp_index_dir("ccog_ivfpq_fil", sf_dir)
+    build_ivfpq_index(emb, EMB_DIM, idx, meta_cols=("label",))
+    return query_ivfpq_index(
+        spark, idx, _queries_subset(emb), k=3, vec_filter=ANN_FILTER_PRED
+    ).orderBy("q_id", "rn")
+
+
 def ann_autoprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCCUPANCY-TUNED nprobe (round 14, ann_index.auto_nprobe —
     VERDICT r13 #6): the probe count is derived from the persisted

@@ -470,6 +470,11 @@ REGISTRY: dict[str, QueryFn] = {
     # round 14: occupancy-tuned nprobe — the data-dependent probe
     # count replayed by the oracle's SQL participation-ratio rule
     "ann_autoprobe": pipeline.ann_autoprobe_q,
+    # round 14: FILTERED vector search — vecmeta predicate restricts
+    # candidates via the tombstone-exclusion mechanism (ADC has no
+    # corpus stats ⇒ pure candidate exclusion); oracle = ann_ivfpq
+    # SQL with the same predicate on the candidate side
+    "ann_index_filtered": pipeline.ann_index_filtered_q,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
@@ -546,6 +551,7 @@ NON_BENCH = (
     "pipeline_proximity_index",  # builds a positional text index (file IO)
     "pipeline_bm25_index_filtered",  # builds a text index + docmeta (file IO)
     "ann_index_delete",  # builds + deletes from an ANN index (file IO)
+    "ann_index_filtered",  # builds an ANN index + vecmeta (file IO)
     "ann_autoprobe",  # builds a parquet ANN index per run (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)
     "cog_palette",  # writes + reads back a palette COG (file IO)

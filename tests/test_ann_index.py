@@ -463,3 +463,98 @@ def test_compact_ann_index_preserves_answers(spark, tmp_path):
         )
     )
     assert "PartitionFilters" in plan and "grp" in plan
+
+
+def test_filtered_vector_search(spark, tmp_path):
+    """query_ivfpq_index(vec_filter=…) (round 14): filtering is pure
+    candidate exclusion (ADC has no corpus stats), so it must be
+    BIT-IDENTICAL to tombstoning the predicate's COMPLEMENT on a twin
+    index; every returned vector satisfies the predicate; an index
+    without vecmeta refuses the filter."""
+    import pytest as _pytest
+
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        delete_from_ann_index,
+        query_ivfpq_index,
+    )
+    from ccog_spark.queries.pipeline import ANN_FILTER_PRED
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    q = _queries(emb)
+
+    idx = str(tmp_path / "fil")
+    build_ivfpq_index(emb, dim, idx, meta_cols=("label",))
+    got = query_ivfpq_index(
+        spark, idx, q, k=3, vec_filter=ANN_FILTER_PRED
+    ).collect()
+    assert got
+    allowed = {
+        r.vec_id
+        for r in emb.where(F.expr(ANN_FILTER_PRED)).select("vec_id").collect()
+    }
+    assert {r.vec_id for r in got} <= allowed
+
+    # twin: tombstone the complement — same frozen model (same corpus
+    # build), so candidate sets and ADC scores are identical
+    twin = str(tmp_path / "twin")
+    build_ivfpq_index(emb, dim, twin)
+    delete_from_ann_index(
+        spark, twin,
+        emb.where(~F.expr(ANN_FILTER_PRED)).select("vec_id"),
+    )
+    want = query_ivfpq_index(spark, twin, q, k=3).collect()
+    key = lambda r: (r.q_id, r.rn)
+    assert {key(r): tuple(r) for r in got} == {key(r): tuple(r) for r in want}
+
+    bare = str(tmp_path / "bare")
+    build_ivfpq_index(emb, dim, bare)
+    with _pytest.raises(ValueError, match="meta_cols"):
+        query_ivfpq_index(
+            spark, bare, q, k=3, vec_filter=ANN_FILTER_PRED
+        ).collect()
+
+
+def test_vecmeta_rides_append_and_compact(spark, tmp_path):
+    """vecmeta lifecycle: append carries the delta's metadata
+    (filtered query on the grown index == on a full build with the
+    same frozen model), and compact applies tombstones to vecmeta."""
+    from ccog_spark.operators.ann_index import (
+        append_to_index,
+        build_ivfpq_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        query_ivfpq_index,
+    )
+    from ccog_spark.queries.pipeline import ANN_FILTER_PRED
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    q = _queries(emb)
+    a = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+
+    grown = str(tmp_path / "grown")
+    build_ivfpq_index(a, dim, grown, meta_cols=("label",))
+    append_to_index(b, grown)
+    vm = spark.read.parquet(grown + "/vecmeta")
+    assert vm.count() == emb.count()  # delta metadata appended
+
+    got = query_ivfpq_index(
+        spark, grown, q, k=3, vec_filter=ANN_FILTER_PRED
+    ).collect()
+    assert got
+    allowed = {
+        r.vec_id
+        for r in emb.where(F.expr(ANN_FILTER_PRED)).select("vec_id").collect()
+    }
+    assert {r.vec_id for r in got} <= allowed
+
+    # compact applies tombstones to vecmeta
+    del_ids = emb.where(F.col("vec_id") % 5 == 1).select("vec_id")
+    delete_from_ann_index(spark, grown, del_ids)
+    compact_ann_index(spark, grown)
+    vm_ids = {r.vec_id for r in spark.read.parquet(grown + "/vecmeta").collect()}
+    gone = {r.vec_id for r in del_ids.collect()}
+    assert not (vm_ids & gone) and vm_ids
