@@ -928,3 +928,111 @@ def proximity_match(
         .select(id_col, (F.col("p0") + 1).alias("pos"), "t")
     )
     return _proximity_core(toks, phrases, id_col, max_span)
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    field_cols: tuple[str, ...],
+    weights: tuple[float, ...],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-FIELD BM25 (BM25F, Zaragoza et al. 2004 — the standard
+    structured-document ranking: a title hit should outrank the same
+    hit buried in the body). Per field f with weight w_f:
+
+        tf~_f(t,d) = tf_f(t,d) / (1 - b + b * dl_f(d)/avgdl_f)
+        tf'(t,d)   = Σ_f w_f * tf~_f(t,d)
+        score(q,d) = Σ_t idf(t) * (k1+1)*tf' / (k1 + tf')
+
+    with idf(t) = (N - df + 0.5)/(df + 0.5) and df counted over
+    documents containing t in ANY field — term saturation applies
+    ONCE to the combined evidence (the property separating BM25F from
+    naively summing per-field BM25 scores).
+
+    Float rule (repo contract): the per-field weighted normalized tf
+    is quantized half-up at 1e9 into BIGINT and the field combination
+    is an exact integer sum (field count is small and fixed; a raw
+    double sum would be aggregation-order-sensitive); the per-term
+    score is then quantized at 1e6 like the BM25 core and summed as
+    BIGINT — bit-exact replay in the SQL oracle.
+
+    Scale shape: one tokenize pass per field (map-side), per-field
+    aggregates with map-side combine, df from the distinct (id, t)
+    union, field combination grouped by (id, t) — everything keyed
+    the way the shuffles want; query-batch frames broadcast after the
+    vocabulary join exactly as the single-field core does."""
+    if len(field_cols) != len(weights) or not field_cols:
+        raise ValueError("field_cols and weights must be same-length, >= 1")
+    spark = docs.sparkSession
+    n_docs_frame = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    contribs = []
+    union_idt = None
+    for fi, (col, w) in enumerate(zip(field_cols, weights)):
+        toks = (
+            docs.select(
+                F.col(id_col),
+                F.explode(F.split(F.col(col), " ")).alias("t"),
+            )
+            .where(F.col("t") != "")
+        )
+        tf_f = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+        dl_f = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+        # avgdl over ALL docs (empty-field docs contribute dl 0),
+        # spelled CAST(sum AS DOUBLE)/N like the single-field core
+        stats_f = dl_f.agg(F.sum("dl").alias("sum_dl")).crossJoin(
+            F.broadcast(n_docs_frame)
+        )
+        avgdl_f = F.col("sum_dl").cast("double") / F.col("n_docs")
+        tnorm = F.col("tf") / (1.0 - b + b * (F.col("dl") / avgdl_f))
+        qf = F.floor(F.lit(float(w)) * tnorm * 1000000000.0 + 0.5).cast(
+            "long"
+        )
+        contribs.append(
+            tf_f.join(dl_f, id_col)
+            .crossJoin(F.broadcast(stats_f))
+            .select(id_col, "t", qf.alias("qf"))
+        )
+        union_idt = (
+            tf_f.select(id_col, "t") if union_idt is None
+            else union_idt.unionByName(tf_f.select(id_col, "t"))
+        )
+
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    combined = allc.groupBy(id_col, "t").agg(F.sum("qf").alias("qsum"))
+
+    dfs = union_idt.distinct().groupBy("t").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    qterms = (
+        queries.select(
+            "q_id", F.explode(F.split(F.col("q_text"), " ")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    # vocabulary-sized df joins onto the query batch FIRST (never
+    # broadcast wholesale — the single-field core's rule)
+    qstats = qterms.join(dfs, "t").crossJoin(F.broadcast(n_docs_frame))
+
+    tfp = F.col("qsum") / 1000000000.0
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    term_q = F.floor(
+        idf * ((k1 + 1.0) * tfp) / (F.lit(k1) + tfp) * 1000000.0 + 0.5
+    ).cast("long")
+    scored = (
+        combined.join(F.broadcast(qstats), "t")
+        .select("q_id", F.col(id_col), term_q.alias("tq"))
+        .groupBy("q_id", id_col)
+        .agg(F.sum("tq").cast("long").alias("score"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.select(
+        "q_id", id_col, "score", F.row_number().over(w).cast("int").alias("rn")
+    ).where(F.col("rn") <= k)

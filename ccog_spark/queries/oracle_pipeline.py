@@ -1825,6 +1825,97 @@ def _bm25_filtered_sql() -> str:
 
 PIPELINE_ORACLE["pipeline_bm25_index_filtered"] = _bm25_filtered_sql()
 
+# Multi-field BM25F (round 14, text.bm25f_topk): title = words 1-5,
+# body = the rest (synthesized — COALESCE guards DuckDB's NULL
+# array_to_string([])), weights 2:1, shared b = 0.75 / k1 = 1.2.
+# Float discipline: per-field weighted normalized tf quantized
+# half-up at 1e9 (exact BIGINT field sum), per-term saturating score
+# quantized at 1e6, BIGINT score sum — every association spelled
+# exactly as the engine's column expressions.
+_BM25F_SQL = """
+WITH fielded AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(string_split(text, ' ')[1:5], ' '), '')
+           AS title,
+         COALESCE(array_to_string(string_split(text, ' ')[6:], ' '), '')
+           AS body
+  FROM documents
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), t_toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(string_split(title, ' ')) AS t FROM fielded) x
+  WHERE t <> ''
+), b_toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(string_split(body, ' ')) AS t FROM fielded) x
+  WHERE t <> ''
+), t_tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM t_toks GROUP BY 1, 2
+), b_tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM b_toks GROUP BY 1, 2
+), t_dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM t_toks GROUP BY 1
+), b_dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM b_toks GROUP BY 1
+), t_stats AS (
+  SELECT SUM(dl) AS sum_dl FROM t_dl
+), b_stats AS (
+  SELECT SUM(dl) AS sum_dl FROM b_dl
+), t_qf AS (
+  SELECT f.doc_id, f.t,
+         CAST(FLOOR(2.0 * (f.tf / (0.25 + 0.75 *
+             (d.dl / (CAST(s.sum_dl AS DOUBLE) / nd.n_docs))))
+           * 1000000000.0 + 0.5) AS BIGINT) AS qf
+  FROM t_tf f JOIN t_dl d USING (doc_id)
+  CROSS JOIN t_stats s CROSS JOIN nd
+), b_qf AS (
+  SELECT f.doc_id, f.t,
+         CAST(FLOOR(1.0 * (f.tf / (0.25 + 0.75 *
+             (d.dl / (CAST(s.sum_dl AS DOUBLE) / nd.n_docs))))
+           * 1000000000.0 + 0.5) AS BIGINT) AS qf
+  FROM b_tf f JOIN b_dl d USING (doc_id)
+  CROSS JOIN b_stats s CROSS JOIN nd
+), combined AS (
+  SELECT doc_id, t, CAST(SUM(qf) AS BIGINT) AS qsum FROM (
+    SELECT * FROM t_qf UNION ALL SELECT * FROM b_qf) u
+  GROUP BY doc_id, t
+), dfs AS (
+  SELECT t, COUNT(*) AS df FROM (
+    SELECT DISTINCT doc_id, t FROM (
+      SELECT doc_id, t FROM t_tf UNION ALL SELECT doc_id, t FROM b_tf) v
+  ) w GROUP BY t
+), q AS (
+  SELECT DISTINCT q_id, t FROM (
+    SELECT doc_id AS q_id,
+           UNNEST(string_split(text, ' ')[1:3]) AS t
+    FROM documents WHERE doc_id % 97 = 11) y
+  WHERE t <> ''
+), j AS (
+  SELECT q.q_id, c.doc_id,
+         CAST(FLOOR(
+           (((nd.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+            * (2.2 * (c.qsum / 1000000000.0)))
+           / (1.2 + (c.qsum / 1000000000.0))
+           * 1000000.0 + 0.5) AS BIGINT) AS tq
+  FROM combined c
+  JOIN q ON q.t = c.t
+  JOIN dfs ON dfs.t = c.t
+  CROSS JOIN nd
+), scored AS (
+  SELECT q_id, doc_id, CAST(SUM(tq) AS BIGINT) AS score
+  FROM j GROUP BY q_id, doc_id
+), ranked AS (
+  SELECT q_id, doc_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS rn
+  FROM scored)
+SELECT q_id, doc_id, score, rn FROM ranked WHERE rn <= 5
+ORDER BY q_id, rn
+"""
+
+PIPELINE_ORACLE["pipeline_bm25f"] = _BM25F_SQL
+
 # Exact phrase search (round 14, text.phrase_match — VERDICT r13 #5):
 # full adjacency replay. Positions are 1-based indices in the RAW
 # whitespace split (empty tokens filtered, positions kept — a phrase

@@ -875,6 +875,41 @@ def pipeline_bm25_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
 
 
+def pipeline_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field BM25F ranking (round 14, text.bm25f_topk): the
+    fixture corpus is single-field, so title/body are SYNTHESIZED
+    deterministically (title = words 1-5, body = the rest — the
+    pipeline_line_dedup synthesize-then-check precedent) and weighted
+    2:1, so a title hit outranks the same hit in the body. Term
+    saturation applies once to the combined field evidence (the BM25F
+    property); per-field contributions are 1e9-quantized BIGINTs so
+    the field sum is exact, then the per-term score is 1e6-quantized
+    like every hashed retrieval row. The oracle replays field
+    synthesis, per-field normalization, the integer combination, and
+    the saturating score in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    fielded = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tk, 1, 5), " ").alias("title"),
+        F.array_join(
+            F.expr(
+                "slice(split(text, ' '), 6,"
+                " greatest(size(split(text, ' ')) - 5, 0))"
+            ),
+            " ",
+        ).alias("body"),
+    )
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(tk, 1, 3), " ").alias("q_text"),
+    )
+    return text.bm25f_topk(
+        fielded, queries, field_cols=("title", "body"),
+        weights=(2.0, 1.0), k=5,
+    ).orderBy("q_id", "rn")
+
+
 # Filtered-retrieval predicate over the index's docmeta columns —
 # module-level so the oracle imports it VERBATIM (the
 # BM25_PRUNED_QUERY_BATCH no-drift precedent). Odd-numbered sources ≈

@@ -445,6 +445,11 @@ REGISTRY: dict[str, QueryFn] = {
     # store per-occurrence positions, the corpus is never re-read;
     # shared adjacency core ⇒ oracle is pipeline_phrase SQL verbatim
     "pipeline_phrase_index": pipeline.pipeline_phrase_index_q,
+    # round 14: multi-field BM25F — per-field length-normalized tf
+    # combined 2:1 (title:body) with ONE saturation over the joint
+    # evidence; exact-integer field sum (1e9 quantization), full SQL
+    # replay incl. the deterministic title/body synthesis
+    "pipeline_bm25f": pipeline.pipeline_bm25f,
     # round 14: UNORDERED proximity search (Lucene sloppy-phrase
     # shape with an explicit window) — all terms within a 5-position
     # window in any order; window self-join over matching tokens

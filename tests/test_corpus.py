@@ -360,3 +360,39 @@ def test_bm25_direct_caller_tf_cache_self_cleans(spark):
     assert first[0] is not second[0]
     assert not first[0].storageLevel.useMemory  # actually unpersisted
     cache_ledger.release(spark, blocking=True)
+
+
+def test_bm25f_field_weighting_and_shapes(spark):
+    """text.bm25f_topk (round 14): a title hit outranks the same hit
+    in the body (weights 2:1, identical field lengths); the combined
+    saturation is bounded by (k1+1)*idf like the single-field core;
+    mismatched field/weight tuples refuse; docs with an empty field
+    still score."""
+    from ccog_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            # 'apple' in TITLE of doc 1, in BODY of doc 2 — all field
+            # lengths identical, so only the weight separates them
+            (1, "apple pear plum", "kiwi lime melon"),
+            (2, "kiwi lime melon", "apple pear plum"),
+            (3, "grape fig date", "peach mango guava"),
+            (4, "", "apple apple apple"),  # empty title still scores
+        ],
+        "doc_id long, title string, body string",
+    )
+    qs = spark.createDataFrame([(1, "apple")], "q_id long, q_text string")
+    rows = text.bm25f_topk(
+        docs, qs, field_cols=("title", "body"), weights=(2.0, 1.0), k=4
+    ).collect()
+    score = {r.doc_id: r.score for r in rows}
+    rank = {r.doc_id: r.rn for r in rows}
+    assert rank[1] < rank[2]  # title hit beats body hit
+    assert score[1] > score[2] > 0
+    assert 4 in score  # empty-title doc scored via its body
+    assert 3 not in score  # no query term, no row
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="same-length"):
+        text.bm25f_topk(docs, qs, field_cols=("title",), weights=(1.0, 2.0))

@@ -610,3 +610,33 @@ def test_filtered_retrieval_lifecycle(spark, tmp_path):
         ).collect()
     }
     assert fil == {r for r in unf if r[1] in allowed} and fil
+
+
+def test_filtered_retrieval_predicate_pushdown(spark, tmp_path):
+    """The doc_filter predicate must reach the docmeta parquet scan as
+    a pushed filter (the narrow metadata table is corpus-sized — a
+    post-scan filter would read every row of every column stripe), and
+    the postings scan must still carry its bkt partition filters (the
+    semi-join lands above the pruned scan, not instead of it)."""
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+    from ccog_spark.queries.pipeline import BM25_FILTER_PRED
+
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(1, "dup the"), (2, "dup stream")], "q_id long, q_text string"
+    )
+    idx = str(tmp_path / "filplan")
+    build_bm25_index(docs, idx, n_buckets=32, meta_cols=("lang", "source"))
+    df = query_bm25_index(spark, idx, qs, k=3, doc_filter=BM25_FILTER_PRED)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    flat = plan.replace(" ", "")
+    assert "In(source," in flat  # predicate pushed into the docmeta scan
+    assert "PartitionFilters" in plan and "bkt" in plan  # pruning intact
+    assert len(df.collect()) > 0
