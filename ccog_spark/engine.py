@@ -182,6 +182,21 @@ class Engine:
             self.spark, index_dir, phrases, max_span, **kwargs
         )
 
+    def diversify(self, ranked: DataFrame, groups: DataFrame,
+                  group_col: str, **kwargs) -> DataFrame:
+        """Result diversification (round 14): re-cut a ranked list to
+        at most max_per_group docs per (query, group)."""
+        from ccog_spark.operators.text import diversify_topk
+
+        return diversify_topk(ranked, groups, group_col, **kwargs)
+
+    def bm25f(self, docs: DataFrame, queries: DataFrame,
+              field_cols: tuple, weights: tuple, **kwargs) -> DataFrame:
+        """Multi-field BM25F ranking (round 14)."""
+        from ccog_spark.operators.text import bm25f_topk
+
+        return bm25f_topk(docs, queries, field_cols, weights, **kwargs)
+
     # ---- retrieval (round 12)
     def bm25(self, docs: DataFrame, queries: DataFrame,
              **kwargs) -> DataFrame:

@@ -1036,3 +1036,46 @@ def bm25f_topk(
     return scored.select(
         "q_id", id_col, "score", F.row_number().over(w).cast("int").alias("rn")
     ).where(F.col("rn") <= k)
+
+
+def diversify_topk(
+    ranked: DataFrame,
+    groups: DataFrame,
+    group_col: str,
+    k: int = 5,
+    max_per_group: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Result DIVERSIFICATION (round 14 — the standard search-quality
+    post-pass): re-cut a ranked list keeping at most ``max_per_group``
+    documents per (query, group), preserving the incoming order.
+    ``ranked``: (q_id, id_col, score, rn) from any retrieval operator;
+    ``groups``: (id_col, group_col) — e.g. the documents' source — or
+    an index docmeta table (never the corpus text).
+
+    Deterministic greedy rule (the one every engine implements and SQL
+    replays exactly): walk each query's list in rank order; a document
+    whose group already holds max_per_group better-ranked SURVIVORS is
+    skipped... which for a per-group cap equals "keep the group's
+    first max_per_group rows" — rank within (q_id, group) by rn, keep
+    ≤ max_per_group, re-rank by the original (score desc, id), cut at
+    k. Pure windows over query-batch-sized frames; the groups join is
+    a broadcast of the RANKED side's ids when small, else a plain
+    equi-join — either way nothing corpus-scale shuffles beyond the
+    (id, group) projection."""
+    if max_per_group < 1 or k < 1:
+        raise ValueError("k and max_per_group must be >= 1")
+    j = ranked.join(groups.select(id_col, group_col), id_col)
+    gw = W.partitionBy("q_id", group_col).orderBy(F.col("rn"))
+    kept = j.select(
+        "q_id", id_col, "score", "rn", group_col,
+        F.row_number().over(gw).alias("grp_rn"),
+    ).where(F.col("grp_rn") <= max_per_group)
+    rw = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        kept.select(
+            "q_id", id_col, "score", group_col,
+            F.row_number().over(rw).cast("int").alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+    )

@@ -1916,6 +1916,32 @@ ORDER BY q_id, rn
 
 PIPELINE_ORACLE["pipeline_bm25f"] = _BM25F_SQL
 
+
+def _diversified_sql() -> str:
+    """Diversified retrieval (round 14, text.diversify_topk): the
+    bm25 top-20 SQL VERBATIM as the base list, then the same two
+    windows the engine runs — rank within (q_id, source) by rn, keep
+    ≤ 2, re-rank by (score DESC, doc_id), cut at 5."""
+    base = _bm25_sql(20)
+    return f"""
+WITH ranked_base AS ({base}
+), grouped AS (
+  SELECT rb.q_id, rb.doc_id, rb.score, rb.rn, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY rb.q_id, d.source ORDER BY rb.rn) AS grp_rn
+  FROM ranked_base rb JOIN documents d USING (doc_id)
+), recut AS (
+  SELECT q_id, doc_id, score, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY score DESC, doc_id) AS INT) AS rn
+  FROM grouped WHERE grp_rn <= 2)
+SELECT q_id, doc_id, score, source, rn FROM recut WHERE rn <= 5
+ORDER BY q_id, rn
+"""
+
+
+PIPELINE_ORACLE["pipeline_diversified"] = _diversified_sql()
+
 # Exact phrase search (round 14, text.phrase_match — VERDICT r13 #5):
 # full adjacency replay. Positions are 1-based indices in the RAW
 # whitespace split (empty tokens filtered, positions kept — a phrase

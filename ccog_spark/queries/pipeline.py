@@ -875,6 +875,27 @@ def pipeline_bm25_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
 
 
+def pipeline_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (round 14, text.diversify_topk): BM25
+    top-20 re-cut to at most 2 documents per source, final top-5 —
+    the standard search-quality post-pass (a result page dominated by
+    one crawl source is a worse page). Deterministic greedy rule,
+    pure windows over query-batch-sized frames; the oracle wraps the
+    bm25 SQL verbatim in the same two-window SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    ranked = text.bm25_topk(docs, queries, k=20)
+    return text.diversify_topk(
+        ranked, docs.select("doc_id", "source"), "source",
+        k=5, max_per_group=2,
+    ).orderBy("q_id", "rn")
+
+
 def pipeline_bm25f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-field BM25F ranking (round 14, text.bm25f_topk): the
     fixture corpus is single-field, so title/body are SYNTHESIZED

@@ -445,6 +445,10 @@ REGISTRY: dict[str, QueryFn] = {
     # store per-occurrence positions, the corpus is never re-read;
     # shared adjacency core ⇒ oracle is pipeline_phrase SQL verbatim
     "pipeline_phrase_index": pipeline.pipeline_phrase_index_q,
+    # round 14: result diversification — BM25 top-20 re-cut to ≤ 2
+    # docs per source, top-5; greedy rule replayed by the same two
+    # windows in SQL over the bm25 oracle verbatim
+    "pipeline_diversified": pipeline.pipeline_diversified,
     # round 14: multi-field BM25F — per-field length-normalized tf
     # combined 2:1 (title:body) with ONE saturation over the joint
     # evidence; exact-integer field sum (1e9 quantization), full SQL

@@ -396,3 +396,34 @@ def test_bm25f_field_weighting_and_shapes(spark):
 
     with _pytest.raises(ValueError, match="same-length"):
         text.bm25f_topk(docs, qs, field_cols=("title",), weights=(1.0, 2.0))
+
+
+def test_diversify_topk_greedy_rule(spark):
+    """text.diversify_topk: keep ≤ max_per_group per (query, group) in
+    rank order, re-rank, cut at k — hand-checked greedy semantics."""
+    from ccog_spark.operators import text
+
+    ranked = spark.createDataFrame(
+        [
+            (1, 10, 900, 1), (1, 11, 800, 2), (1, 12, 700, 3),
+            (1, 13, 600, 4), (1, 14, 500, 5),
+        ],
+        "q_id long, doc_id long, score long, rn int",
+    )
+    groups = spark.createDataFrame(
+        [(10, "a"), (11, "a"), (12, "a"), (13, "b"), (14, "b")],
+        "doc_id long, source string",
+    )
+    got = sorted(
+        (r.rn, r.doc_id, r.source)
+        for r in text.diversify_topk(
+            ranked, groups, "source", k=3, max_per_group=2
+        ).collect()
+    )
+    # doc 12 (3rd of group a) is skipped; 13 takes rank 3
+    assert got == [(1, 10, "a"), (2, 11, "a"), (3, 13, "b")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        text.diversify_topk(ranked, groups, "source", k=0)
