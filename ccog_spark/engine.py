@@ -132,6 +132,20 @@ class Engine:
 
         return delete_from_ann_index(self.spark, index_dir, vec_ids)
 
+    def verify_text_index(self, index_dir: str) -> dict:
+        """Integrity audit of a persisted BM25 index (round 14):
+        recompute df/n_docs/sum_dl from the physical tables and
+        compare against terms/meta; returns {ok, errors, checked}."""
+        from ccog_spark.operators.text_index import verify_text_index
+
+        return verify_text_index(self.spark, index_dir)
+
+    def verify_ann_index(self, index_dir: str) -> dict:
+        """Integrity audit of a persisted IVF+PQ index (round 14)."""
+        from ccog_spark.operators.ann_index import verify_ann_index
+
+        return verify_ann_index(self.spark, index_dir)
+
     def compact_ann_index(self, index_dir: str) -> dict:
         """Codes rewrite after appends/deletes — restores the
         clustered layout and applies pending tombstones physically."""

@@ -685,3 +685,82 @@ def query_ivfpq_index(
         )
     cands = _rank_adc(pairs, m).select("q_id", "vec_id")
     return exact_rerank(rerank_corpus, queries, cands, k)
+
+
+def verify_ann_index(spark: SparkSession, index_dir: str) -> dict:
+    """Integrity audit, ANN side (round 14 — verify_text_index's E36
+    twin): recompute what the meta/cellstats tables claim from the
+    PHYSICAL codes table. Catches the post-crash states the
+    ``_inflight`` marker protocol cannot see once a marker has been
+    manually deleted (the documented repair footgun): n_vectors
+    drift, code rows assigned to cells no centroid owns, code arrays
+    of the wrong PQ width, stale cellstats, vecmeta missing rows for
+    live codes. Returns {"ok", "errors", "checked"} — never raises on
+    inconsistency (rebuild is the repair). One pass over codes."""
+    errors: list[str] = []
+    if ic.inflight_op(index_dir) is not None:
+        errors.append("inflight marker present (torn mutation)")
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+
+    agg = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.size("codes") != int(meta.m_blocks)).cast("int")).alias(
+            "badlen"
+        ),
+    ).first()
+    if int(agg["n"]) != int(meta.n_vectors):
+        errors.append(
+            f"meta.n_vectors {int(meta.n_vectors)} != physical {agg['n']}"
+        )
+    if int(agg["badlen"] or 0):
+        errors.append(f"{agg['badlen']} code rows with wrong PQ width")
+
+    cent_ids = {
+        int(r.cent_id)
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).select("cent_id").collect()
+    }
+    # cell -1 is the documented null-embedding fallback
+    orphan = codes.where(
+        (~F.col("cell").isin(sorted(cent_ids))) & (F.col("cell") != -1)
+    ).count()
+    if orphan:
+        errors.append(f"{orphan} code rows in cells no centroid owns")
+
+    # cellstats drift (serves auto_nprobe): recount per-cell occupancy
+    true_occ = {
+        (int(r.cell), int(r.n))
+        for r in codes.where(F.col("cell") != -1)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cs_path = os.path.join(index_dir, "cellstats")
+    if os.path.isdir(cs_path):
+        claimed = {
+            (int(r.cell), int(r.n))
+            for r in spark.read.parquet(cs_path).collect()
+        }
+        if claimed != true_occ:
+            errors.append(
+                f"cellstats drift: {len(claimed ^ true_occ)} cells differ"
+            )
+
+    vm_dir = os.path.join(index_dir, "vecmeta")
+    if os.path.isdir(vm_dir):
+        missing = (
+            codes.select("vec_id")
+            .join(
+                spark.read.parquet(vm_dir).select("vec_id"),
+                "vec_id", "left_anti",
+            )
+            .count()
+        )
+        if missing:
+            errors.append(f"{missing} code rows without vecmeta metadata")
+
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "checked": {"n_vectors": int(agg["n"]), "n_centroids": len(cent_ids)},
+    }

@@ -804,3 +804,84 @@ def proximity_match_index(
 
     toks, id_col = _positional_toks(spark, index_dir, phrases, doc_filter)
     return _proximity_core(toks, phrases, id_col, max_span)
+
+
+def verify_text_index(spark: SparkSession, index_dir: str) -> dict:
+    """Integrity audit (round 14 — the ops complement to the
+    ``_inflight`` torn-mutation marker): recompute every derived
+    statistic from the PHYSICAL tables and compare against what the
+    terms table and meta row claim, accounting for pending
+    tombstones. Catches the silent-wrong-scores states a crash plus a
+    marker deletion (the documented repair footgun) could leave:
+    stale df, stale n_docs/sum_dl/avgdl, doclens/postings drift, a
+    positional layout that lost its column.
+
+    Returns {"ok": bool, "errors": [str, ...], "checked": {...}} —
+    never raises on inconsistency (callers decide; rebuild is the
+    repair). One pass over postings + doclens; vocabulary-sized
+    comparisons stay distributed (an anti-join count, nothing
+    collected)."""
+    errors: list[str] = []
+    meta = _read_meta(spark, index_dir)
+    id_col = str(meta["id_col"])
+    if ic.inflight_op(index_dir) is not None:
+        errors.append("inflight marker present (torn mutation)")
+    tomb = ic.read_tombstones(spark, index_dir, id_col)
+
+    postings = ic.anti_tombstones(
+        spark.read.parquet(os.path.join(index_dir, "postings")), tomb, id_col
+    )
+    doclens = ic.anti_tombstones(
+        spark.read.parquet(os.path.join(index_dir, "doclens")), tomb, id_col
+    )
+    if bool(meta["has_positions"]) and "pos" not in postings.columns:
+        errors.append("meta.has_positions but postings lack a pos column")
+
+    # df drift: recompute per-term df from live postings, anti-join
+    # against the terms table in BOTH directions
+    true_df = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    claimed = spark.read.parquet(os.path.join(index_dir, "terms")).select(
+        "t", "df"
+    )
+    n_mismatch = (
+        true_df.join(claimed, "t", "full_outer")
+        .where(
+            F.coalesce(true_df["df"], F.lit(-1))
+            != F.coalesce(claimed["df"], F.lit(-2))
+        )
+        .count()
+    )
+    if n_mismatch:
+        errors.append(f"terms.df drift on {n_mismatch} terms")
+
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    if int(stats["n"]) != int(meta["n_docs"]):
+        errors.append(
+            f"meta.n_docs {meta['n_docs']} != live doclens {stats['n']}"
+        )
+    live_sum = int(stats["s"]) if stats["s"] is not None else 0
+    if live_sum != int(meta["sum_dl"]):
+        errors.append(f"meta.sum_dl {meta['sum_dl']} != live {live_sum}")
+
+    # doclens/postings id drift (either direction)
+    p_ids = postings.select(id_col).distinct()
+    d_ids = doclens.select(id_col).distinct()
+    only_p = p_ids.join(d_ids, id_col, "left_anti").count()
+    only_d = d_ids.join(p_ids, id_col, "left_anti").count()
+    if only_p or only_d:
+        errors.append(
+            f"id drift: {only_p} ids only in postings, {only_d} only in doclens"
+        )
+
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "checked": {
+            "n_docs": int(stats["n"]),
+            "sum_dl": live_sum,
+            "terms_compared": True,
+            "generation": int(meta["generation"]),
+        },
+    }

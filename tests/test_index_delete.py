@@ -342,3 +342,69 @@ def test_ann_delete_idempotent_and_marker(spark, tmp_path):
         query_ivfpq_index(spark, idx, qs, k=3)
     ic.end_mutation(idx)
     assert len(_rows(query_ivfpq_index(spark, idx, qs, k=3))) > 0
+
+
+def test_verify_text_index_clean_and_corrupt(spark, tmp_path):
+    """verify_text_index (round 14): green on a fresh build, green
+    through the delete lifecycle, and LOUD on the documented repair
+    footgun — clearing tombstones without compacting leaves postings
+    rows the df-decremented terms/meta no longer account for."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.operators import index_common as ic
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        delete_from_text_index,
+        verify_text_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    idx = str(tmp_path / "vfy")
+    build_bm25_index(docs, idx)
+    r = verify_text_index(spark, idx)
+    assert r["ok"], r["errors"]
+
+    delete_from_text_index(
+        spark, idx, docs.where(F.col("doc_id") % 13 == 3).select("doc_id")
+    )
+    r = verify_text_index(spark, idx)
+    assert r["ok"], r["errors"]  # tombstones accounted for
+
+    ic.clear_tombstones(idx)  # the footgun: logical delete forgotten
+    r = verify_text_index(spark, idx)
+    assert not r["ok"]
+    assert any("df drift" in e for e in r["errors"])
+    assert any("n_docs" in e for e in r["errors"])
+
+
+def test_verify_ann_index_clean_and_corrupt(spark, tmp_path):
+    """verify_ann_index (round 14): green on build + append, loud when
+    physical codes are lost behind meta's back (a grp directory
+    removed out-of-band)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ccog_spark.operators.ann_index import (
+        append_to_index,
+        build_ivfpq_index,
+        verify_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    idx = str(tmp_path / "vfy_ann")
+    build_ivfpq_index(
+        emb.where(F.col("vec_id") % 3 != 0), dim, idx, meta_cols=("label",)
+    )
+    append_to_index(emb.where(F.col("vec_id") % 3 == 0), idx)
+    r = verify_ann_index(spark, idx)
+    assert r["ok"], r["errors"]
+    assert r["checked"]["n_vectors"] == emb.count()
+
+    victims = sorted(glob.glob(f"{idx}/codes/grp=*"))
+    shutil.rmtree(victims[len(victims) // 2])  # lose a directory
+    r = verify_ann_index(spark, idx)
+    assert not r["ok"]
+    assert any("n_vectors" in e for e in r["errors"])
