@@ -200,6 +200,20 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # stream_join (E31/E32 keep stream_dedup + stream_stateful real
 # readStream fold rows).
 #
+# Round 14 second rotation (mid-round, new operators): the round's own
+# flagships — pipeline_bm25_index_delete (the r13 verdict's #2
+# feature: tombstones + df-decremented stats, oracled over the
+# SURVIVORS), pipeline_phrase (the new positional capability family),
+# and pipeline_bm25f (multi-field scoring) — moved INTO the fold so
+# CORRECTNESS_r14 hash-gates them rather than waiting a round (the
+# recurring verdict pattern). Displaced, each keeping ≥1 above-fold
+# family row: q04 (E7 ≙ q03 fold + q05 tail), pivot_q (E13 ≙ q07 fold
+# + q07b/unpivot_q tail), q20 (E16 ≙ q10 + stream_session tail — the
+# r13 verdict's other named stand-down). pipeline_proximity,
+# pipeline_bm25_index_filtered, ann_index_filtered, ann_index_delete,
+# ann_autoprobe, pipeline_diversified and the index twins stay
+# tail-gated this round (judge sweep + pytest oracle at sf0.001).
+#
 # Round 12 reorder (VERDICT r11 tasks 1/2/8): the NEW rows — cog_cubic
 # (interpolating-overview write, closes R7) and pipeline_tokenize (BPE
 # train + encode, the one operator with zero queries() presence) —
@@ -213,14 +227,22 @@ REGISTRY: dict[str, QueryFn] = {
     "q01": relational.q01,
     "q02": relational.q02,
     "q03": relational.q03,
-    "q04": relational.q04,
+    # r14 fold slot (was q04): INDEX DELETION, text side — the r13
+    # verdict's #2 feature gets the driver hash: build → tombstone →
+    # query, oracled by the from-scratch SQL over the SURVIVORS (E7
+    # keeps q03 in the fold + q05 in the tail)
+    "pipeline_bm25_index_delete": pipeline.pipeline_bm25_index_delete_q,
     "q06": relational.q06,
     "q07": relational.q07,
     # r7 fold slot (was q07b): flagship composed hygiene pipeline —
     # filter → exact dedup → MinHash-CC → decontam → stats in ONE lazy
     # plan; hash-checks the COMPOSITION of four above-fold operators
     "pipeline_e2e": pipeline.pipeline_e2e,
-    "pivot_q": relational.pivot_q,
+    # r14 fold slot (was pivot_q): exact PHRASE search — the new
+    # positional capability family's driver hash; pure-integer
+    # adjacency replay (E13 keeps q07 in the fold + q07b/unpivot_q
+    # in the tail)
+    "pipeline_phrase": pipeline.pipeline_phrase,
     "q08": relational.q08,
     # r14 fold slot (was q09): E28 conditional fns — tail-only since
     # r12 left the scalar families without this direct fold row
@@ -239,7 +261,11 @@ REGISTRY: dict[str, QueryFn] = {
     # and id assignment data-dependently in recursive-CTE SQL
     "pipeline_tokenize": pipeline.pipeline_tokenize,
     "q18": llm.q18,
-    "q20": llm.q20,  # E16 analytic windows + session-window semantics
+    # r14 fold slot (was q20 — the r13 verdict's named stand-down;
+    # E16 keeps q10 + stream_session in the tail): multi-field BM25F,
+    # the round's new scoring operator, full SQL replay incl. field
+    # synthesis
+    "pipeline_bm25f": pipeline.pipeline_bm25f,
     # r10 fold slot (was q22): EXACT-SUBSTRING (span) dedup with
     # rebuild — Lee et al. 2022 repeated-span removal, r9-rewritten to
     # two-seed xxhash64 128-bit gram keys (string-gram oracle twin +
@@ -423,6 +449,13 @@ REGISTRY: dict[str, QueryFn] = {
     # ann_ivfpq (moved into the fold in r7) are above
     "ann_pq": pipeline.ann_pq,
     # r14 displaced fold rows — each keeps above-fold family rows:
+    # E7 equi-joins ≙ q03 (fold, broadcast dim chain) + q05 (tail)
+    "q04": relational.q04,
+    # E13 pivot ≙ q07 (fold rollup/cube) + q07b/unpivot_q (tail)
+    "pivot_q": relational.pivot_q,
+    # E16 analytic/session ≙ q10 (tail) + stream_session (tail, same
+    # result) — the r13 verdict's named stand-down candidate
+    "q20": llm.q20,
     # E15 ranking windows ≙ q11 top-k (fold) + q24 (tail)
     "q09": relational.q09,
     # quality filtering ≙ pipeline_e2e (fold, composes the same filter
@@ -437,10 +470,6 @@ REGISTRY: dict[str, QueryFn] = {
     "ann_index_append": pipeline.ann_index_append_q,
     # E31/E32 ≙ stream_dedup + stream_stateful (fold, real readStream)
     "stream_join": streaming_corpus.stream_join,
-    # round 14: exact PHRASE search (VERDICT r13 #5) — inline
-    # anchor-normalized adjacency over raw-split positions; pure
-    # integer output, full SQL adjacency replay
-    "pipeline_phrase": pipeline.pipeline_phrase,
     # round 14: phrase search from the POSITIONAL index — postings
     # store per-occurrence positions, the corpus is never re-read;
     # shared adjacency core ⇒ oracle is pipeline_phrase SQL verbatim
@@ -449,11 +478,6 @@ REGISTRY: dict[str, QueryFn] = {
     # docs per source, top-5; greedy rule replayed by the same two
     # windows in SQL over the bm25 oracle verbatim
     "pipeline_diversified": pipeline.pipeline_diversified,
-    # round 14: multi-field BM25F — per-field length-normalized tf
-    # combined 2:1 (title:body) with ONE saturation over the joint
-    # evidence; exact-integer field sum (1e9 quantization), full SQL
-    # replay incl. the deterministic title/body synthesis
-    "pipeline_bm25f": pipeline.pipeline_bm25f,
     # round 14: UNORDERED proximity search (Lucene sloppy-phrase
     # shape with an explicit window) — all terms within a 5-position
     # window in any order; window self-join over matching tokens
@@ -467,11 +491,6 @@ REGISTRY: dict[str, QueryFn] = {
     # semantics); oracle = bm25 SQL with the predicate joined into
     # the scoring CTE only, shared verbatim via BM25_FILTER_PRED
     "pipeline_bm25_index_filtered": pipeline.pipeline_bm25_index_filtered_q,
-    # round 14: INDEX DELETION, text side (VERDICT r13 #2) — build →
-    # tombstone a slice (df-decremented terms, rewritten N/avgdl) →
-    # query; oracle = the from-scratch BM25 SQL over the SURVIVING
-    # corpus (corpus_pred), so stale stats hash-mismatch loudly
-    "pipeline_bm25_index_delete": pipeline.pipeline_bm25_index_delete_q,
     # round 14: INDEX DELETION, ANN side — tombstoned vectors excluded
     # from candidates under the frozen full-corpus model; oracle =
     # ann_ivfpq SQL with the candidate side filtered to survivors

@@ -140,6 +140,9 @@ def test_driver_fold_discipline():
         # restoring E28's direct fold row
         "pipeline_bm25_pruned", "pipeline_bm25_index",
         "pipeline_bm25_index_append", "pipeline_hybrid_index", "q16",
+        # r14 second rotation: the round's own flagships hash-gated
+        # same-round (q04/pivot_q/q20 stood down, families covered)
+        "pipeline_bm25_index_delete", "pipeline_phrase", "pipeline_bm25f",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
