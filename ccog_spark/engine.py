@@ -177,6 +177,14 @@ class Engine:
 
         return phrase_match_index(self.spark, index_dir, phrases, **kwargs)
 
+    def snippet_match(self, docs: DataFrame, phrases: DataFrame,
+                      **kwargs) -> DataFrame:
+        """Snippet extraction (round 14): the text window around the
+        first exact occurrence of each matching phrase."""
+        from ccog_spark.operators.text import snippet_match
+
+        return snippet_match(docs, phrases, **kwargs)
+
     def proximity_match(self, docs: DataFrame, phrases: DataFrame,
                         max_span: int, **kwargs) -> DataFrame:
         """Unordered proximity search (round 14): all terms of each

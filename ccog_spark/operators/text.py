@@ -784,6 +784,20 @@ def _phrase_core(
     are query-batch-sized) and two map-side-combinable aggregates;
     only matching tokens ever shuffle, grouped by (q_id, id, anchor)
     whose cardinality is bounded by the matching-token count."""
+    hits = _phrase_anchors(toks, phrases, id_col)
+    return (
+        hits.groupBy("q_id", id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+    )
+
+
+def _phrase_anchors(
+    toks: DataFrame, phrases: DataFrame, id_col: str
+) -> DataFrame:
+    """(q_id, id, anchor, n) rows — one per full-coverage phrase START
+    position. The anchor machinery of ``_phrase_core``, factored out
+    so ``snippet_match`` can reach the positions themselves (the
+    count is a trivial group over this frame)."""
     pterms = (
         phrases.select(
             "q_id",
@@ -798,15 +812,12 @@ def _phrase_core(
         "q_id", F.col(id_col), (F.col("pos") - F.col("i")).alias("anchor"),
         "i",
     )
-    hits = (
+    return (
         m.groupBy("q_id", id_col, "anchor")
         .agg(F.count_distinct("i").alias("k"))
         .join(F.broadcast(pn), "q_id")
         .where(F.col("k") == F.col("n"))
-    )
-    return (
-        hits.groupBy("q_id", id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+        .select("q_id", id_col, "anchor", "n")
     )
 
 
@@ -1078,4 +1089,57 @@ def diversify_topk(
             F.row_number().over(rw).cast("int").alias("rn"),
         )
         .where(F.col("rn") <= k)
+    )
+
+
+def snippet_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SNIPPET extraction (round 14 — the result-page verb next to
+    phrase search): for each (query phrase, matching document), the
+    text window around the FIRST exact occurrence — ``window`` raw
+    positions of context on each side of the phrase. Output
+    (q_id, id_col, first_pos, snippet); matching documents only.
+
+    Deterministic by construction: first_pos = MIN anchor over the
+    full-coverage anchors of ``_phrase_anchors`` (shared with
+    phrase_match — one adjacency truth), and the snippet is the RAW
+    whitespace split sliced at [max(first_pos − window, 1),
+    first_pos + n − 1 + window] re-joined with single spaces — both
+    engines replay the same slice on the same positions rule.
+
+    Scale shape: the anchor machinery (matching tokens only), a
+    query-batch × matching-docs aggregate, then ONE join back to the
+    corpus on id to slice the text of MATCHING documents only —
+    non-matching documents are never touched past the token scan."""
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("p0", "t"),
+        )
+        .where(F.col("t") != "")
+        .select(id_col, (F.col("p0") + 1).alias("pos"), "t")
+    )
+    first = (
+        _phrase_anchors(toks, phrases, id_col)
+        .groupBy("q_id", id_col, "n")
+        .agg(F.min("anchor").alias("first_pos"))
+    )
+    start = F.greatest(F.col("first_pos") - window, F.lit(1))
+    length = (
+        F.col("first_pos") + F.col("n") - 1 + window - start + 1
+    )
+    return first.join(docs.select(id_col, text_col), id_col).select(
+        "q_id",
+        F.col(id_col),
+        F.col("first_pos").cast("bigint").alias("first_pos"),
+        F.array_join(
+            F.slice(F.split(F.col(text_col), " "), start, length), " "
+        ).alias("snippet"),
     )

@@ -2025,6 +2025,50 @@ ORDER BY q_id, doc_id
 """
 
 PIPELINE_ORACLE["pipeline_proximity"] = _PROXIMITY_SQL
+
+# Snippet extraction (round 14, text.snippet_match): the phrase
+# anchors CTE chain verbatim, then first_pos = MIN(anchor) per
+# (query, doc) and the snippet = the RAW whitespace split sliced at
+# [GREATEST(first_pos - 3, 1), first_pos + n - 1 + 3] re-joined with
+# single spaces — same positions rule, same slice, both engines.
+_SNIPPET_SQL = """
+WITH toks AS (
+  SELECT d.doc_id, u.wi AS pos, string_split(d.text, ' ')[u.wi] AS t
+  FROM documents d,
+       UNNEST(range(1, len(string_split(d.text, ' ')) + 1)) AS u(wi)
+  WHERE string_split(d.text, ' ')[u.wi] <> ''
+), ph AS (
+  SELECT doc_id AS q_id, string_split(text, ' ')[2:4] AS phr
+  FROM documents WHERE doc_id % 101 = 7
+), pt AS (
+  SELECT q_id, u.wi - 1 AS i, phr[u.wi] AS t
+  FROM ph, UNNEST(range(1, len(phr) + 1)) AS u(wi)
+  WHERE phr[u.wi] <> ''
+), pn AS (
+  SELECT q_id, COUNT(DISTINCT i) AS n FROM pt GROUP BY q_id
+), m AS (
+  SELECT pt.q_id, toks.doc_id, toks.pos - pt.i AS anchor, pt.i
+  FROM toks JOIN pt USING (t)
+), hits AS (
+  SELECT h.q_id, h.doc_id, h.anchor, pn.n
+  FROM (
+    SELECT q_id, doc_id, anchor, COUNT(DISTINCT i) AS k
+    FROM m GROUP BY q_id, doc_id, anchor) h
+  JOIN pn USING (q_id)
+  WHERE h.k = pn.n
+), first AS (
+  SELECT q_id, doc_id, n, MIN(anchor) AS first_pos
+  FROM hits GROUP BY q_id, doc_id, n)
+SELECT f.q_id, f.doc_id, CAST(f.first_pos AS BIGINT) AS first_pos,
+       COALESCE(array_to_string(
+         string_split(d.text, ' ')
+           [GREATEST(f.first_pos - 3, 1) : f.first_pos + f.n - 1 + 3],
+         ' '), '') AS snippet
+FROM first f JOIN documents d USING (doc_id)
+ORDER BY q_id, doc_id
+"""
+
+PIPELINE_ORACLE["pipeline_snippet"] = _SNIPPET_SQL
 # Index-backed proximity: shared window core ⇒ bit-identical to the
 # inline operator — one SQL truth, two execution paths.
 PIPELINE_ORACLE["pipeline_proximity_index"] = _PROXIMITY_SQL

@@ -875,6 +875,19 @@ def pipeline_bm25_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
 
 
+def pipeline_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet extraction (round 14, text.snippet_match — the result
+    page's highlight verb): the text window (±3 positions) around the
+    FIRST exact occurrence of each matching phrase, first_pos = min
+    full-coverage anchor from the shared phrase machinery. String +
+    integer output; the oracle replays anchors, the min, and the raw
+    split slice/rejoin byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.snippet_match(docs, _phrase_batch(docs), window=3).orderBy(
+        "q_id", "doc_id"
+    )
+
+
 def pipeline_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified retrieval (round 14, text.diversify_topk): BM25
     top-20 re-cut to at most 2 documents per source, final top-5 —

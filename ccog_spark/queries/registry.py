@@ -474,6 +474,10 @@ REGISTRY: dict[str, QueryFn] = {
     # store per-occurrence positions, the corpus is never re-read;
     # shared adjacency core ⇒ oracle is pipeline_phrase SQL verbatim
     "pipeline_phrase_index": pipeline.pipeline_phrase_index_q,
+    # round 14: snippet extraction — text window around the FIRST
+    # phrase occurrence (min full-coverage anchor, shared phrase
+    # machinery); raw-split slice/rejoin replayed byte-for-byte
+    "pipeline_snippet": pipeline.pipeline_snippet,
     # round 14: result diversification — BM25 top-20 re-cut to ≤ 2
     # docs per source, top-5; greedy rule replayed by the same two
     # windows in SQL over the bm25 oracle verbatim

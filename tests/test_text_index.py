@@ -640,3 +640,38 @@ def test_filtered_retrieval_predicate_pushdown(spark, tmp_path):
     assert "In(source," in flat  # predicate pushed into the docmeta scan
     assert "PartitionFilters" in plan and "bkt" in plan  # pruning intact
     assert len(df.collect()) > 0
+
+
+def test_snippet_match_hand_cases(spark):
+    """text.snippet_match: window clamps at the document start, the
+    FIRST occurrence wins, context is the raw split re-joined."""
+    from ccog_spark.operators.text import snippet_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x x c d x x x c d x"),
+        ],
+        "doc_id long, text string",
+    )
+    ph = spark.createDataFrame([(1, "c d")], "q_id long, phrase string")
+    got = {
+        r.doc_id: (r.first_pos, r.snippet)
+        for r in snippet_match(docs, ph, window=2).collect()
+    }
+    # doc 1: phrase at pos 3, window 2 → tokens 1..6
+    assert got[1] == (3, "a b c d e f")
+    # doc 2: FIRST occurrence at pos 3 (not 8) → tokens 1..6
+    assert got[2] == (3, "x x c d x x")
+
+    # window 0 → exactly the phrase
+    got0 = {
+        r.doc_id: r.snippet
+        for r in snippet_match(docs, ph, window=0).collect()
+    }
+    assert got0 == {1: "c d", 2: "c d"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        snippet_match(docs, ph, window=-1)
