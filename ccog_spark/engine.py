@@ -227,6 +227,14 @@ class Engine:
 
         return bm25_topk(docs, queries, **kwargs)
 
+    def bm25_prf(self, docs: DataFrame, queries: DataFrame,
+                 **kwargs) -> DataFrame:
+        """Pseudo-relevance-feedback expanded BM25 (round 14): pass-1
+        top-k_fb docs donate e_terms expansion terms, pass-2 re-ranks."""
+        from ccog_spark.operators.text import bm25_prf_topk
+
+        return bm25_prf_topk(docs, queries, **kwargs)
+
     def ann_rerank(self, corpus: DataFrame, queries: DataFrame, dim: int,
                    **kwargs) -> DataFrame:
         """Two-stage ANN: ADC candidates → exact-cosine re-rank."""

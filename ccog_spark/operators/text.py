@@ -1143,3 +1143,75 @@ def snippet_match(
             F.slice(F.split(F.col(text_col), " "), start, length), " "
         ).alias("snippet"),
     )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_fb: int = 10,
+    e_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query EXPANSION (round 14 — the
+    classic two-pass recall lever, a deliberately integer-exact
+    simplification of RM3): pass 1 ranks with plain BM25; the top
+    ``k_fb`` documents per query donate their ``e_terms`` most
+    frequent terms (token occurrences summed over the feedback docs,
+    original query terms excluded, ties broken by term text); pass 2
+    re-ranks with the EXPANDED term set, all terms weighted equally.
+    Full RM3 interpolates relevance-model weights — floats a
+    hash-gated oracle cannot replay portably — so the expansion here
+    is the set-union variant, deterministic end to end.
+
+    Scale shape: pass 1 is bm25_topk unchanged; feedback-term
+    selection joins the (query-batch × k_fb)-sized winners back to
+    the corpus for THEIR tokens only, aggregates per (q_id, t), and
+    ranks inside each query (query-batch-sized window); pass 2 is the
+    shared _bm25_rank core over the expanded (still query-batch ×
+    (|q| + e))-sized term set. Pruning is left off for pass 2 (the
+    expanded batch is small; the planner's jobs would dominate)."""
+    base = bm25_topk(docs, queries, k=k_fb, k1=k1, b=b,
+                     text_col=text_col, id_col=id_col, prune=False)
+    toks = (
+        docs.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+        )
+        .where(F.col("t") != "")
+    )
+    orig = (
+        queries.select(
+            "q_id", F.explode(F.split(F.col("q_text"), " ")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    fb_cnt = (
+        base.select("q_id", id_col)
+        .join(toks, id_col)
+        .groupBy("q_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(orig, ["q_id", "t"], "left_anti")
+    )
+    ew = W.partitionBy("q_id").orderBy(F.col("c").desc(), F.col("t"))
+    expansion = (
+        fb_cnt.select("q_id", "t", F.row_number().over(ew).alias("ern"))
+        .where(F.col("ern") <= e_terms)
+        .select("q_id", "t")
+    )
+    qterms = orig.unionByName(expansion).distinct()
+
+    # pass-2 corpus frames, spelled exactly as bm25_topk derives them
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    return _bm25_rank(
+        docs.sparkSession, tf, dl, dfs, stats, qterms,
+        k=k, k1=k1, b=b, id_col=id_col, prune=False, min_postings=None,
+    )

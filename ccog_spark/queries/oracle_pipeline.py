@@ -2069,6 +2069,51 @@ ORDER BY q_id, doc_id
 """
 
 PIPELINE_ORACLE["pipeline_snippet"] = _SNIPPET_SQL
+
+
+def _prf_sql() -> str:
+    """PRF query expansion (round 14, text.bm25_prf_topk): pass 1 is
+    the bm25 SQL verbatim at k_fb = 10 (nested as a derived table —
+    the diversified row's proven composition); the expansion is the
+    3 most frequent feedback-doc terms per query (occurrences summed,
+    original terms anti-joined out, ties by term text); pass 2 is the
+    SAME scoring body with q = original ∪ expansion. Integer-exact
+    end to end — full RM3's relevance-model interpolation is floats a
+    cross-engine hash cannot carry, which is why the engine ships the
+    set-union variant (documented on the operator)."""
+    base = _bm25_sql(10)
+    orig = """SELECT DISTINCT q_id, t FROM (
+    SELECT doc_id AS q_id,
+           UNNEST(string_split(text, ' ')[1:3]) AS t
+    FROM documents WHERE doc_id % 97 = 11) y
+  WHERE t <> ''"""
+    q_cte = f"""
+  SELECT q_id, t FROM (
+    {orig}
+    UNION
+    SELECT q_id, t FROM (
+      SELECT cnt.q_id, cnt.t,
+             ROW_NUMBER() OVER (
+               PARTITION BY cnt.q_id ORDER BY cnt.c DESC, cnt.t) AS ern
+      FROM (
+        SELECT fb.q_id, tk.t, COUNT(*) AS c
+        FROM ({base}) fb
+        JOIN (
+          SELECT doc_id, t FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+            FROM documents) x
+          WHERE t <> '') tk
+          ON tk.doc_id = fb.doc_id
+        LEFT JOIN ({orig}) o ON o.q_id = fb.q_id AND o.t = tk.t
+        WHERE o.t IS NULL
+        GROUP BY fb.q_id, tk.t
+      ) cnt
+    ) e WHERE ern <= 3
+  ) u"""
+    return _bm25_sql(5, q_cte=q_cte)
+
+
+PIPELINE_ORACLE["pipeline_prf"] = _prf_sql()
 # Index-backed proximity: shared window core ⇒ bit-identical to the
 # inline operator — one SQL truth, two execution paths.
 PIPELINE_ORACLE["pipeline_proximity_index"] = _PROXIMITY_SQL

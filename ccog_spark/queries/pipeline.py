@@ -875,6 +875,26 @@ def pipeline_bm25_index_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
 
 
+def pipeline_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF query expansion (round 14, text.bm25_prf_topk — the
+    two-pass recall lever): BM25 top-10 feedback docs donate their 3
+    most frequent non-query terms; the expanded set re-ranks with the
+    shared scoring core. Integer-exact simplification of RM3 (the
+    relevance-model interpolation is dropped — floats a cross-engine
+    hash cannot carry); the oracle nests the pass-1 SQL verbatim
+    inside the expanded q CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    return text.bm25_prf_topk(
+        docs, queries, k=5, k_fb=10, e_terms=3
+    ).orderBy("q_id", "rn")
+
+
 def pipeline_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippet extraction (round 14, text.snippet_match — the result
     page's highlight verb): the text window (±3 positions) around the

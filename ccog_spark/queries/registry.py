@@ -474,6 +474,10 @@ REGISTRY: dict[str, QueryFn] = {
     # store per-occurrence positions, the corpus is never re-read;
     # shared adjacency core ⇒ oracle is pipeline_phrase SQL verbatim
     "pipeline_phrase_index": pipeline.pipeline_phrase_index_q,
+    # round 14: PRF query expansion — pass-1 bm25 top-10 donates the
+    # 3 most frequent non-query terms, pass-2 re-ranks the expanded
+    # set; oracle nests the pass-1 SQL verbatim in the q CTE
+    "pipeline_prf": pipeline.pipeline_prf,
     # round 14: snippet extraction — text window around the FIRST
     # phrase occurrence (min full-coverage anchor, shared phrase
     # machinery); raw-split slice/rejoin replayed byte-for-byte
