@@ -1076,7 +1076,12 @@ def diversify_topk(
     (id, group) projection."""
     if max_per_group < 1 or k < 1:
         raise ValueError("k and max_per_group must be >= 1")
-    j = ranked.join(groups.select(id_col, group_col), id_col)
+    # the ranked side is query-batch × m rows but derived (post-window,
+    # statistics unknown) — without the hint Spark sort-merge-joins and
+    # SHUFFLES the corpus-sized groups projection (measured +10 s at
+    # fa-sf10); broadcasting the small side makes the groups scan
+    # stream map-side
+    j = F.broadcast(ranked).join(groups.select(id_col, group_col), id_col)
     gw = W.partitionBy("q_id", group_col).orderBy(F.col("rn"))
     kept = j.select(
         "q_id", id_col, "score", "rn", group_col,
@@ -1190,7 +1195,10 @@ def bm25_prf_topk(
         .distinct()
     )
     fb_cnt = (
-        base.select("q_id", id_col)
+        # feedback winners are query-batch × k_fb rows but derived —
+        # broadcast them so the corpus token stream joins map-side
+        # instead of shuffling (the diversify_topk hint, same reason)
+        F.broadcast(base.select("q_id", id_col))
         .join(toks, id_col)
         .groupBy("q_id", "t")
         .agg(F.count(F.lit(1)).alias("c"))
