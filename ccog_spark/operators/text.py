@@ -1140,7 +1140,10 @@ def snippet_match(
     length = (
         F.col("first_pos") + F.col("n") - 1 + window - start + 1
     )
-    return first.join(docs.select(id_col, text_col), id_col).select(
+    # `first` is query-batch × matching-docs but DERIVED (post-agg,
+    # no statistics) — broadcast it so the corpus text projection
+    # streams map-side (the diversify_topk/bm25_prf_topk hint)
+    return F.broadcast(first).join(docs.select(id_col, text_col), id_col).select(
         "q_id",
         F.col(id_col),
         F.col("first_pos").cast("bigint").alias("first_pos"),
