@@ -143,6 +143,10 @@ def test_driver_fold_discipline():
         # r14 second rotation: the round's own flagships hash-gated
         # same-round (q04/pivot_q/q20 stood down, families covered)
         "pipeline_bm25_index_delete", "pipeline_phrase", "pipeline_bm25f",
+        # r15: the r14 flagships promoted per VERDICT r14 #1
+        # (q11/q12/q13/q15 stood down, families tail-covered)
+        "ann_index_delete", "pipeline_bm25_index_filtered",
+        "ann_autoprobe", "pipeline_prf",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
