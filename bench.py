@@ -89,7 +89,33 @@ def run() -> dict:
     }
 
 
+def emit(result: dict) -> str:
+    """Serialize the result to ONE line guaranteed to fit the grading
+    driver's 2000-char stdout tail window (BENCH_r14.json lost
+    ``calibration_sec`` to truncation: 90 per-query timings at 4
+    decimals + default separators pushed the line past the window and
+    ``parsed`` came back null — VERDICT r14 #7). Compact separators +
+    2-decimal per-query timings (host noise is >10 ms anyway; the
+    corpus total keeps 4 decimals), degrading per-query precision
+    further only if the corpus ever outgrows even that."""
+    for ndigits in (2, 1):
+        out = dict(result)
+        out["queries"] = {
+            q: round(v, ndigits) for q, v in result["queries"].items()
+        }
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= 1900:
+            return line
+    # last resort: per-query detail moves to an earlier (unrecorded)
+    # line; the final line keeps every scalar the adjudication needs
+    out.pop("queries")
+    return json.dumps(out, separators=(",", ":"))
+
+
 if __name__ == "__main__":
     result = run()
-    json.dump(result, sys.stdout)
-    print()
+    line = emit(result)
+    if '"queries"' not in line:
+        json.dump(result, sys.stdout)  # full detail, earlier line
+        print()
+    sys.stdout.write(line + "\n")
