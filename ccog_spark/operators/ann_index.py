@@ -238,6 +238,28 @@ def _read_cellstats(spark: SparkSession, index_dir: str) -> list[int]:
     return [r.n for r in spark.read.parquet(p).collect()]
 
 
+_ANN_META_SCHEMA = (
+    "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
+    "n_groups int, last_epoch string"
+)
+_ANN_META_KEYS = (
+    "dim", "m_blocks", "cent_stride", "n_vectors", "n_groups",
+    "last_epoch",
+)
+
+
+def _write_ann_meta(spark: SparkSession, index_dir: str, meta: dict) -> None:
+    spark.createDataFrame(
+        [tuple(meta[k] for k in _ANN_META_KEYS)], _ANN_META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+
+
+def _meta_epoch(meta_row) -> str:
+    """``last_epoch`` from a meta Row; pre-round-15 indexes lack the
+    field (streaming replay record, see build_ivfpq_index)."""
+    return meta_row.asDict().get("last_epoch") or ""
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     dim: int,
@@ -246,6 +268,7 @@ def build_ivfpq_index(
     m_blocks: int = PQ_M_BLOCKS,
     n_groups: int | None = None,
     meta_cols: tuple[str, ...] = (),
+    epoch_tag: str | None = None,
 ) -> dict:
     """One corpus pass → persisted index. Returns the meta dict.
     ``n_groups`` defaults to adaptive_n_groups(corpus count) — one
@@ -258,14 +281,28 @@ def build_ivfpq_index(
     (``query_ivfpq_index(vec_filter=...)``) without re-reading the
     embeddings. Presence is detected by the directory (the ANN meta
     row keeps its fixed schema); the vecmeta schema itself names the
-    stored columns."""
+    stored columns.
+
+    ``epoch_tag`` (round 15, VERDICT r14 #3): the streaming sink's
+    applied-epoch record ("{ns}:{epoch_id}"), stored in the meta row
+    itself so replay detection is transactional with the index write's
+    last step (text_index.build_bm25_index twin)."""
+    import shutil
+
     spark = corpus.sparkSession
     if n_groups is None:
         n_groups = adaptive_n_groups(corpus.count())
+    vm_dir = os.path.join(index_dir, "vecmeta")
     if meta_cols:
         corpus.select("vec_id", *meta_cols).write.mode("overwrite").parquet(
-            os.path.join(index_dir, "vecmeta")
+            vm_dir
         )
+    elif os.path.isdir(vm_dir):
+        # round-15 ADVICE: append/query detect vecmeta by directory
+        # presence, so an in-place rebuild WITHOUT meta_cols must
+        # remove a prior build's table — otherwise filtered queries
+        # silently join against stale metadata and appends extend it
+        shutil.rmtree(vm_dir)
     cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
     cbmat = _codebook_mat(corpus)
 
@@ -307,12 +344,9 @@ def build_ivfpq_index(
         "cent_stride": cent_stride,
         "n_vectors": int(n_vectors),
         "n_groups": n_groups,
+        "last_epoch": epoch_tag or "",
     }
-    spark.createDataFrame(
-        [tuple(meta.values())],
-        "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
-        "n_groups int",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    _write_ann_meta(spark, index_dir, meta)
     return meta
 
 
@@ -335,7 +369,9 @@ def _load_model(spark: SparkSession, index_dir: str):
     return meta, cent_ids, cmat, cnrm, cbmat
 
 
-def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
+def append_to_index(
+    corpus_delta: DataFrame, index_dir: str, epoch_tag: str | None = None
+) -> dict:
     """Incremental append: encode ``corpus_delta`` with the SAVED
     centroids/codebook (NO retrain), append the resulting 8-byte codes
     to ``codes/``, update ``meta``. Production indexes grow; a rebuild
@@ -399,12 +435,12 @@ def append_to_index(corpus_delta: DataFrame, index_dir: str) -> dict:
         "cent_stride": int(meta.cent_stride),
         "n_vectors": int(occ.total),
         "n_groups": int(meta.n_groups),
+        # streaming replay record, transactional with this rewrite
+        # (round 15); a plain batch append preserves the prior value
+        "last_epoch": epoch_tag if epoch_tag is not None
+        else _meta_epoch(meta),
     }
-    spark.createDataFrame(
-        [tuple(new_meta.values())],
-        "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
-        "n_groups int",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    _write_ann_meta(spark, index_dir, new_meta)
     _write_cellstats(spark, index_dir)  # occupancy moved: refresh
     ic.end_mutation(index_dir)
     return {
@@ -501,17 +537,18 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     if n_tomb:
         _write_cellstats(spark, index_dir)  # occupancy shrank
         n_vectors = spark.read.parquet(live).count()
-        spark.createDataFrame(
-            [
-                (
-                    int(meta.dim), int(meta.m_blocks),
-                    int(meta.cent_stride), int(n_vectors),
-                    int(meta.n_groups),
-                )
-            ],
-            "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
-            "n_groups int",
-        ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+        _write_ann_meta(
+            spark,
+            index_dir,
+            {
+                "dim": int(meta.dim),
+                "m_blocks": int(meta.m_blocks),
+                "cent_stride": int(meta.cent_stride),
+                "n_vectors": int(n_vectors),
+                "n_groups": int(meta.n_groups),
+                "last_epoch": _meta_epoch(meta),
+            },
+        )
     ic.end_mutation(index_dir)
     return {
         "files_before": before,

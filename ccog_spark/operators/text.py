@@ -1018,10 +1018,7 @@ def bm25f_topk(
             F.broadcast(n_docs_frame)
         )
         avgdl_f = F.col("sum_dl").cast("double") / F.col("n_docs")
-        tnorm = F.col("tf") / (1.0 - b + b * (F.col("dl") / avgdl_f))
-        qf = F.floor(F.lit(float(w)) * tnorm * 1000000000.0 + 0.5).cast(
-            "long"
-        )
+        qf = bm25f_field_contrib(F.col("tf"), F.col("dl"), avgdl_f, w, b)
         contribs.append(
             tf_f.join(dl_f, id_col)
             .crossJoin(F.broadcast(stats_f))
@@ -1047,6 +1044,40 @@ def bm25f_topk(
         .where(F.col("t") != "")
         .distinct()
     )
+    return _bm25f_rank(
+        combined, dfs, qterms, n_docs_frame, k, k1, id_col
+    )
+
+
+def bm25f_field_contrib(tf, dl, avgdl, w: float, b: float):
+    """The per-field quantized BM25F contribution — ONE expression
+    truth shared by the inline operator and the persisted-index query
+    path (round 15, the _bm25_rank/_phrase_core precedent): weighted
+    length-normalized tf, half-up-quantized at 1e9 into BIGINT so the
+    cross-field sum is exact and aggregation-order-insensitive.
+    A tf of 0 (index rows for a field the doc lacks the term in)
+    contributes floor(0.5) = 0 — identical to the inline path's
+    absent row."""
+    tnorm = tf / (1.0 - b + b * (dl / avgdl))
+    return F.floor(
+        F.lit(float(w)) * tnorm * 1000000000.0 + 0.5
+    ).cast("long")
+
+
+def _bm25f_rank(
+    combined: DataFrame,
+    dfs: DataFrame,
+    qterms: DataFrame,
+    n_docs_frame: DataFrame,
+    k: int,
+    k1: float,
+    id_col: str,
+) -> DataFrame:
+    """BM25F scoring tail shared by ``bm25f_topk`` and
+    ``text_index.query_bm25f_index`` (round 15 — one core, two
+    execution paths, the _bm25_rank contract): combined per-(id, t)
+    field evidence ``qsum`` (1e9-quantized BIGINT) saturates ONCE,
+    1e6-quantized per term, summed per (q_id, id), top-k per query."""
     # vocabulary-sized df joins onto the query batch FIRST (never
     # broadcast wholesale — the single-field core's rule)
     qstats = qterms.join(dfs, "t").crossJoin(F.broadcast(n_docs_frame))
@@ -1075,6 +1106,7 @@ def diversify_topk(
     k: int = 5,
     max_per_group: int = 1,
     id_col: str = "doc_id",
+    broadcast_ranked: bool = True,
 ) -> DataFrame:
     """Result DIVERSIFICATION (round 14 — the standard search-quality
     post-pass): re-cut a ranked list keeping at most ``max_per_group``
@@ -1089,18 +1121,24 @@ def diversify_topk(
     skipped... which for a per-group cap equals "keep the group's
     first max_per_group rows" — rank within (q_id, group) by rn, keep
     ≤ max_per_group, re-rank by the original (score desc, id), cut at
-    k. Pure windows over query-batch-sized frames; the groups join is
-    a broadcast of the RANKED side's ids when small, else a plain
-    equi-join — either way nothing corpus-scale shuffles beyond the
-    (id, group) projection."""
+    k. Pure windows over query-batch-sized frames.
+
+    ``broadcast_ranked`` (default True — round-15 ADVICE): the ranked
+    side is hinted into a broadcast so the corpus-scale groups
+    projection streams map-side instead of shuffling (measured +10 s
+    at fa-sf10 without the hint). The default therefore REQUIRES
+    ``ranked`` to be query-batch-sized (|Q| × m rows — every retrieval
+    operator's top-k output qualifies); a caller re-cutting an
+    all-scores list with m near corpus size must pass False to get a
+    plain equi-join instead of a driver-OOM-sized broadcast."""
     if max_per_group < 1 or k < 1:
         raise ValueError("k and max_per_group must be >= 1")
     # the ranked side is query-batch × m rows but derived (post-window,
     # statistics unknown) — without the hint Spark sort-merge-joins and
-    # SHUFFLES the corpus-sized groups projection (measured +10 s at
-    # fa-sf10); broadcasting the small side makes the groups scan
-    # stream map-side
-    j = F.broadcast(ranked).join(groups.select(id_col, group_col), id_col)
+    # SHUFFLES the corpus-sized groups projection; broadcasting the
+    # small side makes the groups scan stream map-side
+    r = F.broadcast(ranked) if broadcast_ranked else ranked
+    j = r.join(groups.select(id_col, group_col), id_col)
     gw = W.partitionBy("q_id", group_col).orderBy(F.col("rn"))
     kept = j.select(
         "q_id", id_col, "score", "rn", group_col,

@@ -16,9 +16,12 @@ doc_ids still shift by r*stride so dedup-style keys stay unique.
 Round 14 adds embeddings.parquet to the fixture (the hybrid-index
 per-batch probe needs a vector side at the same scale): replica r
 shifts vec_id by the same stride rule and ROLLS each embedding array
-by r positions — norms and pairwise-distance distribution are
-preserved (a coordinate permutation is an isometry), but replicas do
-not collapse onto identical points, so IVF cell occupancy stays
+by r % dim positions, composed (round 15, for r >= dim where the
+roll alone wraps back to an earlier replica's points) with a sign
+flip of coordinate (r // dim) % dim — both transforms are isometries,
+so norms and the pairwise-distance distribution are preserved, and
+replicas never collapse onto identical points (unique up to
+SF_REPLICAS < dim², i.e. 4096 at dim=64), keeping IVF cell occupancy
 realistic instead of degenerate.
 
 Output: $SF_FA_DIR (default /tmp/ccog_sf_fa)/{documents,embeddings}
@@ -69,8 +72,18 @@ def main():
     for r in range(R):
         e = emb.copy()
         e["vec_id"] = e["vec_id"] + r * vstride
-        if r % dim:
-            e["embedding"] = list(np.roll(mat, r % dim, axis=1))
+        if r:
+            # roll by r % dim AND flip the sign of coordinate block
+            # (r // dim) % dim — the second transform varies when the
+            # roll wraps (r >= dim), so replicas never collapse onto
+            # identical points (round-15 ADVICE: the roll alone made
+            # replicas 64-99 duplicate 0-35's exact vectors at
+            # SF_REPLICAS=100, dim=64, understating IVF occupancy)
+            m = np.roll(mat, r % dim, axis=1).copy()
+            flip = (r // dim) % dim
+            if r >= dim:
+                m[:, flip] = -m[:, flip]
+            e["embedding"] = list(m)
         echunks.append(e)
     ebig = pd.concat(echunks, ignore_index=True)
     ebig["embedding"] = [np.asarray(v, dtype=np.float32) for v in ebig["embedding"]]

@@ -558,3 +558,38 @@ def test_vecmeta_rides_append_and_compact(spark, tmp_path):
     vm_ids = {r.vec_id for r in spark.read.parquet(grown + "/vecmeta").collect()}
     gone = {r.vec_id for r in del_ids.collect()}
     assert not (vm_ids & gone) and vm_ids
+
+
+def test_rebuild_without_meta_cols_clears_stale_vecmeta(spark, tmp_path):
+    """Round-15 ADVICE (medium): append/query detect vecmeta by
+    directory presence, so rebuilding an index in-place WITHOUT
+    meta_cols after a prior meta_cols build must remove the stale
+    table — otherwise filtered queries silently join against it and
+    appends keep extending it."""
+    import os
+
+    import pytest as _pytest
+
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = _emb(spark).withColumn(
+        "label", (F.col("vec_id") % 4).cast("int")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    idx = str(tmp_path / "rebuild_idx")
+    build_ivfpq_index(emb, dim, idx, meta_cols=("label",))
+    assert os.path.isdir(f"{idx}/vecmeta")
+
+    # in-place rebuild with NO meta_cols: stale vecmeta must go
+    build_ivfpq_index(emb, dim, idx)
+    assert not os.path.isdir(f"{idx}/vecmeta")
+    qs = emb.limit(2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    with _pytest.raises(ValueError, match="vecmeta"):
+        query_ivfpq_index(
+            spark, idx, qs, k=2, vec_filter="label = 1"
+        ).collect()

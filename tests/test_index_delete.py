@@ -408,3 +408,35 @@ def test_verify_ann_index_clean_and_corrupt(spark, tmp_path):
     r = verify_ann_index(spark, idx)
     assert not r["ok"]
     assert any("n_vectors" in e for e in r["errors"])
+
+
+def test_text_delete_refuses_tampered_docs_delta(spark, tmp_path):
+    """Round 15 (VERDICT r14 #6): delete_from_text_index(docs_delta=…)
+    used to TRUST the caller's delta text — a delta differing from
+    what was indexed silently drifted the df decrements away from a
+    from-scratch build. Now the delta's per-doc token counts are
+    checked against the stored doclens rows (already read on the
+    delete path) and a mismatch refuses loudly, releasing the
+    _inflight marker (nothing was mutated)."""
+    docs = _docs(spark)
+    dels = docs.where(F.col("doc_id") % 13 == 3)
+    idx = str(tmp_path / "tamper_idx")
+    build_bm25_index(docs, idx, n_buckets=64)
+    meta_before = spark.read.parquet(f"{idx}/meta").collect()[0]
+
+    tampered = dels.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" extra token")).alias("text")
+    )
+    with pytest.raises(ValueError, match="docs_delta does not match"):
+        delete_from_text_index(
+            spark, idx, dels.select("doc_id"), docs_delta=tampered
+        )
+    # marker released, index untouched — the honest delta still works
+    assert ic.inflight_op(idx) is None
+    assert (
+        spark.read.parquet(f"{idx}/meta").collect()[0] == meta_before
+    )
+    m = delete_from_text_index(
+        spark, idx, dels.select("doc_id"), docs_delta=dels
+    )
+    assert m["deleted"] == dels.count()

@@ -524,3 +524,95 @@ def test_stream_ann_index_maintenance(spark, tmp_path):
     assert got_all == want_all
     markers = _glob.glob(f"{idx}/_stream_epochs/*_epoch_*.done")
     assert len(markers) == 3  # one per applied (non-empty) batch
+
+
+def test_stream_text_index_crash_before_marker_no_double_apply(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r14 #3: a crash between a COMPLETED append and the
+    history-marker write must not double-apply the batch on replay.
+    The epoch tag now rides in the index meta rewrite (the append's
+    final, _inflight-bracketed step), so the replay is detected even
+    with the marker gone — postings/df are NOT doubled."""
+    from ccog_spark.operators.text_index import _read_meta, query_bm25_index
+    from ccog_spark.streaming import sinks
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    part_a = docs.where(F.col("doc_id") % 3 == 0)
+    part_b = docs.where(F.col("doc_id") % 3 == 1)
+    idx = str(tmp_path / "crash_idx")
+
+    assert sinks.apply_text_index_batch(part_a, 0, idx, ns="ck1") is True
+
+    # inject the crash: the append completes, the marker write dies
+    def boom(epochs_dir, marker):
+        raise RuntimeError("injected crash before marker write")
+
+    monkeypatch.setattr(sinks, "_write_epoch_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sinks.apply_text_index_batch(part_b, 1, idx, ns="ck1")
+    monkeypatch.undo()
+
+    # the append itself committed: meta records the epoch tag
+    meta = _read_meta(spark, idx)
+    assert meta["last_epoch"] == "ck1:1"
+    qs = spark.createDataFrame([(1, "dup the")], "q_id long, q_text string")
+    before = sorted(
+        map(tuple, query_bm25_index(spark, idx, qs, k=5).collect())
+    )
+
+    # checkpoint replay of epoch 1: detected as applied, skipped
+    assert sinks.apply_text_index_batch(part_b, 1, idx, ns="ck1") is False
+    assert _read_meta(spark, idx)["n_docs"] == meta["n_docs"]
+    assert (
+        sorted(map(tuple, query_bm25_index(spark, idx, qs, k=5).collect()))
+        == before
+    )
+    # the skip re-recorded the history marker; the stream continues
+    assert os.path.exists(f"{idx}/_stream_epochs/ck1_epoch_1.done")
+    part_c = docs.where(F.col("doc_id") % 3 == 2)
+    assert sinks.apply_text_index_batch(part_c, 2, idx, ns="ck1") is True
+
+
+def test_stream_ann_index_crash_before_marker_no_double_apply(
+    spark, tmp_path, monkeypatch
+):
+    """The ANN twin of the text crash-injection test: replay after a
+    completed append + lost marker must not duplicate vec_ids in
+    codes/ or inflate n_vectors."""
+    from ccog_spark.operators.ann_index import _meta_epoch
+    from ccog_spark.streaming import sinks
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    part_a = emb.where(F.col("vec_id") % 3 == 0)
+    part_b = emb.where(F.col("vec_id") % 3 == 1)
+    idx = str(tmp_path / "crash_ann")
+
+    assert sinks.apply_ann_index_batch(part_a, 0, idx, ns="ck1", dim=dim) is True
+
+    def boom(epochs_dir, marker):
+        raise RuntimeError("injected crash before marker write")
+
+    monkeypatch.setattr(sinks, "_write_epoch_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sinks.apply_ann_index_batch(part_b, 1, idx, ns="ck1", dim=dim)
+    monkeypatch.undo()
+
+    meta_row = spark.read.parquet(f"{idx}/meta").collect()[0]
+    assert _meta_epoch(meta_row) == "ck1:1"
+    codes = spark.read.parquet(f"{idx}/codes")
+    n_before = codes.count()
+    assert codes.select("vec_id").distinct().count() == n_before
+
+    # replay: skipped, codes/vec_ids/n_vectors unchanged
+    assert (
+        sinks.apply_ann_index_batch(part_b, 1, idx, ns="ck1", dim=dim)
+        is False
+    )
+    codes2 = spark.read.parquet(f"{idx}/codes")
+    assert codes2.count() == n_before
+    assert codes2.select("vec_id").distinct().count() == n_before
+    meta_row2 = spark.read.parquet(f"{idx}/meta").collect()[0]
+    assert int(meta_row2.n_vectors) == n_before
+    assert os.path.exists(f"{idx}/_stream_epochs/ck1_epoch_1.done")
