@@ -1915,6 +1915,10 @@ ORDER BY q_id, rn
 """
 
 PIPELINE_ORACLE["pipeline_bm25f"] = _BM25F_SQL
+# Index-resident BM25F (round 15): shared field-combination and
+# scoring code ⇒ bit-identical to the inline operator — one SQL
+# truth, two execution paths (the query_bm25_index contract).
+PIPELINE_ORACLE["pipeline_bm25f_index"] = _BM25F_SQL
 
 
 def _diversified_sql() -> str:
@@ -2114,6 +2118,9 @@ def _prf_sql() -> str:
 
 
 PIPELINE_ORACLE["pipeline_prf"] = _prf_sql()
+# Index-resident PRF (round 15): shared pass-1/pass-2 scoring core ⇒
+# bit-identical to the inline operator — one SQL truth, two paths.
+PIPELINE_ORACLE["pipeline_prf_index"] = _prf_sql()
 # Index-backed proximity: shared window core ⇒ bit-identical to the
 # inline operator — one SQL truth, two execution paths.
 PIPELINE_ORACLE["pipeline_proximity_index"] = _PROXIMITY_SQL

@@ -1037,6 +1037,74 @@ def pipeline_bm25_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_bm25_index(spark, idx, queries, k=5).orderBy("q_id", "rn")
 
 
+def pipeline_bm25f_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-resident BM25F (round 15, VERDICT r14 #4 —
+    text_index.build_bm25f_index/query_bm25f_index): the fielded
+    corpus (title = words 1-5, body = the rest, the pipeline_bm25f
+    synthesis verbatim) is indexed ONCE into per-field tf/dl tables
+    sharing the bucket layout; the 2:1-weighted query batch is
+    answered from the posting buckets only — structured-document
+    ranking without re-reading the fields. Shared combination/scoring
+    code (bm25f_field_contrib + _bm25f_rank) ⇒ bit-identical to the
+    inline operator, so the oracle is pipeline_bm25f's SQL verbatim
+    (one truth, two execution paths — the query_bm25_index
+    contract)."""
+    from ccog_spark.operators.text_index import (
+        build_bm25f_index,
+        query_bm25f_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    fielded = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tk, 1, 5), " ").alias("title"),
+        F.array_join(
+            F.expr(
+                "slice(split(text, ' '), 6,"
+                " greatest(size(split(text, ' ')) - 5, 0))"
+            ),
+            " ",
+        ).alias("body"),
+    )
+    idx = _tmp_index_dir("ccog_bm25f_idx", sf_dir)
+    build_bm25f_index(fielded, idx, ("title", "body"))
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(tk, 1, 3), " ").alias("q_text"),
+    )
+    return query_bm25f_index(
+        spark, idx, queries, (2.0, 1.0), k=5
+    ).orderBy("q_id", "rn")
+
+
+def pipeline_prf_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-resident PRF (round 15, VERDICT r14 #5 —
+    text_index.query_bm25_prf_index): both retrieval passes read
+    pruned posting buckets and the feedback-term counts come from the
+    winners' postings rows — the inline operator's three corpus
+    passes become zero. Shared pass-1/pass-2 scoring core ⇒
+    bit-identical to text.bm25_prf_topk, so the oracle is
+    pipeline_prf's nested SQL verbatim."""
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        query_bm25_prf_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_prf_idx", sf_dir)
+    build_bm25_index(docs, idx)
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    return query_bm25_prf_index(
+        spark, idx, queries, k=5, k_fb=10, e_terms=3
+    ).orderBy("q_id", "rn")
+
+
 def _phrase_batch(docs: DataFrame) -> DataFrame:
     """Deterministic phrase set: words 2..4 of every doc_id % 101 == 7
     document — every phrase has ≥ 1 guaranteed match (its source doc)

@@ -303,10 +303,12 @@ REGISTRY: dict[str, QueryFn] = {
     # pruning over 8-byte PQ codes with broadcast ADC LUTs, the
     # production compressed-domain configuration
     "ann_ivfpq": pipeline.ann_ivfpq,
-    # r13 fold slot (was cubic_decimate): the E21 3-tap (gauss) kernel
-    # row — gauss/lanczos had never been fold-hashed (judge-sweep +
-    # pytest only); gauss pins the halo-1 row of the tap table
-    "gauss_decimate": raster_jobs.gauss_decimate_q,
+    # r15 fold slot (was gauss_decimate — the r14 verdict's named E21
+    # stand-down; cog_cubic keeps the family's fold row): index-
+    # resident BM25F, the round's structured-ranking flagship —
+    # per-field postings answered from buckets only, oracle =
+    # pipeline_bm25f SQL verbatim (one truth, two paths)
+    "pipeline_bm25f_index": pipeline.pipeline_bm25f_index_q,
     # r13 fold slot (was cog_color): two-stage ANN — IVF+PQ ADC top-m
     # candidates exactly re-ranked by true cosine (the production
     # retrieval recipe); full oracle replay (ADC SQL at k=m + exact
@@ -321,10 +323,11 @@ REGISTRY: dict[str, QueryFn] = {
     "pipeline_bm25": pipeline.pipeline_bm25,
     # LLM-pipeline operator corpus
     "text_analysis": pipeline.text_analysis,
-    # r12 fold slot (was text_winnow): E21 interpolating-tap family had
-    # only cubic/cubicspline hash evidence in any fold so far —
-    # bilinear pins the 2-tap/halo-1 row of the tap table
-    "bilinear_decimate": raster_jobs.bilinear_decimate_q,
+    # r15 fold slot (was bilinear_decimate — E21 keeps cog_cubic in
+    # the fold + 5 kernel rows in the tail): index-resident PRF, both
+    # passes and the feedback counts from posting buckets — zero
+    # corpus re-reads; oracle = pipeline_prf nested SQL verbatim
+    "pipeline_prf_index": pipeline.pipeline_prf_index_q,
     # r12 fold slot (was text_repetition): E33's CUSTOM stateful verb
     # (applyInPandasWithState running totals) had never had a driver
     # row — stream_dedup covers dropDuplicates only
@@ -425,10 +428,13 @@ REGISTRY: dict[str, QueryFn] = {
     # rows-only structure summary; the writer's hash gate is
     # cog_roundtrip (above the fold) + byte tests in test_raster.py
     "cog_write": raster_jobs.cog_write,
-    # E21 kernels beyond the fold's bilinear/gauss/cog_cubic rows
-    # (gauss promoted to the fold in r13): oracle-checked via the
-    # generalized separable-tap SQL; pytest gates them at sf0.001
+    # E21 kernels beyond the fold's cog_cubic write-path row
+    # (gauss/bilinear stood down in r15 for the index-resident
+    # BM25F/PRF flagships): oracle-checked via the generalized
+    # separable-tap SQL; pytest gates them at sf0.001
     "lanczos_decimate": raster_jobs.lanczos_decimate_q,
+    "gauss_decimate": raster_jobs.gauss_decimate_q,
+    "bilinear_decimate": raster_jobs.bilinear_decimate_q,
     # r13 displaced fold rows — each keeps above-fold family rows:
     # E21 4-tap ≙ cog_cubic (write path) + bilinear/gauss (fold)
     "cubic_decimate": raster_jobs.cubic_decimate_q,
@@ -599,6 +605,8 @@ NON_BENCH = (
     "ann_index_filtered",  # builds an ANN index + vecmeta (file IO)
     "ann_autoprobe",  # builds a parquet ANN index per run (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)
+    "pipeline_bm25f_index",  # builds a per-field text index (file IO)
+    "pipeline_prf_index",  # builds a parquet text index (file IO)
     "cog_palette",  # writes + reads back a palette COG (file IO)
     "cog_cubic",  # writes + reads back an interp-overview COG (file IO)
 )

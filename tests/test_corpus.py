@@ -129,13 +129,12 @@ def test_driver_fold_discipline():
         # r11: the palette row that completed R4
         "cog_palette",
         # r12: interp-overview write (R7 closed), BPE driver row, the
-        # E21 bilinear tap row, the E33 custom-stateful verb
-        "cog_cubic", "pipeline_tokenize", "bilinear_decimate",
-        "stream_stateful",
-        # r13: the retrieval trio (VERDICT r12 #1) + fold hygiene
-        # (gauss tap row, E26 date fns back in — VERDICT r12 #5)
-        "ann_rerank", "pipeline_bm25", "pipeline_hybrid",
-        "gauss_decimate", "q14",
+        # E33 custom-stateful verb (the r12 bilinear tap row stood
+        # down in r15 — E21 keeps cog_cubic here + 5 tail kernel rows)
+        "cog_cubic", "pipeline_tokenize", "stream_stateful",
+        # r13: the retrieval trio (VERDICT r12 #1) + E26 date fns back
+        # in (VERDICT r12 #5; the r13 gauss tap row stood down in r15)
+        "ann_rerank", "pipeline_bm25", "pipeline_hybrid", "q14",
         # r14: the r13 index/pruning rows (VERDICT r13 #1) + q16
         # restoring E28's direct fold row
         "pipeline_bm25_pruned", "pipeline_bm25_index",
@@ -147,6 +146,10 @@ def test_driver_fold_discipline():
         # (q11/q12/q13/q15 stood down, families tail-covered)
         "ann_index_delete", "pipeline_bm25_index_filtered",
         "ann_autoprobe", "pipeline_prf",
+        # r15 second rotation: the round's own flagships hash-gated
+        # same-round (gauss/bilinear_decimate stood down — E21 keeps
+        # cog_cubic in the fold, 5 kernel rows in the tail)
+        "pipeline_bm25f_index", "pipeline_prf_index",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned

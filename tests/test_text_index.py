@@ -675,3 +675,143 @@ def test_snippet_match_hand_cases(spark):
 
     with _pytest.raises(ValueError, match="window"):
         snippet_match(docs, ph, window=-1)
+
+
+def _fielded(docs):
+    tk = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(tk, 1, 5), " ").alias("title"),
+        F.array_join(
+            F.expr(
+                "slice(split(text, ' '), 6,"
+                " greatest(size(split(text, ' ')) - 5, 0))"
+            ),
+            " ",
+        ).alias("body"),
+    )
+
+
+def test_bm25f_index_bit_identical_to_inline(spark, tmp_path):
+    """query_bm25f_index == bm25f_topk row-for-row on the same
+    fielded corpus (round 15, VERDICT r14 #4): per-field tf/dl from
+    the index, combined through the SHARED bm25f_field_contrib and
+    _bm25f_rank code. Weights are query-time parameters — a second
+    weighting hits the same index without rebuild."""
+    from ccog_spark.operators.text import bm25f_topk
+    from ccog_spark.operators.text_index import (
+        build_bm25f_index,
+        query_bm25f_index,
+    )
+
+    docs = _docs(spark)
+    fielded = _fielded(docs)
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "bm25f_idx")
+    meta = build_bm25f_index(fielded, idx, ("title", "body"), n_buckets=64)
+    assert meta["fields"] == "title,body"
+    assert meta["n_docs"] == docs.count()
+
+    for weights in ((2.0, 1.0), (1.0, 3.0)):
+        inline = sorted(
+            map(
+                tuple,
+                bm25f_topk(
+                    fielded, qs, ("title", "body"), weights, k=5
+                ).collect(),
+            )
+        )
+        from_idx = sorted(
+            map(
+                tuple,
+                query_bm25f_index(spark, idx, qs, weights, k=5).collect(),
+            )
+        )
+        assert inline == from_idx and inline
+
+    # weight arity is validated against the stored fields
+    with pytest.raises(ValueError, match="2 fields"):
+        query_bm25f_index(spark, idx, qs, (1.0,), k=5)
+
+
+def test_bm25f_index_postings_one_row_per_doc_term(spark, tmp_path):
+    """The wide layout stores ONE row per (doc, term) across fields
+    (tf_i = 0 for absent fields), bucket-partitioned like the
+    single-field index — postings volume is the distinct (doc, term)
+    count, not the per-field sum."""
+    from ccog_spark.operators.text_index import build_bm25f_index
+
+    docs = _docs(spark).limit(200)
+    fielded = _fielded(docs)
+    idx = str(tmp_path / "bm25f_layout")
+    build_bm25f_index(fielded, idx, ("title", "body"), n_buckets=64)
+    post = spark.read.parquet(f"{idx}/postings")
+    assert set(post.columns) == {"doc_id", "t", "tf_0", "tf_1", "bkt"}
+    assert post.count() == post.select("doc_id", "t").distinct().count()
+    # every stored row has evidence in at least one field
+    assert post.where((F.col("tf_0") == 0) & (F.col("tf_1") == 0)).count() == 0
+    assert glob.glob(f"{idx}/postings/bkt=*")
+
+
+def test_prf_index_bit_identical_to_inline(spark, tmp_path):
+    """query_bm25_prf_index == bm25_prf_topk row-for-row (round 15,
+    VERDICT r14 #5): pass 1 from the pruned posting buckets, feedback
+    counts from the winners' postings rows (Σ tf ≡ token count), pass
+    2 through the shared _bm25_rank core — zero corpus re-reads."""
+    from ccog_spark.operators.text import bm25_prf_topk
+    from ccog_spark.operators.text_index import query_bm25_prf_index
+
+    docs = _docs(spark)
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "prf_idx")
+    build_bm25_index(docs, idx, n_buckets=64)
+    inline = sorted(
+        map(
+            tuple,
+            bm25_prf_topk(docs, qs, k=5, k_fb=10, e_terms=3).collect(),
+        )
+    )
+    from_idx = sorted(
+        map(
+            tuple,
+            query_bm25_prf_index(
+                spark, idx, qs, k=5, k_fb=10, e_terms=3
+            ).collect(),
+        )
+    )
+    assert inline == from_idx and inline
+
+
+def test_prf_index_respects_deletions(spark, tmp_path):
+    """PRF from the index composes with the deletion lifecycle: after
+    delete_from_text_index, both passes AND the feedback counts see
+    only survivors — identical to inline PRF over the surviving
+    corpus."""
+    from ccog_spark.operators.text import bm25_prf_topk
+    from ccog_spark.operators.text_index import (
+        delete_from_text_index,
+        query_bm25_prf_index,
+    )
+
+    docs = _docs(spark)
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "prf_del_idx")
+    build_bm25_index(docs, idx, n_buckets=64)
+    dels = docs.where(F.col("doc_id") % 13 == 3)
+    delete_from_text_index(spark, idx, dels.select("doc_id"), docs_delta=dels)
+    survivors = docs.where(F.col("doc_id") % 13 != 3)
+    inline = sorted(
+        map(
+            tuple,
+            bm25_prf_topk(survivors, qs, k=5, k_fb=10, e_terms=3).collect(),
+        )
+    )
+    from_idx = sorted(
+        map(
+            tuple,
+            query_bm25_prf_index(
+                spark, idx, qs, k=5, k_fb=10, e_terms=3
+            ).collect(),
+        )
+    )
+    assert inline == from_idx and inline
