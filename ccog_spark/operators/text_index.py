@@ -995,8 +995,11 @@ def build_bm25f_index(
     if not field_cols:
         raise ValueError("field_cols must name at least one field")
     spark = docs.sparkSession
+    # one column-pruned count serves both the bucket schedule and the
+    # meta n_docs row (the inline operator's ALL-docs rule)
+    n_docs = docs.count()
     if n_buckets is None:
-        n_buckets = adaptive_n_buckets(docs.count())
+        n_buckets = adaptive_n_buckets(n_docs)
     nf = len(field_cols)
 
     toks_f = None
@@ -1052,7 +1055,6 @@ def build_bm25f_index(
         .agg(*[F.sum(f"dl_{i}").alias(f"s_{i}") for i in range(nf)])
         .first()
     )
-    n_docs = docs.count()
     n_terms = spark.read.parquet(os.path.join(index_dir, "terms")).count()
     meta = {
         "n_docs": int(n_docs),
