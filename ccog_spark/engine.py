@@ -219,6 +219,40 @@ class Engine:
 
         return bm25f_topk(docs, queries, field_cols, weights, **kwargs)
 
+    def build_bm25f_index(self, docs: DataFrame, index_dir: str,
+                          field_cols: tuple, **kwargs) -> dict:
+        """Persisted per-field BM25F index (round 15): raw per-field
+        tf/dl stored — weights/k1/b stay query-time parameters."""
+        from ccog_spark.operators.text_index import build_bm25f_index
+
+        return build_bm25f_index(docs, index_dir, field_cols, **kwargs)
+
+    def query_bm25f_index(self, index_dir: str, queries: DataFrame,
+                          weights: tuple, **kwargs) -> DataFrame:
+        """BM25F from the per-field index only — bit-identical to
+        bm25f() on the indexed fields."""
+        from ccog_spark.operators.text_index import query_bm25f_index
+
+        return query_bm25f_index(
+            self.spark, index_dir, queries, weights, **kwargs
+        )
+
+    def append_bm25f_index(self, fielded_delta: DataFrame,
+                           index_dir: str, **kwargs) -> dict:
+        """Grow the per-field index; returns growth + vocab-drift
+        stats (round 15)."""
+        from ccog_spark.operators.text_index import append_to_bm25f_index
+
+        return append_to_bm25f_index(fielded_delta, index_dir, **kwargs)
+
+    def query_prf_index(self, index_dir: str, queries: DataFrame,
+                        **kwargs) -> DataFrame:
+        """PRF-expanded BM25 from the index only (round 15) — both
+        passes and the feedback counts from posting buckets."""
+        from ccog_spark.operators.text_index import query_bm25_prf_index
+
+        return query_bm25_prf_index(self.spark, index_dir, queries, **kwargs)
+
     # ---- retrieval (round 12)
     def bm25(self, docs: DataFrame, queries: DataFrame,
              **kwargs) -> DataFrame:

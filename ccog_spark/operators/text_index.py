@@ -1147,6 +1147,130 @@ def query_bm25f_index(
     return _bm25f_rank(combined, dfs, qterms, n_docs_frame, k, k1, id_col)
 
 
+def append_to_bm25f_index(
+    fielded_delta: DataFrame, index_dir: str, epoch_tag: str | None = None
+) -> dict:
+    """Grow the per-field index with a corpus delta (round 15 — the
+    lifecycle verb every persisted index here carries;
+    append_to_text_index's contract, field-wide): wide postings and
+    per-field doclens rows APPEND under the same bucket function; the
+    vocabulary-sized terms table is df-MERGED and staged-swapped; meta
+    accumulates n_docs and the per-field sum_dls. Queries after
+    append are identical to a from-scratch build over the union
+    corpus (pinned in tests). Delta ids must be NEW (the standard
+    append caveat). The ``_inflight`` marker brackets the whole
+    mutation; ``epoch_tag`` records a streaming epoch transactionally
+    with the meta rewrite (the round-15 protocol)."""
+    spark = fielded_delta.sparkSession
+    row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    meta = row.asDict()
+    fields = str(meta["fields"]).split(",")
+    sum_dls = [int(s) for s in str(meta["sum_dls"]).split(",")]
+    n_buckets = int(meta["n_buckets"])
+    id_col = str(meta["id_col"])
+    nf = len(fields)
+    ic.begin_mutation(index_dir, "append", int(meta["generation"]) + 1)
+
+    n_delta = fielded_delta.count()
+    toks_f = None
+    for fi, col in enumerate(fields):
+        part = (
+            fielded_delta.select(
+                F.col(id_col),
+                F.explode(F.split(F.col(col), " ")).alias("t"),
+                F.lit(fi).alias("fi"),
+            )
+            .where(F.col("t") != "")
+        )
+        toks_f = part if toks_f is None else toks_f.unionByName(part)
+    tf_wide = toks_f.groupBy(id_col, "t").agg(
+        *[
+            F.sum(F.when(F.col("fi") == i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i in range(nf)
+        ]
+    )
+    tf_wide = tf_wide.persist()
+    try:
+        tf_wide.withColumn("bkt", _bkt(n_buckets)).repartition(
+            "bkt"
+        ).sortWithinPartitions("t", id_col).write.mode(
+            "append"
+        ).partitionBy("bkt").parquet(os.path.join(index_dir, "postings"))
+        delta_doclens = tf_wide.groupBy(id_col).agg(
+            *[
+                F.sum(f"tf_{i}").cast("bigint").alias(f"dl_{i}")
+                for i in range(nf)
+            ]
+        )
+        delta_doclens.write.mode("append").parquet(
+            os.path.join(index_dir, "doclens")
+        )
+        delta_sums = delta_doclens.agg(
+            *[F.sum(f"dl_{i}").alias(f"s_{i}") for i in range(nf)]
+        ).first()
+        # terms df merge: old ⊕ delta per term, staged swap (Spark
+        # cannot overwrite a path it lazily reads)
+        old_terms = spark.read.parquet(
+            os.path.join(index_dir, "terms")
+        ).select("t", "df")
+        delta_df = tf_wide.groupBy("t").agg(
+            F.count(F.lit(1)).alias("df_new")
+        )
+        merged = (
+            old_terms.join(delta_df, "t", "full_outer")
+            .select(
+                "t",
+                (
+                    F.coalesce(F.col("df"), F.lit(0))
+                    + F.coalesce(F.col("df_new"), F.lit(0))
+                ).alias("df"),
+            )
+            .withColumn("bkt", _bkt(n_buckets))
+        )
+        stage = os.path.join(index_dir, "terms__stage")
+        merged.write.mode("overwrite").partitionBy("bkt").parquet(stage)
+    finally:
+        tf_wide.unpersist()
+    import shutil
+
+    live = os.path.join(index_dir, "terms")
+    shutil.rmtree(live)
+    os.rename(stage, live)
+
+    n_terms = spark.read.parquet(live).count()
+    new_sums = [
+        sum_dls[i]
+        + int(delta_sums[f"s_{i}"] if delta_sums[f"s_{i}"] is not None else 0)
+        for i in range(nf)
+    ]
+    new_terms = int(n_terms) - int(meta["n_terms"])
+    new_meta = {
+        "n_docs": int(meta["n_docs"]) + int(n_delta),
+        "n_buckets": n_buckets,
+        "n_terms": int(n_terms),
+        "id_col": id_col,
+        "fields": meta["fields"],
+        "sum_dls": ",".join(str(s) for s in new_sums),
+        "generation": int(meta["generation"]) + 1,
+        "last_epoch": epoch_tag if epoch_tag is not None
+        else (meta.get("last_epoch") or ""),
+    }
+    spark.createDataFrame(
+        [tuple(new_meta[k] for k in _BM25F_META_KEYS)], _BM25F_META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    ic.end_mutation(index_dir)
+    return {
+        **new_meta,
+        "appended": int(n_delta),
+        "new_terms": new_terms,
+        "vocab_growth": (
+            new_terms / int(meta["n_terms"]) if int(meta["n_terms"]) else 0.0
+        ),
+    }
+
+
 def query_bm25_prf_index(
     spark: SparkSession,
     index_dir: str,

@@ -815,3 +815,80 @@ def test_prf_index_respects_deletions(spark, tmp_path):
         )
     )
     assert inline == from_idx and inline
+
+
+def test_bm25f_index_append_equals_union_build(spark, tmp_path):
+    """append_to_bm25f_index (round 15): the grown per-field index
+    answers exactly like a from-scratch build over the union corpus —
+    postings/doclens appended, terms df-merged, n_docs and per-field
+    sum_dls accumulated in meta. The single-field append contract,
+    field-wide."""
+    from ccog_spark.operators.text_index import (
+        append_to_bm25f_index,
+        build_bm25f_index,
+        query_bm25f_index,
+    )
+
+    docs = _docs(spark)
+    fielded = _fielded(docs)
+    qs = _queries(spark, docs)
+    base = fielded.where(F.col("doc_id") % 7 != 0)
+    delta = fielded.where(F.col("doc_id") % 7 == 0)
+
+    grown = str(tmp_path / "bm25f_grown")
+    build_bm25f_index(base, grown, ("title", "body"), n_buckets=64)
+    stats = append_to_bm25f_index(delta, grown)
+    assert stats["appended"] == delta.count()
+    assert stats["generation"] == 2
+    assert stats["vocab_growth"] >= 0.0
+
+    scratch = str(tmp_path / "bm25f_scratch")
+    m2 = build_bm25f_index(fielded, scratch, ("title", "body"), n_buckets=64)
+    assert stats["n_docs"] == m2["n_docs"]
+    assert stats["sum_dls"] == m2["sum_dls"]
+    assert stats["n_terms"] == m2["n_terms"]
+
+    for weights in ((2.0, 1.0), (1.0, 3.0)):
+        a = sorted(
+            map(
+                tuple,
+                query_bm25f_index(spark, grown, qs, weights, k=5).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                query_bm25f_index(spark, scratch, qs, weights, k=5).collect(),
+            )
+        )
+        assert a == b and a
+
+
+def test_bm25f_index_append_torn_mutation_detected(spark, tmp_path):
+    """A crash mid-append (injected: terms-stage write dies) leaves
+    the _inflight marker, and the query side refuses the possibly
+    inconsistent per-field index loudly."""
+    from ccog_spark.operators import index_common as ic
+    from ccog_spark.operators.text_index import (
+        append_to_bm25f_index,
+        build_bm25f_index,
+        query_bm25f_index,
+    )
+
+    docs = _docs(spark).limit(400)
+    fielded = _fielded(docs)
+    qs = _queries(spark, _docs(spark))
+    idx = str(tmp_path / "bm25f_torn")
+    build_bm25f_index(
+        fielded.where(F.col("doc_id") % 2 == 0), idx, ("title", "body"),
+        n_buckets=64,
+    )
+    # injected crash: fail the mutation after begin_mutation by
+    # handing append a delta that explodes mid-plan (invalid column)
+    with pytest.raises(Exception):
+        append_to_bm25f_index(
+            fielded.where(F.col("doc_id") % 2 == 1).drop("body"), idx
+        )
+    assert ic.inflight_op(idx) is not None
+    with pytest.raises(RuntimeError, match="torn"):
+        query_bm25f_index(spark, idx, qs, (2.0, 1.0), k=5)
