@@ -49,13 +49,23 @@ def _bkt(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("t")), F.lit(n_buckets)).cast("int")
 
 
+def _dbkt(id_col: str, n_buckets: int):
+    """Doc-hash bucket for the FORWARD table (round 15): the postings
+    layout clusters by TERM, so any by-doc access (PRF feedback
+    counts, delta-less deletes) scans every bucket; the forward table
+    clusters the same (id, t, tf) rows by doc hash so those verbs
+    prune to the target docs' directories instead."""
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets)).cast("int")
+
+
 _META_SCHEMA = (
     "n_docs bigint, sum_dl bigint, n_buckets int, n_terms bigint, "
     "id_col string, generation bigint, has_positions boolean, "
-    "meta_cols string, last_epoch string"
+    "meta_cols string, last_epoch string, has_forward boolean"
 )
 _META_KEYS = ("n_docs", "sum_dl", "n_buckets", "n_terms", "id_col",
-              "generation", "has_positions", "meta_cols", "last_epoch")
+              "generation", "has_positions", "meta_cols", "last_epoch",
+              "has_forward")
 
 
 def _write_meta(spark: SparkSession, index_dir: str, meta: dict) -> None:
@@ -78,6 +88,11 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
     d.setdefault("last_epoch", "")
     if d["last_epoch"] is None:
         d["last_epoch"] = ""
+    # round 15: optional doc-bucketed forward table (see
+    # build_bm25_index(forward=True)); pre-r15 indexes lack it
+    d.setdefault("has_forward", False)
+    if d["has_forward"] is None:
+        d["has_forward"] = False
     return d
 
 
@@ -164,6 +179,41 @@ def _pruned_postings(
     return postings, bkt_pred
 
 
+def _pruned_forward(
+    spark: SparkSession,
+    index_dir: str,
+    meta: dict,
+    id_list: list,
+):
+    """Doc-bucket-pruned forward-table scan for a doc-id list (round
+    15 — the by-doc twin of ``_pruned_postings``): dbkt partition
+    pruning + an In(id) data filter over the (id, t)-sorted files.
+    Requires ``build_bm25_index(forward=True)``."""
+    id_col = str(meta["id_col"])
+    n_buckets = int(meta["n_buckets"])
+    if id_list:
+        # the bucket hash is TYPE-sensitive (xxhash64(long) !=
+        # xxhash64(string)) — mirror the stored id type
+        typ = "bigint" if isinstance(id_list[0], int) else "string"
+        dbkts = sorted(
+            {
+                r["b"]
+                for r in spark.createDataFrame(
+                    [(i,) for i in id_list], f"{id_col} {typ}"
+                )
+                .select(_dbkt(id_col, n_buckets).alias("b"))
+                .collect()
+            }
+        )
+    else:
+        dbkts = []
+    pred = F.col("dbkt").isin(dbkts) if dbkts else F.lit(False)
+    fwd = spark.read.parquet(os.path.join(index_dir, "forward")).where(pred)
+    if id_list and len(id_list) <= _TERM_ISIN_CAP:
+        fwd = fwd.where(F.col(id_col).isin(id_list))
+    return fwd
+
+
 def adaptive_n_buckets(n_docs: int) -> int:
     """Bucket count scaled to the corpus (the ann_index
     adaptive_n_groups precedent): one bucket per ~50k docs, power of
@@ -187,6 +237,7 @@ def build_bm25_index(
     positions: bool = False,
     meta_cols: tuple[str, ...] = (),
     epoch_tag: str | None = None,
+    forward: bool = False,
 ) -> dict:
     """One tokenize pass → persisted index. Returns the meta dict.
 
@@ -213,6 +264,16 @@ def build_bm25_index(
     corpus-sized but narrow), enabling query-time FILTERED retrieval
     (``query_bm25_index(doc_filter=...)``) without ever re-reading
     the corpus. Column-pruned/predicate-pushed at query time.
+
+    ``forward=True`` (round 15): additionally store the same
+    (id, t, tf) rows clustered by DOC hash (``forward/``, dbkt
+    partition dirs, (id, t)-sorted — Lucene's term-vectors idea at
+    parquet granularity). The postings layout clusters by term, so
+    by-DOC access (PRF feedback counts, delta-less deletes) scans
+    every bucket; with the forward table those verbs prune to the
+    target docs' directories. Costs one extra (already-aggregated)
+    shuffle at build and ~1× postings bytes; rides append, delete
+    (tombstone anti-join), and compact like every other table.
     """
     spark = docs.sparkSession
     if n_buckets is None:
@@ -242,6 +303,12 @@ def build_bm25_index(
             docs.select(id_col, *meta_cols).write.mode("overwrite").parquet(
                 os.path.join(index_dir, "docmeta")
             )
+        if forward:
+            tf.select(id_col, "t", "tf").withColumn(
+                "dbkt", _dbkt(id_col, n_buckets)
+            ).repartition("dbkt").sortWithinPartitions(id_col, "t").write.mode(
+                "overwrite"
+            ).partitionBy("dbkt").parquet(os.path.join(index_dir, "forward"))
     finally:
         tf.unpersist()
 
@@ -263,6 +330,7 @@ def build_bm25_index(
         "has_positions": bool(positions),
         "meta_cols": ",".join(meta_cols),
         "last_epoch": epoch_tag or "",
+        "has_forward": bool(forward),
     }
     _write_meta(spark, index_dir, meta)
     return meta
@@ -337,6 +405,15 @@ def append_to_text_index(
             docs_delta.select(
                 id_col, *meta["meta_cols"].split(",")
             ).write.mode("append").parquet(os.path.join(index_dir, "docmeta"))
+        if meta["has_forward"]:
+            # the doc-clustered twin rows ride along (round 15)
+            tf.select(id_col, "t", "tf").withColumn(
+                "dbkt", _dbkt(id_col, n_buckets)
+            ).repartition("dbkt").sortWithinPartitions(
+                id_col, "t"
+            ).write.mode("append").partitionBy("dbkt").parquet(
+                os.path.join(index_dir, "forward")
+            )
 
         # terms df merge: old ⊕ delta per term (both Heaps-law-sized).
         # Staged: Spark cannot overwrite a path it is lazily reading.
@@ -395,6 +472,7 @@ def append_to_text_index(
         # (round 15); a plain batch append preserves the prior value
         "last_epoch": epoch_tag if epoch_tag is not None
         else meta["last_epoch"],
+        "has_forward": bool(meta["has_forward"]),
     }
     _write_meta(spark, index_dir, new_meta)
     ic.end_mutation(index_dir)
@@ -516,6 +594,18 @@ def delete_from_text_index(
                     "postings table."
                 )
             del_terms = delta_toks.distinct()
+        elif meta["has_forward"]:
+            # doc-clustered forward table (round 15): the deleted
+            # ids' dbkt directories only, instead of a full
+            # postings-width scan
+            del_terms = (
+                _pruned_forward(
+                    spark, index_dir, meta,
+                    [r[0] for r in del_ids.collect()],
+                )
+                .join(F.broadcast(del_ids), id_col, "left_semi")
+                .select(id_col, "t")
+            )
         else:
             del_terms = (
                 spark.read.parquet(os.path.join(index_dir, "postings"))
@@ -567,6 +657,7 @@ def delete_from_text_index(
         "has_positions": bool(meta["has_positions"]),
         "meta_cols": meta["meta_cols"],
         "last_epoch": meta["last_epoch"],
+        "has_forward": bool(meta["has_forward"]),
     }
     _write_meta(spark, index_dir, new_meta)
     ic.end_mutation(index_dir)
@@ -634,6 +725,26 @@ def compact_text_index(spark: SparkSession, index_dir: str) -> dict:
             ).write.mode("overwrite").parquet(dm_stage)
             shutil.rmtree(dm_live)
             os.rename(dm_stage, dm_live)
+    if meta["has_forward"]:
+        # restore the doc-clustered layout too (appends fragment it
+        # the same way), applying tombstones physically
+        fw_live = os.path.join(index_dir, "forward")
+        fw_stage = os.path.join(index_dir, "forward__stage")
+        (
+            ic.anti_tombstones(
+                spark.read.parquet(fw_live).select(
+                    id_col, "t", "tf", "dbkt"
+                ),
+                tomb, id_col,
+            )
+            .repartition("dbkt")
+            .sortWithinPartitions(id_col, "t")
+            .write.mode("overwrite")
+            .partitionBy("dbkt")
+            .parquet(fw_stage)
+        )
+        shutil.rmtree(fw_live)
+        os.rename(fw_stage, fw_live)
     shutil.rmtree(live)
     os.rename(stage, live)
     ic.clear_tombstones(index_dir)
@@ -1288,13 +1399,14 @@ def query_bm25_prf_index(
     text:
 
     - pass 1 is ``query_bm25_index`` (pruned posting-bucket reads);
-    - the feedback-term counts come from the WINNERS' postings rows —
-      a semi-join of the postings table against the |Q|·k_fb winner
-      ids (Σ tf over the feedback docs ≡ the inline token count, by
-      the definition of tf). This is the one full-postings-width scan
-      (the ids live in every term bucket), but it reads the narrow
-      (id, t, tf) columns and nothing corpus-sized shuffles — the
-      winner side broadcasts;
+    - the feedback-term counts come from the WINNERS' stored rows
+      (Σ tf over the feedback docs ≡ the inline token count, by the
+      definition of tf). With ``build_bm25_index(forward=True)`` this
+      reads only the winners' doc-bucket directories of the forward
+      table (round 15 — Lucene's term-vectors idea); without it, the
+      term-bucketed postings force one full-postings-width scan of
+      the narrow (id, t, tf) columns. Either way the winner side
+      broadcasts and nothing corpus-sized shuffles;
     - pass 2 is the SHARED ``text._bm25_rank`` core over the expanded
       term set's pruned buckets, exactly the query_bm25_index frames.
 
@@ -1325,18 +1437,31 @@ def query_bm25_prf_index(
         .where(F.col("t") != "")
         .distinct()
     )
-    # feedback counts from the winners' postings: Σ tf ≡ the inline
-    # path's occurrence count over the same docs
-    all_postings = ic.anti_tombstones(
-        spark.read.parquet(os.path.join(index_dir, "postings")).select(
-            id_col, "t", "tf"
-        ),
-        tomb,
-        id_col,
-    )
+    # freeze the |Q|·k_fb winners driver-side (query-batch-sized —
+    # the accepted collect class): pass 1 runs ONCE instead of being
+    # recomputed lazily inside the feedback join, and the id list
+    # drives forward-table pruning when available
+    winner_frame = base.select("q_id", id_col)
+    base_rows = winner_frame.collect()
+    winners = spark.createDataFrame(base_rows, winner_frame.schema)
+    # feedback counts from the winners' stored rows: Σ tf ≡ the
+    # inline path's occurrence count over the same docs. With a
+    # forward table (build_bm25_index(forward=True)) this reads the
+    # winners' dbkt directories only; without it, the one
+    # full-postings-width scan the term-bucketed layout forces
+    if meta["has_forward"]:
+        src = _pruned_forward(
+            spark, index_dir, meta,
+            sorted({r[1] for r in base_rows}),
+        ).select(id_col, "t", "tf")
+    else:
+        src = spark.read.parquet(
+            os.path.join(index_dir, "postings")
+        ).select(id_col, "t", "tf")
+    src = ic.anti_tombstones(src, tomb, id_col)
     fb_cnt = (
-        F.broadcast(base.select("q_id", id_col))
-        .join(all_postings, id_col)
+        F.broadcast(winners)
+        .join(src, id_col)
         .groupBy("q_id", "t")
         .agg(F.sum("tf").cast("bigint").alias("c"))
         .join(orig, ["q_id", "t"], "left_anti")

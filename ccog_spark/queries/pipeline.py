@@ -1093,7 +1093,9 @@ def pipeline_prf_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     idx = _tmp_index_dir("ccog_prf_idx", sf_dir)
-    build_bm25_index(docs, idx)
+    # forward=True: feedback counts read the winners' doc-bucket
+    # directories instead of the full postings width (round 15)
+    build_bm25_index(docs, idx, forward=True)
     queries = docs.where(F.col("doc_id") % 97 == 11).select(
         F.col("doc_id").alias("q_id"),
         F.array_join(

@@ -892,3 +892,116 @@ def test_bm25f_index_append_torn_mutation_detected(spark, tmp_path):
     assert ic.inflight_op(idx) is not None
     with pytest.raises(RuntimeError, match="torn"):
         query_bm25f_index(spark, idx, qs, (2.0, 1.0), k=5)
+
+
+def test_prf_index_forward_table_bit_identical_and_pruned(spark, tmp_path):
+    """forward=True (round 15): the doc-clustered forward table makes
+    PRF's feedback counts a dbkt-pruned read instead of a full
+    postings-width scan — answers bit-identical to the inline
+    operator, and the feedback scan's plan prunes to the winners'
+    doc buckets."""
+    from ccog_spark.operators.text import bm25_prf_topk
+    from ccog_spark.operators.text_index import (
+        _pruned_forward,
+        _read_meta,
+        query_bm25_prf_index,
+    )
+
+    docs = _docs(spark)
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "prf_fwd_idx")
+    build_bm25_index(docs, idx, n_buckets=64, forward=True)
+    assert os.path.isdir(f"{idx}/forward")
+    meta = _read_meta(spark, idx)
+    assert meta["has_forward"] is True
+
+    inline = sorted(
+        map(
+            tuple,
+            bm25_prf_topk(docs, qs, k=5, k_fb=10, e_terms=3).collect(),
+        )
+    )
+    from_idx = sorted(
+        map(
+            tuple,
+            query_bm25_prf_index(
+                spark, idx, qs, k=5, k_fb=10, e_terms=3
+            ).collect(),
+        )
+    )
+    assert inline == from_idx and inline
+
+    # the pruned forward scan reads ONLY the target ids' dbkt dirs
+    some_ids = [r.doc_id for r in docs.limit(3).collect()]
+    plan = _pruned_forward(
+        spark, idx, meta, some_ids
+    )._jdf.queryExecution().toString()
+    assert "dbkt" in plan and "PartitionFilters" in plan
+    got = {
+        r.doc_id
+        for r in _pruned_forward(spark, idx, meta, some_ids)
+        .select("doc_id").distinct().collect()
+        if r.doc_id in set(some_ids)
+    }
+    assert got == set(some_ids)
+
+
+def test_forward_table_rides_append_delete_compact(spark, tmp_path):
+    """The forward table follows the full lifecycle: append lands the
+    delta's doc-clustered rows, delete derives df decrements from the
+    pruned forward scan (no docs_delta, no full postings scan),
+    compact applies tombstones physically — PRF from the index equals
+    inline PRF over the survivors at every step."""
+    from ccog_spark.operators.text import bm25_prf_topk
+    from ccog_spark.operators.text_index import (
+        append_to_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        query_bm25_prf_index,
+    )
+
+    docs = _docs(spark)
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "fwd_life_idx")
+    build_bm25_index(
+        docs.where(F.col("doc_id") % 7 != 0), idx, n_buckets=64,
+        forward=True,
+    )
+    append_to_text_index(docs.where(F.col("doc_id") % 7 == 0), idx)
+
+    def check(corpus):
+        a = sorted(
+            map(
+                tuple,
+                bm25_prf_topk(corpus, qs, k=5, k_fb=10, e_terms=3).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                query_bm25_prf_index(
+                    spark, idx, qs, k=5, k_fb=10, e_terms=3
+                ).collect(),
+            )
+        )
+        assert a == b and a
+
+    check(docs)
+    # delta-less delete: df decrements come from the forward table
+    delete_from_text_index(
+        spark, idx, docs.where(F.col("doc_id") % 13 == 3).select("doc_id")
+    )
+    survivors = docs.where(F.col("doc_id") % 13 != 3)
+    check(survivors)
+    st = compact_text_index(spark, idx)
+    assert st["tombstones_applied"] > 0
+    # tombstones applied to forward/ too: no deleted id remains
+    fwd_ids = spark.read.parquet(f"{idx}/forward").select("doc_id").distinct()
+    assert (
+        fwd_ids.join(
+            docs.where(F.col("doc_id") % 13 == 3).select("doc_id"),
+            "doc_id", "left_semi",
+        ).count()
+        == 0
+    )
+    check(survivors)
