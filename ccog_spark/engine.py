@@ -245,6 +245,21 @@ class Engine:
 
         return append_to_bm25f_index(fielded_delta, index_dir, **kwargs)
 
+    def delete_bm25f_index(self, index_dir: str,
+                           doc_ids: DataFrame) -> dict:
+        """Tombstone docs out of the per-field index; any-field df and
+        per-field stats decremented (round 15)."""
+        from ccog_spark.operators.text_index import delete_from_bm25f_index
+
+        return delete_from_bm25f_index(self.spark, index_dir, doc_ids)
+
+    def compact_bm25f_index(self, index_dir: str) -> dict:
+        """Apply pending per-field-index tombstones physically and
+        restore the clustered layout (round 15)."""
+        from ccog_spark.operators.text_index import compact_bm25f_index
+
+        return compact_bm25f_index(self.spark, index_dir)
+
     def query_prf_index(self, index_dir: str, queries: DataFrame,
                         **kwargs) -> DataFrame:
         """PRF-expanded BM25 from the index only (round 15) — both

@@ -1073,6 +1073,7 @@ def build_bm25f_index(
     field_cols: tuple[str, ...],
     n_buckets: int | None = None,
     id_col: str = "doc_id",
+    epoch_tag: str | None = None,
 ) -> dict:
     """Persisted MULTI-FIELD index (round 15, VERDICT r14 #4 — the
     index-resident twin of ``text.bm25f_topk``, completing the index
@@ -1178,12 +1179,164 @@ def build_bm25f_index(
             for i in range(nf)
         ),
         "generation": 1,
-        "last_epoch": "",
+        "last_epoch": epoch_tag or "",
     }
     spark.createDataFrame(
         [tuple(meta[k] for k in _BM25F_META_KEYS)], _BM25F_META_SCHEMA
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
     return meta
+
+
+def delete_from_bm25f_index(
+    spark: SparkSession, index_dir: str, doc_ids: DataFrame
+) -> dict:
+    """Remove documents from the per-field index (round 15 —
+    completing the BM25F lifecycle to the single-field family's
+    surface). LOGICAL-first like every delete here: ids land in
+    ``tombstones/``, queries anti-join, compact applies physically.
+    The statistics cannot be deferred: any-field df is decremented
+    (staged terms rewrite, df = 0 dropped) and meta's n_docs AND
+    per-field sum_dls shrink — after this verb, query results are
+    BIT-IDENTICAL to a from-scratch build over the survivors (pinned
+    in tests for two weightings). The deleted docs' term sets come
+    from the wide postings rows (one row per (doc, term) already —
+    no distinct needed); per-field dl contributions come from the
+    doclens rows in hand. Idempotent. Returns {"deleted": n, ...}."""
+    meta_row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    meta = meta_row.asDict()
+    fields = str(meta["fields"]).split(",")
+    sum_dls = [int(s) for s in str(meta["sum_dls"]).split(",")]
+    n_buckets = int(meta["n_buckets"])
+    id_col = str(meta["id_col"])
+    nf = len(fields)
+    ic.begin_mutation(index_dir, "delete", int(meta["generation"]) + 1)
+    ids = doc_ids.toDF(id_col).distinct()
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    tomb = ic.read_tombstones(spark, index_dir, id_col)
+    live_del = doclens.join(F.broadcast(ids), id_col, "left_semi")
+    live_del = ic.anti_tombstones(live_del, tomb, id_col)
+    live_del = live_del.persist()
+    try:
+        agg = live_del.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"dl_{i}").alias(f"s_{i}") for i in range(nf)],
+        ).first()
+        n_del = int(agg["n"])
+        if n_del == 0:
+            ic.end_mutation(index_dir)  # nothing was touched
+            return {"deleted": 0, "generation": int(meta["generation"])}
+        del_ids = live_del.select(id_col)
+        df_del = (
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+            .join(F.broadcast(del_ids), id_col, "left_semi")
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("df_del"))
+        )
+        old_terms = spark.read.parquet(
+            os.path.join(index_dir, "terms")
+        ).select("t", "df")
+        merged = (
+            old_terms.join(df_del, "t", "left")
+            .select(
+                "t",
+                (
+                    F.col("df") - F.coalesce(F.col("df_del"), F.lit(0))
+                ).alias("df"),
+            )
+            .where(F.col("df") > 0)
+            .withColumn("bkt", _bkt(n_buckets))
+        )
+        stage = os.path.join(index_dir, "terms__stage")
+        merged.write.mode("overwrite").partitionBy("bkt").parquet(stage)
+        ic.append_tombstones(del_ids, index_dir)
+    finally:
+        live_del.unpersist()
+    import shutil
+
+    live = os.path.join(index_dir, "terms")
+    shutil.rmtree(live)
+    os.rename(stage, live)
+
+    n_terms = spark.read.parquet(live).count()
+    new_meta = {
+        "n_docs": int(meta["n_docs"]) - n_del,
+        "n_buckets": n_buckets,
+        "n_terms": int(n_terms),
+        "id_col": id_col,
+        "fields": meta["fields"],
+        "sum_dls": ",".join(
+            str(
+                sum_dls[i]
+                - int(agg[f"s_{i}"] if agg[f"s_{i}"] is not None else 0)
+            )
+            for i in range(nf)
+        ),
+        "generation": int(meta["generation"]) + 1,
+        "last_epoch": meta.get("last_epoch") or "",
+    }
+    spark.createDataFrame(
+        [tuple(new_meta[k] for k in _BM25F_META_KEYS)], _BM25F_META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    ic.end_mutation(index_dir)
+    return {**new_meta, "deleted": n_del}
+
+
+def compact_bm25f_index(spark: SparkSession, index_dir: str) -> dict:
+    """Maintenance verb for the per-field index (round 15): rewrite
+    the wide postings clustered and (t, id)-sorted again, APPLYING
+    pending tombstones physically to postings and doclens, clear the
+    tombstone set. Query answers unchanged by construction (deletes
+    were already logical; pinned in tests). Returns
+    {"files_before": n, "files_after": m, "tombstones_applied": t}."""
+    import glob
+    import shutil
+
+    meta_row = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    meta = meta_row.asDict()
+    id_col = str(meta["id_col"])
+    live = os.path.join(index_dir, "postings")
+
+    def n_files(root: str) -> int:
+        return len(glob.glob(os.path.join(root, "bkt=*", "*.parquet")))
+
+    before = n_files(live)
+    tomb = ic.read_tombstones(spark, index_dir, id_col)
+    n_tomb = tomb.count() if tomb is not None else 0
+    ic.begin_mutation(index_dir, "compact", int(meta["generation"]) + 1)
+    stage = os.path.join(index_dir, "postings__stage")
+    (
+        ic.anti_tombstones(spark.read.parquet(live), tomb, id_col)
+        .repartition("bkt")
+        .sortWithinPartitions("t", id_col)
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(stage)
+    )
+    if tomb is not None:
+        dl_live = os.path.join(index_dir, "doclens")
+        dl_stage = os.path.join(index_dir, "doclens__stage")
+        ic.anti_tombstones(
+            spark.read.parquet(dl_live), tomb, id_col
+        ).write.mode("overwrite").parquet(dl_stage)
+        shutil.rmtree(dl_live)
+        os.rename(dl_stage, dl_live)
+    shutil.rmtree(live)
+    os.rename(stage, live)
+    ic.clear_tombstones(index_dir)
+    new_meta = {
+        **{k: meta.get(k) for k in _BM25F_META_KEYS},
+        "generation": int(meta["generation"]) + 1,
+        "last_epoch": meta.get("last_epoch") or "",
+    }
+    spark.createDataFrame(
+        [tuple(new_meta[k] for k in _BM25F_META_KEYS)], _BM25F_META_SCHEMA
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "meta"))
+    ic.end_mutation(index_dir)
+    return {
+        "files_before": before,
+        "files_after": n_files(live),
+        "tombstones_applied": int(n_tomb),
+    }
 
 
 def query_bm25f_index(
@@ -1232,8 +1385,15 @@ def query_bm25f_index(
     )
     tlist = [r["t"] for r in qterms.select("t").distinct().collect()]
     postings, bkt_pred = _pruned_postings(spark, index_dir, n_buckets, tlist)
-
-    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    # pending deletions (round 15): tombstoned docs' rows stay
+    # physical until compact — anti-joins + the already-decremented
+    # df/n_docs/sum_dls make the query bit-identical to a
+    # from-scratch build over the survivors (pinned in tests)
+    tomb = ic.read_tombstones(spark, index_dir, id_col)
+    postings = ic.anti_tombstones(postings, tomb, id_col)
+    doclens = ic.anti_tombstones(
+        spark.read.parquet(os.path.join(index_dir, "doclens")), tomb, id_col
+    )
     # candidate rows only reach the doclens join (query-term docs)
     cand = postings.select(
         id_col, "t", *[f"tf_{i}" for i in range(nf)]

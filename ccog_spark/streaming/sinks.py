@@ -303,3 +303,85 @@ def apply_ann_index_batch(
     if on_epoch is not None:
         on_epoch(epoch_id, stats)
     return True
+
+
+def write_stream_bm25f_index(
+    stream_docs: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    field_cols: tuple,
+    id_col: str = "doc_id",
+    on_epoch=None,
+):
+    """foreachBatch → per-field BM25F index maintenance (round 15 —
+    the multi-field twin of ``write_stream_text_index``, completing
+    the streaming story for the round's new index family): the first
+    non-empty micro-batch BUILDS the per-field index, every later
+    batch APPENDS (wide postings + per-field doclens + staged terms
+    df-merge). Identical replay protocol to the text sink —
+    transactional epoch tags inside the meta rewrite, namespaced
+    history markers, vocab-growth drift stats via ``on_epoch``."""
+    import hashlib
+    import os
+
+    ns = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        apply_bm25f_batch(
+            df, epoch_id, index_dir, ns, field_cols,
+            id_col=id_col, on_epoch=on_epoch,
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def apply_bm25f_batch(
+    df: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    ns: str,
+    field_cols: tuple,
+    id_col: str = "doc_id",
+    on_epoch=None,
+) -> bool:
+    """One epoch of streaming BM25F-index maintenance (the
+    foreachBatch body of ``write_stream_bm25f_index``, exposed for
+    direct testing). Same transactional replay contract as
+    ``apply_text_index_batch`` — the epoch tag rides in the bm25f
+    meta rewrite's ``last_epoch`` field."""
+    import os
+
+    if df.isEmpty():
+        return False
+    epochs_dir = os.path.join(index_dir, "_stream_epochs")
+    marker = os.path.join(epochs_dir, f"{ns}_epoch_{epoch_id}.done")
+    if os.path.exists(marker):
+        return False  # replayed batch: already applied, skip
+    from ccog_spark.operators.text_index import (
+        append_to_bm25f_index,
+        build_bm25f_index,
+    )
+
+    tag = f"{ns}:{epoch_id}"
+    if os.path.isdir(os.path.join(index_dir, "meta")):
+        meta_row = (
+            df.sparkSession.read.parquet(os.path.join(index_dir, "meta"))
+            .collect()[0]
+        )
+        if (meta_row.asDict().get("last_epoch") or "") == tag:
+            # applied, but the crash ate the marker: re-record it
+            _write_epoch_marker(epochs_dir, marker)
+            return False
+        stats = append_to_bm25f_index(df, index_dir, epoch_tag=tag)
+    else:
+        stats = build_bm25f_index(
+            df, index_dir, tuple(field_cols), id_col=id_col, epoch_tag=tag
+        )
+    _write_epoch_marker(epochs_dir, marker)
+    if on_epoch is not None:
+        on_epoch(epoch_id, stats)
+    return True

@@ -616,3 +616,87 @@ def test_stream_ann_index_crash_before_marker_no_double_apply(
     meta_row2 = spark.read.parquet(f"{idx}/meta").collect()[0]
     assert int(meta_row2.n_vectors) == n_before
     assert os.path.exists(f"{idx}/_stream_epochs/ck1_epoch_1.done")
+
+
+def test_stream_bm25f_index_maintenance_and_crash(spark, tmp_path, monkeypatch):
+    """Streaming BM25F-index maintenance (round 15): multi-epoch
+    batches ≡ batch build(first) + append(rest); transactional epoch
+    record inherited — a crash after a completed append and before
+    the marker write must not double-apply on replay."""
+    from pyspark.sql import functions as FF
+
+    from ccog_spark.operators.text_index import (
+        append_to_bm25f_index,
+        build_bm25f_index,
+        query_bm25f_index,
+    )
+    from ccog_spark.streaming import sinks
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tk = FF.split("text", " ")
+    fielded = docs.select(
+        "doc_id",
+        FF.array_join(FF.slice(tk, 1, 5), " ").alias("title"),
+        FF.array_join(
+            FF.expr(
+                "slice(split(text, ' '), 6,"
+                " greatest(size(split(text, ' ')) - 5, 0))"
+            ),
+            " ",
+        ).alias("body"),
+    )
+    part_a = fielded.where(FF.col("doc_id") % 3 == 0)
+    part_b = fielded.where(FF.col("doc_id") % 3 == 1)
+    part_c = fielded.where(FF.col("doc_id") % 3 == 2)
+    idx = str(tmp_path / "stream_bm25f")
+    fc = ("title", "body")
+
+    log = []
+    assert sinks.apply_bm25f_batch(
+        part_a, 0, idx, "ck1", fc, on_epoch=lambda e, s: log.append((e, s))
+    ) is True
+    assert sinks.apply_bm25f_batch(
+        part_b, 1, idx, "ck1", fc, on_epoch=lambda e, s: log.append((e, s))
+    ) is True
+    assert log[1][1]["appended"] == part_b.count()
+    # replay of an applied epoch: skipped
+    assert sinks.apply_bm25f_batch(part_b, 1, idx, "ck1", fc) is False
+
+    # crash: append completes, marker write dies
+    def boom(epochs_dir, marker):
+        raise RuntimeError("injected crash before marker write")
+
+    monkeypatch.setattr(sinks, "_write_epoch_marker", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sinks.apply_bm25f_batch(part_c, 2, idx, "ck1", fc)
+    monkeypatch.undo()
+    n_docs_after = spark.read.parquet(f"{idx}/meta").collect()[0].n_docs
+    # replay: detected via the meta epoch record, not double-applied
+    assert sinks.apply_bm25f_batch(part_c, 2, idx, "ck1", fc) is False
+    assert (
+        spark.read.parquet(f"{idx}/meta").collect()[0].n_docs
+        == n_docs_after
+    )
+
+    # grown stream index ≡ batch build + appends
+    twin = str(tmp_path / "twin_bm25f")
+    build_bm25f_index(part_a, twin, fc)
+    append_to_bm25f_index(part_b, twin)
+    append_to_bm25f_index(part_c, twin)
+    qs = docs.where(FF.col("doc_id") % 97 == 11).select(
+        FF.col("doc_id").alias("q_id"),
+        FF.array_join(FF.slice(tk, 1, 3), " ").alias("q_text"),
+    )
+    a = sorted(
+        map(
+            tuple,
+            query_bm25f_index(spark, idx, qs, (2.0, 1.0), k=5).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            query_bm25f_index(spark, twin, qs, (2.0, 1.0), k=5).collect(),
+        )
+    )
+    assert a == b and a

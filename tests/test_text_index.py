@@ -1005,3 +1005,55 @@ def test_forward_table_rides_append_delete_compact(spark, tmp_path):
         == 0
     )
     check(survivors)
+
+
+def test_bm25f_delete_equals_fromscratch_survivors(spark, tmp_path):
+    """delete_from_bm25f_index (round 15): tombstones + any-field df
+    decrement + per-field sum_dls/n_docs shrink ⇒ query results
+    bit-identical to a from-scratch per-field build over the
+    survivors, for two weightings; compact applies physically and
+    preserves answers; deletes are idempotent."""
+    from ccog_spark.operators.text_index import (
+        build_bm25f_index,
+        compact_bm25f_index,
+        delete_from_bm25f_index,
+        query_bm25f_index,
+    )
+
+    docs = _docs(spark)
+    fielded = _fielded(docs)
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "bm25f_del")
+    build_bm25f_index(fielded, idx, ("title", "body"), n_buckets=64)
+    dels = fielded.where(F.col("doc_id") % 13 == 3)
+    m = delete_from_bm25f_index(spark, idx, dels.select("doc_id"))
+    assert m["deleted"] == dels.count()
+    # idempotent: re-deleting the same slice is a no-op
+    m2 = delete_from_bm25f_index(spark, idx, dels.select("doc_id"))
+    assert m2["deleted"] == 0
+
+    scratch = str(tmp_path / "bm25f_del_scratch")
+    survivors = fielded.where(F.col("doc_id") % 13 != 3)
+    ms = build_bm25f_index(survivors, scratch, ("title", "body"), n_buckets=64)
+    assert (m["n_docs"], m["sum_dls"], m["n_terms"]) == (
+        ms["n_docs"], ms["sum_dls"], ms["n_terms"]
+    )
+
+    def rows(ix, w):
+        return sorted(
+            map(tuple, query_bm25f_index(spark, ix, qs, w, k=5).collect())
+        )
+
+    for w in ((2.0, 1.0), (1.0, 3.0)):
+        assert rows(idx, w) == rows(scratch, w) and rows(idx, w)
+
+    st = compact_bm25f_index(spark, idx)
+    assert st["tombstones_applied"] == dels.count()
+    # physically gone, answers unchanged
+    post_ids = spark.read.parquet(f"{idx}/postings").select("doc_id")
+    assert (
+        post_ids.join(dels.select("doc_id"), "doc_id", "left_semi").count()
+        == 0
+    )
+    for w in ((2.0, 1.0),):
+        assert rows(idx, w) == rows(scratch, w)
