@@ -1041,6 +1041,26 @@ def verify_text_index(spark: SparkSession, index_dir: str) -> dict:
             f"id drift: {only_p} ids only in postings, {only_d} only in doclens"
         )
 
+    # forward-table drift (round 15): the doc-clustered twin must
+    # hold exactly the postings' (id, t, tf) rows
+    if bool(meta["has_forward"]):
+        fw_dir = os.path.join(index_dir, "forward")
+        if not os.path.isdir(fw_dir):
+            errors.append("meta.has_forward but forward/ is missing")
+        else:
+            fwd = ic.anti_tombstones(
+                spark.read.parquet(fw_dir).select(id_col, "t", "tf"),
+                tomb, id_col,
+            )
+            post3 = postings.select(id_col, "t", "tf")
+            n_fw_drift = (
+                post3.exceptAll(fwd).count() + fwd.exceptAll(post3).count()
+            )
+            if n_fw_drift:
+                errors.append(
+                    f"forward-table drift on {n_fw_drift} rows"
+                )
+
     return {
         "ok": not errors,
         "errors": errors,
