@@ -1178,8 +1178,6 @@ def snippet_match(
     query-batch × matching-docs aggregate, then ONE join back to the
     corpus on id to slice the text of MATCHING documents only —
     non-matching documents are never touched past the token scan."""
-    if window < 0:
-        raise ValueError(f"window must be >= 0, got {window}")
     toks = (
         docs.select(
             F.col(id_col),
@@ -1188,6 +1186,25 @@ def snippet_match(
         .where(F.col("t") != "")
         .select(id_col, (F.col("p0") + 1).alias("pos"), "t")
     )
+    return _snippet_core(toks, phrases, docs, id_col, text_col, window)
+
+
+def _snippet_core(
+    toks: DataFrame,
+    phrases: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+) -> DataFrame:
+    """The ONE snippet-slicing core, shared by ``snippet_match``
+    (token positions derived from the raw corpus) and
+    ``text_index.snippet_match_index`` (positions read from the
+    positional postings) — the ``_phrase_core`` sharing pattern.
+    ``docs`` supplies ONLY the text slice of matching documents (the
+    index twin's rerank_corpus-shaped argument)."""
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
     first = (
         _phrase_anchors(toks, phrases, id_col)
         .groupBy("q_id", id_col, "n")

@@ -972,6 +972,40 @@ def proximity_match_index(
     return _proximity_core(toks, phrases, id_col, max_span)
 
 
+def snippet_match_index(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: DataFrame,
+    docs: DataFrame,
+    window: int = 3,
+    text_col: str = "text",
+    doc_filter: str | None = None,
+) -> DataFrame:
+    """Snippet extraction with the MATCHING driven by the positional
+    index (round 15 — completes the inline↔index twin set: phrase,
+    proximity, BM25F, PRF, and now snippet): anchor discovery reads
+    only the phrase terms' posting buckets (``_positional_toks`` —
+    bucket pruning, In(t) row-group filter, tombstone anti-join,
+    ``doc_filter`` contract all shared with ``phrase_match_index``),
+    and ``docs`` is read ONLY for the text slice of MATCHING
+    documents via the broadcast candidate join — the
+    ``query_ivfpq_index(rerank_corpus=…)`` shape: the index answers
+    WHERE, the source supplies the payload rows it names.
+
+    Shares ``text._snippet_core`` (MIN-anchor + raw-split slice) with
+    the inline ``snippet_match`` ⇒ BIT-IDENTICAL results on the
+    indexed corpus (pinned in tests; the registry row's oracle is
+    pipeline_snippet's SQL verbatim — one truth, two paths).
+    ``docs`` must be the corpus the index was built over (same id
+    column and text) — tombstoned documents cannot match (their
+    postings are anti-joined), so a deleted document never yields a
+    snippet even though its text row is still present in ``docs``."""
+    from ccog_spark.operators.text import _snippet_core
+
+    toks, id_col = _positional_toks(spark, index_dir, phrases, doc_filter)
+    return _snippet_core(toks, phrases, docs, id_col, text_col, window)
+
+
 def verify_text_index(spark: SparkSession, index_dir: str) -> dict:
     """Integrity audit (round 14 — the ops complement to the
     ``_inflight`` torn-mutation marker): recompute every derived

@@ -1064,8 +1064,15 @@ PIPELINE_ORACLE["ann_autoprobe"] = _ivfpq_sql(nprobe="auto")
 # deterministic, ADC ties break on vec_id in both engines), then the
 # exact-cosine re-rank replays over ONLY those rows.
 def _rerank_sql(
-    k: int = 3, m: int = 10, q_pred: str = "vec_id % 100 = 0"
+    k: int = 3,
+    m: int = 10,
+    q_pred: str = "vec_id % 100 = 0",
+    cand_pred: str = "",
 ) -> str:
+    """``cand_pred`` (round 15, filtered hybrid): forwarded verbatim
+    to the stage-1 ``_ivfpq_sql`` candidate CTE — the engine applies
+    ``vec_filter`` BEFORE ADC ranking, so stage 2 only ever re-ranks
+    already-filtered candidates and needs no second filter."""
     return f"""
 WITH nv AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
@@ -1073,7 +1080,8 @@ WITH nv AS (
                                CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings
 ), cand AS (
-  SELECT q_id, vec_id FROM ({_ivfpq_sql(k=m, q_pred=q_pred)}) c
+  SELECT q_id, vec_id
+  FROM ({_ivfpq_sql(k=m, q_pred=q_pred, cand_pred=cand_pred)}) c
 ), rq AS (
   SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE {q_pred}
 ), rx AS (
@@ -2173,3 +2181,70 @@ ORDER BY q_id, rn
 # the oracle is pipeline_hybrid's SQL verbatim. (Assigned at module
 # end: the hybrid oracle itself is built further up.)
 PIPELINE_ORACLE["pipeline_hybrid_index"] = PIPELINE_ORACLE["pipeline_hybrid"]
+
+# Index-resident snippet (round 15): anchors from the posting buckets,
+# shared slicing core ⇒ bit-identical to the inline operator — one SQL
+# truth, two execution paths (the phrase pair's pattern).
+PIPELINE_ORACLE["pipeline_snippet_index"] = _SNIPPET_SQL
+
+# Index-resident diversification (round 15): query_bm25_index ≡
+# bm25_topk (pinned) and diversify_topk is literally shared, with the
+# groups column read from the index docmeta instead of the corpus —
+# the docmeta build is hash-gated to equal the documents projection by
+# this very row (a drifted docmeta source column would flip groups).
+PIPELINE_ORACLE["pipeline_diversified_index"] = _diversified_sql()
+
+
+def _hybrid_filtered_sql() -> str:
+    """Filtered hybrid (round 15): the hybrid SQL with each leg's
+    candidate set narrowed by ITS index-metadata predicate — the BM25
+    leg scores only BM25_FILTER_PRED documents (stats CTEs untouched,
+    Lucene filter semantics, exactly _bm25_filtered_sql's shape at
+    k=20) and the vector leg's stage-1 candidates are semi-joined to
+    ANN_FILTER_PRED rows before ADC ranking (exactly
+    _ann_filtered_sql's shape, under the re-rank). Predicates imported
+    verbatim from queries.pipeline — the no-drift rule."""
+    from ccog_spark.queries.pipeline import (
+        ANN_FILTER_PRED,
+        BM25_FILTER_PRED,
+    )
+
+    lex = _bm25_sql(20, cand_pred=BM25_FILTER_PRED)
+    vec = _rerank_sql(
+        k=20,
+        m=30,
+        q_pred="vec_id % 97 = 11",
+        cand_pred=(
+            "AND e.vec_id IN (SELECT vec_id FROM embeddings WHERE "
+            + ANN_FILTER_PRED
+            + ")"
+        ),
+    )
+    return f"""
+WITH lex AS (
+  SELECT q_id, doc_id, rn FROM ({lex}) l0
+), vec AS (
+  SELECT q_id, vec_id AS doc_id, rn
+  FROM ({vec}) v0
+), fused AS (
+  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(FLOOR((
+             CASE WHEN l.rn IS NOT NULL
+                  THEN 1.0 / (60 + l.rn) ELSE 0.0 END
+           + CASE WHEN v.rn IS NOT NULL
+                  THEN 1.0 / (60 + v.rn) ELSE 0.0 END
+         ) * 1000000000.0 + 0.5) AS BIGINT) AS rrf
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+), rk AS (
+  SELECT q_id, doc_id, rrf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INT) AS rn
+  FROM fused)
+SELECT q_id, doc_id, rrf, rn FROM rk WHERE rn <= 5
+ORDER BY q_id, rn
+"""
+
+
+PIPELINE_ORACLE["pipeline_hybrid_index_filtered"] = _hybrid_filtered_sql()

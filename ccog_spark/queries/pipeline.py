@@ -1192,6 +1192,66 @@ def pipeline_proximity_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "doc_id")
 
 
+def pipeline_snippet_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet extraction FROM THE POSITIONAL INDEX (round 15,
+    text_index.snippet_match_index — completes the inline↔index twin
+    set): anchor discovery reads only the phrase terms' posting
+    buckets, and the corpus text is read ONLY for the matching
+    documents' slice rows (the rerank_corpus shape). Shared slicing
+    core (text._snippet_core) ⇒ bit-identical to the inline operator,
+    so the oracle is pipeline_snippet's SQL verbatim (the phrase
+    pair's one-truth pattern)."""
+    import os
+
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        snippet_match_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_bm25_pos", sf_dir)
+    if not os.path.isdir(os.path.join(idx, "meta")):
+        build_bm25_index(docs, idx, positions=True)
+    return snippet_match_index(
+        spark, idx, _phrase_batch(docs), docs, window=3
+    ).orderBy("q_id", "doc_id")
+
+
+def pipeline_diversified_index_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Diversified retrieval with the GROUPS TABLE from the index
+    (round 15): query_bm25_index supplies the top-20 and the index's
+    own docmeta table (build_bm25_index(meta_cols=("source",)) — the
+    Lucene stored-fields shape) supplies the per-document group, so
+    the corpus text is NEVER re-read at query time — the complete
+    index-resident result-page recipe (rank + diversify). Both halves
+    are pinned bit-identical to their inline twins (query ≡
+    bm25_topk; diversify_topk is literally shared), so the oracle is
+    pipeline_diversified's SQL verbatim."""
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_bm25_div", sf_dir)
+    build_bm25_index(docs, idx, meta_cols=("source",))
+    queries = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    ranked = query_bm25_index(spark, idx, queries, k=20)
+    import os as _os
+
+    groups = spark.read.parquet(_os.path.join(idx, "docmeta"))
+    return text.diversify_topk(
+        ranked, groups, "source", k=5, max_per_group=2
+    ).orderBy("q_id", "rn")
+
+
 def ann_index_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN INDEX DELETION (round 14, ann_index.delete_from_ann_index —
     the E36 twin of pipeline_bm25_index_delete): build the IVF+PQ
@@ -1340,6 +1400,57 @@ def pipeline_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = query_bm25_index(spark, tidx, q_text, k=20)
     vec = query_ivfpq_index(
         spark, vidx, q_emb, k=20, rerank_corpus=emb, m=30
+    ).withColumnRenamed("vec_id", "doc_id")
+    return text.rrf_fuse(lex, vec, "doc_id", k=5).orderBy("q_id", "rn")
+
+
+def pipeline_hybrid_index_filtered_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTERED hybrid retrieval from persisted indexes (round 15 —
+    the production tenant-/scope-restricted search): the BM25 leg is
+    narrowed by a docmeta predicate (query_bm25_index(doc_filter=
+    BM25_FILTER_PRED) — Lucene filter semantics, corpus-wide stats)
+    and the vector leg by a vecmeta predicate applied BEFORE ADC
+    ranking and the exact re-rank (query_ivfpq_index(vec_filter=
+    ANN_FILTER_PRED, rerank_corpus=…) — pure candidate exclusion),
+    then reciprocal-rank fused. Each filtered leg is already
+    hash-gated alone (pipeline_bm25_index_filtered /
+    ann_index_filtered); this row gates their COMPOSITION — the
+    predicates must narrow candidate sets, not leak through the
+    fusion. Oracle: the hybrid SQL with the same two predicates
+    injected into each leg's candidate CTE (shared verbatim from this
+    module — the no-drift rule)."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_text = docs.where(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 3), " "
+        ).alias("q_text"),
+    )
+    q_emb = emb.where(F.col("vec_id") % 97 == 11).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    tidx = _tmp_index_dir("ccog_bm25_hybfil", sf_dir)
+    build_bm25_index(docs, tidx, meta_cols=("lang", "source"))
+    vidx = _tmp_index_dir("ccog_ivfpq_hybfil", sf_dir)
+    build_ivfpq_index(emb, EMB_DIM, vidx, meta_cols=("label",))
+    lex = query_bm25_index(
+        spark, tidx, q_text, k=20, doc_filter=BM25_FILTER_PRED
+    )
+    vec = query_ivfpq_index(
+        spark, vidx, q_emb, k=20, rerank_corpus=emb, m=30,
+        vec_filter=ANN_FILTER_PRED,
     ).withColumnRenamed("vec_id", "doc_id")
     return text.rrf_fuse(lex, vec, "doc_id", k=5).orderBy("q_id", "rn")
 

@@ -511,6 +511,19 @@ REGISTRY: dict[str, QueryFn] = {
     # round 14: proximity from the POSITIONAL index — shared window
     # core ⇒ oracle is pipeline_proximity SQL verbatim
     "pipeline_proximity_index": pipeline.pipeline_proximity_index_q,
+    # round 15: snippet from the POSITIONAL index — anchors from the
+    # posting buckets, corpus text read only for matching docs'
+    # slices; shared core ⇒ oracle is pipeline_snippet SQL verbatim
+    "pipeline_snippet_index": pipeline.pipeline_snippet_index_q,
+    # round 15: diversification with the groups table from the
+    # index's docmeta — rank + re-cut without re-reading the corpus;
+    # both halves shared code ⇒ oracle is pipeline_diversified verbatim
+    "pipeline_diversified_index": pipeline.pipeline_diversified_index_q,
+    # round 15: FILTERED hybrid — docmeta predicate on the BM25 leg,
+    # vecmeta predicate before ADC + re-rank on the vector leg, RRF
+    # fused; oracle = hybrid SQL with both predicates injected
+    "pipeline_hybrid_index_filtered":
+        pipeline.pipeline_hybrid_index_filtered_q,
     # r15 displaced fold rows (VERDICT r14 #1 named stand-downs) —
     # each keeps above-fold family rows and stays oracle-gated here:
     # E18 sort/top-k ≙ q24 (tail) + every fold top-k (bm25/ann/rerank)
@@ -600,6 +613,9 @@ NON_BENCH = (
     "pipeline_bm25_index_delete",  # builds + deletes from a text index
     "pipeline_phrase_index",  # builds a positional text index (file IO)
     "pipeline_proximity_index",  # builds a positional text index (file IO)
+    "pipeline_snippet_index",  # builds a positional text index (file IO)
+    "pipeline_diversified_index",  # builds a text index + docmeta (file IO)
+    "pipeline_hybrid_index_filtered",  # builds two indexes + meta (file IO)
     "pipeline_bm25_index_filtered",  # builds a text index + docmeta (file IO)
     "ann_index_delete",  # builds + deletes from an ANN index (file IO)
     "ann_index_filtered",  # builds an ANN index + vecmeta (file IO)

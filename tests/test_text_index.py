@@ -1124,3 +1124,89 @@ def test_verify_detects_forward_table_drift(spark, tmp_path):
     shutil.rmtree(f"{idx}/forward")
     rep = verify_text_index(spark, idx)
     assert any("forward/ is missing" in e for e in rep["errors"])
+
+
+def test_snippet_index_bit_identical_and_lifecycle(spark, tmp_path):
+    """snippet_match_index == snippet_match row-for-row (shared
+    _snippet_core; anchors from the posting buckets, text sliced only
+    for matching docs); a deleted document stops yielding snippets
+    even though its text row is still in the docs frame; a
+    positions-less index refuses loudly."""
+    import pytest as _pytest
+
+    from ccog_spark.operators.text import snippet_match
+    from ccog_spark.operators.text_index import (
+        delete_from_text_index,
+        snippet_match_index,
+    )
+
+    docs = _docs(spark)
+    phrases = docs.where(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 2, 3), " "
+        ).alias("phrase"),
+    )
+
+    idx = str(tmp_path / "snip_idx")
+    build_bm25_index(docs, idx, n_buckets=64, positions=True)
+
+    want = sorted(map(tuple, snippet_match(docs, phrases, window=3).collect()))
+    got = sorted(
+        map(
+            tuple,
+            snippet_match_index(spark, idx, phrases, docs, window=3).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # deletion hides the doc's snippets — docs still carries its text
+    dels = docs.where(F.col("doc_id") % 13 == 3).select("doc_id")
+    delete_from_text_index(spark, idx, dels)
+    del_set = {r.doc_id for r in dels.collect()}
+    surv = sorted(
+        map(
+            tuple,
+            snippet_match_index(spark, idx, phrases, docs, window=3).collect(),
+        )
+    )
+    assert surv == [t for t in want if t[1] not in del_set]
+
+    # scoring-only index refuses
+    flat = str(tmp_path / "snip_flat")
+    build_bm25_index(docs, flat, n_buckets=64)
+    with _pytest.raises(ValueError, match="positions=True"):
+        snippet_match_index(spark, flat, phrases, docs)
+
+
+def test_diversified_from_index_docmeta_matches_inline(spark, tmp_path):
+    """query_bm25_index(k=20) + diversify_topk over the index's
+    docmeta == the fully inline bm25_topk + diversify_topk over the
+    corpus projection — the pipeline_diversified_index recipe: rank
+    and re-cut without re-reading the corpus text (docmeta is the
+    groups table)."""
+    from ccog_spark.operators.text import diversify_topk
+
+    docs = _docs(spark)
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "div_idx")
+    build_bm25_index(docs, idx, n_buckets=64, meta_cols=("source",))
+
+    inline = diversify_topk(
+        bm25_topk(docs, qs, k=20),
+        docs.select("doc_id", "source"),
+        "source",
+        k=5,
+        max_per_group=2,
+    )
+    meta = spark.read.parquet(os.path.join(idx, "docmeta"))
+    from_idx = diversify_topk(
+        query_bm25_index(spark, idx, qs, k=20),
+        meta,
+        "source",
+        k=5,
+        max_per_group=2,
+    )
+    want = sorted(map(tuple, inline.collect()))
+    got = sorted(map(tuple, from_idx.collect()))
+    assert got == want and len(got) > 0
