@@ -291,6 +291,15 @@ class Engine:
 
         return ivfpq_rerank_topk(corpus, queries, dim, **kwargs)
 
+    def ann_sq8(self, corpus: DataFrame, queries: DataFrame, dim: int,
+                **kwargs) -> DataFrame:
+        """IVF + 8-bit scalar quantization (round 15): near-exact
+        asymmetric distances at dim bytes/vector — the storage point
+        between raw floats and PQ."""
+        from ccog_spark.operators.similarity import ivfsq_topk
+
+        return ivfsq_topk(corpus, queries, dim, **kwargs)
+
     def hybrid_search(self, ranked_lexical: DataFrame,
                       ranked_vector: DataFrame, id_col: str,
                       **kwargs) -> DataFrame:

@@ -334,6 +334,176 @@ def ivf_topk(
     )
 
 
+def sq8_stats(corpus: DataFrame, dim: int) -> tuple[list, list]:
+    """Per-dimension (min, range) over the corpus — the SQ8 training
+    pass: ONE partial-aggregable aggregate (2·dim scalar min/max
+    expressions), 2·dim doubles to the driver. Element values are cast
+    to DOUBLE before aggregation so the stats are bit-identical to an
+    oracle computing over CAST(embedding AS DOUBLE[])."""
+    row = corpus.agg(
+        *[
+            F.min(
+                F.element_at(F.col("embedding"), d + 1).cast("double")
+            ).alias(f"mn{d}")
+            for d in range(dim)
+        ],
+        *[
+            F.max(
+                F.element_at(F.col("embedding"), d + 1).cast("double")
+            ).alias(f"mx{d}")
+            for d in range(dim)
+        ],
+    ).collect()[0]
+    mins = [float(row[f"mn{d}"]) for d in range(dim)]
+    rngs = [float(row[f"mx{d}"]) - mins[d] for d in range(dim)]
+    return mins, rngs
+
+
+def ivfsq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    cent_stride: int = 25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF + 8-bit SCALAR quantization ANN top-k (the FAISS
+    ``IndexIVFScalarQuantizer``/SQ8 recipe, without residual encoding
+    so the DuckDB oracle replays it exactly): the storage/accuracy
+    point BETWEEN raw floats (ivf_topk: 4·dim bytes/vector, exact
+    in-cell distances) and PQ (ivfpq_topk: 8 bytes/vector, coarse ADC)
+    — SQ8 stores dim bytes/vector (4× smaller than float32) and its
+    asymmetric distances are near-exact, the standard choice when PQ
+    recall is too low but raw vectors don't fit.
+
+    Quantization is per-dimension uniform over the corpus min/max
+    (``sq8_stats``): code_d = clamp(floor((x_d − min_d)·255/range_d),
+    0..255); search reconstructs x̂_d = min_d + (code_d + 0.5)·
+    range_d/256 and ranks probed-cell candidates by cosine(q, x̂) —
+    queries stay unquantized (asymmetric distance). Coarse cells,
+    probing, and ties are EXACTLY ivf_topk's (deterministic
+    ``vec_id % cent_stride == 1`` centroids, argmax assignment in the
+    ORIGINAL space, nprobe cells per query, vec_id tiebreaks), so the
+    only semantic delta vs ann_ivf is the reconstructed values — the
+    oracle replays min/range per dim, the code, and the
+    reconstruction in SQL with the list rebuilt in dimension order
+    (order-stable float sums, the repo float rule).
+
+    Scale shape: stats are one map-side-combinable pass; codes are a
+    map-side transform (at 100 TB they persist next to the IVF cell
+    layout exactly like ann_index's PQ codes — dim bytes/vector
+    scanned instead of 4·dim); everything downstream is the
+    broadcast-probe join of ivf_topk, nprobe/cells of the corpus per
+    query."""
+    mins, rngs = sq8_stats(corpus, dim)
+    mins_arr = F.array(*[F.lit(m) for m in mins])
+    rng_arr = F.array(*[F.lit(r) for r in rngs])
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            F.when(
+                F.element_at(rng_arr, i + F.lit(1)) > 0,
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (x.cast("double") - F.element_at(mins_arr, i + F.lit(1)))
+                        * 255.0
+                        / F.element_at(rng_arr, i + F.lit(1))
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+        ),
+    )
+    xhat = F.transform(
+        F.col("codes"),
+        lambda c, i: (
+            F.element_at(mins_arr, i + F.lit(1))
+            + (c.cast("double") + 0.5)
+            * F.element_at(rng_arr, i + F.lit(1))
+            / 256.0
+        ),
+    )
+    c = corpus.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        codes.alias("codes"),
+    ).select(
+        "vec_id", "embedding", "nrm", xhat.alias("xe")
+    ).select(
+        "vec_id", "embedding", "nrm", "xe", norm(F.col("xe")).alias("xn")
+    )
+    centroids = c.where(F.col("vec_id") % cent_stride == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cents = F.broadcast(centroids)
+    cell = (
+        c.crossJoin(cents)
+        .select(
+            "vec_id",
+            F.struct(
+                (
+                    dot(F.col("embedding"), F.col("c_emb"))
+                    / (F.col("nrm") * F.col("c_nrm"))
+                ).alias("cos"),
+                (-F.col("cent_id")).alias("neg_id"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("sc"))
+        .select("vec_id", (-F.col("sc.neg_id")).alias("cell"))
+    )
+    assigned = c.select("vec_id", "xe", "xn").join(cell, "vec_id")
+    q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
+    pw = W.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(cents)
+        .select(
+            "q_id",
+            "q_emb",
+            "qn",
+            "cent_id",
+            (
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("qn") * F.col("c_nrm"))
+            ).alias("p_cos"),
+        )
+        .select(
+            "q_id",
+            "q_emb",
+            "qn",
+            F.col("cent_id").alias("cell"),
+            F.row_number().over(pw).alias("prn"),
+        )
+        .where(F.col("prn") <= nprobe)
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot(F.col("q_emb"), F.col("xe")) / (F.col("qn") * F.col("xn"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        pairs.select(
+            "q_id",
+            "vec_id",
+            F.round("cos_raw", 4).alias("cos"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, dim: int, k: int = 3
 ) -> DataFrame:

@@ -566,6 +566,68 @@ SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 3
 ORDER BY q_id, rn
 """
 
+# IVF + SQ8 (round 15, similarity.ivfsq_topk): ann_ivf's cells/probes
+# verbatim, but candidates ranked against the per-dimension
+# min/max-RECONSTRUCTED vectors — code = clamp(floor((v−mn)·255/rng)),
+# x̂ = mn + (code+0.5)·rng/256, rebuilt into a list ORDER BY d so
+# list_dot_product sums in the same sequential order as the engine's
+# zip_with/aggregate (the repo float rule: no order-free SUM over
+# float rows in a hashed path).
+PIPELINE_ORACLE["ann_sq8"] = """
+WITH nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), ev AS (
+  SELECT vec_id, t.d AS d, e[t.d] AS v
+  FROM nv, UNNEST(range(1, 64 + 1)) AS t(d)
+), qstat AS (
+  SELECT d, MIN(v) AS mn, MAX(v) - MIN(v) AS rng FROM ev GROUP BY d
+), rec AS (
+  SELECT vec_id,
+         list(mn + (CASE WHEN rng > 0
+                         THEN LEAST(255, FLOOR((v - mn) * 255.0 / rng))
+                         ELSE 0 END + 0.5) * rng / 256.0
+              ORDER BY d) AS xe
+  FROM ev JOIN qstat USING (d) GROUP BY vec_id
+), rnv AS (
+  SELECT vec_id, xe, SQRT(list_dot_product(xe, xe)) AS xn FROM rec
+), cent AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn FROM nv WHERE vec_id % 25 = 1
+), asn AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_dot_product(e, ce) / (nrm * cn) DESC, cent_id
+         ) AS arn
+  FROM nv CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, cent_id AS cell FROM asn WHERE arn = 1
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE vec_id % 100 = 0
+), probe AS (
+  SELECT q_id, qe, qn, cent_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY list_dot_product(qe, ce) / (qn * cn) DESC, cent_id
+         ) AS prn
+  FROM q CROSS JOIN cent
+), pairs AS (
+  SELECT q_id, c2.vec_id,
+         list_dot_product(qe, r.xe) / (qn * r.xn) AS cos_raw
+  FROM (SELECT * FROM probe WHERE prn <= 2) p
+  JOIN cells c2 USING (cell)
+  JOIN rnv r ON r.vec_id = c2.vec_id
+  WHERE c2.vec_id <> q_id
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM pairs)
+SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 3
+ORDER BY q_id, rn
+"""
+
 # ----------------------------------------------------------- multimodal
 # The engine really encodes PPM/BMP containers and really parses them
 # back; the oracle derives the expected metadata from the same

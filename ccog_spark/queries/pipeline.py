@@ -124,6 +124,23 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + 8-bit scalar quantization (round 15,
+    similarity.ivfsq_topk — the FAISS SQ8 recipe): the E36 family's
+    missing storage point between raw floats (ann_ivf) and PQ codes
+    (ann_ivfpq). Same deterministic coarse quantizer and probe set as
+    ann_ivf; candidates ranked by cosine against the per-dimension
+    min/max-reconstructed vectors (queries unquantized — asymmetric
+    distance). The oracle replays the per-dim stats, the code, and
+    the reconstruction in SQL with the list rebuilt in dimension
+    order (order-stable float sums)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.ivfsq_topk(emb, _queries_subset(emb), dim=EMB_DIM, k=3)
+        .orderBy("q_id", "rn")
+    )
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (

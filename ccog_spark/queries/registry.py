@@ -587,6 +587,11 @@ REGISTRY: dict[str, QueryFn] = {
     # full average pyramid (fold) + decim_nearest/pyramid_avg/
     # decim_rms (tail)
     "qr1": raster_queries.qr1,
+    # round 15: IVF + 8-bit scalar quantization (FAISS SQ8) — the E36
+    # storage point between raw floats (ann_ivf) and PQ (ann_ivfpq);
+    # per-dim min/max codes + asymmetric reconstructed-cosine ranking,
+    # full SQL replay with dimension-ordered list rebuild
+    "ann_sq8": pipeline.ann_sq8,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

@@ -231,3 +231,47 @@ def test_hierarchical_assigner_blockwise_cmap_parity(monkeypatch):
     monkeypatch.setattr(similarity, "_CMAP_BLOCK", 7)  # forces 23 blocks
     chunked = similarity.hierarchical_assigner(cent_ids, cmat, cnrm)(x, xn)
     assert np.array_equal(one_shot, chunked)
+
+
+# ------------------------------------------- scalar quantization (SQ8)
+def test_sq8_stats_shape_and_constant_dim(spark):
+    """Per-dim (min, range) over the corpus; a constant dimension gets
+    range 0 and reconstructs to exactly that constant (the rng=0
+    branch)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 5.0, -float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    mins, rngs = similarity.sq8_stats(emb, 3)
+    assert mins == [0.0, 5.0, -2.0]
+    assert rngs == [6.0, 0.0, 2.0]
+    got = similarity.ivfsq_topk(emb, _queries(emb), dim=3, k=3,
+                                cent_stride=7, nprobe=2)
+    assert got.columns == ["q_id", "vec_id", "cos", "rn"]
+    assert got.count() > 0
+
+
+def test_sq8_recall_near_exact(planted):
+    """SQ8's asymmetric reconstructed distances are near-exact (bin
+    width = range/255 per dim, far below the 0.5-sigma intra-blob
+    spread): with the full probe budget, top-k must essentially match
+    the exact in-cell ranking — the property PQ cannot give, i.e. the
+    reason SQ8 exists between raw floats and PQ."""
+    k = 5
+    exact = similarity.ivf_topk(
+        planted, _queries(planted), k=k, cent_stride=25,
+        nprobe=N_CLUSTERS + 2,
+    )
+    sq = similarity.ivfsq_topk(
+        planted, _queries(planted), dim=DIM, k=k, cent_stride=25,
+        nprobe=N_CLUSTERS + 2,
+    )
+    truth = {(r.q_id, r.vec_id) for r in exact.collect()}
+    got = {(r.q_id, r.vec_id) for r in sq.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.95, f"SQ8 recall@{k} vs exact-IVF = {recall}"
+    # and neighbors never cross blobs
+    for r in sq.collect():
+        assert r.q_id // PER_CLUSTER == r.vec_id // PER_CLUSTER
