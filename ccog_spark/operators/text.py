@@ -366,15 +366,34 @@ BM25_PRUNE_MIN_SAVINGS = 0.5  # prune only if ≥ this postings fraction is cut
 # mid-size batch costs far less than a wrongly-engaged small one.
 BM25_PRUNE_MIN_POSTINGS = 20_000_000
 
+# Block-max postings pruning (round 15 — the index-path refinement of
+# max-score, Lucene's BlockMaxWAND idea re-expressed for a batch
+# engine): documents are grouped into fixed id-range blocks and the
+# index stores per-(term, block) max tf; at query time whole blocks of
+# an essential term's postings are skipped when even the block's BEST
+# possible contribution plus the query's other terms' global bounds
+# cannot reach θ. Purely a candidate-generation cut — scoring is
+# untouched, so it is lossless by the same suffix argument (proof at
+# _bm25_rank's kept-blocks join).
+BM25_BLOCK = 1024  # docs per id-range block (id DIV 1024)
+
+
+def _blk_of(id_col: str):
+    """The ONE block function, shared by the index build
+    (blockstats rows) and the query-side candidate join — drifting
+    spellings would silently mis-prune."""
+    return F.expr(f"CAST(`{id_col}` DIV {BM25_BLOCK} AS BIGINT)")
+
 
 def _bm25_essential_terms(
     spark, score_frame, stats, qstats, k: int, k1: float,
     min_postings: int | None = None,
 ):
     """Driver-side max-score planning (Turtle & Flood 1995's max-score
-    heuristic, made LOSSLESS for top-k): returns the sorted UNION of
-    essential terms across queries, or None when pruning can't pay
-    for itself. Everything here is query-batch-sized: qstats (term,
+    heuristic, made LOSSLESS for top-k): returns (sorted UNION of
+    essential terms across queries, per-term block-max keep
+    thresholds — see block_cuts below), or None when pruning can't
+    pay for itself. Everything here is query-batch-sized: qstats (term,
     df per query term) and the 1-row corpus stats are collected; the
     only job touching postings is the θ probe over the single RAREST
     term per query.
@@ -472,6 +491,13 @@ def _bm25_essential_terms(
     }
 
     essential: dict[str, int] = {}  # term -> df (union across queries)
+    # per essential term, the BLOCK-MAX keep threshold (round 15):
+    # a block of term t's postings must be read iff its best possible
+    # per-term score could, together with the OTHER terms of some
+    # query where t is essential, still reach that query's θ —
+    # i.e. iff ub_blk(t) ≥ min over those queries of (θ_q − rem_q(t)),
+    # rem_q(t) = Σ ub over q's other terms. cut ≤ 0 means keep all.
+    block_cuts: dict[str, int] = {}
     total_df = pruned_df = 0
     for q, ts in per_q.items():  # already ub-desc sorted above
         theta = thetas.get(q, 0)
@@ -483,14 +509,20 @@ def _bm25_essential_terms(
         while cut > 0 and acc + ts[cut - 1][2] < theta:
             acc += ts[cut - 1][2]
             cut -= 1
-        for t, d, _ in ts[:cut]:
+        ub_total = sum(u for _, _, u in ts)
+        for t, d, u in ts[:cut]:
             essential[t] = d
+            bc = theta - (ub_total - u)
+            if t not in block_cuts or bc < block_cuts[t]:
+                block_cuts[t] = bc
         pruned_df += sum(d for _, d, _ in ts[cut:])
     if sum(essential.values()) > BM25_PRUNE_MAX_CANDIDATES:
         return None  # candidate id set not safely broadcastable
     if total_df == 0 or pruned_df / total_df < BM25_PRUNE_MIN_SAVINGS:
         return None  # not worth the candidate pass
-    return sorted(essential)
+    return sorted(essential), {
+        t: (essential[t], block_cuts[t]) for t in essential
+    }
 
 
 def bm25_topk(
@@ -611,6 +643,7 @@ def _bm25_rank(
     id_col: str,
     prune: bool,
     min_postings: int | None,
+    blockstats: DataFrame | None = None,
 ) -> DataFrame:
     """The ONE BM25 scoring/pruning core, shared by ``bm25_topk``
     (frames derived from the raw corpus) and
@@ -618,7 +651,30 @@ def _bm25_rank(
     inverted index) — bit-identical results between the two paths are
     the index module's contract. Inputs: tf=(id, t, tf),
     dl=(id, dl), dfs=(t, df), stats = 1-row (n_docs, sum_dl),
-    qterms = DISTINCT (q_id, t)."""
+    qterms = DISTINCT (q_id, t).
+
+    ``blockstats`` (round 15, index path only): (t, blk, max_tf) rows
+    for the query terms — per-(term, id-range-block) tf ceilings the
+    index persists (``build_bm25_index(block_max=True)``). When the
+    max-score planner engages, candidate generation additionally
+    skips whole BLOCKS of an essential term's postings: block blk of
+    term t is read iff its best possible quantized contribution
+    ub_blk(t) = floor(idf·(k1+1)·max_tf/(max_tf + k1·(1−b))·1e6 +
+    0.5) + 1 (tf ≤ max_tf and norm ≥ 1−b bound the saturation; the
+    +1 absorbs double-rounding asymmetry exactly like the planner's
+    global ub) reaches the planner's keep threshold cut(t) =
+    min over queries q where t is essential of (θ_q − rem_q(t)).
+
+    LOSSLESSNESS: suppose doc d is in query q's true top-k but got no
+    candidate row. d contains some term t* essential for q (the
+    planner's suffix argument), and (t*, d)'s block was cut for EVERY
+    query where t* is essential — in particular ub_blk(t*) <
+    θ_q − rem_q(t*). Then score(d) ≤ ub_blk(t*) + rem_q(t*) < θ_q,
+    and θ_q lower-bounds the k-th best full score, so d is strictly
+    below ≥ k documents — contradiction (strict <: a θ tie could
+    still win the id tie-break, so ties are never cut). Deletions
+    only make stored max_tf stale-HIGH (a bound that loosens, never
+    breaks); appends add rows that the query-side max-merge folds in."""
     # df rides WITH the query terms: dfs is vocabulary-sized (Heaps'
     # law — hundreds of millions of terms at 100 TB, NOT broadcastable
     # wholesale), so join it to the query-term frame first and
@@ -649,12 +705,17 @@ def _bm25_rank(
 
     rows = score_frame(qstats)
     if prune:
-        essential = _bm25_essential_terms(
+        planned = _bm25_essential_terms(
             spark, score_frame, stats, qstats, k, k1,
             min_postings=min_postings,
         )
-        if essential is not None:
-            from pyspark.sql.types import StructField, StructType
+        if planned is not None:
+            essential, block_cuts = planned
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                StructType,
+            )
 
             ess_df = spark.createDataFrame(
                 [(t,) for t in essential],
@@ -668,11 +729,53 @@ def _bm25_rank(
             # query-term join, so non-candidate postings never leave
             # the (cached/pruned) TF scan and the scoring aggregate's
             # input is candidate-sized instead of postings-sized.
-            cand_ids = (
-                tf.join(F.broadcast(ess_df), "t")
-                .select(id_col)
-                .distinct()
-            )
+            tf_e = tf.join(F.broadcast(ess_df), "t")
+            if blockstats is not None:
+                # block-max refinement (see docstring): keep a block
+                # iff its quantized per-term ceiling reaches the
+                # planner's keep threshold. plan_df carries (t, df,
+                # cut) — query-batch-sized; the max-merge over
+                # blockstats folds in append-era duplicate (t, blk)
+                # rows; the bound expression mirrors term_q's
+                # quantization exactly (+1 rounding guard).
+                plan_df = spark.createDataFrame(
+                    [
+                        (t, int(block_cuts[t][0]), int(block_cuts[t][1]))
+                        for t in essential
+                    ],
+                    StructType(
+                        [
+                            StructField("t", qstats.schema["t"].dataType),
+                            StructField("bdf", LongType()),
+                            StructField("cut", LongType()),
+                        ]
+                    ),
+                )
+                mtf = F.col("max_tf").cast("double")
+                bidf = (F.col("n_docs") - F.col("bdf") + 0.5) / (
+                    F.col("bdf") + 0.5
+                )
+                ubb = (
+                    F.floor(
+                        bidf
+                        * ((k1 + 1.0) * mtf / (mtf + k1 * (1.0 - b)))
+                        * 1000000.0
+                        + 0.5
+                    ).cast("long")
+                    + 1
+                )
+                kept = (
+                    blockstats.groupBy("t", "blk")
+                    .agg(F.max("max_tf").alias("max_tf"))
+                    .join(F.broadcast(plan_df), "t")
+                    .crossJoin(F.broadcast(stats))
+                    .where(ubb >= F.col("cut"))
+                    .select("t", "blk")
+                )
+                tf_e = tf_e.withColumn("blk", _blk_of(id_col)).join(
+                    kept, ["t", "blk"], "left_semi"
+                )
+            cand_ids = tf_e.select(id_col).distinct()
             tf_c = tf.join(F.broadcast(cand_ids), id_col, "left_semi")
             dl_c = dl.join(F.broadcast(cand_ids), id_col, "left_semi")
             j = (

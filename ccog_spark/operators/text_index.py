@@ -61,11 +61,12 @@ def _dbkt(id_col: str, n_buckets: int):
 _META_SCHEMA = (
     "n_docs bigint, sum_dl bigint, n_buckets int, n_terms bigint, "
     "id_col string, generation bigint, has_positions boolean, "
-    "meta_cols string, last_epoch string, has_forward boolean"
+    "meta_cols string, last_epoch string, has_forward boolean, "
+    "has_blockmax boolean"
 )
 _META_KEYS = ("n_docs", "sum_dl", "n_buckets", "n_terms", "id_col",
               "generation", "has_positions", "meta_cols", "last_epoch",
-              "has_forward")
+              "has_forward", "has_blockmax")
 
 
 def _write_meta(spark: SparkSession, index_dir: str, meta: dict) -> None:
@@ -93,6 +94,11 @@ def _read_meta(spark: SparkSession, index_dir: str) -> dict:
     d.setdefault("has_forward", False)
     if d["has_forward"] is None:
         d["has_forward"] = False
+    # round 15: optional per-(term, block) tf ceilings (see
+    # build_bm25_index(block_max=True)); older indexes lack them
+    d.setdefault("has_blockmax", False)
+    if d["has_blockmax"] is None:
+        d["has_blockmax"] = False
     return d
 
 
@@ -238,6 +244,7 @@ def build_bm25_index(
     meta_cols: tuple[str, ...] = (),
     epoch_tag: str | None = None,
     forward: bool = False,
+    block_max: bool = False,
 ) -> dict:
     """One tokenize pass → persisted index. Returns the meta dict.
 
@@ -274,6 +281,19 @@ def build_bm25_index(
     target docs' directories. Costs one extra (already-aggregated)
     shuffle at build and ~1× postings bytes; rides append, delete
     (tombstone anti-join), and compact like every other table.
+
+    ``block_max=True`` (round 15): additionally store per-(term,
+    id-range-block) tf ceilings (``blockstats/``, (t, blk, max_tf),
+    blk = id DIV text.BM25_BLOCK, same bkt term-hash layout as
+    postings so the query read prunes identically). When the
+    max-score planner engages, ``query_bm25_index`` then skips whole
+    BLOCKS of an essential term's postings whose best possible
+    contribution cannot reach θ — Lucene's BlockMaxWAND idea as a
+    batch-engine candidate cut, lossless by the bound argument in
+    ``text._bm25_rank``. Tiny table (≤ one row per (term, 1024-doc
+    block) with postings); appends add delta rows (query side
+    max-merges), deletes leave ceilings stale-HIGH (bound loosens,
+    never breaks), compact rebuilds them exact.
     """
     spark = docs.sparkSession
     if n_buckets is None:
@@ -309,6 +329,16 @@ def build_bm25_index(
             ).repartition("dbkt").sortWithinPartitions(id_col, "t").write.mode(
                 "overwrite"
             ).partitionBy("dbkt").parquet(os.path.join(index_dir, "forward"))
+        if block_max:
+            from ccog_spark.operators.text import _blk_of
+
+            tf.withColumn("blk", _blk_of(id_col)).groupBy(
+                "t", "blk"
+            ).agg(F.max("tf").alias("max_tf")).withColumn(
+                "bkt", _bkt(n_buckets)
+            ).write.mode("overwrite").partitionBy("bkt").parquet(
+                os.path.join(index_dir, "blockstats")
+            )
     finally:
         tf.unpersist()
 
@@ -331,6 +361,7 @@ def build_bm25_index(
         "meta_cols": ",".join(meta_cols),
         "last_epoch": epoch_tag or "",
         "has_forward": bool(forward),
+        "has_blockmax": bool(block_max),
     }
     _write_meta(spark, index_dir, meta)
     return meta
@@ -414,6 +445,20 @@ def append_to_text_index(
             ).write.mode("append").partitionBy("dbkt").parquet(
                 os.path.join(index_dir, "forward")
             )
+        if meta["has_blockmax"]:
+            # block-max ceilings ride along as APPENDED delta rows —
+            # duplicate (t, blk) pairs across appends are fine: the
+            # query side max-merges, and max(old, delta) is exactly
+            # the union corpus's ceiling. No staged rewrite needed.
+            from ccog_spark.operators.text import _blk_of
+
+            tf.withColumn("blk", _blk_of(id_col)).groupBy(
+                "t", "blk"
+            ).agg(F.max("tf").alias("max_tf")).withColumn(
+                "bkt", _bkt(n_buckets)
+            ).write.mode("append").partitionBy("bkt").parquet(
+                os.path.join(index_dir, "blockstats")
+            )
 
         # terms df merge: old ⊕ delta per term (both Heaps-law-sized).
         # Staged: Spark cannot overwrite a path it is lazily reading.
@@ -473,6 +518,7 @@ def append_to_text_index(
         "last_epoch": epoch_tag if epoch_tag is not None
         else meta["last_epoch"],
         "has_forward": bool(meta["has_forward"]),
+        "has_blockmax": bool(meta["has_blockmax"]),
     }
     _write_meta(spark, index_dir, new_meta)
     ic.end_mutation(index_dir)
@@ -658,6 +704,11 @@ def delete_from_text_index(
         "meta_cols": meta["meta_cols"],
         "last_epoch": meta["last_epoch"],
         "has_forward": bool(meta["has_forward"]),
+        # block-max ceilings untouched by deletion: tombstoned docs
+        # can only make a stored max_tf stale-HIGH, which loosens the
+        # (lossless) skip bound without breaking it; compact restores
+        # the exact ceilings
+        "has_blockmax": bool(meta["has_blockmax"]),
     }
     _write_meta(spark, index_dir, new_meta)
     ic.end_mutation(index_dir)
@@ -745,6 +796,26 @@ def compact_text_index(spark: SparkSession, index_dir: str) -> dict:
         )
         shutil.rmtree(fw_live)
         os.rename(fw_stage, fw_live)
+    if meta["has_blockmax"]:
+        # rebuild the tf ceilings EXACT from the compacted postings
+        # (append-era duplicate (t, blk) rows collapse, delete-era
+        # stale-high ceilings tighten back to the truth)
+        from ccog_spark.operators.text import _blk_of
+
+        bs_live = os.path.join(index_dir, "blockstats")
+        bs_stage = os.path.join(index_dir, "blockstats__stage")
+        (
+            spark.read.parquet(stage)
+            .withColumn("blk", _blk_of(id_col))
+            .groupBy("t", "blk")
+            .agg(F.max("tf").alias("max_tf"))
+            .withColumn("bkt", _bkt(int(meta["n_buckets"])))
+            .write.mode("overwrite")
+            .partitionBy("bkt")
+            .parquet(bs_stage)
+        )
+        shutil.rmtree(bs_live)
+        os.rename(bs_stage, bs_live)
     shutil.rmtree(live)
     os.rename(stage, live)
     ic.clear_tombstones(index_dir)
@@ -770,12 +841,22 @@ def query_bm25_index(
     prune: bool = True,
     min_postings: int | None = None,
     doc_filter: str | None = None,
+    block_max: bool = True,
 ) -> DataFrame:
     """Top-``k`` docs per query FROM THE INDEX ONLY — the raw corpus is
     never re-read. ``queries``: (q_id, q_text). Bit-identical to
     ``bm25_topk`` on the indexed corpus (shared scoring core; the
     1-row stats frame is rebuilt from meta with the same BIGINT
     values, so every double op sees identical inputs).
+
+    ``block_max`` (round 15, on by default — engages only when the
+    index stores blockstats AND the max-score planner engages): skip
+    whole id-range BLOCKS of an essential term's postings whose
+    per-block tf ceiling cannot reach θ — the BlockMaxWAND candidate
+    cut, LOSSLESS (bound proof in ``text._bm25_rank``), so results
+    and the oracle are unchanged by construction. The blockstats read
+    prunes by the same bkt partition filter as terms. Pass False to
+    pin the plain essential-terms plan (probes, A/B measurement).
 
     Bucket pruning: the distinct query terms are collected (query-
     batch-sized, the ANN-index precedent) and their bkt values derived
@@ -859,10 +940,21 @@ def query_bm25_index(
         )
         if qterms.count() * int(meta["n_docs"]) < floor:
             prune = False
+    blockstats = None
+    if prune and block_max and bool(meta["has_blockmax"]):
+        # same bkt partition pruning as the terms read; tombstoned
+        # docs need no handling here (stale-high ceilings only loosen
+        # the lossless bound — see build_bm25_index's docstring)
+        blockstats = (
+            spark.read.parquet(os.path.join(index_dir, "blockstats"))
+            .where(bkt_pred)
+            .select("t", "blk", "max_tf")
+        )
     return _bm25_rank(
         spark, postings, doclens, terms, stats, qterms,
         k=k, k1=k1, b=b, id_col=id_col,
         prune=prune, min_postings=min_postings,
+        blockstats=blockstats,
     )
 
 
@@ -1093,6 +1185,42 @@ def verify_text_index(spark: SparkSession, index_dir: str) -> dict:
             if n_fw_drift:
                 errors.append(
                     f"forward-table drift on {n_fw_drift} rows"
+                )
+
+    # block-max ceiling audit (round 15): a stored ceiling may be
+    # stale-HIGH (deletes leave it; the bound only loosens) but a
+    # ceiling BELOW the live max, or a live (t, blk) with no stored
+    # row at all, would silently break losslessness — flag those.
+    if bool(meta["has_blockmax"]):
+        bs_dir = os.path.join(index_dir, "blockstats")
+        if not os.path.isdir(bs_dir):
+            errors.append("meta.has_blockmax but blockstats/ is missing")
+        else:
+            from ccog_spark.operators.text import _blk_of
+
+            stored = (
+                spark.read.parquet(bs_dir)
+                .groupBy("t", "blk")
+                .agg(F.max("max_tf").alias("ceil_tf"))
+            )
+            live_max = (
+                postings.withColumn("blk", _blk_of(id_col))
+                .groupBy("t", "blk")
+                .agg(F.max("tf").alias("live_tf"))
+            )
+            n_low = (
+                live_max.join(stored, ["t", "blk"], "left_outer")
+                .where(
+                    F.col("ceil_tf").isNull()
+                    | (F.col("ceil_tf") < F.col("live_tf"))
+                )
+                .count()
+            )
+            if n_low:
+                errors.append(
+                    f"blockstats ceiling BELOW live max on {n_low} "
+                    "(term, block) pairs — block-max pruning would be "
+                    "lossy; rebuild or compact"
                 )
 
     return {

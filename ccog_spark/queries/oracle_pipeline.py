@@ -1871,6 +1871,15 @@ PIPELINE_ORACLE["pipeline_bm25_pruned"] = _bm25_sql(
     5, q_cte=_bm25_pruned_q_cte()
 )
 
+# Block-max engaged-path row (round 15): same unpruned scoring SQL,
+# same fixed rare+stopword batch — the engine side answers FROM an
+# index built with per-(term, block) tf ceilings and the BlockMaxWAND
+# candidate cut engaged on top of max-score (min_postings=0). A hash
+# match proves the block cut lossless on the driver's own comparison.
+PIPELINE_ORACLE["pipeline_bm25_blockmax"] = _bm25_sql(
+    5, q_cte=_bm25_pruned_q_cte()
+)
+
 # Persisted-index row (round 13, text_index.query_bm25_index): the
 # engine answers from the bucket-partitioned parquet index; results
 # must equal the from-scratch computation, so the oracle is the

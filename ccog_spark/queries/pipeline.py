@@ -838,6 +838,34 @@ def pipeline_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def pipeline_bm25_blockmax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCK-MAX pruning ENGAGED from the index (round 15,
+    build_bm25_index(block_max=True) + the BlockMaxWAND candidate cut
+    in text._bm25_rank): the index stores per-(term, id-range-block)
+    tf ceilings; with the postings floor lifted, the fixed
+    rare+stopword batch engages max-score AND the block cut — whole
+    blocks of the stopword terms' postings are skipped when their
+    best possible contribution cannot reach θ. Lossless by the bound
+    proof in _bm25_rank, so the oracle is the UNPRUNED from-scratch
+    SQL with the same fixed batch (pipeline_bm25_pruned's oracle
+    verbatim): identical hashes ARE the losslessness proof for the
+    composed cut at every SF."""
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _tmp_index_dir("ccog_bm25_bmx", sf_dir)
+    build_bm25_index(docs, idx, block_max=True)
+    queries = spark.createDataFrame(
+        list(BM25_PRUNED_QUERY_BATCH), "q_id long, q_text string"
+    )
+    return query_bm25_index(
+        spark, idx, queries, k=5, min_postings=0
+    ).orderBy("q_id", "rn")
+
+
 def pipeline_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTED BM25 inverted index (round 13,
     operators/text_index.py): build the bucket-partitioned parquet

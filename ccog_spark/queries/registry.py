@@ -592,6 +592,11 @@ REGISTRY: dict[str, QueryFn] = {
     # per-dim min/max codes + asymmetric reconstructed-cosine ranking,
     # full SQL replay with dimension-ordered list rebuild
     "ann_sq8": pipeline.ann_sq8,
+    # round 15: BLOCK-MAX pruning engaged from the index (per-(term,
+    # block) tf ceilings + the BlockMaxWAND candidate cut on top of
+    # max-score) — lossless, so the oracle is the unpruned SQL with
+    # the fixed rare+stopword batch (pipeline_bm25_pruned's verbatim)
+    "pipeline_bm25_blockmax": pipeline.pipeline_bm25_blockmax_q,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
@@ -621,6 +626,7 @@ NON_BENCH = (
     "pipeline_snippet_index",  # builds a positional text index (file IO)
     "pipeline_diversified_index",  # builds a text index + docmeta (file IO)
     "pipeline_hybrid_index_filtered",  # builds two indexes + meta (file IO)
+    "pipeline_bm25_blockmax",  # builds a text index + blockstats (file IO)
     "pipeline_bm25_index_filtered",  # builds a text index + docmeta (file IO)
     "ann_index_delete",  # builds + deletes from an ANN index (file IO)
     "ann_index_filtered",  # builds an ANN index + vecmeta (file IO)

@@ -1210,3 +1210,135 @@ def test_diversified_from_index_docmeta_matches_inline(spark, tmp_path):
     want = sorted(map(tuple, inline.collect()))
     got = sorted(map(tuple, from_idx.collect()))
     assert got == want and len(got) > 0
+
+
+def _blockmax_corpus(spark, n=4096, hot_lo=2048, hot_n=12):
+    """Synthetic corpus engineered so BLOCK-MAX actually cuts: every
+    doc carries 18 identical filler tokens + the stopword 'the'
+    (avgdl ≈ 20 ⇒ the tf=1 saturation ceiling sits BELOW the hot
+    docs' realized score); 'mid' appears with tf 1 in every 4th doc
+    across all id blocks but with tf 9 only in docs
+    [hot_lo, hot_lo+hot_n) — one hot 1024-id block. For the query
+    'mid the' the planner makes 'mid' essential, θ derives from the
+    hot docs, and every cold block's tf=1 ceiling is strictly below
+    θ − ub('the') ⇒ cold blocks are skippable, losslessly."""
+    filler = " ".join(f"f{i}" for i in range(18))
+    rows = []
+    for i in range(n):
+        parts = [filler, "the"]
+        if i % 4 == 0:
+            parts.append("mid")
+        if hot_lo <= i < hot_lo + hot_n:
+            parts.extend(["mid"] * 9)
+        rows.append((i, " ".join(parts)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_blockmax_lossless_engaged_and_live(spark, tmp_path):
+    """query_bm25_index over a block_max index == the inline operator
+    == the block_max=False plan (lossless); TAMPERING the stored
+    ceilings changes answers (proof the cut is actually consulted,
+    not dead code) and the verify audit flags the tampered index."""
+    import shutil
+
+    from ccog_spark.operators.text_index import verify_text_index
+
+    docs = _blockmax_corpus(spark)
+    q = spark.createDataFrame([(1, "mid the")], "q_id long, q_text string")
+    idx = str(tmp_path / "bmx_idx")
+    meta = build_bm25_index(docs, idx, n_buckets=32, block_max=True)
+    assert meta["has_blockmax"]
+    bs = spark.read.parquet(os.path.join(idx, "blockstats"))
+    # 4 id blocks exist and the hot block's ceiling is 9
+    mids = {(r.blk, r.max_tf) for r in bs.where(F.col("t") == "mid").collect()}
+    # hot docs divisible by 4 carry 1+9 occurrences → ceiling 10
+    assert mids == {(0, 1), (1, 1), (2, 10), (3, 1)}
+
+    a = sorted(map(tuple, bm25_topk(docs, q, k=5, min_postings=0).collect()))
+    b = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0).collect()))
+    c = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0, block_max=False).collect()))
+    assert a == b == c and len(a) == 5
+    # the winners are the hot-block docs (θ actually derives from them)
+    assert all(2048 <= t[1] < 2060 for t in b)
+    assert verify_text_index(spark, idx)["ok"]
+
+    # tamper: cap the hot block's ceiling at 1 — a LOSSY bound. The
+    # engaged query must now lose the hot docs (the cut is live), and
+    # the audit must flag the below-live ceiling.
+    stage = os.path.join(idx, "blockstats__tampered")
+    bs.withColumn(
+        "max_tf",
+        F.when(
+            (F.col("t") == "mid") & (F.col("blk") == 2), F.lit(1)
+        ).otherwise(F.col("max_tf")),
+    ).select("t", "blk", "max_tf", "bkt").write.mode(
+        "overwrite"
+    ).partitionBy("bkt").parquet(stage)
+    shutil.rmtree(os.path.join(idx, "blockstats"))
+    os.rename(stage, os.path.join(idx, "blockstats"))
+    d = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0).collect()))
+    assert d != b, "tampered ceilings must change the engaged plan"
+    rep = verify_text_index(spark, idx)
+    assert not rep["ok"]
+    assert any("blockstats ceiling BELOW live max" in e for e in rep["errors"])
+
+
+def test_blockmax_lifecycle_append_delete_compact(spark, tmp_path):
+    """Ceilings ride the index lifecycle losslessly: append adds delta
+    rows the query max-merges (grown == from-scratch union); delete
+    leaves ceilings stale-HIGH (still == from-scratch over survivors);
+    compact rebuilds them exact (verify ok, answers unchanged)."""
+    from ccog_spark.operators.text_index import (
+        append_to_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        verify_text_index,
+    )
+
+    docs = _blockmax_corpus(spark)
+    base = docs.where(F.col("doc_id") < 3072)
+    delta = docs.where(F.col("doc_id") >= 3072)
+    q = spark.createDataFrame([(1, "mid the")], "q_id long, q_text string")
+
+    idx = str(tmp_path / "bmx_life")
+    build_bm25_index(base, idx, n_buckets=32, block_max=True)
+    append_to_text_index(delta, idx)
+    want = sorted(map(tuple, bm25_topk(docs, q, k=5, min_postings=0).collect()))
+    got = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0).collect()))
+    assert got == want
+
+    # delete the hot docs: θ drops, stale-high ceilings keep every
+    # needed block readable — survivors' answers must be exact
+    dels = docs.where(
+        (F.col("doc_id") >= 2048) & (F.col("doc_id") < 2060)
+    ).select("doc_id")
+    delete_from_text_index(spark, idx, dels)
+    surv = docs.where(
+        (F.col("doc_id") < 2048) | (F.col("doc_id") >= 2060)
+    )
+    want2 = sorted(map(tuple, bm25_topk(surv, q, k=5, min_postings=0).collect()))
+    got2 = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0).collect()))
+    assert got2 == want2
+
+    # compact: ceilings rebuilt exact from surviving postings
+    compact_text_index(spark, idx)
+    assert verify_text_index(spark, idx)["ok"]
+    live = (
+        spark.read.parquet(os.path.join(idx, "postings"))
+        .withColumn("blk", F.expr("CAST(doc_id DIV 1024 AS BIGINT)"))
+        .groupBy("t", "blk")
+        .agg(F.max("tf").alias("m"))
+    )
+    stored = spark.read.parquet(os.path.join(idx, "blockstats")).groupBy(
+        "t", "blk"
+    ).agg(F.max("max_tf").alias("m"))
+    assert live.exceptAll(stored).count() == 0
+    assert stored.exceptAll(live).count() == 0
+    got3 = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0).collect()))
+    assert got3 == want2

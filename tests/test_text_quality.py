@@ -421,7 +421,13 @@ def test_bm25_pruning_planner_actually_prunes(spark, monkeypatch):
     plan = plan_for(qs_mixed)
     assert plan is not None
     # only the mid-df topic terms survive into the essential union
-    assert plan == ["topic3", "topic8"]
+    # (the r15 planner also returns per-term block-max keep
+    # thresholds: (df, cut) per essential term)
+    terms, cuts = plan
+    assert terms == ["topic3", "topic8"]
+    assert set(cuts) == {"topic3", "topic8"}
+    for t, (d, cut) in cuts.items():
+        assert d > 0 and isinstance(cut, int)
 
     qs_stop = spark.createDataFrame(
         [(1, "the of and")], "q_id long, q_text string"
