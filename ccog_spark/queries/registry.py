@@ -299,10 +299,13 @@ REGISTRY: dict[str, QueryFn] = {
     # semantic dedup — r9/r10-rewritten hierarchical two-hop assign
     # (√C-sized coarse level), full two-hop SQL oracle replay
     "dedup_semantic": pipeline.dedup_semantic,
-    # r7 fold slot (was decim_nearest): IVF+PQ composed ANN — cell
-    # pruning over 8-byte PQ codes with broadcast ADC LUTs, the
-    # production compressed-domain configuration
-    "ann_ivfpq": pipeline.ann_ivfpq,
+    # r15 third rotation fold slot (was ann_ivfpq — E36 keeps
+    # ann_rerank, which composes the same IVF+PQ ADC stage, plus
+    # ann_index and ann_exact in the fold): IVF + 8-bit scalar
+    # quantization (FAISS SQ8), the round's vector-storage flagship —
+    # per-dim min/max codes + asymmetric reconstructed-cosine
+    # ranking, full SQL replay with dimension-ordered list rebuild
+    "ann_sq8": pipeline.ann_sq8,
     # r15 fold slot (was gauss_decimate — the r14 verdict's named E21
     # stand-down; cog_cubic keeps the family's fold row): index-
     # resident BM25F, the round's structured-ranking flagship —
@@ -359,7 +362,14 @@ REGISTRY: dict[str, QueryFn] = {
     # r13 fold slot (was dedup_ngram): hybrid retrieval — BM25 top-20
     # and exact-cosine top-20 fused by reciprocal-rank fusion
     "pipeline_hybrid": pipeline.pipeline_hybrid,
-    "dedup_embed": pipeline.dedup_embed,
+    # r15 third rotation fold slot (was dedup_embed — E35 keeps
+    # dedup_cc, dedup_semantic, dedup_exact, and both line/span rows
+    # in the fold): BLOCK-MAX pruning engaged from the index, the
+    # round's retrieval-scale flagship (per-(term, block) tf ceilings
+    # + the BlockMaxWAND candidate cut on top of max-score) —
+    # lossless, so the oracle is the unpruned SQL with the fixed
+    # rare+stopword batch (pipeline_bm25_pruned's verbatim)
+    "pipeline_bm25_blockmax": pipeline.pipeline_bm25_blockmax_q,
     "ann_exact": pipeline.ann_exact,
     # r14 fold slot (was ann_index_append): INCREMENTAL text-index
     # growth — postings/doclens append + staged terms df-merge; the
@@ -587,16 +597,14 @@ REGISTRY: dict[str, QueryFn] = {
     # full average pyramid (fold) + decim_nearest/pyramid_avg/
     # decim_rms (tail)
     "qr1": raster_queries.qr1,
-    # round 15: IVF + 8-bit scalar quantization (FAISS SQ8) — the E36
-    # storage point between raw floats (ann_ivf) and PQ (ann_ivfpq);
-    # per-dim min/max codes + asymmetric reconstructed-cosine ranking,
-    # full SQL replay with dimension-ordered list rebuild
-    "ann_sq8": pipeline.ann_sq8,
-    # round 15: BLOCK-MAX pruning engaged from the index (per-(term,
-    # block) tf ceilings + the BlockMaxWAND candidate cut on top of
-    # max-score) — lossless, so the oracle is the unpruned SQL with
-    # the fixed rare+stopword batch (pipeline_bm25_pruned's verbatim)
-    "pipeline_bm25_blockmax": pipeline.pipeline_bm25_blockmax_q,
+    # r15 displaced fold rows (third rotation) — each keeps ≥2
+    # above-fold family rows and stays oracle-gated here:
+    # E36 IVF+PQ ADC ≙ ann_rerank (fold, composes the same stage) +
+    # ann_index (fold, same codes persisted) + ann_pq/ann_ivf (tail)
+    "ann_ivfpq": pipeline.ann_ivfpq,
+    # E35 embedding near-dup ≙ dedup_semantic (fold, same
+    # hierarchical assign + cosine verify) + dedup_cc/dedup_minhash
+    "dedup_embed": pipeline.dedup_embed,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

@@ -88,6 +88,7 @@ def write_stream_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     on_epoch=None,
+    build_kwargs: dict | None = None,
 ):
     """foreachBatch → BM25 inverted-index maintenance (round 14,
     VERDICT r13 #3): each micro-batch of documents is APPENDED to the
@@ -122,7 +123,17 @@ def write_stream_text_index(
     ``vocab_growth`` — the text twin of the ANN appends' occupancy
     skew) are passed to ``on_epoch(epoch_id, stats)`` when given; a
     vocab_growth spike across epochs is the drift cue to compact or
-    re-bucket via rebuild."""
+    re-bucket via rebuild.
+
+    ``build_kwargs`` (round 15): extra keyword arguments forwarded to
+    the FIRST batch's ``build_bm25_index`` call — e.g.
+    ``{"positions": True}``, ``{"meta_cols": (...)}``,
+    ``{"forward": True}`` or ``{"block_max": True}`` — so a
+    streaming-maintained index can carry the positional / filtered /
+    forward-table / block-max layouts from batch one. Appends already
+    ride every one of those layouts automatically (they read the
+    configuration from the index meta), so only the build needs the
+    knob."""
     import hashlib
     import os
 
@@ -132,6 +143,7 @@ def write_stream_text_index(
         apply_text_index_batch(
             df, epoch_id, index_dir, ns,
             text_col=text_col, id_col=id_col, on_epoch=on_epoch,
+            build_kwargs=build_kwargs,
         )
 
     return (
@@ -164,6 +176,7 @@ def apply_text_index_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     on_epoch=None,
+    build_kwargs: dict | None = None,
 ) -> bool:
     """One epoch of streaming text-index maintenance (the foreachBatch
     body of ``write_stream_text_index``, exposed for direct testing of
@@ -203,7 +216,8 @@ def apply_text_index_batch(
         )
     else:
         stats = build_bm25_index(
-            df, index_dir, text_col=text_col, id_col=id_col, epoch_tag=tag
+            df, index_dir, text_col=text_col, id_col=id_col, epoch_tag=tag,
+            **(build_kwargs or {}),
         )
     _write_epoch_marker(epochs_dir, marker)
     if on_epoch is not None:

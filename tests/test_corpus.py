@@ -116,8 +116,10 @@ def test_driver_fold_discipline():
     fold = set(keys[:50])
     promoted = {
         # r7: composed/fused stars (cog_color stood down in r13 — its
-        # write gates stay with cog_roundtrip/cog_palette/cog_cubic)
-        "pipeline_e2e", "ann_ivfpq", "multimodal_features",
+        # write gates stay with cog_roundtrip/cog_palette/cog_cubic;
+        # ann_ivfpq stood down in r15 — its ADC stage stays fold-gated
+        # through ann_rerank and ann_index)
+        "pipeline_e2e", "multimodal_features",
         # r8: persisted index, LM, line dedup (cog_window stood down
         # in r13 — read gates stay with cog_roundtrip + cog_read tail)
         "ann_index", "pipeline_lm", "pipeline_line_dedup",
@@ -150,6 +152,11 @@ def test_driver_fold_discipline():
         # same-round (gauss/bilinear_decimate stood down — E21 keeps
         # cog_cubic in the fold, 5 kernel rows in the tail)
         "pipeline_bm25f_index", "pipeline_prf_index",
+        # r15 third rotation: block-max pruning + SQ8 hash-gated
+        # same-round (ann_ivfpq/dedup_embed stood down — E36 keeps
+        # ann_rerank/ann_index/ann_exact in the fold, E35 keeps
+        # dedup_cc/dedup_semantic/dedup_exact + line/span)
+        "pipeline_bm25_blockmax", "ann_sq8",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned

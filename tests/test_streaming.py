@@ -700,3 +700,60 @@ def test_stream_bm25f_index_maintenance_and_crash(spark, tmp_path, monkeypatch):
         )
     )
     assert a == b and a
+
+
+def test_stream_text_index_build_kwargs_layouts(spark, tmp_path):
+    """build_kwargs forwards the first batch's layout knobs (round 15):
+    a streaming-maintained index built with block_max + positions
+    carries blockstats/positional postings from batch one, appends
+    ride both automatically, and the grown index answers BM25 (with
+    the block cut engaged) and phrase queries exactly like a
+    from-scratch build over the union."""
+    import os
+
+    from ccog_spark.operators.text import phrase_match
+    from ccog_spark.operators.text_index import (
+        build_bm25_index,
+        phrase_match_index,
+        query_bm25_index,
+        verify_text_index,
+    )
+    from ccog_spark.streaming.sinks import apply_text_index_batch
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    part_a = docs.where(F.col("doc_id") % 3 == 0)
+    part_b = docs.where(F.col("doc_id") % 3 != 0)
+    union = part_a.unionByName(part_b)
+    idx = str(tmp_path / "bk_idx")
+    kw = {"block_max": True, "positions": True, "n_buckets": 64}
+    assert apply_text_index_batch(
+        part_a, 0, idx, ns="ck1", build_kwargs=kw
+    ) is True
+    assert apply_text_index_batch(
+        part_b, 1, idx, ns="ck1", build_kwargs=kw
+    ) is True
+    assert os.path.isdir(os.path.join(idx, "blockstats"))
+    assert verify_text_index(spark, idx)["ok"]
+
+    full = str(tmp_path / "bk_full")
+    build_bm25_index(union, full, block_max=True, positions=True,
+                     n_buckets=64)
+    qs = spark.createDataFrame(
+        [(1, "dup the stream"), (2, "dup value data")],
+        "q_id long, q_text string",
+    )
+    a = sorted(map(tuple, query_bm25_index(
+        spark, idx, qs, k=5, min_postings=0).collect()))
+    b = sorted(map(tuple, query_bm25_index(
+        spark, full, qs, k=5, min_postings=0).collect()))
+    assert a == b and len(a) > 0
+
+    phrases = union.where(F.col("doc_id") % 101 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 2, 3), " "
+        ).alias("phrase"),
+    )
+    c = sorted(map(tuple, phrase_match_index(spark, idx, phrases).collect()))
+    d = sorted(map(tuple, phrase_match(union, phrases).collect()))
+    assert c == d and len(c) > 0
