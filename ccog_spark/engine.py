@@ -300,6 +300,23 @@ class Engine:
 
         return ivfsq_topk(corpus, queries, dim, **kwargs)
 
+    def build_sq8_index(self, corpus: DataFrame, dim: int,
+                        index_dir: str, **kwargs) -> dict:
+        """Persist an IVF+SQ8 index (round 15): scalar codes at dim
+        bytes/vector sharing the PQ index's cell-clustered layout and
+        full lifecycle (append/delete/compact/verify)."""
+        from ccog_spark.operators.ann_index import build_ivfsq_index
+
+        return build_ivfsq_index(corpus, dim, index_dir, **kwargs)
+
+    def query_sq8_index(self, index_dir: str, queries: DataFrame,
+                        **kwargs) -> DataFrame:
+        """Top-k from a persisted SQ8 index — embeddings never read;
+        supports nprobe='auto', vec_filter, rerank_corpus."""
+        from ccog_spark.operators.ann_index import query_ivfsq_index
+
+        return query_ivfsq_index(self.spark, index_dir, queries, **kwargs)
+
     def hybrid_search(self, ranked_lexical: DataFrame,
                       ranked_vector: DataFrame, id_col: str,
                       **kwargs) -> DataFrame:

@@ -51,6 +51,7 @@ import os
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ccog_spark.operators import index_common as ic
@@ -240,12 +241,19 @@ def _read_cellstats(spark: SparkSession, index_dir: str) -> list[int]:
 
 _ANN_META_SCHEMA = (
     "dim int, m_blocks int, cent_stride int, n_vectors bigint, "
-    "n_groups int, last_epoch string"
+    "n_groups int, last_epoch string, quant string"
 )
 _ANN_META_KEYS = (
     "dim", "m_blocks", "cent_stride", "n_vectors", "n_groups",
-    "last_epoch",
+    "last_epoch", "quant",
 )
+
+
+def _meta_quant(meta_row) -> str:
+    """``quant`` from a meta Row — 'pq' (8-byte product codes, the
+    original layout) or 'sq8' (per-dimension scalar codes, round 15);
+    pre-round-15 indexes lack the field and are PQ by construction."""
+    return meta_row.asDict().get("quant") or "pq"
 
 
 def _write_ann_meta(spark: SparkSession, index_dir: str, meta: dict) -> None:
@@ -345,6 +353,7 @@ def build_ivfpq_index(
         "n_vectors": int(n_vectors),
         "n_groups": n_groups,
         "last_epoch": epoch_tag or "",
+        "quant": "pq",
     }
     _write_ann_meta(spark, index_dir, meta)
     return meta
@@ -369,6 +378,255 @@ def _load_model(spark: SparkSession, index_dir: str):
     return meta, cent_ids, cmat, cnrm, cbmat
 
 
+def _load_centroids(spark: SparkSession, index_dir: str):
+    """Driver-side (cent_ids, cmat, cnrm) from the saved centroids
+    table — the codebook-free half of ``_load_model`` (round 15, for
+    the SQ8 layout which has no PQ codebook)."""
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+        key=lambda r: r.cent_id,
+    )
+    cent_ids = np.array([r.cent_id for r in cent_rows], "i8")
+    cmat = np.array([[float(x) for x in r.c_emb] for r in cent_rows], "f8")
+    cnrm = np.array([r.c_nrm for r in cent_rows], "f8")
+    return cent_ids, cmat, cnrm
+
+
+def _load_sqstats(spark: SparkSession, index_dir: str):
+    """Driver-side per-dimension (mins, rngs) from the saved sqstats
+    table (round 15) — dim rows, the SQ8 twin of the PQ codebook."""
+    rows = sorted(
+        spark.read.parquet(os.path.join(index_dir, "sqstats")).collect(),
+        key=lambda r: r.d,
+    )
+    return [float(r.mn) for r in rows], [float(r.rng) for r in rows]
+
+
+def _sq_code_frame(
+    corpus: DataFrame,
+    cent_ids: "np.ndarray",
+    cmat: "np.ndarray",
+    cnrm: "np.ndarray",
+    mins: list,
+    rngs: list,
+) -> DataFrame:
+    """Fused assign+encode for the SQ8 layout (round 15 — the
+    ``_code_frame`` twin): the cell assign is the SAME shared √C
+    two-hop assigner; the encode is the per-dimension scalar code
+    code_d = clamp(floor((x_d − mn_d)·255/rng_d), 0..255) under the
+    GIVEN (frozen) stats — shared by build (fresh stats) and append
+    (stats loaded from the saved index, out-of-span delta values
+    saturate at 0/255 like any real scalar quantizer)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ccog_spark.operators.similarity import hierarchical_assigner
+
+    assign_batch = hierarchical_assigner(cent_ids, cmat, cnrm)
+    mn_arr = np.asarray(mins, "f8")
+    rng_arr = np.asarray(rngs, "f8")
+
+    @pandas_udf("long")
+    def assign(col: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="f8") for e in col])
+        return pd.Series(assign_batch(x, np.sqrt((x * x).sum(1))))
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="f8") for e in col])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.floor((x - mn_arr[None, :]) * 255.0 / rng_arr[None, :])
+        c = np.clip(c, 0, 255)
+        c = np.where(rng_arr[None, :] > 0, c, 0.0).astype("i4")
+        return pd.Series(list(c))
+
+    return corpus.select(
+        "vec_id",
+        F.coalesce(assign(F.col("embedding")), F.lit(-1)).alias("cell"),
+        encode(F.col("embedding")).alias("codes"),
+    )
+
+
+def build_ivfsq_index(
+    corpus: DataFrame,
+    dim: int,
+    index_dir: str,
+    cent_stride: int = 25,
+    n_groups: int | None = None,
+    meta_cols: tuple[str, ...] = (),
+    epoch_tag: str | None = None,
+) -> dict:
+    """Persisted IVF + SQ8 index (round 15 — the scalar-quantized twin
+    of ``build_ivfpq_index``): same centroids / cell-clustered codes
+    layout / cellstats / optional vecmeta, but the per-vector payload
+    is dim 8-bit scalar codes (4× smaller than raw float32,
+    near-exact asymmetric distances — the storage point between raw
+    vectors and PQ's 8 bytes; FAISS IndexIVFScalarQuantizer). The
+    model tables are the centroids plus a dim-row ``sqstats/``
+    (d, mn, rng) — per-dimension corpus min/range from
+    ``similarity.sq8_stats``; queries reconstruct
+    x̂_d = mn_d + (code_d + 0.5)·rng_d/256 and rank by cosine(q, x̂).
+
+    The whole lifecycle is shared with the PQ index: ``meta.quant``
+    records the layout; ``append_to_index`` branches to the frozen-
+    stats encode; ``delete_from_ann_index`` / ``compact_ann_index`` /
+    ``verify_ann_index`` / ``auto_nprobe`` / ``vec_filter`` operate on
+    codes rows they never decode and work unchanged."""
+    import shutil
+
+    from ccog_spark.operators.similarity import sq8_stats
+
+    spark = corpus.sparkSession
+    if n_groups is None:
+        n_groups = adaptive_n_groups(corpus.count())
+    vm_dir = os.path.join(index_dir, "vecmeta")
+    if meta_cols:
+        corpus.select("vec_id", *meta_cols).write.mode("overwrite").parquet(
+            vm_dir
+        )
+    elif os.path.isdir(vm_dir):
+        shutil.rmtree(vm_dir)  # stale-vecmeta rule (round-15 ADVICE)
+    cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
+    mins, rngs = sq8_stats(corpus, dim)
+
+    codes = _sq_code_frame(corpus, cent_ids, cmat, cnrm, mins, rngs)
+    _write_clustered_codes(
+        codes, cent_ids, os.path.join(index_dir, "codes"), n_groups,
+        "overwrite",
+    )
+
+    spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in row], float(nv))
+            for i, row, nv in zip(cent_ids, cmat, cnrm)
+        ],
+        "cent_id long, c_emb array<double>, c_nrm double",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+
+    spark.createDataFrame(
+        [(d, mins[d], rngs[d]) for d in range(dim)],
+        "d int, mn double, rng double",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "sqstats"))
+
+    n_vectors = spark.read.parquet(
+        os.path.join(index_dir, "codes")
+    ).count()
+    _write_cellstats(spark, index_dir)
+    meta = {
+        "dim": dim,
+        "m_blocks": 0,  # no PQ blocks in the SQ8 layout
+        "cent_stride": cent_stride,
+        "n_vectors": int(n_vectors),
+        "n_groups": n_groups,
+        "last_epoch": epoch_tag or "",
+        "quant": "sq8",
+    }
+    _write_ann_meta(spark, index_dir, meta)
+    return meta
+
+
+def query_ivfsq_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int | str = 2,
+    rerank_corpus: DataFrame | None = None,
+    m: int = 10,
+    vec_filter: str | None = None,
+) -> DataFrame:
+    """Top-k retrieval against a persisted SQ8 index (round 15):
+    embeddings are never read — only the probed cells' scalar codes
+    (dim bytes/vector) plus the index-sized model tables. Candidates
+    are ranked by cosine against the per-dimension reconstruction
+    x̂_d = mn_d + (code_d + 0.5)·rng_d/256 — the asymmetric SQ8
+    distance, near-exact where PQ's ADC is coarse. Probe-cell
+    selection, driver-known scan pruning, tombstone handling,
+    ``vec_filter``, ``nprobe="auto"``, and ``rerank_corpus``
+    (|Q|·m-row exact re-rank) are all the shared machinery of
+    ``query_ivfpq_index``.
+
+    Float discipline: the distance kernel accumulates the dot product
+    and the reconstructed norm DIMENSION-BY-DIMENSION in sequential
+    order over JVM-collected query vectors/norms — exactly the
+    left-to-right sum the oracle's dimension-ordered list rebuild
+    produces (the adc_kernel block-accumulation precedent), so the
+    SQL replay is bit-identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    ic.check_not_inflight(index_dir)
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    if _meta_quant(meta) != "sq8":
+        raise ValueError(
+            f"index at {index_dir!r} is a {_meta_quant(meta)!r} index — "
+            "use query_ivfpq_index"
+        )
+    if nprobe == "auto":
+        nprobe = auto_nprobe(_read_cellstats(spark, index_dir))
+    mins, rngs = _load_sqstats(spark, index_dir)
+    mn_arr = np.asarray(mins, "f8")
+    rng_arr = np.asarray(rngs, "f8")
+    dim = int(meta.dim)
+
+    # query vectors + JVM-computed norms, collected driver-side
+    # (query-batch-sized — the _pq_machinery LUT contract)
+    qrows = queries.select(
+        "q_id", "q_emb", norm(F.col("q_emb")).alias("qn")
+    ).collect()
+    qidx = {int(r.q_id): i for i, r in enumerate(qrows)}
+    qmat = np.array(
+        [[float(x) for x in r.q_emb] for r in qrows], "f8"
+    )
+    qn = np.array([float(r.qn) for r in qrows], "f8")
+
+    @pandas_udf("double")
+    def sq_cos(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        qi = qid.map(qidx).to_numpy()
+        cm = np.stack([np.asarray(c, dtype="i4") for c in codes])
+        # reconstruct and accumulate dim-by-dim, LEFT TO RIGHT — the
+        # sequential order both the JVM aggregate and DuckDB's
+        # dimension-ordered list_dot_product realize
+        dotacc = np.zeros(len(qi), "f8")
+        nrmacc = np.zeros(len(qi), "f8")
+        qsel = qmat[qi]
+        for d in range(dim):
+            xh = mn_arr[d] + (cm[:, d].astype("f8") + 0.5) * rng_arr[d] / 256.0
+            dotacc = dotacc + qsel[:, d] * xh
+            nrmacc = nrmacc + xh * xh
+        return pd.Series(dotacc / (qn[qi] * np.sqrt(nrmacc)))
+
+    cand = _probed_candidates(
+        spark, index_dir, queries, meta, nprobe, vec_filter
+    )
+    pairs = cand.select(
+        "q_id",
+        "vec_id",
+        sq_cos(F.col("q_id"), F.col("codes")).alias("cos_raw"),
+    )
+    ranked = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round("cos_raw", 4).alias("cos"),
+        F.row_number()
+        .over(
+            W.partitionBy("q_id").orderBy(
+                F.col("cos_raw").desc(), F.col("vec_id")
+            )
+        )
+        .alias("rn"),
+    )
+    if rerank_corpus is None:
+        return ranked.where(F.col("rn") <= k)
+    from ccog_spark.operators.similarity import exact_rerank
+
+    if m < k:
+        raise ValueError(
+            f"rerank candidate pool m={m} must be >= k={k} "
+            "(stage 2 can only reorder what stage 1 supplies)"
+        )
+    cands = ranked.where(F.col("rn") <= m).select("q_id", "vec_id")
+    return exact_rerank(rerank_corpus, queries, cands, k)
+
+
 def append_to_index(
     corpus_delta: DataFrame, index_dir: str, epoch_tag: str | None = None
 ) -> dict:
@@ -391,12 +649,27 @@ def append_to_index(
     the same dir (parquet file listing); pause queries or append to a
     copy, exactly like any parquet-append pipeline."""
     spark = corpus_delta.sparkSession
-    meta, cent_ids, cmat, cnrm, cbmat = _load_model(spark, index_dir)
-    ic.begin_mutation(index_dir, "append")
+    meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    quant = _meta_quant(meta)
     dim, m_blocks = int(meta.dim), int(meta.m_blocks)
-    codes = _code_frame(
-        corpus_delta, cent_ids, cmat, cnrm, cbmat, dim, m_blocks
-    )
+    if quant == "sq8":
+        # frozen-stats encode (round 15): the delta is quantized under
+        # the SAVED per-dim min/range — values outside the trained
+        # span saturate at code 0/255, the scalar-quantizer twin of
+        # the frozen-codebook contract (drift signal: occupancy_skew,
+        # exactly as for PQ)
+        cent_ids, cmat, cnrm = _load_centroids(spark, index_dir)
+        mins, rngs = _load_sqstats(spark, index_dir)
+        ic.begin_mutation(index_dir, "append")
+        codes = _sq_code_frame(
+            corpus_delta, cent_ids, cmat, cnrm, mins, rngs
+        )
+    else:
+        _, cent_ids, cmat, cnrm, cbmat = _load_model(spark, index_dir)
+        ic.begin_mutation(index_dir, "append")
+        codes = _code_frame(
+            corpus_delta, cent_ids, cmat, cnrm, cbmat, dim, m_blocks
+        )
     # same cell→grp map as build — pure function of the SAVED sorted
     # centroid ids, so appended files land in the matching partition
     # dirs and stay (cell, vec_id)-sorted for stats pruning
@@ -439,6 +712,7 @@ def append_to_index(
         # (round 15); a plain batch append preserves the prior value
         "last_epoch": epoch_tag if epoch_tag is not None
         else _meta_epoch(meta),
+        "quant": quant,
     }
     _write_ann_meta(spark, index_dir, new_meta)
     _write_cellstats(spark, index_dir)  # occupancy moved: refresh
@@ -547,6 +821,7 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
                 "n_vectors": int(n_vectors),
                 "n_groups": int(meta.n_groups),
                 "last_epoch": _meta_epoch(meta),
+                "quant": _meta_quant(meta),
             },
         )
     ic.end_mutation(index_dir)
@@ -615,12 +890,51 @@ def query_ivfpq_index(
         # counts slightly stale until compact — a recall/cost
         # heuristic drifting a little, not a correctness input.
         nprobe = auto_nprobe(_read_cellstats(spark, index_dir))
-    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     cb_rows = sorted(
         spark.read.parquet(os.path.join(index_dir, "codebook")).collect(),
         key=lambda r: r.j,
     )
     cbmat = np.array([[float(x) for x in r.ce] for r in cb_rows], "f8")
+    _encode, adc_kernel, _qdf = _pq_machinery(
+        None, queries, int(meta.dim), int(meta.m_blocks), cbmat=cbmat
+    )
+    cand = _probed_candidates(
+        spark, index_dir, queries, meta, nprobe, vec_filter
+    )
+    pairs = cand.select(
+        "q_id",
+        "vec_id",
+        adc_kernel(F.col("q_id"), F.col("codes")).alias("adc_raw"),
+    )
+    if rerank_corpus is None:
+        return _rank_adc(pairs, k)
+    from ccog_spark.operators.similarity import exact_rerank
+
+    if m < k:
+        raise ValueError(
+            f"rerank candidate pool m={m} must be >= k={k} "
+            "(stage 2 can only reorder what stage 1 supplies)"
+        )
+    cands = _rank_adc(pairs, m).select("q_id", "vec_id")
+    return exact_rerank(rerank_corpus, queries, cands, k)
+
+
+def _probed_candidates(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    meta,
+    nprobe: int,
+    vec_filter: str | None,
+) -> DataFrame:
+    """The quantizer-agnostic middle of an index query (round 15 —
+    factored verbatim out of ``query_ivfpq_index`` so the SQ8 index
+    shares it): probe-cell selection over the saved centroids,
+    driver-known scan pruning into the cell-clustered codes layout,
+    tombstone anti-join, optional vecmeta candidate filter, self-pair
+    exclusion. Returns (q_id, vec_id, codes, …) candidate rows ready
+    for whichever distance kernel the caller ranks with."""
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids"))
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
 
     q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
@@ -645,15 +959,12 @@ def query_ivfpq_index(
         .where(F.col("prn") <= nprobe)
         .select("q_id", "cell")
     )
-    _encode, adc_kernel, _qdf = _pq_machinery(
-        None, queries, int(meta.dim), int(meta.m_blocks), cbmat=cbmat
-    )
-    # Driver-known probe set (query-batch-sized — the LUTs above are
-    # already collected, so this adds no new scale constraint):
-    # rebuild the probe frame with createDataFrame (repo planner rule:
-    # no constraints ride on it into the join) and push the cells as
-    # scan filters. grp is derived from the SAVED sorted centroid ids
-    # — the same pure map the writer used.
+    # Driver-known probe set (query-batch-sized — the distance-kernel
+    # model tables are already collected, so this adds no new scale
+    # constraint): rebuild the probe frame with createDataFrame (repo
+    # planner rule: no constraints ride on it into the join) and push
+    # the cells as scan filters. grp is derived from the SAVED sorted
+    # centroid ids — the same pure map the writer used.
     prows = probes.collect()
     probes = spark.createDataFrame(
         [(int(r.q_id), int(r.cell)) for r in prows],
@@ -702,26 +1013,10 @@ def query_ivfpq_index(
             .select("vec_id")
         )
         cand = cand.join(allowed, "vec_id", "left_semi")
-    cand = (
+    return (
         cand.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("q_id"))
     )
-    pairs = cand.select(
-        "q_id",
-        "vec_id",
-        adc_kernel(F.col("q_id"), F.col("codes")).alias("adc_raw"),
-    )
-    if rerank_corpus is None:
-        return _rank_adc(pairs, k)
-    from ccog_spark.operators.similarity import exact_rerank
-
-    if m < k:
-        raise ValueError(
-            f"rerank candidate pool m={m} must be >= k={k} "
-            "(stage 2 can only reorder what stage 1 supplies)"
-        )
-    cands = _rank_adc(pairs, m).select("q_id", "vec_id")
-    return exact_rerank(rerank_corpus, queries, cands, k)
 
 
 def verify_ann_index(spark: SparkSession, index_dir: str) -> dict:
@@ -740,18 +1035,21 @@ def verify_ann_index(spark: SparkSession, index_dir: str) -> dict:
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
 
+    # expected code width: m_blocks sub-codes for PQ, one code per
+    # dimension for SQ8 (round 15)
+    width = int(meta.dim) if _meta_quant(meta) == "sq8" else int(
+        meta.m_blocks
+    )
     agg = codes.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.size("codes") != int(meta.m_blocks)).cast("int")).alias(
-            "badlen"
-        ),
+        F.sum((F.size("codes") != width).cast("int")).alias("badlen"),
     ).first()
     if int(agg["n"]) != int(meta.n_vectors):
         errors.append(
             f"meta.n_vectors {int(meta.n_vectors)} != physical {agg['n']}"
         )
     if int(agg["badlen"] or 0):
-        errors.append(f"{agg['badlen']} code rows with wrong PQ width")
+        errors.append(f"{agg['badlen']} code rows with wrong code width")
 
     cent_ids = {
         int(r.cent_id)

@@ -378,7 +378,11 @@ def ivfsq_topk(
 
     Quantization is per-dimension uniform over the corpus min/max
     (``sq8_stats``): code_d = clamp(floor((x_d − min_d)·255/range_d),
-    0..255); search reconstructs x̂_d = min_d + (code_d + 0.5)·
+    0..255) — the lower clamp is a no-op when stats come from the
+    same corpus (x ≥ min always) and exists for the persisted index's
+    frozen-stats appends, where a delta value below the trained min
+    must saturate at code 0 like any real scalar quantizer; search
+    reconstructs x̂_d = min_d + (code_d + 0.5)·
     range_d/256 and ranks probed-cell candidates by cosine(q, x̂) —
     queries stay unquantized (asymmetric distance). Coarse cells,
     probing, and ties are EXACTLY ivf_topk's (deterministic
@@ -404,11 +408,17 @@ def ivfsq_topk(
             F.when(
                 F.element_at(rng_arr, i + F.lit(1)) > 0,
                 F.least(
-                    F.lit(255),
-                    F.floor(
-                        (x.cast("double") - F.element_at(mins_arr, i + F.lit(1)))
-                        * 255.0
-                        / F.element_at(rng_arr, i + F.lit(1))
+                    F.lit(255).cast("bigint"),
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.floor(
+                            (
+                                x.cast("double")
+                                - F.element_at(mins_arr, i + F.lit(1))
+                            )
+                            * 255.0
+                            / F.element_at(rng_arr, i + F.lit(1))
+                        ),
                     ),
                 ),
             )

@@ -587,7 +587,8 @@ WITH nv AS (
 ), rec AS (
   SELECT vec_id,
          list(mn + (CASE WHEN rng > 0
-                         THEN LEAST(255, FLOOR((v - mn) * 255.0 / rng))
+                         THEN LEAST(255, GREATEST(0,
+                                FLOOR((v - mn) * 255.0 / rng)))
                          ELSE 0 END + 0.5) * rng / 256.0
               ORDER BY d) AS xe
   FROM ev JOIN qstat USING (d) GROUP BY vec_id
@@ -627,6 +628,70 @@ WITH nv AS (
 SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= 3
 ORDER BY q_id, rn
 """
+
+def _ivfsq_index_sql(
+    dim: int = 64,
+    cent_stride: int = 25,
+    nprobe: int = 2,
+    k: int = 3,
+    q_pred: str = "vec_id % 100 = 0",
+    cand_pred: str = "",
+) -> str:
+    """Persisted IVF+SQ8 index replay (round 15): the shared √C
+    two-hop cell-assignment chain (``_cells_ctes`` — identical to the
+    PQ index's) composed with the ann_sq8 quantize/reconstruct CTEs,
+    candidates restricted to probed cells and ranked by the
+    asymmetric reconstructed cosine. ``cand_pred`` mirrors
+    _ivfpq_sql's (deletion/filter twins)."""
+    return f"""
+WITH nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), {_cells_ctes(cent_stride)}, ev AS (
+  SELECT vec_id, t.d AS d, e[t.d] AS v
+  FROM nv, UNNEST(range(1, {dim} + 1)) AS t(d)
+), qstat AS (
+  SELECT d, MIN(v) AS mn, MAX(v) - MIN(v) AS rng FROM ev GROUP BY d
+), rec AS (
+  SELECT vec_id,
+         list(mn + (CASE WHEN rng > 0
+                         THEN LEAST(255, GREATEST(0,
+                                FLOOR((v - mn) * 255.0 / rng)))
+                         ELSE 0 END + 0.5) * rng / 256.0
+              ORDER BY d) AS xe
+  FROM ev JOIN qstat USING (d) GROUP BY vec_id
+), rnv AS (
+  SELECT vec_id, xe, SQRT(list_dot_product(xe, xe)) AS xn FROM rec
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE {q_pred}
+), probe AS (
+  SELECT q_id, qe, qn, cent_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY list_dot_product(qe, cv) / (qn * cn) DESC, cent_id
+         ) AS prn
+  FROM q CROSS JOIN cent
+), pairs AS (
+  SELECT p.q_id, c2.vec_id,
+         list_dot_product(p.qe, r.xe) / (p.qn * r.xn) AS cos_raw
+  FROM (SELECT * FROM probe WHERE prn <= {nprobe}) p
+  JOIN cells c2 USING (cell)
+  JOIN rnv r ON r.vec_id = c2.vec_id
+  WHERE c2.vec_id <> p.q_id {cand_pred}
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM pairs)
+SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= {k}
+ORDER BY q_id, rn
+"""
+
+
+# (the ann_sq8_index oracle is assigned AFTER _cells_ctes/_ivfpq_sql
+# are defined below — module assignment order, not def order)
 
 # ----------------------------------------------------------- multimodal
 # The engine really encodes PPM/BMP containers and really parses them
@@ -878,6 +943,77 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def _cells_ctes(cent_stride: int, model_pred: str = "") -> str:
+    """The engine's √C two-hop hierarchical cell assignment as a CTE
+    fragment (cent/cst/coarse/cmap/hop1/cells_h/cells_o/cells,
+    including the orphan-cell full-scan fallback), assuming an
+    ``nv(vec_id, e, nrm)`` CTE is already in scope — the ONE SQL
+    spelling of similarity.hierarchical_assigner, shared by
+    ``_ivfpq_sql`` and ``_ivfsq_index_sql`` (round 15)."""
+    return f"""cent AS (
+  SELECT vec_id AS cent_id, e AS cv, nrm AS cn,
+         ROW_NUMBER() OVER (ORDER BY vec_id) AS crk
+  FROM nv WHERE vec_id % {cent_stride} = 1 {model_pred}
+), cst AS (
+  SELECT GREATEST(
+           (COUNT(*) + CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) - 1)
+           // GREATEST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT), 1),
+           1) AS stride
+  FROM cent
+), coarse AS (
+  SELECT cent_id AS co_id, cv AS gv, cn AS gn
+  FROM cent, cst WHERE (crk - 1) % cst.stride = 0
+), cmap AS (
+  SELECT cent_id, co_id FROM (
+    SELECT c.cent_id, g.co_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.cent_id
+             ORDER BY list_dot_product(c.cv, g.gv) / (c.cn * g.gn)
+                      DESC, g.co_id
+           ) AS rn
+    FROM cent c CROSS JOIN coarse g
+  ) WHERE rn = 1
+), hop1 AS (
+  SELECT vec_id, co_id FROM (
+    SELECT v.vec_id, g.co_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, g.gv) / (v.nrm * g.gn)
+                      DESC, g.co_id
+           ) AS rn
+    FROM nv v CROSS JOIN coarse g
+  ) WHERE rn = 1
+), cells_h AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cn)
+                      DESC, c.cent_id
+           ) AS rn
+    FROM nv v
+    JOIN hop1 h ON v.vec_id = h.vec_id
+    JOIN cmap m ON m.co_id = h.co_id
+    JOIN cent c ON c.cent_id = m.cent_id
+  ) WHERE rn = 1
+), cells_o AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cn)
+                      DESC, c.cent_id
+           ) AS rn
+    FROM nv v
+    JOIN hop1 h ON v.vec_id = h.vec_id
+    CROSS JOIN cent c
+    WHERE h.co_id NOT IN (SELECT co_id FROM cmap)
+  ) WHERE rn = 1
+), cells AS (
+  SELECT * FROM cells_h UNION ALL SELECT * FROM cells_o
+)"""
+
+
 def _ivfpq_sql(
     dim: int = 64,
     cent_stride: int = 25,
@@ -970,68 +1106,7 @@ WITH nv AS (
          SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nrm
   FROM embeddings
-), cent AS (
-  SELECT vec_id AS cent_id, e AS cv, nrm AS cn,
-         ROW_NUMBER() OVER (ORDER BY vec_id) AS crk
-  FROM nv WHERE vec_id % {cent_stride} = 1 {model_pred}
-), cst AS (
-  SELECT GREATEST(
-           (COUNT(*) + CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) - 1)
-           // GREATEST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT), 1),
-           1) AS stride
-  FROM cent
-), coarse AS (
-  SELECT cent_id AS co_id, cv AS gv, cn AS gn
-  FROM cent, cst WHERE (crk - 1) % cst.stride = 0
-), cmap AS (
-  SELECT cent_id, co_id FROM (
-    SELECT c.cent_id, g.co_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY c.cent_id
-             ORDER BY list_dot_product(c.cv, g.gv) / (c.cn * g.gn)
-                      DESC, g.co_id
-           ) AS rn
-    FROM cent c CROSS JOIN coarse g
-  ) WHERE rn = 1
-), hop1 AS (
-  SELECT vec_id, co_id FROM (
-    SELECT v.vec_id, g.co_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY list_dot_product(v.e, g.gv) / (v.nrm * g.gn)
-                      DESC, g.co_id
-           ) AS rn
-    FROM nv v CROSS JOIN coarse g
-  ) WHERE rn = 1
-), cells_h AS (
-  SELECT vec_id, cell FROM (
-    SELECT v.vec_id, c.cent_id AS cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cn)
-                      DESC, c.cent_id
-           ) AS rn
-    FROM nv v
-    JOIN hop1 h ON v.vec_id = h.vec_id
-    JOIN cmap m ON m.co_id = h.co_id
-    JOIN cent c ON c.cent_id = m.cent_id
-  ) WHERE rn = 1
-), cells_o AS (
-  SELECT vec_id, cell FROM (
-    SELECT v.vec_id, c.cent_id AS cell,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id
-             ORDER BY list_dot_product(v.e, c.cv) / (v.nrm * c.cn)
-                      DESC, c.cent_id
-           ) AS rn
-    FROM nv v
-    JOIN hop1 h ON v.vec_id = h.vec_id
-    CROSS JOIN cent c
-    WHERE h.co_id NOT IN (SELECT co_id FROM cmap)
-  ) WHERE rn = 1
-), cells AS (
-  SELECT * FROM cells_h UNION ALL SELECT * FROM cells_o
-){npx_cte}, cbr AS (
+), {_cells_ctes(cent_stride, model_pred)}{npx_cte}, cbr AS (
   SELECT vec_id, e FROM nv WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES} {model_pred}
   ORDER BY vec_id LIMIT {PQ_CB_K}
 ), cb AS (
@@ -1076,6 +1151,9 @@ ORDER BY q_id, rn
 
 
 PIPELINE_ORACLE["ann_ivfpq"] = _ivfpq_sql()
+# persisted SQ8 index (round 15) — builder defined above, next to the
+# inline ann_sq8 oracle; needs _cells_ctes/_ivfpq_sql in scope
+PIPELINE_ORACLE["ann_sq8_index"] = _ivfsq_index_sql()
 # The persisted-index path answers from parquet codes and must land on
 # the SAME rows/scores as the inline composition — one SQL truth, two
 # execution paths (bit-identity additionally pinned in test_ann_index).

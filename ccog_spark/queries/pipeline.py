@@ -1355,6 +1355,29 @@ def ann_index_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def ann_sq8_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF+SQ8 index (round 15,
+    ann_index.build_ivfsq_index/query_ivfsq_index — the
+    scalar-quantized twin of ann_index): build the cell-clustered
+    scalar-code index (dim bytes/vector, 4× smaller than raw
+    float32), answer the standard batch from the codes + sqstats
+    model tables only — embeddings never re-read. The oracle replays
+    the shared two-hop cell assignment (the ann_ivfpq chain verbatim)
+    composed with ann_sq8's quantize/reconstruct CTEs and the
+    asymmetric reconstructed cosine."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfsq_index,
+        query_ivfsq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _tmp_index_dir("ccog_ivfsq", sf_dir)
+    build_ivfsq_index(emb, EMB_DIM, idx)
+    return query_ivfsq_index(
+        spark, idx, _queries_subset(emb), k=3
+    ).orderBy("q_id", "rn")
+
+
 def ann_autoprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCCUPANCY-TUNED nprobe (round 14, ann_index.auto_nprobe —
     VERDICT r13 #6): the probe count is derived from the persisted

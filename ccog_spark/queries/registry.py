@@ -605,6 +605,11 @@ REGISTRY: dict[str, QueryFn] = {
     # E35 embedding near-dup ≙ dedup_semantic (fold, same
     # hierarchical assign + cosine verify) + dedup_cc/dedup_minhash
     "dedup_embed": pipeline.dedup_embed,
+    # round 15: persisted IVF+SQ8 index — the scalar-quantized twin
+    # of ann_index (dim bytes/vector, near-exact asymmetric
+    # distances); oracle = shared two-hop cell chain + the ann_sq8
+    # quantize/reconstruct CTEs
+    "ann_sq8_index": pipeline.ann_sq8_index_q,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
@@ -637,6 +642,7 @@ NON_BENCH = (
     "pipeline_bm25_blockmax",  # builds a text index + blockstats (file IO)
     "pipeline_bm25_index_filtered",  # builds a text index + docmeta (file IO)
     "ann_index_delete",  # builds + deletes from an ANN index (file IO)
+    "ann_sq8_index",  # builds a scalar-quantized ANN index (file IO)
     "ann_index_filtered",  # builds an ANN index + vecmeta (file IO)
     "ann_autoprobe",  # builds a parquet ANN index per run (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)

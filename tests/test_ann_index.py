@@ -593,3 +593,132 @@ def test_rebuild_without_meta_cols_clears_stale_vecmeta(spark, tmp_path):
         query_ivfpq_index(
             spark, idx, qs, k=2, vec_filter="label = 1"
         ).collect()
+
+
+# ---------------------------------------------- IVF + SQ8 (round 15)
+def test_sq8_index_full_lifecycle(spark, tmp_path):
+    """The scalar-quantized index shares the PQ lifecycle: build(A) +
+    append(B) ≡ one-pass encode of A∪B under A's FROZEN stats
+    (identical codes, identical answers); delete hides the tombstoned
+    vectors; compact applies them physically and the audit stays
+    green; a wrong-quant query verb refuses loudly."""
+    import os
+    import shutil
+
+    import pytest
+
+    from ccog_spark.operators.ann_index import (
+        _load_centroids,
+        _load_sqstats,
+        _sq_code_frame,
+        _write_clustered_codes,
+        append_to_index,
+        build_ivfsq_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        query_ivfpq_index,
+        query_ivfsq_index,
+        verify_ann_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    a = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "sq8_grow")
+    meta = build_ivfsq_index(a, dim, idx)
+    assert meta["quant"] == "sq8" and meta["m_blocks"] == 0
+    assert verify_ann_index(spark, idx)["ok"]
+
+    meta2 = append_to_index(b, idx)
+    assert meta2["quant"] == "sq8"
+    assert meta2["n_vectors"] == emb.count()
+
+    # frozen-stats one-pass twin: A's model tables + codes(A∪B)
+    twin = str(tmp_path / "sq8_twin")
+    os.makedirs(twin)
+    for part in ("centroids", "sqstats", "meta"):
+        shutil.copytree(os.path.join(idx, part), os.path.join(twin, part))
+    ci, cm, cn = _load_centroids(spark, idx)
+    mins, rngs = _load_sqstats(spark, idx)
+    _write_clustered_codes(
+        _sq_code_frame(emb, ci, cm, cn, mins, rngs),
+        ci, os.path.join(twin, "codes"), int(meta["n_groups"]), "overwrite",
+    )
+    grown = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in spark.read.parquet(idx + "/codes").collect()
+    }
+    onep = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in spark.read.parquet(twin + "/codes").collect()
+    }
+    assert grown == onep
+
+    q = _queries(emb)
+    want = sorted(map(tuple, query_ivfsq_index(spark, twin, q, k=3).collect()))
+    got = sorted(map(tuple, query_ivfsq_index(spark, idx, q, k=3).collect()))
+    assert got == want and len(got) > 0
+
+    # delete a slice: tombstoned vectors disappear from results
+    dels = emb.where(F.col("vec_id") % 11 == 5).select("vec_id")
+    delete_from_ann_index(spark, idx, dels)
+    del_set = {r.vec_id for r in dels.collect()}
+    surv = sorted(map(tuple, query_ivfsq_index(spark, idx, q, k=3).collect()))
+    assert all(t[1] not in del_set for t in surv)
+
+    # compact: physical apply, audit green, answers unchanged
+    rep = compact_ann_index(spark, idx)
+    assert rep["tombstones_applied"] == len(del_set)
+    assert verify_ann_index(spark, idx)["ok"]
+    assert (
+        sorted(map(tuple, query_ivfsq_index(spark, idx, q, k=3).collect()))
+        == surv
+    )
+
+    # the PQ query verb must not silently mis-rank an SQ8 index (no
+    # codebook table → loud failure), and the SQ8 verb refuses a PQ
+    # index by meta.quant (checked in reverse below on a tiny build)
+    with pytest.raises(Exception):
+        query_ivfpq_index(spark, idx, q, k=3).collect()
+    from ccog_spark.operators.ann_index import build_ivfpq_index
+
+    pq_idx = str(tmp_path / "pq_small")
+    build_ivfpq_index(a, dim, pq_idx)
+    with pytest.raises(ValueError, match="'pq' index"):
+        query_ivfsq_index(spark, pq_idx, q, k=3)
+
+
+def test_sq8_index_rerank_and_filter(spark, tmp_path):
+    """vec_filter (vecmeta candidate exclusion) and rerank_corpus
+    (|Q|·m exact re-rank) compose with the SQ8 index exactly like the
+    PQ one; the rerank stage is the SHARED exact_rerank."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfsq_index,
+        query_ivfsq_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    idx = str(tmp_path / "sq8_fil")
+    build_ivfsq_index(emb, dim, idx, meta_cols=("label",))
+    q = _queries(emb)
+
+    allowed = {
+        r.vec_id
+        for r in emb.where(F.expr("label % 2 = 0")).select("vec_id").collect()
+    }
+    res = query_ivfsq_index(
+        spark, idx, q, k=3, vec_filter="label % 2 = 0"
+    ).collect()
+    assert len(res) > 0 and all(r.vec_id in allowed for r in res)
+
+    rr = query_ivfsq_index(
+        spark, idx, q, k=3, rerank_corpus=emb, m=8
+    )
+    rows = rr.collect()
+    assert len(rows) > 0 and rr.columns == ["q_id", "vec_id", "cos", "rn"]
+    import pytest
+
+    with pytest.raises(ValueError, match="m="):
+        query_ivfsq_index(spark, idx, q, k=5, rerank_corpus=emb, m=2)
