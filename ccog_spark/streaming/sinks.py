@@ -231,6 +231,7 @@ def write_stream_ann_index(
     checkpoint: str,
     dim: int,
     on_epoch=None,
+    quant: str = "pq",
 ):
     """foreachBatch → persisted IVF+PQ index maintenance (round 14):
     the ANN twin of ``write_stream_text_index``. The first non-empty
@@ -252,7 +253,13 @@ def write_stream_ann_index(
     occupied cell) reaches ``on_epoch(epoch_id, stats)`` — a climbing
     skew across epochs means arriving vectors crowd cells the frozen
     quantizer never planned for: compact won't help (layout-only);
-    rebuild."""
+    rebuild.
+
+    ``quant`` (round 15): 'pq' (default, 8-byte product codes) or
+    'sq8' (per-dimension scalar codes) — picks the FIRST batch's
+    builder; appends branch on the saved ``meta.quant`` automatically,
+    so every later epoch maintains whichever layout batch one
+    built."""
     import hashlib
     import os
 
@@ -260,7 +267,8 @@ def write_stream_ann_index(
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         apply_ann_index_batch(
-            df, epoch_id, index_dir, ns, dim, on_epoch=on_epoch
+            df, epoch_id, index_dir, ns, dim, on_epoch=on_epoch,
+            quant=quant,
         )
 
     return (
@@ -277,6 +285,7 @@ def apply_ann_index_batch(
     ns: str,
     dim: int,
     on_epoch=None,
+    quant: str = "pq",
 ) -> bool:
     """One epoch of streaming ANN-index maintenance (the foreachBatch
     body of ``write_stream_ann_index``, exposed for direct testing of
@@ -298,6 +307,7 @@ def apply_ann_index_batch(
         _meta_epoch,
         append_to_index,
         build_ivfpq_index,
+        build_ivfsq_index,
     )
 
     tag = f"{ns}:{epoch_id}"
@@ -312,7 +322,8 @@ def apply_ann_index_batch(
             return False
         stats = append_to_index(df, index_dir, epoch_tag=tag)
     else:
-        stats = build_ivfpq_index(df, dim, index_dir, epoch_tag=tag)
+        builder = build_ivfsq_index if quant == "sq8" else build_ivfpq_index
+        stats = builder(df, dim, index_dir, epoch_tag=tag)
     _write_epoch_marker(epochs_dir, marker)
     if on_epoch is not None:
         on_epoch(epoch_id, stats)

@@ -757,3 +757,44 @@ def test_stream_text_index_build_kwargs_layouts(spark, tmp_path):
     c = sorted(map(tuple, phrase_match_index(spark, idx, phrases).collect()))
     d = sorted(map(tuple, phrase_match(union, phrases).collect()))
     assert c == d and len(c) > 0
+
+
+def test_stream_ann_index_sq8_quant(spark, tmp_path):
+    """quant='sq8' picks the scalar-quantized builder for the first
+    batch; later epochs append under the saved meta.quant
+    automatically, and the grown index equals build(batch1) +
+    append(batch2) of the SQ8 family (the frozen-stats contract the
+    batch test pins — here the streaming protocol composes with
+    it)."""
+    from ccog_spark.operators.ann_index import (
+        query_ivfsq_index,
+        verify_ann_index,
+    )
+    from ccog_spark.streaming.sinks import apply_ann_index_batch
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    part_a = emb.where(F.col("vec_id") % 3 != 0)
+    part_b = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "sq8_stream")
+
+    assert apply_ann_index_batch(
+        part_a, 0, idx, ns="ck1", dim=dim, quant="sq8"
+    ) is True
+    assert apply_ann_index_batch(
+        part_b, 1, idx, ns="ck1", dim=dim, quant="sq8"
+    ) is True
+    meta = spark.read.parquet(idx + "/meta").collect()[0]
+    assert meta.quant == "sq8"
+    assert verify_ann_index(spark, idx)["ok"]
+
+    # replay of epoch 1: skipped (transactional record)
+    assert apply_ann_index_batch(
+        part_b, 1, idx, ns="ck1", dim=dim, quant="sq8"
+    ) is False
+
+    qs = emb.where(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    rows = query_ivfsq_index(spark, idx, qs, k=3).collect()
+    assert len(rows) > 0
