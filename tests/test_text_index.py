@@ -1342,3 +1342,31 @@ def test_blockmax_lifecycle_append_delete_compact(spark, tmp_path):
     got3 = sorted(map(tuple, query_bm25_index(
         spark, idx, q, k=5, min_postings=0).collect()))
     assert got3 == want2
+
+
+def test_blockmax_composes_with_doc_filter(spark, tmp_path):
+    """doc_filter (Lucene candidate narrowing) × block-max: ceilings
+    are filter-agnostic (stale-HIGH relative to the allowed set —
+    the bound only loosens), so the engaged block cut under a filter
+    must equal the same filtered query without it, and every result
+    must satisfy the predicate."""
+    docs = _blockmax_corpus(spark).withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 4))
+    )
+    q = spark.createDataFrame([(1, "mid the")], "q_id long, q_text string")
+    idx = str(tmp_path / "bmx_fil")
+    build_bm25_index(
+        docs, idx, n_buckets=32, block_max=True, meta_cols=("source",)
+    )
+    pred = "source IN ('src0', 'src1')"
+    a = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0, doc_filter=pred,
+        block_max=True).collect()))
+    b = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0, doc_filter=pred,
+        block_max=False).collect()))
+    assert a == b and len(a) == 5
+    allowed = {
+        r.doc_id for r in docs.where(F.expr(pred)).select("doc_id").collect()
+    }
+    assert all(t[1] in allowed for t in a)
