@@ -241,3 +241,91 @@ def quota_per_key(
         .where(F.col(rk) <= cap)
         .drop(rk)
     )
+
+
+def sample_token_budget(
+    docs: DataFrame,
+    frac_num: int,
+    frac_den: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    salt: int = 7,
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """Per-source TOKEN-BUDGET mixture sampling (round 15 — the
+    pretraining data-mixing verb: "cap every source at X% of ITS
+    tokens", the quota spelled in tokens rather than rows, which is
+    what a token-budgeted training mix actually needs —
+    ``stratified_sample`` keeps a row fraction; this keeps a TOKEN
+    fraction regardless of document-length distribution).
+
+    Semantics (integer-exact, fully SQL-replayable): each source's
+    budget is ``(Σ n_tok · frac_num) DIV frac_den``; its documents
+    are ordered by the engine-portable multiplicative hash (ties by
+    id) and a document is kept iff the running token total BEFORE it
+    is still under the budget — the boundary-crossing document is
+    INCLUDED (a budget is a floor on coverage, not a ceiling; the
+    overshoot is < 1 document). Output: (id, group, n_tok) of the
+    kept rows. Empty-string tokens are not counted (the corpus token
+    rule).
+
+    Scale shape: NO per-source window — a hot source would serialize
+    into one task (the keep-first dedup anti-pattern). The running
+    total is a grouped, bucketed prefix sum: in-bucket windows
+    partition by (group, hash-bucket) — hash buckets are uniform by
+    construction, so no partition exceeds ~bucket_width hash values
+    regardless of source skew — and the per-(group, bucket) totals
+    cumulate on the driver (sources × ~1000 rows; guarded by the
+    prefix_sum driver cap). Totals per source are one
+    map-side-combinable aggregate broadcast back."""
+    if frac_num < 0 or frac_den <= 0:
+        raise ValueError(
+            f"invalid budget fraction {frac_num}/{frac_den}"
+        )
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    ).cast("bigint")
+    h = (F.col(id_col).cast("bigint") * 2654435761 + salt) % 1000000007
+    d = docs.select(
+        F.col(id_col), F.col(group_col), n_tok.alias("n_tok"),
+        h.alias("_h"),
+    ).withColumn("_bkt", (F.col("_h") / bucket_width).cast("long"))
+
+    budgets = d.groupBy(group_col).agg(
+        F.expr(f"CAST(sum(n_tok) * {frac_num} DIV {frac_den} AS BIGINT)")
+        .alias("_budget")
+    )
+
+    in_bucket = F.sum("n_tok").over(
+        W.partitionBy(group_col, "_bkt").orderBy("_h", id_col)
+    )
+    totals = d.groupBy(group_col, "_bkt").agg(
+        F.sum("n_tok").alias("_tot")
+    )
+    rows = totals.limit(_MAX_DRIVER_BUCKETS + 1).collect()
+    if len(rows) > _MAX_DRIVER_BUCKETS:
+        raise ValueError(
+            "sample_token_budget: too many (group, bucket) totals for "
+            "the driver cumulation — raise bucket_width (each bucket "
+            "covers `bucket_width` hash values; the hash range is "
+            "1e9, so width 1e6 yields ~1000 buckets per source)"
+        )
+    offs, acc = [], {}
+    for r in sorted(rows, key=lambda r: (str(r[group_col]), r["_bkt"])):
+        g = r[group_col]
+        offs.append((g, r["_bkt"], acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + r["_tot"]
+    offsets = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            offs, f"{group_col} string, _bkt long, _off long"
+        )
+    )
+    return (
+        d.withColumn("_in", in_bucket)
+        .join(offsets, [group_col, "_bkt"])
+        .join(F.broadcast(budgets), group_col)
+        .where(F.col("_in") + F.col("_off") - F.col("n_tok")
+               < F.col("_budget"))
+        .select(id_col, group_col, "n_tok")
+    )

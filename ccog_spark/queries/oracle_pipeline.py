@@ -445,6 +445,32 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# Token-budget mixture sampling (round 15, sample_token_budget): the
+# engine's grouped bucketed prefix sum must equal the naive
+# per-source ordered window — budget = Σ n_tok·2 DIV 5 per source,
+# admit while the running total BEFORE the doc is under budget.
+# Integers only (len → BIGINT, // → BIGINT): hash-exact.
+PIPELINE_ORACLE["pipeline_mixture"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         (doc_id * 2654435761 + 7) % 1000000007 AS h
+  FROM documents
+), b AS (
+  SELECT source, SUM(n_tok) * 2 // 5 AS budget FROM d GROUP BY source
+), c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT c.doc_id, c.source, CAST(c.n_tok AS BIGINT) AS n_tok
+FROM c JOIN b USING (source)
+WHERE c.cum - c.n_tok < b.budget
+ORDER BY c.doc_id
+"""
+
 # Pure range join (no equi key): the engine's bin rewrite must equal
 # the naive theta join (DuckDB executes it as an IEJoin).
 PIPELINE_ORACLE["range_events"] = """

@@ -294,6 +294,20 @@ def pipeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget mixture sampling (round 15,
+    sharding.sample_token_budget — the pretraining data-mixing verb):
+    every source capped at 2/5 of ITS tokens, documents admitted in
+    deterministic hash order until the running total crosses the
+    budget (the crossing document included). Integer-exact throughout
+    (budget = Σn_tok·2 DIV 5, running sums of BIGINTs); the engine's
+    grouped BUCKETED prefix sum (no per-source window — hash buckets
+    are uniform, so a hot source cannot serialize into one task) must
+    equal the oracle's naive per-source window replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sharding.sample_token_budget(docs, 2, 5).orderBy("doc_id")
+
+
 def pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality-score → filter → exact
     dedup keep-first → per-(lang, source) corpus stats. One pass of

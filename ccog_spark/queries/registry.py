@@ -610,6 +610,11 @@ REGISTRY: dict[str, QueryFn] = {
     # distances); oracle = shared two-hop cell chain + the ann_sq8
     # quantize/reconstruct CTEs
     "ann_sq8_index": pipeline.ann_sq8_index_q,
+    # round 15: per-source TOKEN-budget mixture sampling — the
+    # pretraining data-mixing verb (stratified_sample caps rows; this
+    # caps each source's token share); grouped bucketed prefix sum,
+    # oracle = the naive per-source ordered window, integers only
+    "pipeline_mixture": pipeline.pipeline_mixture,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

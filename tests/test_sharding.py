@@ -138,3 +138,87 @@ def test_quota_per_key(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_sample_token_budget_semantics(spark):
+    """Budget = Σ n_tok·num DIV den per source; docs admitted in
+    multiplicative-hash order; the boundary-crossing doc is INCLUDED
+    (overshoot < 1 doc); a zero budget keeps nothing; kept token
+    totals are per-source ≥ budget (floor-coverage) wherever the
+    source has enough tokens."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.operators.sharding import sample_token_budget
+
+    rows = []
+    # source A: 100 docs of 10 tokens; source B (hot): 1000 docs of
+    # 3 tokens — skew across sources, uniform hash order within
+    for i in range(100):
+        rows.append((i, "A", " ".join(["w"] * 10)))
+    for i in range(1000):
+        rows.append((1000 + i, "B", "x y z"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    out = sample_token_budget(docs, 2, 5)
+    got = out.groupBy("source").agg(
+        F.sum("n_tok").alias("tok"), F.count("*").alias("n")
+    ).collect()
+    by = {r.source: (r.tok, r.n) for r in got}
+    # A: budget = 1000*2 DIV 5 = 400 → 40 docs exactly reach 400, the
+    # 41st starts AT the boundary (cum-before = 400, not < 400) → 40
+    assert by["A"] == (400, 40)
+    # B: budget = 3000*2 DIV 5 = 1200 → 400 docs
+    assert by["B"] == (1200, 400)
+
+    # boundary inclusion: make the budget land mid-document
+    out2 = sample_token_budget(docs.where(F.col("source") == "A"), 1, 3)
+    tok2 = out2.agg(F.sum("n_tok")).collect()[0][0]
+    # budget = 1000 DIV 3 = 333; docs are 10 tokens → the 34th doc
+    # CROSSES 333 and is included: 340 kept tokens
+    assert tok2 == 340
+
+    # zero budget keeps nothing; bad fraction raises
+    assert sample_token_budget(docs, 0, 5).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction"):
+        sample_token_budget(docs, 1, 0)
+
+
+def test_sample_token_budget_matches_naive_window(spark):
+    """The grouped BUCKETED prefix sum (scale path, no per-source
+    window) equals the naive per-source ordered window on the fixture
+    — forced through the multi-bucket path with a tiny bucket_width."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ccog_spark.operators.sharding import sample_token_budget
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = sorted(
+        map(tuple, sample_token_budget(
+            docs, 2, 5, bucket_width=1000).collect())
+    )
+
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("bigint")
+    h = (F.col("doc_id").cast("bigint") * 2654435761 + 7) % 1000000007
+    d = docs.select(
+        "doc_id", "source", n_tok.alias("n_tok"), h.alias("h")
+    )
+    bud = d.groupBy("source").agg(
+        F.expr("CAST(sum(n_tok) * 2 DIV 5 AS BIGINT)").alias("budget")
+    )
+    cum = F.sum("n_tok").over(
+        W.partitionBy("source").orderBy("h", "doc_id")
+    )
+    naive = (
+        d.withColumn("cum", cum)
+        .join(bud, "source")
+        .where(F.col("cum") - F.col("n_tok") < F.col("budget"))
+        .select("doc_id", "source", "n_tok")
+    )
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want and len(got) > 0
