@@ -185,6 +185,17 @@ class Engine:
 
         return snippet_match(docs, phrases, **kwargs)
 
+    def query_snippet_index(self, index_dir: str, phrases: DataFrame,
+                            docs: DataFrame, **kwargs) -> DataFrame:
+        """Snippets with the matching driven by a positional index
+        (round 15): ``docs`` supplies only the matching documents'
+        text slices (the rerank_corpus shape)."""
+        from ccog_spark.operators.text_index import snippet_match_index
+
+        return snippet_match_index(
+            self.spark, index_dir, phrases, docs, **kwargs
+        )
+
     def proximity_match(self, docs: DataFrame, phrases: DataFrame,
                         max_span: int, **kwargs) -> DataFrame:
         """Unordered proximity search (round 14): all terms of each

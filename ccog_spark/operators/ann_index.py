@@ -1094,6 +1094,23 @@ def verify_ann_index(spark: SparkSession, index_dir: str) -> dict:
         if missing:
             errors.append(f"{missing} code rows without vecmeta metadata")
 
+    # model-table presence per layout (round 15): an SQ8 index without
+    # its per-dim stats (or a PQ index without its codebook) cannot
+    # answer queries — a torn copy/restore state worth flagging here
+    # rather than at first query
+    if _meta_quant(meta) == "sq8":
+        sq_dir = os.path.join(index_dir, "sqstats")
+        if not os.path.isdir(sq_dir):
+            errors.append("meta.quant=sq8 but sqstats/ is missing")
+        else:
+            n_dims = spark.read.parquet(sq_dir).count()
+            if int(n_dims) != int(meta.dim):
+                errors.append(
+                    f"sqstats has {n_dims} rows, expected dim={meta.dim}"
+                )
+    elif not os.path.isdir(os.path.join(index_dir, "codebook")):
+        errors.append("meta.quant=pq but codebook/ is missing")
+
     return {
         "ok": not errors,
         "errors": errors,

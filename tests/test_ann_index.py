@@ -722,3 +722,33 @@ def test_sq8_index_rerank_and_filter(spark, tmp_path):
 
     with pytest.raises(ValueError, match="m="):
         query_ivfsq_index(spark, idx, q, k=5, rerank_corpus=emb, m=2)
+
+
+def test_verify_flags_missing_model_tables(spark, tmp_path):
+    """The layout audit (round 15): an SQ8 index without sqstats/ (or
+    with the wrong per-dim row count), and a PQ index without
+    codebook/, are flagged — torn copy/restore states caught at audit
+    time instead of first query."""
+    import shutil
+
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        build_ivfsq_index,
+        verify_ann_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    sq = str(tmp_path / "sq_audit")
+    build_ivfsq_index(emb, dim, sq)
+    assert verify_ann_index(spark, sq)["ok"]
+    shutil.rmtree(sq + "/sqstats")
+    rep = verify_ann_index(spark, sq)
+    assert any("sqstats/ is missing" in e for e in rep["errors"])
+
+    pq = str(tmp_path / "pq_audit")
+    build_ivfpq_index(emb, dim, pq)
+    assert verify_ann_index(spark, pq)["ok"]
+    shutil.rmtree(pq + "/codebook")
+    rep = verify_ann_index(spark, pq)
+    assert any("codebook/ is missing" in e for e in rep["errors"])
