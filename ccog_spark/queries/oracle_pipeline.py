@@ -471,6 +471,18 @@ WHERE c.cum - c.n_tok < b.budget
 ORDER BY c.doc_id
 """
 
+# Per-source document quota (round 15, quota_per_key): keep the 7
+# smallest doc_ids per source — the anti-spam cap, ROW_NUMBER replay.
+PIPELINE_ORACLE["pipeline_quota"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents)
+WHERE rk <= 7
+ORDER BY doc_id
+"""
+
 # Pure range join (no equi key): the engine's bin rewrite must equal
 # the naive theta join (DuckDB executes it as an IEJoin).
 PIPELINE_ORACLE["range_events"] = """

@@ -308,6 +308,22 @@ def pipeline_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharding.sample_token_budget(docs, 2, 5).orderBy("doc_id")
 
 
+def pipeline_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (round 15, sharding.quota_per_key —
+    the RefinedWeb/C4 anti-spam cap: no single host may contribute
+    more than N pages): keep the 7 smallest doc_ids per source. The
+    rank-limited window's partial WindowGroupLimit truncates the
+    heaviest key map-side BEFORE the shuffle — skew is the motivating
+    case, not the failure mode. Integer output, trivially replayed by
+    ROW_NUMBER in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sharding.quota_per_key(docs, "source", cap=7)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality-score → filter → exact
     dedup keep-first → per-(lang, source) corpus stats. One pass of

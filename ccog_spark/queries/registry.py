@@ -615,6 +615,10 @@ REGISTRY: dict[str, QueryFn] = {
     # caps each source's token share); grouped bucketed prefix sum,
     # oracle = the naive per-source ordered window, integers only
     "pipeline_mixture": pipeline.pipeline_mixture,
+    # round 15: per-source document quota (the anti-spam host cap) —
+    # rank-limited window with the partial WindowGroupLimit
+    # truncating the heavy key map-side; ROW_NUMBER oracle replay
+    "pipeline_quota": pipeline.pipeline_quota,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
