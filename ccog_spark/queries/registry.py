@@ -223,6 +223,27 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # fold. Displaced, each keeping ≥2 above-fold family rows: q14 + q16
 # (E25–E28 scalar fns keep q13/q15), text_winnow + text_repetition
 # (E37 keeps text_analysis/pipeline_lm).
+#
+# Round 16 reorder (VERDICT r15 tasks 1/4): the six oracle-gated r15
+# tail flagships — ann_sq8_index (persisted IVF+SQ8),
+# pipeline_mixture (token-budget mixture), pipeline_quota (per-source
+# doc quota), pipeline_snippet_index, pipeline_diversified_index,
+# pipeline_hybrid_index_filtered — move INTO the fold so
+# CORRECTNESS_r16 hash-gates them (the r12–r15 recurring pattern),
+# plus stale-evidence rotation q10 (E16/E17 — driver row last green
+# r01) and q17 (E29 — same). Displaced, each keeping ≥1 above-fold
+# family row: ann_sq8 (inline twin — ann_sq8_index shares its
+# quantize/reconstruct CTEs and persists the same codes),
+# pipeline_prf + pipeline_bm25f (inline twins of the fold's
+# pipeline_prf_index / pipeline_bm25f_index — one oracle, two paths),
+# pipeline_bm25_index_filtered (filtered text retrieval ≙ the
+# promoted pipeline_hybrid_index_filtered's BM25 leg, same docmeta
+# predicate machinery), ann_autoprobe (E36 keeps ann_rerank/
+# ann_index/ann_exact/ann_index_delete/ann_sq8_index in the fold),
+# pipeline_shards (prefix-sum shard assembly ≙ pipeline_mixture's
+# bucketed prefix sum + pipeline_sequences tail), q16 (E28 ≙ fold q14
+# for the scalar families + q13/q15 tail), corpus_profile
+# (composition ≙ fold text_analysis + dedup_exact, its two stages).
 REGISTRY: dict[str, QueryFn] = {
     "q01": relational.q01,
     "q02": relational.q02,
@@ -244,43 +265,48 @@ REGISTRY: dict[str, QueryFn] = {
     # in the tail)
     "pipeline_phrase": pipeline.pipeline_phrase,
     "q08": relational.q08,
-    # r14 fold slot (was q09): E28 conditional fns — tail-only since
-    # r12 left the scalar families without this direct fold row
-    # (VERDICT r13 #1 named it alongside the index rows)
-    "q16": relational.q16,
+    # r16 fold slot (was q16 — E28 ≙ fold q14 + q13/q15 tail): stale-
+    # evidence rotation, E16 analytic windows + E17 prefix sums — the
+    # driver row was last green in r01 (VERDICT r15 #4)
+    "q10": relational.q10,
     # r15 fold slot (was q11 — VERDICT r14 #1 named stand-down; E18
     # top-k keeps q24/q11 in the tail): INDEX DELETION, ANN side —
     # the text twin (pipeline_bm25_index_delete) has been fold-gated
     # since r14; this completes the deletion family's driver hashes
     "ann_index_delete": pipeline.ann_index_delete_q,
-    # r15 fold slot (was q12 — E19 set ops stay oracle-covered in the
-    # tail): FILTERED retrieval's hash gate — docmeta predicate
-    # narrows candidates, statistics stay index-wide (Lucene filter
-    # semantics), pruning stays lossless under the filter
-    "pipeline_bm25_index_filtered": pipeline.pipeline_bm25_index_filtered_q,
-    # r15 fold slot (was q13 — E25 string fns keep pipeline_redact/
-    # pipeline_urls + q13 in the tail): occupancy-tuned nprobe — the
-    # data-dependent probe-count rule replayed by the oracle in SQL
-    "ann_autoprobe": pipeline.ann_autoprobe_q,
+    # r16 fold slot (was pipeline_bm25_index_filtered — its docmeta
+    # predicate machinery rides this row's BM25 leg): FILTERED hybrid
+    # retrieval — docmeta predicate on the BM25 leg, vecmeta predicate
+    # before ADC + re-rank on the vector leg, RRF fused
+    "pipeline_hybrid_index_filtered":
+        pipeline.pipeline_hybrid_index_filtered_q,
+    # r16 fold slot (was ann_autoprobe — E36 keeps 5 fold rows incl.
+    # this one): persisted IVF+SQ8 index — the scalar-quantized twin
+    # of ann_index (dim bytes/vector, near-exact asymmetric
+    # distances); oracle = shared two-hop cell chain + the ann_sq8
+    # quantize/reconstruct CTEs
+    "ann_sq8_index": pipeline.ann_sq8_index_q,
     # r12 fold slot (was q14): INTERPOLATING-overview COG write — the
     # round-12 write-path integration of the halo-exchange kernels
     # (closes R7); write → parse → pixel hash vs the separable-conv SQL
     "cog_cubic": raster_jobs.cog_cubic,
-    # r15 fold slot (was q15 — VERDICT r14 #1 named stand-down; E27
-    # math fns keep q15 in the tail, E26/E28 keep q14/q16 in the
-    # fold): PRF query expansion — the most expensive r14 inline
-    # operator, two-pass RM3-style re-rank, full nested SQL replay
-    "pipeline_prf": pipeline.pipeline_prf,
+    # r16 fold slot (was pipeline_prf — the fold's pipeline_prf_index
+    # runs the same two-pass RM3 oracle verbatim from posting
+    # buckets): snippet from the POSITIONAL index — anchors from the
+    # posting buckets, corpus text read only for matching docs'
+    # slices; shared core ⇒ oracle is pipeline_snippet SQL verbatim
+    "pipeline_snippet_index": pipeline.pipeline_snippet_index_q,
     # r12 fold slot (was q16): BPE train → tokenize (operators/bpe.py
     # finally has a driver row) — the oracle replays training, encode,
     # and id assignment data-dependently in recursive-CTE SQL
     "pipeline_tokenize": pipeline.pipeline_tokenize,
     "q18": llm.q18,
-    # r14 fold slot (was q20 — the r13 verdict's named stand-down;
-    # E16 keeps q10 + stream_session in the tail): multi-field BM25F,
-    # the round's new scoring operator, full SQL replay incl. field
-    # synthesis
-    "pipeline_bm25f": pipeline.pipeline_bm25f,
+    # r16 fold slot (was pipeline_bm25f — the fold's
+    # pipeline_bm25f_index answers the same multi-field oracle from
+    # per-field postings): diversification with the groups table from
+    # the index's docmeta — rank + re-cut without re-reading the
+    # corpus; oracle is pipeline_diversified SQL verbatim
+    "pipeline_diversified_index": pipeline.pipeline_diversified_index_q,
     # r10 fold slot (was q22): EXACT-SUBSTRING (span) dedup with
     # rebuild — Lee et al. 2022 repeated-span removal, r9-rewritten to
     # two-seed xxhash64 128-bit gram keys (string-gram oracle twin +
@@ -299,13 +325,12 @@ REGISTRY: dict[str, QueryFn] = {
     # semantic dedup — r9/r10-rewritten hierarchical two-hop assign
     # (√C-sized coarse level), full two-hop SQL oracle replay
     "dedup_semantic": pipeline.dedup_semantic,
-    # r15 third rotation fold slot (was ann_ivfpq — E36 keeps
-    # ann_rerank, which composes the same IVF+PQ ADC stage, plus
-    # ann_index and ann_exact in the fold): IVF + 8-bit scalar
-    # quantization (FAISS SQ8), the round's vector-storage flagship —
-    # per-dim min/max codes + asymmetric reconstructed-cosine
-    # ranking, full SQL replay with dimension-ordered list rebuild
-    "ann_sq8": pipeline.ann_sq8,
+    # r16 fold slot (was ann_sq8 — its quantize/reconstruct CTEs ride
+    # the fold's ann_sq8_index oracle; same codes, now persisted):
+    # per-source TOKEN-budget mixture sampling — the pretraining
+    # data-mixing verb; grouped bucketed prefix sum, oracle = the
+    # naive per-source ordered window, integers only
+    "pipeline_mixture": pipeline.pipeline_mixture,
     # r15 fold slot (was gauss_decimate — the r14 verdict's named E21
     # stand-down; cog_cubic keeps the family's fold row): index-
     # resident BM25F, the round's structured-ranking flagship —
@@ -356,9 +381,10 @@ REGISTRY: dict[str, QueryFn] = {
     # — bucket-partitioned postings answered from parquet only, oracle
     # = the from-scratch SQL verbatim (one truth, two execution paths)
     "pipeline_bm25_index": pipeline.pipeline_bm25_index,
-    # r10 fold slot (was dedup_simhash): one-pass per-source corpus
-    # profile composing text.analyze + exact_dedup in one lazy plan
-    "corpus_profile": pipeline.corpus_profile,
+    # r16 fold slot (was corpus_profile — its two stages keep fold
+    # rows: text_analysis + dedup_exact): stale-evidence rotation,
+    # E29 array fns — driver row last green r01 (VERDICT r15 #4)
+    "q17": llm.q17,
     # r13 fold slot (was dedup_ngram): hybrid retrieval — BM25 top-20
     # and exact-cosine top-20 fused by reciprocal-rank fusion
     "pipeline_hybrid": pipeline.pipeline_hybrid,
@@ -380,9 +406,12 @@ REGISTRY: dict[str, QueryFn] = {
     # parquet index once, answer queries from 8-byte codes only;
     # bit-identical to ann_ivfpq, oracle reused verbatim
     "ann_index": pipeline.ann_index_q,
-    # shard assembly: bucketed two-level global prefix sum + hash
-    # sampling (training-data last mile)
-    "pipeline_shards": pipeline.pipeline_shards,
+    # r16 fold slot (was pipeline_shards — its bucketed prefix sum ≙
+    # pipeline_mixture's, fold; sequences/sample keep tail rows):
+    # per-source document quota (the anti-spam host cap) —
+    # rank-limited window with the partial WindowGroupLimit
+    # truncating the heavy key map-side; ROW_NUMBER oracle replay
+    "pipeline_quota": pipeline.pipeline_quota,
     # r13 fold slot (was multimodal_meta): E26 date functions back in
     # the fold — q14/q16 both rotated out in r12, leaving the date/
     # conditional scalar families without a direct fold row
@@ -430,8 +459,6 @@ REGISTRY: dict[str, QueryFn] = {
     "decim_mode": raster_queries.decim_mode,  # E20 ≙ same family
     "stream_session": streaming_corpus.stream_session,  # ≙ q20 (same result)
     "q21b": llm.q21b,  # E37 text quality ≙ text_analysis, pipeline_filter
-    "q10": relational.q10,  # E16/E17 ≙ q20 (analytic) + qr3 (prefix sum)
-    "q17": llm.q17,  # E29 array fns ≙ q22
     "q24": relational.q24,  # E15 ≙ q09, E18 ≙ q11
     "q21": llm.q21,  # E34 exact dedup ≙ dedup_exact, pipeline_filter
     "q23": relational.q23,  # E9/E10 as-of ≙ q23b, asof_union
@@ -521,19 +548,30 @@ REGISTRY: dict[str, QueryFn] = {
     # round 14: proximity from the POSITIONAL index — shared window
     # core ⇒ oracle is pipeline_proximity SQL verbatim
     "pipeline_proximity_index": pipeline.pipeline_proximity_index_q,
-    # round 15: snippet from the POSITIONAL index — anchors from the
-    # posting buckets, corpus text read only for matching docs'
-    # slices; shared core ⇒ oracle is pipeline_snippet SQL verbatim
-    "pipeline_snippet_index": pipeline.pipeline_snippet_index_q,
-    # round 15: diversification with the groups table from the
-    # index's docmeta — rank + re-cut without re-reading the corpus;
-    # both halves shared code ⇒ oracle is pipeline_diversified verbatim
-    "pipeline_diversified_index": pipeline.pipeline_diversified_index_q,
-    # round 15: FILTERED hybrid — docmeta predicate on the BM25 leg,
-    # vecmeta predicate before ADC + re-rank on the vector leg, RRF
-    # fused; oracle = hybrid SQL with both predicates injected
-    "pipeline_hybrid_index_filtered":
-        pipeline.pipeline_hybrid_index_filtered_q,
+    # r16 displaced fold rows — each keeps ≥1 above-fold family row
+    # and stays oracle-gated here (see the round-16 reorder note):
+    # E28 conditional fns ≙ q14 (fold) + q13/q15 (tail)
+    "q16": relational.q16,
+    # filtered text retrieval ≙ pipeline_hybrid_index_filtered's BM25
+    # leg (fold, same docmeta predicate machinery)
+    "pipeline_bm25_index_filtered": pipeline.pipeline_bm25_index_filtered_q,
+    # E36 occupancy-tuned nprobe ≙ 5 fold ANN rows; the probe rule
+    # stays pinned in pytest + this oracle row
+    "ann_autoprobe": pipeline.ann_autoprobe_q,
+    # inline PRF twin — pipeline_prf_index (fold) runs the SAME
+    # nested SQL oracle from posting buckets
+    "pipeline_prf": pipeline.pipeline_prf,
+    # inline BM25F twin — pipeline_bm25f_index (fold) runs the SAME
+    # multi-field oracle from per-field postings
+    "pipeline_bm25f": pipeline.pipeline_bm25f,
+    # inline SQ8 twin — ann_sq8_index (fold) composes the same
+    # quantize/reconstruct CTEs over persisted codes
+    "ann_sq8": pipeline.ann_sq8,
+    # composition row ≙ fold text_analysis + dedup_exact (its stages)
+    "corpus_profile": pipeline.corpus_profile,
+    # shard assembly ≙ pipeline_mixture's bucketed prefix sum (fold)
+    # + pipeline_sequences/pipeline_sample (tail)
+    "pipeline_shards": pipeline.pipeline_shards,
     # r15 displaced fold rows (VERDICT r14 #1 named stand-downs) —
     # each keeps above-fold family rows and stays oracle-gated here:
     # E18 sort/top-k ≙ q24 (tail) + every fold top-k (bm25/ann/rerank)
@@ -605,20 +643,6 @@ REGISTRY: dict[str, QueryFn] = {
     # E35 embedding near-dup ≙ dedup_semantic (fold, same
     # hierarchical assign + cosine verify) + dedup_cc/dedup_minhash
     "dedup_embed": pipeline.dedup_embed,
-    # round 15: persisted IVF+SQ8 index — the scalar-quantized twin
-    # of ann_index (dim bytes/vector, near-exact asymmetric
-    # distances); oracle = shared two-hop cell chain + the ann_sq8
-    # quantize/reconstruct CTEs
-    "ann_sq8_index": pipeline.ann_sq8_index_q,
-    # round 15: per-source TOKEN-budget mixture sampling — the
-    # pretraining data-mixing verb (stratified_sample caps rows; this
-    # caps each source's token share); grouped bucketed prefix sum,
-    # oracle = the naive per-source ordered window, integers only
-    "pipeline_mixture": pipeline.pipeline_mixture,
-    # round 15: per-source document quota (the anti-spam host cap) —
-    # rank-limited window with the partial WindowGroupLimit
-    # truncating the heavy key map-side; ROW_NUMBER oracle replay
-    "pipeline_quota": pipeline.pipeline_quota,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
