@@ -377,6 +377,23 @@ BM25_PRUNE_MIN_POSTINGS = 20_000_000
 # _bm25_rank's kept-blocks join).
 BM25_BLOCK = 1024  # docs per id-range block (id DIV 1024)
 
+# Cost gate for ENGAGING the stored ceilings (round 16): the cut's
+# bookkeeping is near-constant (one narrow blockstats read + a
+# (t, blk) max-merge + the kept-blocks semi join) but pure overhead
+# when the essential terms' candidate scan is already small — at
+# fixture scale the engaged path LOSES ~2.5 s while the uncut scan is
+# sub-second (SCALING.md round-15 block-max table, 9.75 s vs 7.18 s).
+# Engage only when Σ df over the planner's ESSENTIAL-term union — the
+# exact candidate-scan row count the cut would reduce, known
+# driver-side from the terms table before any plan is built — clears
+# this floor; below it the plain max-score plan runs (lossless either
+# way, so the flip can never change results). block_max="force"
+# bypasses the gate (A/B probes, the hash-gated engaged registry row,
+# ceiling-tamper tests). Same unit/value as BM25_PRUNE_MIN_POSTINGS:
+# essential Σdf ≤ batch Σdf, so this gate is strictly harder to clear
+# than the planner's own floor and always declines at fixture scale.
+BM25_BLOCKMAX_MIN_POSTINGS = 20_000_000
+
 
 def _blk_of(id_col: str):
     """The ONE block function, shared by the index build
@@ -644,6 +661,7 @@ def _bm25_rank(
     prune: bool,
     min_postings: int | None,
     blockstats: DataFrame | None = None,
+    block_max: bool | str = True,
 ) -> DataFrame:
     """The ONE BM25 scoring/pruning core, shared by ``bm25_topk``
     (frames derived from the raw corpus) and
@@ -664,6 +682,14 @@ def _bm25_rank(
     +1 absorbs double-rounding asymmetry exactly like the planner's
     global ub) reaches the planner's keep threshold cut(t) =
     min over queries q where t is essential of (θ_q − rem_q(t)).
+
+    ``block_max`` (round 16 cost gate): with the default ``True`` the
+    stored ceilings are consulted only when Σ df over the essential
+    union clears ``BM25_BLOCKMAX_MIN_POSTINGS`` — below the crossover
+    the bookkeeping costs more than the cut saves and the plain
+    max-score plan runs instead (identical results by the
+    losslessness proof, so the gate can never change answers).
+    ``"force"`` always engages when blockstats are supplied.
 
     LOSSLESSNESS: suppose doc d is in query q's true top-k but got no
     candidate row. d contains some term t* essential for q (the
@@ -730,6 +756,15 @@ def _bm25_rank(
             # the (cached/pruned) TF scan and the scoring aggregate's
             # input is candidate-sized instead of postings-sized.
             tf_e = tf.join(F.broadcast(ess_df), "t")
+            if blockstats is not None and block_max != "force":
+                # round-16 cost gate (see BM25_BLOCKMAX_MIN_POSTINGS):
+                # the candidate rows the cut could save are exactly
+                # Σ df over the essential union — already exact and
+                # driver-side from the planner; below the crossover
+                # the ceilings' bookkeeping is pure overhead
+                ess_total = sum(d for d, _ in block_cuts.values())
+                if ess_total < BM25_BLOCKMAX_MIN_POSTINGS:
+                    blockstats = None
             if blockstats is not None:
                 # block-max refinement (see docstring): keep a block
                 # iff its quantized per-term ceiling reaches the

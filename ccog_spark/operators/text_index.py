@@ -841,7 +841,7 @@ def query_bm25_index(
     prune: bool = True,
     min_postings: int | None = None,
     doc_filter: str | None = None,
-    block_max: bool = True,
+    block_max: bool | str = True,
 ) -> DataFrame:
     """Top-``k`` docs per query FROM THE INDEX ONLY — the raw corpus is
     never re-read. ``queries``: (q_id, q_text). Bit-identical to
@@ -855,8 +855,14 @@ def query_bm25_index(
     per-block tf ceiling cannot reach θ — the BlockMaxWAND candidate
     cut, LOSSLESS (bound proof in ``text._bm25_rank``), so results
     and the oracle are unchanged by construction. The blockstats read
-    prunes by the same bkt partition filter as terms. Pass False to
-    pin the plain essential-terms plan (probes, A/B measurement).
+    prunes by the same bkt partition filter as terms. Round 16 adds a
+    COST GATE: ``True`` consults the ceilings only when Σ df over the
+    planner's essential union clears
+    ``text.BM25_BLOCKMAX_MIN_POSTINGS`` (below the crossover the
+    bookkeeping loses wall-clock — SCALING.md round-15 table);
+    ``"force"`` always engages (A/B probes, the hash-gated registry
+    row, tamper tests); ``False`` pins the plain essential-terms
+    plan. All three spellings return identical rows.
 
     Bucket pruning: the distinct query terms are collected (query-
     batch-sized, the ANN-index precedent) and their bkt values derived
@@ -940,6 +946,10 @@ def query_bm25_index(
         )
         if qterms.count() * int(meta["n_docs"]) < floor:
             prune = False
+    if block_max not in (True, False, "force"):
+        raise ValueError(
+            f"block_max must be True, False or 'force', got {block_max!r}"
+        )
     blockstats = None
     if prune and block_max and bool(meta["has_blockmax"]):
         # same bkt partition pruning as the terms read; tombstoned
@@ -954,7 +964,7 @@ def query_bm25_index(
         spark, postings, doclens, terms, stats, qterms,
         k=k, k1=k1, b=b, id_col=id_col,
         prune=prune, min_postings=min_postings,
-        blockstats=blockstats,
+        blockstats=blockstats, block_max=block_max,
     )
 
 

@@ -891,8 +891,11 @@ def pipeline_bm25_blockmax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(
         list(BM25_PRUNED_QUERY_BATCH), "q_id long, q_text string"
     )
+    # "force" bypasses the round-16 cost gate: this row's purpose is
+    # hash-gating the ENGAGED block cut at driver scale, where the
+    # essential Σdf sits far below the production crossover
     return query_bm25_index(
-        spark, idx, queries, k=5, min_postings=0
+        spark, idx, queries, k=5, min_postings=0, block_max="force"
     ).orderBy("q_id", "rn")
 
 

@@ -114,10 +114,20 @@ def main():
 
         T._bm25_essential_terms = spy
         try:
+            # block_max=True is COST-GATED since round 16: at these
+            # fixture scales the essential Σdf sits below the floor,
+            # so the gated default must match the plain plan's
+            # wall-clock; "force" measures the engaged cut's A/B.
             a = timed(
                 f"{tag}_query_blockmax_sec",
                 lambda: query_bm25_index(
                     spark, idx, q, k=5, min_postings=0, block_max=True
+                ),
+            )
+            f = timed(
+                f"{tag}_query_blockmax_forced_sec",
+                lambda: query_bm25_index(
+                    spark, idx, q, k=5, min_postings=0, block_max="force"
                 ),
             )
             b = timed(
@@ -128,7 +138,27 @@ def main():
             )
         finally:
             T._bm25_essential_terms = orig
-        assert a == b, "block-max must be lossless"
+        assert a == f == b, "block-max must be lossless in every mode"
+
+        # Noise-free gate proof (wall-clock on identical plans is
+        # host-jitter-bound): below the floor the gated True plan must
+        # BE the plain plan — optimized plans identical up to expr ids.
+        import re as _re
+
+        def _norm(df):
+            s = df._jdf.queryExecution().optimizedPlan().toString()
+            return _re.sub(r"#\d+", "#", s)
+
+        pt = _norm(query_bm25_index(
+            spark, idx, q, k=5, min_postings=0, block_max=True))
+        pf = _norm(query_bm25_index(
+            spark, idx, q, k=5, min_postings=0, block_max=False))
+        pforce = _norm(query_bm25_index(
+            spark, idx, q, k=5, min_postings=0, block_max="force"))
+        assert pt == pf, "gated True must be the plain plan below floor"
+        assert pforce != pf, "'force' must engage the block cut"
+        out[f"{tag}_gated_plan_identical"] = True
+        print(json.dumps({f"{tag}_gated_plan_identical": True}), flush=True)
 
         df_mid, cut = captured["cuts"]["mid"]
         nd = captured["n_docs"]

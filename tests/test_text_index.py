@@ -1256,7 +1256,7 @@ def test_blockmax_lossless_engaged_and_live(spark, tmp_path):
 
     a = sorted(map(tuple, bm25_topk(docs, q, k=5, min_postings=0).collect()))
     b = sorted(map(tuple, query_bm25_index(
-        spark, idx, q, k=5, min_postings=0).collect()))
+        spark, idx, q, k=5, min_postings=0, block_max="force").collect()))
     c = sorted(map(tuple, query_bm25_index(
         spark, idx, q, k=5, min_postings=0, block_max=False).collect()))
     assert a == b == c and len(a) == 5
@@ -1279,11 +1279,66 @@ def test_blockmax_lossless_engaged_and_live(spark, tmp_path):
     shutil.rmtree(os.path.join(idx, "blockstats"))
     os.rename(stage, os.path.join(idx, "blockstats"))
     d = sorted(map(tuple, query_bm25_index(
-        spark, idx, q, k=5, min_postings=0).collect()))
+        spark, idx, q, k=5, min_postings=0, block_max="force").collect()))
     assert d != b, "tampered ceilings must change the engaged plan"
     rep = verify_text_index(spark, idx)
     assert not rep["ok"]
     assert any("blockstats ceiling BELOW live max" in e for e in rep["errors"])
+    # round-16 cost gate: with the DEFAULT block_max=True this tiny
+    # corpus's essential Σdf sits far below the crossover floor, so
+    # the (tampered!) ceilings are never consulted and answers stay
+    # correct — the gate's decline IS the plain max-score plan
+    e = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0).collect()))
+    assert e == b, "auto gate must decline below the postings floor"
+
+
+def test_blockmax_cost_gate_thresholds(spark, tmp_path, monkeypatch):
+    """The round-16 engagement gate is the essential-union Σdf vs
+    text.BM25_BLOCKMAX_MIN_POSTINGS: floor 0 → block_max=True engages
+    the cut (tampered ceilings change answers, proving consultation);
+    default floor → declines (tampered ceilings ignored); 'force'
+    bypasses the floor entirely; invalid spellings are rejected."""
+    import shutil
+
+    from ccog_spark.operators import text as T
+
+    docs = _blockmax_corpus(spark)
+    q = spark.createDataFrame([(1, "mid the")], "q_id long, q_text string")
+    idx = str(tmp_path / "bmx_gate")
+    build_bm25_index(docs, idx, n_buckets=32, block_max=True)
+    want = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0, block_max=False).collect()))
+
+    # tamper the hot block's ceiling so an ENGAGED cut is observable
+    bs = spark.read.parquet(os.path.join(idx, "blockstats"))
+    stage = os.path.join(idx, "blockstats__tampered")
+    bs.withColumn(
+        "max_tf",
+        F.when(
+            (F.col("t") == "mid") & (F.col("blk") == 2), F.lit(1)
+        ).otherwise(F.col("max_tf")),
+    ).select("t", "blk", "max_tf", "bkt").write.mode(
+        "overwrite"
+    ).partitionBy("bkt").parquet(stage)
+    shutil.rmtree(os.path.join(idx, "blockstats"))
+    os.rename(stage, os.path.join(idx, "blockstats"))
+
+    # default floor: gate declines, tampering invisible
+    got = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0, block_max=True).collect()))
+    assert got == want
+    # floor lowered to 0: the SAME True spelling now engages
+    monkeypatch.setattr(T, "BM25_BLOCKMAX_MIN_POSTINGS", 0)
+    engaged = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0, block_max=True).collect()))
+    assert engaged != want, "floor 0 must engage the (tampered) cut"
+    monkeypatch.setattr(T, "BM25_BLOCKMAX_MIN_POSTINGS", 20_000_000)
+    forced = sorted(map(tuple, query_bm25_index(
+        spark, idx, q, k=5, min_postings=0, block_max="force").collect()))
+    assert forced == engaged, "'force' bypasses the floor"
+    with pytest.raises(ValueError, match="block_max"):
+        query_bm25_index(spark, idx, q, k=5, block_max="yes")
 
 
 def test_blockmax_lifecycle_append_delete_compact(spark, tmp_path):
@@ -1308,7 +1363,7 @@ def test_blockmax_lifecycle_append_delete_compact(spark, tmp_path):
     append_to_text_index(delta, idx)
     want = sorted(map(tuple, bm25_topk(docs, q, k=5, min_postings=0).collect()))
     got = sorted(map(tuple, query_bm25_index(
-        spark, idx, q, k=5, min_postings=0).collect()))
+        spark, idx, q, k=5, min_postings=0, block_max="force").collect()))
     assert got == want
 
     # delete the hot docs: θ drops, stale-high ceilings keep every
@@ -1322,7 +1377,7 @@ def test_blockmax_lifecycle_append_delete_compact(spark, tmp_path):
     )
     want2 = sorted(map(tuple, bm25_topk(surv, q, k=5, min_postings=0).collect()))
     got2 = sorted(map(tuple, query_bm25_index(
-        spark, idx, q, k=5, min_postings=0).collect()))
+        spark, idx, q, k=5, min_postings=0, block_max="force").collect()))
     assert got2 == want2
 
     # compact: ceilings rebuilt exact from surviving postings
@@ -1340,7 +1395,7 @@ def test_blockmax_lifecycle_append_delete_compact(spark, tmp_path):
     assert live.exceptAll(stored).count() == 0
     assert stored.exceptAll(live).count() == 0
     got3 = sorted(map(tuple, query_bm25_index(
-        spark, idx, q, k=5, min_postings=0).collect()))
+        spark, idx, q, k=5, min_postings=0, block_max="force").collect()))
     assert got3 == want2
 
 
@@ -1361,7 +1416,7 @@ def test_blockmax_composes_with_doc_filter(spark, tmp_path):
     pred = "source IN ('src0', 'src1')"
     a = sorted(map(tuple, query_bm25_index(
         spark, idx, q, k=5, min_postings=0, doc_filter=pred,
-        block_max=True).collect()))
+        block_max="force").collect()))
     b = sorted(map(tuple, query_bm25_index(
         spark, idx, q, k=5, min_postings=0, doc_filter=pred,
         block_max=False).collect()))
