@@ -185,6 +185,52 @@ def _pruned_postings(
     return postings, bkt_pred
 
 
+_FWD_MANIFEST = "forward_manifest.json"
+
+
+def _write_forward_manifest(index_dir: str) -> dict:
+    """(Re)write the forward table's dbkt → file-list manifest (round
+    16, VERDICT r15 #3): one driver-side walk at WRITE time replaces a
+    per-query listing of up to 4096 partition directories at READ time
+    — ``_pruned_forward`` opens the matched buckets' named files
+    directly. Paths are stored RELATIVE to ``forward/`` so an index
+    directory can be relocated wholesale. Written atomically (tmp +
+    rename); every verb that mutates ``forward/`` (build, append,
+    compact) calls this, and ``verify_text_index`` audits
+    manifest-vs-live drift."""
+    import json
+
+    fwd = os.path.join(index_dir, "forward")
+    man: dict[str, list[str]] = {}
+    for d in sorted(os.listdir(fwd)):
+        if not d.startswith("dbkt="):
+            continue
+        files = sorted(
+            f
+            for f in os.listdir(os.path.join(fwd, d))
+            if f.endswith(".parquet")
+        )
+        if files:
+            man[d.split("=", 1)[1]] = [f"{d}/{f}" for f in files]
+    tmp = os.path.join(index_dir, _FWD_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(index_dir, _FWD_MANIFEST))
+    return man
+
+
+def _read_forward_manifest(index_dir: str) -> dict | None:
+    """The manifest, or None for a pre-round-16 index (callers fall
+    back to the partition-discovery read)."""
+    import json
+
+    p = os.path.join(index_dir, _FWD_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def _pruned_forward(
     spark: SparkSession,
     index_dir: str,
@@ -194,7 +240,9 @@ def _pruned_forward(
     """Doc-bucket-pruned forward-table scan for a doc-id list (round
     15 — the by-doc twin of ``_pruned_postings``): dbkt partition
     pruning + an In(id) data filter over the (id, t)-sorted files.
-    Requires ``build_bm25_index(forward=True)``."""
+    Requires ``build_bm25_index(forward=True)``. With the round-16
+    manifest the matched buckets' files are opened BY NAME (basePath
+    keeps the dbkt partition column) — no directory walk at all."""
     id_col = str(meta["id_col"])
     n_buckets = int(meta["n_buckets"])
     if id_list:
@@ -213,8 +261,23 @@ def _pruned_forward(
         )
     else:
         dbkts = []
-    pred = F.col("dbkt").isin(dbkts) if dbkts else F.lit(False)
-    fwd = spark.read.parquet(os.path.join(index_dir, "forward")).where(pred)
+    fwd_dir = os.path.join(index_dir, "forward")
+    man = _read_forward_manifest(index_dir)
+    if man is not None:
+        files = [
+            os.path.join(fwd_dir, rel)
+            for b in dbkts
+            for rel in man.get(str(b), ())
+        ]
+        if files:
+            fwd = spark.read.option("basePath", fwd_dir).parquet(*files)
+        else:
+            # no matched bucket holds rows — keep a well-formed empty
+            # plan with the live schema (one listing, edge case only)
+            fwd = spark.read.parquet(fwd_dir).where(F.lit(False))
+    else:
+        pred = F.col("dbkt").isin(dbkts) if dbkts else F.lit(False)
+        fwd = spark.read.parquet(fwd_dir).where(pred)
     if id_list and len(id_list) <= _TERM_ISIN_CAP:
         fwd = fwd.where(F.col(id_col).isin(id_list))
     return fwd
@@ -329,6 +392,7 @@ def build_bm25_index(
             ).repartition("dbkt").sortWithinPartitions(id_col, "t").write.mode(
                 "overwrite"
             ).partitionBy("dbkt").parquet(os.path.join(index_dir, "forward"))
+            _write_forward_manifest(index_dir)
         if block_max:
             from ccog_spark.operators.text import _blk_of
 
@@ -437,7 +501,8 @@ def append_to_text_index(
                 id_col, *meta["meta_cols"].split(",")
             ).write.mode("append").parquet(os.path.join(index_dir, "docmeta"))
         if meta["has_forward"]:
-            # the doc-clustered twin rows ride along (round 15)
+            # the doc-clustered twin rows ride along (round 15); the
+            # manifest refresh picks up the appended files (round 16)
             tf.select(id_col, "t", "tf").withColumn(
                 "dbkt", _dbkt(id_col, n_buckets)
             ).repartition("dbkt").sortWithinPartitions(
@@ -445,6 +510,7 @@ def append_to_text_index(
             ).write.mode("append").partitionBy("dbkt").parquet(
                 os.path.join(index_dir, "forward")
             )
+            _write_forward_manifest(index_dir)
         if meta["has_blockmax"]:
             # block-max ceilings ride along as APPENDED delta rows —
             # duplicate (t, blk) pairs across appends are fine: the
@@ -796,6 +862,7 @@ def compact_text_index(spark: SparkSession, index_dir: str) -> dict:
         )
         shutil.rmtree(fw_live)
         os.rename(fw_stage, fw_live)
+        _write_forward_manifest(index_dir)
     if meta["has_blockmax"]:
         # rebuild the tf ceilings EXACT from the compacted postings
         # (append-era duplicate (t, blk) rows collapse, delete-era
@@ -1196,6 +1263,28 @@ def verify_text_index(spark: SparkSession, index_dir: str) -> dict:
                 errors.append(
                     f"forward-table drift on {n_fw_drift} rows"
                 )
+            # manifest audit (round 16): the stored file list must
+            # match the live directory exactly — a stale manifest
+            # would silently drop appended rows from pruned reads.
+            # Absent manifest = pre-r16 index (reads fall back to
+            # partition discovery), not an error.
+            man = _read_forward_manifest(index_dir)
+            if man is not None:
+                live_files = set()
+                for d in os.listdir(fw_dir):
+                    if d.startswith("dbkt="):
+                        live_files.update(
+                            f"{d}/{f}"
+                            for f in os.listdir(os.path.join(fw_dir, d))
+                            if f.endswith(".parquet")
+                        )
+                man_files = {rel for v in man.values() for rel in v}
+                if man_files != live_files:
+                    errors.append(
+                        "forward manifest drift: "
+                        f"{len(man_files - live_files)} stale, "
+                        f"{len(live_files - man_files)} unlisted files"
+                    )
 
     # block-max ceiling audit (round 15): a stored ceiling may be
     # stale-HIGH (deletes leave it; the bound only loosens) but a

@@ -1007,6 +1007,95 @@ def test_forward_table_rides_append_delete_compact(spark, tmp_path):
     check(survivors)
 
 
+def test_forward_manifest_lifecycle_and_fallback(spark, tmp_path):
+    """Round-16 manifest (VERDICT r15 #3): build writes a dbkt→files
+    manifest that pruned reads open by name (no partition discovery);
+    append refreshes it (new files appear); verify flags a stale
+    manifest; deleting it falls back to the pre-r16 listing read with
+    identical answers."""
+    import json
+
+    from ccog_spark.operators.text_index import (
+        _FWD_MANIFEST,
+        _pruned_forward,
+        _read_meta,
+        append_to_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        verify_text_index,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "fwd_man_idx")
+    build_bm25_index(
+        docs.where(F.col("doc_id") % 7 != 0), idx, n_buckets=64,
+        forward=True,
+    )
+    man_path = os.path.join(idx, _FWD_MANIFEST)
+    assert os.path.exists(man_path)
+    man0 = json.load(open(man_path))
+    live = {
+        f"{d}/{f}"
+        for d in os.listdir(f"{idx}/forward")
+        if d.startswith("dbkt=")
+        for f in os.listdir(f"{idx}/forward/{d}")
+        if f.endswith(".parquet")
+    }
+    assert {r for v in man0.values() for r in v} == live
+
+    # the pruned read must NOT list partition directories: its plan
+    # reads the manifest-named files only (still dbkt-partitioned)
+    meta = _read_meta(spark, idx)
+    some_ids = [
+        r.doc_id
+        for r in docs.where(F.col("doc_id") % 7 != 0).limit(3).collect()
+    ]
+    fwd = _pruned_forward(spark, idx, meta, some_ids)
+    got = {
+        r.doc_id
+        for r in fwd.select("doc_id").distinct().collect()
+        if r.doc_id in set(some_ids)
+    }
+    assert got == set(some_ids)
+    n_in = len(fwd.inputFiles())
+    n_all = len(live)
+    assert 0 < n_in < n_all, (n_in, n_all)
+
+    # append refreshes the manifest (grown file list, superset)
+    append_to_text_index(docs.where(F.col("doc_id") % 7 == 0), idx)
+    man1 = json.load(open(man_path))
+    f0 = {r for v in man0.values() for r in v}
+    f1 = {r for v in man1.values() for r in v}
+    assert f0 < f1
+    assert verify_text_index(spark, idx)["ok"]
+
+    # stale manifest (simulated by restoring the pre-append one) is
+    # flagged by the audit
+    json.dump(man0, open(man_path, "w"))
+    rep = verify_text_index(spark, idx)
+    assert not rep["ok"]
+    assert any("forward manifest drift" in e for e in rep["errors"])
+    json.dump(man1, open(man_path, "w"))
+
+    # compact rewrites forward/ and the manifest follows
+    delete_from_text_index(
+        spark, idx, docs.where(F.col("doc_id") % 13 == 3).select("doc_id")
+    )
+    compact_text_index(spark, idx)
+    man2 = json.load(open(man_path))
+    assert {r for v in man2.values() for r in v} != f1
+    assert verify_text_index(spark, idx)["ok"]
+
+    # fallback: without the manifest the listing read answers the same
+    want = sorted(map(tuple, _pruned_forward(
+        spark, idx, meta, some_ids).collect()))
+    os.remove(man_path)
+    got2 = sorted(map(tuple, _pruned_forward(
+        spark, idx, meta, some_ids).collect()))
+    assert got2 == want
+    assert verify_text_index(spark, idx)["ok"]  # absent = pre-r16, ok
+
+
 def test_bm25f_delete_equals_fromscratch_survivors(spark, tmp_path):
     """delete_from_bm25f_index (round 15): tombstones + any-field df
     decrement + per-field sum_dls/n_docs shrink ⇒ query results
