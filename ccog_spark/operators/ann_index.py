@@ -251,7 +251,9 @@ _ANN_META_KEYS = (
 
 def _meta_quant(meta_row) -> str:
     """``quant`` from a meta Row — 'pq' (8-byte product codes, the
-    original layout) or 'sq8' (per-dimension scalar codes, round 15);
+    original layout), 'sq8' (per-dimension scalar codes, round 15) or
+    'sq8r' (scalar codes over IVF RESIDUALS x − centroid(cell), round
+    16 — the FAISS IndexIVFScalarQuantizer by_residual default);
     pre-round-15 indexes lack the field and are PQ by construction."""
     return meta_row.asDict().get("quant") or "pq"
 
@@ -409,6 +411,7 @@ def _sq_code_frame(
     cnrm: "np.ndarray",
     mins: list,
     rngs: list,
+    residual: bool = False,
 ) -> DataFrame:
     """Fused assign+encode for the SQ8 layout (round 15 — the
     ``_code_frame`` twin): the cell assign is the SAME shared √C
@@ -416,7 +419,14 @@ def _sq_code_frame(
     code_d = clamp(floor((x_d − mn_d)·255/rng_d), 0..255) under the
     GIVEN (frozen) stats — shared by build (fresh stats) and append
     (stats loaded from the saved index, out-of-span delta values
-    saturate at 0/255 like any real scalar quantizer)."""
+    saturate at 0/255 like any real scalar quantizer).
+
+    ``residual=True`` (round 16, quant='sq8r'): the quantized value is
+    the IVF residual x − centroid(cell) instead of x — residual spans
+    are far tighter than raw-coordinate spans, so the same 256 levels
+    land finer and recall rises at identical code bytes (FAISS
+    IndexIVFScalarQuantizer's by_residual default). The stats must
+    then have been trained over residuals (``_sq_residual_stats``)."""
     from pyspark.sql.functions import pandas_udf
 
     from ccog_spark.operators.similarity import hierarchical_assigner
@@ -430,19 +440,80 @@ def _sq_code_frame(
         x = np.stack([np.asarray(e, dtype="f8") for e in col])
         return pd.Series(assign_batch(x, np.sqrt((x * x).sum(1))))
 
+    def _quantize(v: "np.ndarray") -> "np.ndarray":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.floor((v - mn_arr[None, :]) * 255.0 / rng_arr[None, :])
+        c = np.clip(c, 0, 255)
+        return np.where(rng_arr[None, :] > 0, c, 0.0).astype("i4")
+
+    if residual:
+        cpos = {int(c): i for i, c in enumerate(cent_ids)}
+
+        @pandas_udf("array<int>")
+        def encode_res(col: pd.Series, cell: pd.Series) -> pd.Series:
+            x = np.stack([np.asarray(e, dtype="f8") for e in col])
+            idx = np.array(
+                [cpos[int(c)] for c in cell.to_numpy()], "i8"
+            )
+            return pd.Series(list(_quantize(x - cmat[idx])))
+
+        # two chained projections — Catalyst chains the Arrow stages,
+        # assign evaluates once and encode consumes its column
+        assigned = corpus.select(
+            "vec_id",
+            F.col("embedding"),
+            F.coalesce(assign(F.col("embedding")), F.lit(-1)).alias("cell"),
+        )
+        return assigned.select(
+            "vec_id",
+            "cell",
+            encode_res(F.col("embedding"), F.col("cell")).alias("codes"),
+        )
+
     @pandas_udf("array<int>")
     def encode(col: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(e, dtype="f8") for e in col])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            c = np.floor((x - mn_arr[None, :]) * 255.0 / rng_arr[None, :])
-        c = np.clip(c, 0, 255)
-        c = np.where(rng_arr[None, :] > 0, c, 0.0).astype("i4")
-        return pd.Series(list(c))
+        return pd.Series(list(_quantize(x)))
 
     return corpus.select(
         "vec_id",
         F.coalesce(assign(F.col("embedding")), F.lit(-1)).alias("cell"),
         encode(F.col("embedding")).alias("codes"),
+    )
+
+
+def _sq_residual_stats(
+    corpus: DataFrame,
+    cent_ids: "np.ndarray",
+    cmat: "np.ndarray",
+    cnrm: "np.ndarray",
+    dim: int,
+) -> tuple[list, list]:
+    """Per-dimension (min, range) over IVF RESIDUALS x −
+    centroid(cell), under the SAME √C two-hop assigner the encode
+    pass uses (round 16 — the by_residual training pass): one Arrow
+    assign+subtract map, then the ``sq8_stats`` partial-aggregable
+    min/max. One extra corpus pass vs raw-coordinate training — still
+    map-side all the way, nothing shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ccog_spark.operators.similarity import (
+        hierarchical_assigner,
+        sq8_stats,
+    )
+
+    assign_batch = hierarchical_assigner(cent_ids, cmat, cnrm)
+    cpos = {int(c): i for i, c in enumerate(cent_ids)}
+
+    @pandas_udf("array<double>")
+    def res(col: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="f8") for e in col])
+        cells = assign_batch(x, np.sqrt((x * x).sum(1)))
+        idx = np.array([cpos[int(c)] for c in cells], "i8")
+        return pd.Series(list(x - cmat[idx]))
+
+    return sq8_stats(
+        corpus.select(res(F.col("embedding")).alias("embedding")), dim
     )
 
 
@@ -454,6 +525,7 @@ def build_ivfsq_index(
     n_groups: int | None = None,
     meta_cols: tuple[str, ...] = (),
     epoch_tag: str | None = None,
+    residual: bool = False,
 ) -> dict:
     """Persisted IVF + SQ8 index (round 15 — the scalar-quantized twin
     of ``build_ivfpq_index``): same centroids / cell-clustered codes
@@ -470,7 +542,16 @@ def build_ivfsq_index(
     records the layout; ``append_to_index`` branches to the frozen-
     stats encode; ``delete_from_ann_index`` / ``compact_ann_index`` /
     ``verify_ann_index`` / ``auto_nprobe`` / ``vec_filter`` operate on
-    codes rows they never decode and work unchanged."""
+    codes rows they never decode and work unchanged.
+
+    ``residual=True`` (round 16, VERDICT r15 #5 — meta.quant='sq8r'):
+    train the per-dim stats over IVF residuals x − centroid(cell) and
+    quantize residuals instead of raw coordinates — the FAISS
+    IndexIVFScalarQuantizer by_residual default. Residual spans are
+    much tighter, so the same dim code bytes carry finer resolution
+    and recall rises at an identical probe budget (measured in
+    scripts/r15_sq8_probe.py); queries reconstruct
+    x̂ = centroid(cell) + mn + (code + 0.5)·rng/256."""
     import shutil
 
     from ccog_spark.operators.similarity import sq8_stats
@@ -486,9 +567,15 @@ def build_ivfsq_index(
     elif os.path.isdir(vm_dir):
         shutil.rmtree(vm_dir)  # stale-vecmeta rule (round-15 ADVICE)
     cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
-    mins, rngs = sq8_stats(corpus, dim)
+    mins, rngs = (
+        _sq_residual_stats(corpus, cent_ids, cmat, cnrm, dim)
+        if residual
+        else sq8_stats(corpus, dim)
+    )
 
-    codes = _sq_code_frame(corpus, cent_ids, cmat, cnrm, mins, rngs)
+    codes = _sq_code_frame(
+        corpus, cent_ids, cmat, cnrm, mins, rngs, residual=residual
+    )
     _write_clustered_codes(
         codes, cent_ids, os.path.join(index_dir, "codes"), n_groups,
         "overwrite",
@@ -518,7 +605,7 @@ def build_ivfsq_index(
         "n_vectors": int(n_vectors),
         "n_groups": n_groups,
         "last_epoch": epoch_tag or "",
-        "quant": "sq8",
+        "quant": "sq8r" if residual else "sq8",
     }
     _write_ann_meta(spark, index_dir, meta)
     return meta
@@ -555,9 +642,10 @@ def query_ivfsq_index(
 
     ic.check_not_inflight(index_dir)
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
-    if _meta_quant(meta) != "sq8":
+    quant = _meta_quant(meta)
+    if quant not in ("sq8", "sq8r"):
         raise ValueError(
-            f"index at {index_dir!r} is a {_meta_quant(meta)!r} index — "
+            f"index at {index_dir!r} is a {quant!r} index — "
             "use query_ivfpq_index"
         )
     if nprobe == "auto":
@@ -566,6 +654,14 @@ def query_ivfsq_index(
     mn_arr = np.asarray(mins, "f8")
     rng_arr = np.asarray(rngs, "f8")
     dim = int(meta.dim)
+    # residual layout (round 16): reconstruction adds the candidate's
+    # cell centroid back — centroid table collected (index-sized model
+    # table, the _pq_machinery contract), cell rides the candidate row
+    if quant == "sq8r":
+        cent_ids_r, cmat_r, _ = _load_centroids(spark, index_dir)
+        cpos_r = {int(c): i for i, c in enumerate(cent_ids_r)}
+    else:
+        cmat_r, cpos_r = None, None
 
     # query vectors + JVM-computed norms, collected driver-side
     # (query-batch-sized — the _pq_machinery LUT contract)
@@ -579,9 +675,14 @@ def query_ivfsq_index(
     qn = np.array([float(r.qn) for r in qrows], "f8")
 
     @pandas_udf("double")
-    def sq_cos(qid: pd.Series, codes: pd.Series) -> pd.Series:
+    def sq_cos(qid: pd.Series, codes: pd.Series, cell: pd.Series) -> pd.Series:
         qi = qid.map(qidx).to_numpy()
         cm = np.stack([np.asarray(c, dtype="i4") for c in codes])
+        if cpos_r is not None:
+            ci = np.array(
+                [cpos_r[int(c)] for c in cell.to_numpy()], "i8"
+            )
+            base = cmat_r[ci]
         # reconstruct and accumulate dim-by-dim, LEFT TO RIGHT — the
         # sequential order both the JVM aggregate and DuckDB's
         # dimension-ordered list_dot_product realize
@@ -590,6 +691,10 @@ def query_ivfsq_index(
         qsel = qmat[qi]
         for d in range(dim):
             xh = mn_arr[d] + (cm[:, d].astype("f8") + 0.5) * rng_arr[d] / 256.0
+            if cpos_r is not None:
+                # centroid added OUTSIDE the scalar term — the SQL
+                # spelling cv[d] + (mn + (code+0.5)*rng/256.0)
+                xh = base[:, d] + xh
             dotacc = dotacc + qsel[:, d] * xh
             nrmacc = nrmacc + xh * xh
         return pd.Series(dotacc / (qn[qi] * np.sqrt(nrmacc)))
@@ -600,7 +705,9 @@ def query_ivfsq_index(
     pairs = cand.select(
         "q_id",
         "vec_id",
-        sq_cos(F.col("q_id"), F.col("codes")).alias("cos_raw"),
+        sq_cos(
+            F.col("q_id"), F.col("codes"), F.col("cell")
+        ).alias("cos_raw"),
     )
     ranked = pairs.select(
         "q_id",
@@ -652,17 +759,20 @@ def append_to_index(
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
     quant = _meta_quant(meta)
     dim, m_blocks = int(meta.dim), int(meta.m_blocks)
-    if quant == "sq8":
+    if quant in ("sq8", "sq8r"):
         # frozen-stats encode (round 15): the delta is quantized under
         # the SAVED per-dim min/range — values outside the trained
         # span saturate at code 0/255, the scalar-quantizer twin of
         # the frozen-codebook contract (drift signal: occupancy_skew,
-        # exactly as for PQ)
+        # exactly as for PQ). The residual layout freezes centroids
+        # AND residual stats: delta residuals under frozen centroids,
+        # quantized under frozen spans (round 16).
         cent_ids, cmat, cnrm = _load_centroids(spark, index_dir)
         mins, rngs = _load_sqstats(spark, index_dir)
         ic.begin_mutation(index_dir, "append")
         codes = _sq_code_frame(
-            corpus_delta, cent_ids, cmat, cnrm, mins, rngs
+            corpus_delta, cent_ids, cmat, cnrm, mins, rngs,
+            residual=(quant == "sq8r"),
         )
     else:
         _, cent_ids, cmat, cnrm, cbmat = _load_model(spark, index_dir)
@@ -1037,8 +1147,10 @@ def verify_ann_index(spark: SparkSession, index_dir: str) -> dict:
 
     # expected code width: m_blocks sub-codes for PQ, one code per
     # dimension for SQ8 (round 15)
-    width = int(meta.dim) if _meta_quant(meta) == "sq8" else int(
-        meta.m_blocks
+    width = (
+        int(meta.dim)
+        if _meta_quant(meta) in ("sq8", "sq8r")
+        else int(meta.m_blocks)
     )
     agg = codes.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1098,10 +1210,12 @@ def verify_ann_index(spark: SparkSession, index_dir: str) -> dict:
     # its per-dim stats (or a PQ index without its codebook) cannot
     # answer queries — a torn copy/restore state worth flagging here
     # rather than at first query
-    if _meta_quant(meta) == "sq8":
+    if _meta_quant(meta) in ("sq8", "sq8r"):
         sq_dir = os.path.join(index_dir, "sqstats")
         if not os.path.isdir(sq_dir):
-            errors.append("meta.quant=sq8 but sqstats/ is missing")
+            errors.append(
+                f"meta.quant={_meta_quant(meta)} but sqstats/ is missing"
+            )
         else:
             n_dims = spark.read.parquet(sq_dir).count()
             if int(n_dims) != int(meta.dim):

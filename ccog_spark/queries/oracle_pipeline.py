@@ -674,20 +674,44 @@ def _ivfsq_index_sql(
     k: int = 3,
     q_pred: str = "vec_id % 100 = 0",
     cand_pred: str = "",
+    residual: bool = False,
 ) -> str:
     """Persisted IVF+SQ8 index replay (round 15): the shared √C
     two-hop cell-assignment chain (``_cells_ctes`` — identical to the
     PQ index's) composed with the ann_sq8 quantize/reconstruct CTEs,
     candidates restricted to probed cells and ranked by the
     asymmetric reconstructed cosine. ``cand_pred`` mirrors
-    _ivfpq_sql's (deletion/filter twins)."""
-    return f"""
-WITH nv AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
-), {_cells_ctes(cent_stride)}, ev AS (
+    _ivfpq_sql's (deletion/filter twins).
+
+    ``residual=True`` (round 16, quant='sq8r'): the quantized value is
+    the IVF residual e[d] − cv[d] of the assigned cell, the per-dim
+    stats are trained over those residuals, and reconstruction adds
+    the centroid back — cv[d] + (mn + (code + 0.5)·rng/256), the
+    engine kernel's exact float spelling."""
+    if residual:
+        ev_rec = f"""ev AS (
+  SELECT nvv.vec_id, t.d AS d, nvv.e[t.d] - ct.cv[t.d] AS v
+  FROM nv nvv
+  JOIN cells cl ON cl.vec_id = nvv.vec_id
+  JOIN cent ct ON ct.cent_id = cl.cell
+  CROSS JOIN UNNEST(range(1, {dim} + 1)) AS t(d)
+), qstat AS (
+  SELECT d, MIN(v) AS mn, MAX(v) - MIN(v) AS rng FROM ev GROUP BY d
+), rec AS (
+  SELECT ev.vec_id,
+         list(ct.cv[d] + (mn + (CASE WHEN rng > 0
+                         THEN LEAST(255, GREATEST(0,
+                                FLOOR((v - mn) * 255.0 / rng)))
+                         ELSE 0 END + 0.5) * rng / 256.0)
+              ORDER BY d) AS xe
+  FROM ev
+  JOIN qstat USING (d)
+  JOIN cells cl ON cl.vec_id = ev.vec_id
+  JOIN cent ct ON ct.cent_id = cl.cell
+  GROUP BY ev.vec_id
+)"""
+    else:
+        ev_rec = f"""ev AS (
   SELECT vec_id, t.d AS d, e[t.d] AS v
   FROM nv, UNNEST(range(1, {dim} + 1)) AS t(d)
 ), qstat AS (
@@ -700,7 +724,14 @@ WITH nv AS (
                          ELSE 0 END + 0.5) * rng / 256.0
               ORDER BY d) AS xe
   FROM ev JOIN qstat USING (d) GROUP BY vec_id
-), rnv AS (
+)"""
+    return f"""
+WITH nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), {_cells_ctes(cent_stride)}, {ev_rec}, rnv AS (
   SELECT vec_id, xe, SQRT(list_dot_product(xe, xe)) AS xn FROM rec
 ), q AS (
   SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE {q_pred}
@@ -1195,6 +1226,11 @@ PIPELINE_ORACLE["ann_sq8_index"] = _ivfsq_index_sql()
 # The persisted-index path answers from parquet codes and must land on
 # the SAME rows/scores as the inline composition — one SQL truth, two
 # execution paths (bit-identity additionally pinned in test_ann_index).
+
+# round 16: RESIDUAL encoding (quant='sq8r') — residual-trained stats,
+# residual quantization, centroid-added reconstruction; everything
+# else (cell chain, probes, ranking) is the sq8-index SQL verbatim.
+PIPELINE_ORACLE["ann_sq8r_index"] = _ivfsq_index_sql(residual=True)
 PIPELINE_ORACLE["ann_index"] = _ivfpq_sql()
 # Incremental append (round 8): build(A = vec_id%3<>0) then append(B)
 # under the FROZEN model — the oracle derives centroids/codebook from

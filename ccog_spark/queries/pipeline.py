@@ -1411,6 +1411,29 @@ def ann_sq8_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def ann_sq8r_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF+SQ8 index with RESIDUAL encoding (round 16,
+    VERDICT r15 #5 — ann_index.build_ivfsq_index(residual=True),
+    quant='sq8r', the FAISS IndexIVFScalarQuantizer by_residual
+    default): per-dim stats trained over x − centroid(cell), residual
+    quantization, centroid-added reconstruction — same dim code bytes
+    as sq8, tighter spans on clustered corpora (recall 0.678 → 0.984
+    at equal probe budget on the synthesized clustered probe,
+    SCALING.md round-16). Oracle = the sq8-index SQL with the
+    residual-trained stats CTEs and cv[d]-added reconstruction."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfsq_index,
+        query_ivfsq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _tmp_index_dir("ccog_ivfsqr", sf_dir)
+    build_ivfsq_index(emb, EMB_DIM, idx, residual=True)
+    return query_ivfsq_index(
+        spark, idx, _queries_subset(emb), k=3
+    ).orderBy("q_id", "rn")
+
+
 def ann_autoprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCCUPANCY-TUNED nprobe (round 14, ann_index.auto_nprobe —
     VERDICT r13 #6): the probe count is derived from the persisted

@@ -643,6 +643,11 @@ REGISTRY: dict[str, QueryFn] = {
     # E35 embedding near-dup ≙ dedup_semantic (fold, same
     # hierarchical assign + cosine verify) + dedup_cc/dedup_minhash
     "dedup_embed": pipeline.dedup_embed,
+    # round 16: RESIDUAL SQ8 index (quant='sq8r', the FAISS
+    # by_residual default) — E36 keeps ann_sq8_index (fold), whose
+    # layout/lifecycle this twins; oracle = the sq8-index SQL with
+    # residual-trained stats + centroid-added reconstruction
+    "ann_sq8r_index": pipeline.ann_sq8r_index_q,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
@@ -676,6 +681,7 @@ NON_BENCH = (
     "pipeline_bm25_index_filtered",  # builds a text index + docmeta (file IO)
     "ann_index_delete",  # builds + deletes from an ANN index (file IO)
     "ann_sq8_index",  # builds a scalar-quantized ANN index (file IO)
+    "ann_sq8r_index",  # builds a residual-SQ8 ANN index (file IO)
     "ann_index_filtered",  # builds an ANN index + vecmeta (file IO)
     "ann_autoprobe",  # builds a parquet ANN index per run (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)

@@ -87,9 +87,18 @@ def main():
     build_ivfsq_index(emb, DIM, sq_idx)
     out["sq8_build_sec"] = round(time.time() - t0, 2)
     out["sq8_codes_mb"] = dir_mb(os.path.join(sq_idx, "codes"))
+
+    # round 16: residual encoding (quant='sq8r') — same code bytes,
+    # residual spans vs raw spans decide the recall delta
+    sqr_idx = "/tmp/ccog_r16_probe_sq8r"
+    t0 = time.time()
+    build_ivfsq_index(emb, DIM, sqr_idx, residual=True)
+    out["sq8r_build_sec"] = round(time.time() - t0, 2)
+    out["sq8r_codes_mb"] = dir_mb(os.path.join(sqr_idx, "codes"))
     print(json.dumps({k: out[k] for k in
                       ("pq_build_sec", "pq_codes_mb",
-                       "sq8_build_sec", "sq8_codes_mb")}), flush=True)
+                       "sq8_build_sec", "sq8_codes_mb",
+                       "sq8r_build_sec", "sq8r_codes_mb")}), flush=True)
 
     # cent_stride=25 → 8000 cells at 200k vectors; nprobe must cover a
     # realistic fraction for recall to mean anything (the registry
@@ -104,6 +113,10 @@ def main():
             f"sq8_query_np{npb}_sec",
             lambda: query_ivfsq_index(spark, sq_idx, q, k=K, nprobe=npb),
         )
+        timed(
+            f"sq8r_query_np{npb}_sec",
+            lambda: query_ivfsq_index(spark, sqr_idx, q, k=K, nprobe=npb),
+        )
     # the production two-stage recipe on both layouts
     timed(
         "pq_rerank_sec",
@@ -117,6 +130,47 @@ def main():
             spark, sq_idx, q, k=K, nprobe=64, rerank_corpus=emb, m=50
         ),
     )
+
+    # ---- round 16: residual vs plain on a CLUSTERED corpus ----
+    # The fa fixture is isometric replicas of random vectors — NO
+    # cell-local clustering, so residual spans are no tighter there
+    # (recorded above: sq8r == sq8). This section synthesizes the
+    # shape by_residual exists for (the blockmax-probe precedent):
+    # 8000 tight clusters of 25, the % 25 == 1 member of each IS the
+    # stride-selected IVF centroid, noise 0.01 vs unit-scale centers.
+    cl = spark.range(200_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), d -> "
+            "sin((CAST(id DIV 25 AS DOUBLE) * 613.0 + d) * 1.061) "
+            "+ 0.01 * sin((id * 997.0 + d) * 0.618033988749895))"
+        ).alias("embedding"),
+    ).persist()
+    cl.collect()
+    qc_rows = cl.where(F.col("vec_id") % 6301 == 3).collect()
+    qc = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qc_rows],
+        "q_id long, q_emb array<double>",
+    )
+    cl_truth = {
+        (r.q_id, r.vec_id)
+        for r in brute_force_topk(cl, qc, k=K).collect()
+    }
+    cl_p = "/tmp/ccog_r16_probe_cl_sq8"
+    cl_r = "/tmp/ccog_r16_probe_cl_sq8r"
+    build_ivfsq_index(cl, DIM, cl_p)
+    build_ivfsq_index(cl, DIM, cl_r, residual=True)
+
+    def cl_recall(name, idx_dir, npb):
+        rows = query_ivfsq_index(spark, idx_dir, qc, k=K, nprobe=npb).collect()
+        got = {(r.q_id, r.vec_id) for r in rows}
+        out[name] = round(len(cl_truth & got) / len(cl_truth), 3)
+        print(json.dumps({name: out[name]}), flush=True)
+
+    for npb in (8, 64):
+        cl_recall(f"clustered_sq8_np{npb}_recall", cl_p, npb)
+        cl_recall(f"clustered_sq8r_np{npb}_recall", cl_r, npb)
+    cl.unpersist()
 
     print("RESULT " + json.dumps(out), flush=True)
 
