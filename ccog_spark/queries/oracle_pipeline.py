@@ -483,6 +483,48 @@ WHERE rk <= 7
 ORDER BY doc_id
 """
 
+# Composed data-mixing pipeline (round 16, pipeline_mix_e2e): quota
+# (15 smallest ids per source) → token-budget mixture (2/5 of each
+# surviving source's tokens, hash admission order) → 1024-token shard
+# packing — the three verbs' replays nested in corpus order. Integers
+# until the final shard division, which copies pipeline_shards'
+# FLOOR(x / 1024.0) spelling exactly.
+PIPELINE_ORACLE["pipeline_mix_e2e"] = """
+WITH q AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY doc_id) AS rk
+    FROM documents)
+  WHERE rk <= 15
+), d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+         (doc_id * 2654435761 + 7) % 1000000007 AS h
+  FROM q
+), b AS (
+  SELECT source, SUM(n_tok) * 2 // 5 AS budget FROM d GROUP BY source
+), c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+), kept AS (
+  SELECT c.doc_id, c.source, CAST(c.n_tok AS BIGINT) AS n_tok
+  FROM c JOIN b USING (source)
+  WHERE c.cum - c.n_tok < b.budget
+), s AS (
+  SELECT doc_id, source, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM kept)
+SELECT doc_id, source, n_tok,
+       CAST(FLOOR((cum - n_tok) / 1024.0) AS INT) AS shard_id
+FROM s
+ORDER BY doc_id
+"""
+
 # Pure range join (no equi key): the engine's bin rewrite must equal
 # the naive theta join (DuckDB executes it as an IEJoin).
 PIPELINE_ORACLE["range_events"] = """

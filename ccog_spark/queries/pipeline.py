@@ -324,6 +324,31 @@ def pipeline_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_mix_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed data-mixing pipeline (round 16, VERDICT r15 #6 — the
+    RefinedWeb-style last mile as ONE lazy plan): per-source document
+    quota (anti-spam host cap, 15 smallest ids per source) → per-source
+    TOKEN-budget mixture (2/5 of each surviving source's tokens,
+    deterministic hash admission order) → shard packing (global
+    bucketed prefix sum, 1024-token shards). Composes the three
+    operators the separate rows gate (pipeline_quota,
+    pipeline_mixture, pipeline_shards) the way a training-data
+    pipeline actually chains them; the oracle replays the full chain
+    in nested SQL. Plan shape: one rank-limited window shuffle
+    (partial WindowGroupLimit truncates heavy keys map-side), the
+    grouped bucketed prefix sum (no per-source window), one global
+    bucketed prefix sum — nothing corpus-sized serializes into a
+    single task."""
+    docs = load_table(spark, sf_dir, "documents")
+    quota = sharding.quota_per_key(docs, "source", cap=15)
+    mix = sharding.sample_token_budget(quota, 2, 5)
+    return (
+        sharding.pack_shards(mix, "n_tok", budget=1024)
+        .select("doc_id", "source", "n_tok", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
 def pipeline_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data pipeline: quality-score → filter → exact
     dedup keep-first → per-(lang, source) corpus stats. One pass of

@@ -648,6 +648,11 @@ REGISTRY: dict[str, QueryFn] = {
     # layout/lifecycle this twins; oracle = the sq8-index SQL with
     # residual-trained stats + centroid-added reconstruction
     "ann_sq8r_index": pipeline.ann_sq8r_index_q,
+    # round 16: composed data-mixing last mile — quota → token-budget
+    # mixture → shard packing as ONE lazy plan (pipeline_quota,
+    # pipeline_mixture both fold; pipeline_shards tail); full nested
+    # SQL replay, the pipeline_e2e composition precedent
+    "pipeline_mix_e2e": pipeline.pipeline_mix_e2e,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
