@@ -2513,3 +2513,11 @@ ORDER BY q_id, rn
 
 
 PIPELINE_ORACLE["pipeline_hybrid_index_filtered"] = _hybrid_filtered_sql()
+
+# round 16: tokenization from the persisted BPE model — shared
+# training + encode code, the model is just parquet-frozen state, so
+# the oracle is the full recursive-CTE replay verbatim (one SQL
+# truth, two execution paths — the query_bm25_index contract).
+PIPELINE_ORACLE["pipeline_tokenize_index"] = (
+    PIPELINE_ORACLE["pipeline_tokenize"]
+)

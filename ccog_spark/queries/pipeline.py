@@ -843,6 +843,33 @@ def pipeline_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pipeline_tokenize_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization from the PERSISTED BPE model (round 16, VERDICT
+    r15 #7 — bpe.build_bpe_model/tokenize_ids_from_model): train once,
+    persist merges/alphabet/meta as parquet, then tokenize the corpus
+    from the model tables only — training never re-runs at query time
+    (the query_bm25_index contract, tokenizer edition; the freeze rule
+    is the ANN frozen-model one — a vocabulary change is a rebuild).
+    Output and oracle are pipeline_tokenize's verbatim: one SQL truth,
+    two execution paths."""
+    from ccog_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = _tmp_index_dir("ccog_bpe_model", sf_dir)
+    bpe.build_bpe_model(docs, model, n_merges=TOKENIZE_MERGES)
+    toks = bpe.tokenize_ids_from_model(docs, model)
+    return toks.select(
+        "doc_id",
+        F.size("ids").alias("n_tokens"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("ids"), 1, 8), lambda x: x.cast("string")
+            ),
+        ).alias("first8"),
+    ).orderBy("doc_id")
+
+
 def pipeline_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval (round 12, operators.text.bm25_topk):
     deterministic query set (first 3 words of every doc_id % 97 == 11

@@ -653,6 +653,11 @@ REGISTRY: dict[str, QueryFn] = {
     # pipeline_mixture both fold; pipeline_shards tail); full nested
     # SQL replay, the pipeline_e2e composition precedent
     "pipeline_mix_e2e": pipeline.pipeline_mix_e2e,
+    # round 16: tokenization from the PERSISTED BPE model (train once,
+    # parquet merges/alphabet/meta, frozen thereafter) — shared code
+    # with the fold's pipeline_tokenize, whose recursive-CTE oracle
+    # this row reuses verbatim (one truth, two execution paths)
+    "pipeline_tokenize_index": pipeline.pipeline_tokenize_index,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
@@ -687,6 +692,7 @@ NON_BENCH = (
     "ann_index_delete",  # builds + deletes from an ANN index (file IO)
     "ann_sq8_index",  # builds a scalar-quantized ANN index (file IO)
     "ann_sq8r_index",  # builds a residual-SQ8 ANN index (file IO)
+    "pipeline_tokenize_index",  # trains + persists a BPE model (file IO)
     "ann_index_filtered",  # builds an ANN index + vecmeta (file IO)
     "ann_autoprobe",  # builds a parquet ANN index per run (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)

@@ -212,3 +212,54 @@ def test_corpus_alphabet_guard(spark):
     # under the cap: full alphabet, sorted
     a = bpe.corpus_alphabet(docs, max_alphabet=64)
     assert len(a) == 40 and a == sorted(a)
+
+
+def test_persisted_model_bit_identical_and_verified(spark, tmp_path):
+    """Round-16 persisted tokenizer model: tokenize_ids_from_model ==
+    the inline train+tokenize path row-for-row (the one-truth/two-
+    paths contract); the saved (merges, alphabet) round-trip exactly;
+    verify_bpe_model is green on a good model and flags a tampered
+    rank sequence (gaps silently reorder every downstream encode)."""
+    docs = _docs(spark).limit(200)
+    merges = bpe.train_bpe(docs, n_merges=40)
+    alpha = bpe.corpus_alphabet(docs)
+
+    model = str(tmp_path / "bpe_model")
+    meta = bpe.build_bpe_model(docs, model, n_merges=40)
+    assert meta["n_merges"] == len(merges)
+    m2, a2 = bpe.load_bpe_model(spark, model)
+    assert m2 == merges and a2 == alpha
+
+    inline = sorted(
+        map(tuple, bpe.tokenize_ids(docs, merges, alpha)
+            .select("doc_id", "ids").collect())
+    )
+    from_model = sorted(
+        map(tuple, bpe.tokenize_ids_from_model(docs, model)
+            .select("doc_id", "ids").collect())
+    )
+    assert [(d, tuple(i)) for d, i in inline] == [
+        (d, tuple(i)) for d, i in from_model
+    ] and inline
+
+    assert bpe.verify_bpe_model(spark, model)["ok"]
+
+    # tamper: shift one rank — the audit must flag the gap
+    import os
+
+    mdir = os.path.join(model, "merges")
+    rows = spark.read.parquet(mdir).collect()
+    bad = [
+        (r.rank + 1 if r.rank == 0 else r.rank, r.left, r.right)
+        for r in rows
+    ]
+    spark.createDataFrame(
+        bad, "rank int, left string, right string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "merges_bad"))
+    import shutil
+
+    shutil.rmtree(mdir)
+    os.rename(str(tmp_path / "merges_bad"), mdir)
+    rep = bpe.verify_bpe_model(spark, model)
+    assert not rep["ok"]
+    assert any("0..n-1" in e for e in rep["errors"])
