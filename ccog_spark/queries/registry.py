@@ -244,6 +244,21 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # bucketed prefix sum + pipeline_sequences tail), q16 (E28 ≙ fold q14
 # for the scalar families + q13/q15 tail), corpus_profile
 # (composition ≙ fold text_analysis + dedup_exact, its two stages).
+#
+# Round 16 second rotation (mid-round, new operators — the r14/r15
+# precedent of hash-gating the round's own flagships immediately):
+# ann_sq8r_index (residual SQ8, quant='sq8r'), pipeline_mix_e2e
+# (composed quota → token-mixture → shards) and
+# pipeline_tokenize_index (persisted BPE model) move INTO the fold.
+# Displaced, each keeping ≥1 above-fold family row:
+# pipeline_tokenize (inline twin — the index row reuses its
+# recursive-CTE oracle verbatim, the same inline→tail/index→fold
+# trade as prf/bm25f/sq8 this round), ann_exact (E36 keeps
+# ann_rerank — whose stage 2 IS brute-force cosine on candidates —
+# plus ann_index/ann_index_delete/ann_sq8_index/ann_sq8r_index in
+# the fold; E29 keeps the newly promoted q17), pipeline_decontam
+# (the fold's pipeline_e2e composes the same broadcast semi-join
+# decontam stage; the standalone row stays oracle-gated in the tail).
 REGISTRY: dict[str, QueryFn] = {
     "q01": relational.q01,
     "q02": relational.q02,
@@ -296,10 +311,11 @@ REGISTRY: dict[str, QueryFn] = {
     # posting buckets, corpus text read only for matching docs'
     # slices; shared core ⇒ oracle is pipeline_snippet SQL verbatim
     "pipeline_snippet_index": pipeline.pipeline_snippet_index_q,
-    # r12 fold slot (was q16): BPE train → tokenize (operators/bpe.py
-    # finally has a driver row) — the oracle replays training, encode,
-    # and id assignment data-dependently in recursive-CTE SQL
-    "pipeline_tokenize": pipeline.pipeline_tokenize,
+    # r16 second-rotation fold slot (was pipeline_tokenize — the
+    # inline twin whose recursive-CTE oracle this row reuses
+    # verbatim): tokenization from the PERSISTED BPE model — train
+    # once, parquet merges/alphabet/meta, frozen thereafter
+    "pipeline_tokenize_index": pipeline.pipeline_tokenize_index,
     "q18": llm.q18,
     # r16 fold slot (was pipeline_bm25f — the fold's
     # pipeline_bm25f_index answers the same multi-field oracle from
@@ -369,7 +385,11 @@ REGISTRY: dict[str, QueryFn] = {
     # keep-first, deliberately not a window (skew ledger, PLANS.md)
     "pipeline_line_dedup": pipeline.pipeline_line_dedup,
     # benchmark n-gram decontamination (broadcast semi-join)
-    "pipeline_decontam": pipeline.pipeline_decontam,
+    # r16 second-rotation fold slot (was pipeline_decontam — the
+    # fold's pipeline_e2e composes the same broadcast semi-join
+    # decontam stage): composed data-mixing last mile, quota →
+    # token-budget mixture → shard packing in ONE lazy plan
+    "pipeline_mix_e2e": pipeline.pipeline_mix_e2e,
     "dedup_cc": pipeline.dedup_cc,
     # r14 fold slot (was pipeline_filter): max-score pruning ENGAGED —
     # the pruned plan (candidate union, pushed semi joins, θ probe)
@@ -396,7 +416,12 @@ REGISTRY: dict[str, QueryFn] = {
     # lossless, so the oracle is the unpruned SQL with the fixed
     # rare+stopword batch (pipeline_bm25_pruned's verbatim)
     "pipeline_bm25_blockmax": pipeline.pipeline_bm25_blockmax_q,
-    "ann_exact": pipeline.ann_exact,
+    # r16 second-rotation fold slot (was ann_exact — E36 keeps
+    # ann_rerank, whose stage 2 is brute-force cosine on candidates,
+    # plus 4 more index fold rows; E29 keeps the promoted q17):
+    # RESIDUAL SQ8 index, quant='sq8r' — residual-trained stats,
+    # centroid-added reconstruction, FAISS by_residual
+    "ann_sq8r_index": pipeline.ann_sq8r_index_q,
     # r14 fold slot (was ann_index_append): INCREMENTAL text-index
     # growth — postings/doclens append + staged terms df-merge; the
     # grown index must answer exactly like a from-scratch build over
@@ -643,21 +668,16 @@ REGISTRY: dict[str, QueryFn] = {
     # E35 embedding near-dup ≙ dedup_semantic (fold, same
     # hierarchical assign + cosine verify) + dedup_cc/dedup_minhash
     "dedup_embed": pipeline.dedup_embed,
-    # round 16: RESIDUAL SQ8 index (quant='sq8r', the FAISS
-    # by_residual default) — E36 keeps ann_sq8_index (fold), whose
-    # layout/lifecycle this twins; oracle = the sq8-index SQL with
-    # residual-trained stats + centroid-added reconstruction
-    "ann_sq8r_index": pipeline.ann_sq8r_index_q,
-    # round 16: composed data-mixing last mile — quota → token-budget
-    # mixture → shard packing as ONE lazy plan (pipeline_quota,
-    # pipeline_mixture both fold; pipeline_shards tail); full nested
-    # SQL replay, the pipeline_e2e composition precedent
-    "pipeline_mix_e2e": pipeline.pipeline_mix_e2e,
-    # round 16: tokenization from the PERSISTED BPE model (train once,
-    # parquet merges/alphabet/meta, frozen thereafter) — shared code
-    # with the fold's pipeline_tokenize, whose recursive-CTE oracle
-    # this row reuses verbatim (one truth, two execution paths)
-    "pipeline_tokenize_index": pipeline.pipeline_tokenize_index,
+    # r16 second-rotation displaced fold rows — each keeps ≥1
+    # above-fold family row and stays oracle-gated here:
+    # inline BPE twin — pipeline_tokenize_index (fold) reuses its
+    # recursive-CTE oracle verbatim
+    "pipeline_tokenize": pipeline.pipeline_tokenize,
+    # E36 brute-force baseline ≙ ann_rerank's exact stage (fold) +
+    # q22 tail; E29 ≙ q17 (fold)
+    "ann_exact": pipeline.ann_exact,
+    # broadcast semi-join decontam ≙ pipeline_e2e's stage 4 (fold)
+    "pipeline_decontam": pipeline.pipeline_decontam,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
