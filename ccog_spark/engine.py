@@ -328,6 +328,31 @@ class Engine:
 
         return query_ivfsq_index(self.spark, index_dir, queries, **kwargs)
 
+    def build_bpe_model(self, docs: DataFrame, model_dir: str,
+                        **kwargs) -> dict:
+        """Train a BPE tokenizer once and persist merges/alphabet/meta
+        as parquet (round 16). Frozen after build — a vocabulary
+        change is a rebuild (shifted ids would corrupt every
+        downstream artifact)."""
+        from ccog_spark.operators.bpe import build_bpe_model
+
+        return build_bpe_model(docs, model_dir, **kwargs)
+
+    def tokenize(self, docs: DataFrame, model_dir: str,
+                 **kwargs) -> DataFrame:
+        """Token-id column from the persisted BPE model only — training
+        never re-runs at query time."""
+        from ccog_spark.operators.bpe import tokenize_ids_from_model
+
+        return tokenize_ids_from_model(docs, model_dir, **kwargs)
+
+    def verify_bpe_model(self, model_dir: str) -> dict:
+        """Tokenizer-model integrity audit (rank sequence, meta counts,
+        sentinel) — the verify_*_index twin."""
+        from ccog_spark.operators.bpe import verify_bpe_model
+
+        return verify_bpe_model(self.spark, model_dir)
+
     def hybrid_search(self, ranked_lexical: DataFrame,
                       ranked_vector: DataFrame, id_col: str,
                       **kwargs) -> DataFrame:

@@ -263,3 +263,27 @@ def test_persisted_model_bit_identical_and_verified(spark, tmp_path):
     rep = bpe.verify_bpe_model(spark, model)
     assert not rep["ok"]
     assert any("0..n-1" in e for e in rep["errors"])
+
+
+def test_engine_facade_bpe_model(spark, tmp_path):
+    """Engine.build_bpe_model / tokenize / verify_bpe_model round-trip
+    and agree with the operator-level path."""
+    from ccog_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    eng = Engine(spark=spark, sf_dir=SF_SMOKE)
+    docs = _docs(spark).limit(150)
+    model = str(tmp_path / "eng_bpe")
+    meta = eng.build_bpe_model(docs, model, n_merges=30)
+    assert meta["n_merges"] == 30
+    assert eng.verify_bpe_model(model)["ok"]
+    a = sorted(
+        map(tuple, eng.tokenize(docs, model)
+            .select("doc_id", "ids").collect())
+    )
+    b = sorted(
+        map(tuple, bpe.tokenize_ids_from_model(docs, model)
+            .select("doc_id", "ids").collect())
+    )
+    assert [(d, tuple(i)) for d, i in a] == [(d, tuple(i)) for d, i in b]
+    assert a
