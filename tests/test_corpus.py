@@ -126,37 +126,54 @@ def test_driver_fold_discipline():
         # r10: the rewritten operators + r8 stars (ann_index_append
         # stood down in r14 — growth ≙ ann_index fold row + pinned
         # frozen-model bit-identity; the append-contract fold hash
-        # moved to pipeline_bm25_index_append)
-        "pipeline_span_dedup", "dedup_semantic", "corpus_profile",
+        # moved to pipeline_bm25_index_append; corpus_profile stood
+        # down in r16 — its stages keep text_analysis/dedup_exact)
+        "pipeline_span_dedup", "dedup_semantic",
         # r11: the palette row that completed R4
         "cog_palette",
-        # r12: interp-overview write (R7 closed), BPE driver row, the
-        # E33 custom-stateful verb (the r12 bilinear tap row stood
-        # down in r15 — E21 keeps cog_cubic here + 5 tail kernel rows)
-        "cog_cubic", "pipeline_tokenize", "stream_stateful",
+        # r12: interp-overview write (R7 closed), the E33
+        # custom-stateful verb (the r12 bilinear tap row stood down in
+        # r15 — E21 keeps cog_cubic here + 5 tail kernel rows; the BPE
+        # driver row's fold hash moved to pipeline_tokenize_index in
+        # r16 — same recursive-CTE oracle, persisted-model path)
+        "cog_cubic", "stream_stateful",
         # r13: the retrieval trio (VERDICT r12 #1) + E26 date fns back
         # in (VERDICT r12 #5; the r13 gauss tap row stood down in r15)
         "ann_rerank", "pipeline_bm25", "pipeline_hybrid", "q14",
-        # r14: the r13 index/pruning rows (VERDICT r13 #1) + q16
-        # restoring E28's direct fold row
+        # r14: the r13 index/pruning rows (VERDICT r13 #1; q16 stood
+        # down in r16 for the stale-evidence q10 — E28 ≙ fold q14)
         "pipeline_bm25_pruned", "pipeline_bm25_index",
-        "pipeline_bm25_index_append", "pipeline_hybrid_index", "q16",
+        "pipeline_bm25_index_append", "pipeline_hybrid_index",
         # r14 second rotation: the round's own flagships hash-gated
-        # same-round (q04/pivot_q/q20 stood down, families covered)
-        "pipeline_bm25_index_delete", "pipeline_phrase", "pipeline_bm25f",
+        # same-round (q04/pivot_q/q20 stood down, families covered;
+        # pipeline_bm25f stood down in r16 — its index twin runs the
+        # same oracle from the fold)
+        "pipeline_bm25_index_delete", "pipeline_phrase",
         # r15: the r14 flagships promoted per VERDICT r14 #1
-        # (q11/q12/q13/q15 stood down, families tail-covered)
-        "ann_index_delete", "pipeline_bm25_index_filtered",
-        "ann_autoprobe", "pipeline_prf",
+        # (q11/q12/q13/q15 stood down, families tail-covered;
+        # pipeline_bm25_index_filtered/ann_autoprobe/pipeline_prf
+        # stood down in r16 — filtered retrieval rides the promoted
+        # hybrid_index_filtered row, E36 keeps 5 fold rows, PRF's
+        # oracle runs from the fold's prf_index twin)
+        "ann_index_delete",
         # r15 second rotation: the round's own flagships hash-gated
         # same-round (gauss/bilinear_decimate stood down — E21 keeps
         # cog_cubic in the fold, 5 kernel rows in the tail)
         "pipeline_bm25f_index", "pipeline_prf_index",
-        # r15 third rotation: block-max pruning + SQ8 hash-gated
-        # same-round (ann_ivfpq/dedup_embed stood down — E36 keeps
-        # ann_rerank/ann_index/ann_exact in the fold, E35 keeps
-        # dedup_cc/dedup_semantic/dedup_exact + line/span)
-        "pipeline_bm25_blockmax", "ann_sq8",
+        # r15 third rotation: block-max pruning hash-gated same-round
+        # (ann_ivfpq/dedup_embed stood down; ann_sq8 stood down in
+        # r16 — its quantize/reconstruct CTEs ride the promoted
+        # ann_sq8_index oracle)
+        "pipeline_bm25_blockmax",
+        # r16: the six r15 tail flagships + stale-evidence q10/q17
+        # (VERDICT r15 #1/#4)
+        "ann_sq8_index", "pipeline_mixture", "pipeline_quota",
+        "pipeline_snippet_index", "pipeline_diversified_index",
+        "pipeline_hybrid_index_filtered", "q10", "q17",
+        # r16 second rotation: the round's own flagships hash-gated
+        # same-round (pipeline_tokenize/ann_exact/pipeline_decontam
+        # stood down, families covered — see registry.py notes)
+        "ann_sq8r_index", "pipeline_mix_e2e", "pipeline_tokenize_index",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
