@@ -255,11 +255,13 @@ def write_stream_ann_index(
     quantizer never planned for: compact won't help (layout-only);
     rebuild.
 
-    ``quant`` (round 15): 'pq' (default, 8-byte product codes) or
-    'sq8' (per-dimension scalar codes) — picks the FIRST batch's
-    builder; appends branch on the saved ``meta.quant`` automatically,
-    so every later epoch maintains whichever layout batch one
-    built."""
+    ``quant`` (round 15): 'pq' (default, 8-byte product codes),
+    'sq8' (per-dimension scalar codes) or 'sq8r' (round 16 — scalar
+    codes over IVF residuals, FAISS by_residual) — picks the FIRST
+    batch's builder; appends branch on the saved ``meta.quant``
+    automatically, so every later epoch maintains whichever layout
+    batch one built (sq8r deltas encode residuals under the frozen
+    centroids AND frozen residual stats)."""
     import hashlib
     import os
 
@@ -322,8 +324,13 @@ def apply_ann_index_batch(
             return False
         stats = append_to_index(df, index_dir, epoch_tag=tag)
     else:
-        builder = build_ivfsq_index if quant == "sq8" else build_ivfpq_index
-        stats = builder(df, dim, index_dir, epoch_tag=tag)
+        if quant in ("sq8", "sq8r"):
+            stats = build_ivfsq_index(
+                df, dim, index_dir, epoch_tag=tag,
+                residual=(quant == "sq8r"),
+            )
+        else:
+            stats = build_ivfpq_index(df, dim, index_dir, epoch_tag=tag)
     _write_epoch_marker(epochs_dir, marker)
     if on_epoch is not None:
         on_epoch(epoch_id, stats)

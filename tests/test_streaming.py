@@ -798,3 +798,60 @@ def test_stream_ann_index_sq8_quant(spark, tmp_path):
     )
     rows = query_ivfsq_index(spark, idx, qs, k=3).collect()
     assert len(rows) > 0
+
+
+def test_stream_ann_index_sq8r_quant(spark, tmp_path):
+    """quant='sq8r' (round 16): the first batch builds the RESIDUAL
+    SQ8 layout; later epochs append residual-encoded deltas under the
+    frozen centroids AND frozen residual stats (meta.quant branch),
+    and the grown index is bit-identical to a one-pass residual
+    encode of the union under batch 1's model."""
+    from ccog_spark.operators.ann_index import (
+        _load_centroids,
+        _load_sqstats,
+        _sq_code_frame,
+        query_ivfsq_index,
+        verify_ann_index,
+    )
+    from ccog_spark.streaming.sinks import apply_ann_index_batch
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    part_a = emb.where(F.col("vec_id") % 3 != 0)
+    part_b = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "sq8r_stream")
+
+    assert apply_ann_index_batch(
+        part_a, 0, idx, ns="ck1", dim=dim, quant="sq8r"
+    ) is True
+    assert apply_ann_index_batch(
+        part_b, 1, idx, ns="ck1", dim=dim, quant="sq8r"
+    ) is True
+    meta = spark.read.parquet(idx + "/meta").collect()[0]
+    assert meta.quant == "sq8r"
+    assert verify_ann_index(spark, idx)["ok"]
+    # replay skipped
+    assert apply_ann_index_batch(
+        part_b, 1, idx, ns="ck1", dim=dim, quant="sq8r"
+    ) is False
+
+    # grown codes == one-pass residual encode under batch 1's model
+    ci, cm, cn = _load_centroids(spark, idx)
+    mins, rngs = _load_sqstats(spark, idx)
+    onep = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in _sq_code_frame(
+            emb, ci, cm, cn, mins, rngs, residual=True
+        ).collect()
+    }
+    grown = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(idx + "/codes")
+        .select("vec_id", "cell", "codes").collect()
+    }
+    assert grown == onep
+
+    qs = emb.where(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    assert len(query_ivfsq_index(spark, idx, qs, k=3).collect()) > 0
