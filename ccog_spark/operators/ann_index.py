@@ -74,6 +74,7 @@ def _code_frame(
     cbmat: "np.ndarray",
     dim: int,
     m_blocks: int,
+    residual: bool = False,
 ) -> DataFrame:
     """Fused assign+encode over a corpus with a GIVEN (frozen) model:
     one scan, one Arrow crossing (same stage shape as ivfpq_topk's
@@ -82,7 +83,13 @@ def _code_frame(
     shared √C two-hop assigner (round 10): the hierarchy is a pure
     function of the centroid array, so append re-derives the IDENTICAL
     structure from the saved centroid table — frozen-model bit-identity
-    holds by construction (pinned in test_ann_index)."""
+    holds by construction (pinned in test_ann_index).
+
+    ``residual=True`` (round 16, quant='pqr' — FAISS IndexIVFPQ's
+    by_residual default): the encoded value is the IVF residual
+    x − centroid(cell) and the given codebook must be residual-trained
+    (``_residual_codebook_mat``); per-block codeword selection is the
+    same argmin."""
     from pyspark.sql.functions import pandas_udf
 
     from ccog_spark.operators.similarity import hierarchical_assigner
@@ -96,9 +103,7 @@ def _code_frame(
         x = np.stack([np.asarray(e, dtype="f8") for e in col])
         return pd.Series(assign_batch(x, np.sqrt((x * x).sum(1))))
 
-    @pandas_udf("array<int>")
-    def encode(col: pd.Series) -> pd.Series:
-        x = np.stack([np.asarray(e, dtype="f8") for e in col])
+    def _block_argmin(x: "np.ndarray") -> "np.ndarray":
         n = x.shape[0]
         out = np.empty((n, n_blocks), dtype="i4")
         for m in range(n_blocks):
@@ -110,13 +115,76 @@ def _code_frame(
                 + (cm * cm).sum(1)[None, :]
             )
             out[:, m] = d2.argmin(1)
-        return pd.Series(list(out))
+        return out
+
+    if residual:
+        cpos = {int(c): i for i, c in enumerate(cent_ids)}
+
+        @pandas_udf("array<int>")
+        def encode_res(col: pd.Series, cell: pd.Series) -> pd.Series:
+            x = np.stack([np.asarray(e, dtype="f8") for e in col])
+            idx = np.array(
+                [cpos[int(c)] for c in cell.to_numpy()], "i8"
+            )
+            return pd.Series(list(_block_argmin(x - cmat[idx])))
+
+        # chained projections — assign evaluates once, encode consumes
+        # its column (plan-audited, the _sq_code_frame precedent)
+        assigned = corpus.select(
+            "vec_id",
+            F.col("embedding"),
+            F.coalesce(assign(F.col("embedding")), F.lit(-1)).alias("cell"),
+        )
+        return assigned.select(
+            "vec_id",
+            "cell",
+            encode_res(F.col("embedding"), F.col("cell")).alias("codes"),
+        )
+
+    @pandas_udf("array<int>")
+    def encode(col: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(e, dtype="f8") for e in col])
+        return pd.Series(list(_block_argmin(x)))
 
     return corpus.select(
         "vec_id",
         F.coalesce(assign(F.col("embedding")), F.lit(-1)).alias("cell"),
         encode(F.col("embedding")).alias("codes"),
     )
+
+
+def _residual_codebook_mat(
+    corpus: DataFrame,
+    cent_ids: "np.ndarray",
+    cmat: "np.ndarray",
+    cnrm: "np.ndarray",
+) -> "np.ndarray":
+    """Residual PQ codebook (round 16, quant='pqr'): the SAME
+    deterministic PQ_CB sample rows as ``_codebook_mat``, each
+    replaced by its IVF residual sample − centroid(assigned cell)
+    under the shared √C two-hop assigner — FAISS IndexIVFPQ's
+    by_residual training collapsed to the repo's deterministic-sample
+    codebook rule. Driver-side numpy on PQ_CB_K rows."""
+    from ccog_spark.operators.similarity import (
+        PQ_CB_K,
+        PQ_CB_MOD,
+        PQ_CB_RES,
+        hierarchical_assigner,
+    )
+
+    rows = (
+        corpus.where(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RES)
+        .orderBy("vec_id")
+        .limit(PQ_CB_K)
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([[float(v) for v in r.embedding] for r in rows], "f8")
+    assign_batch = hierarchical_assigner(cent_ids, cmat, cnrm)
+    cells = assign_batch(x, np.sqrt((x * x).sum(1)))
+    cpos = {int(c): i for i, c in enumerate(cent_ids)}
+    idx = np.array([cpos[int(c)] for c in cells], "i8")
+    return x - cmat[idx]
 
 
 def _grp_frame(spark: SparkSession, cent_ids, n_groups: int) -> DataFrame:
@@ -279,6 +347,7 @@ def build_ivfpq_index(
     n_groups: int | None = None,
     meta_cols: tuple[str, ...] = (),
     epoch_tag: str | None = None,
+    residual: bool = False,
 ) -> dict:
     """One corpus pass → persisted index. Returns the meta dict.
     ``n_groups`` defaults to adaptive_n_groups(corpus count) — one
@@ -296,7 +365,16 @@ def build_ivfpq_index(
     ``epoch_tag`` (round 15, VERDICT r14 #3): the streaming sink's
     applied-epoch record ("{ns}:{epoch_id}"), stored in the meta row
     itself so replay detection is transactional with the index write's
-    last step (text_index.build_bm25_index twin)."""
+    last step (text_index.build_bm25_index twin).
+
+    ``residual=True`` (round 16, VERDICT-r15-adjacent —
+    meta.quant='pqr', the FAISS IndexIVFPQ by_residual default): the
+    codebook is trained on the sample rows' IVF residuals and codes
+    encode x − centroid(cell); queries reconstruct
+    x̂ = centroid + decode(codes) and rank by asymmetric cosine.
+    Residual spans are far tighter on clustered corpora, lifting
+    recall at identical 1-byte-per-block codes (measured in
+    scripts/r15_sq8_probe.py's clustered section)."""
     import shutil
 
     spark = corpus.sparkSession
@@ -314,10 +392,15 @@ def build_ivfpq_index(
         # silently join against stale metadata and appends extend it
         shutil.rmtree(vm_dir)
     cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
-    cbmat = _codebook_mat(corpus)
+    cbmat = (
+        _residual_codebook_mat(corpus, cent_ids, cmat, cnrm)
+        if residual
+        else _codebook_mat(corpus)
+    )
 
     codes = _code_frame(
-        corpus, cent_ids, cmat, cnrm, cbmat, dim, m_blocks
+        corpus, cent_ids, cmat, cnrm, cbmat, dim, m_blocks,
+        residual=residual,
     )
     _write_clustered_codes(
         codes, cent_ids, os.path.join(index_dir, "codes"), n_groups,
@@ -355,7 +438,7 @@ def build_ivfpq_index(
         "n_vectors": int(n_vectors),
         "n_groups": n_groups,
         "last_epoch": epoch_tag or "",
-        "quant": "pq",
+        "quant": "pqr" if residual else "pq",
     }
     _write_ann_meta(spark, index_dir, meta)
     return meta
@@ -775,10 +858,14 @@ def append_to_index(
             residual=(quant == "sq8r"),
         )
     else:
+        # pq / pqr: frozen centroids + frozen codebook; the residual
+        # layout additionally encodes delta residuals under the
+        # frozen centroids (round 16 — same contract as sq8r)
         _, cent_ids, cmat, cnrm, cbmat = _load_model(spark, index_dir)
         ic.begin_mutation(index_dir, "append")
         codes = _code_frame(
-            corpus_delta, cent_ids, cmat, cnrm, cbmat, dim, m_blocks
+            corpus_delta, cent_ids, cmat, cnrm, cbmat, dim, m_blocks,
+            residual=(quant == "pqr"),
         )
     # same cell→grp map as build — pure function of the SAVED sorted
     # centroid ids, so appended files land in the matching partition
@@ -991,6 +1078,12 @@ def query_ivfpq_index(
 
     ic.check_not_inflight(index_dir)
     meta = spark.read.parquet(os.path.join(index_dir, "meta")).collect()[0]
+    quant = _meta_quant(meta)
+    if quant in ("sq8", "sq8r"):
+        raise ValueError(
+            f"index at {index_dir!r} is a {quant!r} index — "
+            "use query_ivfsq_index"
+        )
     if nprobe == "auto":
         # occupancy-skew-tuned probe count (round 14, VERDICT r13 #6):
         # derived from the persisted per-cell counts — an index-sized
@@ -1005,11 +1098,84 @@ def query_ivfpq_index(
         key=lambda r: r.j,
     )
     cbmat = np.array([[float(x) for x in r.ce] for r in cb_rows], "f8")
-    _encode, adc_kernel, _qdf = _pq_machinery(
-        None, queries, int(meta.dim), int(meta.m_blocks), cbmat=cbmat
-    )
     cand = _probed_candidates(
         spark, index_dir, queries, meta, nprobe, vec_filter
+    )
+    if quant == "pqr":
+        # residual layout (round 16): candidates are ranked by the
+        # asymmetric cosine against the full reconstruction
+        # x̂ = centroid(cell) + decode(codes) — same kernel shape and
+        # float discipline as the SQ8 path (dim-by-dim left-to-right,
+        # the dimension-ordered SQL list rebuild)
+        from pyspark.sql.functions import pandas_udf
+
+        cent_ids_r, cmat_r, _ = _load_centroids(spark, index_dir)
+        cpos_r = {int(c): i for i, c in enumerate(cent_ids_r)}
+        dim = int(meta.dim)
+        mb = int(meta.m_blocks)
+        dsub = dim // mb
+        qrows = queries.select(
+            "q_id", "q_emb", norm(F.col("q_emb")).alias("qn")
+        ).collect()
+        qidx = {int(r.q_id): i for i, r in enumerate(qrows)}
+        qmat = np.array([[float(x) for x in r.q_emb] for r in qrows], "f8")
+        qn = np.array([float(r.qn) for r in qrows], "f8")
+
+        @pandas_udf("double")
+        def pqr_cos(
+            qid: pd.Series, codes: pd.Series, cell: pd.Series
+        ) -> pd.Series:
+            qi = qid.map(qidx).to_numpy()
+            cm = np.stack([np.asarray(c, dtype="i4") for c in codes])
+            idx = np.array(
+                [cpos_r[int(c)] for c in cell.to_numpy()], "i8"
+            )
+            base = cmat_r[idx]
+            dec = np.empty((len(qi), dim), "f8")
+            for mblk in range(mb):
+                lo = mblk * dsub
+                dec[:, lo : lo + dsub] = cbmat[cm[:, mblk], lo : lo + dsub]
+            dotacc = np.zeros(len(qi), "f8")
+            nrmacc = np.zeros(len(qi), "f8")
+            qsel = qmat[qi]
+            for d in range(dim):
+                xh = base[:, d] + dec[:, d]
+                dotacc = dotacc + qsel[:, d] * xh
+                nrmacc = nrmacc + xh * xh
+            return pd.Series(dotacc / (qn[qi] * np.sqrt(nrmacc)))
+
+        pairs = cand.select(
+            "q_id",
+            "vec_id",
+            pqr_cos(
+                F.col("q_id"), F.col("codes"), F.col("cell")
+            ).alias("cos_raw"),
+        )
+        ranked = pairs.select(
+            "q_id",
+            "vec_id",
+            F.round("cos_raw", 4).alias("cos"),
+            F.row_number()
+            .over(
+                W.partitionBy("q_id").orderBy(
+                    F.col("cos_raw").desc(), F.col("vec_id")
+                )
+            )
+            .alias("rn"),
+        )
+        if rerank_corpus is None:
+            return ranked.where(F.col("rn") <= k)
+        from ccog_spark.operators.similarity import exact_rerank
+
+        if m < k:
+            raise ValueError(
+                f"rerank candidate pool m={m} must be >= k={k} "
+                "(stage 2 can only reorder what stage 1 supplies)"
+            )
+        cands = ranked.where(F.col("rn") <= m).select("q_id", "vec_id")
+        return exact_rerank(rerank_corpus, queries, cands, k)
+    _encode, adc_kernel, _qdf = _pq_machinery(
+        None, queries, int(meta.dim), int(meta.m_blocks), cbmat=cbmat
     )
     pairs = cand.select(
         "q_id",
@@ -1223,7 +1389,9 @@ def verify_ann_index(spark: SparkSession, index_dir: str) -> dict:
                     f"sqstats has {n_dims} rows, expected dim={meta.dim}"
                 )
     elif not os.path.isdir(os.path.join(index_dir, "codebook")):
-        errors.append("meta.quant=pq but codebook/ is missing")
+        errors.append(
+            f"meta.quant={_meta_quant(meta)} but codebook/ is missing"
+        )
 
     return {
         "ok": not errors,

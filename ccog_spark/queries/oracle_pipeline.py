@@ -1273,6 +1273,124 @@ PIPELINE_ORACLE["ann_sq8_index"] = _ivfsq_index_sql()
 # residual quantization, centroid-added reconstruction; everything
 # else (cell chain, probes, ranking) is the sq8-index SQL verbatim.
 PIPELINE_ORACLE["ann_sq8r_index"] = _ivfsq_index_sql(residual=True)
+
+
+def _ivfpqr_index_sql(
+    dim: int = 64,
+    cent_stride: int = 25,
+    nprobe: int = 2,
+    k: int = 3,
+    q_pred: str = "vec_id % 100 = 0",
+) -> str:
+    """Persisted residual IVF+PQ index replay (round 16,
+    quant='pqr' — the FAISS IndexIVFPQ by_residual default): the
+    shared √C two-hop cell chain; the codebook trained on the
+    deterministic sample rows' RESIDUALS (sample − centroid of its
+    assigned cell); per-block codeword argmin over each vector's
+    residual; reconstruction x̂ = cv + (codeword-block concatenation),
+    spelled as the engine kernel's per-dimension cv[d] + dec[d] sum
+    via list_zip; candidates in probed cells ranked by the asymmetric
+    reconstructed cosine (the sq8r ranking contract)."""
+    from ccog_spark.operators.similarity import (
+        PQ_CB_K,
+        PQ_CB_MOD,
+        PQ_CB_RES,
+        PQ_M_BLOCKS,
+    )
+
+    dsub = dim // PQ_M_BLOCKS
+    blocks = range(PQ_M_BLOCKS)
+
+    def block(col: str, m: int) -> str:
+        return f"{col}[{m * dsub + 1}:{m * dsub + dsub}]"
+
+    def d2(x: str, c: str, m: int) -> str:
+        bx, bc = block(x, m), block(c, m)
+        return (
+            f"list_dot_product({bx}, {bx}) - 2 * list_dot_product({bx}, {bc})"
+            f" + list_dot_product({bc}, {bc})"
+        )
+
+    enc_aggs = ",\n         ".join(
+        "MIN({'d': " + d2("re", "ce", m) + ", 'j': j}) AS a" + str(m)
+        for m in blocks
+    )
+    cb_joins = "\n  ".join(
+        f"JOIN cb cb{m} ON cb{m}.j = struct_extract(en.a{m}, 'j')"
+        for m in blocks
+    )
+    dec_cat = " || ".join(
+        f"cb{m}.ce[{m * dsub + 1}:{m * dsub + dsub}]" for m in blocks
+    )
+    return f"""
+WITH nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), {_cells_ctes(cent_stride)}, cbr AS (
+  SELECT vec_id, e FROM nv WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES}
+  ORDER BY vec_id LIMIT {PQ_CB_K}
+), cbres AS (
+  SELECT c.vec_id, list(c.e[t.d] - ct.cv[t.d] ORDER BY t.d) AS e
+  FROM cbr c
+  JOIN cells cl ON cl.vec_id = c.vec_id
+  JOIN cent ct ON ct.cent_id = cl.cell
+  CROSS JOIN UNNEST(range(1, {dim} + 1)) AS t(d)
+  GROUP BY c.vec_id
+), cb AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+         e AS ce
+  FROM cbres
+), rv AS (
+  SELECT nvv.vec_id, list(nvv.e[t.d] - ct.cv[t.d] ORDER BY t.d) AS re
+  FROM nv nvv
+  JOIN cells cl ON cl.vec_id = nvv.vec_id
+  JOIN cent ct ON ct.cent_id = cl.cell
+  CROSS JOIN UNNEST(range(1, {dim} + 1)) AS t(d)
+  GROUP BY nvv.vec_id
+), enc AS (
+  SELECT vec_id,
+         {enc_aggs}
+  FROM rv CROSS JOIN cb GROUP BY vec_id
+), rec AS (
+  SELECT en.vec_id,
+         list_transform(list_zip(ct.cv, {dec_cat}),
+                        p -> p[1] + p[2]) AS xe
+  FROM enc en
+  JOIN cells cl ON cl.vec_id = en.vec_id
+  JOIN cent ct ON ct.cent_id = cl.cell
+  {cb_joins}
+), rnv AS (
+  SELECT vec_id, xe, SQRT(list_dot_product(xe, xe)) AS xn FROM rec
+), q AS (
+  SELECT vec_id AS q_id, e AS qe, nrm AS qn FROM nv WHERE {q_pred}
+), probe AS (
+  SELECT q_id, qe, qn, cent_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY list_dot_product(qe, cv) / (qn * cn) DESC, cent_id
+         ) AS prn
+  FROM q CROSS JOIN cent
+), pairs AS (
+  SELECT p.q_id, c2.vec_id,
+         list_dot_product(p.qe, r.xe) / (p.qn * r.xn) AS cos_raw
+  FROM (SELECT * FROM probe WHERE prn <= {nprobe}) p
+  JOIN cells c2 USING (cell)
+  JOIN rnv r ON r.vec_id = c2.vec_id
+  WHERE c2.vec_id <> p.q_id
+), ranked AS (
+  SELECT q_id, vec_id, ROUND(cos_raw, 4) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+  FROM pairs)
+SELECT q_id, vec_id, cos, rn FROM ranked WHERE rn <= {k}
+ORDER BY q_id, rn
+"""
+
+
+# round 16: residual IVF+PQ index (quant='pqr')
+PIPELINE_ORACLE["ann_pqr_index"] = _ivfpqr_index_sql()
 PIPELINE_ORACLE["ann_index"] = _ivfpq_sql()
 # Incremental append (round 8): build(A = vec_id%3<>0) then append(B)
 # under the FROZEN model — the oracle derives centroids/codebook from

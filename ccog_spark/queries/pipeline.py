@@ -1486,6 +1486,29 @@ def ann_sq8r_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def ann_pqr_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted residual IVF+PQ index (round 16 —
+    ann_index.build_ivfpq_index(residual=True), quant='pqr', the
+    FAISS IndexIVFPQ by_residual default): codebook trained on the
+    deterministic sample rows' residuals, codes encode
+    x − centroid(cell), queries rank the probed cells by the
+    asymmetric cosine against x̂ = centroid + decode(codes) — the
+    sq8r ranking contract at 1 byte/block instead of 1 byte/dim.
+    Oracle = the full SQL replay (_ivfpqr_index_sql): residual
+    codebook, per-block argmin, list_zip reconstruction."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _tmp_index_dir("ccog_ivfpqr", sf_dir)
+    build_ivfpq_index(emb, EMB_DIM, idx, residual=True)
+    return query_ivfpq_index(
+        spark, idx, _queries_subset(emb), k=3
+    ).orderBy("q_id", "rn")
+
+
 def ann_autoprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCCUPANCY-TUNED nprobe (round 14, ann_index.auto_nprobe —
     VERDICT r13 #6): the probe count is derived from the persisted

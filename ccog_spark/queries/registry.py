@@ -678,6 +678,12 @@ REGISTRY: dict[str, QueryFn] = {
     "ann_exact": pipeline.ann_exact,
     # broadcast semi-join decontam ≙ pipeline_e2e's stage 4 (fold)
     "pipeline_decontam": pipeline.pipeline_decontam,
+    # round 16: residual IVF+PQ index (quant='pqr', FAISS by_residual
+    # for the PQ family — the sq8r mechanism at 1 byte/block) — E36
+    # keeps ann_sq8r_index/ann_sq8_index/ann_index in the fold; full
+    # SQL replay (residual codebook, per-block argmin, list_zip
+    # reconstruction)
+    "ann_pqr_index": pipeline.ann_pqr_index_q,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
@@ -713,6 +719,7 @@ NON_BENCH = (
     "ann_sq8_index",  # builds a scalar-quantized ANN index (file IO)
     "ann_sq8r_index",  # builds a residual-SQ8 ANN index (file IO)
     "pipeline_tokenize_index",  # trains + persists a BPE model (file IO)
+    "ann_pqr_index",  # builds a residual-PQ ANN index (file IO)
     "ann_index_filtered",  # builds an ANN index + vecmeta (file IO)
     "ann_autoprobe",  # builds a parquet ANN index per run (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)

@@ -256,12 +256,12 @@ def write_stream_ann_index(
     rebuild.
 
     ``quant`` (round 15): 'pq' (default, 8-byte product codes),
-    'sq8' (per-dimension scalar codes) or 'sq8r' (round 16 — scalar
-    codes over IVF residuals, FAISS by_residual) — picks the FIRST
-    batch's builder; appends branch on the saved ``meta.quant``
-    automatically, so every later epoch maintains whichever layout
-    batch one built (sq8r deltas encode residuals under the frozen
-    centroids AND frozen residual stats)."""
+    'sq8' (per-dimension scalar codes), 'sq8r' or 'pqr' (round 16 —
+    scalar/product codes over IVF residuals, FAISS by_residual) —
+    picks the FIRST batch's builder; appends branch on the saved
+    ``meta.quant`` automatically, so every later epoch maintains
+    whichever layout batch one built (residual deltas encode under
+    the frozen centroids AND frozen residual model)."""
     import hashlib
     import os
 
@@ -330,7 +330,10 @@ def apply_ann_index_batch(
                 residual=(quant == "sq8r"),
             )
         else:
-            stats = build_ivfpq_index(df, dim, index_dir, epoch_tag=tag)
+            stats = build_ivfpq_index(
+                df, dim, index_dir, epoch_tag=tag,
+                residual=(quant == "pqr"),
+            )
     _write_epoch_marker(epochs_dir, marker)
     if on_epoch is not None:
         on_epoch(epoch_id, stats)

@@ -160,16 +160,28 @@ def main():
     cl_r = "/tmp/ccog_r16_probe_cl_sq8r"
     build_ivfsq_index(cl, DIM, cl_p)
     build_ivfsq_index(cl, DIM, cl_r, residual=True)
+    # PQ family twin (round 16, quant='pqr'): same clustered corpus,
+    # 1 byte/block instead of 1 byte/dim
+    cl_pq = "/tmp/ccog_r16_probe_cl_pq"
+    cl_pqr = "/tmp/ccog_r16_probe_cl_pqr"
+    build_ivfpq_index(cl, DIM, cl_pq)
+    build_ivfpq_index(cl, DIM, cl_pqr, residual=True)
 
-    def cl_recall(name, idx_dir, npb):
-        rows = query_ivfsq_index(spark, idx_dir, qc, k=K, nprobe=npb).collect()
+    def cl_recall(name, idx_dir, npb, fn):
+        rows = fn(spark, idx_dir, qc, k=K, nprobe=npb).collect()
         got = {(r.q_id, r.vec_id) for r in rows}
         out[name] = round(len(cl_truth & got) / len(cl_truth), 3)
         print(json.dumps({name: out[name]}), flush=True)
 
     for npb in (8, 64):
-        cl_recall(f"clustered_sq8_np{npb}_recall", cl_p, npb)
-        cl_recall(f"clustered_sq8r_np{npb}_recall", cl_r, npb)
+        cl_recall(f"clustered_sq8_np{npb}_recall", cl_p, npb,
+                  query_ivfsq_index)
+        cl_recall(f"clustered_sq8r_np{npb}_recall", cl_r, npb,
+                  query_ivfsq_index)
+        cl_recall(f"clustered_pq_np{npb}_recall", cl_pq, npb,
+                  query_ivfpq_index)
+        cl_recall(f"clustered_pqr_np{npb}_recall", cl_pqr, npb,
+                  query_ivfpq_index)
     cl.unpersist()
 
     print("RESULT " + json.dumps(out), flush=True)

@@ -883,3 +883,132 @@ def test_verify_flags_missing_model_tables(spark, tmp_path):
     shutil.rmtree(pq + "/codebook")
     rep = verify_ann_index(spark, pq)
     assert any("codebook/ is missing" in e for e in rep["errors"])
+
+
+def test_pqr_residual_lifecycle_and_tighter_reconstruction(
+    spark, tmp_path
+):
+    """residual=True on the PQ index (round 16, quant='pqr' — FAISS
+    IndexIVFPQ by_residual): build(A) + append(B) ≡ one-pass encode of
+    A∪B under A's FROZEN centroids+codebook; delete/compact/verify
+    unchanged; codes stay m_blocks ints/vector. On a clustered corpus
+    the residual codebook reconstructs strictly tighter than the
+    raw-coordinate one (same mechanism as sq8r), and cross-quant verb
+    gates refuse loudly."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    from ccog_spark.operators.ann_index import (
+        _code_frame,
+        _load_model,
+        _write_clustered_codes,
+        append_to_index,
+        build_ivfpq_index,
+        compact_ann_index,
+        delete_from_ann_index,
+        query_ivfpq_index,
+        query_ivfsq_index,
+        verify_ann_index,
+    )
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    a = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "pqr_grow")
+    meta = build_ivfpq_index(a, dim, idx, residual=True)
+    assert meta["quant"] == "pqr"
+    assert verify_ann_index(spark, idx)["ok"]
+    w = spark.read.parquet(idx + "/codes").select(
+        F.size("codes").alias("w")
+    ).distinct().collect()
+    assert [r.w for r in w] == [meta["m_blocks"]]
+
+    meta2 = append_to_index(b, idx)
+    assert meta2["quant"] == "pqr"
+    assert meta2["n_vectors"] == emb.count()
+
+    twin = str(tmp_path / "pqr_twin")
+    os.makedirs(twin)
+    for part in ("centroids", "codebook", "meta"):
+        shutil.copytree(os.path.join(idx, part), os.path.join(twin, part))
+    m_row, ci, cm, cn, cb = _load_model(spark, idx)
+    _write_clustered_codes(
+        _code_frame(emb, ci, cm, cn, cb, dim, int(meta["m_blocks"]),
+                    residual=True),
+        ci, os.path.join(twin, "codes"), int(meta["n_groups"]),
+        "overwrite",
+    )
+    grown = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in spark.read.parquet(idx + "/codes").collect()
+    }
+    onep = {
+        r.vec_id: (r.cell, tuple(r.codes))
+        for r in spark.read.parquet(twin + "/codes").collect()
+    }
+    assert grown == onep
+
+    q = _queries(emb)
+    want = sorted(map(tuple, query_ivfpq_index(spark, twin, q, k=3).collect()))
+    got = sorted(map(tuple, query_ivfpq_index(spark, idx, q, k=3).collect()))
+    assert got == want and len(got) > 0
+
+    dels = emb.where(F.col("vec_id") % 11 == 5).select("vec_id")
+    delete_from_ann_index(spark, idx, dels)
+    del_set = {r.vec_id for r in dels.collect()}
+    surv = sorted(map(tuple, query_ivfpq_index(spark, idx, q, k=3).collect()))
+    assert all(t[1] not in del_set for t in surv)
+    rep = compact_ann_index(spark, idx)
+    assert rep["tombstones_applied"] == len(del_set)
+    assert verify_ann_index(spark, idx)["ok"]
+    assert (
+        sorted(map(tuple, query_ivfpq_index(spark, idx, q, k=3).collect()))
+        == surv
+    )
+
+    # cross-quant gates: the SQ8 verb refuses a pqr index and the PQ
+    # verb refuses an sq8 index (covered elsewhere) — check this side
+    with pytest.raises(ValueError, match="'pqr' index"):
+        query_ivfsq_index(spark, idx, q, k=3)
+
+    # clustered corpus: residual PQ reconstructs strictly tighter
+    # (the sq8r test's corpus/centroid arrangement)
+    rs = np.random.RandomState(11)
+    n_clusters, per, cdim = 24, 25, 16
+    centers = rs.randn(n_clusters, cdim)
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = centers[c] + 0.01 * rs.randn(cdim)
+            rows.append((c * per + j, [float(x) for x in v]))
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cl_r = str(tmp_path / "pqr_clustered")
+    cl_p = str(tmp_path / "pq_clustered")
+    build_ivfpq_index(clustered, cdim, cl_r, residual=True)
+    build_ivfpq_index(clustered, cdim, cl_p)
+    true_x = {r[0]: np.asarray(r[1], "f8") for r in rows}
+
+    def mse(index_dir, residual):
+        mr, ci2, cm2, _cn, cb2 = _load_model(spark, index_dir)
+        cpos = {int(c): i for i, c in enumerate(ci2)}
+        mb = int(mr.m_blocks)
+        dsub = cdim // mb
+        tot = n = 0
+        for r in spark.read.parquet(index_dir + "/codes").collect():
+            dec = np.concatenate([
+                cb2[r.codes[m], m * dsub:(m + 1) * dsub]
+                for m in range(mb)
+            ])
+            xh = (cm2[cpos[int(r.cell)]] + dec) if residual else dec
+            d = xh - true_x[r.vec_id]
+            tot += float((d * d).sum())
+            n += 1
+        return tot / n
+
+    assert mse(cl_r, True) < mse(cl_p, False) / 10

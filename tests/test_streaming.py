@@ -855,3 +855,54 @@ def test_stream_ann_index_sq8r_quant(spark, tmp_path):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
     assert len(query_ivfsq_index(spark, idx, qs, k=3).collect()) > 0
+
+
+def test_stream_ann_index_pqr_quant(spark, tmp_path):
+    """quant='pqr' (round 16): the first batch builds the RESIDUAL PQ
+    layout; later epochs append residual-encoded deltas under the
+    frozen centroids + frozen residual codebook (meta.quant branch)."""
+    from ccog_spark.operators.ann_index import (
+        _code_frame,
+        _load_model,
+        query_ivfpq_index,
+        verify_ann_index,
+    )
+    from ccog_spark.streaming.sinks import apply_ann_index_batch
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    part_a = emb.where(F.col("vec_id") % 3 != 0)
+    part_b = emb.where(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "pqr_stream")
+
+    assert apply_ann_index_batch(
+        part_a, 0, idx, ns="ck1", dim=dim, quant="pqr"
+    ) is True
+    assert apply_ann_index_batch(
+        part_b, 1, idx, ns="ck1", dim=dim, quant="pqr"
+    ) is True
+    meta = spark.read.parquet(idx + "/meta").collect()[0]
+    assert meta.quant == "pqr"
+    assert verify_ann_index(spark, idx)["ok"]
+    assert apply_ann_index_batch(
+        part_b, 1, idx, ns="ck1", dim=dim, quant="pqr"
+    ) is False
+
+    m_row, ci, cm, cn, cb = _load_model(spark, idx)
+    onep = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in _code_frame(
+            emb, ci, cm, cn, cb, dim, int(m_row.m_blocks), residual=True
+        ).collect()
+    }
+    grown = {
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in spark.read.parquet(idx + "/codes")
+        .select("vec_id", "cell", "codes").collect()
+    }
+    assert grown == onep
+
+    qs = emb.where(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    assert len(query_ivfpq_index(spark, idx, qs, k=3).collect()) > 0
