@@ -361,10 +361,12 @@ REGISTRY: dict[str, QueryFn] = {
     # hash-checkable writer proof (write → parse → pixel values);
     # cog_write (structure summary, rows-only) moved to the tail
     "cog_roundtrip": raster_jobs.cog_roundtrip,
-    # r13 fold slot (was cog_window): BM25 lexical retrieval (rational
-    # idf + quantized BIGINT sums) — with the r13 lossless max-score
-    # candidate pruning in the SAME hashed plan
-    "pipeline_bm25": pipeline.pipeline_bm25,
+    # r16 third-rotation fold slot (was pipeline_bm25 — its oracle
+    # runs VERBATIM from the fold's pipeline_bm25_index, and the
+    # inline bm25_topk engaged-planner path keeps the fold's
+    # pipeline_bm25_pruned): stale-evidence rotation, E15 ranking
+    # windows + E18 top-k — driver row last green r01 (VERDICT r15 #4)
+    "q24": relational.q24,
     # LLM-pipeline operator corpus
     "text_analysis": pipeline.text_analysis,
     # r15 fold slot (was bilinear_decimate — E21 keeps cog_cubic in
@@ -484,7 +486,10 @@ REGISTRY: dict[str, QueryFn] = {
     "decim_mode": raster_queries.decim_mode,  # E20 ≙ same family
     "stream_session": streaming_corpus.stream_session,  # ≙ q20 (same result)
     "q21b": llm.q21b,  # E37 text quality ≙ text_analysis, pipeline_filter
-    "q24": relational.q24,  # E15 ≙ q09, E18 ≙ q11
+    # r16 third-rotation displaced fold row: inline BM25 ≙
+    # pipeline_bm25_index (fold, same oracle verbatim) +
+    # pipeline_bm25_pruned (fold, the engaged inline planner)
+    "pipeline_bm25": pipeline.pipeline_bm25,
     "q21": llm.q21,  # E34 exact dedup ≙ dedup_exact, pipeline_filter
     "q23": relational.q23,  # E9/E10 as-of ≙ q23b, asof_union
     # rows-only structure summary; the writer's hash gate is

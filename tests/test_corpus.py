@@ -138,8 +138,11 @@ def test_driver_fold_discipline():
         # r16 — same recursive-CTE oracle, persisted-model path)
         "cog_cubic", "stream_stateful",
         # r13: the retrieval trio (VERDICT r12 #1) + E26 date fns back
-        # in (VERDICT r12 #5; the r13 gauss tap row stood down in r15)
-        "ann_rerank", "pipeline_bm25", "pipeline_hybrid", "q14",
+        # in (VERDICT r12 #5; the r13 gauss tap row stood down in r15;
+        # pipeline_bm25 stood down in r16 — its oracle runs verbatim
+        # from the fold's pipeline_bm25_index, and the inline engaged
+        # planner keeps pipeline_bm25_pruned in the fold)
+        "ann_rerank", "pipeline_hybrid", "q14",
         # r14: the r13 index/pruning rows (VERDICT r13 #1; q16 stood
         # down in r16 for the stale-evidence q10 — E28 ≙ fold q14)
         "pipeline_bm25_pruned", "pipeline_bm25_index",
@@ -174,6 +177,9 @@ def test_driver_fold_discipline():
         # same-round (pipeline_tokenize/ann_exact/pipeline_decontam
         # stood down, families covered — see registry.py notes)
         "ann_sq8r_index", "pipeline_mix_e2e", "pipeline_tokenize_index",
+        # r16 third rotation: stale-evidence q24 (driver row last
+        # green r01)
+        "q24",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
