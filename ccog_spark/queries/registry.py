@@ -407,9 +407,13 @@ REGISTRY: dict[str, QueryFn] = {
     # rows: text_analysis + dedup_exact): stale-evidence rotation,
     # E29 array fns — driver row last green r01 (VERDICT r15 #4)
     "q17": llm.q17,
-    # r13 fold slot (was dedup_ngram): hybrid retrieval — BM25 top-20
-    # and exact-cosine top-20 fused by reciprocal-rank fusion
-    "pipeline_hybrid": pipeline.pipeline_hybrid,
+    # r16 fourth-rotation fold slot (was pipeline_hybrid — its oracle
+    # runs VERBATIM from the fold's pipeline_hybrid_index, plus the
+    # filtered twin; the inline legs keep tail rows): residual IVF+PQ
+    # index, quant='pqr' — the by_residual mechanism for the PQ
+    # family, full SQL replay (residual codebook CTE, per-block
+    # argmin, list_zip reconstruction)
+    "ann_pqr_index": pipeline.ann_pqr_index_q,
     # r15 third rotation fold slot (was dedup_embed — E35 keeps
     # dedup_cc, dedup_semantic, dedup_exact, and both line/span rows
     # in the fold): BLOCK-MAX pruning engaged from the index, the
@@ -683,12 +687,11 @@ REGISTRY: dict[str, QueryFn] = {
     "ann_exact": pipeline.ann_exact,
     # broadcast semi-join decontam ≙ pipeline_e2e's stage 4 (fold)
     "pipeline_decontam": pipeline.pipeline_decontam,
-    # round 16: residual IVF+PQ index (quant='pqr', FAISS by_residual
-    # for the PQ family — the sq8r mechanism at 1 byte/block) — E36
-    # keeps ann_sq8r_index/ann_sq8_index/ann_index in the fold; full
-    # SQL replay (residual codebook, per-block argmin, list_zip
-    # reconstruction)
-    "ann_pqr_index": pipeline.ann_pqr_index_q,
+    # r16 fourth-rotation displaced fold row: inline hybrid RRF ≙
+    # pipeline_hybrid_index (fold, same oracle verbatim) +
+    # pipeline_hybrid_index_filtered (fold); the inline legs keep
+    # pipeline_bm25/ann_exact tail rows
+    "pipeline_hybrid": pipeline.pipeline_hybrid,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

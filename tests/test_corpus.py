@@ -140,9 +140,11 @@ def test_driver_fold_discipline():
         # r13: the retrieval trio (VERDICT r12 #1) + E26 date fns back
         # in (VERDICT r12 #5; the r13 gauss tap row stood down in r15;
         # pipeline_bm25 stood down in r16 — its oracle runs verbatim
-        # from the fold's pipeline_bm25_index, and the inline engaged
-        # planner keeps pipeline_bm25_pruned in the fold)
-        "ann_rerank", "pipeline_hybrid", "q14",
+        # from the fold's pipeline_bm25_index, the inline engaged
+        # planner keeps pipeline_bm25_pruned in the fold; and
+        # pipeline_hybrid likewise — pipeline_hybrid_index runs its
+        # oracle verbatim from the fold, plus the filtered twin)
+        "ann_rerank", "q14",
         # r14: the r13 index/pruning rows (VERDICT r13 #1; q16 stood
         # down in r16 for the stale-evidence q10 — E28 ≙ fold q14)
         "pipeline_bm25_pruned", "pipeline_bm25_index",
@@ -180,6 +182,8 @@ def test_driver_fold_discipline():
         # r16 third rotation: stale-evidence q24 (driver row last
         # green r01)
         "q24",
+        # r16 fourth rotation: the round's residual-PQ flagship
+        "ann_pqr_index",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
