@@ -162,7 +162,13 @@ def _pruned_postings(
     Skipped for very large term batches (expression bloat dwarfs the
     stats win — the ANN isin-skip precedent). An empty term list gets
     an always-false literal (isin() rejects zero args) so the (empty)
-    plan stays well-formed."""
+    plan stays well-formed.
+
+    Round 16: with a bucket manifest present the matched buckets'
+    files are opened BY NAME (no partition discovery across up to
+    4096 directories per query); the returned ``bkts`` list lets
+    callers route their terms/blockstats reads through
+    ``_manifest_bucket_read`` with the same bucket set."""
     if tlist:
         bkts = sorted(
             {
@@ -177,15 +183,93 @@ def _pruned_postings(
     else:
         bkts = []
     bkt_pred = F.col("bkt").isin(bkts) if bkts else F.lit(False)
-    postings = spark.read.parquet(os.path.join(index_dir, "postings")).where(
-        bkt_pred
-    )
+    postings = _manifest_bucket_read(spark, index_dir, "postings", bkts)
+    if postings is None:
+        postings = spark.read.parquet(
+            os.path.join(index_dir, "postings")
+        ).where(bkt_pred)
     if tlist and len(tlist) <= _TERM_ISIN_CAP:
         postings = postings.where(F.col("t").isin(tlist))
-    return postings, bkt_pred
+    return postings, bkt_pred, bkts
 
 
 _FWD_MANIFEST = "forward_manifest.json"
+_BKT_MANIFEST = "bucket_manifest.json"
+# the bkt-partitioned tables an index may hold; a manifest entry
+# exists per table that exists on disk at (re)write time
+_BKT_TABLES = ("postings", "terms", "blockstats")
+
+
+def _write_bucket_manifest(index_dir: str) -> dict:
+    """(Re)write the bkt → file-list manifest for every bucket-
+    partitioned table (round 16 — the forward-table manifest's
+    generalization to the QUERY hot path): one driver-side walk at
+    WRITE time replaces a per-query listing of up to 4096 partition
+    directories per table. Written atomically; every verb that
+    mutates postings/terms/blockstats (build, append, delete's terms
+    rewrite, compact — text AND bm25f families) calls this inside its
+    mutation bracket, and ``verify_text_index`` audits drift. Absent
+    manifest = pre-round-16 index → reads fall back to partition
+    discovery."""
+    import json
+
+    man: dict[str, dict[str, list[str]]] = {}
+    for table in _BKT_TABLES:
+        tdir = os.path.join(index_dir, table)
+        if not os.path.isdir(tdir):
+            continue
+        tman: dict[str, list[str]] = {}
+        for d in sorted(os.listdir(tdir)):
+            if not d.startswith("bkt="):
+                continue
+            files = sorted(
+                f
+                for f in os.listdir(os.path.join(tdir, d))
+                if f.endswith(".parquet")
+            )
+            if files:
+                tman[d.split("=", 1)[1]] = [f"{d}/{f}" for f in files]
+        man[table] = tman
+    tmp = os.path.join(index_dir, _BKT_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(index_dir, _BKT_MANIFEST))
+    return man
+
+
+def _read_bucket_manifest(index_dir: str) -> dict | None:
+    import json
+
+    p = os.path.join(index_dir, _BKT_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _manifest_bucket_read(
+    spark: SparkSession, index_dir: str, table: str, bkts: list
+):
+    """Manifest-named-file read of a bucket-partitioned table for the
+    given bkt list, or None when the index predates the manifest (or
+    the table has no entry) — callers fall back to the
+    partition-discovery + ``bkt IN (…)`` read. basePath keeps the bkt
+    partition column; row-group data filters still push into the
+    named files."""
+    man = _read_bucket_manifest(index_dir)
+    if man is None or table not in man:
+        return None
+    tdir = os.path.join(index_dir, table)
+    files = [
+        os.path.join(tdir, rel)
+        for b in bkts
+        for rel in man[table].get(str(b), ())
+    ]
+    if not files:
+        # no matched bucket holds rows — well-formed empty plan with
+        # the live schema (one listing, edge case only)
+        return spark.read.parquet(tdir).where(F.lit(False))
+    return spark.read.option("basePath", tdir).parquet(*files)
 
 
 def _write_forward_manifest(index_dir: str) -> dict:
@@ -405,6 +489,7 @@ def build_bm25_index(
             )
     finally:
         tf.unpersist()
+    _write_bucket_manifest(index_dir)
 
     # corpus stats from the WRITTEN doclens (no further corpus pass);
     # spelled as the same count/sum aggregate bm25_topk keeps in-plan
@@ -552,6 +637,7 @@ def append_to_text_index(
     live = os.path.join(index_dir, "terms")
     shutil.rmtree(live)
     os.rename(stage, live)
+    _write_bucket_manifest(index_dir)
 
     # corpus stats from the written doclens MINUS pending tombstones
     # (an earlier delete leaves its rows physical until compact —
@@ -757,6 +843,7 @@ def delete_from_text_index(
     live = os.path.join(index_dir, "terms")
     shutil.rmtree(live)
     os.rename(stage, live)
+    _write_bucket_manifest(index_dir)
 
     n_terms = spark.read.parquet(live).count()
     new_meta = {
@@ -885,6 +972,7 @@ def compact_text_index(spark: SparkSession, index_dir: str) -> dict:
         os.rename(bs_stage, bs_live)
     shutil.rmtree(live)
     os.rename(stage, live)
+    _write_bucket_manifest(index_dir)
     ic.clear_tombstones(index_dir)
     _write_meta(
         spark, index_dir,
@@ -964,7 +1052,9 @@ def query_bm25_index(
         .distinct()
     )
     tlist = [r["t"] for r in qterms.select("t").distinct().collect()]
-    postings, bkt_pred = _pruned_postings(spark, index_dir, n_buckets, tlist)
+    postings, bkt_pred, bkts = _pruned_postings(
+        spark, index_dir, n_buckets, tlist
+    )
     # pending deletions (round 14): tombstoned docs' postings and
     # doclens rows are still physically present until compact — the
     # anti-joins below, together with the already-decremented df/meta
@@ -973,11 +1063,12 @@ def query_bm25_index(
     postings = ic.anti_tombstones(
         postings.select(id_col, "t", "tf"), tomb, id_col
     )
-    terms = (
-        spark.read.parquet(os.path.join(index_dir, "terms"))
-        .where(bkt_pred)
-        .select("t", "df")
-    )
+    terms = _manifest_bucket_read(spark, index_dir, "terms", bkts)
+    if terms is None:
+        terms = spark.read.parquet(
+            os.path.join(index_dir, "terms")
+        ).where(bkt_pred)
+    terms = terms.select("t", "df")
     doclens = ic.anti_tombstones(
         spark.read.parquet(os.path.join(index_dir, "doclens")), tomb, id_col
     )
@@ -1022,11 +1113,14 @@ def query_bm25_index(
         # same bkt partition pruning as the terms read; tombstoned
         # docs need no handling here (stale-high ceilings only loosen
         # the lossless bound — see build_bm25_index's docstring)
-        blockstats = (
-            spark.read.parquet(os.path.join(index_dir, "blockstats"))
-            .where(bkt_pred)
-            .select("t", "blk", "max_tf")
+        blockstats = _manifest_bucket_read(
+            spark, index_dir, "blockstats", bkts
         )
+        if blockstats is None:
+            blockstats = spark.read.parquet(
+                os.path.join(index_dir, "blockstats")
+            ).where(bkt_pred)
+        blockstats = blockstats.select("t", "blk", "max_tf")
     return _bm25_rank(
         spark, postings, doclens, terms, stats, qterms,
         k=k, k1=k1, b=b, id_col=id_col,
@@ -1095,7 +1189,9 @@ def _positional_toks(
         .distinct()
     )
     tlist = [r["t"] for r in pterms.select("t").distinct().collect()]
-    postings, bkt_pred = _pruned_postings(spark, index_dir, n_buckets, tlist)
+    postings, bkt_pred, bkts = _pruned_postings(
+        spark, index_dir, n_buckets, tlist
+    )
     postings = ic.anti_tombstones(
         postings.select(id_col, "t", "pos"),
         ic.read_tombstones(spark, index_dir, id_col),
@@ -1286,6 +1382,35 @@ def verify_text_index(spark: SparkSession, index_dir: str) -> dict:
                         f"{len(live_files - man_files)} unlisted files"
                     )
 
+    # bucket-manifest audit (round 16): the stored file lists must
+    # match the live directories exactly for every bkt-partitioned
+    # table — a stale manifest would silently drop postings (wrong
+    # answers, not just slow ones). Absent manifest = pre-r16 index
+    # (reads fall back to partition discovery), not an error.
+    bman = _read_bucket_manifest(index_dir)
+    if bman is not None:
+        for table in _BKT_TABLES:
+            tdir = os.path.join(index_dir, table)
+            if not os.path.isdir(tdir):
+                continue
+            live_files = set()
+            for d in os.listdir(tdir):
+                if d.startswith("bkt="):
+                    live_files.update(
+                        f"{d}/{f}"
+                        for f in os.listdir(os.path.join(tdir, d))
+                        if f.endswith(".parquet")
+                    )
+            man_files = {
+                rel for v in bman.get(table, {}).values() for rel in v
+            }
+            if man_files != live_files:
+                errors.append(
+                    f"bucket manifest drift on {table}: "
+                    f"{len(man_files - live_files)} stale, "
+                    f"{len(live_files - man_files)} unlisted files"
+                )
+
     # block-max ceiling audit (round 15): a stored ceiling may be
     # stale-HIGH (deletes leave it; the bound only loosens) but a
     # ceiling BELOW the live max, or a live (t, blk) with no stored
@@ -1438,6 +1563,7 @@ def build_bm25f_index(
         )
     finally:
         tf_wide.unpersist()
+    _write_bucket_manifest(index_dir)
 
     # per-field sum_dl from the WRITTEN doclens (no further tokenize
     # pass); n_docs counts ALL docs — the inline operator's
@@ -1537,6 +1663,7 @@ def delete_from_bm25f_index(
     live = os.path.join(index_dir, "terms")
     shutil.rmtree(live)
     os.rename(stage, live)
+    _write_bucket_manifest(index_dir)
 
     n_terms = spark.read.parquet(live).count()
     new_meta = {
@@ -1603,6 +1730,7 @@ def compact_bm25f_index(spark: SparkSession, index_dir: str) -> dict:
         os.rename(dl_stage, dl_live)
     shutil.rmtree(live)
     os.rename(stage, live)
+    _write_bucket_manifest(index_dir)
     ic.clear_tombstones(index_dir)
     new_meta = {
         **{k: meta.get(k) for k in _BM25F_META_KEYS},
@@ -1665,7 +1793,9 @@ def query_bm25f_index(
         .distinct()
     )
     tlist = [r["t"] for r in qterms.select("t").distinct().collect()]
-    postings, bkt_pred = _pruned_postings(spark, index_dir, n_buckets, tlist)
+    postings, bkt_pred, bkts = _pruned_postings(
+        spark, index_dir, n_buckets, tlist
+    )
     # pending deletions (round 15): tombstoned docs' rows stay
     # physical until compact — anti-joins + the already-decremented
     # df/n_docs/sum_dls make the query bit-identical to a
@@ -1690,11 +1820,12 @@ def query_bm25f_index(
         qsum = c if qsum is None else qsum + c
     combined = cand.select(id_col, "t", qsum.alias("qsum"))
 
-    dfs = (
-        spark.read.parquet(os.path.join(index_dir, "terms"))
-        .where(bkt_pred)
-        .select("t", "df")
-    )
+    dfs = _manifest_bucket_read(spark, index_dir, "terms", bkts)
+    if dfs is None:
+        dfs = spark.read.parquet(
+            os.path.join(index_dir, "terms")
+        ).where(bkt_pred)
+    dfs = dfs.select("t", "df")
     n_docs_frame = spark.createDataFrame([(n_docs,)], "n_docs bigint")
     return _bm25f_rank(combined, dfs, qterms, n_docs_frame, k, k1, id_col)
 
@@ -1790,6 +1921,7 @@ def append_to_bm25f_index(
     live = os.path.join(index_dir, "terms")
     shutil.rmtree(live)
     os.rename(stage, live)
+    _write_bucket_manifest(index_dir)
 
     n_terms = spark.read.parquet(live).count()
     new_sums = [
@@ -1920,15 +2052,18 @@ def query_bm25_prf_index(
     # derives from a collect of the expanded batch — query-batch-sized,
     # the same driver-side cost every index query verb already pays)
     tlist = [r["t"] for r in qterms.select("t").distinct().collect()]
-    postings, bkt_pred = _pruned_postings(spark, index_dir, n_buckets, tlist)
+    postings, bkt_pred, bkts = _pruned_postings(
+        spark, index_dir, n_buckets, tlist
+    )
     postings = ic.anti_tombstones(
         postings.select(id_col, "t", "tf"), tomb, id_col
     )
-    terms = (
-        spark.read.parquet(os.path.join(index_dir, "terms"))
-        .where(bkt_pred)
-        .select("t", "df")
-    )
+    terms = _manifest_bucket_read(spark, index_dir, "terms", bkts)
+    if terms is None:
+        terms = spark.read.parquet(
+            os.path.join(index_dir, "terms")
+        ).where(bkt_pred)
+    terms = terms.select("t", "df")
     doclens = ic.anti_tombstones(
         spark.read.parquet(os.path.join(index_dir, "doclens")), tomb, id_col
     )

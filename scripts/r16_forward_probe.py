@@ -98,6 +98,35 @@ def main():
         os.rename(man + ".aside", man)
     assert a == b == c, "all three reads must return identical rows"
     assert all(t[0] in wset for t in a)
+
+    # round 16 follow-up: the BUCKET manifest on the query hot path —
+    # a BM25 query batch against the same 1024-bucket index, manifest
+    # (named postings/terms files) vs partition discovery
+    from ccog_spark.operators.text_index import (
+        _BKT_MANIFEST,
+        _write_bucket_manifest,
+        query_bm25_index,
+    )
+
+    _write_bucket_manifest(idx)  # index may predate the manifest
+    qb = spark.createDataFrame(
+        [(1, "dup the stream"), (2, "dup value data")],
+        "q_id long, q_text string",
+    )
+    d = timed(
+        "bm25_query_bucket_manifest_sec",
+        lambda: query_bm25_index(spark, idx, qb, k=5),
+    )
+    bman = os.path.join(idx, _BKT_MANIFEST)
+    os.rename(bman, bman + ".aside")
+    try:
+        e = timed(
+            "bm25_query_bucket_listing_sec",
+            lambda: query_bm25_index(spark, idx, qb, k=5),
+        )
+    finally:
+        os.rename(bman + ".aside", bman)
+    assert d == e, "manifest and discovery reads must answer identically"
     print("RESULT " + json.dumps(out), flush=True)
 
 

@@ -49,10 +49,16 @@ def test_index_query_bit_identical_to_inline(spark, tmp_path):
 
 
 def test_index_postings_scan_is_bucket_pruned(spark, tmp_path):
-    """The postings scan must carry bkt partition filters (exact
-    partition pruning — the text analogue of the ANN codes grp
-    layout), and the query batch's bucket set must be a strict subset
-    of the written directories."""
+    """The postings scan reads ONLY the query terms' buckets. Round 16
+    strengthens the mechanism: with the bucket manifest the matched
+    buckets' files are opened BY NAME (inputFiles ⊊ written files, ≤
+    |distinct terms| bkt dirs touched, no partition discovery); with
+    the manifest removed (pre-r16 index) the old bkt PartitionFilters
+    plan is the fallback. The In(t) data filter pushes into the scan
+    either way (row-group stats pruning — postings are (t, id)-
+    sorted)."""
+    from ccog_spark.operators.text_index import _BKT_MANIFEST
+
     docs = _docs(spark)
     qs = spark.createDataFrame(
         [(1, "dup the"), (2, "dup stream")], "q_id long, q_text string"
@@ -60,24 +66,38 @@ def test_index_postings_scan_is_bucket_pruned(spark, tmp_path):
     idx = str(tmp_path / "bm25_idx_prune")
     build_bm25_index(docs, idx, n_buckets=32)
 
-    df = query_bm25_index(spark, idx, qs, k=3)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
-    )
-    assert "PartitionFilters" in plan and "bkt" in plan
-    # the In(t) data filter reaches the scan too (row-group stats
-    # pruning inside matched buckets — postings are (t, id)-sorted)
+
+    df = query_bm25_index(spark, idx, qs, k=3)
+    plan = plan_of(df)
     assert "PushedFilters" in plan and "In(t," in plan.replace(" ", "")
-    all_dirs = {
-        os.path.basename(p)
-        for p in glob.glob(os.path.join(idx, "postings", "bkt=*"))
+    all_files = {
+        p
+        for p in glob.glob(os.path.join(idx, "postings", "bkt=*", "*"))
+        if p.endswith(".parquet")
     }
-    # 3 distinct terms → ≤ 3 of the written bucket dirs are readable
-    assert len(all_dirs) > 3
+    touched = {
+        f.split("://")[-1]
+        for f in df.inputFiles()
+        if "/postings/" in f
+    }
+    assert touched and touched < all_files
+    dirs = {os.path.basename(os.path.dirname(f)) for f in touched}
+    assert len(dirs) <= 3  # 3 distinct query terms
     rows = df.collect()
     assert len(rows) > 0
+
+    # fallback (manifest removed): the pre-r16 partition-filter plan
+    os.remove(os.path.join(idx, _BKT_MANIFEST))
+    df2 = query_bm25_index(spark, idx, qs, k=3)
+    plan2 = plan_of(df2)
+    assert "PartitionFilters" in plan2 and "bkt" in plan2
+    assert sorted(map(tuple, df2.collect())) == sorted(map(tuple, rows))
 
 
 def test_index_pruned_query_lossless(spark, tmp_path):
@@ -638,7 +658,19 @@ def test_filtered_retrieval_predicate_pushdown(spark, tmp_path):
     )
     flat = plan.replace(" ", "")
     assert "In(source," in flat  # predicate pushed into the docmeta scan
-    assert "PartitionFilters" in plan and "bkt" in plan  # pruning intact
+    # bucket pruning intact (round 16: the manifest opens the matched
+    # buckets' NAMED postings files — a strict subset of the table)
+    all_files = {
+        p
+        for p in glob.glob(os.path.join(idx, "postings", "bkt=*", "*"))
+        if p.endswith(".parquet")
+    }
+    touched = {
+        f.split("://")[-1]
+        for f in df.inputFiles()
+        if "/postings/" in f
+    }
+    assert touched and touched < all_files
     assert len(df.collect()) > 0
 
 
@@ -1367,6 +1399,12 @@ def test_blockmax_lossless_engaged_and_live(spark, tmp_path):
     ).partitionBy("bkt").parquet(stage)
     shutil.rmtree(os.path.join(idx, "blockstats"))
     os.rename(stage, os.path.join(idx, "blockstats"))
+    # the tamper targets ceiling VALUES; refresh the round-16 bucket
+    # manifest so the named-file read sees the swapped files (a stale
+    # manifest is ITS OWN audited failure mode)
+    from ccog_spark.operators.text_index import _write_bucket_manifest
+
+    _write_bucket_manifest(idx)
     d = sorted(map(tuple, query_bm25_index(
         spark, idx, q, k=5, min_postings=0, block_max="force").collect()))
     assert d != b, "tampered ceilings must change the engaged plan"
@@ -1412,6 +1450,9 @@ def test_blockmax_cost_gate_thresholds(spark, tmp_path, monkeypatch):
     ).partitionBy("bkt").parquet(stage)
     shutil.rmtree(os.path.join(idx, "blockstats"))
     os.rename(stage, os.path.join(idx, "blockstats"))
+    from ccog_spark.operators.text_index import _write_bucket_manifest
+
+    _write_bucket_manifest(idx)
 
     # default floor: gate declines, tampering invisible
     got = sorted(map(tuple, query_bm25_index(
@@ -1514,3 +1555,77 @@ def test_blockmax_composes_with_doc_filter(spark, tmp_path):
         r.doc_id for r in docs.where(F.expr(pred)).select("doc_id").collect()
     }
     assert all(t[1] in allowed for t in a)
+
+
+def test_bucket_manifest_lifecycle_and_fallback(spark, tmp_path):
+    """Round-16 bucket manifest: build writes bkt→file lists for
+    postings/terms/blockstats; append/delete/compact refresh it (the
+    lifecycle tests above already prove queries stay bit-identical
+    through every verb — here: the file lists themselves track the
+    mutations); verify flags a stale manifest per table; deleting the
+    manifest falls back to partition discovery with identical
+    answers."""
+    import json
+
+    from ccog_spark.operators.text_index import (
+        _BKT_MANIFEST,
+        append_to_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        verify_text_index,
+    )
+
+    docs = _docs(spark)
+    qs = _queries(spark, docs)
+    idx = str(tmp_path / "bkt_man_idx")
+    build_bm25_index(
+        docs.where(F.col("doc_id") % 7 != 0), idx, n_buckets=32,
+        block_max=True,
+    )
+    man_path = os.path.join(idx, _BKT_MANIFEST)
+    man0 = json.load(open(man_path))
+    assert set(man0) == {"postings", "terms", "blockstats"}
+    for table in man0:
+        live = {
+            f"{d}/{f}"
+            for d in os.listdir(f"{idx}/{table}")
+            if d.startswith("bkt=")
+            for f in os.listdir(f"{idx}/{table}/{d}")
+            if f.endswith(".parquet")
+        }
+        assert {r for v in man0[table].values() for r in v} == live
+
+    # append grows postings/blockstats file lists and rewrites terms
+    append_to_text_index(docs.where(F.col("doc_id") % 7 == 0), idx)
+    man1 = json.load(open(man_path))
+    f0 = {r for v in man0["postings"].values() for r in v}
+    f1 = {r for v in man1["postings"].values() for r in v}
+    assert f0 < f1
+    assert verify_text_index(spark, idx)["ok"]
+
+    # stale manifest → per-table drift flagged
+    json.dump(man0, open(man_path, "w"))
+    rep = verify_text_index(spark, idx)
+    assert not rep["ok"]
+    assert any("bucket manifest drift on postings" in e
+               for e in rep["errors"])
+    json.dump(man1, open(man_path, "w"))
+
+    # delete rewrites terms → manifest follows; compact rewrites all
+    delete_from_text_index(
+        spark, idx, docs.where(F.col("doc_id") % 13 == 3).select("doc_id")
+    )
+    man2 = json.load(open(man_path))
+    assert (
+        {r for v in man2["terms"].values() for r in v}
+        != {r for v in man1["terms"].values() for r in v}
+    )
+    compact_text_index(spark, idx)
+    assert verify_text_index(spark, idx)["ok"]
+
+    # fallback: without the manifest the discovery read answers the same
+    want = sorted(map(tuple, query_bm25_index(spark, idx, qs, k=5).collect()))
+    os.remove(man_path)
+    got = sorted(map(tuple, query_bm25_index(spark, idx, qs, k=5).collect()))
+    assert got == want and want
+    assert verify_text_index(spark, idx)["ok"]  # absent = pre-r16, ok
