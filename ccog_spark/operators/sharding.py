@@ -329,3 +329,113 @@ def sample_token_budget(
                < F.col("_budget"))
         .select(id_col, group_col, "n_tok")
     )
+
+
+# TakeOrdered rows a single boundary refinement may pull to the driver
+# (all composites inside ONE histogram bucket up to the boundary
+# offset). A bucket this hot means bucket_width is mis-sized for the
+# value distribution — fail loudly instead of flooding the driver.
+_QSPLIT_TAKE_CAP = 1_000_000
+
+
+def exact_quantile_boundaries(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    bucket_width: int = 1 << 20,
+) -> list[tuple[int, int]]:
+    """Exact k-quantile boundary composites of the (value, id) order —
+    distributed selection WITHOUT a global window (round 16; the
+    CCNet head/middle/tail split needs exact quantile cuts, and
+    ``NTILE(k) OVER (ORDER BY …)`` is the classic one-partition scale
+    killer this module exists to avoid):
+
+    1. one map-side-combinable histogram aggregate over
+       ``value DIV bucket_width`` (truncating division is monotone
+       for positive widths, so bucket order = value order), cumulated
+       on the driver (``_MAX_DRIVER_BUCKETS`` cap, loud);
+    2. per boundary rank, ONE TakeOrderedAndProject confined to the
+       boundary's histogram bucket (filter pushes into the scan) —
+       the driver receives ≤ in-bucket-offset + 1 composites
+       (``_QSPLIT_TAKE_CAP`` cap, loud).
+
+    Returns ``k − 1`` composites: boundary j is the row at 0-indexed
+    global rank ceil(j·n/k) under ``ORDER BY value, id`` — exactly
+    where ``NTILE(k)`` starts bucket j + 1 (ties are impossible: ids
+    are unique, so composites are distinct)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    n = df.count()
+    if n == 0:
+        return []
+    vb = F.expr(f"`{value_col}` DIV {bucket_width}")
+    rows = (
+        df.groupBy(vb.alias("_vb"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(_MAX_DRIVER_BUCKETS + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_DRIVER_BUCKETS:
+        raise ValueError(
+            "exact_quantile_boundaries: histogram exceeds "
+            f"{_MAX_DRIVER_BUCKETS} driver rows — raise bucket_width"
+        )
+    hist = sorted((int(r["_vb"]), int(r["_c"])) for r in rows)
+    bounds: list[tuple[int, int]] = []
+    for j in range(1, k):
+        r_j = -(-j * n // k)  # ceil(j*n/k): first rank of bucket j+1
+        acc = 0
+        for b, c in hist:
+            if acc + c > r_j:
+                off = r_j - acc
+                if off + 1 > _QSPLIT_TAKE_CAP:
+                    raise ValueError(
+                        "exact_quantile_boundaries: boundary bucket "
+                        f"holds > {_QSPLIT_TAKE_CAP} rows before the "
+                        "cut — lower bucket_width for this value "
+                        "distribution"
+                    )
+                take = (
+                    df.where(vb == F.lit(b))
+                    .select(value_col, id_col)
+                    .orderBy(
+                        F.col(value_col).asc(), F.col(id_col).asc()
+                    )
+                    .limit(off + 1)
+                    .collect()
+                )
+                last = take[-1]
+                bounds.append((int(last[0]), int(last[1])))
+                break
+            acc += c
+    return bounds
+
+
+def exact_quantile_split(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    out: str = "bucket",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Assign every row its EXACT ``NTILE(k)`` bucket (1..k) under
+    ``ORDER BY value, id`` — without the global window: boundaries
+    from ``exact_quantile_boundaries`` (two capped driver actions),
+    then one map-side comparison expression against the broadcast
+    composites. bucket(row at 0-indexed rank r) = 1 + floor(r·k/n) ≡
+    1 + |{j : (value, id) ≥ boundary_j}| (r ≥ ceil(j·n/k) ⇔
+    j ≤ floor(r·k/n) — the identity the oracle's ROW_NUMBER replay
+    checks at every scale factor). The CCNet perplexity-bucket verb:
+    split a scored corpus into head/middle/tail thirds exactly."""
+    bounds = exact_quantile_boundaries(
+        df, value_col, k, id_col=id_col, bucket_width=bucket_width
+    )
+    expr = F.lit(1)
+    for v, i in bounds:
+        ge = (F.col(value_col) > F.lit(v)) | (
+            (F.col(value_col) == F.lit(v)) & (F.col(id_col) >= F.lit(i))
+        )
+        expr = expr + ge.cast("int")
+    return df.withColumn(out, expr)

@@ -2639,3 +2639,42 @@ PIPELINE_ORACLE["pipeline_hybrid_index_filtered"] = _hybrid_filtered_sql()
 PIPELINE_ORACLE["pipeline_tokenize_index"] = (
     PIPELINE_ORACLE["pipeline_tokenize"]
 )
+
+# round 16: CCNet perplexity tertiles — the LM scoring CTEs verbatim
+# (one truth with pipeline_lm), then the exact-NTILE identity the
+# engine's distributed selection must reproduce: bucket =
+# 1 + floor(rank·3/n) under ORDER BY qscore, doc_id, where qscore is
+# the integer quantized mean (the BIGINT before pipeline_lm's display
+# division — both engines recover it exactly via FLOOR(score·1e6+0.5)).
+PIPELINE_ORACLE["pipeline_lm_buckets"] = """
+WITH g AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram,
+         substr(text, CAST(i AS INT), 2) AS ctx
+  FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+), gc AS (
+  SELECT gram, COUNT(*) AS c FROM g GROUP BY gram
+), cc AS (
+  SELECT substr(gram, 1, 2) AS ctx, SUM(c) AS c FROM gc GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT substr(gram, 3, 1)) AS v FROM gc
+), q AS (
+  SELECT g.doc_id,
+         CAST(FLOOR(((gc.c + 1) / CAST(cc.c + v.v AS DOUBLE)) * 1000000
+                    + 0.5) AS BIGINT) AS q
+  FROM g JOIN gc USING (gram) JOIN cc USING (ctx) CROSS JOIN v
+), s AS (
+  SELECT doc_id,
+         CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+           AS qscore
+  FROM q GROUP BY doc_id
+), r AS (
+  SELECT doc_id, qscore,
+         ROW_NUMBER() OVER (ORDER BY qscore, doc_id) - 1 AS rk,
+         COUNT(*) OVER () AS n
+  FROM s
+)
+SELECT doc_id, qscore, CAST(1 + (rk * 3) // n AS INT) AS bucket
+FROM r
+ORDER BY doc_id
+"""

@@ -1668,6 +1668,31 @@ def pipeline_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality(docs, n=3).orderBy("doc_id")
 
 
+def pipeline_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (round 16,
+    sharding.exact_quantile_split over operators.lm scores): score
+    every document with the char-trigram LM, then split the corpus
+    into EXACT score tertiles — boundaries found by distributed
+    selection (histogram + confined TakeOrdered, two capped driver
+    actions), never a global NTILE window (the one-partition scale
+    killer). The integer-exact quantized score (qmean BIGINT) is the
+    bucketing value, so the oracle's ROW_NUMBER/NTILE-identity replay
+    is hash-exact: bucket = 1 + floor(rank·3/n) under
+    ORDER BY qscore, doc_id."""
+    from ccog_spark.operators.lm import lm_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = lm_quality(docs, n=3).select(
+        "doc_id",
+        F.round(F.col("score") * 1000000.0).cast("bigint").alias("qscore"),
+    )
+    return (
+        sharding.exact_quantile_split(scored, "qscore", 3)
+        .select("doc_id", "qscore", "bucket")
+        .orderBy("doc_id")
+    )
+
+
 def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide line dedup with document REBUILD (CCNet stage 1,
     operators.dedup.remove_duplicate_lines): synthesize deterministic

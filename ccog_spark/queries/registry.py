@@ -692,6 +692,12 @@ REGISTRY: dict[str, QueryFn] = {
     # pipeline_hybrid_index_filtered (fold); the inline legs keep
     # pipeline_bm25/ann_exact tail rows
     "pipeline_hybrid": pipeline.pipeline_hybrid,
+    # round 16: CCNet perplexity tertiles — exact NTILE(3) buckets by
+    # distributed selection (histogram + confined TakeOrdered), never
+    # a global window; LM family keeps pipeline_lm in the fold, and
+    # the oracle replays the scoring CTEs verbatim + the
+    # ROW_NUMBER/NTILE identity
+    "pipeline_lm_buckets": pipeline.pipeline_lm_buckets,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

@@ -222,3 +222,97 @@ def test_sample_token_budget_matches_naive_window(spark):
     )
     want = sorted(map(tuple, naive.collect()))
     assert got == want and len(got) > 0
+
+
+def test_exact_quantile_split_matches_ntile(spark):
+    """exact_quantile_split == the NTILE(k) window formula
+    (1 + floor(rank·k/n) under ORDER BY value, id) on a value
+    distribution with duplicates — the distributed selection must
+    reproduce the global window EXACTLY, including tie splits by id."""
+    from pyspark.sql import Window as W
+
+    from ccog_spark.operators.sharding import exact_quantile_split
+
+    rows = [(i, int((i * 37) % 11)) for i in range(997)]  # heavy ties
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    for k in (2, 3, 5, 7):
+        got = {
+            r.doc_id: r.bucket
+            for r in exact_quantile_split(
+                df, "v", k, bucket_width=4
+            ).collect()
+        }
+        n = len(rows)
+        w = W.orderBy(F.col("v").asc(), F.col("doc_id").asc())
+        want = {
+            r.doc_id: r.b
+            for r in df.select(
+                "doc_id",
+                (
+                    1
+                    + F.floor(
+                        (F.row_number().over(w) - 1) * k / F.lit(n)
+                    ).cast("int")
+                ).alias("b"),
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+
+
+def test_exact_quantile_split_constant_and_edges(spark):
+    """All-equal values: ties split purely by id and still match the
+    window formula; k > n leaves trailing buckets empty but assigns
+    valid labels; k < 2 and oversize histograms fail loudly."""
+    import pytest
+    from pyspark.sql import Window as W
+
+    from ccog_spark.operators import sharding
+    from ccog_spark.operators.sharding import exact_quantile_split
+
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(10)], "doc_id long, v long"
+    )
+    got = {
+        r.doc_id: r.bucket
+        for r in exact_quantile_split(df, "v", 3).collect()
+    }
+    w = W.orderBy(F.col("v").asc(), F.col("doc_id").asc())
+    want = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id",
+            (
+                1
+                + F.floor(
+                    (F.row_number().over(w) - 1) * 3 / F.lit(10)
+                ).cast("int")
+            ).alias("b"),
+        ).collect()
+    }
+    assert got == want
+    # k > n: every row still gets a valid 1..k label matching the rule
+    got2 = {
+        r.doc_id: r.bucket
+        for r in exact_quantile_split(df.limit(2), "v", 5).collect()
+    }
+    assert set(got2.values()) <= set(range(1, 6)) and len(got2) == 2
+    with pytest.raises(ValueError, match="k must be"):
+        exact_quantile_split(df, "v", 1)
+    # histogram cap: width 1 over spread values with a tiny cap
+    spread = spark.createDataFrame(
+        [(i, i) for i in range(50)], "doc_id long, v long"
+    )
+    old = sharding._MAX_DRIVER_BUCKETS
+    sharding._MAX_DRIVER_BUCKETS = 10
+    try:
+        with pytest.raises(ValueError, match="raise bucket_width"):
+            exact_quantile_split(spread, "v", 2, bucket_width=1)
+    finally:
+        sharding._MAX_DRIVER_BUCKETS = old
+    # take cap: one hot bucket bigger than the cap
+    sharding._QSPLIT_TAKE_CAP = 3
+    try:
+        with pytest.raises(ValueError, match="lower bucket_width"):
+            exact_quantile_split(df, "v", 2)
+    finally:
+        sharding._QSPLIT_TAKE_CAP = 1_000_000
