@@ -378,10 +378,12 @@ REGISTRY: dict[str, QueryFn] = {
     # (applyInPandasWithState running totals) had never had a driver
     # row — stream_dedup covers dropDuplicates only
     "stream_stateful": streaming_corpus.stream_stateful,
-    # r8 fold slot (was q05): char-trigram LM quality scoring (CCNet's
-    # small-LM fluency filter) — alphabet-bounded broadcast model,
-    # exact-rational quantized mean keeps ln out of the hashed path
-    "pipeline_lm": pipeline.pipeline_lm,
+    # r16 fifth-rotation fold slot (was pipeline_lm — this row
+    # COMPOSES the same scoring CTEs, so the LM hash gate is a strict
+    # superset): CCNet head/middle/tail perplexity tertiles — exact
+    # NTILE(3) by distributed selection (histogram + confined
+    # TakeOrdered), never a global window
+    "pipeline_lm_buckets": pipeline.pipeline_lm_buckets,
     # r8 fold slot (was stream_tumbling): corpus-wide line dedup WITH
     # document rebuild (CCNet stage 1) — groupBy(line).min(struct)
     # keep-first, deliberately not a window (skew ledger, PLANS.md)
@@ -692,12 +694,10 @@ REGISTRY: dict[str, QueryFn] = {
     # pipeline_hybrid_index_filtered (fold); the inline legs keep
     # pipeline_bm25/ann_exact tail rows
     "pipeline_hybrid": pipeline.pipeline_hybrid,
-    # round 16: CCNet perplexity tertiles — exact NTILE(3) buckets by
-    # distributed selection (histogram + confined TakeOrdered), never
-    # a global window; LM family keeps pipeline_lm in the fold, and
-    # the oracle replays the scoring CTEs verbatim + the
-    # ROW_NUMBER/NTILE identity
-    "pipeline_lm_buckets": pipeline.pipeline_lm_buckets,
+    # r16 fifth-rotation displaced fold row: LM scoring ≙
+    # pipeline_lm_buckets (fold), which composes the same scoring
+    # CTEs before the tertile split — a strict superset hash gate
+    "pipeline_lm": pipeline.pipeline_lm,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}

@@ -121,8 +121,11 @@ def test_driver_fold_discipline():
         # through ann_rerank and ann_index)
         "pipeline_e2e", "multimodal_features",
         # r8: persisted index, LM, line dedup (cog_window stood down
-        # in r13 — read gates stay with cog_roundtrip + cog_read tail)
-        "ann_index", "pipeline_lm", "pipeline_line_dedup",
+        # in r13 — read gates stay with cog_roundtrip + cog_read tail;
+        # pipeline_lm stood down in r16 — the promoted
+        # pipeline_lm_buckets composes the same scoring CTEs, a
+        # strict superset hash gate)
+        "ann_index", "pipeline_line_dedup",
         # r10: the rewritten operators + r8 stars (ann_index_append
         # stood down in r14 — growth ≙ ann_index fold row + pinned
         # frozen-model bit-identity; the append-contract fold hash
@@ -184,6 +187,8 @@ def test_driver_fold_discipline():
         "q24",
         # r16 fourth rotation: the round's residual-PQ flagship
         "ann_pqr_index",
+        # r16 fifth rotation: the exact-quantile LM bucket split
+        "pipeline_lm_buckets",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
