@@ -123,9 +123,19 @@ def _code_frame(
         @pandas_udf("array<int>")
         def encode_res(col: pd.Series, cell: pd.Series) -> pd.Series:
             x = np.stack([np.asarray(e, dtype="f8") for e in col])
-            idx = np.array(
-                [cpos[int(c)] for c in cell.to_numpy()], "i8"
-            )
+            # the -1 coalesce sentinel (join-key non-nullability) must
+            # never reach here — fail loudly, not an opaque KeyError
+            # (ADVICE r16)
+            idx = np.empty(len(cell), "i8")
+            for i, c in enumerate(cell.to_numpy()):
+                pos = cpos.get(int(c))
+                if pos is None:
+                    raise ValueError(
+                        f"residual encode: cell {int(c)} is not a "
+                        "known centroid — the coarse assigner "
+                        "returned the null sentinel"
+                    )
+                idx[i] = pos
             return pd.Series(list(_block_argmin(x - cmat[idx])))
 
         # chained projections — assign evaluates once, encode consumes
@@ -535,9 +545,17 @@ def _sq_code_frame(
         @pandas_udf("array<int>")
         def encode_res(col: pd.Series, cell: pd.Series) -> pd.Series:
             x = np.stack([np.asarray(e, dtype="f8") for e in col])
-            idx = np.array(
-                [cpos[int(c)] for c in cell.to_numpy()], "i8"
-            )
+            # loud sentinel check, same contract as the PQ twin
+            idx = np.empty(len(cell), "i8")
+            for i, c in enumerate(cell.to_numpy()):
+                pos = cpos.get(int(c))
+                if pos is None:
+                    raise ValueError(
+                        f"residual encode: cell {int(c)} is not a "
+                        "known centroid — the coarse assigner "
+                        "returned the null sentinel"
+                    )
+                idx[i] = pos
             return pd.Series(list(_quantize(x - cmat[idx])))
 
         # two chained projections — Catalyst chains the Arrow stages,

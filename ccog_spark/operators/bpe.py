@@ -418,13 +418,34 @@ def verify_bpe_model(spark, model_dir: str) -> dict:
     counts must match the tables, ranks must be exactly 0..n-1 (a
     gap or duplicate silently reorders every downstream encode), the
     EOW sentinel must match this build of the code, and no alphabet
-    symbol may contain EOW. Returns {"ok", "errors"}; never raises."""
+    symbol may contain EOW. Returns {"ok", "errors"}; never raises —
+    a missing or torn model directory (interrupted save) is reported
+    as an errors entry, matching the verify_text_index /
+    verify_ann_index contract (ADVICE r16)."""
     import os
 
     errors: list[str] = []
-    meta = spark.read.parquet(os.path.join(model_dir, "meta")).collect()[0]
-    mrows = spark.read.parquet(os.path.join(model_dir, "merges")).collect()
-    arows = spark.read.parquet(os.path.join(model_dir, "alphabet")).collect()
+
+    def _read(name: str):
+        try:
+            return spark.read.parquet(
+                os.path.join(model_dir, name)
+            ).collect()
+        except Exception as e:  # noqa: BLE001 — audit, not control flow
+            errors.append(
+                f"table {name}/ missing or unreadable: "
+                f"{type(e).__name__}"
+            )
+            return None
+
+    metas = _read("meta")
+    mrows = _read("merges")
+    arows = _read("alphabet")
+    if metas is None or mrows is None or arows is None:
+        return {"ok": False, "errors": errors}
+    if not metas:
+        return {"ok": False, "errors": errors + ["meta/ is empty"]}
+    meta = metas[0]
     if len(mrows) != int(meta.n_merges):
         errors.append(
             f"meta.n_merges={meta.n_merges} but merges/ has {len(mrows)}"

@@ -264,6 +264,15 @@ def test_persisted_model_bit_identical_and_verified(spark, tmp_path):
     assert not rep["ok"]
     assert any("0..n-1" in e for e in rep["errors"])
 
+    # torn model (interrupted save): a missing table is an errors
+    # entry, never a raise — the verify_*_index contract (ADVICE r16)
+    shutil.rmtree(os.path.join(model, "alphabet"))
+    rep2 = bpe.verify_bpe_model(spark, model)
+    assert not rep2["ok"]
+    assert any("alphabet" in e and "unreadable" in e for e in rep2["errors"])
+    rep3 = bpe.verify_bpe_model(spark, str(tmp_path / "no_such_model"))
+    assert not rep3["ok"] and rep3["errors"]
+
 
 def test_engine_facade_bpe_model(spark, tmp_path):
     """Engine.build_bpe_model / tokenize / verify_bpe_model round-trip
