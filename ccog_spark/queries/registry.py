@@ -259,6 +259,33 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # the fold; E29 keeps the newly promoted q17), pipeline_decontam
 # (the fold's pipeline_e2e composes the same broadcast semi-join
 # decontam stage; the standalone row stays oracle-gated in the tail).
+#
+# Round 17 rotation (VERDICT r16 #2/#3: retire the never-folded
+# backlog + the oldest stale evidence). INTO the fold — seven rows
+# that never held a driver hash in any round: pipeline_phrase_index
+# and pipeline_proximity_index (the positional-index family's only
+# fold row was pipeline_snippet_index), multimodal_resize /
+# multimodal_frames / multimodal_audio (the pixel/audio decode paths'
+# first driver hashes), cog_read (the executor-side range-read/decode
+# path), ann_pq (PQ ADC from inline codes) — plus the three stalest
+# refresh rows q21, q23 (last driver-green r01) and q19 (r02 cohort).
+# Displaced, each keeping ≥1 above-fold family row:
+# pipeline_phrase (inline twin — the promoted index row reuses its
+# oracle verbatim), pipeline_bm25_pruned (≙ fold
+# pipeline_bm25_blockmax: max-score stays engaged under the block-max
+# row, same unpruned oracle), pipeline_hybrid_index (≙ fold
+# pipeline_hybrid_index_filtered — both legs + RRF + the predicate
+# machinery), ann_sq8_index (≙ fold ann_sq8r_index composes the same
+# quantize/reconstruct CTEs plus the residual stage), qr3 (E17 prefix
+# sums ≙ fold pipeline_mix_e2e's bucketed prefix sum + the offset
+# chain inside fold cog_roundtrip), pipeline_mixture and
+# pipeline_quota (both composed VERBATIM inside fold
+# pipeline_mix_e2e — a strict superset hash gate), multimodal_features
+# (≙ the three promoted multimodal rows: resize/frames re-run the
+# pixel decode, audio the RIFF walk), stream_dedup (E31/E33 ≙ fold
+# stream_stateful, a real readStream job), dedup_exact (E34 ≙ fold
+# pipeline_line_dedup + pipeline_span_dedup + the dedup stage of fold
+# pipeline_e2e).
 REGISTRY: dict[str, QueryFn] = {
     "q01": relational.q01,
     "q02": relational.q02,
@@ -274,11 +301,12 @@ REGISTRY: dict[str, QueryFn] = {
     # filter → exact dedup → MinHash-CC → decontam → stats in ONE lazy
     # plan; hash-checks the COMPOSITION of four above-fold operators
     "pipeline_e2e": pipeline.pipeline_e2e,
-    # r14 fold slot (was pivot_q): exact PHRASE search — the new
-    # positional capability family's driver hash; pure-integer
-    # adjacency replay (E13 keeps q07 in the fold + q07b/unpivot_q
-    # in the tail)
-    "pipeline_phrase": pipeline.pipeline_phrase,
+    # r17 fold slot (was pipeline_phrase — the inline twin whose
+    # adjacency oracle this row reuses verbatim): exact PHRASE search
+    # answered from the POSITIONAL index — per-occurrence positions in
+    # the posting buckets, corpus never re-read; never driver-hashed
+    # before this round
+    "pipeline_phrase_index": pipeline.pipeline_phrase_index_q,
     "q08": relational.q08,
     # r16 fold slot (was q16 — E28 ≙ fold q14 + q13/q15 tail): stale-
     # evidence rotation, E16 analytic windows + E17 prefix sums — the
@@ -295,12 +323,11 @@ REGISTRY: dict[str, QueryFn] = {
     # before ADC + re-rank on the vector leg, RRF fused
     "pipeline_hybrid_index_filtered":
         pipeline.pipeline_hybrid_index_filtered_q,
-    # r16 fold slot (was ann_autoprobe — E36 keeps 5 fold rows incl.
-    # this one): persisted IVF+SQ8 index — the scalar-quantized twin
-    # of ann_index (dim bytes/vector, near-exact asymmetric
-    # distances); oracle = shared two-hop cell chain + the ann_sq8
-    # quantize/reconstruct CTEs
-    "ann_sq8_index": pipeline.ann_sq8_index_q,
+    # r17 fold slot (was ann_sq8_index — the fold's ann_sq8r_index
+    # composes the same quantize/reconstruct CTEs plus the residual
+    # stage): inline IVF+PQ ADC — 8-byte codes + broadcast LUTs,
+    # never driver-hashed before this round
+    "ann_pq": pipeline.ann_pq,
     # r12 fold slot (was q14): INTERPOLATING-overview COG write — the
     # round-12 write-path integration of the halo-exchange kernels
     # (closes R7); write → parse → pixel hash vs the separable-conv SQL
@@ -336,17 +363,22 @@ REGISTRY: dict[str, QueryFn] = {
     # explicit-black sentinel round-trip
     "cog_palette": raster_jobs.cog_palette,
     "qr2": raster_queries.qr2,
-    "qr3": raster_queries.qr3,
+    # r17 fold slot (was qr3 — E17 prefix sums ≙ the fold's
+    # pipeline_mix_e2e bucketed prefix sum + the offset chain inside
+    # cog_roundtrip): DISTRIBUTED COG read-back — the executor-side
+    # range-read/decode path vs the identity oracle; never
+    # driver-hashed before this round
+    "cog_read": raster_jobs.cog_read,
     # r10 fold slot (was pyramid_avg): SemDeDup cluster-scoped
     # semantic dedup — r9/r10-rewritten hierarchical two-hop assign
     # (√C-sized coarse level), full two-hop SQL oracle replay
     "dedup_semantic": pipeline.dedup_semantic,
-    # r16 fold slot (was ann_sq8 — its quantize/reconstruct CTEs ride
-    # the fold's ann_sq8_index oracle; same codes, now persisted):
-    # per-source TOKEN-budget mixture sampling — the pretraining
-    # data-mixing verb; grouped bucketed prefix sum, oracle = the
-    # naive per-source ordered window, integers only
-    "pipeline_mixture": pipeline.pipeline_mixture,
+    # r17 fold slot (was pipeline_mixture — composed VERBATIM inside
+    # the fold's pipeline_mix_e2e, a strict superset hash gate):
+    # multimodal pixel RESIZE — box resample over decoded pixels, the
+    # oracle recomputes every output byte in SQL; never driver-hashed
+    # before this round
+    "multimodal_resize": pipeline.multimodal_resize,
     # r15 fold slot (was gauss_decimate — the r14 verdict's named E21
     # stand-down; cog_cubic keeps the family's fold row): index-
     # resident BM25F, the round's structured-ranking flagship —
@@ -395,16 +427,22 @@ REGISTRY: dict[str, QueryFn] = {
     # token-budget mixture → shard packing in ONE lazy plan
     "pipeline_mix_e2e": pipeline.pipeline_mix_e2e,
     "dedup_cc": pipeline.dedup_cc,
-    # r14 fold slot (was pipeline_filter): max-score pruning ENGAGED —
-    # the pruned plan (candidate union, pushed semi joins, θ probe)
-    # hashed against the UNPRUNED SQL; the match IS the losslessness
-    # proof on the driver's own comparison (VERDICT r13 #1)
-    "pipeline_bm25_pruned": pipeline.pipeline_bm25_pruned,
-    "dedup_exact": pipeline.dedup_exact,
+    # r17 fold slot (was pipeline_bm25_pruned — max-score stays
+    # engaged under the fold's pipeline_bm25_blockmax, same unpruned
+    # oracle): UNORDERED proximity from the POSITIONAL index — the
+    # window self-join over posting buckets only; never driver-hashed
+    # before this round
+    "pipeline_proximity_index": pipeline.pipeline_proximity_index_q,
     # r14 fold slot (was dedup_minhash): PERSISTED BM25 inverted index
     # — bucket-partitioned postings answered from parquet only, oracle
     # = the from-scratch SQL verbatim (one truth, two execution paths)
     "pipeline_bm25_index": pipeline.pipeline_bm25_index,
+    # r17 fold slot (was dedup_exact — E34 ≙ the fold's
+    # pipeline_line_dedup + pipeline_span_dedup + the dedup stage of
+    # pipeline_e2e): stale-evidence refresh, E9/E10 as-of machinery —
+    # driver row last green r01; structurally 0 rows on the fixture
+    # (events/orders time domains don't overlap — both engines agree)
+    "q23": relational.q23,
     # r16 fold slot (was corpus_profile — its two stages keep fold
     # rows: text_analysis + dedup_exact): stale-evidence rotation,
     # E29 array fns — driver row last green r01 (VERDICT r15 #4)
@@ -439,26 +477,34 @@ REGISTRY: dict[str, QueryFn] = {
     # parquet index once, answer queries from 8-byte codes only;
     # bit-identical to ann_ivfpq, oracle reused verbatim
     "ann_index": pipeline.ann_index_q,
-    # r16 fold slot (was pipeline_shards — its bucketed prefix sum ≙
-    # pipeline_mixture's, fold; sequences/sample keep tail rows):
-    # per-source document quota (the anti-spam host cap) —
-    # rank-limited window with the partial WindowGroupLimit
-    # truncating the heavy key map-side; ROW_NUMBER oracle replay
-    "pipeline_quota": pipeline.pipeline_quota,
+    # r17 fold slot (was pipeline_quota — composed inside the fold's
+    # pipeline_mix_e2e, same rank-limited window): multimodal FRAME
+    # SAMPLING — GIF frame walk + per-frame decode, byte-exact SQL
+    # oracle; never driver-hashed before this round
+    "multimodal_frames": pipeline.multimodal_frames,
     # r13 fold slot (was multimodal_meta): E26 date functions back in
     # the fold — q14/q16 both rotated out in r12, leaving the date/
     # conditional scalar families without a direct fold row
     "q14": relational.q14,
     "q23b": pipeline.q23b,
-    # Structured Streaming corpus (real streaming jobs, batch-checked)
-    "stream_dedup": streaming_corpus.stream_dedup,
-    # r14 fold slot (was stream_join): hybrid retrieval answered from
-    # PERSISTED indexes only — inverted-index BM25 ⊕ saved-IVF+PQ
-    # rerank, RRF-fused; oracle = pipeline_hybrid's SQL verbatim
-    "pipeline_hybrid_index": pipeline.pipeline_hybrid_index,
-    # r7 fold slot (was stream_sliding): full multimodal pixel decode →
-    # feature extraction (PNG/GIF/JPEG/BMP/PPM), byte-exact oracle
-    "multimodal_features": pipeline.multimodal_features,
+    # r17 fold slot (was stream_dedup — E31/E33 keep the fold's
+    # stream_stateful, a real readStream job; dropDuplicates stays
+    # oracle-gated in the tail): stale-evidence refresh, batch
+    # tumbling-window aggregation — driver row last green r02
+    # (VERDICT r16 #3)
+    "q19": relational.q19,
+    # r17 fold slot (was pipeline_hybrid_index — ≙ the fold's
+    # pipeline_hybrid_index_filtered, both legs + RRF + predicates):
+    # stale-evidence refresh, E34 exact-dedup filter chain — driver
+    # row last green r01 (VERDICT r16 #3)
+    "q21": llm.q21,
+    # r17 fold slot (was multimodal_features — the promoted
+    # resize/frames rows re-run the pixel decode, audio the container
+    # walk; features stays oracle-gated in the tail): AUDIO modality —
+    # WAV/PCM16 RIFF chunk walk, duration/peak/RMS/zero-crossing
+    # signals, sample-exact oracle; never driver-hashed before this
+    # round
+    "multimodal_audio": pipeline.multimodal_audio,
     # ---- tail: operator coverage duplicated by an earlier entry ----
     # r7 displaced fold rows — each keeps an above-fold family row:
     "q07b": relational.q07b,  # E13 grouping sets ≙ q07 + pivot/unpivot
@@ -487,7 +533,6 @@ REGISTRY: dict[str, QueryFn] = {
     # hash sampling ≙ pipeline suite (pipeline_shards carries the
     # shard-assembly driver row); oracle-checked locally + pytest
     "pipeline_sample": pipeline.pipeline_sample,
-    "q19": relational.q19,  # E31 tumbling ≙ stream_tumbling (same result)
     "decim_rms": raster_queries.decim_rms,  # E20 ≙ qr1/decim_nearest/pyramid_avg
     "decim_mode": raster_queries.decim_mode,  # E20 ≙ same family
     "stream_session": streaming_corpus.stream_session,  # ≙ q20 (same result)
@@ -496,8 +541,6 @@ REGISTRY: dict[str, QueryFn] = {
     # pipeline_bm25_index (fold, same oracle verbatim) +
     # pipeline_bm25_pruned (fold, the engaged inline planner)
     "pipeline_bm25": pipeline.pipeline_bm25,
-    "q21": llm.q21,  # E34 exact dedup ≙ dedup_exact, pipeline_filter
-    "q23": relational.q23,  # E9/E10 as-of ≙ q23b, asof_union
     # rows-only structure summary; the writer's hash gate is
     # cog_roundtrip (above the fold) + byte tests in test_raster.py
     "cog_write": raster_jobs.cog_write,
@@ -522,26 +565,6 @@ REGISTRY: dict[str, QueryFn] = {
     "dedup_ngram": pipeline.dedup_ngram,
     # container-header walk ≙ multimodal_features (fold, full decode)
     "multimodal_meta": pipeline.multimodal_meta,
-    # round 6: DISTRIBUTED COG read-back (sources/cog_reader) — the
-    # write side's hash gate is cog_roundtrip (above the fold); this
-    # row hash-proves the executor-side range-read/decode path against
-    # the identity oracle (fixture pixels)
-    "cog_read": raster_jobs.cog_read,
-    # round 6: multimodal PIXEL verbs (multimodal_features moved into
-    # the fold in r7; multimodal_meta covers both container formats'
-    # header walk; these rows hash-prove the remaining pixel
-    # resize / frame-sample paths — the oracle recomputes every pixel
-    # byte in SQL from the fixture formula)
-    "multimodal_frames": pipeline.multimodal_frames,
-    "multimodal_resize": pipeline.multimodal_resize,
-    # round 6: audio modality (WAV/PCM16, real RIFF chunk walk) —
-    # duration/peak/RMS/zero-crossing signals, sample-exact oracle
-    "multimodal_audio": pipeline.multimodal_audio,
-    # round 6: product-quantization ANN (E36's memory-compression
-    # scale path next to exact/LSH/IVF — 8-byte codes + broadcast ADC
-    # LUTs); family driver rows ann_exact/ann_lsh/ann_ivf + the fused
-    # ann_ivfpq (moved into the fold in r7) are above
-    "ann_pq": pipeline.ann_pq,
     # r14 displaced fold rows — each keeps above-fold family rows:
     # E7 equi-joins ≙ q03 (fold, broadcast dim chain) + q05 (tail)
     "q04": relational.q04,
@@ -564,10 +587,6 @@ REGISTRY: dict[str, QueryFn] = {
     "ann_index_append": pipeline.ann_index_append_q,
     # E31/E32 ≙ stream_dedup + stream_stateful (fold, real readStream)
     "stream_join": streaming_corpus.stream_join,
-    # round 14: phrase search from the POSITIONAL index — postings
-    # store per-occurrence positions, the corpus is never re-read;
-    # shared adjacency core ⇒ oracle is pipeline_phrase SQL verbatim
-    "pipeline_phrase_index": pipeline.pipeline_phrase_index_q,
     # round 14: snippet extraction — text window around the FIRST
     # phrase occurrence (min full-coverage anchor, shared phrase
     # machinery); raw-split slice/rejoin replayed byte-for-byte
@@ -581,9 +600,6 @@ REGISTRY: dict[str, QueryFn] = {
     # window in any order; window self-join over matching tokens
     # only, full SQL replay
     "pipeline_proximity": pipeline.pipeline_proximity,
-    # round 14: proximity from the POSITIONAL index — shared window
-    # core ⇒ oracle is pipeline_proximity SQL verbatim
-    "pipeline_proximity_index": pipeline.pipeline_proximity_index_q,
     # r16 displaced fold rows — each keeps ≥1 above-fold family row
     # and stays oracle-gated here (see the round-16 reorder note):
     # E28 conditional fns ≙ q14 (fold) + q13/q15 (tail)
@@ -694,6 +710,38 @@ REGISTRY: dict[str, QueryFn] = {
     # pipeline_hybrid_index_filtered (fold); the inline legs keep
     # pipeline_bm25/ann_exact tail rows
     "pipeline_hybrid": pipeline.pipeline_hybrid,
+    # r17 displaced fold rows — each keeps ≥1 above-fold family row
+    # and stays oracle-gated here (see the round-17 reorder note):
+    # inline phrase twin — pipeline_phrase_index (fold) reuses its
+    # adjacency oracle verbatim
+    "pipeline_phrase": pipeline.pipeline_phrase,
+    # max-score engaged ≙ pipeline_bm25_blockmax (fold) — block-max
+    # rides ON TOP of the same engaged planner, same unpruned oracle
+    "pipeline_bm25_pruned": pipeline.pipeline_bm25_pruned,
+    # hybrid from persisted indexes ≙ pipeline_hybrid_index_filtered
+    # (fold) — both legs + RRF + the predicate machinery
+    "pipeline_hybrid_index": pipeline.pipeline_hybrid_index,
+    # persisted IVF+SQ8 ≙ ann_sq8r_index (fold) — same
+    # quantize/reconstruct CTEs plus the residual stage
+    "ann_sq8_index": pipeline.ann_sq8_index_q,
+    # E17 offset prefix sum ≙ pipeline_mix_e2e's bucketed prefix sum
+    # (fold) + the offset chain inside cog_roundtrip (fold)
+    "qr3": raster_queries.qr3,
+    # token-budget mixture ≙ pipeline_mix_e2e (fold) composes it
+    # verbatim as stage 2
+    "pipeline_mixture": pipeline.pipeline_mixture,
+    # per-source quota ≙ pipeline_mix_e2e (fold) composes it verbatim
+    # as stage 1
+    "pipeline_quota": pipeline.pipeline_quota,
+    # full pixel decode → features ≙ multimodal_resize /
+    # multimodal_frames (fold, pixel decode) + multimodal_audio (fold)
+    "multimodal_features": pipeline.multimodal_features,
+    # streaming dropDuplicates ≙ stream_stateful (fold, real
+    # readStream custom state)
+    "stream_dedup": streaming_corpus.stream_dedup,
+    # exact doc dedup ≙ pipeline_line_dedup + pipeline_span_dedup
+    # (fold) + the dedup stage of pipeline_e2e (fold)
+    "dedup_exact": pipeline.dedup_exact,
     # r16 fifth-rotation displaced fold row: LM scoring ≙
     # pipeline_lm_buckets (fold), which composes the same scoring
     # CTEs before the tertile split — a strict superset hash gate

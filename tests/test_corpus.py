@@ -119,7 +119,9 @@ def test_driver_fold_discipline():
         # write gates stay with cog_roundtrip/cog_palette/cog_cubic;
         # ann_ivfpq stood down in r15 — its ADC stage stays fold-gated
         # through ann_rerank and ann_index)
-        "pipeline_e2e", "multimodal_features",
+        # (multimodal_features stood down in r17 — the promoted
+        # resize/frames/audio rows re-run its decode paths)
+        "pipeline_e2e",
         # r8: persisted index, LM, line dedup (cog_window stood down
         # in r13 — read gates stay with cog_roundtrip + cog_read tail;
         # pipeline_lm stood down in r16 — the promoted
@@ -150,13 +152,17 @@ def test_driver_fold_discipline():
         "ann_rerank", "q14",
         # r14: the r13 index/pruning rows (VERDICT r13 #1; q16 stood
         # down in r16 for the stale-evidence q10 — E28 ≙ fold q14)
-        "pipeline_bm25_pruned", "pipeline_bm25_index",
-        "pipeline_bm25_index_append", "pipeline_hybrid_index",
+        # (pipeline_bm25_pruned stood down in r17 — max-score stays
+        # engaged under the fold's blockmax row; pipeline_hybrid_index
+        # likewise — the filtered twin is a fold superset)
+        "pipeline_bm25_index", "pipeline_bm25_index_append",
         # r14 second rotation: the round's own flagships hash-gated
         # same-round (q04/pivot_q/q20 stood down, families covered;
         # pipeline_bm25f stood down in r16 — its index twin runs the
         # same oracle from the fold)
-        "pipeline_bm25_index_delete", "pipeline_phrase",
+        # (pipeline_phrase stood down in r17 — the promoted index twin
+        # reuses its adjacency oracle verbatim)
+        "pipeline_bm25_index_delete",
         # r15: the r14 flagships promoted per VERDICT r14 #1
         # (q11/q12/q13/q15 stood down, families tail-covered;
         # pipeline_bm25_index_filtered/ann_autoprobe/pipeline_prf
@@ -175,7 +181,9 @@ def test_driver_fold_discipline():
         "pipeline_bm25_blockmax",
         # r16: the six r15 tail flagships + stale-evidence q10/q17
         # (VERDICT r15 #1/#4)
-        "ann_sq8_index", "pipeline_mixture", "pipeline_quota",
+        # (ann_sq8_index stood down in r17 — ann_sq8r_index composes
+        # the same CTEs; pipeline_mixture/pipeline_quota likewise —
+        # composed verbatim inside the fold's pipeline_mix_e2e)
         "pipeline_snippet_index", "pipeline_diversified_index",
         "pipeline_hybrid_index_filtered", "q10", "q17",
         # r16 second rotation: the round's own flagships hash-gated
@@ -189,6 +197,13 @@ def test_driver_fold_discipline():
         "ann_pqr_index",
         # r16 fifth rotation: the exact-quantile LM bucket split
         "pipeline_lm_buckets",
+        # r17: the never-folded backlog (VERDICT r16 #2) — the
+        # positional-index twins, the pixel/audio decode paths, the
+        # executor-side COG read, PQ ADC — plus the stalest refresh
+        # rows q21/q23 (last green r01) and q19 (r02 cohort)
+        "pipeline_phrase_index", "pipeline_proximity_index",
+        "multimodal_resize", "multimodal_frames", "multimodal_audio",
+        "cog_read", "ann_pq", "q19", "q21", "q23",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
