@@ -197,6 +197,62 @@ def _residual_codebook_mat(
     return x - cmat[idx]
 
 
+def _trained_residual_codebook_mat(
+    corpus: DataFrame,
+    cent_ids: "np.ndarray",
+    cmat: "np.ndarray",
+    cnrm: "np.ndarray",
+    m_blocks: int = PQ_M_BLOCKS,
+) -> "np.ndarray":
+    """TRAINED residual PQ codebook (round 17, quant='pqt', VERDICT
+    r16 #4 — FAISS IndexIVFPQ's actual training step, not just its
+    sample init): per-block Lloyd iterations over the residuals of a
+    larger deterministic sample (first PQ_TRAIN_N of the PQ_CB
+    subsample; the first PQ_CB_K rows double as the init codewords,
+    so 'pqt' degrades exactly to 'pqr' at zero iterations). Training
+    runs in the fixed-point integer domain (similarity.lloyd_train_int
+    — floor(res·2^20 + 0.5) points, floor-mean updates) so the DuckDB
+    oracle's recursive-CTE replay is bit-identical, and the returned
+    codewords c/2^20 are exactly representable doubles. Driver-side
+    numpy on ≤ PQ_TRAIN_N rows; the distributed sort+limit stays a
+    TakeOrderedAndProject."""
+    from ccog_spark.operators.similarity import (
+        PQ_CB_K,
+        PQ_CB_MOD,
+        PQ_CB_RES,
+        PQ_LLOYD_ITERS,
+        PQ_QSCALE,
+        PQ_TRAIN_N,
+        hierarchical_assigner,
+        lloyd_train_int,
+    )
+
+    rows = (
+        corpus.where(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RES)
+        .orderBy("vec_id")
+        .limit(PQ_TRAIN_N)
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([[float(v) for v in r.embedding] for r in rows], "f8")
+    assign_batch = hierarchical_assigner(cent_ids, cmat, cnrm)
+    cells = assign_batch(x, np.sqrt((x * x).sum(1)))
+    cpos = {int(c): i for i, c in enumerate(cent_ids)}
+    idx = np.array([cpos[int(c)] for c in cells], "i8")
+    res = x - cmat[idx]
+    if np.abs(res).max() >= 8.0:
+        # |residual| < 8 keeps every quantized value < 2^23, so all
+        # training distances stay exact integer-valued doubles
+        raise ValueError(
+            "trained PQ codebook: residual magnitude >= 8 — the "
+            "fixed-point training domain assumes bounded embeddings; "
+            "normalize the corpus or widen PQ_QSCALE headroom"
+        )
+    qx = np.floor(res * PQ_QSCALE + 0.5)
+    cb = lloyd_train_int(qx, PQ_CB_K, m_blocks, PQ_LLOYD_ITERS)
+    return cb / PQ_QSCALE
+
+
 def _grp_frame(spark: SparkSession, cent_ids, n_groups: int) -> DataFrame:
     """Tiny broadcastable (cell → grp) map: grp = rank·n_groups // C
     over the ASCENDING centroid ids. Pure integer function of the
@@ -329,9 +385,11 @@ _ANN_META_KEYS = (
 
 def _meta_quant(meta_row) -> str:
     """``quant`` from a meta Row — 'pq' (8-byte product codes, the
-    original layout), 'sq8' (per-dimension scalar codes, round 15) or
+    original layout), 'sq8' (per-dimension scalar codes, round 15),
     'sq8r' (scalar codes over IVF RESIDUALS x − centroid(cell), round
-    16 — the FAISS IndexIVFScalarQuantizer by_residual default);
+    16 — the FAISS IndexIVFScalarQuantizer by_residual default),
+    'pqr' (product codes over residuals, round 16) or 'pqt'
+    (Lloyd-TRAINED residual product codebook, round 17);
     pre-round-15 indexes lack the field and are PQ by construction."""
     return meta_row.asDict().get("quant") or "pq"
 
@@ -358,6 +416,7 @@ def build_ivfpq_index(
     meta_cols: tuple[str, ...] = (),
     epoch_tag: str | None = None,
     residual: bool = False,
+    trained: bool = False,
 ) -> dict:
     """One corpus pass → persisted index. Returns the meta dict.
     ``n_groups`` defaults to adaptive_n_groups(corpus count) — one
@@ -384,8 +443,24 @@ def build_ivfpq_index(
     x̂ = centroid + decode(codes) and rank by asymmetric cosine.
     Residual spans are far tighter on clustered corpora, lifting
     recall at identical 1-byte-per-block codes (measured in
-    scripts/r15_sq8_probe.py's clustered section)."""
+    scripts/r15_sq8_probe.py's clustered section).
+
+    ``trained=True`` (round 17, VERDICT r16 #4 — meta.quant='pqt';
+    requires ``residual=True``, matching FAISS IndexIVFPQ's trained
+    by_residual default): per-block Lloyd iterations over the
+    deterministic training sample's residuals replace the
+    sample-assigned codewords (integer-exact k-means, so the oracle
+    replays the trained codebook bit-identically); everything
+    downstream — codes, append under the frozen model, query
+    reconstruction — is byte-identical machinery to 'pqr'."""
     import shutil
+
+    if trained and not residual:
+        raise ValueError(
+            "build_ivfpq_index: trained=True requires residual=True "
+            "(trained codebooks are residual-trained, the FAISS "
+            "IndexIVFPQ by_residual contract)"
+        )
 
     spark = corpus.sparkSession
     if n_groups is None:
@@ -402,11 +477,14 @@ def build_ivfpq_index(
         # silently join against stale metadata and appends extend it
         shutil.rmtree(vm_dir)
     cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
-    cbmat = (
-        _residual_codebook_mat(corpus, cent_ids, cmat, cnrm)
-        if residual
-        else _codebook_mat(corpus)
-    )
+    if trained:
+        cbmat = _trained_residual_codebook_mat(
+            corpus, cent_ids, cmat, cnrm, m_blocks
+        )
+    elif residual:
+        cbmat = _residual_codebook_mat(corpus, cent_ids, cmat, cnrm)
+    else:
+        cbmat = _codebook_mat(corpus)
 
     codes = _code_frame(
         corpus, cent_ids, cmat, cnrm, cbmat, dim, m_blocks,
@@ -448,7 +526,7 @@ def build_ivfpq_index(
         "n_vectors": int(n_vectors),
         "n_groups": n_groups,
         "last_epoch": epoch_tag or "",
-        "quant": "pqr" if residual else "pq",
+        "quant": "pqt" if trained else ("pqr" if residual else "pq"),
     }
     _write_ann_meta(spark, index_dir, meta)
     return meta
@@ -883,7 +961,7 @@ def append_to_index(
         ic.begin_mutation(index_dir, "append")
         codes = _code_frame(
             corpus_delta, cent_ids, cmat, cnrm, cbmat, dim, m_blocks,
-            residual=(quant == "pqr"),
+            residual=(quant in ("pqr", "pqt")),
         )
     # same cell→grp map as build — pure function of the SAVED sorted
     # centroid ids, so appended files land in the matching partition
@@ -1119,8 +1197,10 @@ def query_ivfpq_index(
     cand = _probed_candidates(
         spark, index_dir, queries, meta, nprobe, vec_filter
     )
-    if quant == "pqr":
-        # residual layout (round 16): candidates are ranked by the
+    if quant in ("pqr", "pqt"):
+        # residual layout (round 16; round 17 adds the trained-
+        # codebook 'pqt' twin — same reconstruction, different
+        # codeword values): candidates are ranked by the
         # asymmetric cosine against the full reconstruction
         # x̂ = centroid(cell) + decode(codes) — same kernel shape and
         # float discipline as the SQ8 path (dim-by-dim left-to-right,

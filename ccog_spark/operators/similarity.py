@@ -577,6 +577,57 @@ PQ_CB_MOD = 31
 PQ_CB_RES = 5
 PQ_CB_K = 16
 
+# Trained codebooks (round 17, VERDICT r16 #4): Lloyd iterations per
+# block over a larger deterministic sample — FAISS IndexIVFPQ's
+# training step, made ORACLE-EXACT by running k-means in a fixed-point
+# integer domain. Training points quantize as floor(x·2^20 + 0.5)
+# (both engines compute the identical double product and floor), all
+# distances are sums of integer-valued doubles < 2^53 (exact in IEEE
+# binary64, any summation order), and centroid updates are
+# floor(Σ/n) — so numpy and the DuckDB recursive CTE produce
+# bit-identical codebooks, and the final codewords c/2^20 are exactly
+# representable doubles (power-of-two divisor). PQ_TRAIN_N caps the
+# driver-side training collect (TakeOrderedAndProject-bounded).
+PQ_TRAIN_N = 128
+PQ_LLOYD_ITERS = 4
+PQ_QSCALE = 1 << 20
+
+
+def lloyd_train_int(
+    qx: "np.ndarray", k: int, m_blocks: int, iters: int
+) -> "np.ndarray":
+    """Per-block Lloyd's k-means in the integer domain: ``qx`` is
+    (n, dim) of integer-valued float64 training points (already
+    quantized); init codewords are the first ``k`` rows; each
+    iteration assigns every point's block slice to the argmin-L2
+    codeword (ties → smallest j: numpy first-occurrence argmin ≡ the
+    oracle's min struct(d, j)) and replaces assigned codeword blocks
+    with the elementwise floor-mean; empty codewords keep their
+    previous block. Returns the (k, dim) integer-valued codebook —
+    blocks trained independently, concatenated row-wise so the
+    downstream slice-based PQ machinery is unchanged."""
+    import numpy as np
+
+    n, dim = qx.shape
+    d_sub = dim // m_blocks
+    cb = qx[: min(k, n)].copy()
+    for _ in range(iters):
+        new = cb.copy()
+        for m in range(m_blocks):
+            lo = m * d_sub
+            xm = qx[:, lo : lo + d_sub]
+            cm = cb[:, lo : lo + d_sub]
+            d2 = ((xm[:, None, :] - cm[None, :, :]) ** 2).sum(2)
+            a = d2.argmin(1)
+            for j in range(len(cb)):
+                sel = xm[a == j]
+                if len(sel):
+                    new[j, lo : lo + d_sub] = np.floor(
+                        sel.sum(0) / len(sel)
+                    )
+        cb = new
+    return cb
+
 
 def pq_topk(
     corpus: DataFrame,

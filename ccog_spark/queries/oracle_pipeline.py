@@ -1281,6 +1281,7 @@ def _ivfpqr_index_sql(
     nprobe: int = 2,
     k: int = 3,
     q_pred: str = "vec_id % 100 = 0",
+    trained: bool = False,
 ) -> str:
     """Persisted residual IVF+PQ index replay (round 16,
     quant='pqr' — the FAISS IndexIVFPQ by_residual default): the
@@ -1322,13 +1323,96 @@ def _ivfpqr_index_sql(
     dec_cat = " || ".join(
         f"cb{m}.ce[{m * dsub + 1}:{m * dsub + dsub}]" for m in blocks
     )
-    return f"""
-WITH nv AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-                               CAST(embedding AS DOUBLE[]))) AS nrm
-  FROM embeddings
-), {_cells_ctes(cent_stride)}, cbr AS (
+    from ccog_spark.operators.similarity import (
+        PQ_LLOYD_ITERS,
+        PQ_QSCALE,
+        PQ_TRAIN_N,
+    )
+
+    if trained:
+        # Lloyd-trained residual codebook (round 17, quant='pqt'):
+        # the training sample (first PQ_TRAIN_N of the subsample, a
+        # superset of the PQ_CB_K init rows) quantizes to the
+        # fixed-point integer domain — floor(res·2^20 + 0.5) — where
+        # every distance and floor-mean update is an integer-valued
+        # double < 2^53, so this recursive CTE reproduces the numpy
+        # trainer (similarity.lloyd_train_int) BIT-IDENTICALLY, and
+        # the unscaled codewords c/2^20 are exact doubles. Per-block
+        # assignment is one cross join trn × lloyd with a per-block
+        # MIN struct (ties → smallest j, the argmin rule); block means
+        # aggregate per (codeword, block, dim) then re-assemble; empty
+        # codeword blocks COALESCE to the previous iteration's block.
+        bt = f"t.qe[(mm2.m*{dsub}+1):(mm2.m*{dsub}+{dsub})]"
+        bc2 = f"c.qce[(mm2.m*{dsub}+1):(mm2.m*{dsub}+{dsub})]"
+        d2t = (
+            f"list_dot_product({bt}, {bt})"
+            f" - 2 * list_dot_product({bt}, {bc2})"
+            f" + list_dot_product({bc2}, {bc2})"
+        )
+        cb_sql = f"""cbr AS (
+  SELECT vec_id, e FROM nv WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES}
+  ORDER BY vec_id LIMIT {PQ_TRAIN_N}
+), cbres AS (
+  SELECT c.vec_id, list(c.e[t.d] - ct.cv[t.d] ORDER BY t.d) AS e
+  FROM cbr c
+  JOIN cells cl ON cl.vec_id = c.vec_id
+  JOIN cent ct ON ct.cent_id = cl.cell
+  CROSS JOIN UNNEST(range(1, {dim} + 1)) AS t(d)
+  GROUP BY c.vec_id
+), trn AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS tid,
+         list_transform(e, x -> FLOOR(x * {PQ_QSCALE} + 0.5)) AS qe
+  FROM cbres
+), cbinit AS (
+  SELECT CAST(tid - 1 AS INT) AS j, qe AS qce
+  FROM trn WHERE tid <= {PQ_CB_K}
+), lloyd(it, j, qce) AS (
+  SELECT 0, j, qce FROM cbinit
+  UNION ALL
+  SELECT l.it + 1, l.j,
+         flatten(list(COALESCE(
+             struct_extract(list_filter(nbl.blks,
+                 s -> struct_extract(s, 'j') = l.j
+                  AND struct_extract(s, 'm') = mm.m)[1], 'blk'),
+             l.qce[(mm.m*{dsub}+1):(mm.m*{dsub}+{dsub})]) ORDER BY mm.m))
+  FROM lloyd l
+  CROSS JOIN (
+    SELECT list({{'j': g.jw, 'm': g.m, 'blk': g.blk}}) AS blks
+    FROM (
+      SELECT md.jw, md.m, list(md.mu ORDER BY md.d) AS blk
+      FROM (
+        SELECT el.jw, el.m, el.d,
+               CAST(FLOOR(CAST(SUM(el.v) AS DOUBLE) / COUNT(*))
+                    AS DOUBLE) AS mu
+        FROM (
+          SELECT asg.tid, asg.m, asg.jw, dd.d,
+                 t2.qe[asg.m*{dsub} + dd.d] AS v
+          FROM (
+            SELECT t.tid, mm2.m,
+                   struct_extract(
+                     MIN({{'d': {d2t}, 'j': c.j}}), 'j') AS jw
+            FROM trn t
+            CROSS JOIN lloyd c
+            CROSS JOIN UNNEST(range(0, {PQ_M_BLOCKS})) AS mm2(m)
+            GROUP BY t.tid, mm2.m
+          ) asg
+          JOIN trn t2 ON t2.tid = asg.tid
+          CROSS JOIN UNNEST(range(1, {dsub} + 1)) AS dd(d)
+        ) el
+        GROUP BY el.jw, el.m, el.d
+      ) md
+      GROUP BY md.jw, md.m
+    ) g
+  ) nbl
+  CROSS JOIN UNNEST(range(0, {PQ_M_BLOCKS})) AS mm(m)
+  WHERE l.it < {PQ_LLOYD_ITERS}
+  GROUP BY l.it, l.j
+), cb AS (
+  SELECT j, list_transform(qce, x -> x / {float(PQ_QSCALE)}) AS ce
+  FROM lloyd WHERE it = {PQ_LLOYD_ITERS}
+)"""
+    else:
+        cb_sql = f"""cbr AS (
   SELECT vec_id, e FROM nv WHERE vec_id % {PQ_CB_MOD} = {PQ_CB_RES}
   ORDER BY vec_id LIMIT {PQ_CB_K}
 ), cbres AS (
@@ -1342,7 +1426,14 @@ WITH nv AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
          e AS ce
   FROM cbres
-), rv AS (
+)"""
+    return f"""
+WITH {"RECURSIVE " if trained else ""}nv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+), {_cells_ctes(cent_stride)}, {cb_sql}, rv AS (
   SELECT nvv.vec_id, list(nvv.e[t.d] - ct.cv[t.d] ORDER BY t.d) AS re
   FROM nv nvv
   JOIN cells cl ON cl.vec_id = nvv.vec_id
@@ -1391,6 +1482,9 @@ ORDER BY q_id, rn
 
 # round 16: residual IVF+PQ index (quant='pqr')
 PIPELINE_ORACLE["ann_pqr_index"] = _ivfpqr_index_sql()
+# round 17: Lloyd-TRAINED residual codebook (quant='pqt') — same
+# replay with the integer-exact recursive-CTE training stage
+PIPELINE_ORACLE["ann_pqt_index"] = _ivfpqr_index_sql(trained=True)
 PIPELINE_ORACLE["ann_index"] = _ivfpq_sql()
 # Incremental append (round 8): build(A = vec_id%3<>0) then append(B)
 # under the FROZEN model — the oracle derives centroids/codebook from

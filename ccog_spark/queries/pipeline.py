@@ -1509,6 +1509,30 @@ def ann_pqr_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("q_id", "rn")
 
 
+def ann_pqt_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted TRAINED residual IVF+PQ index (round 17, VERDICT r16
+    #4 — ann_index.build_ivfpq_index(residual=True, trained=True),
+    quant='pqt', FAISS IndexIVFPQ's actual k-means training step):
+    per-block Lloyd iterations over the deterministic sample's
+    residuals, run in a fixed-point integer domain so the oracle's
+    recursive-CTE replay reproduces the codebook BIT-IDENTICALLY
+    (floor-quantized points, integer-exact distances, floor-mean
+    updates, power-of-two unscaling). Codes, append under the frozen
+    model, and asymmetric-cosine reconstruction are the 'pqr'
+    machinery verbatim. Oracle = _ivfpqr_index_sql(trained=True)."""
+    from ccog_spark.operators.ann_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _tmp_index_dir("ccog_ivfpqt", sf_dir)
+    build_ivfpq_index(emb, EMB_DIM, idx, residual=True, trained=True)
+    return query_ivfpq_index(
+        spark, idx, _queries_subset(emb), k=3
+    ).orderBy("q_id", "rn")
+
+
 def ann_autoprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCCUPANCY-TUNED nprobe (round 14, ann_index.auto_nprobe —
     VERDICT r13 #6): the probe count is derived from the persisted

@@ -473,10 +473,14 @@ REGISTRY: dict[str, QueryFn] = {
     # grown index must answer exactly like a from-scratch build over
     # the union corpus (ann_index_append's contract, text side)
     "pipeline_bm25_index_append": pipeline.pipeline_bm25_index_append_q,
-    # r8 fold slot (was ann_ivf): PERSISTED IVF+PQ index — build the
-    # parquet index once, answer queries from 8-byte codes only;
-    # bit-identical to ann_ivfpq, oracle reused verbatim
-    "ann_index": pipeline.ann_index_q,
+    # r17 second-rotation fold slot (was ann_index — E36 keeps six
+    # fold rows: ann_pq, ann_rerank, ann_pqr_index, ann_sq8r_index,
+    # ann_index_delete and this; the base persisted-index contract
+    # stays oracle-gated in the tail): Lloyd-TRAINED residual PQ
+    # codebook, quant='pqt' — the round's ANN flagship, hash-gated
+    # same-round per the r14/r16 precedent; integer-exact k-means
+    # replayed by the oracle's recursive CTE
+    "ann_pqt_index": pipeline.ann_pqt_index_q,
     # r17 fold slot (was pipeline_quota — composed inside the fold's
     # pipeline_mix_e2e, same rank-limited window): multimodal FRAME
     # SAMPLING — GIF frame walk + per-frame decode, byte-exact SQL
@@ -742,6 +746,14 @@ REGISTRY: dict[str, QueryFn] = {
     # exact doc dedup ≙ pipeline_line_dedup + pipeline_span_dedup
     # (fold) + the dedup stage of pipeline_e2e (fold)
     "dedup_exact": pipeline.dedup_exact,
+    # r17 second-rotation displaced fold row: base persisted IVF+PQ
+    # index ≙ ann_pqt_index/ann_pqr_index (fold — same lifecycle,
+    # codes, probe join and reconstruction machinery) + ann_pq (fold,
+    # the inline ADC oracle this row reuses verbatim) +
+    # ann_index_delete (fold); growth stays pinned by
+    # pipeline_bm25_index_append (fold) + frozen-model bit-identity
+    # in test_ann_index
+    "ann_index": pipeline.ann_index_q,
     # r16 fifth-rotation displaced fold row: LM scoring ≙
     # pipeline_lm_buckets (fold), which composes the same scoring
     # CTEs before the tertile split — a strict superset hash gate
@@ -782,6 +794,7 @@ NON_BENCH = (
     "ann_sq8r_index",  # builds a residual-SQ8 ANN index (file IO)
     "pipeline_tokenize_index",  # trains + persists a BPE model (file IO)
     "ann_pqr_index",  # builds a residual-PQ ANN index (file IO)
+    "ann_pqt_index",  # builds a trained-codebook residual-PQ index (file IO)
     "ann_index_filtered",  # builds an ANN index + vecmeta (file IO)
     "ann_autoprobe",  # builds a parquet ANN index per run (file IO)
     "pipeline_hybrid_index",  # builds two parquet indexes (file IO)

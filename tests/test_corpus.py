@@ -126,8 +126,10 @@ def test_driver_fold_discipline():
         # in r13 — read gates stay with cog_roundtrip + cog_read tail;
         # pipeline_lm stood down in r16 — the promoted
         # pipeline_lm_buckets composes the same scoring CTEs, a
-        # strict superset hash gate)
-        "ann_index", "pipeline_line_dedup",
+        # strict superset hash gate; ann_index stood down in r17 —
+        # the pqt/pqr fold rows run the same lifecycle machinery and
+        # ann_pq keeps the inline ADC oracle in the fold)
+        "pipeline_line_dedup",
         # r10: the rewritten operators + r8 stars (ann_index_append
         # stood down in r14 — growth ≙ ann_index fold row + pinned
         # frozen-model bit-identity; the append-contract fold hash
@@ -204,6 +206,8 @@ def test_driver_fold_discipline():
         "pipeline_phrase_index", "pipeline_proximity_index",
         "multimodal_resize", "multimodal_frames", "multimodal_audio",
         "cog_read", "ann_pq", "q19", "q21", "q23",
+        # r17 second rotation: the round's trained-codebook flagship
+        "ann_pqt_index",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned
