@@ -69,21 +69,30 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
         )
-        # Lineage truncation only matters once plan depth accumulates:
-        # near-dup graphs converge in 2-3 rounds, where persist alone
-        # is cheaper (localCheckpoint runs an extra eager job per
-        # round); long-diameter graphs still get a cut every 3rd round.
-        if it % 3 == 2:
-            stepped = stepped.localCheckpoint()
-        else:
-            stepped = stepped.persist()
+        # Lineage truncation EVERY round, lazily (round 17): with
+        # plain persist the round-N plan text embeds every prior
+        # round's full lineage — label propagation references `labels`
+        # twice per round (the join and the select), so the tree GROWS
+        # EXPONENTIALLY in rounds (pipeline_e2e's captured sf0.1 plan:
+        # 26 387 lines / 3007 Exchange nodes after two rounds; the
+        # optimizer walks all of it on every action — guide §7.3
+        # "planning time itself becomes the bottleneck"). A LAZY
+        # localCheckpoint truncates lineage at the same cost point:
+        # the changed-labels count below materializes the checkpoint
+        # blocks as a side effect (no extra eager job — the reason
+        # persist was preferred before), and every later reference
+        # reads blocks with a leaf-sized plan.
+        stepped = stepped.localCheckpoint(eager=False)
         changed = stepped.where(F.col("label") != F.col("old_label")).count()
         # the count above materialized `stepped`; the previous round's
         # caches are now dead weight (consumers of the select below hit
-        # stepped's cache/checkpoint, not its lineage)
+        # stepped's checkpoint blocks, not its lineage). Checkpoint
+        # blocks themselves are freed by the ContextCleaner when the
+        # RDD goes out of scope; unpersist here handles the persisted
+        # init-round `labels` and is a no-op on checkpointed frames.
         for f in prev_cached:
             f.unpersist()
-        prev_cached = [stepped] if it % 3 != 2 else []
+        prev_cached = [stepped]
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break

@@ -1005,3 +1005,73 @@ def encode_gif(indices, palette) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ------------------------------------------------- fused compositions
+# Round 17 (guide §4.1): chaining mapInPandas stages back-to-back
+# still pays a full JVM↔Python↔JVM round trip of the PAYLOAD BYTES at
+# every stage boundary (Arrow serialize + transpose each way), even
+# though the stages land in one Spark stage. The kernels are plain
+# generator transformers (iterator of pdf → iterator of pdf), so they
+# compose INSIDE one Python worker: payload bytes then cross the
+# boundary exactly once (decode_metadata has always used this trick —
+# these entry points extend it to the feature/resize/frame/audio
+# paths). Output values are bit-identical: the same kernels run in
+# the same order on the same batches.
+
+
+def _fused_map(docs: DataFrame, cols, kernels, schema) -> DataFrame:
+    _register_self_by_value()
+
+    def fused(it):
+        for k in kernels:
+            it = k(it)
+        yield from it
+
+    return docs.select(*cols).mapInPandas(fused, schema)
+
+
+def image_features_from_docs(docs: DataFrame, bins: int = 8) -> DataFrame:
+    """(doc_id, text) → payload → features in ONE Arrow stage."""
+    return _fused_map(
+        docs, ("doc_id", "text"),
+        (make_encode_kernel(), make_features_kernel(bins)),
+        FEATURES_SCHEMA,
+    )
+
+
+def resized_features_from_docs(
+    docs: DataFrame, out_w: int, out_h: int, bins: int = 8
+) -> DataFrame:
+    """(doc_id, text) → payload → resize → features, ONE Arrow stage
+    (was three: encode, resize, features — payload crossed the Python
+    boundary three times)."""
+    return _fused_map(
+        docs, ("doc_id", "text"),
+        (
+            make_encode_kernel(),
+            make_resize_kernel(out_w, out_h),
+            make_features_kernel(bins),
+        ),
+        FEATURES_SCHEMA,
+    )
+
+
+def sampled_frames_from_docs(
+    docs: DataFrame, every: int = 2, frame_side: int = 16
+) -> DataFrame:
+    """(doc_id) → FSTK container → sampled frames, ONE Arrow stage."""
+    return _fused_map(
+        docs, ("doc_id",),
+        (make_video_kernel(frame_side), make_frame_sample_kernel(every)),
+        FRAME_SCHEMA,
+    )
+
+
+def audio_features_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id) → WAV payload → signal features, ONE Arrow stage."""
+    return _fused_map(
+        docs, ("doc_id",),
+        (make_audio_kernel(), make_audio_features_kernel()),
+        AUDIO_FEATURES_SCHEMA,
+    )

@@ -386,9 +386,6 @@ def exact_quantile_boundaries(
     are unique, so composites are distinct)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    n = df.count()
-    if n == 0:
-        return []
     vb = F.expr(f"`{value_col}` DIV {bucket_width}")
     rows = (
         df.groupBy(vb.alias("_vb"))
@@ -408,9 +405,21 @@ def exact_quantile_boundaries(
             "or impute NULL rows before splitting"
         )
     hist = sorted((int(r["_vb"]), int(r["_c"])) for r in rows)
-    bounds: list[tuple[int, int]] = []
-    for j in range(1, k):
+    # n derives from the histogram — NULLs are rejected above, so
+    # Σ bucket counts ≡ df.count() and the separate count action
+    # (one more pass over the cached/scanned input) is redundant
+    # (round 17: 2 driver actions here, was 3).
+    n = sum(c for _, c in hist)
+    if n == 0:
+        return []
+
+    def _one_boundary(j: int) -> tuple[int, int] | None:
         r_j = -(-j * n // k)  # ceil(j*n/k): first rank of bucket j+1
+        if r_j >= n:
+            # k > n puts this boundary past the last row — no cut
+            # exists (the pre-refactor loop fell through silently);
+            # dropped by the caller's filter below
+            return None
         acc = 0
         for b, c in hist:
             if acc + c > r_j:
@@ -442,9 +451,20 @@ def exact_quantile_boundaries(
                     .collect()
                 )
                 last = take[-1]
-                bounds.append((int(last[0]), int(last[1])))
-                break
+                return (int(last[0]), int(last[1]))
             acc += c
+        raise AssertionError("rank beyond histogram total")  # unreachable
+
+    # The k−1 boundary refinements are INDEPENDENT confined TakeOrdered
+    # jobs — submit them concurrently (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially; a later
+    # job's tasks back-fill the earlier job's straggler tail). Order of
+    # results is restored by the executor's map(); each job stays
+    # capped by _QSPLIT_TAKE_CAP. 2-3 in flight is plenty.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, k - 1)) as pool:
+        bounds = [b for b in pool.map(_one_boundary, range(1, k)) if b]
     return bounds
 
 

@@ -925,6 +925,48 @@ def _ivf_centroid_arrays(corpus: DataFrame, cent_stride: int):
     return cent_ids, cmat, cnrm
 
 
+def _ivf_centroid_and_codebook_arrays(corpus: DataFrame, cent_stride: int):
+    """(cent_ids, cmat, cnrm, cbmat) in ONE collect action (round 17):
+    the IVF+PQ composition previously ran two driver jobs over the
+    corpus — the centroid collect and the codebook-subsample collect —
+    before any query plan executed. The two subqueries union under a
+    tag and collect together; the driver re-sorts each side by id, so
+    every value is byte-identical to the separate collects (the
+    codebook branch's ORDER BY vec_id LIMIT k subtree computes the
+    same row SET; only the transport order changes, and the sort
+    restores it). One driver action = one scheduling round trip
+    locally and one corpus pass at scale instead of two."""
+    import numpy as np
+
+    c = corpus.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cent = c.where(F.col("vec_id") % cent_stride == 1).select(
+        F.lit("c").alias("_t"), "vec_id", "embedding", "nrm"
+    )
+    cb = (
+        corpus.where(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RES)
+        .orderBy("vec_id")
+        .limit(PQ_CB_K)
+        .select(
+            F.lit("b").alias("_t"),
+            "vec_id",
+            "embedding",
+            F.lit(0.0).alias("nrm"),
+        )
+    )
+    rows = cent.unionByName(cb).collect()
+    cent_rows = sorted(
+        (r for r in rows if r._t == "c"), key=lambda r: r.vec_id
+    )
+    cb_rows = sorted((r for r in rows if r._t == "b"), key=lambda r: r.vec_id)
+    cent_ids = np.array([r.vec_id for r in cent_rows], "i8")
+    cmat = np.array([[float(x) for x in r.embedding] for r in cent_rows], "f8")
+    cnrm = np.array([r.nrm for r in cent_rows], "f8")
+    cbmat = np.array([[float(x) for x in r.embedding] for r in cb_rows], "f8")
+    return cent_ids, cmat, cnrm, cbmat
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -949,7 +991,12 @@ def ivfpq_topk(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    cent_ids, cmat, cnrm = _ivf_centroid_arrays(corpus, cent_stride)
+    # one driver action for both constant arrays (round 17) — was two
+    # separate corpus-scanning collects (centroids, then the PQ
+    # codebook subsample inside _pq_machinery)
+    cent_ids, cmat, cnrm, cbmat = _ivf_centroid_and_codebook_arrays(
+        corpus, cent_stride
+    )
     # Rebuild the centroid frame from the collected rows (bit-identical
     # values — every element round-trips exactly through the f8 matrix)
     # instead of reusing the filtered-corpus frame. Two wins: the
@@ -1005,7 +1052,9 @@ def ivfpq_topk(
         .where(F.col("prn") <= nprobe)
         .select("q_id", "cell")
     )
-    encode, adc_kernel, _qdf = _pq_machinery(corpus, queries, dim, m_blocks)
+    encode, adc_kernel, _qdf = _pq_machinery(
+        corpus, queries, dim, m_blocks, cbmat=cbmat
+    )
     # FUSED map stage: cell assignment AND PQ encode evaluate in the
     # SAME ArrowEvalPython pass over each corpus batch — one scan, one
     # Python crossing, and no vec_id shuffle join between two derived

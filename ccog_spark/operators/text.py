@@ -596,9 +596,16 @@ def bm25_topk(
     ).where(F.col("t") != "")
     # ONE corpus-shuffled aggregate: tf per (doc, term); dl and the
     # corpus stats both derive from it (no second explode+scan), and
-    # df is a vocabulary-sized aggregate OF it. Persisted below iff the
-    # pruning planner survives the pre-gate (its θ probe + candidate
-    # pass re-read it); the registry ledger releases it at query exit.
+    # df is a vocabulary-sized aggregate OF it.
+    # The four subplans reading tf within ONE action (the scoring
+    # join, dl, dfs, stats) are shared at runtime by Spark's exchange
+    # reuse — identical canonical exchanges execute once — so a
+    # persist buys nothing for the single-action unpruned plan and
+    # costs a columnar cache build (paired cold A/B at sf0.1:
+    # unconditional persist was a wash for pipeline_bm25, 0.99×).
+    # Persist pays only ACROSS actions, where exchange reuse cannot
+    # reach: the pruning planner's jobs below (θ probe, qrows
+    # collect) — exactly where it was already applied.
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
     qterms = (
         queries.select(
@@ -611,30 +618,41 @@ def bm25_topk(
         # Metadata-cheap pre-gate BEFORE any postings job: Σ df over
         # the query terms is at most |distinct query terms| · n_docs,
         # so when that CEILING is under the floor the planner could
-        # never engage — decline with a query-batch count and a
-        # row-group-metadata corpus count instead of building (and
-        # persisting) the TF table for a df job.
+        # never engage — decline with ONE job (both counts cross-
+        # joined — round 17, two separate count actions before)
+        # instead of building (and persisting) the TF table for a df
+        # job.
         floor = (
             BM25_PRUNE_MIN_POSTINGS if min_postings is None else min_postings
         )
-        if qterms.count() * docs.count() < floor:
+        gate = (
+            qterms.agg(F.count(F.lit(1)).alias("nq"))
+            .crossJoin(docs.agg(F.count(F.lit(1)).alias("nd")))
+            .collect()[0]
+        )
+        if gate["nq"] * gate["nd"] < floor:
             prune = False
     if prune:
-        # Persisted only when the planner will actually run jobs over
-        # it (θ probe, candidate pass). The cache is registered with
-        # the session ledger (round 14, ADVICE r13): registry callers
-        # release it when the next query enters, and DIRECT callers
-        # (Engine.bm25, ad-hoc use) are self-cleaning — each
-        # bm25_topk call releases the PREVIOUS call's TF cache, so at
-        # most one call's corpus-sized frame stays cached per session
-        # instead of one per call. (Consume the previous result before
-        # issuing the next call, or its TF recomputes — persist is a
-        # recompute hint, never a correctness mechanism.)
+        # Persisted only when the planner will actually run MULTIPLE
+        # jobs over these frames (θ probe, candidate pass — separate
+        # actions, so runtime exchange reuse cannot share them; the
+        # cache is the only mechanism that can). Ledger-registered
+        # (round 14, ADVICE r13): registry callers release them when
+        # the next query enters, and DIRECT callers are self-cleaning
+        # — each bm25_topk call releases the PREVIOUS call's caches,
+        # so at most one call's corpus-sized frame stays cached per
+        # session. (Consume the previous result before issuing the
+        # next call, or its TF recomputes — persist is a recompute
+        # hint, never a correctness mechanism.) qterms rides along
+        # (round 17): it is query-batch-sized but derived from a
+        # corpus scan, and the planner re-references it in qstats,
+        # the seed semi-join and the θ probe.
         from ccog_spark import cache_ledger
 
         spark = docs.sparkSession
         cache_ledger.release_owner(spark, "bm25_topk")
         tf = cache_ledger.track(spark, "bm25_topk", tf.persist())
+        qterms = cache_ledger.track(spark, "bm25_topk", qterms.persist())
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
@@ -1043,6 +1061,21 @@ def _proximity_core(
     m = toks.join(F.broadcast(pterms), "t").select(
         "q_id", F.col(id_col), "pos", "i"
     )
+    # m (matching tokens only — query-vocabulary-bounded, ≪ corpus)
+    # feeds BOTH join sides below, and neither reference sits under a
+    # shared exchange (the window-starts side goes through its own
+    # distinct, the token side through its own bucket explode), so
+    # exchange reuse cannot share the tokenize + phrase-term join —
+    # un-persisted, the corpus is tokenized twice per execution.
+    # Persist m (round 17, guide §2.4): one tokenize pass + a
+    # matching-tokens-sized cache; measured neutral at fixture scale
+    # (paired cold A/B, 1.01×), strictly fewer corpus passes at 100 TB.
+    # Ledger-registered like bm25_topk's TF.
+    from ccog_spark import cache_ledger
+
+    spark = toks.sparkSession
+    cache_ledger.release_owner(spark, "proximity_core")
+    m = cache_ledger.track(spark, "proximity_core", m.persist())
     bucket = (F.col("pos") / max_span).cast("bigint")
     tok_b = m.select(
         "q_id",
@@ -1128,28 +1161,71 @@ def bm25f_topk(
     score is then quantized at 1e6 like the BM25 core and summed as
     BIGINT — bit-exact replay in the SQL oracle.
 
-    Scale shape: one tokenize pass per field (map-side), per-field
-    aggregates with map-side combine, df from the distinct (id, t)
-    union, field combination grouped by (id, t) — everything keyed
-    the way the shuffles want; query-batch frames broadcast after the
+    Scale shape (round 17 — ONE corpus tokenize for ALL fields): the
+    fields are exploded in a single Generate (each token tagged with
+    its field ordinal) and aggregated into ONE shared
+    (field, id, t, tf) table; every per-field frame — tf, dl (= Σ tf),
+    the avgdl stats — and the cross-field df union derive from it, so
+    all their exchanges canonicalize equal and runtime exchange reuse
+    executes the tokenize+aggregate once. The previous per-field
+    spelling tokenized each FIELD separately for tf_f, dl_f, stats_f
+    and the df union — subtrees across different field columns never
+    canonicalize equal, so nothing could be shared (sf0.1 plan: 78
+    Exchange / 24 scans). Query-batch frames broadcast after the
     vocabulary join exactly as the single-field core does."""
     if len(field_cols) != len(weights) or not field_cols:
         raise ValueError("field_cols and weights must be same-length, >= 1")
     spark = docs.sparkSession
     n_docs_frame = docs.agg(F.count(F.lit(1)).alias("n_docs"))
 
-    contribs = []
-    union_idt = None
-    for fi, (col, w) in enumerate(zip(field_cols, weights)):
-        toks = (
-            docs.select(
-                F.col(id_col),
-                F.explode(F.split(F.col(col), " ")).alias("t"),
-            )
-            .where(F.col("t") != "")
+    # one Generate over the concatenation of per-field tagged token
+    # arrays: a single corpus scan tokenizes every field. The tagging
+    # lambda MUST be unary — F.transform hands a two-parameter
+    # callable (element, index), so a default-arg closure would bind
+    # the field ordinal to the token POSITION.
+    def _tag(fi: int):
+        return lambda x: F.struct(
+            F.lit(fi).cast("int").alias("fi"), x.alias("t")
         )
-        tf_f = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-        dl_f = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+
+    tagged = F.explode(
+        F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        # a NULL field must contribute zero tokens —
+                        # not NULL the flatten (flatten is null if ANY
+                        # element array is null, unlike per-field
+                        # explode which just skipped the null row)
+                        F.coalesce(
+                            F.split(F.col(col), " "),
+                            F.array().cast("array<string>"),
+                        ),
+                        _tag(fi),
+                    )
+                    for fi, col in enumerate(field_cols)
+                ]
+            )
+        )
+    ).alias("ft")
+    toks_all = (
+        docs.select(F.col(id_col), tagged)
+        .select(id_col, F.col("ft.fi").alias("fi"), F.col("ft.t").alias("t"))
+        .where(F.col("t") != "")
+    )
+    # no persist: single action — every reference to tfall is a
+    # canonically identical aggregate exchange, shared at runtime by
+    # exchange reuse (the paired A/B showed the cache build is pure
+    # overhead here)
+    tfall = toks_all.groupBy("fi", id_col, "t").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    contribs = []
+    for fi, (col, w) in enumerate(zip(field_cols, weights)):
+        tf_f = tfall.where(F.col("fi") == fi).select(id_col, "t", "tf")
+        # dl_f = Σ_t tf_f — identical to counting the field's tokens
+        dl_f = tf_f.groupBy(id_col).agg(F.sum("tf").alias("dl"))
         # avgdl over ALL docs (empty-field docs contribute dl 0),
         # spelled CAST(sum AS DOUBLE)/N like the single-field core
         stats_f = dl_f.agg(F.sum("dl").alias("sum_dl")).crossJoin(
@@ -1162,17 +1238,13 @@ def bm25f_topk(
             .crossJoin(F.broadcast(stats_f))
             .select(id_col, "t", qf.alias("qf"))
         )
-        union_idt = (
-            tf_f.select(id_col, "t") if union_idt is None
-            else union_idt.unionByName(tf_f.select(id_col, "t"))
-        )
 
     allc = contribs[0]
     for c in contribs[1:]:
         allc = allc.unionByName(c)
     combined = allc.groupBy(id_col, "t").agg(F.sum("qf").alias("qsum"))
 
-    dfs = union_idt.distinct().groupBy("t").agg(
+    dfs = tfall.select(id_col, "t").distinct().groupBy("t").agg(
         F.count(F.lit(1)).alias("df")
     )
     qterms = (
@@ -1387,20 +1459,33 @@ def bm25_prf_topk(
     hash-gated oracle cannot replay portably — so the expansion here
     is the set-union variant, deterministic end to end.
 
-    Scale shape: pass 1 is bm25_topk unchanged; feedback-term
-    selection joins the (query-batch × k_fb)-sized winners back to
-    the corpus for THEIR tokens only, aggregates per (q_id, t), and
-    ranks inside each query (query-batch-sized window); pass 2 is the
-    shared _bm25_rank core over the expanded (still query-batch ×
-    (|q| + e))-sized term set. Pruning is left off for pass 2 (the
-    expanded batch is small; the planner's jobs would dominate)."""
-    base = bm25_topk(docs, queries, k=k_fb, k1=k1, b=b,
-                     text_col=text_col, id_col=id_col, prune=False)
+    Scale shape (round 17 — ONE shared TF derivation for the whole
+    two-pass operator): pass 1, the feedback counts, and pass 2 all
+    read the SAME tf/dl/dfs/stats frames, so the canonically-equal
+    exchanges are shared at runtime (exchange reuse) and the plan
+    carries 2 token explodes instead of 9 subtree spellings (the
+    previous code re-derived pass-2 frames and joined RAW tokens for
+    feedback — sf0.1 plan: 98 Exchange / 24 scans of duplicated
+    text). Feedback counts come from TF directly: Σ tf(doc, t) over
+    the feedback docs ≡ counting the winners' token occurrences
+    (identical integers, the quantity RM3 wants). No persist: the
+    operator is a single action, where exchange reuse already shares
+    the corpus-side work (a persist measured as a pure cache-build
+    cost here — paired cold A/B at sf0.1). Pruning is left off for
+    both passes (the expanded batch is small; the planner's jobs
+    would dominate)."""
+    spark = docs.sparkSession
     toks = (
         docs.select(
             F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
         )
         .where(F.col("t") != "")
+    )
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     orig = (
         queries.select(
@@ -1409,14 +1494,19 @@ def bm25_prf_topk(
         .where(F.col("t") != "")
         .distinct()
     )
+    base = _bm25_rank(
+        spark, tf, dl, dfs, stats, orig,
+        k=k_fb, k1=k1, b=b, id_col=id_col, prune=False, min_postings=None,
+    )
     fb_cnt = (
         # feedback winners are query-batch × k_fb rows but derived —
-        # broadcast them so the corpus token stream joins map-side
-        # instead of shuffling (the diversify_topk hint, same reason)
+        # broadcast them so the TF stream joins map-side instead of
+        # shuffling (the diversify_topk hint, same reason); summing tf
+        # replays the old per-token count exactly (TF aggregated them)
         F.broadcast(base.select("q_id", id_col))
-        .join(toks, id_col)
+        .join(tf, id_col)
         .groupBy("q_id", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("tf").alias("c"))
         .join(orig, ["q_id", "t"], "left_anti")
     )
     ew = W.partitionBy("q_id").orderBy(F.col("c").desc(), F.col("t"))
@@ -1427,14 +1517,7 @@ def bm25_prf_topk(
     )
     qterms = orig.unionByName(expansion).distinct()
 
-    # pass-2 corpus frames, spelled exactly as bm25_topk derives them
-    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dfs = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
     return _bm25_rank(
-        docs.sparkSession, tf, dl, dfs, stats, qterms,
+        spark, tf, dl, dfs, stats, qterms,
         k=k, k1=k1, b=b, id_col=id_col, prune=False, min_postings=None,
     )

@@ -442,7 +442,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     formats, incl. the BMP branch whose pixel path is byte-checked in
     tests/test_multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
-    feats = multimodal.image_features(multimodal.attach_payload(docs))
+    # fused single Arrow stage (round 17): encode + features in one
+    # Python crossing — payload bytes no longer round-trip the JVM
+    feats = multimodal.image_features_from_docs(docs)
     wh = (F.col("width") * F.col("height")).cast("bigint")
     return feats.select(
         "doc_id",
@@ -466,7 +468,9 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives them from the fixture's (doc_id, frame, i) byte formula,
     so the row proves the length-prefixed container arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    frames = multimodal.sample_frames(multimodal.attach_video(docs), every=2)
+    # fused single Arrow stage (round 17): container build + frame
+    # sampling in one Python crossing
+    frames = multimodal.sampled_frames_from_docs(docs, every=2)
     byte_at = lambda pos: F.conv(  # noqa: E731 - local probe helper
         F.hex(F.expr(f"substring(payload, {pos}, 1)")), 16, 10
     ).cast("int")
@@ -485,8 +489,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the index arithmetic (oy*h//24, ox*w//32) per output
     byte in SQL. PPM branch (even doc_ids), like multimodal_features."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
-    resized = multimodal.resize_images(multimodal.attach_payload(docs), 32, 24)
-    feats = multimodal.image_features(resized.select("doc_id", "payload"))
+    # fused single Arrow stage (round 17): encode + resize + features
+    # in one Python crossing (payload bytes previously crossed the
+    # JVM↔Python boundary three times)
+    feats = multimodal.resized_features_from_docs(docs, 32, 24)
     n = F.lit(32 * 24 * 3).cast("bigint")
     return feats.select(
         "doc_id",
@@ -503,7 +509,9 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated, so the oracle replays every sample in SQL (window LAG
     for zero crossings)."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = multimodal.audio_features(multimodal.attach_audio(docs))
+    # fused single Arrow stage (round 17): WAV build + RIFF walk +
+    # signal stats in one Python crossing
+    feats = multimodal.audio_features_from_docs(docs)
     return feats.select(
         "doc_id",
         "n_bytes",

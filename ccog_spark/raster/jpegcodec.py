@@ -31,7 +31,7 @@ The DCT/quantization AND the Huffman symbol/category/run-length
 passes are vectorized numpy over all blocks at once; the entropy
 bitstream itself is packed with np.packbits (no per-symbol Python
 loop on encode). The DECODE entropy pass (round 8) de-stuffs and
-splits restart segments in one vectorized scan, lru-caches the 64Ki
+splits restart segments in one vectorized scan, memo-caches the 64Ki
 lookahead tables across tiles (a COG read re-parses the same
 JPEGTables for every tile), and walks symbols over precomputed
 24-bit byte windows with packed (len|sym) list lookups — ~1.6×
@@ -49,7 +49,6 @@ option has the same 1-100 domain).
 
 from __future__ import annotations
 
-import functools as _functools
 import struct
 
 import numpy as np
@@ -653,14 +652,35 @@ def _decode_tables(codes: dict[int, tuple[int, int]]):
     return sym, ln, sym.tolist(), ln.tolist(), pack.tolist()
 
 
-@_functools.lru_cache(maxsize=64)
+_DECODE_TABLES_MEMO: dict = {}
+
+
 def _decode_tables_cached(bits: tuple, vals: tuple):
     """Per-(bits,vals) cache: a COG read re-parses the same JPEGTables
     payload for EVERY tile, and rebuilding the 2×64Ki lookahead arrays
     plus their list twins per tile dominates small-tile decode. The
     table domain is tiny (one luma + one chroma pair per quality
-    level actually in the file)."""
-    return _decode_tables(_canonical_codes(list(bits), list(vals)))
+    level actually in the file).
+
+    A plain dict memo, NOT functools.lru_cache (round 17): cloudpickle
+    serializes an lru_cache wrapper BY REFERENCE even when its module
+    is registered by value, so any Arrow kernel closing over the
+    decode path (multimodal features/resize) shipped a
+    `ccog_spark.raster.jpegcodec` import to workers — breaking the
+    import-less-worker contract (ModuleNotFoundError on a driver whose
+    repo path is sys.path-only). A module-level dict with a plain
+    function pickles by value like everything else here; the 64-entry
+    bound matches the old maxsize (table domain is tiny, eviction
+    order irrelevant)."""
+    key = (bits, vals)
+    hit = _DECODE_TABLES_MEMO.get(key)
+    if hit is None:
+        if len(_DECODE_TABLES_MEMO) >= 64:
+            _DECODE_TABLES_MEMO.clear()
+        hit = _DECODE_TABLES_MEMO.setdefault(
+            key, _decode_tables(_canonical_codes(list(bits), list(vals)))
+        )
+    return hit
 
 
 def _read_huffman(reader: _BitReader, table) -> int:

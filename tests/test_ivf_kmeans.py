@@ -275,3 +275,38 @@ def test_sq8_recall_near_exact(planted):
     # and neighbors never cross blobs
     for r in sq.collect():
         assert r.q_id // PER_CLUSTER == r.vec_id // PER_CLUSTER
+
+
+def test_merged_centroid_codebook_collect_bit_identical(planted):
+    """Round 17: _ivf_centroid_and_codebook_arrays does ONE collect for
+    what _ivf_centroid_arrays + the _pq_machinery subsample did in two
+    driver actions — every array must be byte-identical to the
+    separate collects."""
+    from pyspark.sql import functions as F
+
+    from ccog_spark.operators.similarity import (
+        PQ_CB_K,
+        PQ_CB_MOD,
+        PQ_CB_RES,
+        _ivf_centroid_and_codebook_arrays,
+        _ivf_centroid_arrays,
+    )
+
+    stride = 25
+    ids1, cmat1, cnrm1 = _ivf_centroid_arrays(planted, stride)
+    ids2, cmat2, cnrm2, cbmat2 = _ivf_centroid_and_codebook_arrays(
+        planted, stride
+    )
+    assert (ids1 == ids2).all()
+    assert (cmat1 == cmat2).all() and (cnrm1 == cnrm2).all()
+
+    # the codebook subsample, spelled exactly as _pq_machinery does
+    cb_rows = (
+        planted.where(F.col("vec_id") % PQ_CB_MOD == PQ_CB_RES)
+        .orderBy("vec_id")
+        .limit(PQ_CB_K)
+        .collect()
+    )
+    cbmat1 = np.array([[float(x) for x in r.embedding] for r in cb_rows], "f8")
+    assert cbmat1.shape == cbmat2.shape
+    assert (cbmat1 == cbmat2).all()

@@ -548,3 +548,36 @@ def test_gif_lzw_first_code_out_of_range():
     # Sole code = 7 (0b111): out of range while prev is None.
     with _pytest.raises(ValueError, match="corrupt GIF LZW"):
         _gif_lzw_decode(bytes([0b111]), 2, 4)
+
+
+def test_fused_variants_match_unfused_compositions(spark):
+    """Round-17 fusion (guide §4.1): the *_from_docs entry points chain
+    the SAME kernels inside one Python worker instead of separate
+    mapInPandas stages, so every output value must be BIT-identical to
+    the unfused composition — same kernels, same order, same batches."""
+    from ccog_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, f"text for document {i} " * (i + 1)) for i in range(8)],
+        ["doc_id", "text"],
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(mm.image_features_from_docs(docs)) == rows(
+        mm.image_features(mm.attach_payload(docs))
+    )
+    assert rows(mm.resized_features_from_docs(docs, 32, 24)) == rows(
+        mm.image_features(
+            mm.resize_images(mm.attach_payload(docs), 32, 24).select(
+                "doc_id", "payload"
+            )
+        )
+    )
+    assert rows(mm.sampled_frames_from_docs(docs, every=2)) == rows(
+        mm.sample_frames(mm.attach_video(docs), every=2)
+    )
+    assert rows(mm.audio_features_from_docs(docs)) == rows(
+        mm.audio_features(mm.attach_audio(docs))
+    )
