@@ -284,21 +284,36 @@ def ivf_topk(
         )
     cents = F.broadcast(centroids)
     # assignment: argmax cosine, smallest cent_id on ties — the
-    # lexicographic max of (cos, -cent_id) is map-side combinable
-    cell = (
+    # lexicographic max of (cos, -cent_id) is map-side combinable.
+    # The row's own (embedding, nrm) ride the SAME aggregate via
+    # first(): every broadcast-crossJoin replica of a vec_id carries
+    # identical values, so first() is value-deterministic, and the
+    # assigned frame needs NO corpus self-join on vec_id (round 17 —
+    # the previous agg + join shape exchanged the corpus TWICE, once
+    # per join side, then merged; now ONE vec_id exchange out of the
+    # partial aggregate).
+    assigned = (
         c.crossJoin(cents)
         .select(
             "vec_id",
+            "embedding",
+            "nrm",
             F.struct(
                 (dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))).alias("cos"),
                 (-F.col("cent_id")).alias("neg_id"),
             ).alias("sc"),
         )
         .groupBy("vec_id")
-        .agg(F.max("sc").alias("sc"))
-        .select("vec_id", (-F.col("sc.neg_id")).alias("cell"))
+        .agg(
+            F.max("sc").alias("sc"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select(
+            "vec_id", "embedding", "nrm",
+            (-F.col("sc.neg_id")).alias("cell"),
+        )
     )
-    assigned = c.join(cell, "vec_id")
     q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
     pw = W.partitionBy("q_id").orderBy(
         F.col("p_cos").desc(), F.col("cent_id")
@@ -451,10 +466,17 @@ def ivfsq_topk(
         F.col("nrm").alias("c_nrm"),
     )
     cents = F.broadcast(centroids)
-    cell = (
+    # argmax in the ORIGINAL space, with the row's reconstructed
+    # (xe, xn) riding the aggregate via first() (identical across a
+    # vec_id's broadcast replicas) — no corpus self-join on vec_id
+    # (round 17, same rewrite as ivf_topk: two corpus exchanges + a
+    # join collapse into one partial-aggregate exchange)
+    assigned = (
         c.crossJoin(cents)
         .select(
             "vec_id",
+            "xe",
+            "xn",
             F.struct(
                 (
                     dot(F.col("embedding"), F.col("c_emb"))
@@ -464,10 +486,15 @@ def ivfsq_topk(
             ).alias("sc"),
         )
         .groupBy("vec_id")
-        .agg(F.max("sc").alias("sc"))
-        .select("vec_id", (-F.col("sc.neg_id")).alias("cell"))
+        .agg(
+            F.max("sc").alias("sc"),
+            F.first("xe").alias("xe"),
+            F.first("xn").alias("xn"),
+        )
+        .select(
+            "vec_id", "xe", "xn", (-F.col("sc.neg_id")).alias("cell")
+        )
     )
-    assigned = c.select("vec_id", "xe", "xn").join(cell, "vec_id")
     q = queries.select("q_id", "q_emb", norm(F.col("q_emb")).alias("qn"))
     pw = W.partitionBy("q_id").orderBy(F.col("p_cos").desc(), F.col("cent_id"))
     probes = (
