@@ -396,9 +396,10 @@ def test_bm25_direct_caller_tf_cache_self_cleans(spark):
     """Round 14 (ADVICE r13, text.py): bm25_topk persists its
     corpus-scale TF frame when the prune pre-gate passes; direct
     (non-registry) callers used to leak one cached frame PER CALL
-    until a session clearCache. Now each call registers the frame
-    under the "bm25_topk" ledger owner and releases the previous
-    call's — at most one TF cache outstanding."""
+    until a session clearCache. Each call registers its frames under
+    the "bm25_topk" ledger owner and releases the previous call's —
+    round 17 added the qterms persist to the same owner, so the
+    steady-state is exactly one (TF, qterms) PAIR outstanding."""
     from pyspark.sql import functions as F
 
     from ccog_spark import cache_ledger
@@ -415,18 +416,26 @@ def test_bm25_direct_caller_tf_cache_self_cleans(spark):
     # its TF persist) engages at fixture scale
     text.bm25_topk(docs, queries, k=3, min_postings=0).collect()
     first = [df for own, df in st["persists"] if own == "bm25_topk"]
-    assert len(first) == 1
+    assert len(first) == 2  # the TF frame and the qterms frame
+    assert {tuple(df.columns) for df in first} == {
+        ("doc_id", "t", "tf"),
+        ("q_id", "t"),
+    }
     # the second call must score a DIFFERENT corpus frame: Spark's
     # CacheManager is canonicalized-PLAN-keyed, so an identical call
     # would re-persist the same plan and re-light the first frame's
-    # storageLevel even after its unpersist
+    # storageLevel even after its unpersist. qterms depends only on
+    # `queries` (unchanged across the calls), so call 2 legitimately
+    # re-lights call 1's qterms entry — the re-lit check is therefore
+    # scoped to the corpus-derived TF frame.
     text.bm25_topk(
         docs.where(F.col("doc_id") % 2 == 0), queries, k=3, min_postings=0
     ).collect()
     second = [df for own, df in st["persists"] if own == "bm25_topk"]
-    assert len(second) == 1  # previous call's frame was released
-    assert first[0] is not second[0]
-    assert not first[0].storageLevel.useMemory  # actually unpersisted
+    assert len(second) == 2  # previous call's frames were released
+    assert not any(a is b for a in first for b in second)
+    first_tf = next(df for df in first if tuple(df.columns) == ("doc_id", "t", "tf"))
+    assert not first_tf.storageLevel.useMemory  # actually unpersisted
     cache_ledger.release(spark, blocking=True)
 
 
