@@ -1586,10 +1586,26 @@ def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = emb.where(F.col("vec_id") % 97 == 11).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    lex = text.bm25_topk(docs, q_text, k=20)
-    vec = similarity.ivfpq_rerank_topk(
-        emb, q_emb, dim=EMB_DIM, k=20, m=30
-    ).withColumnRenamed("vec_id", "doc_id")
+    # The two legs' CONSTRUCTION each runs independent driver actions
+    # (the bm25 pruning planner's gate/θ/candidate jobs; the IVF+PQ
+    # centroid+codebook collect) with no data dependency until the
+    # fusion below — build them from a 2-thread pool (guide §2.6:
+    # concurrent jobs back-fill each other's straggler tails; the
+    # sharding boundary-job precedent) so the vector leg's collect
+    # overlaps the lexical planner instead of queuing behind it.
+    # Every persist either leg issues is explicitly ledger-tracked
+    # under its own owner (bm25_topk; similarity has none), so
+    # worker-thread construction leaks nothing. Results are the legs'
+    # own, unchanged — only job SCHEDULING overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f = pool.submit(text.bm25_topk, docs, q_text, 20)
+        vec_f = pool.submit(
+            similarity.ivfpq_rerank_topk, emb, q_emb, EMB_DIM, 20, 30
+        )
+        lex = lex_f.result()
+        vec = vec_f.result().withColumnRenamed("vec_id", "doc_id")
     return text.rrf_fuse(lex, vec, "doc_id", k=5).orderBy("q_id", "rn")
 
 
@@ -1624,10 +1640,20 @@ def pipeline_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_emb = emb.where(F.col("vec_id") % 97 == 11).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
+    # The two index BUILDS are independent write pipelines to separate
+    # directories — overlap them from a 2-thread pool (guide §2.6;
+    # same rationale as pipeline_hybrid's leg overlap) so the vector
+    # build's k-means/encode jobs back-fill the text build's write
+    # tail. Both builds self-clean their persists in try/finally, so
+    # worker-thread construction leaks nothing.
+    from concurrent.futures import ThreadPoolExecutor
+
     tidx = _tmp_index_dir("ccog_bm25_hyb", sf_dir)
-    build_bm25_index(docs, tidx)
     vidx = _tmp_index_dir("ccog_ivfpq_hyb", sf_dir)
-    build_ivfpq_index(emb, EMB_DIM, vidx)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        tb = pool.submit(build_bm25_index, docs, tidx)
+        vb = pool.submit(build_ivfpq_index, emb, EMB_DIM, vidx)
+        tb.result(), vb.result()
     lex = query_bm25_index(spark, tidx, q_text, k=20)
     vec = query_ivfpq_index(
         spark, vidx, q_emb, k=20, rerank_corpus=emb, m=30
@@ -1672,10 +1698,20 @@ def pipeline_hybrid_index_filtered_q(
     q_emb = emb.where(F.col("vec_id") % 97 == 11).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
+    # Independent builds overlapped from a 2-thread pool — see
+    # pipeline_hybrid_index (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
     tidx = _tmp_index_dir("ccog_bm25_hybfil", sf_dir)
-    build_bm25_index(docs, tidx, meta_cols=("lang", "source"))
     vidx = _tmp_index_dir("ccog_ivfpq_hybfil", sf_dir)
-    build_ivfpq_index(emb, EMB_DIM, vidx, meta_cols=("label",))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        tb = pool.submit(
+            build_bm25_index, docs, tidx, meta_cols=("lang", "source")
+        )
+        vb = pool.submit(
+            build_ivfpq_index, emb, EMB_DIM, vidx, meta_cols=("label",)
+        )
+        tb.result(), vb.result()
     lex = query_bm25_index(
         spark, tidx, q_text, k=20, doc_filter=BM25_FILTER_PRED
     )

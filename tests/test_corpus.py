@@ -439,6 +439,50 @@ def test_bm25_direct_caller_tf_cache_self_cleans(spark):
     cache_ledger.release(spark, blocking=True)
 
 
+def test_bm25_worker_thread_persists_stay_ledger_tracked(spark):
+    """Round 17: pipeline_hybrid (and the hybrid index twins) build
+    their two legs from a ThreadPoolExecutor (guide §2.6 overlap), so
+    bm25_topk's persists can now be issued from a NON-main thread.
+    They must stay ledger-tracked and releasable: bm25_topk registers
+    them EXPLICITLY (cache_ledger.track under the "bm25_topk" owner),
+    which — unlike the thread-scoped capture patch — works from any
+    thread. Pinned: worker-thread construction tracks the same (TF,
+    qterms) pair as main-thread construction, and release leaves RDD
+    storage empty (no leak)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from ccog_spark import cache_ledger
+    from ccog_spark.catalog import load_table
+    from ccog_spark.operators import text
+
+    cache_ledger.release(spark, blocking=True)
+    st = cache_ledger.session_state(spark)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    queries = docs.limit(3).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        # min_postings=0 defeats the metadata pre-gate so the planner
+        # (and its persists) engages at fixture scale
+        fut = pool.submit(
+            text.bm25_topk, docs, queries, 3, 1.2, 0.75, "text",
+            "doc_id", True, 0,
+        )
+        fut.result().collect()
+    tracked = [df for own, df in st["persists"] if own == "bm25_topk"]
+    assert len(tracked) == 2  # the TF frame and the qterms frame
+    assert {tuple(df.columns) for df in tracked} == {
+        ("doc_id", "t", "tf"),
+        ("q_id", "t"),
+    }
+    cache_ledger.release(spark, blocking=True)
+    assert st["persists"] == []
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [str(i.name()) for i in infos]
+
+
 def test_bm25f_field_weighting_and_shapes(spark):
     """text.bm25f_topk (round 14): a title hit outranks the same hit
     in the body (weights 2:1, identical field lengths); the combined
