@@ -394,6 +394,24 @@ BM25_BLOCK = 1024  # docs per id-range block (id DIV 1024)
 # than the planner's own floor and always declines at fixture scale.
 BM25_BLOCKMAX_MIN_POSTINGS = 20_000_000
 
+# Cost gate for _proximity_core's matching-token persist (round 18,
+# VERDICT r17 #2 — same discipline as the bm25 prune/block-max gates
+# above): the persist halves corpus tokenize passes (m feeds both
+# join sides and no shared exchange exists under a broadcast join),
+# but at fixture scale the cache build SERIALIZES the two sides —
+# un-persisted they scan in parallel — and the driver's r17 bench
+# measured the persist 1.15× slower calibration-normalized (3.96 s →
+# 5.50 s raw; re-measured r18: min-of-3 9.35 s → see
+# OPTIMIZATION_r18.md). Engage only when the token-side input is big
+# enough that a second full scan costs more than a sequential cache
+# build: the gate reads the optimizer's OWN size estimate for the
+# token subtree (driver-side plan statistics — no job), so it is
+# data-derived, not core-count-derived; at 100 TB any corpus scan
+# clears it by orders of magnitude while sf0.1's ~600 KB documents
+# stay far below. Lossless either way — the persist is a recompute
+# hint, never a correctness mechanism.
+PROXIMITY_PERSIST_MIN_BYTES = 256 * 1024 * 1024
+
 
 def _blk_of(id_col: str):
     """The ONE block function, shared by the index build
@@ -1067,15 +1085,23 @@ def _proximity_core(
     # distinct, the token side through its own bucket explode), so
     # exchange reuse cannot share the tokenize + phrase-term join —
     # un-persisted, the corpus is tokenized twice per execution.
-    # Persist m (round 17, guide §2.4): one tokenize pass + a
-    # matching-tokens-sized cache; measured neutral at fixture scale
-    # (paired cold A/B, 1.01×), strictly fewer corpus passes at 100 TB.
-    # Ledger-registered like bm25_topk's TF.
-    from ccog_spark import cache_ledger
-
+    # Persist m (round 17, guide §2.4) — COST-GATED round 18 (VERDICT
+    # r17 #2): engage only when the optimizer's size estimate for the
+    # token subtree clears PROXIMITY_PERSIST_MIN_BYTES (see the
+    # constant's rationale). Below the gate the two sides re-scan a
+    # small input in parallel, which measures strictly faster than a
+    # serialized cache build; above it one tokenize pass + a
+    # matching-tokens-sized cache wins. Ledger-registered like
+    # bm25_topk's TF when engaged.
     spark = toks.sparkSession
-    cache_ledger.release_owner(spark, "proximity_core")
-    m = cache_ledger.track(spark, "proximity_core", m.persist())
+    toks_bytes = int(
+        toks._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if toks_bytes >= PROXIMITY_PERSIST_MIN_BYTES:
+        from ccog_spark import cache_ledger
+
+        cache_ledger.release_owner(spark, "proximity_core")
+        m = cache_ledger.track(spark, "proximity_core", m.persist())
     bucket = (F.col("pos") / max_span).cast("bigint")
     tok_b = m.select(
         "q_id",
