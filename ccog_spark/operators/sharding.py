@@ -459,12 +459,21 @@ def exact_quantile_boundaries(
     # jobs — submit them concurrently (guide §2.6: actions are only
     # sequential because driver code calls them sequentially; a later
     # job's tasks back-fill the earlier job's straggler tail). Order of
-    # results is restored by the executor's map(); each job stays
-    # capped by _QSPLIT_TAKE_CAP. 2-3 in flight is plenty.
+    # results is restored by the futures list; each job stays capped
+    # by _QSPLIT_TAKE_CAP. 2-3 in flight is plenty. submit_inheriting
+    # (round 18, ADVICE r17 #1): worker threads carry the caller's job
+    # group so the boundary jobs stay attributable/cancellable.
     from concurrent.futures import ThreadPoolExecutor
 
+    from ccog_spark.driver_threads import submit_inheriting
+
+    spark = df.sparkSession
     with ThreadPoolExecutor(max_workers=min(3, k - 1)) as pool:
-        bounds = [b for b in pool.map(_one_boundary, range(1, k)) if b]
+        futs = [
+            submit_inheriting(pool, spark, _one_boundary, j)
+            for j in range(1, k)
+        ]
+        bounds = [b for b in (f.result() for f in futs) if b]
     return bounds
 
 

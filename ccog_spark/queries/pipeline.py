@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ccog_spark.catalog import load_table
+from ccog_spark.driver_threads import submit_inheriting
 from ccog_spark.operators import dedup, multimodal, sharding, similarity, text, web
 from ccog_spark.operators.asof import asof_join_union
 
@@ -38,6 +39,25 @@ def _tmp_index_dir(prefix: str, sf_dir: str) -> str:
     )
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
+
+
+def _await_index_builds(futures, index_dirs) -> None:
+    """Wait for ALL overlapped index-build futures, then surface the
+    first failure (ADVICE r17 #2 — a bare ``tb.result(), vb.result()``
+    dropped the second build's exception when the first raised). On
+    any failure the half-built index dirs are removed best-effort
+    AFTER both builds have settled (ADVICE r17 #3 — removing a dir
+    while the surviving build still writes into it would re-orphan
+    it; the atexit hook in _tmp_index_dir remains the backstop)."""
+    import shutil
+    from concurrent.futures import wait as _wait
+
+    _wait(list(futures))
+    errs = [f.exception() for f in futures]
+    if any(errs):
+        for d in index_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        raise next(e for e in errs if e is not None)
 
 
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1597,12 +1617,15 @@ def pipeline_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under its own owner (bm25_topk; similarity has none), so
     # worker-thread construction leaks nothing. Results are the legs'
     # own, unchanged — only job SCHEDULING overlaps.
+    # submit_inheriting (round 18, ADVICE r17 #1): worker threads
+    # re-establish the caller's job group/description so the legs'
+    # jobs stay attributable and cancellable.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        lex_f = pool.submit(text.bm25_topk, docs, q_text, 20)
-        vec_f = pool.submit(
-            similarity.ivfpq_rerank_topk, emb, q_emb, EMB_DIM, 20, 30
+        lex_f = submit_inheriting(pool, spark, text.bm25_topk, docs, q_text, 20)
+        vec_f = submit_inheriting(
+            pool, spark, similarity.ivfpq_rerank_topk, emb, q_emb, EMB_DIM, 20, 30
         )
         lex = lex_f.result()
         vec = vec_f.result().withColumnRenamed("vec_id", "doc_id")
@@ -1651,9 +1674,11 @@ def pipeline_hybrid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tidx = _tmp_index_dir("ccog_bm25_hyb", sf_dir)
     vidx = _tmp_index_dir("ccog_ivfpq_hyb", sf_dir)
     with ThreadPoolExecutor(max_workers=2) as pool:
-        tb = pool.submit(build_bm25_index, docs, tidx)
-        vb = pool.submit(build_ivfpq_index, emb, EMB_DIM, vidx)
-        tb.result(), vb.result()
+        tb = submit_inheriting(pool, spark, build_bm25_index, docs, tidx)
+        vb = submit_inheriting(
+            pool, spark, build_ivfpq_index, emb, EMB_DIM, vidx
+        )
+        _await_index_builds((tb, vb), (tidx, vidx))
     lex = query_bm25_index(spark, tidx, q_text, k=20)
     vec = query_ivfpq_index(
         spark, vidx, q_emb, k=20, rerank_corpus=emb, m=30
@@ -1705,13 +1730,15 @@ def pipeline_hybrid_index_filtered_q(
     tidx = _tmp_index_dir("ccog_bm25_hybfil", sf_dir)
     vidx = _tmp_index_dir("ccog_ivfpq_hybfil", sf_dir)
     with ThreadPoolExecutor(max_workers=2) as pool:
-        tb = pool.submit(
-            build_bm25_index, docs, tidx, meta_cols=("lang", "source")
+        tb = submit_inheriting(
+            pool, spark, build_bm25_index, docs, tidx,
+            meta_cols=("lang", "source"),
         )
-        vb = pool.submit(
-            build_ivfpq_index, emb, EMB_DIM, vidx, meta_cols=("label",)
+        vb = submit_inheriting(
+            pool, spark, build_ivfpq_index, emb, EMB_DIM, vidx,
+            meta_cols=("label",),
         )
-        tb.result(), vb.result()
+        _await_index_builds((tb, vb), (tidx, vidx))
     lex = query_bm25_index(
         spark, tidx, q_text, k=20, doc_filter=BM25_FILTER_PRED
     )
