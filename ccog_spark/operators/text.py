@@ -639,16 +639,24 @@ def bm25_topk(
         # never engage — decline with ONE job (both counts cross-
         # joined — round 17, two separate count actions before)
         # instead of building (and persisting) the TF table for a df
-        # job.
+        # job. The query-side count is the RAW token count (round 18):
+        # Σ size(split(q_text)) ≥ |distinct query terms|, so the
+        # ceiling only loosens — a borderline batch proceeds to the
+        # planner, whose own Σ df floor re-declines with identical
+        # results — and the gate's plan loses the explode + distinct
+        # exchange (a map-side aggregate instead of a shuffle).
         floor = (
             BM25_PRUNE_MIN_POSTINGS if min_postings is None else min_postings
         )
+        nq_ceiling = F.sum(
+            F.size(F.filter(F.split(F.col("q_text"), " "), lambda t: t != ""))
+        )
         gate = (
-            qterms.agg(F.count(F.lit(1)).alias("nq"))
+            queries.agg(nq_ceiling.alias("nq"))
             .crossJoin(docs.agg(F.count(F.lit(1)).alias("nd")))
             .collect()[0]
         )
-        if gate["nq"] * gate["nd"] < floor:
+        if (gate["nq"] or 0) * gate["nd"] < floor:
             prune = False
     if prune:
         # Persisted only when the planner will actually run MULTIPLE
