@@ -286,6 +286,30 @@ def _scoped(fn: QueryFn) -> QueryFn:
 # stream_stateful, a real readStream job), dedup_exact (E34 ≙ fold
 # pipeline_line_dedup + pipeline_span_dedup + the dedup stage of fold
 # pipeline_e2e).
+#
+# Round 18 rotation (VERDICT r17 #7: continue retiring the
+# never-hashed backlog). INTO the fold — seven rows that never held a
+# driver hash in any round: pipeline_proximity (the inline proximity
+# twin, whose persist was cost-gated this round — the hash now gates
+# the gated path), pipeline_snippet and pipeline_diversified (inline
+# twins of long-folded index rows), ann_index_filtered (the vecmeta
+# candidate-exclusion mechanism standalone), pipeline_tfidf
+# (hashing-trick featurization), pipeline_urls (URL canonicalization
+# + domain extraction), range_events (the NO-equi-key range-join bin
+# rewrite). Displaced, each keeping ≥1 above-fold family row:
+# ann_pq (≙ fold ann_pqt_index/ann_pqr_index reuse its ADC oracle
+# CTEs; ann_rerank's stage 1 is the same IVF+PQ ADC), q08
+# (single-row filtered aggregate ≙ fold q01 grouped aggregates + q06
+# conditional aggregate), q17 (E29 array fns ≙ fold ann_rerank/
+# ann_pq array-cosine machinery), q21 (E34 filter chain ≙ fold
+# pipeline_line_dedup + pipeline_span_dedup + pipeline_e2e's dedup
+# stage — the r17 dedup_exact argument), q23 (structurally-0-rows
+# as-of row; E9/E10 ≙ fold q23b, the equi+range as-of with actual
+# rows), q24 (E15 ranking windows ≙ every fold top-k window:
+# bm25/ann/rerank/diversified), qr2 (E20 SQL decimation ≙ fold
+# cog_cubic interp-overview write + cog_roundtrip's full average
+# pyramid). All seven displaced rows stay registered, benched, and
+# oracle-gated in the tail.
 REGISTRY: dict[str, QueryFn] = {
     "q01": relational.q01,
     "q02": relational.q02,
@@ -307,7 +331,11 @@ REGISTRY: dict[str, QueryFn] = {
     # the posting buckets, corpus never re-read; never driver-hashed
     # before this round
     "pipeline_phrase_index": pipeline.pipeline_phrase_index_q,
-    "q08": relational.q08,
+    # r18 fold slot (was q08 — single-row filtered aggregate ≙ fold
+    # q01 grouped aggregates + q06 conditional aggregate):
+    # hashing-trick sparse TF-IDF featurization with rational IDF;
+    # never driver-hashed before this round
+    "pipeline_tfidf": pipeline.pipeline_tfidf,
     # r16 fold slot (was q16 — E28 ≙ fold q14 + q13/q15 tail): stale-
     # evidence rotation, E16 analytic windows + E17 prefix sums — the
     # driver row was last green in r01 (VERDICT r15 #4)
@@ -323,11 +351,12 @@ REGISTRY: dict[str, QueryFn] = {
     # before ADC + re-rank on the vector leg, RRF fused
     "pipeline_hybrid_index_filtered":
         pipeline.pipeline_hybrid_index_filtered_q,
-    # r17 fold slot (was ann_sq8_index — the fold's ann_sq8r_index
-    # composes the same quantize/reconstruct CTEs plus the residual
-    # stage): inline IVF+PQ ADC — 8-byte codes + broadcast LUTs,
-    # never driver-hashed before this round
-    "ann_pq": pipeline.ann_pq,
+    # r18 fold slot (was ann_pq — the fold's ann_pqt_index /
+    # ann_pqr_index reuse its ADC oracle CTEs and ann_rerank's stage 1
+    # is the same IVF+PQ ADC): FILTERED vector search — vecmeta
+    # predicate excludes candidates before ADC ranking via the
+    # tombstone mechanism; never driver-hashed before this round
+    "ann_index_filtered": pipeline.ann_index_filtered_q,
     # r12 fold slot (was q14): INTERPOLATING-overview COG write — the
     # round-12 write-path integration of the halo-exchange kernels
     # (closes R7); write → parse → pixel hash vs the separable-conv SQL
@@ -362,7 +391,13 @@ REGISTRY: dict[str, QueryFn] = {
     # hash-checked against the palette formula; gates the r11
     # explicit-black sentinel round-trip
     "cog_palette": raster_jobs.cog_palette,
-    "qr2": raster_queries.qr2,
+    # r18 fold slot (was qr2 — E20 SQL decimation ≙ fold cog_cubic's
+    # interpolating-overview write + cog_roundtrip's full average
+    # pyramid): UNORDERED proximity search — all terms within a
+    # 5-position window in any order, span-bucketed window self-join
+    # over matching tokens only, whose persist was cost-gated this
+    # round; never driver-hashed before this round
+    "pipeline_proximity": pipeline.pipeline_proximity,
     # r17 fold slot (was qr3 — E17 prefix sums ≙ the fold's
     # pipeline_mix_e2e bucketed prefix sum + the offset chain inside
     # cog_roundtrip): DISTRIBUTED COG read-back — the executor-side
@@ -393,12 +428,11 @@ REGISTRY: dict[str, QueryFn] = {
     # hash-checkable writer proof (write → parse → pixel values);
     # cog_write (structure summary, rows-only) moved to the tail
     "cog_roundtrip": raster_jobs.cog_roundtrip,
-    # r16 third-rotation fold slot (was pipeline_bm25 — its oracle
-    # runs VERBATIM from the fold's pipeline_bm25_index, and the
-    # inline bm25_topk engaged-planner path keeps the fold's
-    # pipeline_bm25_pruned): stale-evidence rotation, E15 ranking
-    # windows + E18 top-k — driver row last green r01 (VERDICT r15 #4)
-    "q24": relational.q24,
+    # r18 fold slot (was q24 — E15 ranking windows ≙ every fold top-k
+    # window: bm25/ann/rerank/diversified): result DIVERSIFICATION —
+    # BM25 top-20 re-cut to ≤2 docs per source, greedy rule replayed
+    # by two windows in SQL; never driver-hashed before this round
+    "pipeline_diversified": pipeline.pipeline_diversified,
     # LLM-pipeline operator corpus
     "text_analysis": pipeline.text_analysis,
     # r15 fold slot (was bilinear_decimate — E21 keeps cog_cubic in
@@ -437,16 +471,17 @@ REGISTRY: dict[str, QueryFn] = {
     # — bucket-partitioned postings answered from parquet only, oracle
     # = the from-scratch SQL verbatim (one truth, two execution paths)
     "pipeline_bm25_index": pipeline.pipeline_bm25_index,
-    # r17 fold slot (was dedup_exact — E34 ≙ the fold's
-    # pipeline_line_dedup + pipeline_span_dedup + the dedup stage of
-    # pipeline_e2e): stale-evidence refresh, E9/E10 as-of machinery —
-    # driver row last green r01; structurally 0 rows on the fixture
-    # (events/orders time domains don't overlap — both engines agree)
-    "q23": relational.q23,
-    # r16 fold slot (was corpus_profile — its two stages keep fold
-    # rows: text_analysis + dedup_exact): stale-evidence rotation,
-    # E29 array fns — driver row last green r01 (VERDICT r15 #4)
-    "q17": llm.q17,
+    # r18 fold slot (was q23 — structurally 0 rows on the fixture;
+    # E9/E10 as-of ≙ fold q23b, the equi+range row with actual rows):
+    # range join with NO equi key — the bin rewrite that never falls
+    # back to BroadcastNestedLoopJoin; never driver-hashed before this
+    # round
+    "range_events": pipeline.range_events,
+    # r18 fold slot (was q17 — E29 array fns ≙ fold ann_rerank /
+    # ann_index_filtered array-cosine machinery): URL canonicalization
+    # + URL-level keep-first dedup + registered-domain extraction;
+    # never driver-hashed before this round
+    "pipeline_urls": pipeline.pipeline_urls,
     # r16 fourth-rotation fold slot (was pipeline_hybrid — its oracle
     # runs VERBATIM from the fold's pipeline_hybrid_index, plus the
     # filtered twin; the inline legs keep tail rows): residual IVF+PQ
@@ -497,11 +532,13 @@ REGISTRY: dict[str, QueryFn] = {
     # tumbling-window aggregation — driver row last green r02
     # (VERDICT r16 #3)
     "q19": relational.q19,
-    # r17 fold slot (was pipeline_hybrid_index — ≙ the fold's
-    # pipeline_hybrid_index_filtered, both legs + RRF + predicates):
-    # stale-evidence refresh, E34 exact-dedup filter chain — driver
-    # row last green r01 (VERDICT r16 #3)
-    "q21": llm.q21,
+    # r18 fold slot (was q21 — E34 filter chain ≙ fold
+    # pipeline_line_dedup + pipeline_span_dedup + pipeline_e2e's dedup
+    # stage, the r17 dedup_exact argument): SNIPPET extraction — text
+    # window around the first full-coverage phrase anchor, raw-split
+    # slice/rejoin replayed byte-for-byte; never driver-hashed before
+    # this round
+    "pipeline_snippet": pipeline.pipeline_snippet,
     # r17 fold slot (was multimodal_features — the promoted
     # resize/frames rows re-run the pixel decode, audio the container
     # walk; features stays oracle-gated in the tail): AUDIO modality —
@@ -526,10 +563,6 @@ REGISTRY: dict[str, QueryFn] = {
     # regex redaction ≙ E25 string-fn capability (q13 above fold);
     # pipeline-context spelling of regexp_replace/count
     "pipeline_redact": pipeline.pipeline_redact,
-    # E9 range-join family ≙ q23b (equi+range, above fold); this row
-    # evidences the NO-equi-key strategy (bin rewrite, never a
-    # BroadcastNestedLoopJoin — asserted in pytest)
-    "range_events": pipeline.range_events,
     # per-group quota sampling ≙ pipeline_sample's deterministic-hash
     # capability (driver row via pipeline_shards family); adds the
     # corpus-mixing rate map on top of the same predicate
@@ -591,19 +624,6 @@ REGISTRY: dict[str, QueryFn] = {
     "ann_index_append": pipeline.ann_index_append_q,
     # E31/E32 ≙ stream_dedup + stream_stateful (fold, real readStream)
     "stream_join": streaming_corpus.stream_join,
-    # round 14: snippet extraction — text window around the FIRST
-    # phrase occurrence (min full-coverage anchor, shared phrase
-    # machinery); raw-split slice/rejoin replayed byte-for-byte
-    "pipeline_snippet": pipeline.pipeline_snippet,
-    # round 14: result diversification — BM25 top-20 re-cut to ≤ 2
-    # docs per source, top-5; greedy rule replayed by the same two
-    # windows in SQL over the bm25 oracle verbatim
-    "pipeline_diversified": pipeline.pipeline_diversified,
-    # round 14: UNORDERED proximity search (Lucene sloppy-phrase
-    # shape with an explicit window) — all terms within a 5-position
-    # window in any order; window self-join over matching tokens
-    # only, full SQL replay
-    "pipeline_proximity": pipeline.pipeline_proximity,
     # r16 displaced fold rows — each keeps ≥1 above-fold family row
     # and stays oracle-gated here (see the round-16 reorder note):
     # E28 conditional fns ≙ q14 (fold) + q13/q15 (tail)
@@ -638,11 +658,6 @@ REGISTRY: dict[str, QueryFn] = {
     "q13": relational.q13,
     # E27 math fns ≙ fold scalar rows (q14/q16 cover E26/E28 directly)
     "q15": relational.q15,
-    # round 14: FILTERED vector search — vecmeta predicate restricts
-    # candidates via the tombstone-exclusion mechanism (ADC has no
-    # corpus stats ⇒ pure candidate exclusion); oracle = ann_ivfpq
-    # SQL with the same predicate on the candidate side
-    "ann_index_filtered": pipeline.ann_index_filtered_q,
     # round 6: token-window chunking (pretraining/RAG splitter) —
     # E37 family (text_analysis carries the driver row); pure JVM
     # fan-out, md5-hash oracle
@@ -650,16 +665,6 @@ REGISTRY: dict[str, QueryFn] = {
     # E37 text family keeps text_analysis + pipeline_lm above fold
     "text_winnow": pipeline.text_winnow,
     "text_repetition": pipeline.text_repetition,
-    # round 6: URL canonicalization + URL-level keep-first dedup +
-    # registered-domain extraction (operators/web.py) — beyond-
-    # inventory web-pipeline stage; E25 string-fn family carries the
-    # driver row (q13). Pure JVM expressions, full-rule DuckDB oracle.
-    "pipeline_urls": pipeline.pipeline_urls,
-    # round 6: hashing-trick sparse TF-IDF featurization (text →
-    # long-form document vectors; operators/text.py::hashed_tfidf) —
-    # E37-family text featurization (text_analysis carries the driver
-    # row); rational-IDF for bit-exact cross-engine replay.
-    "pipeline_tfidf": pipeline.pipeline_tfidf,
     # round 6: chunk-level (paragraph-style) dedup — sub-document
     # keep-first across the corpus; E34/chunking composition (driver
     # rows dedup_exact + text_analysis family above the fold).
@@ -758,6 +763,32 @@ REGISTRY: dict[str, QueryFn] = {
     # pipeline_lm_buckets (fold), which composes the same scoring
     # CTEs before the tertile split — a strict superset hash gate
     "pipeline_lm": pipeline.pipeline_lm,
+    # r18 displaced fold rows — each keeps ≥1 above-fold family row
+    # and stays oracle-gated here (see the round-18 rotation note):
+    # inline IVF+PQ ADC ≙ ann_pqt_index/ann_pqr_index (fold — reuse
+    # its ADC oracle CTEs) + ann_rerank (fold — stage 1 is the same
+    # ADC)
+    "ann_pq": pipeline.ann_pq,
+    # single-row filtered aggregate ≙ q01 (fold, grouped aggregates)
+    # + q06 (fold, conditional aggregate)
+    "q08": relational.q08,
+    # E29 array fns ≙ ann_rerank/ann_index_filtered (fold,
+    # array-cosine machinery) + q22 (tail)
+    "q17": llm.q17,
+    # E34 exact-dedup filter chain ≙ pipeline_line_dedup +
+    # pipeline_span_dedup + pipeline_e2e's dedup stage (all fold)
+    "q21": llm.q21,
+    # E9/E10 as-of ≙ q23b (fold, equi+range with actual rows); this
+    # row is structurally 0 rows on the fixture (time domains don't
+    # overlap — both engines agree)
+    "q23": relational.q23,
+    # E15 ranking windows + E18 top-k ≙ every fold top-k window
+    # (bm25/ann/rerank/diversified) + q11 (tail)
+    "q24": relational.q24,
+    # E20 SQL decimation ≙ cog_cubic (fold, interp-overview write) +
+    # cog_roundtrip (fold, full average pyramid) + qr1/pyramid_avg
+    # (tail)
+    "qr2": raster_queries.qr2,
 }
 
 REGISTRY = {k: _scoped(v) for k, v in REGISTRY.items()}
