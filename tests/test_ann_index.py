@@ -4,6 +4,7 @@ the inline ivfpq_topk results bit-for-bit."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -17,6 +18,7 @@ def _queries(emb):
     )
 
 
+@pytest.mark.slow
 def test_index_build_query_matches_inline(spark, tmp_path):
     from ccog_spark.operators import similarity
     from ccog_spark.operators.ann_index import (
@@ -83,6 +85,7 @@ def test_index_query_never_reads_embeddings(spark, tmp_path):
     assert "codes" in plan
 
 
+@pytest.mark.slow
 def test_append_bit_identical_to_frozen_model_build(spark, tmp_path):
     """build(A) + append(B) ≡ one-pass encode of A∪B under A's FROZEN
     model: identical codes table, identical query results, meta
@@ -305,6 +308,7 @@ def test_clustered_codes_write_keeps_unmapped_cells(spark, tmp_path):
     assert os.path.isdir(os.path.join(out, "grp=-1"))
 
 
+@pytest.mark.slow
 def test_query_skips_isin_pushdown_when_probing_most_dirs(spark, tmp_path):
     """When the probe set covers most grp directories (registry-scale
     query batches probe ~40% of cells), the In()-literal pushdown
@@ -380,6 +384,7 @@ def test_rerank_is_exact_ordering_of_the_adc_pool(spark):
         assert got[qid] == want, qid
 
 
+@pytest.mark.slow
 def test_index_rerank_bit_identical_to_inline(spark, tmp_path):
     """query_ivfpq_index(rerank_corpus=...) — stage 1 from the
     persisted index, stage 2 the shared exact_rerank — must equal the
@@ -429,6 +434,7 @@ def test_rerank_pool_must_cover_k(spark, tmp_path):
         query_ivfpq_index(spark, idx, q, k=5, rerank_corpus=emb, m=2)
 
 
+@pytest.mark.slow
 def test_compact_ann_index_preserves_answers(spark, tmp_path):
     """Round 13: after two appends, compaction shrinks the codes file
     count and leaves query answers IDENTICAL (layout-only rewrite;
@@ -465,6 +471,7 @@ def test_compact_ann_index_preserves_answers(spark, tmp_path):
     assert "PartitionFilters" in plan and "grp" in plan
 
 
+@pytest.mark.slow
 def test_filtered_vector_search(spark, tmp_path):
     """query_ivfpq_index(vec_filter=…) (round 14): filtering is pure
     candidate exclusion (ADC has no corpus stats), so it must be
@@ -516,6 +523,7 @@ def test_filtered_vector_search(spark, tmp_path):
         ).collect()
 
 
+@pytest.mark.slow
 def test_vecmeta_rides_append_and_compact(spark, tmp_path):
     """vecmeta lifecycle: append carries the delta's metadata
     (filtered query on the grown index == on a full build with the
@@ -596,6 +604,7 @@ def test_rebuild_without_meta_cols_clears_stale_vecmeta(spark, tmp_path):
 
 
 # ---------------------------------------------- IVF + SQ8 (round 15)
+@pytest.mark.slow
 def test_sq8_index_full_lifecycle(spark, tmp_path):
     """The scalar-quantized index shares the PQ lifecycle: build(A) +
     append(B) ≡ one-pass encode of A∪B under A's FROZEN stats
@@ -689,6 +698,7 @@ def test_sq8_index_full_lifecycle(spark, tmp_path):
         query_ivfsq_index(spark, pq_idx, q, k=3)
 
 
+@pytest.mark.slow
 def test_sq8_residual_lifecycle_and_tighter_reconstruction(
     spark, tmp_path
 ):
@@ -820,6 +830,7 @@ def test_sq8_residual_lifecycle_and_tighter_reconstruction(
     assert mse(cl_r, True) < mse(cl_p, False) / 10
 
 
+@pytest.mark.slow
 def test_sq8_index_rerank_and_filter(spark, tmp_path):
     """vec_filter (vecmeta candidate exclusion) and rerank_corpus
     (|Q|·m exact re-rank) compose with the SQ8 index exactly like the
@@ -855,6 +866,7 @@ def test_sq8_index_rerank_and_filter(spark, tmp_path):
         query_ivfsq_index(spark, idx, q, k=5, rerank_corpus=emb, m=2)
 
 
+@pytest.mark.slow
 def test_verify_flags_missing_model_tables(spark, tmp_path):
     """The layout audit (round 15): an SQ8 index without sqstats/ (or
     with the wrong per-dim row count), and a PQ index without
@@ -885,6 +897,7 @@ def test_verify_flags_missing_model_tables(spark, tmp_path):
     assert any("codebook/ is missing" in e for e in rep["errors"])
 
 
+@pytest.mark.slow
 def test_pqr_residual_lifecycle_and_tighter_reconstruction(
     spark, tmp_path
 ):
@@ -1014,6 +1027,7 @@ def test_pqr_residual_lifecycle_and_tighter_reconstruction(
     assert mse(cl_r, True) < mse(cl_p, False) / 10
 
 
+@pytest.mark.slow
 def test_pqt_trained_codebook_lifecycle_and_recall(spark, tmp_path):
     """quant='pqt' (round 17, VERDICT r16 #4 — Lloyd-trained residual
     codebook): trained requires residual; the persisted codebook's

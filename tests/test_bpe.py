@@ -3,6 +3,7 @@ encode/decode round-trip, and map-side tokenization."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ccog_spark.operators import bpe
@@ -214,6 +215,7 @@ def test_corpus_alphabet_guard(spark):
     assert len(a) == 40 and a == sorted(a)
 
 
+@pytest.mark.slow
 def test_persisted_model_bit_identical_and_verified(spark, tmp_path):
     """Round-16 persisted tokenizer model: tokenize_ids_from_model ==
     the inline train+tokenize path row-for-row (the one-truth/two-
@@ -274,6 +276,7 @@ def test_persisted_model_bit_identical_and_verified(spark, tmp_path):
     assert not rep3["ok"] and rep3["errors"]
 
 
+@pytest.mark.slow
 def test_engine_facade_bpe_model(spark, tmp_path):
     """Engine.build_bpe_model / tokenize / verify_bpe_model round-trip
     and agree with the operator-level path."""

@@ -15,12 +15,37 @@ from tests.conftest import SF_SMOKE
 
 NO_ORACLE = {"cog_write"}  # TIFF bytes; strong gate in test_raster
 
+# Rows whose oracle replay runs 8+ s each even at sf0.001 (full index
+# builds, BPE training, streaming maintenance, recursive-CTE replays)
+# — marked slow so the DEFAULT run stays inside the driver's verify
+# window (round 18, VERDICT r17 #1). Coverage holds without them:
+# every row here is either in the driver's own 50-row oracle fold or
+# has its machinery pinned by faster tests (index lifecycles in
+# test_ann_index/test_text_index keep sub-8 s variants; the inline
+# twins of every index row stay in the default sweep). The FULL sweep
+# (pytest -m 'slow or not slow') remains the pre-release gate.
+SLOW_ORACLE_ROWS = {
+    "dedup_embed", "pipeline_tokenize_index", "pipeline_tokenize",
+    "ann_pqt_index", "stream_join", "ann_index_append", "ann_index",
+    "ann_autoprobe", "pipeline_hybrid_index_filtered",
+    "pipeline_bm25_blockmax", "pipeline_hybrid_index",
+    "pipeline_prf_index",
+}
+
 
 def test_registry_oracle_keys_align():
     assert set(ORACLE) == set(REGISTRY) - NO_ORACLE
 
 
-@pytest.mark.parametrize("qid", sorted(set(REGISTRY) - NO_ORACLE))
+@pytest.mark.parametrize(
+    "qid",
+    [
+        pytest.param(q, marks=pytest.mark.slow)
+        if q in SLOW_ORACLE_ROWS
+        else q
+        for q in sorted(set(REGISTRY) - NO_ORACLE)
+    ],
+)
 def test_query_matches_oracle(spark, qid):
     r = compare_query(spark, qid, SF_SMOKE)
     assert r.ok, f"{qid}: {r.detail}"
@@ -56,6 +81,7 @@ def test_engine_facade(spark):
     assert n > 0
 
 
+@pytest.mark.slow
 def test_engine_facade_ann_and_raster(spark, tmp_path):
     """The r7 lifecycle verbs are reachable through the facade:
     COG write → read round-trip, ANN index build → query."""
@@ -185,29 +211,43 @@ def test_driver_fold_discipline():
         # (VERDICT r15 #1/#4)
         # (ann_sq8_index stood down in r17 — ann_sq8r_index composes
         # the same CTEs; pipeline_mixture/pipeline_quota likewise —
-        # composed verbatim inside the fold's pipeline_mix_e2e)
+        # composed verbatim inside the fold's pipeline_mix_e2e; q17
+        # refreshed r16–r17, stood down in r18 — E29 array-cosine ≙
+        # fold ann_rerank/ann_index_filtered)
         "pipeline_snippet_index", "pipeline_diversified_index",
-        "pipeline_hybrid_index_filtered", "q10", "q17",
+        "pipeline_hybrid_index_filtered", "q10",
         # r16 second rotation: the round's own flagships hash-gated
         # same-round (pipeline_tokenize/ann_exact/pipeline_decontam
         # stood down, families covered — see registry.py notes)
         "ann_sq8r_index", "pipeline_mix_e2e", "pipeline_tokenize_index",
-        # r16 third rotation: stale-evidence q24 (driver row last
-        # green r01)
-        "q24",
+        # r16 third rotation: stale-evidence q24 (refreshed r16–r17,
+        # stood down in r18 — E15/E18 ranking windows ≙ every fold
+        # top-k: bm25/ann/rerank/diversified)
         # r16 fourth rotation: the round's residual-PQ flagship
         "ann_pqr_index",
         # r16 fifth rotation: the exact-quantile LM bucket split
         "pipeline_lm_buckets",
         # r17: the never-folded backlog (VERDICT r16 #2) — the
         # positional-index twins, the pixel/audio decode paths, the
-        # executor-side COG read, PQ ADC — plus the stalest refresh
-        # rows q21/q23 (last green r01) and q19 (r02 cohort)
+        # executor-side COG read — plus the stale refresh row q19
+        # (q21/q23 refreshed r17, stood down in r18 — E34 ≙ fold
+        # line/span dedup + pipeline_e2e's dedup stage, E9/E10 ≙ fold
+        # q23b; ann_pq stood down in r18 — the fold's pqt/pqr index
+        # rows reuse its ADC oracle CTEs and ann_rerank's stage 1 is
+        # the same ADC)
         "pipeline_phrase_index", "pipeline_proximity_index",
         "multimodal_resize", "multimodal_frames", "multimodal_audio",
-        "cog_read", "ann_pq", "q19", "q21", "q23",
+        "cog_read", "q19",
         # r17 second rotation: the round's trained-codebook flagship
         "ann_pqt_index",
+        # r18: the never-hashed backlog (VERDICT r17 #7) — the inline
+        # proximity/snippet/diversified twins, the standalone filtered
+        # vector search, featurization, web canonicalization, and the
+        # no-equi-key range join (q08/q17/q24/qr2 stood down, families
+        # fold-covered — see registry.py's round-18 rotation note)
+        "pipeline_proximity", "pipeline_snippet", "pipeline_diversified",
+        "ann_index_filtered", "pipeline_tfidf", "pipeline_urls",
+        "range_events",
     }
     assert promoted <= fold, sorted(promoted - fold)
     assert "cog_write" not in fold  # rows-only by design, tail-pinned

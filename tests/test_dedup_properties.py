@@ -60,6 +60,7 @@ def _brute_force(spark, rows, jaccard_min: float):
 
 
 @pytest.mark.parametrize("seed,jaccard_min", [(0, 0.5), (1, 0.5), (2, 0.7), (3, 0.3)])
+@pytest.mark.slow
 def test_ppjoin_pruning_is_lossless(spark, seed, jaccard_min):
     rows = _corpus(seed)
     df = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -63,6 +63,7 @@ def _rows(df):
 # ---------------------------------------------------------------- text
 
 
+@pytest.mark.slow
 def test_text_delete_equals_fromscratch_survivors(spark, tmp_path):
     """build(full) + delete(slice) answers BIT-IDENTICALLY to
     build(survivors) — df decrements, n_docs/sum_dl rewrite, and the
@@ -93,6 +94,7 @@ def test_text_delete_equals_fromscratch_survivors(spark, tmp_path):
     assert not del_set & {r[1] for r in a}
 
 
+@pytest.mark.slow
 def test_text_delete_with_docs_delta_matches_postings_path(
     spark, tmp_path
 ):
@@ -122,6 +124,7 @@ def test_text_delete_with_docs_delta_matches_postings_path(
     )
 
 
+@pytest.mark.slow
 def test_text_delete_is_idempotent(spark, tmp_path):
     """Deleting the same ids twice must not double-decrement df or
     n_docs — the second call is a no-op."""
@@ -138,6 +141,7 @@ def test_text_delete_is_idempotent(spark, tmp_path):
     assert _rows(query_bm25_index(spark, idx, qs, k=5)) == before
 
 
+@pytest.mark.slow
 def test_text_compact_applies_tombstones(spark, tmp_path):
     """compact after delete: answers unchanged, tombstone set
     cleared, postings/doclens physically exclude the deleted ids, and
@@ -171,6 +175,7 @@ def test_text_compact_applies_tombstones(spark, tmp_path):
     assert delete_from_text_index(spark, idx, dels)["deleted"] == 0
 
 
+@pytest.mark.slow
 def test_text_delete_then_append_composes(spark, tmp_path):
     """Maintenance verbs compose: delete a slice, append a disjoint
     delta — answers equal a from-scratch build over (survivors ∪
@@ -196,6 +201,7 @@ def test_text_delete_then_append_composes(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_text_torn_mutation_detected(spark, tmp_path, monkeypatch):
     """ADVICE r13 (text_index.py:137): a crash between the
     postings/doclens commit and the terms/meta rewrite must be
@@ -242,6 +248,7 @@ def test_text_torn_mutation_detected(spark, tmp_path, monkeypatch):
 # ----------------------------------------------------------------- ann
 
 
+@pytest.mark.slow
 def test_ann_delete_equals_frozen_model_survivors(spark, tmp_path):
     """build(full) + delete(slice) answers BIT-IDENTICALLY to an
     index whose codes were encoded from the SURVIVORS under the same
@@ -280,6 +287,7 @@ def test_ann_delete_equals_frozen_model_survivors(spark, tmp_path):
     assert not del_set & {r[1] for r in a}
 
 
+@pytest.mark.slow
 def test_ann_compact_applies_tombstones(spark, tmp_path):
     """compact after delete: answers unchanged (also on the rerank
     path), tombstones cleared, codes physically exclude the ids,

@@ -187,6 +187,7 @@ def test_unknown_kernel_still_rejected(spark):
         )
 
 
+@pytest.mark.slow
 def test_rebuild_cog_with_interp_kernel(spark, tmp_path):
     """The gdaladdo-style maintenance verb forwards the kernel into
     the write path — rebuilding an average-overview COG with

@@ -143,6 +143,7 @@ def test_jpeg_two_quality_levels_two_tables(spark, tmp_path):
     assert ov.shape == (48, 80)
 
 
+@pytest.mark.slow
 def test_color_jpeg_cog_end_to_end(spark, tmp_path):
     """Pixel-interleaved YCbCr JPEG COG: PlanarConfig=1, Photometric=6,
     YCbCrSubSampling tag, ONE tile per grid cell, shared tables across
@@ -223,6 +224,7 @@ def test_jpeg_requires_uint8_and_no_predictor(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_jpeg_cog_from_foreign_cwd(tmp_path):
     """Worker self-containment: a driver running from /tmp (repo not on
     the executors' PYTHONPATH) must still write a JPEG COG — the codec

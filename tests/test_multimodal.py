@@ -124,6 +124,7 @@ def test_image_features_match_numpy(spark):
         assert sum(r.hist) == px.shape[0] * px.shape[1]
 
 
+@pytest.mark.slow
 def test_resize_nearest_neighbour_exact(spark):
     import numpy as np
 
@@ -550,6 +551,7 @@ def test_gif_lzw_first_code_out_of_range():
         _gif_lzw_decode(bytes([0b111]), 2, 4)
 
 
+@pytest.mark.slow
 def test_fused_variants_match_unfused_compositions(spark):
     """Round-17 fusion (guide §4.1): the *_from_docs entry points chain
     the SAME kernels inside one Python worker instead of separate

@@ -5,6 +5,7 @@ import io
 from contextlib import redirect_stdout
 from datetime import datetime, timedelta
 
+import pytest
 from pyspark.sql import functions as F
 
 from ccog_spark.operators.rangejoin import time_range_join
@@ -18,6 +19,7 @@ def _frame(spark, times, prefix):
     )
 
 
+@pytest.mark.slow
 def test_range_join_matches_naive(spark):
     import random
 

@@ -206,6 +206,7 @@ def test_cog_pixel_roundtrip_overview(spark, written_cog):
         assert np.all(got[~ok[b]] == NODATA)
 
 
+@pytest.mark.slow
 def test_cog_multipart_write(spark, tmp_path):
     """Force multiple parts with a tiny min_part; byte-identical result."""
     out1 = str(tmp_path / "single.tif")
@@ -452,6 +453,7 @@ class _FakeDataArray:
         self.dims = ("band", "y", "x")[-values.ndim:]
 
 
+@pytest.mark.slow
 def test_write_ccog_xarray_metadata_inference(spark, tmp_path):
     """xarray-like ingestion infers nodata from _FillValue, EPSG from a
     crs attr, and the transform from x/y center coordinates (origin =

@@ -210,6 +210,7 @@ def _storage_options(endpoint: str) -> dict:
     }
 
 
+@pytest.mark.slow
 def test_s3mpu_cog_write_matches_local(spark, tmp_path, s3_stub):
     """The full boto3 multipart path (create → distributed upload_part
     → complete) produces byte-identical output to the LocalMpu path."""
@@ -248,6 +249,7 @@ def test_presigned_url_generation(s3_stub, monkeypatch):
     assert "Signature" in url or "X-Amz-Signature" in url
 
 
+@pytest.mark.slow
 def test_s3mpu_complete_failure_aborts_and_raises(s3_stub):
     """Deliberate divergence from the reference (which swallows,
     aws_tools.py:168-175): complete failure aborts the MPU AND
@@ -300,6 +302,7 @@ def test_s3mpu_out_of_order_parts_etag_roundtrip(s3_stub):
     assert not state.aborted
 
 
+@pytest.mark.slow
 def test_s3mpu_part_failure_aborts_whole_write(spark, s3_stub):
     """A part upload failing mid-write must propagate out of write_cog
     AND abort the multipart upload (no half-written object, no orphan
@@ -321,6 +324,7 @@ def test_s3mpu_part_failure_aborts_whole_write(spark, s3_stub):
     assert ("testbkt", "fail.tif") not in state.objects
 
 
+@pytest.mark.slow
 def test_s3mpu_abort_is_idempotent(s3_stub):
     """Regression (round-6 review): complete-failure abort followed by
     the writer's own except-path abort must not raise NoSuchUpload

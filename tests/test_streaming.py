@@ -189,6 +189,7 @@ def test_foreachbatch_stream_to_cog(spark, tmp_path):
 from tests.test_s3_stub import _storage_options, s3_stub  # noqa: E402,F401
 
 
+@pytest.mark.slow
 def test_foreachbatch_stream_to_cog_s3_mpu(spark, tmp_path, s3_stub):
     """Round-11 (VERDICT r10 task 6): the streaming-COG seam composed
     with the OBJECT-STORE target — write_stream_cogs pointed at
@@ -319,6 +320,7 @@ def test_tws_matches_classic_stateful_api(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_stream_text_index_maintenance(spark, tmp_path):
     """Streaming BM25-index maintenance (round 14, VERDICT r13 #3):
     documents staged as files → maxFilesPerTrigger=1 micro-batches →
@@ -401,6 +403,7 @@ def test_stream_text_index_maintenance(spark, tmp_path):
     assert len(markers) == 3  # one per applied (non-empty) batch
 
 
+@pytest.mark.slow
 def test_stream_text_index_replay_skip(spark, tmp_path):
     """The epoch-marker commit protocol: re-delivering an
     already-applied epoch (same checkpoint namespace + epoch id) is a
@@ -437,6 +440,7 @@ def test_stream_text_index_replay_skip(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stream_ann_index_maintenance(spark, tmp_path):
     """Streaming IVF+PQ-index maintenance (round 14, the ANN twin of
     the text sink): vectors staged as files → maxFilesPerTrigger=1
@@ -526,6 +530,7 @@ def test_stream_ann_index_maintenance(spark, tmp_path):
     assert len(markers) == 3  # one per applied (non-empty) batch
 
 
+@pytest.mark.slow
 def test_stream_text_index_crash_before_marker_no_double_apply(
     spark, tmp_path, monkeypatch
 ):
@@ -618,6 +623,7 @@ def test_stream_ann_index_crash_before_marker_no_double_apply(
     assert os.path.exists(f"{idx}/_stream_epochs/ck1_epoch_1.done")
 
 
+@pytest.mark.slow
 def test_stream_bm25f_index_maintenance_and_crash(spark, tmp_path, monkeypatch):
     """Streaming BM25F-index maintenance (round 15): multi-epoch
     batches ≡ batch build(first) + append(rest); transactional epoch
@@ -702,6 +708,7 @@ def test_stream_bm25f_index_maintenance_and_crash(spark, tmp_path, monkeypatch):
     assert a == b and a
 
 
+@pytest.mark.slow
 def test_stream_text_index_build_kwargs_layouts(spark, tmp_path):
     """build_kwargs forwards the first batch's layout knobs (round 15):
     a streaming-maintained index built with block_max + positions
@@ -759,6 +766,7 @@ def test_stream_text_index_build_kwargs_layouts(spark, tmp_path):
     assert c == d and len(c) > 0
 
 
+@pytest.mark.slow
 def test_stream_ann_index_sq8_quant(spark, tmp_path):
     """quant='sq8' picks the scalar-quantized builder for the first
     batch; later epochs append under the saved meta.quant
@@ -800,6 +808,7 @@ def test_stream_ann_index_sq8_quant(spark, tmp_path):
     assert len(rows) > 0
 
 
+@pytest.mark.slow
 def test_stream_ann_index_sq8r_quant(spark, tmp_path):
     """quant='sq8r' (round 16): the first batch builds the RESIDUAL
     SQ8 layout; later epochs append residual-encoded deltas under the
@@ -857,6 +866,7 @@ def test_stream_ann_index_sq8r_quant(spark, tmp_path):
     assert len(query_ivfsq_index(spark, idx, qs, k=3).collect()) > 0
 
 
+@pytest.mark.slow
 def test_stream_ann_index_pqr_quant(spark, tmp_path):
     """quant='pqr' (round 16): the first batch builds the RESIDUAL PQ
     layout; later epochs append residual-encoded deltas under the

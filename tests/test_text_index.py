@@ -100,6 +100,7 @@ def test_index_postings_scan_is_bucket_pruned(spark, tmp_path):
     assert sorted(map(tuple, df2.collect())) == sorted(map(tuple, rows))
 
 
+@pytest.mark.slow
 def test_index_pruned_query_lossless(spark, tmp_path):
     """Max-score pruning answered FROM THE INDEX (df lookups are
     bucket-pruned terms reads — no corpus pass) must match the
@@ -153,6 +154,7 @@ def test_engine_facade_text_index(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_append_equals_union_build(spark, tmp_path):
     """build(base) + append(delta) answers queries IDENTICALLY to an
     index built from the union corpus (and to the inline operator on
@@ -224,6 +226,7 @@ def test_adaptive_n_buckets_schedule():
         assert v & (v - 1) == 0 and 64 <= v <= 4096
 
 
+@pytest.mark.slow
 def test_compact_after_appends_preserves_answers(spark, tmp_path):
     """Three appends → many small postings files; compaction shrinks
     the file count and leaves query answers IDENTICAL (layout-only
@@ -324,6 +327,7 @@ def test_phrase_inline_matches_oracle_shape(spark):
     assert one == tf  # 1-token phrase == term frequency
 
 
+@pytest.mark.slow
 def test_phrase_index_bit_identical_and_lifecycle(spark, tmp_path):
     """phrase_match_index == phrase_match row-for-row (shared
     adjacency core); positions survive append, delete hides a doc's
@@ -381,6 +385,7 @@ def test_phrase_index_bit_identical_and_lifecycle(spark, tmp_path):
         phrase_match_index(spark, flat, phrases)
 
 
+@pytest.mark.slow
 def test_proximity_semantics_hand_cases(spark):
     """text.proximity_match (round 14): the unordered-window contract
     on hand-built documents — permutations match within span, gaps
@@ -450,6 +455,7 @@ def test_proximity_semantics_hand_cases(spark):
     assert exact <= prox and exact
 
 
+@pytest.mark.slow
 def test_proximity_index_bit_identical_and_gate(spark, tmp_path):
     """proximity_match_index == proximity_match row-for-row (shared
     window core over the positional postings); a positions-less index
@@ -487,6 +493,7 @@ def test_proximity_index_bit_identical_and_gate(spark, tmp_path):
         proximity_match(docs, phrases, max_span=0)
 
 
+@pytest.mark.slow
 def test_filtered_retrieval_lucene_semantics(spark, tmp_path):
     """query_bm25_index(doc_filter=…) (round 14): candidates restrict
     to the docmeta predicate while df/n_docs/avgdl stay index-wide —
@@ -554,6 +561,7 @@ def test_filtered_retrieval_lucene_semantics(spark, tmp_path):
         ).collect()
 
 
+@pytest.mark.slow
 def test_filtered_retrieval_lifecycle(spark, tmp_path):
     """docmeta rides through the index lifecycle: append carries the
     delta's metadata (filtered query on grown index == on a
@@ -724,6 +732,7 @@ def _fielded(docs):
     )
 
 
+@pytest.mark.slow
 def test_bm25f_index_bit_identical_to_inline(spark, tmp_path):
     """query_bm25f_index == bm25f_topk row-for-row on the same
     fielded corpus (round 15, VERDICT r14 #4): per-field tf/dl from
@@ -814,6 +823,7 @@ def test_prf_index_bit_identical_to_inline(spark, tmp_path):
     assert inline == from_idx and inline
 
 
+@pytest.mark.slow
 def test_prf_index_respects_deletions(spark, tmp_path):
     """PRF from the index composes with the deletion lifecycle: after
     delete_from_text_index, both passes AND the feedback counts see
@@ -849,6 +859,7 @@ def test_prf_index_respects_deletions(spark, tmp_path):
     assert inline == from_idx and inline
 
 
+@pytest.mark.slow
 def test_bm25f_index_append_equals_union_build(spark, tmp_path):
     """append_to_bm25f_index (round 15): the grown per-field index
     answers exactly like a from-scratch build over the union corpus —
@@ -926,6 +937,7 @@ def test_bm25f_index_append_torn_mutation_detected(spark, tmp_path):
         query_bm25f_index(spark, idx, qs, (2.0, 1.0), k=5)
 
 
+@pytest.mark.slow
 def test_prf_index_forward_table_bit_identical_and_pruned(spark, tmp_path):
     """forward=True (round 15): the doc-clustered forward table makes
     PRF's feedback counts a dbkt-pruned read instead of a full
@@ -978,6 +990,7 @@ def test_prf_index_forward_table_bit_identical_and_pruned(spark, tmp_path):
     assert got == set(some_ids)
 
 
+@pytest.mark.slow
 def test_forward_table_rides_append_delete_compact(spark, tmp_path):
     """The forward table follows the full lifecycle: append lands the
     delta's doc-clustered rows, delete derives df decrements from the
@@ -1039,6 +1052,7 @@ def test_forward_table_rides_append_delete_compact(spark, tmp_path):
     check(survivors)
 
 
+@pytest.mark.slow
 def test_forward_manifest_lifecycle_and_fallback(spark, tmp_path):
     """Round-16 manifest (VERDICT r15 #3): build writes a dbkt→files
     manifest that pruned reads open by name (no partition discovery);
@@ -1128,6 +1142,7 @@ def test_forward_manifest_lifecycle_and_fallback(spark, tmp_path):
     assert verify_text_index(spark, idx)["ok"]  # absent = pre-r16, ok
 
 
+@pytest.mark.slow
 def test_bm25f_delete_equals_fromscratch_survivors(spark, tmp_path):
     """delete_from_bm25f_index (round 15): tombstones + any-field df
     decrement + per-field sum_dls/n_docs shrink ⇒ query results
@@ -1247,6 +1262,7 @@ def test_verify_detects_forward_table_drift(spark, tmp_path):
     assert any("forward/ is missing" in e for e in rep["errors"])
 
 
+@pytest.mark.slow
 def test_snippet_index_bit_identical_and_lifecycle(spark, tmp_path):
     """snippet_match_index == snippet_match row-for-row (shared
     _snippet_core; anchors from the posting buckets, text sliced only
@@ -1300,6 +1316,7 @@ def test_snippet_index_bit_identical_and_lifecycle(spark, tmp_path):
         snippet_match_index(spark, flat, phrases, docs)
 
 
+@pytest.mark.slow
 def test_diversified_from_index_docmeta_matches_inline(spark, tmp_path):
     """query_bm25_index(k=20) + diversify_topk over the index's
     docmeta == the fully inline bm25_topk + diversify_topk over the
@@ -1355,6 +1372,7 @@ def _blockmax_corpus(spark, n=4096, hot_lo=2048, hot_n=12):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_blockmax_lossless_engaged_and_live(spark, tmp_path):
     """query_bm25_index over a block_max index == the inline operator
     == the block_max=False plan (lossless); TAMPERING the stored
@@ -1420,6 +1438,7 @@ def test_blockmax_lossless_engaged_and_live(spark, tmp_path):
     assert e == b, "auto gate must decline below the postings floor"
 
 
+@pytest.mark.slow
 def test_blockmax_cost_gate_thresholds(spark, tmp_path, monkeypatch):
     """The round-16 engagement gate is the essential-union Σdf vs
     text.BM25_BLOCKMAX_MIN_POSTINGS: floor 0 → block_max=True engages
@@ -1471,6 +1490,7 @@ def test_blockmax_cost_gate_thresholds(spark, tmp_path, monkeypatch):
         query_bm25_index(spark, idx, q, k=5, block_max="yes")
 
 
+@pytest.mark.slow
 def test_blockmax_lifecycle_append_delete_compact(spark, tmp_path):
     """Ceilings ride the index lifecycle losslessly: append adds delta
     rows the query max-merges (grown == from-scratch union); delete
@@ -1529,6 +1549,7 @@ def test_blockmax_lifecycle_append_delete_compact(spark, tmp_path):
     assert got3 == want2
 
 
+@pytest.mark.slow
 def test_blockmax_composes_with_doc_filter(spark, tmp_path):
     """doc_filter (Lucene candidate narrowing) × block-max: ceilings
     are filter-agnostic (stale-HIGH relative to the allowed set —
@@ -1557,6 +1578,7 @@ def test_blockmax_composes_with_doc_filter(spark, tmp_path):
     assert all(t[1] in allowed for t in a)
 
 
+@pytest.mark.slow
 def test_bucket_manifest_lifecycle_and_fallback(spark, tmp_path):
     """Round-16 bucket manifest: build writes bkt→file lists for
     postings/terms/blockstats; append/delete/compact refresh it (the

@@ -326,6 +326,7 @@ def _bm25_corpus(spark, seed: int, n_docs: int = 120):
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.slow
 def test_bm25_maxscore_pruning_is_lossless(spark, seed, monkeypatch):
     """Round 13 (VERDICT r12 #2): max-score candidate pruning must be
     LOSSLESS — identical (q_id, doc_id, score, rn) rows to the

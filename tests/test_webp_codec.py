@@ -74,6 +74,7 @@ def test_hypothesis_fuzz_roundtrip():
     prop()
 
 
+@pytest.mark.slow
 def test_webp_cog_end_to_end(spark, tmp_path):
     from ccog_spark.raster import tiff
     from ccog_spark.raster.cog import write_ccog
