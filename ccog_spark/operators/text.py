@@ -1101,14 +1101,17 @@ def _proximity_core(
     # serialized cache build; above it one tokenize pass + a
     # matching-tokens-sized cache wins. Ledger-registered like
     # bm25_topk's TF when engaged.
+    from ccog_spark import cache_ledger
+
     spark = toks.sparkSession
+    # release unconditionally: a gate-OFF call must still free the
+    # previous (gate-ON) call's tracked cache, not leave it pinned
+    # until the next engaged call
+    cache_ledger.release_owner(spark, "proximity_core")
     toks_bytes = int(
         toks._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
     if toks_bytes >= PROXIMITY_PERSIST_MIN_BYTES:
-        from ccog_spark import cache_ledger
-
-        cache_ledger.release_owner(spark, "proximity_core")
         m = cache_ledger.track(spark, "proximity_core", m.persist())
     bucket = (F.col("pos") / max_span).cast("bigint")
     tok_b = m.select(
